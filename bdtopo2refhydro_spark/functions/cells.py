@@ -1,0 +1,85 @@
+"""Hierarchical grid-cell encoding (the engine's H3/S2 stand-in).
+
+The reference builds a QGIS in-memory spatial index before each spatial join
+(create_connected_reference_hydro.py:169-171, fix_suppr_canal_auto.py:87-90).
+Spark has no spatial index, so the engine replaces it with *cell bucketing*:
+every geometry is covered by a set of grid cells at a chosen cell size, the
+cover is exploded to rows, and the spatial join becomes an equi-join on
+``cell`` followed by an exact geometric refine (SURVEY.md §4).
+
+Cell id layout (int64, deterministic pure arithmetic — identical in Spark
+SQL, DuckDB SQL, and numpy, so cell assignments are oracle-checkable):
+
+    cell = ix * 2^26 + iy        with  ix = floor(x / cell_size),
+                                       iy = floor(y / cell_size)
+
+Valid for 0 <= x,y < cell_size * 2^26 — ample for EPSG:2154-style planar
+meters (Lambert-93 x,y < 1.3e7 even at cell_size=1). Negative coords are
+clamped to 0 (engine fixtures are in [0, 1e5]^2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+CELL_SHIFT = 26
+_DIM = np.int64(1) << CELL_SHIFT  # 2^26
+
+
+def cell_id(x, y, cell_size: float):
+    """Vectorized (x, y) → int64 cell id. Accepts scalars or ndarrays."""
+    ix = np.floor(np.maximum(np.asarray(x, dtype=np.float64), 0.0) / cell_size).astype(np.int64)
+    iy = np.floor(np.maximum(np.asarray(y, dtype=np.float64), 0.0) / cell_size).astype(np.int64)
+    return ix * _DIM + iy
+
+
+def cell_decode(cell):
+    cell = np.asarray(cell, dtype=np.int64)
+    return cell // _DIM, cell % _DIM
+
+
+def cell_neighbors(cell: int, ring: int = 1) -> list[int]:
+    """The (2*ring+1)^2 neighborhood incl. self — candidate generation for
+    kNN / tolerance snapping (graft generalization of the reference's
+    quantized-endpoint equality, SURVEY.md G1)."""
+    ix, iy = int(cell) // int(_DIM), int(cell) % int(_DIM)
+    out = []
+    for dx in range(-ring, ring + 1):
+        for dy in range(-ring, ring + 1):
+            jx, jy = ix + dx, iy + dy
+            if 0 <= jx < _DIM and 0 <= jy < _DIM:
+                out.append(jx * int(_DIM) + jy)
+    return out
+
+
+def cover_segment_cells(p, q, cell_size: float) -> set[int]:
+    """Cells overlapped by segment p→q's bbox (conservative superset — safe
+    because every cell-join is followed by an exact refine)."""
+    x0, x1 = sorted((float(p[0]), float(q[0])))
+    y0, y1 = sorted((float(p[1]), float(q[1])))
+    return cover_bbox_cells(x0, y0, x1, y1, cell_size)
+
+
+def cover_bbox_cells(xmin, ymin, xmax, ymax, cell_size: float) -> set[int]:
+    ix0 = max(int(np.floor(xmin / cell_size)), 0)
+    ix1 = max(int(np.floor(xmax / cell_size)), 0)
+    iy0 = max(int(np.floor(ymin / cell_size)), 0)
+    iy1 = max(int(np.floor(ymax / cell_size)), 0)
+    dim = int(_DIM)
+    return {
+        ix * dim + iy
+        for ix in range(ix0, ix1 + 1)
+        for iy in range(iy0, iy1 + 1)
+    }
+
+
+def cover_line_cells(coords: np.ndarray, cell_size: float) -> list[int]:
+    """Cell cover of a polyline = union of per-segment bbox covers. Tighter
+    than whole-line bbox for long diagonal lines (the skew killer)."""
+    cells: set[int] = set()
+    if len(coords) == 1:
+        return sorted(cover_bbox_cells(coords[0, 0], coords[0, 1],
+                                       coords[0, 0], coords[0, 1], cell_size))
+    for i in range(len(coords) - 1):
+        cells |= cover_segment_cells(coords[i], coords[i + 1], cell_size)
+    return sorted(cells)

@@ -1,0 +1,40 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+Local-mode knobs here stand in for cluster submit conf; the same settings go
+in spark-submit --conf for the multi-executor path (BASELINE.md). AQE is on
+for runtime skew-join splitting and partition coalescing (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "bdtopo2refhydro_spark",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cores = cores or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    shuffle_partitions = shuffle_partitions or int(cores) if str(cores).isdigit() else 32
+    b = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,17 @@
+"""Sources/sinks: deterministic synthetic fixtures, parquet IO, lineage."""
+
+from .synth import (  # noqa: F401
+    make_pages_pdf,
+    make_edges_pdf,
+    make_outlet_polygons_pdf,
+    make_surfaces_pdf,
+    make_zones_pdf,
+    make_corrections_pdf,
+    pages_df,
+    edges_df,
+    outlet_polygons_df,
+    surfaces_df,
+    zones_df,
+    corrections_df,
+)
+from .io import read_table, write_table, assert_schema  # noqa: F401

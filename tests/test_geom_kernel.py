@@ -1,0 +1,146 @@
+"""Unit tests for the pure-numpy WKB geometry kernel (SURVEY.md §5.1)."""
+
+import numpy as np
+import pytest
+
+from bdtopo2refhydro_spark.geom import (
+    bbox,
+    boundary,
+    buffer_geom,
+    endpoints,
+    geom_length,
+    intersection_length,
+    line_intersects_polygon,
+    linestring_wkb,
+    make_valid,
+    multipolygon_wkb,
+    parse_wkb,
+    point_in_polygon,
+    point_wkb,
+    polygon_wkb,
+    reverse_line,
+    GeomType,
+)
+from bdtopo2refhydro_spark.geom.kernels import _poly_parts
+
+
+SQUARE = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=float)
+
+
+def test_wkb_roundtrip_linestring():
+    coords = np.array([[1.5, 2.5], [3.0, 4.0], [5.0, 5.0]])
+    gtype, parsed = parse_wkb(linestring_wkb(coords))
+    assert gtype == GeomType.LINESTRING
+    np.testing.assert_allclose(parsed, coords)
+
+
+def test_wkb_roundtrip_polygon_with_hole():
+    hole = np.array([[2, 2], [4, 2], [4, 4], [2, 4], [2, 2]], dtype=float)
+    gtype, rings = parse_wkb(polygon_wkb([SQUARE, hole]))
+    assert gtype == GeomType.POLYGON
+    assert len(rings) == 2
+    np.testing.assert_allclose(rings[1], hole)
+
+
+def test_length():
+    assert geom_length(linestring_wkb([[0, 0], [3, 4]])) == pytest.approx(5.0)
+    assert geom_length(linestring_wkb([[0, 0], [3, 4], [3, 10]])) == pytest.approx(11.0)
+    assert geom_length(point_wkb(1, 1)) == 0.0
+
+
+def test_reverse_is_involution():
+    coords = np.array([[0, 0], [1, 2], [3, 4]], dtype=float)
+    w = linestring_wkb(coords)
+    assert reverse_line(reverse_line(w)) == w
+    _, rev = parse_wkb(reverse_line(w))
+    np.testing.assert_allclose(rev, coords[::-1])
+
+
+def test_endpoints():
+    assert endpoints(linestring_wkb([[1, 2], [5, 5], [7, 8]])) == (1, 2, 7, 8)
+
+
+def test_bbox():
+    assert bbox(linestring_wkb([[1, 9], [5, 2]])) == (1, 2, 5, 9)
+    assert bbox(polygon_wkb(SQUARE)) == (0, 0, 10, 10)
+
+
+def test_boundary():
+    gtype, coords = parse_wkb(boundary(polygon_wkb(SQUARE)))
+    assert gtype == GeomType.LINESTRING
+    np.testing.assert_allclose(coords, SQUARE)
+
+
+def test_make_valid_closes_and_dedups():
+    open_ring = np.array([[0, 0], [10, 0], [10, 0], [10, 10], [0, 10]], dtype=float)
+    gtype, rings = parse_wkb(make_valid(polygon_wkb(open_ring)))
+    r = rings[0]
+    np.testing.assert_allclose(r[0], r[-1])
+    assert len(r) == 5  # 4 distinct corners + closure
+
+
+def test_make_valid_orients_ccw():
+    cw = SQUARE[::-1]
+    _, rings = parse_wkb(make_valid(polygon_wkb(cw)))
+    x, y = rings[0][:-1, 0], rings[0][:-1, 1]
+    area = 0.5 * (np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    assert area > 0
+
+
+def test_point_in_polygon():
+    assert point_in_polygon(5, 5, [SQUARE])
+    assert not point_in_polygon(15, 5, [SQUARE])
+    hole = np.array([[2, 2], [4, 2], [4, 4], [2, 4], [2, 2]], dtype=float)
+    assert not point_in_polygon(3, 3, [SQUARE, hole])  # in the hole
+    assert point_in_polygon(5, 5, [SQUARE, hole])
+
+
+def test_line_intersects_polygon():
+    polys = [[SQUARE]]
+    crossing = np.array([[-5, 5], [15, 5]], dtype=float)
+    inside = np.array([[2, 2], [8, 8]], dtype=float)
+    outside = np.array([[20, 20], [30, 30]], dtype=float)
+    touching = np.array([[10, 5], [20, 5]], dtype=float)
+    assert line_intersects_polygon(crossing, polys)
+    assert line_intersects_polygon(inside, polys)
+    assert not line_intersects_polygon(outside, polys)
+    assert line_intersects_polygon(touching, polys)
+
+
+def test_intersection_length():
+    polys = [[SQUARE]]
+    crossing = np.array([[-5, 5], [15, 5]], dtype=float)  # 10 inside
+    assert intersection_length(crossing, polys) == pytest.approx(10.0)
+    inside = np.array([[2, 5], [8, 5]], dtype=float)
+    assert intersection_length(inside, polys) == pytest.approx(6.0)
+    outside = np.array([[20, 20], [30, 20]], dtype=float)
+    assert intersection_length(outside, polys) == pytest.approx(0.0)
+    # segment exiting through a corner-ish path, multi-vertex
+    multi = np.array([[5, 5], [5, 15], [5, 25]], dtype=float)
+    assert intersection_length(multi, polys) == pytest.approx(5.0)
+
+
+def test_intersection_length_with_hole():
+    hole = np.array([[2, 2], [8, 2], [8, 8], [2, 8], [2, 2]], dtype=float)
+    polys = [[SQUARE, hole]]
+    line = np.array([[-5, 5], [15, 5]], dtype=float)
+    # inside outer 10, minus 6 crossing the hole
+    assert intersection_length(line, polys) == pytest.approx(4.0)
+
+
+def test_buffer_point_is_circle():
+    gtype, rings = parse_wkb(buffer_geom(point_wkb(0, 0), 10.0))
+    assert gtype == GeomType.POLYGON
+    r = np.hypot(rings[0][:, 0], rings[0][:, 1])
+    np.testing.assert_allclose(r, 10.0)
+
+
+def test_buffer_line_capsules_cover_distance_band():
+    line = linestring_wkb([[0, 0], [100, 0]])
+    buf = buffer_geom(line, 50.0)
+    polys = _poly_parts(parse_wkb(buf))
+    # points within 50m of the segment are inside some capsule
+    assert any(point_in_polygon(50, 49, rings) for rings in polys)
+    assert any(point_in_polygon(-30, 0, rings) for rings in polys)  # cap zone
+    assert not any(point_in_polygon(50, 51, rings) for rings in polys)
+    assert not any(point_in_polygon(-60, 0, rings) for rings in polys)
