@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship reference-network pipeline
+(SURVEY.md §3.2) on edges derived deterministically from the sf0.001
+documents table. ``queries()`` exposes one callable per implemented
+operator from SURVEY.md §2 plus the web-scale training-data ops;
+``oracle_sql()`` carries the DuckDB-equivalent SQL for every
+SQL-expressible entry (the same deterministic arithmetic derives
+coordinates/graphs from doc_id on both sides, so results match bit-for-bit).
 """
 
 from __future__ import annotations
@@ -12,27 +14,1041 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from bdtopo2refhydro_spark.functions import udfs as U
+from bdtopo2refhydro_spark.operators import text as TX
+from bdtopo2refhydro_spark.operators import ann as ANN
+
+# ---------------------------------------------------------------------------
+# deterministic derivations from doc_id (identical arithmetic in DuckDB SQL)
+# ---------------------------------------------------------------------------
+
+# h: LCG-mixed positive int64
+_H = "( (doc_id * 1103515245 + 12345) % 2147483648 )"
+# segment endpoints in a [0, 100000]^2 planar extent; dx,dy >= 1
+_X0 = f"cast({_H} % 100000 as double)"
+_Y0 = f"cast(({_H} div 7) % 100000 as double)"
+_X1 = f"({_X0} + 1 + cast(({_H} div 11) % 1000 as double))"
+_Y1 = f"({_Y0} + 1 + cast(({_H} div 13) % 1000 as double))"
+_NATURE = (
+    f"case when {_H} % 10 < 6 then 'Ecoulement naturel' "
+    f"when {_H} % 10 = 6 then 'Canal' "
+    f"when {_H} % 10 = 7 then 'Conduit forcé' "
+    f"when {_H} % 10 = 8 then 'Conduit buse' "
+    f"else 'Ecoulement canalisé' end"
+)
+# tree node position: root (doc 0) sits in the outlet band (y=500); all
+# other nodes sit at y >= 2000
+_PX = f"cast({_H} % 100000 as double)"
+_PY = f"(case when doc_id = 0 then 500.0 else 2000.0 + cast(({_H} div 3) % 98000 as double) end)"
+
+# DuckDB spellings (// for integer division)
+_HD = "( (doc_id * 1103515245 + 12345) % 2147483648 )"
+_X0D = f"CAST({_HD} % 100000 AS DOUBLE)"
+_Y0D = f"CAST(({_HD} // 7) % 100000 AS DOUBLE)"
+_X1D = f"({_X0D} + 1 + CAST(({_HD} // 11) % 1000 AS DOUBLE))"
+_Y1D = f"({_Y0D} + 1 + CAST(({_HD} // 13) % 1000 AS DOUBLE))"
+_NATURED = _NATURE.replace(" div ", " // ")
+_PXD = _PX
+_PYD = _PY.replace(" div ", " // ")
+
+CELL = 1000.0
+DIM = 1 << 26  # functions/cells.py CELL_SHIFT
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the sf* fixtures are single small parquet files → Spark gives them one
+    # input partition; repartition so CPU-bound expression work (minhash,
+    # simhash, shingles) uses every core. At real scale the table arrives in
+    # many files and this is a no-op cost.
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
+def _coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", "text",
+        F.expr(_H).alias("h"),
+        F.expr(_X0).alias("x0"), F.expr(_Y0).alias("y0"),
+        F.expr(_X1).alias("x1"), F.expr(_Y1).alias("y1"),
+        F.expr(_NATURE).alias("nature"),
+    )
+
+
+def _forest_edges(spark: SparkSession, sf_dir: str,
+                  with_extras: bool = False) -> DataFrame:
+    """Directed forest over doc ids: edge doc_id → doc_id/2 (flow toward
+    node 0), length 1+h%1000, edges with h%17=0 dropped (creates
+    disconnected subtrees). with_extras adds a second channel doc_id →
+    doc_id/4 for doc_id%5=0 (multichannel divergences for principal-stem).
+    """
+    base = _docs(spark, sf_dir).select(
+        F.concat(F.lit("e"), F.col("doc_id")).alias("url"),
+        F.col("doc_id").alias("NODEA"),
+        F.expr("doc_id div 2").alias("NODEB"),
+        F.expr(f"cast(1 + {_H} % 1000 as double)").alias("len"),
+    ).filter(F.expr(f"doc_id >= 1 and {_H} % 17 != 0"))
+    if not with_extras:
+        return base
+    extras = _docs(spark, sf_dir).select(
+        F.concat(F.lit("x"), F.col("doc_id")).alias("url"),
+        F.col("doc_id").alias("NODEA"),
+        F.expr("doc_id div 4").alias("NODEB"),
+        F.expr(f"cast(1 + {_H} % 500 as double)").alias("len"),
+    ).filter(F.expr(f"doc_id >= 4 and doc_id % 5 = 0 and {_H} % 17 != 0"))
+    return base.unionByName(extras)
+
+
+_FOREST_D = f"""
+  SELECT 'e' || CAST(doc_id AS VARCHAR) AS url,
+         doc_id AS nodea, doc_id // 2 AS nodeb,
+         CAST(1 + {_HD} % 1000 AS DOUBLE) AS len
+  FROM documents WHERE doc_id >= 1 AND {_HD} % 17 != 0
+"""
+_EXTRAS_D = f"""
+  SELECT 'x' || CAST(doc_id AS VARCHAR) AS url,
+         doc_id AS nodea, doc_id // 4 AS nodeb,
+         CAST(1 + {_HD} % 500 AS DOUBLE) AS len
+  FROM documents WHERE doc_id >= 4 AND doc_id % 5 = 0 AND {_HD} % 17 != 0
+"""
+
+
+def _tree_geom_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric tree edges for the flagship pipeline: LineString from
+    pos(doc_id) to pos(doc_id/2); root node sits in the outlet band."""
+    docs = _docs(spark, sf_dir)
+    pos = docs.select("doc_id", F.expr(_PX).alias("px"), F.expr(_PY).alias("py"))
+    child = docs.select(
+        "doc_id",
+        F.expr(_H).alias("h"),
+        F.expr("doc_id div 2").alias("parent_id"),
+        F.expr(_NATURE).alias("nature"),
+    ).filter(F.expr(f"doc_id >= 1 and {_H} % 17 != 0"))
+    return (
+        child.join(pos.select(F.col("doc_id").alias("parent_id"),
+                              F.col("px").alias("ppx"), F.col("py").alias("ppy")),
+                   "parent_id")
+        .join(pos, "doc_id")
+        .select(
+            F.concat(F.lit("e"), F.col("doc_id")).alias("url"),
+            U.st_make_line("px", "py", "ppx", "ppy").alias("geom_wkb"),
+            "nature",
+        )
+    )
+
+
+def _outlet_band(spark: SparkSession) -> DataFrame:
+    return spark.range(1).select(
+        F.col("id").alias("outlet_id"),
+        U.st_make_rect(F.lit(0.0), F.lit(0.0),
+                       F.lit(100000.0), F.lit(1500.0)).alias("geom_wkb"),
+    )
+
+
+def _rects(spark: SparkSession) -> DataFrame:
+    """10 derived rectangles (outlet/watershed polygon analogs). Bounds end
+    in .5 so integer point coordinates never sit on a boundary."""
+    return spark.range(10).select(
+        F.col("id").alias("pid"),
+        (F.col("id") * 10000 + 0.5).alias("xmin"),
+        ((F.col("id") * 37 % 9) * 10000 + 0.5).alias("ymin"),
+        (F.col("id") * 10000 + 8000.5).alias("xmax"),
+        ((F.col("id") * 37 % 9) * 10000 + 9000.5).alias("ymax"),
+    )
+
+
+_RECTS_D = """
+  SELECT i AS pid,
+         i * 10000 + 0.5 AS xmin, (i * 37 % 9) * 10000 + 0.5 AS ymin,
+         i * 10000 + 8000.5 AS xmax, (i * 37 % 9) * 10000 + 9000.5 AS ymax
+  FROM range(10) t(i)
+"""
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship query
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full reference-network pipeline (dedupe → node ids → outlet
+    spatial join → BFS connectivity → principal stem) on tree edges derived
+    from sf0.001 documents."""
+    from bdtopo2refhydro_spark.plans import run_reference_network
+
+    edges = _tree_geom_edges(spark, "/root/testdata/sf0.001")
+    troncon, _segment = run_reference_network(
+        edges, _outlet_band(spark), tolerance=1.0, cell_size=5000.0
+    )
+    return troncon.select("url", "nature")
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+def _q_reference_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdtopo2refhydro_spark.plans import run_reference_network
+
+    edges = _tree_geom_edges(spark, sf_dir)
+    troncon, _ = run_reference_network(
+        edges, _outlet_band(spark), tolerance=1.0, cell_size=5000.0
+    )
+    return troncon.select("url")
+
+
+_REFNET_SQL = f"""
+WITH RECURSIVE edges AS (
+  SELECT doc_id, 'e' || CAST(doc_id AS VARCHAR) AS url,
+         doc_id AS child, doc_id // 2 AS parent
+  FROM documents WHERE doc_id >= 1 AND {_HD} % 17 != 0
+),
+comp(node) AS (
+  SELECT 0 UNION SELECT 1
+  UNION
+  SELECT e.child FROM edges e JOIN comp c ON e.parent = c.node
+),
+seed_ok AS (SELECT 1 FROM edges WHERE doc_id = 1)
+SELECT e.url FROM edges e
+JOIN comp a ON e.child = a.node
+JOIN comp b ON e.parent = b.node
+WHERE EXISTS (SELECT * FROM seed_ok)
+"""
+
+
+def _q_corr_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdtopo2refhydro_spark.operators import fix_connection
+
+    docs = _docs(spark, sf_dir)
+    target = docs.filter("doc_id % 5 != 0").select("doc_id", "text")
+    corr = docs.filter("doc_id % 10 < 2").select("doc_id", "text")
+    return fix_connection(target, corr, key="doc_id").select("doc_id")
+
+
+_CORR_INSERT_SQL = """
+SELECT doc_id FROM documents WHERE doc_id % 5 != 0
+UNION ALL
+SELECT doc_id FROM documents
+WHERE doc_id % 10 < 2 AND doc_id % 5 = 0
+"""
+
+
+def _q_corr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdtopo2refhydro_spark.operators import fix_suppr_canal_multichenal
+
+    docs = _docs(spark, sf_dir)
+    target = docs.select("doc_id", "text")
+    corr = docs.filter("doc_id % 7 = 0").select("doc_id")
+    return fix_suppr_canal_multichenal(target, corr, key="doc_id").select("doc_id")
+
+
+_CORR_DELETE_SQL = "SELECT doc_id FROM documents WHERE doc_id % 7 != 0"
+
+
+def _q_corr_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdtopo2refhydro_spark.operators import fix_modified_geom
+
+    docs = _docs(spark, sf_dir)
+    corr = docs.filter("doc_id % 9 = 0").select(
+        "doc_id", F.upper("text").alias("new_text")
+    )
+    out = fix_modified_geom(docs.select("doc_id", "text"), corr,
+                            key="doc_id", geom_col="text",
+                            new_geom_col="new_text")
+    return out.select("doc_id", F.col("text").alias("text_out"))
+
+
+_CORR_UPDATE_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 9 = 0 THEN upper(text) ELSE text END AS text_out
+FROM documents
+"""
+
+
+def _q_corr_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 line reversal through real WKB: build line, reverse for keyed rows,
+    read endpoints back — first point of a reversed line is the old last."""
+    from bdtopo2refhydro_spark.operators import fix_direction
+
+    c = _coords(spark, sf_dir)
+    edges = c.select("doc_id", U.st_make_line("x0", "y0", "x1", "y1").alias("geom_wkb"))
+    keys = c.filter("doc_id % 4 = 0").select("doc_id")
+    out = fix_direction(edges, keys, key="doc_id")
+    ep = out.withColumn("ep", U.st_endpoints("geom_wkb"))
+    return ep.select("doc_id", F.col("ep.x0").alias("fx"),
+                     F.col("ep.y0").alias("fy"))
+
+
+_CORR_REVERSE_SQL = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 4 = 0 THEN {_X1D} ELSE {_X0D} END AS fx,
+       CASE WHEN doc_id % 4 = 0 THEN {_Y1D} ELSE {_Y0D} END AS fy
+FROM documents
+"""
+
+
+def _q_filter_canals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdtopo2refhydro_spark.operators import filter_canals
+
+    return filter_canals(_coords(spark, sf_dir)).select("doc_id", "nature")
+
+
+_FILTER_CANALS_SQL = f"""
+SELECT doc_id, {_NATURED} AS nature FROM documents
+WHERE {_NATURED} NOT IN ('Canal', 'Conduit forcé', 'Conduit buse',
+                         'Ecoulement canalisé')
+"""
+
+
+def _q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    ids = docs.filter("doc_id % 11 = 0").select("doc_id")
+    return docs.join(F.broadcast(ids), "doc_id", "left_semi") \
+               .select("doc_id", "lang")
+
+
+_SEMI_JOIN_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE doc_id IN (SELECT doc_id FROM documents WHERE doc_id % 11 = 0)
+"""
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.exact_dedup(_docs(spark, sf_dir))
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def _q_rownum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select("event_id", "user_id",
+                     F.row_number().over(w).alias("rn"))
+
+
+_ROWNUM_EVENTS_SQL = """
+SELECT event_id, user_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+FROM events
+"""
+
+
+def _q_take_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdtopo2refhydro_spark.operators import take_first_join
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+                .select(F.col("c_custkey").alias("o_custkey"))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+                  .select("o_custkey", "o_orderkey", "o_orderdate")
+    out = take_first_join(cust, orders, "o_custkey",
+                          F.struct("o_orderdate", "o_orderkey"))
+    return out.select(F.col("o_custkey").alias("custkey"),
+                      F.col("join_o_orderkey").alias("first_order"))
+
+
+_TAKE_FIRST_SQL = """
+SELECT c.c_custkey AS custkey, f.o_orderkey AS first_order
+FROM customer c LEFT JOIN (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+) f ON f.o_custkey = c.c_custkey AND f.rn = 1
+"""
+
+
+def _q_merge_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdtopo2refhydro_spark.operators import merge_layers
+
+    docs = _docs(spark, sf_dir)
+    a = docs.filter("doc_id % 3 = 0").select("doc_id")
+    b = docs.filter("doc_id % 3 = 1").select("doc_id")
+    return merge_layers([("la", a), ("lb", b)])
+
+
+_MERGE_LAYERS_SQL = """
+SELECT doc_id, 'la' AS layer FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT doc_id, 'lb' AS layer FROM documents WHERE doc_id % 3 = 1
+"""
+
+
+def _q_append_skip_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdtopo2refhydro_spark.operators import append_skip_duplicates
+
+    docs = _docs(spark, sf_dir)
+    base = docs.filter("doc_id % 2 = 0").select("doc_id", "source")
+    inc = docs.filter("doc_id % 3 = 0").select("doc_id", "source")
+    return append_skip_duplicates(base, inc, key="doc_id")
+
+
+_APPEND_SKIP_SQL = """
+SELECT doc_id, source FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, source FROM documents WHERE doc_id % 3 = 0 AND doc_id % 2 != 0
+"""
+
+
+def _q_substr_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 string surgery (README.md:87-98): value before the first
+    separator."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.substring_index(F.trim("text"), " ", 1).alias("head")
+    )
+
+
+_SUBSTR_SQL = "SELECT doc_id, split_part(trim(text), ' ', 1) AS head FROM documents"
+
+
+def _q_nodes_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdtopo2refhydro_spark.operators import identify_network_nodes
+
+    c = _coords(spark, sf_dir)
+    edges = c.select(
+        "doc_id", U.st_make_line("x0", "y0", "x1", "y1").alias("geom_wkb")
+    )
+    out = identify_network_nodes(edges, key="doc_id", tolerance=1.0,
+                                 mode="dense")
+    return out.select("doc_id", F.col("NODEA").alias("nodea"),
+                      F.col("NODEB").alias("nodeb"))
+
+
+_NODES_DENSE_SQL = f"""
+WITH pts AS (
+  SELECT doc_id,
+         CAST(round({_X0D}) AS BIGINT) AS qax, CAST(round({_Y0D}) AS BIGINT) AS qay,
+         CAST(round({_X1D}) AS BIGINT) AS qbx, CAST(round({_Y1D}) AS BIGINT) AS qby
+  FROM documents
+),
+uniq AS (
+  SELECT DISTINCT qx, qy FROM (
+    SELECT qax AS qx, qay AS qy FROM pts
+    UNION SELECT qbx, qby FROM pts
+  )
+),
+ids AS (
+  SELECT qx, qy, row_number() OVER (ORDER BY qx, qy) AS node_id FROM uniq
+)
+SELECT p.doc_id, a.node_id AS nodea, b.node_id AS nodeb
+FROM pts p
+JOIN ids a ON p.qax = a.qx AND p.qay = a.qy
+JOIN ids b ON p.qbx = b.qx AND p.qby = b.qy
+"""
+
+
+def _q_node_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _forest_edges(spark, sf_dir)
+    out_deg = e.groupBy(F.col("NODEA").alias("node")) \
+               .agg(F.count("*").alias("n_out"))
+    in_deg = e.groupBy(F.col("NODEB").alias("node")) \
+              .agg(F.count("*").alias("n_in"))
+    return out_deg.join(in_deg, "node", "full") \
+        .select("node", F.coalesce("n_out", F.lit(0)).alias("n_out"),
+                F.coalesce("n_in", F.lit(0)).alias("n_in"))
+
+
+_NODE_DEGREE_SQL = f"""
+WITH e AS ({_FOREST_D}),
+o AS (SELECT nodea AS node, count(*) AS n_out FROM e GROUP BY nodea),
+i AS (SELECT nodeb AS node, count(*) AS n_in FROM e GROUP BY nodeb)
+SELECT COALESCE(o.node, i.node) AS node,
+       COALESCE(n_out, 0) AS n_out, COALESCE(n_in, 0) AS n_in
+FROM o FULL OUTER JOIN i ON o.node = i.node
+"""
+
+
+def _q_confluence_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: class-1 edges whose downstream node is a class-3 edge's upstream
+    node, length-limited (the sliver-confluence predicate)."""
+    e = _forest_edges(spark, sf_dir)
+    s1 = e.filter(F.expr("NODEA % 3 = 0") & (F.col("len") <= 500))
+    s3 = e.filter(F.expr("NODEA % 3 = 1")) \
+          .select(F.col("NODEA").alias("NODEB"))
+    return s1.join(s3, "NODEB", "left_semi").select("url")
+
+
+_CONFLUENCE_SQL = f"""
+WITH e AS ({_FOREST_D})
+SELECT url FROM e s1
+WHERE s1.nodea % 3 = 0 AND s1.len <= 500
+  AND EXISTS (SELECT 1 FROM e s3
+              WHERE s3.nodea % 3 = 1 AND s3.nodea = s1.nodeb)
+"""
+
+
+def _q_anti_isolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: edges with nothing upstream and nothing downstream."""
+    e = _forest_edges(spark, sf_dir)
+    ups = e.select(F.col("NODEB").alias("NODEA"))
+    downs = e.select(F.col("NODEA").alias("NODEB"))
+    return (
+        e.join(ups, "NODEA", "left_anti")
+        .join(downs, "NODEB", "left_anti")
+        .select("url")
+    )
+
+
+_ANTI_ISOLATED_SQL = f"""
+WITH e AS ({_FOREST_D})
+SELECT url FROM e
+WHERE NOT EXISTS (SELECT 1 FROM e u WHERE u.nodeb = e.nodea)
+  AND NOT EXISTS (SELECT 1 FROM e d WHERE d.nodea = e.nodeb)
+"""
+
+
+def _q_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdtopo2refhydro_spark.operators import select_connected
+
+    e = _forest_edges(spark, sf_dir)
+    seeds = spark.createDataFrame([(0,)], "node long")
+    return select_connected(e, seeds, direction="up").select("node")
+
+
+_BFS_SQL = f"""
+WITH RECURSIVE e AS ({_FOREST_D}),
+reach(node) AS (
+  SELECT CAST(0 AS BIGINT)
+  UNION
+  SELECT e.nodea FROM e JOIN reach r ON e.nodeb = r.node
+)
+SELECT node FROM reach
+"""
+
+
+def _q_dist_from_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdtopo2refhydro_spark.operators import distance_from_outlet
+
+    e = _forest_edges(spark, sf_dir)
+    outlets = spark.createDataFrame([(0,)], "node long")
+    return distance_from_outlet(e, outlets).select("node", "dist")
+
+
+_DIST_SQL = f"""
+WITH RECURSIVE e AS ({_FOREST_D}),
+walk(node, dist) AS (
+  SELECT CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)
+  UNION
+  SELECT e.nodea, w.dist + e.len FROM e JOIN walk w ON e.nodeb = w.node
+)
+SELECT node, min(dist) AS dist FROM walk GROUP BY node
+"""
+
+
+def _q_principal_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdtopo2refhydro_spark.operators import principal_stem
+
+    e = _forest_edges(spark, sf_dir, with_extras=True)
+    outlets = spark.createDataFrame([(0,)], "node long")
+    return principal_stem(e, outlets, key="url").select("url")
+
+
+_STEM_SQL = f"""
+WITH RECURSIVE e AS ({_FOREST_D} UNION ALL {_EXTRAS_D}),
+walk(node, dist) AS (
+  SELECT CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)
+  UNION
+  SELECT e.nodea, w.dist + e.len FROM e JOIN walk w ON e.nodeb = w.node
+),
+dist AS (SELECT node, min(dist) AS dist FROM walk GROUP BY node),
+scored AS (
+  SELECT e.url, e.nodea, d.dist + e.len AS route
+  FROM e JOIN dist d ON e.nodeb = d.node
+),
+ranked AS (
+  SELECT url, row_number() OVER (PARTITION BY nodea
+                                 ORDER BY route, url) AS rn
+  FROM scored
+)
+SELECT url FROM ranked WHERE rn = 1
+"""
+
+
+def _q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _coords(spark, sf_dir)
+    return c.select(
+        "doc_id", U.cell_of(F.col("x0"), F.col("y0"), CELL).alias("cell")
+    )
+
+
+_TILE_SQL = f"""
+SELECT doc_id,
+       CAST(floor(greatest({_X0D}, 0.0) / 1000.0) AS BIGINT) * {DIM}
+       + CAST(floor(greatest({_Y0D}, 0.0) / 1000.0) AS BIGINT) AS cell
+FROM documents
+"""
+
+
+def _q_cover_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell cover of each doc's segment through the engine UDF vs the
+    bbox-arithmetic oracle (single-segment lines → bbox cover)."""
+    c = _coords(spark, sf_dir)
+    lines = c.select(
+        "doc_id", U.st_make_line("x0", "y0", "x1", "y1").alias("geom_wkb")
+    )
+    return lines.select(
+        "doc_id",
+        F.size(U.st_cover_cells(F.col("geom_wkb"), CELL)).alias("n_cells"),
+    )
+
+
+_COVER_SQL = f"""
+SELECT doc_id,
+       CAST((floor(greatest({_X0D}, {_X1D}) / 1000) - floor(least({_X0D}, {_X1D}) / 1000) + 1)
+          * (floor(greatest({_Y0D}, {_Y1D}) / 1000) - floor(least({_Y0D}, {_Y1D}) / 1000) + 1)
+          AS INTEGER) AS n_cells
+FROM documents
+"""
+
+
+def _q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: point-in-polygon via the real cell-bucketed spatial join (cover →
+    broadcast equi-join on cell → exact ray-cast refine)."""
+    from bdtopo2refhydro_spark.operators.spatial import cell_index_polygons
+
+    c = _coords(spark, sf_dir)
+    pts = c.select(
+        "doc_id",
+        U.st_make_point("x0", "y0").alias("geom_wkb"),
+        U.cell_of(F.col("x0"), F.col("y0"), 5000.0).alias("cell"),
+    )
+    rects = _rects(spark).select(
+        "pid", U.st_make_rect("xmin", "ymin", "xmax", "ymax").alias("geom_wkb")
+    )
+    poly_idx = F.broadcast(
+        cell_index_polygons(rects, 5000.0).join(
+            rects.withColumnRenamed("geom_wkb", "_poly_wkb"), "_poly_wkb"
+        )
+    )
+    cand = pts.join(poly_idx, "cell").dropDuplicates(["doc_id", "pid"])
+    hits = cand.withColumn("hit", U.st_intersects("geom_wkb", "_poly_wkb"))
+    return hits.filter("hit").select("doc_id", "pid")
+
+
+_PIP_SQL = f"""
+SELECT d.doc_id, r.pid
+FROM documents d JOIN ({_RECTS_D}) r
+  ON {_X0D} > r.xmin AND {_X0D} < r.xmax
+ AND {_Y0D} > r.ymin AND {_Y0D} < r.ymax
+"""
+
+
+def _q_zonal_pct_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9's math as native columns (Liang-Barsky clip of each segment to one
+    rectangle) — the SQL-exact twin of zonal_pct_in_surface; the geometric
+    UDF variant is golden-tested in tests/test_spatial_ops.py."""
+    c = _coords(spark, sf_dir)
+    xmin, ymin, xmax, ymax = 20000.5, 10000.5, 80000.5, 90000.5
+    dx = F.col("x1") - F.col("x0")
+    dy = F.col("y1") - F.col("y0")
+    t0 = F.greatest(F.lit(0.0), (F.lit(xmin) - F.col("x0")) / dx,
+                    (F.lit(ymin) - F.col("y0")) / dy)
+    t1 = F.least(F.lit(1.0), (F.lit(xmax) - F.col("x0")) / dx,
+                 (F.lit(ymax) - F.col("y0")) / dy)
+    pct = F.greatest(t1 - t0, F.lit(0.0)) * 100.0
+    return c.select("doc_id", pct.alias("pct_in_surface"))
+
+
+_ZONAL_SQL = f"""
+SELECT doc_id,
+  greatest(
+    least(1.0, (80000.5 - {_X0D}) / ({_X1D} - {_X0D}),
+               (90000.5 - {_Y0D}) / ({_Y1D} - {_Y0D}))
+    - greatest(0.0, (20000.5 - {_X0D}) / ({_X1D} - {_X0D}),
+               (10000.5 - {_Y0D}) / ({_Y1D} - {_Y0D})),
+    0.0) * 100.0 AS pct_in_surface
+FROM documents
+"""
+
+
+# --- web-text ops ---------------------------------------------------------
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.token_stats(_docs(spark, sf_dir))
+
+
+_TOKEN_STATS_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+         length(trim(text)) AS tl
+  FROM documents
+)
+SELECT doc_id, len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct_tokens,
+       tl / greatest(len(toks), 1) AS avg_token_len
+FROM t
+"""
+
+
+def _duck_shingles(k: int = TX.MINHASH_K) -> str:
+    return (
+        f"CASE WHEN len(toks) < {k} THEN [array_to_string(toks, ' ')] "
+        f"ELSE list_transform(range(1, len(toks) - {k} + 2), "
+        f"i -> array_to_string(list_slice(toks, i, i + {k} - 1), ' ')) END"
+    )
+
+
+def _q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.minhash_signatures(_docs(spark, sf_dir))
+
+
+def _minhash_sql() -> str:
+    mh = ", ".join(
+        f"list_min(list_transform(sh, s -> md5(s || '#{i}'))) AS mh_{i}"
+        for i in range(TX.MINHASH_HASHES)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+s AS (SELECT doc_id, {_duck_shingles()} AS sh FROM t)
+SELECT doc_id, {mh} FROM s
+"""
+
+
+def _q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.lsh_candidate_pairs(_docs(spark, sf_dir))
+
+
+def _lsh_pairs_sql() -> str:
+    bs, nh = TX.LSH_BAND_SIZE, TX.MINHASH_HASHES
+    band_keys = ", ".join(
+        "md5(" + " || '|' || ".join(
+            f"mh_{b * bs + j}" for j in range(bs)
+        ) + f") AS band_{b}"
+        for b in range(nh // bs)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, band_{b} AS band_key FROM sig"
+        for b in range(nh // bs)
+    )
+    return f"""
+WITH sigsrc AS ({_minhash_sql().strip()}),
+sig AS (SELECT *, {band_keys} FROM sigsrc),
+bands AS ({unions})
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM bands l JOIN bands r
+  ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+WHERE l.doc_id < r.doc_id
+"""
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _jaccard_sql() -> str:
+    return f"""
+WITH cand AS ({_lsh_pairs_sql().strip()}),
+t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+s AS (SELECT doc_id, list_distinct({_duck_shingles()}) AS sh FROM t)
+SELECT cand.a, cand.b,
+       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       / len(list_distinct(sa.sh || sb.sh)) AS jaccard
+FROM cand JOIN s sa ON sa.doc_id = cand.a JOIN s sb ON sb.doc_id = cand.b
+WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      / len(list_distinct(sa.sh || sb.sh)) >= 0.5
+"""
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.simhash(_docs(spark, sf_dir))
+
+
+def _simhash_sql() -> str:
+    bits = []
+    for bit in range(TX.SIMHASH_BITS):
+        digit = bit // 4
+        mask = 1 << (bit % 4)
+        vote = (
+            f"list_sum(list_transform(toks, tok -> "
+            f"CASE WHEN (position(substring(md5(tok), {digit + 1}, 1) "
+            f"IN '0123456789abcdef') - 1) & {mask} > 0 THEN 1 ELSE -1 END))"
+        )
+        bits.append(f"CASE WHEN ({vote}) > 0 THEN {1 << bit} ELSE 0 END")
+    total = " + ".join(bits)
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id, {total} AS simhash FROM t
+"""
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.simhash_dup_pairs(_docs(spark, sf_dir), max_hamming=2)
+
+
+def _simhash_pairs_sql() -> str:
+    return f"""
+WITH s AS ({_simhash_sql().strip()})
+SELECT a.doc_id AS a, b.doc_id AS b,
+       bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) <= 2
+"""
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.lang_id(_docs(spark, sf_dir))
+
+
+def _lang_id_sql() -> str:
+    ratios = []
+    for lg, words in TX.STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        ratios.append(
+            f"len(list_filter(toks, x -> x IN ({lst}))) "
+            f"/ CAST(greatest(len(toks), 1) AS DOUBLE) AS r_{lg}"
+        )
+    langs = list(TX.STOPWORDS)
+    best = "greatest(" + ", ".join(f"r_{lg}" for lg in langs) + ")"
+    pick = "CASE WHEN " + best + " <= 0 THEN 'und' " + " ".join(
+        f"WHEN r_{lg} = {best} THEN '{lg}'" for lg in langs
+    ) + " END"
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+r AS (SELECT doc_id, {', '.join(ratios)} FROM t)
+SELECT doc_id, {pick} AS lang_pred, {best} AS lang_score FROM r
+"""
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.quality_score(_docs(spark, sf_dir))
+
+
+def _quality_sql() -> str:
+    en = ", ".join(f"'{w}'" for w in TX.STOPWORDS["en"])
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+         trim(text) AS tt
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         (length(tt) - length(regexp_replace(tt, '[.,;:!?]', '', 'g')))
+           / CAST(greatest(length(tt), 1) AS DOUBLE) AS punct_ratio,
+         (length(tt) - length(regexp_replace(tt, '[0-9]', '', 'g')))
+           / CAST(greatest(length(tt), 1) AS DOUBLE) AS digit_ratio,
+         len(list_filter(toks, x -> x IN ({en})))
+           / CAST(greatest(len(toks), 1) AS DOUBLE) AS stopword_ratio
+  FROM t
+)
+SELECT doc_id, n_tokens, punct_ratio, digit_ratio, stopword_ratio,
+       0.4 * least(n_tokens / 50.0, 1.0)
+     + 0.3 * (1.0 - least(punct_ratio * 10, 1.0))
+     + 0.2 * (1.0 - least(digit_ratio * 10, 1.0))
+     + 0.1 * least(stopword_ratio * 5, 1.0) AS quality
+FROM f
+"""
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.doc_fingerprint(_docs(spark, sf_dir))
+
+
+def _fingerprint_sql() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       list_min(list_transform({_duck_shingles()}, s -> md5(s || '#0')))
+         AS fingerprint
+FROM t
+"""
+
+
+# --- embeddings -----------------------------------------------------------
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter("vec_id < 50")
+    return ANN.cosine_topk(emb, queries, k=3)
+
+
+_COSINE_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS eq
+           FROM embeddings WHERE vec_id < 50),
+c AS (SELECT vec_id AS neighbor_id, embedding AS en FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         list_sum(list_transform(list_zip(q.eq, c.en),
+                  p -> p[1]::DOUBLE * p[2]::DOUBLE))
+         / (sqrt(list_sum(list_transform(q.eq, x -> x::DOUBLE * x::DOUBLE)))
+          * sqrt(list_sum(list_transform(c.en, x -> x::DOUBLE * x::DOUBLE))))
+         AS cos_sim
+  FROM q JOIN c ON q.query_id != c.neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 3
+"""
+
+
+def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ANN.lsh_ann_topk(_emb(spark, sf_dir), k=3)
+
+
+def _lsh_ann_sql() -> str:
+    signs = ANN.plane_signs(ANN.N_PLANES, 64)
+    planes = " + ".join(
+        f"CASE WHEN ("
+        + " + ".join(f"({signs[p][j]}.0 * embedding[{j + 1}]::DOUBLE)"
+                     for j in range(64))
+        + f") > 0 THEN {1 << p} ELSE 0 END"
+        for p in range(ANN.N_PLANES)
+    )
+    return f"""
+WITH sig AS (SELECT vec_id, embedding, {planes} AS bucket FROM embeddings),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                  p -> p[1]::DOUBLE * p[2]::DOUBLE))
+         / (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))
+          * sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE))))
+         AS cos_sim
+  FROM sig q JOIN sig c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 3
+"""
+
+
+def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+_TPCH_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "reference_network": _q_reference_network,
+        "corr_insert": _q_corr_insert,
+        "corr_delete": _q_corr_delete,
+        "corr_update": _q_corr_update,
+        "corr_reverse": _q_corr_reverse,
+        "filter_canals": _q_filter_canals,
+        "semi_join": _q_semi_join,
+        "dedup_exact": _q_dedup_exact,
+        "rownum_events": _q_rownum_events,
+        "take_first_join": _q_take_first,
+        "merge_layers": _q_merge_layers,
+        "append_skip_dup": _q_append_skip_dup,
+        "substr_extract": _q_substr_extract,
+        "nodes_dense": _q_nodes_dense,
+        "node_degree": _q_node_degree,
+        "confluence_join": _q_confluence_join,
+        "anti_isolated": _q_anti_isolated,
+        "bfs_reach": _q_bfs_reach,
+        "dist_from_root": _q_dist_from_root,
+        "principal_stem": _q_principal_stem,
+        "tile_assign": _q_tile_assign,
+        "cover_count": _q_cover_count,
+        "pip_join": _q_pip_join,
+        "zonal_pct": _q_zonal_pct_sql,
+        "token_stats": _q_token_stats,
+        "minhash_sig": _q_minhash_sig,
+        "lsh_pairs": _q_lsh_pairs,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
+        "lang_id": _q_lang_id,
+        "quality": _q_quality,
+        "fingerprint": _q_fingerprint,
+        "cosine_topk": _q_cosine_topk,
+        "lsh_ann": _q_lsh_ann,
+        "tpch_q1": _q_tpch_q1,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "reference_network": _REFNET_SQL,
+        "corr_insert": _CORR_INSERT_SQL,
+        "corr_delete": _CORR_DELETE_SQL,
+        "corr_update": _CORR_UPDATE_SQL,
+        "corr_reverse": _CORR_REVERSE_SQL,
+        "filter_canals": _FILTER_CANALS_SQL,
+        "semi_join": _SEMI_JOIN_SQL,
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "rownum_events": _ROWNUM_EVENTS_SQL,
+        "take_first_join": _TAKE_FIRST_SQL,
+        "merge_layers": _MERGE_LAYERS_SQL,
+        "append_skip_dup": _APPEND_SKIP_SQL,
+        "substr_extract": _SUBSTR_SQL,
+        "nodes_dense": _NODES_DENSE_SQL,
+        "node_degree": _NODE_DEGREE_SQL,
+        "confluence_join": _CONFLUENCE_SQL,
+        "anti_isolated": _ANTI_ISOLATED_SQL,
+        "bfs_reach": _BFS_SQL,
+        "dist_from_root": _DIST_SQL,
+        "principal_stem": _STEM_SQL,
+        "tile_assign": _TILE_SQL,
+        "cover_count": _COVER_SQL,
+        "pip_join": _PIP_SQL,
+        "zonal_pct": _ZONAL_SQL,
+        "token_stats": _TOKEN_STATS_SQL,
+        "minhash_sig": _minhash_sql(),
+        "lsh_pairs": _lsh_pairs_sql(),
+        "ngram_jaccard": _jaccard_sql(),
+        "simhash": _simhash_sql(),
+        "simhash_pairs": _simhash_pairs_sql(),
+        "lang_id": _lang_id_sql(),
+        "quality": _quality_sql(),
+        "fingerprint": _fingerprint_sql(),
+        "cosine_topk": _COSINE_SQL,
+        "lsh_ann": _lsh_ann_sql(),
+        "tpch_q1": _TPCH_Q1_SQL,
+    }

@@ -160,6 +160,42 @@ def st_intersection_length(line_wkb: pd.Series, poly_wkb: pd.Series) -> pd.Serie
     return pd.Series(out)
 
 
+@pandas_udf(T.BinaryType())
+def st_make_line(x0: pd.Series, y0: pd.Series, x1: pd.Series,
+                 y1: pd.Series) -> pd.Series:
+    """Two-point LineString WKB from coordinate columns (fixture builder)."""
+    from ..geom.wkb import linestring_wkb
+
+    return pd.Series(
+        [linestring_wkb([[a, b], [c, d]])
+         for a, b, c, d in zip(x0, y0, x1, y1)]
+    )
+
+
+@pandas_udf(T.BinaryType())
+def st_make_point(x: pd.Series, y: pd.Series) -> pd.Series:
+    """Point WKB from coordinate columns."""
+    from ..geom.wkb import point_wkb
+
+    return pd.Series([point_wkb(a, b) for a, b in zip(x, y)])
+
+
+@pandas_udf(T.BinaryType())
+def st_make_rect(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series,
+                 ymax: pd.Series) -> pd.Series:
+    """Axis-aligned rectangle Polygon WKB from bound columns."""
+    from ..geom.wkb import polygon_wkb
+
+    return pd.Series(
+        [
+            polygon_wkb(
+                np.array([[a, b], [c, b], [c, d], [a, d], [a, b]], dtype=float)
+            )
+            for a, b, c, d in zip(xmin, ymin, xmax, ymax)
+        ]
+    )
+
+
 def cell_of(x_col, y_col, cell_size: float):
     """Pure-arithmetic cell id as a native Column expression (stays in
     whole-stage codegen; identical value in DuckDB SQL → oracle-checkable)."""

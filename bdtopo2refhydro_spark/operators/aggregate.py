@@ -1,0 +1,133 @@
+"""A3 — aggregate stream segments (fct:aggregatestreamsegments,
+create_connected_reference_hydro.py:241-249 and
+create_5m_width_hydro_network.py:365-373): merge consecutive reaches between
+junctions (nodes of degree ≠ 2) into single segments.
+
+Physical plan: successor pointers through pass-through nodes → pointer
+jumping (log₂(chain length) self-join rounds, checkpointed) to label every
+edge with its chain root → groupBy(chain) + applyInPandas to stitch
+geometry in order. No driver-side traversal; chains of any count collapse
+in O(log L) rounds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _chain_roots(e: DataFrame, key: str, max_rounds: int = 64) -> DataFrame:
+    """Label each edge with the key of the last edge of its chain.
+
+    successor(e) = unique edge f with f.NODEA == e.NODEB, valid only when
+    e.NODEB is a pass-through node (in-degree 1 and out-degree 1)."""
+    indeg = e.groupBy("NODEB").agg(F.count("*").alias("_in"))
+    outdeg = e.groupBy("NODEA").agg(F.count("*").alias("_out"))
+    passthrough = (
+        indeg.join(outdeg, indeg.NODEB == outdeg.NODEA)
+        .filter((F.col("_in") == 1) & (F.col("_out") == 1))
+        .select(F.col("NODEB").alias("node"))
+    )
+    nxt = (
+        e.select(F.col(key).alias("k"), F.col("NODEB").alias("node"))
+        .join(passthrough, "node", "left_semi")
+        .join(e.select(F.col(key).alias("nk"), F.col("NODEA").alias("node")),
+              "node")
+        .select("k", "nk")
+    )
+    ptr = (
+        e.select(F.col(key).alias("k"))
+        .join(nxt, "k", "left")
+        .withColumn("p", F.coalesce("nk", "k"))
+        .select("k", "p")
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        jumped = (
+            ptr.alias("a")
+            .join(ptr.select(F.col("k").alias("p"), F.col("p").alias("pp")).alias("b"),
+                  "p")
+            .select("k", F.col("pp").alias("p"))
+            .localCheckpoint()
+        )
+        moved = (
+            jumped.join(ptr.withColumnRenamed("p", "old"), "k")
+            .filter(F.col("p") != F.col("old"))
+            .count()
+        )
+        ptr = jumped
+        if moved == 0:
+            break
+    return ptr.select(F.col("k").alias(key), F.col("p").alias("chain_id"))
+
+
+_AGG_SCHEMA = T.StructType(
+    [
+        T.StructField("GID", T.StringType()),
+        T.StructField("geom_wkb", T.BinaryType()),
+        T.StructField("NODEA", T.LongType()),
+        T.StructField("NODEB", T.LongType()),
+        T.StructField("LENGTH", T.DoubleType()),
+        T.StructField("n_reaches", T.IntegerType()),
+        T.StructField("first_url", T.StringType()),
+    ]
+)
+
+
+def _merge_chain_fn(key: str):
+    def _merge_chain(pdf: pd.DataFrame) -> pd.DataFrame:
+        # worker-side import keeps the UDF payload picklable
+        from ..geom.wkb import linestring_wkb, parse_wkb
+
+        rows = list(pdf.to_dict("records"))
+        by_a = {r["NODEA"]: r for r in rows}
+        dsts = set(pdf["NODEB"])
+        heads = [r for r in rows if r["NODEA"] not in dsts]
+        # cyclic chain (ring): fall back to deterministic smallest-key head
+        cur = heads[0] if heads else min(rows, key=lambda r: r[key])
+        coords, total, n, first_key = [], 0.0, 0, cur[key]
+        node_a = cur["NODEA"]
+        node_b = cur["NODEB"]
+        while cur is not None and n < len(rows):
+            _, arr = parse_wkb(cur["geom_wkb"])
+            seg = np.asarray(arr)
+            total += float(np.sqrt(((seg[1:] - seg[:-1]) ** 2).sum(axis=1)).sum())
+            coords.append(seg if not coords else seg[1:])
+            node_b = cur["NODEB"]
+            n += 1
+            cur = by_a.get(node_b)
+            if cur is not None and cur["NODEA"] == node_a:
+                break
+        merged = np.vstack(coords)
+        return pd.DataFrame(
+            [
+                {
+                    "GID": str(pdf["chain_id"].iloc[0]),
+                    "geom_wkb": linestring_wkb(merged),
+                    "NODEA": int(node_a),
+                    "NODEB": int(node_b),
+                    "LENGTH": total,
+                    "n_reaches": n,
+                    "first_url": first_key,
+                }
+            ]
+        )
+
+    return _merge_chain
+
+
+def aggregate_segments(edges_nodes: DataFrame, key: str = "url",
+                       geom_col: str = "geom_wkb") -> DataFrame:
+    """Collapse degree-2 chains into single segments. Returns one row per
+    chain: GID (chain id), stitched geom_wkb, chain NODEA/NODEB, LENGTH,
+    n_reaches, first_url (upstream-most reach key, for J8 attribute
+    re-join)."""
+    e = edges_nodes.select(key, geom_col, "NODEA", "NODEB")
+    roots = _chain_roots(e, key)
+    chained = e.join(roots, key)
+    return chained.groupBy("chain_id").applyInPandas(
+        _merge_chain_fn(key), _AGG_SCHEMA
+    )

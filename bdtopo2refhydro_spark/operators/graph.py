@@ -1,0 +1,257 @@
+"""Graph core: node identification + checkpointed traversals.
+
+The reference overlays a directed graph on the segment table via
+``fct:identifynetworknodes`` (NODEA = upstream/from end, NODEB =
+downstream/to end) and traverses it with ``SelectConnectedComponents``
+(create_connected_reference_hydro.py:160-197). Here:
+
+- node IDs are deterministic xxhash64 of the quantized endpoint (no
+  monotonically_increasing_id — same IDs at any parallelism), or dense_rank
+  for oracle-checkable small runs;
+- traversals are frontier BFS as iterative self-joins with
+  localCheckpoint() per round to truncate lineage (the north rule's
+  "checkpointed self-joins") and per-round row counts for lineage metrics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import udfs as U
+
+DEFAULT_TOLERANCE = 1.0  # meters; reference QUANTIZATION 1e8 over a ~1e6 m
+                         # extent ≈ 0.01 m — effectively exact-equality snap
+
+
+@dataclass
+class TraversalMetrics:
+    """Per-round lineage (north rule: per-iteration row counts)."""
+    rounds: list[dict] = field(default_factory=list)
+
+    def add(self, **kw):
+        self.rounds.append(kw)
+
+
+def identify_network_nodes(edges: DataFrame, key: str = "url",
+                           geom_col: str = "geom_wkb",
+                           tolerance: float = DEFAULT_TOLERANCE,
+                           mode: str = "hash") -> DataFrame:
+    """G1 ~ fct:identifynetworknodes
+    (create_connected_reference_hydro.py:160-166): quantize line endpoints,
+    assign one int64 node id per distinct quantized endpoint, add
+    NODEA (from-end) / NODEB (to-end).
+
+    mode='hash'  → node = xxhash64(qx, qy): no shuffle, no global state,
+                   deterministic at any scale (collision probability over
+                   even 10^12 endpoints ~ 10^-5; tests assert zero collisions
+                   on fixtures).
+    mode='dense' → dense_rank over sorted distinct endpoints (the reference's
+                   sequential ids; needs a global sort — small inputs only).
+    """
+    e = edges.withColumn("_ep", U.st_endpoints(geom_col))
+    qa_x = F.round(F.col("_ep.x0") / tolerance).cast("long")
+    qa_y = F.round(F.col("_ep.y0") / tolerance).cast("long")
+    qb_x = F.round(F.col("_ep.x1") / tolerance).cast("long")
+    qb_y = F.round(F.col("_ep.y1") / tolerance).cast("long")
+    if mode == "hash":
+        out = (
+            e.withColumn("NODEA", F.xxhash64(qa_x, qa_y))
+            .withColumn("NODEB", F.xxhash64(qb_x, qb_y))
+        )
+    elif mode == "dense":
+        withq = (
+            e.withColumn("_qax", qa_x).withColumn("_qay", qa_y)
+            .withColumn("_qbx", qb_x).withColumn("_qby", qb_y)
+        )
+        pts = (
+            withq.select(F.col("_qax").alias("qx"), F.col("_qay").alias("qy"))
+            .union(withq.select("_qbx", "_qby"))
+            .distinct()
+        )
+        w = Window.orderBy("qx", "qy")
+        ids = pts.withColumn("node_id", F.row_number().over(w))
+        out = (
+            withq.join(ids.withColumnRenamed("node_id", "NODEA"),
+                       (F.col("_qax") == F.col("qx")) & (F.col("_qay") == F.col("qy")))
+            .drop("qx", "qy")
+            .join(ids.withColumnRenamed("node_id", "NODEB"),
+                  (F.col("_qbx") == F.col("qx")) & (F.col("_qby") == F.col("qy")))
+            .drop("qx", "qy", "_qax", "_qay", "_qbx", "_qby")
+        )
+    else:
+        raise ValueError(f"unknown mode {mode}")
+    return out.drop("_ep")
+
+
+def snap_endpoints_knn(edges: DataFrame, key: str = "url",
+                       geom_col: str = "geom_wkb",
+                       tolerance: float = DEFAULT_TOLERANCE) -> DataFrame:
+    """Graft generalization of G1 (north star: "kNN endpoint snapping within
+    tolerance via cell-neighborhood candidate generation"): endpoints within
+    `tolerance` of each other snap to one canonical node even when they fall
+    in different quantization cells.
+
+    Candidate generation: each endpoint joins the 3×3 neighborhood of its
+    cell (cell = floor(coord/tolerance)); candidates within `tolerance`
+    snap to the lexicographically-smallest quantized cell among the group —
+    deterministic without iteration (tolerance-chain clusters resolve to
+    per-pair minima, matching nearest-neighbor semantics, not full
+    transitive-closure clustering)."""
+    e = edges.withColumn("_ep", U.st_endpoints(geom_col))
+    pts = (
+        e.select(key, F.lit("A").alias("end"),
+                 F.col("_ep.x0").alias("x"), F.col("_ep.y0").alias("y"))
+        .union(e.select(key, F.lit("B"), F.col("_ep.x1"), F.col("_ep.y1")))
+    )
+    pts = pts.withColumn("cx", F.floor(F.col("x") / tolerance).cast("long")) \
+             .withColumn("cy", F.floor(F.col("y") / tolerance).cast("long"))
+    # explode each point into its 9 candidate neighbor cells
+    nbr = pts.select(
+        key, "end", "x", "y",
+        F.explode(F.array(*[
+            F.struct((F.col("cx") + dx).alias("nx"), (F.col("cy") + dy).alias("ny"))
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        ])).alias("n"),
+    ).select(key, "end", "x", "y", "n.nx", "n.ny")
+    # candidate cell centers that actually hold a point
+    occupied = pts.select(F.col("cx").alias("nx"), F.col("cy").alias("ny"),
+                          F.col("x").alias("ox"), F.col("y").alias("oy"))
+    cand = (
+        nbr.join(occupied, ["nx", "ny"])
+        .withColumn("_d2", (F.col("x") - F.col("ox")) ** 2 + (F.col("y") - F.col("oy")) ** 2)
+        .filter(F.col("_d2") <= tolerance * tolerance)
+        .withColumn("qx", F.floor(F.col("ox") / tolerance).cast("long"))
+        .withColumn("qy", F.floor(F.col("oy") / tolerance).cast("long"))
+        .groupBy(key, "end")
+        .agg(F.min(F.struct("qx", "qy")).alias("q"))
+        .withColumn("node", F.xxhash64(F.col("q.qx"), F.col("q.qy")))
+        .select(key, "end", "node")
+    )
+    a = cand.filter(F.col("end") == "A").select(key, F.col("node").alias("NODEA"))
+    b = cand.filter(F.col("end") == "B").select(key, F.col("node").alias("NODEB"))
+    return edges.join(a, key).join(b, key)
+
+
+def _neighbors(edges_nodes: DataFrame, frontier_nodes: DataFrame,
+               direction: str) -> DataFrame:
+    """Nodes one hop from the frontier. direction: 'up' walks against flow
+    (B→A), 'down' with flow (A→B), 'both' undirected (the reference's
+    DIRECTION:2 at create_connected_reference_hydro.py:191-197)."""
+    out = []
+    if direction in ("down", "both"):
+        out.append(
+            edges_nodes.join(frontier_nodes.withColumnRenamed("node", "NODEA"),
+                             "NODEA").select(F.col("NODEB").alias("node"))
+        )
+    if direction in ("up", "both"):
+        out.append(
+            edges_nodes.join(frontier_nodes.withColumnRenamed("node", "NODEB"),
+                             "NODEB").select(F.col("NODEA").alias("node"))
+        )
+    df = out[0]
+    for o in out[1:]:
+        df = df.union(o)
+    return df.distinct()
+
+
+def select_connected(edges_nodes: DataFrame, seed_nodes: DataFrame,
+                     direction: str = "both", max_iter: int = 200,
+                     checkpoint_every: int = 1,
+                     metrics: TraversalMetrics | None = None) -> DataFrame:
+    """G2 ~ fct:selectconnectedcomponents: frontier BFS from seed nodes;
+    returns the visited node set as a DataFrame('node' long).
+
+    Each round is one self-join; localCheckpoint() truncates lineage so the
+    plan stays O(1) per round instead of O(rounds) (SURVEY.md §7 hard parts).
+    """
+    visited = seed_nodes.select("node").distinct().localCheckpoint()
+    frontier = visited
+    for i in range(max_iter):
+        nxt = _neighbors(edges_nodes, frontier, direction)
+        frontier = nxt.join(visited, "node", "left_anti")
+        if checkpoint_every and i % checkpoint_every == 0:
+            frontier = frontier.localCheckpoint()
+        n_new = frontier.count()
+        if metrics is not None:
+            metrics.add(op="select_connected", round=i, new_nodes=n_new)
+        if n_new == 0:
+            break
+        visited = visited.union(frontier).localCheckpoint()
+    return visited
+
+
+def edges_touching(edges_nodes: DataFrame, nodes: DataFrame,
+                   key: str = "url", direction: str = "both") -> DataFrame:
+    """Edges selected by a traversal's visited-node set (selection
+    materialization ~ native:saveselectedfeatures,
+    create_connected_reference_hydro.py:199). direction must match the
+    walk: 'both' → either endpoint visited; 'down' → edge traversed
+    leaving a visited NODEA; 'up' → edge traversed against flow from a
+    visited NODEB."""
+    a = edges_nodes.join(nodes.withColumnRenamed("node", "NODEA"), "NODEA",
+                         "left_semi")
+    b = edges_nodes.join(nodes.withColumnRenamed("node", "NODEB"), "NODEB",
+                         "left_semi")
+    if direction == "down":
+        return a.select(key).distinct()
+    if direction == "up":
+        return b.select(key).distinct()
+    return a.select(key).union(b.select(key)).distinct()
+
+
+def fix_network_connectivity(full_edges: DataFrame, subset_keys: DataFrame,
+                             outlet_nodes: DataFrame, key: str = "url",
+                             max_outer: int = 30,
+                             metrics: TraversalMetrics | None = None) -> DataFrame:
+    """G3 ~ fct:fixnetworkconnectivity (fix_suppr_canal_auto.py:131-138;
+    README.md:42 'remove canals and add only necessary canals to connect
+    streams'): given the full graph and a kept SUBSET (canals removed),
+    re-add the minimal full-graph edges needed so every subset edge reaches
+    the outlets.
+
+    Greedy frontier repair: BFS over the kept set from the outlets; while
+    unreachable subset edges remain, admit the non-subset edges with at
+    least one endpoint in the reached set (one hop of 'candidate canals'),
+    re-BFS. Each outer round admits only edges adjacent to the reached
+    frontier, so admitted canals form connecting paths, not the whole canal
+    web. Returns the kept key set (subset + admitted)."""
+    full_edges = full_edges.select(key, "NODEA", "NODEB").localCheckpoint()
+    kept_keys = subset_keys.select(key).localCheckpoint()
+    for outer in range(max_outer):
+        kept_edges = full_edges.join(kept_keys, key, "left_semi")
+        reached = select_connected(kept_edges, outlet_nodes, "both",
+                                   metrics=metrics)
+        sub_edges = full_edges.join(subset_keys, key, "left_semi")
+        unreachable = (
+            sub_edges.join(reached.withColumnRenamed("node", "NODEA"), "NODEA",
+                           "left_anti")
+            .join(reached.withColumnRenamed("node", "NODEB"), "NODEB",
+                  "left_anti")
+        )
+        n_unreached = unreachable.count()
+        if metrics is not None:
+            metrics.add(op="fix_connectivity", round=outer,
+                        unreachable_edges=n_unreached)
+        if n_unreached == 0:
+            break
+        cand = (
+            full_edges.join(kept_keys, key, "left_anti")
+        )
+        touching = (
+            cand.join(reached.withColumnRenamed("node", "NODEA"), "NODEA",
+                      "left_semi")
+            .select(key)
+            .union(
+                cand.join(reached.withColumnRenamed("node", "NODEB"), "NODEB",
+                          "left_semi").select(key)
+            )
+            .distinct()
+        )
+        n_added = touching.count()
+        if n_added == 0:
+            break  # disconnected beyond repair — reference keeps going too
+        kept_keys = kept_keys.union(touching).distinct().localCheckpoint()
+    return kept_keys

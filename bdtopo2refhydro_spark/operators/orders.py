@@ -1,0 +1,260 @@
+"""Stream-order analytics: shortest-path relaxation, principal stem,
+measure-from-outlet, Hack order, Strahler order, sliver pruning.
+
+All are fixpoint loops of self-joins with localCheckpoint() per round
+(north rule). Edge model: flow NODEA (upstream) → NODEB (downstream);
+outlets are node ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import udfs as U
+from .graph import TraversalMetrics
+
+
+def distance_from_outlet(edges_nodes: DataFrame, outlet_nodes: DataFrame,
+                         len_col: str = "len", max_iter: int = 500,
+                         metrics: TraversalMetrics | None = None) -> DataFrame:
+    """Multi-source shortest path following flow downstream to any outlet:
+    dist(n) = min over out-edges n→m of dist(m) + len. Returns ('node',
+    'dist'). Bellman-Ford-style relaxation; on the (a)cyclic river networks
+    the reference targets, rounds ≈ network depth.
+
+    Backs G4 (fct:principal-stem COST:0 geometric length,
+    create_connected_reference_hydro.py:202-209) and G5
+    (fct:measurenetworkfromoutlet, create_5m_width_hydro_network.py:267-273).
+    """
+    dist = outlet_nodes.select("node", F.lit(0.0).alias("dist")).localCheckpoint()
+    e = edges_nodes.select(F.col("NODEA").alias("src"),
+                           F.col("NODEB").alias("dst"),
+                           F.col(len_col).alias("_len")).localCheckpoint()
+    for i in range(max_iter):
+        relaxed = (
+            e.join(dist.withColumnRenamed("node", "dst"), "dst")
+            .select(F.col("src").alias("node"),
+                    (F.col("dist") + F.col("_len")).alias("dist"))
+        )
+        new_dist = (
+            dist.union(relaxed).groupBy("node").agg(F.min("dist").alias("dist"))
+        ).localCheckpoint()
+        # converged when no node's dist improved
+        improved = (
+            new_dist.join(dist.withColumnRenamed("dist", "old"), "node", "left")
+            .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
+            .count()
+        )
+        if metrics is not None:
+            metrics.add(op="distance_from_outlet", round=i, improved=improved)
+        dist = new_dist
+        if improved == 0:
+            break
+    return dist
+
+
+def principal_stem(edges_nodes: DataFrame, outlet_nodes: DataFrame,
+                   key: str = "url", len_col: str = "len",
+                   metrics: TraversalMetrics | None = None) -> DataFrame:
+    """G4 ~ principal stem: where several channels leave the same upstream
+    node (multichannel reach), keep only the channel on the shortest
+    outlet→source route — i.e. per NODEA keep the out-edge minimizing
+    dist(NODEB) + len (README.md:43: 'le chenal choisi est le plus court
+    chemin de l'exutoire à la source'). Ties break on smallest key for
+    determinism."""
+    dist = distance_from_outlet(edges_nodes, outlet_nodes, len_col,
+                                metrics=metrics)
+    scored = (
+        edges_nodes.join(dist.withColumnRenamed("node", "NODEB"), "NODEB")
+        .withColumn("_route", F.col("dist") + F.col(len_col))
+    )
+    best = (
+        scored.groupBy("NODEA")
+        .agg(F.min(F.struct(F.col("_route"), F.col(key))).alias("_best"))
+        .select("NODEA", F.col(f"_best.{key}").alias(key))
+    )
+    return edges_nodes.join(best.select(key), key, "left_semi")
+
+
+def measure_from_outlet(edges_nodes: DataFrame, outlet_nodes: DataFrame,
+                        key: str = "url", len_col: str = "len",
+                        metrics: TraversalMetrics | None = None) -> DataFrame:
+    """G5 ~ fct:measurenetworkfromoutlet: MEASURE = along-network distance
+    from the outlet to the downstream end of each edge."""
+    dist = distance_from_outlet(edges_nodes, outlet_nodes, len_col,
+                                metrics=metrics)
+    return edges_nodes.join(
+        dist.select(F.col("node").alias("NODEB"), F.col("dist").alias("MEASURE")),
+        "NODEB", "left",
+    )
+
+
+def upstream_length(edges_nodes: DataFrame, key: str = "url",
+                    len_col: str = "len", max_iter: int = 500,
+                    metrics: TraversalMetrics | None = None) -> DataFrame:
+    """Longest upstream path above each edge (drained length proxy): ul(e) =
+    len(e) + max(ul(u) for u with u.NODEB == e.NODEA, default 0). Fixpoint
+    bottom-up; feeds Hack ordering."""
+    e = edges_nodes.select(key, "NODEA", "NODEB", F.col(len_col).alias("_len")) \
+                   .localCheckpoint()
+    ul = e.select(key, "NODEA", "NODEB", "_len", F.col("_len").alias("UL")) \
+          .localCheckpoint()
+    for i in range(max_iter):
+        up_max = (
+            ul.groupBy("NODEB").agg(F.max("UL").alias("_upmax"))
+            .withColumnRenamed("NODEB", "NODEA")
+        )
+        new_ul = (
+            e.join(up_max, "NODEA", "left")
+            .withColumn("UL", F.col("_len") + F.coalesce("_upmax", F.lit(0.0)))
+            .drop("_upmax")
+        ).localCheckpoint()
+        changed = (
+            new_ul.select(key, "UL")
+            .join(ul.select(key, F.col("UL").alias("_old")), key)
+            .filter(F.abs(F.col("UL") - F.col("_old")) > 1e-9)
+            .count()
+        )
+        if metrics is not None:
+            metrics.add(op="upstream_length", round=i, changed=changed)
+        ul = new_ul
+        if changed == 0:
+            break
+    return ul.select(key, "UL")
+
+
+def hack_order(edges_nodes: DataFrame, outlet_nodes: DataFrame,
+               key: str = "url", len_col: str = "len", max_iter: int = 500,
+               metrics: TraversalMetrics | None = None) -> DataFrame:
+    """G6 ~ fct:hackorder (create_5m_width_hydro_network.py:277-285): outlet
+    edges get order 1; walking upstream through each junction, the upstream
+    edge with the greatest drained (longest-upstream) length continues the
+    parent's order, the others get parent+1. Top-down propagation until all
+    edges ordered."""
+    ul = upstream_length(edges_nodes, key, len_col, max_iter, metrics)
+    e = edges_nodes.select(key, "NODEA", "NODEB").join(ul, key).localCheckpoint()
+    # main-stem flag: among edges sharing NODEB (a junction's upstream arms),
+    # the one with max UL continues the parent's order
+    best_up = (
+        e.groupBy("NODEB")
+        .agg(F.max(F.struct(F.col("UL"), F.col(key))).alias("_b"))
+        .select("NODEB", F.col(f"_b.{key}").alias("_main_key"))
+    )
+    e = e.join(best_up, "NODEB", "left") \
+         .withColumn("_is_main", F.col(key) == F.col("_main_key")) \
+         .drop("_main_key").localCheckpoint()
+    hack = (
+        e.join(outlet_nodes.withColumnRenamed("node", "NODEB"), "NODEB",
+               "left_semi")
+        .select(key, F.lit(1).alias("HACK"))
+    ).localCheckpoint()
+    for i in range(max_iter):
+        # child edge c (c.NODEB == parent.NODEA) inherits parent's order if
+        # main, else order+1
+        parent = e.join(hack, key).select(
+            F.col("NODEA").alias("NODEB"), F.col("HACK").alias("_ph")
+        )
+        child = (
+            e.join(parent, "NODEB")
+            .select(key, F.when(F.col("_is_main"), F.col("_ph"))
+                          .otherwise(F.col("_ph") + 1).alias("HACK"))
+        )
+        new_hack = (
+            hack.union(child).groupBy(key).agg(F.min("HACK").alias("HACK"))
+        ).localCheckpoint()
+        n_new = new_hack.count() - hack.count()
+        if metrics is not None:
+            metrics.add(op="hack_order", round=i, newly_ordered=n_new)
+        hack = new_hack
+        if n_new == 0:
+            break
+    return edges_nodes.join(hack, key, "left")
+
+
+def strahler_order(edges_nodes: DataFrame, key: str = "url",
+                   max_iter: int = 500,
+                   metrics: TraversalMetrics | None = None) -> DataFrame:
+    """G7 ~ fct:strahlerorder (create_5m_width_hydro_network.py:289-296):
+    leaves = 1; an edge whose upstream arms are all ordered gets
+    max(up) + (1 if the max occurs ≥2 times else 0). Bottom-up fixpoint."""
+    e = edges_nodes.select(key, "NODEA", "NODEB").localCheckpoint()
+    # leaves: no upstream edge ends at my NODEA
+    strahler = (
+        e.join(e.select(F.col("NODEB").alias("NODEA")), "NODEA", "left_anti")
+        .select(key, F.lit(1).alias("STRAHLER"))
+    ).localCheckpoint()
+    n_edges = e.count()
+    for i in range(max_iter):
+        done = strahler.count()
+        if done >= n_edges:
+            break
+        # upstream arms of edge x = edges u with u.NODEB == x.NODEA
+        up = e.select(F.col(key).alias("_ukey"), F.col("NODEB").alias("NODEA"))
+        arms = (
+            e.join(strahler, key, "left_anti")  # only unordered edges
+            .join(up, "NODEA")
+            .join(strahler.select(F.col(key).alias("_ukey"),
+                                  F.col("STRAHLER").alias("_uord")),
+                  "_ukey", "left")
+        )
+        ready = (
+            arms.groupBy(key)
+            .agg(
+                F.count("*").alias("_n"),
+                F.count("_uord").alias("_n_ordered"),
+                F.collect_list("_uord").alias("_arr"),
+            )
+            .filter(F.col("_n") == F.col("_n_ordered"))  # all arms ordered
+            .select(
+                key,
+                (
+                    F.array_max("_arr")
+                    + F.when(
+                        F.size(F.filter("_arr",
+                                        lambda v: v == F.array_max("_arr"))) >= 2,
+                        1,
+                    ).otherwise(0)
+                ).alias("STRAHLER"),
+            )
+        )
+        n_new = ready.count()
+        if metrics is not None:
+            metrics.add(op="strahler", round=i, newly_ordered=n_new)
+        if n_new == 0:
+            break
+        strahler = strahler.union(ready).localCheckpoint()
+    return edges_nodes.join(strahler, key, "left")
+
+
+def prune_slivers(edges_nodes: DataFrame, key: str = "url",
+                  len_col: str = "len",
+                  small_segment_filter: float = 500.0,
+                  exutoire_stream_min_length: float = 10_000.0) -> DataFrame:
+    """G8 ~ sliver pruning (create_5m_width_hydro_network.py:298-359):
+    (a) J3: drop STRAHLER-1 edges ≤ small_segment_filter whose NODEB is the
+        NODEA of a STRAHLER ≥ 3 edge (short first-order stub into a big
+        river — replaces the reference's O(N·M) list comprehension);
+    (b) J4: drop isolated rank-1 edges ≤ exutoire_stream_min_length whose
+        NODEA never appears as a NODEB and whose NODEB never appears as a
+        NODEA (nothing upstream, nothing downstream).
+    Expects a STRAHLER column (strahler_order output)."""
+    s3 = edges_nodes.filter(F.col("STRAHLER") >= 3) \
+                    .select(F.col("NODEA").alias("NODEB"))
+    sliver_confluence = (
+        edges_nodes.filter((F.col("STRAHLER") == 1)
+                           & (F.col(len_col) <= small_segment_filter))
+        .join(s3, "NODEB", "left_semi")
+        .select(key)
+    )
+    others_b = edges_nodes.select(F.col("NODEB").alias("NODEA"))
+    others_a = edges_nodes.select(F.col("NODEA").alias("NODEB"))
+    isolated = (
+        edges_nodes.filter((F.col("STRAHLER") == 1)
+                           & (F.col(len_col) <= exutoire_stream_min_length))
+        .join(others_b, "NODEA", "left_anti")
+        .join(others_a, "NODEB", "left_anti")
+        .select(key)
+    )
+    drop = sliver_confluence.union(isolated).distinct()
+    return edges_nodes.join(drop, key, "left_anti")

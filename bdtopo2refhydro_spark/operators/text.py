@@ -1,0 +1,271 @@
+"""Web-text training-data pipeline operators over the documents table.
+
+These extend the reference's operator surface with the ops a 100 TB
+Common-Crawl-style corpus pipeline needs (dedup, near-dup, language id,
+quality scoring, token stats, fingerprinting). Everything is built from
+JVM-side built-in functions (split/md5/transform/aggregate — whole-stage
+codegen, no Python in the hot path), and every formula is chosen to be
+expressible 1:1 in ANSI/DuckDB SQL so the driver's oracle can replay it
+(__spark_entry__.oracle_sql).
+
+Scale notes:
+- exact dedup = hash-groupBy (one shuffle on the 16-byte digest);
+- MinHash/LSH near-dup = per-doc signature (no shuffle) → explode bands
+  (×n_bands) → groupBy band key (one shuffle) → within-bucket pairs; no
+  O(N²) stage anywhere;
+- SimHash = per-doc 16-bit signature + banded candidate join;
+- all candidate joins key on short deterministic strings, so AQE skew
+  splitting applies when a band bucket is hot (boilerplate pages).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# deterministic MinHash seeds / band layout (shared with oracle SQL)
+MINHASH_K = 3           # token shingle size
+MINHASH_HASHES = 8      # signature length
+LSH_BAND_SIZE = 2       # hashes per band → 4 bands
+SIMHASH_BITS = 16
+
+STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in", "a", "is", "that", "for", "it"],
+    "fr": ["le", "la", "les", "de", "des", "et", "un", "une", "du", "en"],
+    "de": ["der", "die", "das", "und", "ist", "von", "ein", "eine", "zu", "den"],
+    "es": ["el", "los", "las", "y", "un", "una", "en", "es", "por", "con"],
+}
+
+
+def tokens_expr(text_col: str = "text") -> str:
+    """Whitespace tokenization of lowercased trimmed text (SQL-parity)."""
+    return f"split(trim(lower({text_col})), '\\\\s+')"
+
+
+def shingles_expr(text_col: str = "text", k: int = MINHASH_K) -> str:
+    """k-token shingles joined by single spaces; a doc shorter than k tokens
+    yields one whole-doc shingle."""
+    t = tokens_expr(text_col)
+    return (
+        f"case when size({t}) < {k} then array(array_join({t}, ' ')) "
+        f"else transform(sequence(0, size({t}) - {k}), "
+        f"i -> array_join(slice({t}, i + 1, {k}), ' ')) end"
+    )
+
+
+def minhash_expr(i: int, text_col: str = "text", k: int = MINHASH_K) -> str:
+    """i-th MinHash: lexicographic min of md5(shingle || '#i'). String-min
+    MinHash needs no integer hashing, so Spark and DuckDB agree exactly."""
+    return (
+        f"array_min(transform({shingles_expr(text_col, k)}, "
+        f"s -> md5(concat(s, '#{i}'))))"
+    )
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup: one survivor per distinct text (min doc_id). The
+    hash-groupBy shuffles 16-byte digests, not documents."""
+    return (
+        docs.select(F.col("doc_id"), F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    toks = F.expr(tokens_expr())
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        (F.length(F.trim("text")) / F.greatest(F.size(toks), F.lit(1)))
+        .alias("avg_token_len"),
+    )
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = MINHASH_HASHES,
+                       k: int = MINHASH_K) -> DataFrame:
+    # one expression computes the whole signature so the shingle set is
+    # built once per row (not once per hash — 8× cheaper); per-hash columns
+    # are then cheap element_at extracts
+    sig = (
+        f"transform(sequence(0, {num_hashes - 1}), "
+        f"i -> array_min(transform(sh, s -> md5(concat(s, '#', i)))))"
+    )
+    return (
+        docs.select("doc_id", F.expr(shingles_expr(k=k)).alias("sh"))
+        .select("doc_id", F.expr(sig).alias("_sig"))
+        .select("doc_id", *[
+            F.element_at("_sig", i + 1).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ])
+    )
+
+
+def lsh_bands(docs: DataFrame, num_hashes: int = MINHASH_HASHES,
+              band_size: int = LSH_BAND_SIZE, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, band_idx, band_key): band_key = md5 of the band's minhashes.
+    Docs sharing any band key are near-dup candidates."""
+    sig = minhash_signatures(docs, num_hashes, k)
+    n_bands = num_hashes // band_size
+    bands = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(F.concat_ws("|", *[F.col(f"mh_{b * band_size + j}")
+                                     for j in range(band_size)])
+                  .cast("binary")).alias("band_key"),
+        )
+        for b in range(n_bands)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*bands)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_key")
+
+
+def lsh_candidate_pairs(docs: DataFrame, **kw) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing ≥1 LSH band."""
+    bands = lsh_bands(docs, **kw)
+    left = bands.select(F.col("doc_id").alias("a"), "band_idx", "band_key")
+    right = bands.select(F.col("doc_id").alias("b"), "band_idx", "band_key")
+    return (
+        left.join(right, ["band_idx", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
+                        k: int = MINHASH_K, **kw) -> DataFrame:
+    """Near-dup verification: exact n-gram Jaccard on LSH candidate pairs
+    (candidate generation is the LSH join — never all-pairs)."""
+    cand = lsh_candidate_pairs(docs, k=k, **kw)
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(F.expr(shingles_expr(k=k))).alias("sh"),
+    )
+    return (
+        cand.join(sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a")), "a")
+        .join(sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b")), "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def _simhash_bit_expr(bit: int, text_col: str = "text") -> str:
+    """Bit `bit` of a 16-bit SimHash: majority vote over tokens of bit
+    (bit%4) of hex digit (bit//4) of md5(token). Pure string/arith ops —
+    identical in DuckDB."""
+    t = tokens_expr(text_col)
+    digit = bit // 4
+    mask = 1 << (bit % 4)
+    vote = (
+        f"aggregate({t}, 0, (acc, tok) -> acc + "
+        f"(case when (position(substring(md5(tok), {digit + 1}, 1) "
+        f"in '0123456789abcdef') - 1) & {mask} > 0 then 1 else -1 end))"
+    )
+    return f"case when ({vote}) > 0 then {1 << bit} else 0 end"
+
+
+def simhash_expr(text_col: str = "text", bits: int = SIMHASH_BITS) -> str:
+    return " + ".join(_simhash_bit_expr(b, text_col) for b in range(bits))
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", F.expr(simhash_expr()).alias("simhash"))
+
+
+def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """Pairs within Hamming distance: candidates share one of the 4 nibbles
+    (a ≤2-bit difference leaves ≥2 of 4 nibbles intact), verified exactly
+    with bit_count."""
+    s = simhash(docs)
+    nibbles = s.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("ni"),
+                     F.shiftright("simhash", 4 * i).bitwiseAND(F.lit(15)).alias("nv"))
+            for i in range(4)
+        ])).alias("nb"),
+    ).select("doc_id", "simhash", "nb.ni", "nb.nv")
+    left = nibbles.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sa"),
+                          "ni", "nv")
+    right = nibbles.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sb"),
+                           "ni", "nv")
+    return (
+        left.join(right, ["ni", "nv"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sa", "sb")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+def stopword_ratio_expr(lang: str, text_col: str = "text") -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    t = tokens_expr(text_col)
+    return (
+        f"size(filter({t}, x -> x in ({words}))) / "
+        f"cast(greatest(size({t}), 1) as double)"
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """n-gram-heuristic language id: argmax of per-language stopword hit
+    ratio; 'und' when no stopwords hit at all. Deterministic tie-break by
+    language code order (en < fr < de < es evaluation order)."""
+    scored = docs.select(
+        "doc_id",
+        *[F.expr(stopword_ratio_expr(lg)).alias(f"r_{lg}") for lg in STOPWORDS],
+    )
+    best = F.greatest(*[F.col(f"r_{lg}") for lg in STOPWORDS])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lg in STOPWORDS:  # first language reaching the max wins
+        pred = pred.when(F.col(f"r_{lg}") == best, F.lit(lg))
+    return scored.select("doc_id", pred.alias("lang_pred"),
+                         best.alias("lang_score"))
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Composite quality features + a [0,1] score: favors mid-length docs
+    with low punctuation/digit density and some stopword mass (the classic
+    C4-style heuristics, arithmetic only)."""
+    t = tokens_expr()
+    n_tokens = F.expr(f"size({t})")
+    text_len = F.length(F.trim("text"))
+    punct = text_len - F.length(F.regexp_replace(F.trim("text"), r"[.,;:!?]", ""))
+    digits = text_len - F.length(F.regexp_replace(F.trim("text"), r"[0-9]", ""))
+    stop_en = F.expr(stopword_ratio_expr("en"))
+    punct_ratio = punct / F.greatest(text_len, F.lit(1)).cast("double")
+    digit_ratio = digits / F.greatest(text_len, F.lit(1)).cast("double")
+    len_score = F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0)))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(digit_ratio * 10, F.lit(1.0)))
+        + F.lit(0.1) * F.least(stop_en * 5, F.lit(1.0))
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        stop_en.alias("stopword_ratio"),
+        score.alias("quality"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """Document fingerprint: the minimal shingle hash (winnowing-lite) —
+    stable under reordering-free edits, usable as a cheap near-dup key."""
+    return docs.select(
+        "doc_id",
+        F.expr(minhash_expr(0, k=k)).alias("fingerprint"),
+    )

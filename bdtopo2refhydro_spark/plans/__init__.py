@@ -1,0 +1,10 @@
+"""Pipelines (§3 of SURVEY.md) + lineage metrics + checkpoint/resume."""
+
+from .lineage import Lineage  # noqa: F401
+from .pipelines import (  # noqa: F401
+    apply_corrections,
+    build_exutoire,
+    run_reference_network,
+    run_width_network,
+)
+from .checkpoint import CheckpointedPipeline  # noqa: F401

@@ -1,0 +1,181 @@
+"""End-to-end pipelines re-expressing the reference's three entry points
+(SURVEY.md §3) as lazy DataFrame compositions.
+
+  apply_corrections      ~ the five fix_* scripts in workflow order
+                           (create_reference_hydro_workflow.py:119-135)
+  build_exutoire         ~ create_exutoire.py:146-197
+  run_reference_network  ~ create_connected_reference_hydro.py:40-278
+  run_width_network      ~ create_5m_width_hydro_network.py:29-451
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import udfs as U
+from ..operators import (
+    aggregate_segments,
+    dedup_geometries,
+    edges_touching,
+    extract_by_location,
+    filter_canals,
+    fix_connection,
+    fix_connection_and_direction,
+    fix_direction,
+    fix_modified_geom,
+    fix_network_connectivity,
+    fix_suppr_canal_multichenal,
+    hack_order,
+    identify_network_nodes,
+    measure_from_outlet,
+    merge_layers,
+    principal_stem,
+    prune_slivers,
+    select_by_location,
+    select_connected,
+    strahler_order,
+    zonal_pct_in_surface,
+)
+from ..operators.graph import TraversalMetrics
+
+
+def apply_corrections(edges: DataFrame, corrections: DataFrame,
+                      key: str = "url") -> DataFrame:
+    """The five correction passes in the reference's fixed order
+    (create_reference_hydro_workflow.py:119-135). Each fix_* script begins
+    with a duplicate-geometry dedupe of its correction layer
+    (e.g. fix_connection.py:68-72); corrections here are one keyed table
+    with an `action` column (FIXTURES.md §B6)."""
+    # each fix_* script dedups its correction layer's geometries first
+    # (fix_connection.py:68-72) — only rows that carry a geometry; keyed
+    # actions (direction / delete) have no geometry to dedupe on
+    if "new_geom_wkb" in corrections.columns:
+        with_geom = dedup_geometries(
+            corrections.filter(F.col("new_geom_wkb").isNotNull()), "new_geom_wkb"
+        )
+        corr = with_geom.unionByName(
+            corrections.filter(F.col("new_geom_wkb").isNull()).distinct()
+        )
+    else:
+        corr = corrections
+    conn_dir = corr.filter(F.col("action") == "connection_and_direction") \
+                   .select(key, F.col("new_geom_wkb").alias("geom_wkb"))
+    conn = corr.filter(F.col("action") == "connection") \
+               .select(key, F.col("new_geom_wkb").alias("geom_wkb"))
+    direction = corr.filter(F.col("action") == "direction").select(key)
+    geom = corr.filter(F.col("action") == "geom").select(key, "new_geom_wkb")
+    suppr = corr.filter(F.col("action") == "suppr_canal_multichenal").select(key)
+
+    out = fix_connection_and_direction(edges, conn_dir, key)
+    out = fix_connection(out, conn, key)
+    out = fix_direction(out, direction, key)
+    out = fix_modified_geom(out, geom, key)
+    out = fix_suppr_canal_multichenal(out, suppr, key)
+    return out
+
+
+def build_exutoire(layers: list[tuple[str, DataFrame]],
+                   buffer_dist: float = 50.0,
+                   geom_col: str = "geom_wkb") -> DataFrame:
+    """~ create_exutoire.py:146-197: fix geometries, polygons → boundary
+    lines, merge with provenance, re-fix, buffer by 50 m. Input layers carry
+    an `is_polygon` column when boundary extraction applies."""
+    fixed = []
+    for name, df in layers:
+        g = df.withColumn(geom_col, U.st_make_valid(geom_col))
+        if "is_polygon" in df.columns:
+            g = g.withColumn(
+                geom_col,
+                F.when(F.col("is_polygon"), U.st_boundary(geom_col))
+                .otherwise(F.col(geom_col)),
+            ).drop("is_polygon")
+        fixed.append((name, g))
+    merged = merge_layers(fixed)
+    merged = merged.withColumn(geom_col, U.st_make_valid(geom_col))
+    return merged.withColumn(geom_col, U.st_buffer(F.col(geom_col), buffer_dist)) \
+                 .withColumn(geom_col, U.st_make_valid(geom_col))
+
+
+def run_reference_network(edges: DataFrame, outlet_polygons: DataFrame,
+                          key: str = "url", tolerance: float = 1.0,
+                          cell_size: float = 2000.0,
+                          apply_principal_stem: bool = True,
+                          metrics: TraversalMetrics | None = None,
+                          ) -> tuple[DataFrame, DataFrame]:
+    """The flagship query ~ create_connected_reference_hydro.py:40-278:
+    dedupe → node ids → outlet spatial join → connectivity traversal →
+    principal stem → (troncon) → segment aggregation → (segment).
+    Returns (troncon_df, segment_df)."""
+    metrics = metrics if metrics is not None else TraversalMetrics()
+    # A2 (:150-156)
+    e = dedup_geometries(edges, "geom_wkb")
+    # G1 (:160-166)
+    e = identify_network_nodes(e, key, tolerance=tolerance)
+    e = e.withColumn("len", U.st_length("geom_wkb")).localCheckpoint()
+    # J1 outlet spatial join (:181-187)
+    seeded = select_by_location(e, outlet_polygons, key, cell_size=cell_size)
+    seed_edges = seeded.filter(F.col("selected"))
+    seed_nodes = (
+        seed_edges.select(F.col("NODEA").alias("node"))
+        .union(seed_edges.select(F.col("NODEB")))
+        .distinct()
+    )
+    # G2 traversal (:191-197)
+    visited = select_connected(e, seed_nodes, "both", metrics=metrics)
+    connected_keys = edges_touching(e, visited, key)
+    troncon = e.join(connected_keys, key, "left_semi")
+    # G4 principal stem (:202-209)
+    if apply_principal_stem:
+        outlet_nodes = seed_edges.select(F.col("NODEB").alias("node")).distinct()
+        troncon = principal_stem(troncon, outlet_nodes, key)
+    # A3 aggregate segments (:241-249) — node cols already present (second
+    # G1 pass in the reference is only needed because QGIS drops them)
+    segment = aggregate_segments(troncon, key)
+    troncon_out = troncon.drop("NODEA", "NODEB", "len")
+    return troncon_out, segment
+
+
+def run_width_network(edges: DataFrame, surfaces: DataFrame,
+                      outlet_polygons: DataFrame, zones: DataFrame | None = None,
+                      key: str = "url", tolerance: float = 1.0,
+                      cell_size: float = 2000.0,
+                      surface_pct_min: float = 30.0,
+                      small_segment_filter: float = 500.0,
+                      exutoire_stream_min_length: float = 10_000.0,
+                      metrics: TraversalMetrics | None = None) -> DataFrame:
+    """The analytic/zonal query ~ create_5m_width_hydro_network.py:29-451:
+    clip → zonal %-in-surface filter → re-add outlet reaches → fix
+    connectivity → measure → Hack → Strahler → sliver pruning →
+    aggregate. Returns the ordered, pruned segment table."""
+    metrics = metrics if metrics is not None else TraversalMetrics()
+    e = edges
+    # J2 clip to zone (:155-171)
+    if zones is not None:
+        e = extract_by_location(e, zones, key, cell_size=cell_size)
+    # G1 node ids (:183-189)
+    e = identify_network_nodes(e, key, tolerance=tolerance)
+    e = e.withColumn("len", U.st_length("geom_wkb")).localCheckpoint()
+    # J2 outlet reaches (:201-207)
+    outlet_keys = extract_by_location(e, outlet_polygons, key,
+                                      cell_size=cell_size).select(key)
+    # J9 zonal overlay + threshold (:209-245), J10 re-add outlets (:248-253)
+    zonal = zonal_pct_in_surface(e, surfaces, key, cell_size=cell_size)
+    kept = zonal.filter(
+        (F.col("pct_in_surface") >= surface_pct_min)
+    ).select(key).union(outlet_keys).distinct()
+    # G3 fix connectivity (:256-263)
+    outlet_edges = e.join(outlet_keys, key, "left_semi")
+    outlet_nodes = outlet_edges.select(F.col("NODEB").alias("node")).distinct()
+    repaired_keys = fix_network_connectivity(e, kept, outlet_nodes, key,
+                                             metrics=metrics)
+    net = e.join(repaired_keys, key, "left_semi").localCheckpoint()
+    # G5 measure (:267-273), G6 Hack (:277-285), G7 Strahler (:289-296)
+    net = measure_from_outlet(net, outlet_nodes, key, metrics=metrics)
+    net = hack_order(net, outlet_nodes, key, metrics=metrics)
+    net = strahler_order(net, key, metrics=metrics).localCheckpoint()
+    # G8 sliver pruning (:298-359)
+    net = prune_slivers(net, key,
+                        small_segment_filter=small_segment_filter,
+                        exutoire_stream_min_length=exutoire_stream_min_length)
+    return net

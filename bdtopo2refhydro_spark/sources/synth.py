@@ -235,11 +235,13 @@ def make_corrections_pdf(n_edges: int) -> pd.DataFrame:
             }
         )
     for i in range(1, n_edges):
+        # direction corrections target exactly the flow-reversed edges
+        # (same hash rule as make_edges_pdf), so corrections → coherent flow
+        if int(_h([i], 29)[0]) % 23 == 0:
+            rows.append({"url": url_of(i), "action": "direction", "new_geom_wkb": None})
         h = int(_h([i], 37)[0])
         m = h % 97
-        if m == 0:
-            rows.append({"url": url_of(i), "action": "direction", "new_geom_wkb": None})
-        elif m == 1:
+        if m == 1:
             rows.append(
                 {
                     "url": url_of(i),

@@ -1,0 +1,70 @@
+"""Benchmark harness — runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec",
+ "queries": {name: sec}, "sf": ..., "docs_per_sec": ...}
+
+Headline set = the operators the north rule grades: the flagship
+reference-network pipeline (spatial join + BFS traversal + stem), the
+cell-bucketed point-in-polygon tile join, zonal tiling, MinHash/LSH
+near-dup, cosine top-k, and the TPC-H-style scan-agg.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    import __spark_entry__ as E
+    from bdtopo2refhydro_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=int(cpus))
+    qs = E.queries()
+    headline = [
+        "reference_network",
+        "pip_join",
+        "tile_assign",
+        "zonal_pct",
+        "lsh_pairs",
+        "ngram_jaccard",
+        "cosine_topk",
+        "tpch_q1",
+    ]
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    timings: dict[str, float] = {}
+    t_all = time.monotonic()
+    for name in headline:
+        t0 = time.monotonic()
+        df = qs[name](spark, sf_dir)
+        n = df.count()  # force full execution
+        timings[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+    total = round(time.monotonic() - t_all, 3)
+    # throughput of the spatial-join + tile-assignment path (north metric)
+    spatial_sec = timings["pip_join"] + timings["tile_assign"] + timings["zonal_pct"]
+    docs_per_sec = round(3 * n_docs / spatial_sec, 1) if spatial_sec else None
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(json.dumps({
+        "metric": "headline_e2e_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "docs": n_docs,
+        "spatial_join_docs_per_sec": docs_per_sec,
+        "cpus": int(cpus),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Scaling-efficiency evidence (north rule): run the SAME spatial-join +
+tile-assignment job on the SAME input at local[8] (N) and local[32] (4N)
+and report throughput at both plus efficiency = (tp_4N / tp_N) / 4.
+
+The sandbox has no multi-node cluster; two local parallelism levels on this
+32-core box stand in for N vs 4N executors (BASELINE.md). The job is the
+benchmarked operator path: synth pages/edges → cell cover → explode →
+broadcast cell join → exact intersects refine → zonal %-in-surface →
+tile assignment → aggregate.
+
+Usage:
+  python scripts/bench_scaling.py            # orchestrates both runs
+  python scripts/bench_scaling.py --run 8    # single measured run (internal)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_EDGES = int(os.environ.get("SCALING_N_EDGES", "60000"))
+LEVELS = (8, 32)
+
+
+def run_job(cpus: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from bdtopo2refhydro_spark.functions import udfs as U
+    from bdtopo2refhydro_spark.operators import (
+        select_by_location,
+        zonal_pct_in_surface,
+    )
+    from bdtopo2refhydro_spark.session import get_spark
+    from bdtopo2refhydro_spark.sources import (
+        edges_df,
+        outlet_polygons_df,
+        surfaces_df,
+    )
+
+    spark = get_spark(f"scaling_{cpus}", cores=cpus, shuffle_partitions=cpus)
+    edges = edges_df(spark, N_EDGES).repartition(cpus).localCheckpoint()
+    n = edges.count()  # materialize input outside the timed window
+    outlets = outlet_polygons_df(spark)
+    surfaces = surfaces_df(spark)
+
+    t0 = time.monotonic()
+    sel = select_by_location(edges, outlets, cell_size=2000.0)
+    zonal = zonal_pct_in_surface(sel, surfaces, cell_size=2000.0)
+    tiled = zonal.withColumn("ep", U.st_endpoints("geom_wkb")).withColumn(
+        "cell", U.cell_of(F.col("ep.x0"), F.col("ep.y0"), 1000.0)
+    )
+    out = tiled.groupBy("cell").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("selected"), 1).otherwise(0)).alias("n_sel"),
+        F.avg("pct_in_surface").alias("avg_pct"),
+    )
+    rows = out.count()
+    wall = time.monotonic() - t0
+    spark.stop()
+    return {"cpus": cpus, "edges": n, "wall_sec": round(wall, 2),
+            "docs_per_sec": round(n / wall, 1), "result_rows": rows}
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--run":
+        print(json.dumps(run_job(int(sys.argv[2]))))
+        return
+    results = []
+    for cpus in LEVELS:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--run", str(cpus)],
+            capture_output=True, text=True, timeout=3600,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        res = json.loads(line)
+        print(res)
+        results.append(res)
+    tp = {r["cpus"]: r["docs_per_sec"] for r in results}
+    eff = (tp[LEVELS[1]] / tp[LEVELS[0]]) / (LEVELS[1] / LEVELS[0])
+    md = f"""# BENCH — scaling efficiency (N vs 4N)
+
+Job: spatial-join + tile-assignment over {results[0]['edges']:,} synthetic
+edges (cell cover → broadcast cell join → exact intersects refine → zonal
+%-in-surface → tile aggregation). Same input, two parallelism levels
+(sandbox proxy for N vs 4N executors per BASELINE.md).
+
+| level | cores | wall (s) | throughput (docs/sec) |
+|---|---|---|---|
+| N  | {LEVELS[0]} | {results[0]['wall_sec']} | {results[0]['docs_per_sec']:,} |
+| 4N | {LEVELS[1]} | {results[1]['wall_sec']} | {results[1]['docs_per_sec']:,} |
+
+**Scaling efficiency = (tp_4N / tp_N) / 4 = {eff:.3f}** (target ≥ 0.8)
+"""
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(md)
+    print(md)
+    print(json.dumps({"efficiency": round(eff, 3), "levels": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Run every __spark_entry__ query against its DuckDB oracle (sf0.01 by
+default) and report row-count + value equality — a local stand-in for the
+driver's CORRECTNESS gate.
+
+Usage: python scripts/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as E  # noqa: E402
+from bdtopo2refhydro_spark.session import get_spark  # noqa: E402
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: bytes(v).hex() if isinstance(v, (bytes, bytearray))
+                else str(v)
+            )
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].astype("float64")
+        elif str(df[c].dtype).startswith(("int", "uint")):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def compare(name: str, sp: pd.DataFrame, du: pd.DataFrame) -> str:
+    if len(sp) != len(du):
+        return f"ROWS {len(sp)} vs {len(du)}"
+    if sorted(sp.columns) != sorted(du.columns):
+        return f"SCHEMA {sorted(sp.columns)} vs {sorted(du.columns)}"
+    a, b = normalize(sp), normalize(du)
+    for c in a.columns:
+        if str(a[c].dtype) == "float64":
+            if not np.array_equal(a[c].to_numpy(), b[c].to_numpy(), equal_nan=True):
+                mism = np.abs(a[c].to_numpy() - b[c].to_numpy())
+                return f"VALUES col {c} max|diff|={np.nanmax(mism):.3e}"
+        else:
+            if not a[c].equals(b[c]):
+                idx = (a[c] != b[c]).idxmax()
+                return f"VALUES col {c} first diff @{idx}: {a[c][idx]!r} vs {b[c][idx]!r}"
+    return "OK"
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    spark = get_spark("oracle_check", cores=8, shuffle_partitions=16)
+    qs, os_ = E.queries(), E.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sp = fn(spark, sf_dir).toPandas()
+        except Exception as ex:  # noqa: BLE001
+            print(f"{name:24s} SPARK ERROR: {type(ex).__name__}: {str(ex)[:160]}")
+            failures += 1
+            continue
+        if name not in os_:
+            print(f"{name:24s} rows-only: {len(sp)}")
+            continue
+        try:
+            du = con.execute(os_[name]).fetchdf()
+        except Exception as ex:  # noqa: BLE001
+            print(f"{name:24s} DUCKDB ERROR: {type(ex).__name__}: {str(ex)[:160]}")
+            failures += 1
+            continue
+        verdict = compare(name, sp, du)
+        print(f"{name:24s} {verdict}  ({len(sp)} rows)")
+        if verdict != "OK":
+            failures += 1
+    spark.stop()
+    print(f"\n{'PASS' if failures == 0 else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,212 @@
+"""Graph operator tests on a hand-drawn river tree (SURVEY.md §5.1).
+
+Tree (flow A→B, downstream to outlet node O):
+
+        N4      N5   N6       N7
+          \\    /      \\     /
+           N2            N3          (e4,e5 → N2;  e6,e7 → N3)
+             \\          /
+              ----N1----              (e2: N2→N1, e3: N3→N1)
+                  |
+                  O   (outlet)        (e1: N1→O)
+
+Coordinates give distinct lengths so Hack main-stem choices are unambiguous:
+O(0,0) N1(0,10) N2(-10,20) N3(10,20) N4(-20,40) N5(-5,35) N6(5,35) N7(18,38)
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bdtopo2refhydro_spark.geom.wkb import linestring_wkb
+from bdtopo2refhydro_spark.operators import (
+    aggregate_segments,
+    edges_touching,
+    fix_network_connectivity,
+    hack_order,
+    identify_network_nodes,
+    measure_from_outlet,
+    principal_stem,
+    prune_slivers,
+    select_connected,
+    snap_endpoints_knn,
+    strahler_order,
+)
+
+N = {
+    "O": (0.0, 0.0), "N1": (0.0, 10.0), "N2": (-10.0, 20.0), "N3": (10.0, 20.0),
+    "N4": (-20.0, 40.0), "N5": (-5.0, 35.0), "N6": (5.0, 35.0), "N7": (18.0, 38.0),
+}
+TREE = [  # (url, upstream_node, downstream_node)
+    ("e1", "N1", "O"),
+    ("e2", "N2", "N1"),
+    ("e3", "N3", "N1"),
+    ("e4", "N4", "N2"),
+    ("e5", "N5", "N2"),
+    ("e6", "N6", "N3"),
+    ("e7", "N7", "N3"),
+]
+
+
+def _edges(spark, triples, extra=()):
+    rows = [
+        (u, linestring_wkb([N[a], N[b]]))
+        for u, a, b in triples
+    ] + list(extra)
+    return spark.createDataFrame(rows, "url string, geom_wkb binary")
+
+
+@pytest.fixture(scope="module")
+def tree(spark):
+    e = identify_network_nodes(_edges(spark, TREE), tolerance=0.5)
+    from bdtopo2refhydro_spark.functions import udfs as U
+
+    return e.withColumn("len", U.st_length("geom_wkb")).cache()
+
+
+@pytest.fixture(scope="module")
+def outlet(spark, tree):
+    return tree.filter("url = 'e1'").select(F.col("NODEB").alias("node"))
+
+
+def test_identify_nodes_shares_ids(tree):
+    rows = {r.url: (r.NODEA, r.NODEB) for r in tree.collect()}
+    assert rows["e2"][1] == rows["e1"][0]  # e2 flows into e1's upstream node
+    assert rows["e4"][1] == rows["e2"][0]
+    assert rows["e6"][1] == rows["e3"][0]
+    all_nodes = {n for ab in rows.values() for n in ab}
+    assert len(all_nodes) == 8  # no hash collisions, 8 distinct nodes
+
+
+def test_identify_nodes_dense_mode(spark):
+    e = identify_network_nodes(_edges(spark, TREE), tolerance=0.5, mode="dense")
+    nodes = set()
+    for r in e.collect():
+        nodes.add(r.NODEA)
+        nodes.add(r.NODEB)
+    assert nodes == set(range(1, 9))  # sequential ids
+
+
+def test_knn_snap_merges_nearby_endpoints(spark):
+    # two edges ending 0.4 apart with tolerance 1.0 must share a node, even
+    # across a quantization-cell boundary (endpoints straddle x=1.0)
+    rows = [
+        ("a", linestring_wkb([[10.0, 10.0], [0.8, 0.0]])),
+        ("b", linestring_wkb([[1.2, 0.0], [10.0, -10.0]])),
+        ("c", linestring_wkb([[50.0, 50.0], [60.0, 60.0]])),
+    ]
+    df = spark.createDataFrame(rows, "url string, geom_wkb binary")
+    snapped = snap_endpoints_knn(df, tolerance=1.0)
+    r = {x.url: x for x in snapped.collect()}
+    assert r["a"].NODEB == r["b"].NODEA
+    assert r["c"].NODEA not in (r["a"].NODEB, r["a"].NODEA)
+
+
+def test_select_connected_reaches_whole_tree(spark, tree, outlet):
+    noise = [("x1", linestring_wkb([[500.0, 500.0], [510.0, 510.0]]))]
+    e = identify_network_nodes(_edges(spark, TREE, noise), tolerance=0.5)
+    visited = select_connected(e, outlet, "both")
+    keys = {r.url for r in edges_touching(e, visited).collect()}
+    assert keys == {t[0] for t in TREE}  # all tree edges, not the noise
+
+
+def test_select_connected_directional(tree, outlet):
+    # walking upstream from the outlet reaches everything; walking
+    # downstream from a leaf node reaches only its path to the outlet
+    up = select_connected(tree, outlet, "up")
+    assert up.count() == 8
+    leaf_n4 = tree.filter("url='e4'").select(F.col("NODEA").alias("node"))
+    down = select_connected(tree, leaf_n4, "down")
+    keys = {r.url for r in edges_touching(tree, down, direction="down").collect()}
+    assert keys == {"e4", "e2", "e1"}  # only the path N4→outlet
+
+
+def test_measure_from_outlet(tree, outlet):
+    m = {r.url: r.MEASURE for r in measure_from_outlet(tree, outlet).collect()}
+    assert m["e1"] == pytest.approx(0.0)
+    assert m["e2"] == pytest.approx(10.0)  # dist(N1)
+    assert m["e4"] == pytest.approx(10.0 + np.hypot(10, 10))  # dist(N2)
+
+
+def test_strahler(tree):
+    s = {r.url: r.STRAHLER for r in strahler_order(tree).collect()}
+    assert s == {"e4": 1, "e5": 1, "e6": 1, "e7": 1, "e2": 2, "e3": 2, "e1": 3}
+
+
+def test_hack(tree, outlet):
+    h = {r.url: r.HACK for r in hack_order(tree, outlet).collect()}
+    # UL(e2)=14.14+22.36 > UL(e3)=14.14+19.70 → e2 is main at N1
+    # UL(e4)=22.36 > UL(e5)=15.81 → e4 main at N2
+    # UL(e7)=19.70 > UL(e6)=15.81 → e7 main at N3
+    assert h == {"e1": 1, "e2": 1, "e4": 1, "e5": 2, "e3": 2, "e7": 2, "e6": 3}
+
+
+def test_principal_stem_drops_longer_parallel_channel(spark, outlet):
+    # add a second channel N3→N1 with a detour (longer) — multichannel reach
+    detour = ("e3b", linestring_wkb([N["N3"], (30.0, 15.0), N["N1"]]))
+    e = identify_network_nodes(_edges(spark, TREE, [detour]), tolerance=0.5)
+    from bdtopo2refhydro_spark.functions import udfs as U
+
+    e = e.withColumn("len", U.st_length("geom_wkb"))
+    out = e.filter("url = 'e1'").select(F.col("NODEB").alias("node"))
+    kept = {r.url for r in principal_stem(e, out).collect()}
+    assert "e3" in kept and "e3b" not in kept
+    assert kept == {t[0] for t in TREE}
+
+
+def test_prune_slivers(spark):
+    # s1 short sliver (len 5 ≤ 500) flowing into a strahler-3 edge's NODEA;
+    # iso: isolated short rank-1 edge; both must be dropped, tree kept
+    extra = [
+        ("s1", linestring_wkb([(3.0, 12.0), N["N1"]])),
+        ("iso", linestring_wkb([(900.0, 900.0), (905.0, 900.0)])),
+    ]
+    e = identify_network_nodes(_edges(spark, TREE, extra), tolerance=0.5)
+    from bdtopo2refhydro_spark.functions import udfs as U
+
+    e = e.withColumn("len", U.st_length("geom_wkb"))
+    e = strahler_order(e)
+    kept = {r.url for r in prune_slivers(e).collect()}
+    assert "iso" not in kept
+    assert "s1" not in kept  # flows into e1 (strahler 3)
+    assert {t[0] for t in TREE} <= kept
+
+
+def test_fix_connectivity_readds_bridging_canal(spark):
+    # two stream components bridged by canal 'c1'; far-away canal 'c2'
+    # unrelated. Removing canals disconnects the upper component; fix must
+    # re-add c1 but not c2.
+    rows = [
+        ("s1", linestring_wkb([(0.0, 10.0), (0.0, 0.0)])),       # lower stream
+        ("c1", linestring_wkb([(0.0, 20.0), (0.0, 10.0)])),      # bridge canal
+        ("s2", linestring_wkb([(0.0, 30.0), (0.0, 20.0)])),      # upper stream
+        ("c2", linestring_wkb([(700.0, 0.0), (700.0, 10.0)])),   # stray canal
+    ]
+    df = spark.createDataFrame(rows, "url string, geom_wkb binary")
+    e = identify_network_nodes(df, tolerance=0.5)
+    subset = spark.createDataFrame([("s1",), ("s2",)], "url string")
+    outlet_nodes = e.filter("url='s1'").select(F.col("NODEB").alias("node"))
+    kept = {r.url for r in
+            fix_network_connectivity(e, subset, outlet_nodes).collect()}
+    assert kept == {"s1", "s2", "c1"}
+
+
+def test_aggregate_segments_collapses_chains(spark):
+    # path a→b→c (degree-2 interior nodes) + junction with two arms
+    rows = [
+        ("a", linestring_wkb([(0.0, 30.0), (0.0, 20.0)])),
+        ("b", linestring_wkb([(0.0, 20.0), (0.0, 10.0)])),
+        ("c", linestring_wkb([(0.0, 10.0), (0.0, 0.0)])),
+        ("arm1", linestring_wkb([(-10.0, 40.0), (0.0, 30.0)])),
+        ("arm2", linestring_wkb([(10.0, 40.0), (0.0, 30.0)])),
+    ]
+    df = spark.createDataFrame(rows, "url string, geom_wkb binary")
+    e = identify_network_nodes(df, tolerance=0.5)
+    segs = aggregate_segments(e).collect()
+    # arm1, arm2 stay; a+b+c merge → 3 segments
+    assert len(segs) == 3
+    merged = [s for s in segs if s.n_reaches == 3][0]
+    assert merged.LENGTH == pytest.approx(30.0)
+    assert merged.first_url == "a"
+    total = sum(s.LENGTH for s in segs)
+    assert total == pytest.approx(30.0 + np.hypot(10, 10) * 2)

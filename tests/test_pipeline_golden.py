@@ -1,0 +1,170 @@
+"""End-to-end golden test (SURVEY.md §5.3): full corrections + flagship
+reference-network pipeline on the deterministic synthetic fixtures, compared
+against an independent pure-Python oracle (BFS over endpoint equality).
+Also asserts the north-rule invariant: byte-identical extracted text per url.
+"""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bdtopo2refhydro_spark.geom import kernels as K
+from bdtopo2refhydro_spark.geom.wkb import parse_wkb
+from bdtopo2refhydro_spark.plans import apply_corrections, run_reference_network
+from bdtopo2refhydro_spark.sources import (
+    corrections_df,
+    edges_df,
+    make_corrections_pdf,
+    make_edges_pdf,
+    make_pages_pdf,
+    outlet_polygons_df,
+    make_outlet_polygons_pdf,
+    pages_df,
+)
+
+N = 200
+
+
+def _python_oracle_connected(n: int) -> set[str]:
+    """Independent re-implementation: apply corrections in pandas, then BFS
+    over exact endpoint equality from outlet-band-intersecting edges."""
+    edges = make_edges_pdf(n)
+    corr = make_corrections_pdf(n)
+    by_url = {r.url: r for r in edges.itertuples()}
+    # corrections: insert (skip-if-present), reverse, replace geom, delete
+    for r in corr.itertuples():
+        if r.action == "connection" and r.url not in by_url:
+            by_url[r.url] = r._replace(geom_wkb=r.new_geom_wkb) if hasattr(r, "geom_wkb") else None
+    geom = {u: r.geom_wkb for u, r in by_url.items() if r is not None}
+    for r in corr.itertuples():
+        if r.action == "connection" and r.url not in geom:
+            geom[r.url] = r.new_geom_wkb
+        elif r.action == "geom":
+            if r.url in geom:
+                geom[r.url] = r.new_geom_wkb
+        elif r.action == "suppr_canal_multichenal":
+            geom.pop(r.url, None)
+    # dedup exact geometries (keep any one — component membership identical)
+    seen, kept = {}, {}
+    for u in sorted(geom):
+        g = geom[u]
+        if g not in seen:
+            seen[g] = u
+            kept[u] = g
+    # seed = edges intersecting any outlet polygon
+    outl = make_outlet_polygons_pdf()
+    polys = [K._poly_parts(parse_wkb(p)) for p in outl["geom_wkb"]]
+    flat_polys = [rings for pp in polys for rings in pp]
+    def _ends(g):
+        x0, y0, x1, y1 = K.endpoints(g)
+        return (round(x0, 6), round(y0, 6)), (round(x1, 6), round(y1, 6))
+    adj: dict = {}
+    for u, g in kept.items():
+        a, b = _ends(g)
+        adj.setdefault(a, set()).add(u)
+        adj.setdefault(b, set()).add(u)
+    seeds = [
+        u for u, g in kept.items()
+        if any(K.line_intersects_polygon(part, [rings])
+               for rings in flat_polys
+               for part in K._line_parts(parse_wkb(g)))
+    ]
+    visited_edges: set[str] = set()
+    frontier_nodes: set = set()
+    for u in seeds:
+        visited_edges.add(u)
+        a, b = _ends(kept[u])
+        frontier_nodes |= {a, b}
+    visited_nodes = set(frontier_nodes)
+    while frontier_nodes:
+        nxt = set()
+        for node in frontier_nodes:
+            for u in adj.get(node, ()):
+                if u not in visited_edges:
+                    visited_edges.add(u)
+                    a, b = _ends(kept[u])
+                    for m in (a, b):
+                        if m not in visited_nodes:
+                            visited_nodes.add(m)
+                            nxt.add(m)
+        frontier_nodes = nxt
+    return visited_edges
+
+
+@pytest.fixture(scope="module")
+def fixed_edges(spark):
+    edges = edges_df(spark, N).drop("is_tree", "flow_reversed")
+    corr = corrections_df(spark, N)
+    return apply_corrections(edges, corr).cache()
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(spark, fixed_edges):
+    troncon, segment = run_reference_network(
+        fixed_edges, outlet_polygons_df(spark), tolerance=0.5
+    )
+    return troncon.cache(), segment.cache()
+
+
+def test_connected_network_matches_python_oracle(spark, fixed_edges):
+    """G2 golden: BFS-connected set (stem off) matches the independent
+    Python oracle url-for-url."""
+    troncon, _ = run_reference_network(
+        fixed_edges, outlet_polygons_df(spark), tolerance=0.5,
+        apply_principal_stem=False,
+    )
+    got = {r.url for r in troncon.select("url").collect()}
+    expected = _python_oracle_connected(N)
+    assert got == expected
+
+
+def test_principal_stem_prunes_only_divergences(spark, fixed_edges, pipeline_result):
+    """G4 golden property: the stem output is the BFS set minus, per
+    multi-out-edge node, all but one channel (the reversed-duplicate
+    artifacts in the fixtures)."""
+    full, _ = run_reference_network(
+        fixed_edges, outlet_polygons_df(spark), tolerance=0.5,
+        apply_principal_stem=False,
+    )
+    stem, _ = pipeline_result
+    full_keys = {r.url for r in full.select("url").collect()}
+    stem_keys = {r.url for r in stem.select("url").collect()}
+    assert stem_keys <= full_keys
+    dropped = full_keys - stem_keys
+    # every dropped edge shared its upstream node with a kept edge
+    from bdtopo2refhydro_spark.operators import identify_network_nodes
+
+    e = identify_network_nodes(fixed_edges, tolerance=0.5)
+    nodea = {r.url: r.NODEA for r in e.collect()}
+    kept_as = {nodea[u] for u in stem_keys}
+    assert all(nodea[u] in kept_as for u in dropped)
+
+
+def test_segments_preserve_total_length(pipeline_result):
+    troncon, segment = pipeline_result
+    from bdtopo2refhydro_spark.functions import udfs as U
+
+    t_len = troncon.select(F.sum(U.st_length("geom_wkb"))).first()[0]
+    s_len = segment.select(F.sum("LENGTH")).first()[0]
+    assert s_len == pytest.approx(t_len, rel=1e-9)
+    assert segment.count() <= troncon.count()
+
+
+def test_text_byte_identity(spark):
+    """North-rule invariant: extracted text per url is byte-identical after a
+    pipeline pass over the pages table."""
+    pages = pages_df(spark, N)
+    expected = {
+        r["url"]: hashlib.sha256(r["text"].encode()).hexdigest()
+        for _, r in make_pages_pdf(N).iterrows()
+    }
+    # a representative relational pass over pages (filter + join + project)
+    out = (
+        pages.filter(F.col("lang").isin("fr", "en", "de", "es"))
+        .join(pages.select("url"), "url", "left_semi")
+        .select("url", F.sha2(F.col("text").cast("binary"), 256).alias("h"))
+    )
+    got = {r.url: r.h for r in out.collect()}
+    assert got == expected

@@ -1,0 +1,82 @@
+"""Cell-bucketed spatial join + zonal tiling tests (J1/J2/J9)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bdtopo2refhydro_spark.geom.wkb import linestring_wkb, polygon_wkb
+from bdtopo2refhydro_spark.operators import (
+    extract_by_location,
+    select_by_location,
+    zonal_pct_in_surface,
+)
+
+
+def _rect(x0, y0, x1, y1):
+    return polygon_wkb(
+        np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype=float)
+    )
+
+
+@pytest.fixture(scope="module")
+def lines(spark):
+    rows = [
+        ("crossing", linestring_wkb([[-500.0, 500.0], [1500.0, 500.0]])),
+        ("inside", linestring_wkb([[100.0, 100.0], [900.0, 900.0]])),
+        ("outside", linestring_wkb([[5000.0, 5000.0], [6000.0, 6000.0]])),
+        ("far", linestring_wkb([[90000.0, 90000.0], [91000.0, 91000.0]])),
+        ("half", linestring_wkb([[500.0, 500.0], [500.0, 1500.0]])),
+    ]
+    return spark.createDataFrame(rows, "url string, geom_wkb binary")
+
+
+@pytest.fixture(scope="module")
+def polys(spark):
+    return spark.createDataFrame(
+        [(0, _rect(0, 0, 1000, 1000))], "pid long, geom_wkb binary"
+    )
+
+
+def test_select_by_location(lines, polys):
+    out = {r.url: r.selected
+           for r in select_by_location(lines, polys, cell_size=700.0).collect()}
+    assert out == {
+        "crossing": True, "inside": True, "half": True,
+        "outside": False, "far": False,
+    }
+
+
+def test_extract_by_location(lines, polys):
+    keep = {r.url for r in extract_by_location(lines, polys).collect()}
+    assert keep == {"crossing", "inside", "half"}
+    drop = {r.url for r in extract_by_location(lines, polys, negate=True).collect()}
+    assert drop == {"outside", "far"}
+
+
+def test_zonal_pct(lines, polys):
+    out = {r.url: r.pct_in_surface
+           for r in zonal_pct_in_surface(lines, polys, cell_size=700.0).collect()}
+    assert out["crossing"] == pytest.approx(50.0)  # 1000 of 2000 inside
+    assert out["inside"] == pytest.approx(100.0)
+    assert out["half"] == pytest.approx(50.0)
+    assert out["outside"] == 0.0 and out["far"] == 0.0
+
+
+def test_zonal_pct_disjoint_surfaces_sum(spark):
+    # line crossing two disjoint rectangles: 30% + 20% = 50%
+    line = [("u", linestring_wkb([[0.0, 5.0], [1000.0, 5.0]]))]
+    lines = spark.createDataFrame(line, "url string, geom_wkb binary")
+    polys = spark.createDataFrame(
+        [(0, _rect(0, 0, 300, 10)), (1, _rect(500, 0, 700, 10))],
+        "pid long, geom_wkb binary",
+    )
+    out = zonal_pct_in_surface(lines, polys, cell_size=200.0).collect()
+    assert out[0].pct_in_surface == pytest.approx(50.0)
+
+
+def test_large_cell_and_small_cell_agree(lines, polys):
+    big = {r.url: r.selected
+           for r in select_by_location(lines, polys, cell_size=10000.0).collect()}
+    small = {r.url: r.selected
+             for r in select_by_location(lines, polys, cell_size=150.0).collect()}
+    assert big == small  # cell size is a perf knob, never a semantics knob

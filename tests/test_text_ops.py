@@ -1,0 +1,139 @@
+"""Web-text pipeline operator tests on tiny hand-checked documents."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bdtopo2refhydro_spark.operators import text as TX
+from bdtopo2refhydro_spark.operators import ann as ANN
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat on the mat"),          # exact dup of 0
+        (2, "the cat sat on the red mat"),      # near dup
+        (3, "completely different words here entirely"),
+        (4, "le chat est sur le tapis et le lit"),
+        (5, "   "),                             # whitespace-only
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r.text_hash: (r.keep_id, r.n_copies)
+           for r in TX.exact_dedup(docs).collect()}
+    assert len(out) == 5  # 6 docs, one exact pair
+    assert (0, 2) in out.values()
+
+
+def test_token_stats(docs):
+    out = {r.doc_id: r for r in TX.token_stats(docs).collect()}
+    assert out[0].n_tokens == 6
+    assert out[0].n_distinct_tokens == 5  # 'the' twice
+    assert out[3].n_tokens == 5
+
+
+def test_minhash_identical_docs_share_signature(docs):
+    sig = {r.doc_id: tuple(r[f"mh_{i}"] for i in range(TX.MINHASH_HASHES))
+           for r in TX.minhash_signatures(docs).collect()}
+    assert sig[0] == sig[1]
+    assert sig[0] != sig[3]
+    # near-dup shares some but not necessarily all minhashes
+    shared = sum(a == b for a, b in zip(sig[0], sig[2]))
+    assert shared >= 1
+
+
+def test_lsh_finds_exact_and_near_dups(docs):
+    pairs = {(r.a, r.b) for r in TX.lsh_candidate_pairs(docs).collect()}
+    assert (0, 1) in pairs
+    assert all(a < b for a, b in pairs)
+
+
+def test_ngram_jaccard(docs):
+    out = {(r.a, r.b): r.jaccard
+           for r in TX.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert out[(0, 1)] == pytest.approx(1.0)
+    if (0, 2) in out:
+        assert 0.3 <= out[(0, 2)] < 1.0
+
+
+def test_simhash_dup_pairs(docs):
+    s = {r.doc_id: r.simhash for r in TX.simhash(docs).collect()}
+    assert s[0] == s[1]
+    assert 0 <= s[0] < 2 ** TX.SIMHASH_BITS
+    pairs = {(r.a, r.b): r.hamming
+             for r in TX.simhash_dup_pairs(docs, max_hamming=2).collect()}
+    assert pairs[(0, 1)] == 0
+
+
+def test_lang_id(docs):
+    out = {r.doc_id: r.lang_pred for r in TX.lang_id(docs).collect()}
+    assert out[0] == "en"
+    assert out[4] == "fr"
+    assert out[5] == "und"
+
+
+def test_quality_score_bounds(docs):
+    for r in TX.quality_score(docs).collect():
+        assert 0.0 <= r.quality <= 1.0
+
+
+def test_fingerprint_stable(docs):
+    a = {r.doc_id: r.fingerprint for r in TX.doc_fingerprint(docs).collect()}
+    assert a[0] == a[1]
+    assert a[0] != a[3]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import numpy as np
+
+    rows = []
+    base = np.arange(64, dtype=np.float32) / 64.0
+    for i in range(6):
+        v = base.copy()
+        v[i] += 1.0  # distinct but correlated vectors
+        rows.append((i, [float(x) for x in v]))
+    rows.append((6, [float(-x) for x in base + 0.1]))  # anti-correlated
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk(emb):
+    out = ANN.cosine_topk(emb, k=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        assert len(rows) == 2
+        assert rows[0].cos_sim >= rows[1].cos_sim - 1e-12
+        # the anti-correlated vector is nobody's nearest neighbor
+        if q != 6:
+            assert all(r.neighbor_id != 6 for r in rows)
+
+
+def test_lsh_ann_subset_of_bruteforce_space(emb):
+    out = ANN.lsh_ann_topk(emb, k=2).collect()
+    assert all(r.query_id != r.neighbor_id for r in out)
+    # correlated vectors share a bucket with at least one neighbor
+    assert len(out) > 0
+
+
+def test_multimodal_plumbing(spark):
+    from bdtopo2refhydro_spark.operators.multimodal import (
+        extract_image_features,
+        media_repartition,
+    )
+
+    rows = [(f"u{i}", bytes([i]) * (100 + i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    feats = extract_image_features(df).collect()
+    assert len(feats) == 10
+    for r in feats:
+        assert len(r.features) == 8
+        assert 64 <= r.width < 320 and r.n_bytes >= 100
+    # determinism: same payload → same features
+    again = extract_image_features(df).collect()
+    assert {r.url: r.features for r in again} == {r.url: r.features for r in feats}
+    rp = media_repartition(df, target_bytes_per_task=500)
+    assert rp.rdd.getNumPartitions() >= 2
