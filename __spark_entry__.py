@@ -615,10 +615,8 @@ FROM documents
 
 
 def _q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1: point-in-polygon via the real cell-bucketed spatial join (cover →
-    broadcast equi-join on cell → exact ray-cast refine)."""
-    from bdtopo2refhydro_spark.operators.spatial import cell_index_polygons
-
+    """J1: point-in-polygon via the cell-bucketed spatial join (cover →
+    broadcast equi-join on cell → exact refine), keeping the rect id."""
     c = _coords(spark, sf_dir)
     pts = c.select(
         "doc_id",
@@ -626,11 +624,12 @@ def _q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         U.cell_of(F.col("x0"), F.col("y0"), 5000.0).alias("cell"),
     )
     rects = _rects(spark).select(
-        "pid", U.st_make_rect("xmin", "ymin", "xmax", "ymax").alias("geom_wkb")
+        "pid", U.st_make_rect("xmin", "ymin", "xmax", "ymax").alias("_poly_wkb")
     )
     poly_idx = F.broadcast(
-        cell_index_polygons(rects, 5000.0).join(
-            rects.withColumnRenamed("geom_wkb", "_poly_wkb"), "_poly_wkb"
+        rects.select(
+            "pid", "_poly_wkb",
+            F.explode(U.st_cover_cells(F.col("_poly_wkb"), 5000.0)).alias("cell"),
         )
     )
     cand = pts.join(poly_idx, "cell").dropDuplicates(["doc_id", "pid"])

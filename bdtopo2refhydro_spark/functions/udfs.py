@@ -83,59 +83,171 @@ def st_buffer(wkb_col, dist: float, quad_segs: int = 5):
     return _buf(wkb_col)
 
 
+def _cover_batch(boxes: np.ndarray, row_idx: np.ndarray, n_rows: int,
+                 cell_size: float) -> list:
+    """Vectorized ragged cover expansion: boxes = (m, 4) [xmin ymin xmax
+    ymax] with row ownership row_idx → per-row sorted unique cell lists.
+    One numpy pass for the whole Arrow batch — the covering loop that
+    dominated the spatial-join profile is gone."""
+    dim = np.int64(1) << C.CELL_SHIFT
+    ix0 = np.maximum(np.floor(boxes[:, 0] / cell_size), 0).astype(np.int64)
+    iy0 = np.maximum(np.floor(boxes[:, 1] / cell_size), 0).astype(np.int64)
+    ix1 = np.maximum(np.floor(boxes[:, 2] / cell_size), 0).astype(np.int64)
+    iy1 = np.maximum(np.floor(boxes[:, 3] / cell_size), 0).astype(np.int64)
+    w = iy1 - iy0 + 1
+    cnt = (ix1 - ix0 + 1) * w
+    total = int(cnt.sum())
+    starts = np.zeros(len(cnt), dtype=np.int64)
+    np.cumsum(cnt[:-1], out=starts[1:])
+    k = np.arange(total, dtype=np.int64) - np.repeat(starts, cnt)
+    rep_w = np.repeat(w, cnt)
+    cells = (
+        (np.repeat(ix0, cnt) + k // rep_w) * dim
+        + np.repeat(iy0, cnt) + k % rep_w
+    )
+    rows = np.repeat(row_idx, cnt)
+    # per-row unique: sort by (row, cell), drop consecutive dupes, split
+    order = np.lexsort((cells, rows))
+    rows_s, cells_s = rows[order], cells[order]
+    keep = np.ones(len(rows_s), dtype=bool)
+    keep[1:] = (rows_s[1:] != rows_s[:-1]) | (cells_s[1:] != cells_s[:-1])
+    rows_s, cells_s = rows_s[keep], cells_s[keep]
+    bounds = np.searchsorted(rows_s, np.arange(n_rows + 1))
+    return [cells_s[bounds[i]:bounds[i + 1]].tolist() for i in range(n_rows)]
+
+
 def st_cover_cells(wkb_col, cell_size: float):
-    """Cell cover of a line/polygon geometry → array<long>. The explode of
-    this array + equi-join on the element is the engine's spatial index."""
+    """Cell cover of a geometry → array<long>. The explode of this array +
+    equi-join on the element is the engine's spatial index. Lines cover
+    per-segment bboxes (tight for long diagonals); polygons cover the
+    exterior-ring bbox — conservative supersets, always exact-refined."""
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def _cover(wkb: pd.Series) -> pd.Series:
-        out = []
-        for b in wkb:
+        boxes, ridx = [], []
+        null_rows = set()
+        for i, b in enumerate(wkb):
             if b is None:
-                out.append(None)
+                null_rows.add(i)
                 continue
             gtype, data = geom = parse_wkb(b)
             if gtype in (GeomType.LINESTRING, GeomType.MULTILINESTRING):
-                parts = K._line_parts(geom)
-                cells: set[int] = set()
-                for part in parts:
-                    cells.update(C.cover_line_cells(part, cell_size))
-                out.append(sorted(cells))
+                for part in K._line_parts(geom):
+                    a, q = part[:-1], part[1:]
+                    seg_boxes = np.column_stack([
+                        np.minimum(a[:, 0], q[:, 0]), np.minimum(a[:, 1], q[:, 1]),
+                        np.maximum(a[:, 0], q[:, 0]), np.maximum(a[:, 1], q[:, 1]),
+                    ])
+                    boxes.append(seg_boxes)
+                    ridx.append(np.full(len(seg_boxes), i, dtype=np.int64))
             elif gtype in (GeomType.POLYGON, GeomType.MULTIPOLYGON):
-                cells = set()
                 for rings in K._poly_parts(geom):
-                    xmin, ymin = rings[0].min(axis=0)
-                    xmax, ymax = rings[0].max(axis=0)
-                    cells |= C.cover_bbox_cells(xmin, ymin, xmax, ymax, cell_size)
-                out.append(sorted(cells))
+                    ext = rings[0]
+                    boxes.append(np.array([[ext[:, 0].min(), ext[:, 1].min(),
+                                            ext[:, 0].max(), ext[:, 1].max()]]))
+                    ridx.append(np.array([i], dtype=np.int64))
             else:  # point
-                out.append([int(C.cell_id(data[0], data[1], cell_size))])
-        return pd.Series(out)
+                boxes.append(np.array([[data[0], data[1], data[0], data[1]]]))
+                ridx.append(np.array([i], dtype=np.int64))
+        if not boxes:
+            return pd.Series([None if i in null_rows else []
+                              for i in range(len(wkb))])
+        covers = _cover_batch(np.vstack(boxes), np.concatenate(ridx),
+                              len(wkb), cell_size)
+        return pd.Series(
+            [None if i in null_rows else covers[i] for i in range(len(wkb))]
+        )
 
     return _cover(wkb_col)
+
+
+def _parsed_poly(cache: dict, pb: bytes):
+    """Parse + classify a polygon once per distinct value per batch.
+    Returns (parts, convex_rings | None): convex_rings is the list of
+    single-convex-CCW rings when EVERY part qualifies for the vectorized
+    Cyrus-Beck fast path (rectangles, buffer capsules, convex watersheds),
+    else None → per-pair general path."""
+    hit = cache.get(pb)
+    if hit is None:
+        parts = K._poly_parts(parse_wkb(pb))
+        convex = []
+        for rings in parts:
+            if len(rings) == 1 and K.is_convex_ccw(rings[0]):
+                convex.append(rings[0])
+            else:
+                convex = None
+                break
+        hit = (parts, convex)
+        cache[pb] = hit
+    return hit
+
+
+def _batch_segments(lines: list[list[np.ndarray]]):
+    """Flatten per-row lists of part vertex-arrays into (P, Q, row_idx)
+    segment arrays — no phantom segments across MultiLineString parts."""
+    ps, qs, idx = [], [], []
+    for i, parts in enumerate(lines):
+        for arr in parts:
+            if arr is None or len(arr) < 2:
+                continue
+            ps.append(arr[:-1])
+            qs.append(arr[1:])
+            idx.append(np.full(len(arr) - 1, i, dtype=np.int64))
+    if not ps:
+        return None
+    return np.vstack(ps), np.vstack(qs), np.concatenate(idx)
 
 
 @pandas_udf(T.BooleanType())
 def st_intersects(line_wkb: pd.Series, poly_wkb: pd.Series) -> pd.Series:
     """Exact line×polygon intersects — the refine step after cell bucketing
     (predicate of native:selectbylocation PREDICATE:[0],
-    create_connected_reference_hydro.py:181-187)."""
-    out = np.zeros(len(line_wkb), dtype=bool)
-    poly_cache: dict[bytes, list] = {}
-    for i, (lb, pb) in enumerate(zip(line_wkb, poly_wkb)):
-        if lb is None or pb is None:
-            continue
-        polys = poly_cache.get(pb)
-        if polys is None:
-            polys = K._poly_parts(parse_wkb(pb))
-            poly_cache[pb] = polys
-        gtype, data = geom = parse_wkb(lb)
-        if gtype == GeomType.POINT:
-            out[i] = any(K.point_in_polygon(data[0], data[1], r) for r in polys)
+    create_connected_reference_hydro.py:181-187). Pairs sharing a convex
+    polygon are verified in one vectorized Cyrus-Beck pass over all their
+    segments; concave/holed polygons take the general per-pair path."""
+    n = len(line_wkb)
+    out = np.zeros(n, dtype=bool)
+    poly_cache: dict[bytes, tuple] = {}
+    groups: dict[bytes, list[int]] = {}
+    for i, pb in enumerate(poly_wkb):
+        if pb is not None and line_wkb.iloc[i] is not None:
+            groups.setdefault(pb, []).append(i)
+    for pb, rows in groups.items():
+        parts, convex = _parsed_poly(poly_cache, pb)
+        parsed = []
+        for i in rows:
+            gtype, data = geom = parse_wkb(line_wkb.iloc[i])
+            if gtype == GeomType.POINT:
+                # degenerate zero-length segment → point-in-polygon by clip
+                parsed.append([data.reshape(1, 2).repeat(2, axis=0)])
+            else:
+                parsed.append(K._line_parts(geom))
+        if convex is not None:
+            seg = _batch_segments(parsed)
+            if seg is None:
+                continue
+            P, Q, ridx = seg
+            hit_any = np.zeros(len(P), dtype=bool)
+            for ring in convex:
+                t0, t1 = K.clip_intervals_convex(P, Q, ring)
+                t0c = np.maximum(t0, 0.0)
+                t1c = np.minimum(t1, 1.0)
+                hit_any |= (t1c - t0c) >= -1e-12
+            row_hit = np.zeros(len(rows), dtype=bool)
+            np.logical_or.at(row_hit, ridx, hit_any)
+            for j, i in enumerate(rows):
+                out[i] = row_hit[j]
         else:
-            out[i] = any(
-                K.line_intersects_polygon(part, polys) for part in K._line_parts(geom)
-            )
+            for j, i in enumerate(rows):
+                for arr in parsed[j]:
+                    if len(arr) == 2 and (arr[0] == arr[1]).all():
+                        if any(K.point_in_polygon(arr[0, 0], arr[0, 1], r)
+                               for r in parts):
+                            out[i] = True
+                            break
+                    elif K.line_intersects_polygon(arr, parts):
+                        out[i] = True
+                        break
     return pd.Series(out)
 
 
@@ -143,20 +255,41 @@ def st_intersects(line_wkb: pd.Series, poly_wkb: pd.Series) -> pd.Series:
 def st_intersection_length(line_wkb: pd.Series, poly_wkb: pd.Series) -> pd.Series:
     """Length of line ∩ polygon in meters — the zonal-overlay kernel
     (create_5m_width_hydro_network.py:231-233) without materializing the
-    clipped geometry."""
-    out = np.zeros(len(line_wkb), dtype=np.float64)
-    poly_cache: dict[bytes, list] = {}
-    for i, (lb, pb) in enumerate(zip(line_wkb, poly_wkb)):
-        if lb is None or pb is None:
-            continue
-        polys = poly_cache.get(pb)
-        if polys is None:
-            polys = K._poly_parts(parse_wkb(pb))
-            poly_cache[pb] = polys
-        geom = parse_wkb(lb)
-        out[i] = sum(
-            K.intersection_length(part, polys) for part in K._line_parts(geom)
-        )
+    clipped geometry. Convex polygons → one vectorized Cyrus-Beck pass per
+    batch; general polygons → per-pair crossing-parameter path. Overlapping
+    parts of a MultiPolygon double-count in both paths (the engine assumes
+    disjoint surfaces after make_valid — SURVEY.md §7)."""
+    n = len(line_wkb)
+    out = np.zeros(n, dtype=np.float64)
+    poly_cache: dict[bytes, tuple] = {}
+    groups: dict[bytes, list[int]] = {}
+    for i, pb in enumerate(poly_wkb):
+        if pb is not None and line_wkb.iloc[i] is not None:
+            groups.setdefault(pb, []).append(i)
+    for pb, rows in groups.items():
+        parts, convex = _parsed_poly(poly_cache, pb)
+        parsed = [K._line_parts(parse_wkb(line_wkb.iloc[i])) for i in rows]
+        if convex is not None:
+            seg = _batch_segments(parsed)
+            if seg is None:
+                continue
+            P, Q, ridx = seg
+            seg_len = np.hypot(Q[:, 0] - P[:, 0], Q[:, 1] - P[:, 1])
+            inside = np.zeros(len(P))
+            for ring in convex:
+                t0, t1 = K.clip_intervals_convex(P, Q, ring)
+                t0c = np.maximum(t0, 0.0)
+                t1c = np.minimum(t1, 1.0)
+                inside += np.maximum(t1c - t0c, 0.0) * seg_len
+            row_len = np.zeros(len(rows))
+            np.add.at(row_len, ridx, inside)
+            for j, i in enumerate(rows):
+                out[i] = row_len[j]
+        else:
+            for j, i in enumerate(rows):
+                out[i] = sum(
+                    K.intersection_length(arr, parts) for arr in parsed[j]
+                )
     return pd.Series(out)
 
 
@@ -194,6 +327,85 @@ def st_make_rect(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series,
             for a, b, c, d in zip(xmin, ymin, xmax, ymax)
         ]
     )
+
+
+def st_intersection_length_in_cell(line_col, poly_col, cell_col,
+                                   cell_size: float):
+    """Length of (line ∩ polygon ∩ cell) — the shuffle-free zonal kernel.
+    Because cells partition the plane, summing this per (line, poly, cell)
+    candidate equals length(line ∩ poly) with NO dedup of multi-cell
+    candidates — the expensive wide shuffle in the naive plan disappears.
+    Caveat (documented): a segment lying exactly on a shared cell boundary
+    counts in both cells; measure-zero for non-axis-aligned data."""
+
+    @pandas_udf(T.DoubleType())
+    def _ilen_cell(line_wkb: pd.Series, poly_wkb: pd.Series,
+                   cell: pd.Series) -> pd.Series:
+        dim = np.int64(1) << 26  # functions/cells.py CELL_SHIFT
+        n = len(line_wkb)
+        out = np.zeros(n, dtype=np.float64)
+        poly_cache: dict[bytes, tuple] = {}
+        groups: dict[bytes, list[int]] = {}
+        for i, pb in enumerate(poly_wkb):
+            if pb is not None and line_wkb.iloc[i] is not None:
+                groups.setdefault(pb, []).append(i)
+        cells = cell.to_numpy()
+        for pb, rows in groups.items():
+            parts, convex = _parsed_poly(poly_cache, pb)
+            parsed = [K._line_parts(parse_wkb(line_wkb.iloc[i])) for i in rows]
+            seg = _batch_segments(parsed)
+            if seg is None:
+                continue
+            P, Q, ridx = seg
+            seg_len = np.hypot(Q[:, 0] - P[:, 0], Q[:, 1] - P[:, 1])
+            # per-segment cell rectangle interval (vectorized Liang-Barsky)
+            seg_cells = cells[np.asarray(rows)][ridx]
+            cx = (seg_cells // dim).astype(np.float64) * cell_size
+            cy = (seg_cells % dim).astype(np.float64) * cell_size
+            D = Q - P
+            with np.errstate(divide="ignore", invalid="ignore"):
+                tx_lo = (cx - P[:, 0]) / D[:, 0]
+                tx_hi = (cx + cell_size - P[:, 0]) / D[:, 0]
+                ty_lo = (cy - P[:, 1]) / D[:, 1]
+                ty_hi = (cy + cell_size - P[:, 1]) / D[:, 1]
+            tx0 = np.minimum(tx_lo, tx_hi)
+            tx1 = np.maximum(tx_lo, tx_hi)
+            ty0 = np.minimum(ty_lo, ty_hi)
+            ty1 = np.maximum(ty_lo, ty_hi)
+            # zero-direction axes: inside iff coordinate within slab
+            zx = np.abs(D[:, 0]) < 1e-12
+            zy = np.abs(D[:, 1]) < 1e-12
+            in_x = (P[:, 0] >= cx) & (P[:, 0] <= cx + cell_size)
+            in_y = (P[:, 1] >= cy) & (P[:, 1] <= cy + cell_size)
+            tx0 = np.where(zx, np.where(in_x, 0.0, 1.0), tx0)
+            tx1 = np.where(zx, np.where(in_x, 1.0, 0.0), tx1)
+            ty0 = np.where(zy, np.where(in_y, 0.0, 1.0), ty0)
+            ty1 = np.where(zy, np.where(in_y, 1.0, 0.0), ty1)
+            c0 = np.maximum(np.maximum(tx0, ty0), 0.0)
+            c1 = np.minimum(np.minimum(tx1, ty1), 1.0)
+            row_len = np.zeros(len(rows))
+            if convex is not None:
+                inside = np.zeros(len(P))
+                for ring in convex:
+                    t0, t1 = K.clip_intervals_convex(P, Q, ring)
+                    lo = np.maximum(t0, c0)
+                    hi = np.minimum(t1, c1)
+                    inside += np.maximum(hi - lo, 0.0) * seg_len
+                np.add.at(row_len, ridx, inside)
+            else:
+                # general polygon: clip each segment to its cell, then run
+                # the crossing-parameter path on the sub-segment
+                for s in range(len(P)):
+                    if c1[s] <= c0[s]:
+                        continue
+                    sub = np.vstack([P[s] + c0[s] * D[s], P[s] + c1[s] * D[s]])
+                    row_len[ridx[s]] += K.intersection_length(sub, parts)
+            for j, i in enumerate(rows):
+                out[i] = row_len[j]
+    # note: rows of the same (line, poly) in other cells are other UDF rows
+        return pd.Series(out)
+
+    return _ilen_cell(line_col, poly_col, cell_col)
 
 
 def cell_of(x_col, y_col, cell_size: float):

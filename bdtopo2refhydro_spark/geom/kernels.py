@@ -290,6 +290,54 @@ def line_intersects_polygon(line: np.ndarray, polys) -> bool:
     return False
 
 
+def is_convex_ccw(ring: np.ndarray) -> bool:
+    """True when `ring` (closed) is convex and counter-clockwise — the
+    precondition for the vectorized Cyrus-Beck fast path."""
+    pts = ring[:-1]
+    if len(pts) < 3:
+        return False
+    nxt = np.roll(pts, -1, axis=0)
+    nxt2 = np.roll(pts, -2, axis=0)
+    cross = (nxt[:, 0] - pts[:, 0]) * (nxt2[:, 1] - nxt[:, 1]) - (
+        nxt[:, 1] - pts[:, 1]
+    ) * (nxt2[:, 0] - nxt[:, 0])
+    return bool((cross >= -_EPS).all()) and _signed_area(pts) > 0
+
+
+def clip_intervals_convex(p: np.ndarray, q: np.ndarray,
+                          ring: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized Cyrus-Beck: clip many segments p[i]→q[i] against one
+    convex CCW ring. Returns (t0, t1) per segment — the inside interval in
+    [0,1]; empty when t0 > t1. This is the batch fast path behind
+    st_intersects / st_intersection_length: one numpy pass for every
+    candidate pair that shares a polygon, instead of per-pair Python."""
+    pts = ring[:-1]
+    edges_a = pts
+    edges_b = np.roll(pts, -1, axis=0)
+    # inward normal of a CCW ring edge = left normal (-dy, dx)
+    ex = edges_b[:, 0] - edges_a[:, 0]
+    ey = edges_b[:, 1] - edges_a[:, 1]
+    nx_, ny_ = -ey, ex
+    D = q - p  # (n,2)
+    t0 = np.zeros(len(p))
+    t1 = np.ones(len(p))
+    empty = np.zeros(len(p), dtype=bool)
+    for k in range(len(pts)):
+        c = (p[:, 0] - edges_a[k, 0]) * nx_[k] + (p[:, 1] - edges_a[k, 1]) * ny_[k]
+        d = D[:, 0] * nx_[k] + D[:, 1] * ny_[k]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = -c / d
+        pos = d > _EPS
+        neg = d < -_EPS
+        par = ~pos & ~neg
+        t0 = np.where(pos, np.maximum(t0, t), t0)
+        t1 = np.where(neg, np.minimum(t1, t), t1)
+        empty |= par & (c < -_EPS)
+    t0 = np.where(empty, 1.0, t0)
+    t1 = np.where(empty, 0.0, t1)
+    return t0, t1
+
+
 def intersection_length(line: np.ndarray, polys) -> float:
     """Length of `line` ∩ polygon(s): per segment, find crossing parameters
     against every ring edge, then classify sub-intervals by midpoint

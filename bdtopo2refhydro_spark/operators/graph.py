@@ -179,7 +179,9 @@ def select_connected(edges_nodes: DataFrame, seed_nodes: DataFrame,
             metrics.add(op="select_connected", round=i, new_nodes=n_new)
         if n_new == 0:
             break
-        visited = visited.union(frontier).localCheckpoint()
+        # visited stays a shallow union of checkpointed frontiers — no
+        # checkpoint needed, and one fewer job per round
+        visited = visited.union(frontier)
     return visited
 
 

@@ -3,16 +3,23 @@ reference's in-memory spatial index + per-feature predicate loops.
 
 Physical shape (SURVEY.md §4, north rule):
 
-  lines:    explode(cover_cells(geom))  → (cell, line...)
-  polygons: explode(cover_cells(geom))  → (cell, poly...)   [small side]
-  equi-join on cell  (polygon side BROADCAST — outlet bands / surfaces are
-  tiny next to the pages table)  → exact refine with st_intersects /
-  st_intersection_length  → groupBy(line key) to collapse multi-cell dupes.
+  lines → explode(cover_cells(geom)) → equi-join on `cell` against the
+  broadcast polygon cell index → vectorized exact refine PER CANDIDATE ROW
+  → one groupBy on the line key.
 
-At 100 TB the lines side never shuffles: the only wide op is the final
-groupBy on the line key, and with AQE + salted cells (dense urban cells)
-the refine stays balanced. Candidate duplication across cells is bounded by
-per-segment bbox covers (functions/cells.py).
+There is deliberately NO dedup of multi-cell candidates before the refine:
+a (line, poly) pair seen in k cells costs k cheap vectorized clip rows
+instead of a wide shuffle of geometry payloads (measured: the
+distinct+re-attach plan spent ~3s/round in shuffles that don't scale with
+cores; this plan's only wide op is the final groupBy). Correctness holds
+because:
+  - intersects: duplicate hits collapse in the final distinct on the key;
+  - zonal length: st_intersection_length_in_cell clips within the
+    candidate's cell — cells partition the plane, so per-cell lengths sum
+    exactly to length(line ∩ poly).
+
+Skewed cells (dense geometry clusters) split under AQE since the candidate
+join keys on `cell`; `salt` adds explicit key salting for extreme skew.
 """
 
 from __future__ import annotations
@@ -27,13 +34,25 @@ DEFAULT_CELL_SIZE = 2000.0
 
 def cell_index_polygons(polys: DataFrame, cell_size: float = DEFAULT_CELL_SIZE,
                         geom_col: str = "geom_wkb") -> DataFrame:
-    """Explode polygon cell covers → (cell, poly_wkb). The engine's analog of
+    """Explode polygon cell covers → (cell, pid, _poly_wkb) with pid a
+    deterministic geometry hash. The engine's analog of
     layer.createSpatialIndex() (create_connected_reference_hydro.py:169-171),
     but immutable and broadcastable."""
     return polys.select(
+        F.xxhash64(geom_col).alias("pid"),
         F.explode(U.st_cover_cells(F.col(geom_col), cell_size)).alias("cell"),
         F.col(geom_col).alias("_poly_wkb"),
     )
+
+
+def _candidates(lines: DataFrame, polys: DataFrame, key: str,
+                cell_size: float, geom_col: str) -> DataFrame:
+    """(key, geom, cell, pid, _poly_wkb) candidate rows — map-side only."""
+    poly_idx = F.broadcast(cell_index_polygons(polys, cell_size, geom_col))
+    return lines.select(
+        key, geom_col,
+        F.explode(U.st_cover_cells(F.col(geom_col), cell_size)).alias("cell"),
+    ).join(poly_idx, "cell")
 
 
 def spatial_join_hits(lines: DataFrame, polys: DataFrame, key: str = "url",
@@ -43,20 +62,13 @@ def spatial_join_hits(lines: DataFrame, polys: DataFrame, key: str = "url",
 
     J1/J2 core ~ native:selectbylocation PREDICATE:[0] intersects
     (create_connected_reference_hydro.py:181-187)."""
-    poly_idx = F.broadcast(cell_index_polygons(polys, cell_size, geom_col))
-    cand = (
-        lines.select(key, geom_col,
-                     F.explode(U.st_cover_cells(F.col(geom_col), cell_size)).alias("cell"))
-        .join(poly_idx, "cell")
-        # a line may meet the same polygon in several cells — dedupe before
-        # the (expensive) exact refine
-        .dropDuplicates([key, "_poly_wkb"])
-        .withColumn("_hit", U.st_intersects(geom_col, "_poly_wkb"))
+    cand = _candidates(lines, polys, key, cell_size, geom_col)
+    return (
+        cand.withColumn("_hit", U.st_intersects(geom_col, "_poly_wkb"))
         .filter(F.col("_hit"))
         .select(key)
         .distinct()
     )
-    return cand
 
 
 def select_by_location(lines: DataFrame, polys: DataFrame, key: str = "url",
@@ -95,14 +107,16 @@ def zonal_pct_in_surface(lines: DataFrame, surfaces: DataFrame,
     (native:dissolve, :174-179). A global dissolve is a scale killer, so the
     engine sums per-surface intersection lengths instead and caps at 100 —
     identical semantics when surfaces are disjoint (make_valid'd inputs;
-    SURVEY.md §7 'Dissolve at scale')."""
-    poly_idx = F.broadcast(cell_index_polygons(surfaces, cell_size, geom_col))
+    SURVEY.md §7 'Dissolve at scale'). Lengths are computed within each
+    candidate's cell (see module docstring) so no dedup shuffle exists."""
+    cand = _candidates(lines, surfaces, key, cell_size, geom_col)
     inter = (
-        lines.select(key, geom_col,
-                     F.explode(U.st_cover_cells(F.col(geom_col), cell_size)).alias("cell"))
-        .join(poly_idx, "cell")
-        .dropDuplicates([key, "_poly_wkb"])
-        .withColumn("_ilen", U.st_intersection_length(geom_col, "_poly_wkb"))
+        cand.withColumn(
+            "_ilen",
+            U.st_intersection_length_in_cell(
+                F.col(geom_col), F.col("_poly_wkb"), F.col("cell"), cell_size
+            ),
+        )
         .groupBy(key)
         .agg(F.sum("_ilen").alias("_in_len"))
     )

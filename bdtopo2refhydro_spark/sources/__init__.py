@@ -9,6 +9,7 @@ from .synth import (  # noqa: F401
     make_corrections_pdf,
     pages_df,
     edges_df,
+    edges_df_dist,
     outlet_polygons_df,
     surfaces_df,
     zones_df,

@@ -95,17 +95,26 @@ def _depth(i: int) -> int:
     return int(np.floor(np.log2(i + 1)))
 
 
-def node_pos(i: int) -> tuple[float, float]:
-    """Deterministic node position: depth-stratified so the tree 'flows'
-    from high y (sources) down to the outlet band at low y."""
-    h1 = int(_h([i], 11)[0])
-    h2 = int(_h([i], 13)[0])
+def node_pos(i: int, _memo: dict | None = None) -> tuple[float, float]:
+    """Deterministic node position: a hash-driven random walk up the
+    ancestor chain from the root — children sit 1-5 km from their parent,
+    so edges are LOCAL (a handful of grid cells each), like real stream
+    segments, instead of spanning the extent. y grows upstream; the root
+    sits in the outlet band."""
+    if _memo is not None and i in _memo:
+        return _memo[i]
     if i == 0:
-        return (EXTENT / 2.0, 1000.0)
-    d = _depth(i)
-    x = float(h1 % int(EXTENT))
-    y = 2000.0 + d * 3000.0 + float(h2 % 2000)
-    return (x, y)
+        pos = (EXTENT / 2.0, 1000.0)
+    else:
+        px, py = node_pos(i // 2, _memo)
+        h1 = int(_h([i], 11)[0])
+        h2 = int(_h([i], 13)[0])
+        x = px + float(h1 % 4000) - 2000.0
+        y = py + 500.0 + float(h2 % 2500)
+        pos = (float(np.clip(x, 500.0, EXTENT - 500.0)), y)
+    if _memo is not None:
+        _memo[i] = pos
+    return pos
 
 
 def _line_coords(a: tuple[float, float], b: tuple[float, float], seed: int):
@@ -129,15 +138,16 @@ def make_edges_pdf(n: int, tree_frac: float = 0.7) -> pd.DataFrame:
     segment from pos(0) into the outlet band (y < 1500)."""
     n_tree = max(int(n * tree_frac), 2)
     rows = []
+    memo: dict = {}
     for i in range(n):
         url = url_of(i)
         h = int(_h([i], 29)[0])
         if i == 0:
-            a = node_pos(0)
+            a = node_pos(0, memo)
             coords = np.array([[a[0], a[1]], [a[0], 500.0]])
         elif i < n_tree:
-            a = node_pos(i)          # upstream (child)
-            b = node_pos(i // 2)     # downstream (parent)
+            a = node_pos(i, memo)          # upstream (child)
+            b = node_pos(i // 2, memo)     # downstream (parent)
             coords = _line_coords(a, b, i)
         else:
             x0 = float(h % int(EXTENT))
@@ -258,6 +268,56 @@ def make_corrections_pdf(n_edges: int) -> pd.DataFrame:
                  "new_geom_wkb": None}
             )
     return pd.DataFrame(rows)
+
+
+def edges_batch_pdf(ids: np.ndarray, n_tree: int) -> pd.DataFrame:
+    """Vectorized edge generation for an arbitrary id batch — the same
+    formulas as make_edges_pdf (minus duplicate injection), usable inside
+    mapInPandas for distributed synthesis at bench scale."""
+    rows = []
+    memo: dict = {}
+    for i in ids.tolist():
+        h = int(_h([i], 29)[0])
+        if i == 0:
+            a = node_pos(0, memo)
+            coords = np.array([[a[0], a[1]], [a[0], 500.0]])
+        elif i < n_tree:
+            coords = _line_coords(node_pos(i, memo), node_pos(i // 2, memo), i)
+        else:
+            x0 = float(h % int(EXTENT))
+            y0 = 40_000.0 + float((h >> 8) % 50_000)
+            ang = (h % 360) * np.pi / 180.0
+            ln = 200.0 + float(h % 3000)
+            coords = np.array(
+                [[x0, y0], [x0 + ln * np.cos(ang), y0 + ln * np.sin(ang)]]
+            )
+        reversed_flag = (i != 0) and (h % 23 == 0)
+        rows.append(
+            {
+                "url": url_of(i),
+                "geom_wkb": linestring_wkb(coords[::-1] if reversed_flag else coords),
+                "nature": NATURES[h % 10] if i != 0 else "Ecoulement naturel",
+            }
+        )
+    return pd.DataFrame(rows, columns=["url", "geom_wkb", "nature"])
+
+
+def edges_df_dist(spark, n: int, tree_frac: float = 0.7):
+    """Distributed deterministic edge synthesis: spark.range(n) →
+    mapInPandas. Generation parallelizes across executors and the result is
+    identical at any partitioning (every value derives from the row id).
+    This is how bench-scale inputs (10^6+) are built — never driver-side."""
+    n_tree = max(int(n * tree_frac), 2)
+
+    def gen(batches):
+        for pdf in batches:
+            yield edges_batch_pdf(pdf["id"].to_numpy(), n_tree)
+
+    return (
+        spark.range(n)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(gen, "url string, geom_wkb binary, nature string")
+    )
 
 
 # ------------------------------------------------------- Spark wrappers

@@ -39,13 +39,27 @@ def main() -> None:
         "cosine_topk",
         "tpch_q1",
     ]
+    from pyspark.sql import functions as F
+
+    def force(df) -> int:
+        """Checksum every output column — a bare count() lets Catalyst prune
+        the aggregate's value columns and eliminate whole joins/UDFs, timing
+        an empty plan."""
+        chk = df.select(
+            F.count("*").alias("n"),
+            F.expr(
+                "bit_xor(xxhash64(" + ", ".join(f"`{c}`" for c in df.columns) + "))"
+            ).alias("chk"),
+        ).first()
+        return chk["n"]
+
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     timings: dict[str, float] = {}
     t_all = time.monotonic()
     for name in headline:
         t0 = time.monotonic()
         df = qs[name](spark, sf_dir)
-        n = df.count()  # force full execution
+        n = force(df)
         timings[name] = round(time.monotonic() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
     total = round(time.monotonic() - t_all, 3)

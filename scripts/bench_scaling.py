@@ -23,8 +23,34 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_EDGES = int(os.environ.get("SCALING_N_EDGES", "60000"))
-LEVELS = (8, 32)
+N_EDGES = int(os.environ.get("SCALING_N_EDGES", "1000000"))
+# N vs 4N parallelism. 4 vs 16 rather than 8 vs 32: this box reports 32
+# logical CPUs but pure-python calibration shows 8→32 OS-level threads cap
+# at ~2.9×/4 (SMT), while 4→16 reaches ~3.7×/4 — measuring the engine, not
+# the hyperthreads. calibrate() records the machine ceiling next to the
+# engine number.
+LEVELS = (4, 16)
+
+
+def _burn(_):
+    x = 0
+    for i in range(2_000_000):
+        x += i * i % 7
+    return x
+
+
+def calibrate() -> float:
+    """OS-level scaling ceiling: fixed pure-python work, N vs 4N processes."""
+    import multiprocessing
+
+    burn = _burn  # module-level → picklable for Pool
+    walls = {}
+    for n in LEVELS:
+        t0 = time.monotonic()
+        with multiprocessing.Pool(n) as p:
+            p.map(burn, range(32))
+        walls[n] = time.monotonic() - t0
+    return (walls[LEVELS[0]] / walls[LEVELS[1]]) / (LEVELS[1] / LEVELS[0])
 
 
 def run_job(cpus: int) -> dict:
@@ -37,13 +63,13 @@ def run_job(cpus: int) -> dict:
     )
     from bdtopo2refhydro_spark.session import get_spark
     from bdtopo2refhydro_spark.sources import (
-        edges_df,
+        edges_df_dist,
         outlet_polygons_df,
         surfaces_df,
     )
 
     spark = get_spark(f"scaling_{cpus}", cores=cpus, shuffle_partitions=cpus)
-    edges = edges_df(spark, N_EDGES).repartition(cpus).localCheckpoint()
+    edges = edges_df_dist(spark, N_EDGES).localCheckpoint()
     n = edges.count()  # materialize input outside the timed window
     outlets = outlet_polygons_df(spark)
     surfaces = surfaces_df(spark)
@@ -59,7 +85,14 @@ def run_job(cpus: int) -> dict:
         F.sum(F.when(F.col("selected"), 1).otherwise(0)).alias("n_sel"),
         F.avg("pct_in_surface").alias("avg_pct"),
     )
-    rows = out.count()
+    # checksum all columns — count() alone lets Catalyst prune the value
+    # columns and eliminate the joins/UDFs entirely (measured: 73s of real
+    # zonal work disappears into a 5s no-op plan)
+    chk = out.select(
+        F.count("*").alias("rows"),
+        F.expr("bit_xor(xxhash64(cell, n, n_sel, avg_pct))").alias("chk"),
+    ).first()
+    rows = chk["rows"]
     wall = time.monotonic() - t0
     spark.stop()
     return {"cpus": cpus, "edges": n, "wall_sec": round(wall, 2),
@@ -83,12 +116,14 @@ def main() -> None:
         results.append(res)
     tp = {r["cpus"]: r["docs_per_sec"] for r in results}
     eff = (tp[LEVELS[1]] / tp[LEVELS[0]]) / (LEVELS[1] / LEVELS[0])
+    ceiling = calibrate()
     md = f"""# BENCH — scaling efficiency (N vs 4N)
 
 Job: spatial-join + tile-assignment over {results[0]['edges']:,} synthetic
 edges (cell cover → broadcast cell join → exact intersects refine → zonal
 %-in-surface → tile aggregation). Same input, two parallelism levels
-(sandbox proxy for N vs 4N executors per BASELINE.md).
+(sandbox proxy for N vs 4N executors per BASELINE.md — no real cluster in
+this environment).
 
 | level | cores | wall (s) | throughput (docs/sec) |
 |---|---|---|---|
@@ -96,6 +131,11 @@ edges (cell cover → broadcast cell join → exact intersects refine → zonal
 | 4N | {LEVELS[1]} | {results[1]['wall_sec']} | {results[1]['docs_per_sec']:,} |
 
 **Scaling efficiency = (tp_4N / tp_N) / 4 = {eff:.3f}** (target ≥ 0.8)
+
+Machine ceiling (pure-python fixed work, {LEVELS[0]} vs {LEVELS[1]} OS
+processes, no Spark): **{ceiling:.3f}** — the box reports 32 logical CPUs
+but SMT caps perfect 4× thread scaling; the engine number above should be
+read against this ceiling. Engine/ceiling = {eff / ceiling:.3f}.
 """
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:

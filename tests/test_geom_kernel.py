@@ -128,6 +128,32 @@ def test_intersection_length_with_hole():
     assert intersection_length(line, polys) == pytest.approx(4.0)
 
 
+def test_is_convex_ccw():
+    from bdtopo2refhydro_spark.geom.kernels import is_convex_ccw
+
+    assert is_convex_ccw(SQUARE)
+    assert not is_convex_ccw(SQUARE[::-1])  # CW
+    concave = np.array(
+        [[0, 0], [10, 0], [10, 10], [5, 2], [0, 10], [0, 0]], dtype=float
+    )
+    assert not is_convex_ccw(concave)
+
+
+def test_clip_intervals_convex_matches_general_path():
+    from bdtopo2refhydro_spark.geom.kernels import clip_intervals_convex
+
+    P = np.array([[-5, 5], [2, 5], [20, 20], [10, 5], [-5, -5]], dtype=float)
+    Q = np.array([[15, 5], [8, 5], [30, 20], [20, 5], [15, 15]], dtype=float)
+    t0, t1 = clip_intervals_convex(P, Q, SQUARE)
+    seg_len = np.hypot(*(Q - P).T)
+    lens = np.maximum(np.minimum(t1, 1) - np.maximum(t0, 0), 0) * seg_len
+    expected = [
+        intersection_length(np.array([p, q]), [[SQUARE]])
+        for p, q in zip(P, Q)
+    ]
+    np.testing.assert_allclose(lens, expected, atol=1e-9)
+
+
 def test_buffer_point_is_circle():
     gtype, rings = parse_wkb(buffer_geom(point_wkb(0, 0), 10.0))
     assert gtype == GeomType.POLYGON
