@@ -121,10 +121,13 @@ _EXTRAS_D = f"""
 """
 
 
-def _tree_geom_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _tree_geom_edges(spark: SparkSession, sf_dir: str,
+                     cap: int | None = None) -> DataFrame:
     """Geometric tree edges for the flagship pipeline: LineString from
     pos(doc_id) to pos(doc_id/2); root node sits in the outlet band."""
     docs = _docs(spark, sf_dir)
+    if cap is not None:
+        docs = docs.filter(F.col("doc_id") < cap)
     pos = docs.select("doc_id", F.expr(_PX).alias("px"), F.expr(_PY).alias("py"))
     child = docs.select(
         "doc_id",
@@ -946,6 +949,454 @@ SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 3
 """
 
 
+# --- graph analytics (G3-G8, A3) -------------------------------------------
+
+def _q_measure_outlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdtopo2refhydro_spark.operators import measure_from_outlet
+
+    e = _forest_edges(spark, sf_dir)
+    outlets = spark.createDataFrame([(0,)], "node long")
+    out = measure_from_outlet(e, outlets)
+    return out.select("url", F.col("MEASURE").alias("measure"))
+
+
+_MEASURE_SQL = f"""
+WITH RECURSIVE e AS ({_FOREST_D}),
+walk(node, dist) AS (
+  SELECT CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)
+  UNION
+  SELECT e.nodea, w.dist + e.len FROM e JOIN walk w ON e.nodeb = w.node
+),
+d AS (SELECT node, min(dist) AS dist FROM walk GROUP BY node)
+SELECT e.url, d.dist AS measure FROM e LEFT JOIN d ON e.nodeb = d.node
+"""
+
+
+def _q_upstream_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdtopo2refhydro_spark.operators import upstream_length
+
+    e = _forest_edges(spark, sf_dir)
+    return upstream_length(e).select("url", F.col("UL").alias("ul"))
+
+
+# bottom-up max-path as a downward walk: every upstream path ends at some
+# edge; UL(e) = max over path sums ending at e (len values are integers →
+# float sums are exact in any order)
+_UPSTREAM_WALK = f"""
+walk(url, node, acc) AS (
+  SELECT url, nodeb, len FROM e
+  WHERE nodea NOT IN (SELECT nodeb FROM e)
+  UNION
+  SELECT f.url, f.nodeb, w.acc + f.len FROM e f JOIN walk w ON f.nodea = w.node
+)
+"""
+
+_UPSTREAM_SQL = f"""
+WITH RECURSIVE e AS ({_FOREST_D}),
+{_UPSTREAM_WALK}
+SELECT url, max(acc) AS ul FROM walk GROUP BY url
+"""
+
+
+def _q_hack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdtopo2refhydro_spark.operators import hack_order
+
+    e = _forest_edges(spark, sf_dir)
+    outlets = spark.createDataFrame([(0,)], "node long")
+    return hack_order(e, outlets).select("url", F.col("HACK").alias("hack"))
+
+
+_HACK_SQL = f"""
+WITH RECURSIVE e AS ({_FOREST_D}),
+{_UPSTREAM_WALK},
+ul AS (SELECT url, max(acc) AS ul FROM walk GROUP BY url),
+eu AS (SELECT e.*, ul.ul FROM e JOIN ul USING (url)),
+rk AS (SELECT url, row_number() OVER (PARTITION BY nodeb
+                                      ORDER BY ul DESC, url DESC) AS rn
+       FROM eu),
+em AS (SELECT eu.*, (rk.rn = 1) AS is_main FROM eu JOIN rk USING (url)),
+hack(url, nodea, h) AS (
+  SELECT url, nodea, 1 FROM em WHERE nodeb = 0
+  UNION
+  SELECT c.url, c.nodea, CASE WHEN c.is_main THEN p.h ELSE p.h + 1 END
+  FROM em c JOIN hack p ON c.nodeb = p.nodea
+)
+SELECT e.url, h.h AS hack FROM e LEFT JOIN hack h ON h.url = e.url
+"""
+
+
+def _q_strahler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 — bottom-up fixpoint; not expressible in DuckDB 1.0's linear
+    recursive CTEs (needs the full accumulated state each round), so the
+    driver records the weaker rows-only check; golden-tested on a
+    hand-computed river graph in tests/test_graph_ops.py."""
+    from bdtopo2refhydro_spark.operators import strahler_order
+
+    e = _forest_edges(spark, sf_dir)
+    return strahler_order(e).select("url", F.col("STRAHLER").alias("strahler"))
+
+
+def _q_fix_connectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 — greedy iterative repair (round-order dependent); rows-only
+    check, golden-tested in tests/test_graph_ops.py."""
+    from bdtopo2refhydro_spark.operators import fix_network_connectivity
+
+    full = _forest_edges(spark, sf_dir)
+    subset = full.filter(
+        F.expr("( (NODEA * 1103515245 + 12345) % 2147483648 ) % 10 < 6")
+    ).select("url")
+    outlets = spark.createDataFrame([(0,)], "node long")
+    return fix_network_connectivity(full, subset, outlets).select("url")
+
+
+_STRAHLER_EXPR = \
+    "cast(1 + ( (NODEA * 1103515245 + 12345) % 2147483648 ) % 4 as int)"
+
+
+def _q_prune_slivers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdtopo2refhydro_spark.operators import prune_slivers
+
+    e = _forest_edges(spark, sf_dir).withColumn(
+        "STRAHLER", F.expr(_STRAHLER_EXPR)
+    )
+    return prune_slivers(e).select("url")
+
+
+_PRUNE_SQL = f"""
+WITH e AS (
+  SELECT *, CAST(1 + ( (nodea * 1103515245 + 12345) % 2147483648 ) % 4
+                 AS INTEGER) AS strahler
+  FROM ({_FOREST_D})
+)
+SELECT url FROM e
+WHERE NOT (
+  strahler = 1 AND len <= 500
+  AND nodeb IN (SELECT nodea FROM e WHERE strahler >= 3)
+) AND NOT (
+  strahler = 1 AND len <= 10000
+  AND nodea NOT IN (SELECT nodeb FROM e)
+  AND nodeb NOT IN (SELECT nodea FROM e)
+)
+"""
+
+
+def _q_snap_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 graft generalization: kNN endpoint snapping within tolerance via
+    3×3 cell-neighborhood candidate generation; node_mode='cell' emits the
+    arithmetic node encoding so the oracle can replay it. Half-unit jitter
+    pushes some endpoints within tolerance across cell borders (0.5 is
+    exact in binary → both sides compute identical doubles)."""
+    from bdtopo2refhydro_spark.operators import snap_endpoints_knn
+
+    c = _coords(spark, sf_dir)
+    jx = F.when(F.expr(f"{_H} % 3 = 0"), 0.5).otherwise(0.0)
+    jy = F.when(F.expr(f"{_H} % 5 = 0"), 0.5).otherwise(0.0)
+    edges = c.select(
+        "doc_id",
+        U.st_make_line(F.col("x0") + jx, F.col("y0") + jy,
+                       F.col("x1"), F.col("y1")).alias("geom_wkb"),
+    )
+    out = snap_endpoints_knn(edges, key="doc_id", tolerance=1.0,
+                             node_mode="cell")
+    return out.select("doc_id", F.col("NODEA").alias("nodea"),
+                      F.col("NODEB").alias("nodeb"))
+
+
+_SNAP_SQL = f"""
+WITH pts AS (
+  SELECT doc_id, 0 AS pend,
+         {_X0D} + (CASE WHEN {_HD} % 3 = 0 THEN 0.5 ELSE 0.0 END) AS x,
+         {_Y0D} + (CASE WHEN {_HD} % 5 = 0 THEN 0.5 ELSE 0.0 END) AS y
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 1, {_X1D}, {_Y1D} FROM documents
+),
+p2 AS (SELECT *, CAST(floor(x) AS BIGINT) AS cx,
+               CAST(floor(y) AS BIGINT) AS cy FROM pts),
+nbr AS (
+  SELECT p.doc_id, p.pend, p.x, p.y,
+         p.cx + dx.d AS nx, p.cy + dy.d AS ny
+  FROM p2 p, (VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d)
+),
+snapped AS (
+  SELECT n.doc_id, n.pend,
+         min(CAST(floor(q.x) AS BIGINT) * {DIM}
+             + CAST(floor(q.y) AS BIGINT)) AS node
+  FROM nbr n JOIN p2 q ON q.cx = n.nx AND q.cy = n.ny
+   AND (n.x - q.x) * (n.x - q.x) + (n.y - q.y) * (n.y - q.y) <= 1.0
+  GROUP BY n.doc_id, n.pend
+)
+SELECT a.doc_id, a.node AS nodea, b.node AS nodeb
+FROM snapped a JOIN snapped b ON a.doc_id = b.doc_id
+WHERE a.pend = 0 AND b.pend = 1
+"""
+
+
+def _q_agg_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 chain collapse on the forest with horizontal line geometries:
+    per-edge length = NODEA - NODEB exactly (integer-valued doubles), so
+    the stitched LENGTH matches the SQL sum bit-for-bit in any order."""
+    from bdtopo2refhydro_spark.operators import aggregate_segments
+
+    e = _forest_edges(spark, sf_dir)
+    y = (F.col("NODEA") % 97).cast("double")
+    edges = e.select(
+        "url", "NODEA", "NODEB",
+        U.st_make_line(F.col("NODEA").cast("double"), y,
+                       F.col("NODEB").cast("double"), y).alias("geom_wkb"),
+    )
+    out = aggregate_segments(edges, key="url")
+    return out.select(
+        F.col("GID").alias("gid"), F.col("NODEA").alias("nodea"),
+        F.col("NODEB").alias("nodeb"), F.col("LENGTH").alias("length"),
+        "n_reaches", "first_url",
+    )
+
+
+_AGG_SEGMENTS_SQL = f"""
+WITH RECURSIVE e AS ({_FOREST_D}),
+di AS (SELECT nodeb AS node, count(*) AS c FROM e GROUP BY nodeb),
+dout AS (SELECT nodea AS node, count(*) AS c FROM e GROUP BY nodea),
+pass AS (SELECT di.node FROM di JOIN dout ON di.node = dout.node
+         WHERE di.c = 1 AND dout.c = 1),
+nxt AS (
+  SELECT e.url AS k, f.url AS nk FROM e JOIN e f ON f.nodea = e.nodeb
+  WHERE e.nodeb IN (SELECT node FROM pass)
+),
+walk(k, t) AS (
+  SELECT url, url FROM e WHERE url NOT IN (SELECT k FROM nxt)
+  UNION
+  SELECT n.k, w.t FROM nxt n JOIN walk w ON n.nk = w.k
+),
+chain AS (SELECT w.t AS gid, e.* FROM walk w JOIN e ON e.url = w.k),
+agg AS (
+  SELECT gid, sum(CAST(nodea - nodeb AS DOUBLE)) AS length,
+         CAST(count(*) AS INTEGER) AS n_reaches
+  FROM chain GROUP BY gid
+),
+heads AS (
+  SELECT gid, url, nodea FROM chain WHERE url NOT IN (SELECT nk FROM nxt)
+)
+SELECT a.gid, h.nodea AS nodea, t.nodeb AS nodeb, a.length,
+       a.n_reaches, h.url AS first_url
+FROM agg a JOIN heads h ON h.gid = a.gid JOIN e t ON t.url = a.gid
+"""
+
+
+# --- geometry scalar functions (F1-F5) --------------------------------------
+
+def _q_boundary_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 (polygonstolines) + F5 (length): perimeter of each derived rect;
+    axis-aligned integer coords → exact doubles both sides."""
+    c = _coords(spark, sf_dir)
+    rect = U.st_make_rect("x0", "y0", "x1", "y1")
+    return c.select(
+        "doc_id", U.st_length(U.st_boundary(rect)).alias("perimeter")
+    )
+
+
+_BOUNDARY_LEN_SQL = f"""
+SELECT doc_id,
+       2.0 * (({_X1D} - {_X0D}) + ({_Y1D} - {_Y0D})) AS perimeter
+FROM documents
+"""
+
+
+def _q_buffer_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 (buffer, round caps, quad_segs=5): point buffer bbox — the circle
+    ring includes the four axis-extreme vertices exactly (cos(pi) == -1.0
+    etc. in IEEE), so bbox = point ± dist bit-for-bit."""
+    c = _coords(spark, sf_dir)
+    b = U.st_bbox(U.st_buffer(U.st_make_point("x0", "y0"), 50.0))
+    return c.withColumn("b", b).select(
+        "doc_id",
+        F.col("b.xmin").alias("bxmin"), F.col("b.ymin").alias("bymin"),
+        F.col("b.xmax").alias("bxmax"), F.col("b.ymax").alias("bymax"),
+    )
+
+
+_BUFFER_BBOX_SQL = f"""
+SELECT doc_id,
+       {_X0D} - 50.0 AS bxmin, {_Y0D} - 50.0 AS bymin,
+       {_X0D} + 50.0 AS bxmax, {_Y0D} + 50.0 AS bymax
+FROM documents
+"""
+
+
+def _q_exutoire_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3 create_exutoire pipeline (make-valid → boundary for polygons →
+    merge with provenance → buffer 50 m): every geometry UDF runs on every
+    row; the oracle checks row preservation + provenance (geometry bytes
+    are golden-tested in tests/)."""
+    from bdtopo2refhydro_spark.plans import build_exutoire
+
+    c = _coords(spark, sf_dir)
+    lines = c.filter("doc_id % 2 = 0").select(
+        "doc_id",
+        U.st_make_line("x0", "y0", "x1", "y1").alias("geom_wkb"),
+        F.lit(False).alias("is_polygon"),
+    )
+    polys = c.filter("doc_id % 2 = 1").select(
+        "doc_id",
+        U.st_make_rect("x0", "y0", "x1", "y1").alias("geom_wkb"),
+        F.lit(True).alias("is_polygon"),
+    )
+    band = build_exutoire([("sea", lines), ("lakes", polys)],
+                          buffer_dist=50.0)
+    return band.select("doc_id", "layer")
+
+
+_EXUTOIRE_SQL = """
+SELECT doc_id, 'sea' AS layer FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, 'lakes' AS layer FROM documents WHERE doc_id % 2 = 1
+"""
+
+
+# --- raster ↔ vector ---------------------------------------------------------
+
+def _q_raster_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector → raster (sparse doc-count grid) → vector (merged
+    above-threshold horizontal runs)."""
+    from bdtopo2refhydro_spark.operators import (
+        raster_vectorize,
+        rasterize_counts,
+    )
+
+    c = _coords(spark, sf_dir)
+    grid = rasterize_counts(c, "x0", "y0", 1000.0)
+    return raster_vectorize(grid, threshold=2.0)
+
+
+_RASTER_VEC_SQL = f"""
+WITH g AS (
+  SELECT CAST(floor({_Y0D} / 1000.0) AS BIGINT) AS cy,
+         CAST(floor({_X0D} / 1000.0) AS BIGINT) AS cx,
+         count(*) AS v
+  FROM documents GROUP BY 1, 2
+),
+f AS (
+  SELECT *, cx - row_number() OVER (PARTITION BY cy ORDER BY cx) AS rid
+  FROM g WHERE v >= 2
+)
+SELECT cy, min(cx) AS col_start, max(cx) AS col_end,
+       count(*) AS n_cells, CAST(sum(v) AS BIGINT) AS total
+FROM f GROUP BY cy, rid
+"""
+
+
+# --- text extraction / multimodal / streaming --------------------------------
+
+def _q_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """html binary → extracted text, byte-identical round trip (the
+    north-rule invariant): render a page from the doc, extract it back,
+    compare bytes against the oracle's directly-constructed expectation."""
+    from bdtopo2refhydro_spark.operators.text import extract_text
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    pages = docs.select(
+        "doc_id",
+        F.encode(
+            F.concat(
+                F.lit("<html><head><title>doc"), did,
+                F.lit("</title></head><body><p>snippet for doc"), did,
+                F.lit("</p><p>lang "), F.col("lang"),
+                F.lit("</p></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    return extract_text(pages, "html", "text_out").select("doc_id", "text_out")
+
+
+_TEXT_EXTRACT_SQL = """
+SELECT doc_id,
+       'doc' || CAST(doc_id AS VARCHAR) || chr(10)
+       || 'snippet for doc' || CAST(doc_id AS VARCHAR) || chr(10)
+       || 'lang ' || lang AS text_out
+FROM documents
+"""
+
+
+def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (mapInPandas over binary payloads); the decode
+    stub is deterministic (sha256-derived), so the oracle replays it in
+    SQL — swap the stub for PIL/ffmpeg in production, same plan shape."""
+    from bdtopo2refhydro_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    out = extract_image_features(media, payload_col="payload")
+    return out.select("url", "n_bytes", "width", "height")
+
+
+_IMAGE_FEATURES_SQL = """
+WITH h AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url,
+         sha256(text) AS hx,
+         octet_length(CAST(text AS BLOB)) AS n_bytes
+  FROM documents
+)
+SELECT url, n_bytes,
+  CAST(64 + 16 * (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1)
+          + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)
+       AS INTEGER) AS width,
+  CAST(64 + 16 * (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1)
+          + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)
+       AS INTEGER) AS height
+FROM h
+"""
+
+
+def _q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming ingest equivalence: readStream → availableNow
+    drain → memory sink must equal a batch SELECT over the same parquet
+    (no drops, no dups, text untouched)."""
+    from bdtopo2refhydro_spark.streaming import stream_parquet_passthrough
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    out = stream_parquet_passthrough(spark, path, schema,
+                                     "stream_docs_passthrough")
+    return out.select("doc_id", "text", "lang")
+
+
+_STREAM_INGEST_SQL = "SELECT doc_id, text, lang FROM documents"
+
+
+def _q_width_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 analytic pipeline end-to-end (J2 clip → J9 zonal filter → J10
+    outlet re-add → G3 connectivity repair → G5 measure → G6 Hack → G7
+    Strahler → G8 sliver pruning). Iterative fixpoints throughout →
+    rows-only driver check; the operator stack is golden-tested piecewise
+    and end-to-end in tests/. Input capped for bounded traversal depth."""
+    from bdtopo2refhydro_spark.plans import run_width_network
+
+    edges = _tree_geom_edges(spark, sf_dir, cap=2000)
+    # full-extent surface: zonal keeps everything, so the G3 repair loop
+    # converges in one BFS round — this entry gates pipeline plumbing and
+    # the order/pruning passes; the zonal MATH is value-checked by the
+    # zonal_pct oracle and the repair loop by tests/test_graph_ops.py
+    surfaces = spark.range(1).select(
+        F.col("id").alias("surface_id"),
+        U.st_make_rect(F.lit(-100.5), F.lit(-100.5),
+                       F.lit(100100.5), F.lit(100100.5)).alias("geom_wkb"),
+    )
+    net = run_width_network(edges, surfaces, _outlet_band(spark),
+                            tolerance=1.0, cell_size=5000.0,
+                            surface_pct_min=30.0)
+    return net.select(
+        "url", F.col("MEASURE").alias("measure"),
+        F.col("HACK").alias("hack"), F.col("STRAHLER").alias("strahler"),
+    )
+
+
 def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -993,6 +1444,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_reach": _q_bfs_reach,
         "dist_from_root": _q_dist_from_root,
         "principal_stem": _q_principal_stem,
+        "measure_outlet": _q_measure_outlet,
+        "upstream_len": _q_upstream_len,
+        "hack_order": _q_hack,
+        "strahler_order": _q_strahler,
+        "fix_connectivity": _q_fix_connectivity,
+        "prune_slivers": _q_prune_slivers,
+        "snap_knn": _q_snap_knn,
+        "agg_segments": _q_agg_segments,
+        "boundary_len": _q_boundary_len,
+        "buffer_bbox": _q_buffer_bbox,
+        "exutoire_band": _q_exutoire_band,
+        "raster_vectorize": _q_raster_vectorize,
+        "text_extract": _q_text_extract,
+        "image_features": _q_image_features,
+        "stream_ingest": _q_stream_ingest,
+        "width_network": _q_width_network,
         "tile_assign": _q_tile_assign,
         "cover_count": _q_cover_count,
         "pip_join": _q_pip_join,
@@ -1034,6 +1501,22 @@ def oracle_sql() -> dict[str, str]:
         "bfs_reach": _BFS_SQL,
         "dist_from_root": _DIST_SQL,
         "principal_stem": _STEM_SQL,
+        "measure_outlet": _MEASURE_SQL,
+        "upstream_len": _UPSTREAM_SQL,
+        "hack_order": _HACK_SQL,
+        # strahler_order, fix_connectivity: iterative fixpoints with
+        # accumulated state — not expressible in DuckDB 1.0 linear
+        # recursion; rows-only driver check, golden pytest coverage
+        "prune_slivers": _PRUNE_SQL,
+        "snap_knn": _SNAP_SQL,
+        "agg_segments": _AGG_SEGMENTS_SQL,
+        "boundary_len": _BOUNDARY_LEN_SQL,
+        "buffer_bbox": _BUFFER_BBOX_SQL,
+        "exutoire_band": _EXUTOIRE_SQL,
+        "raster_vectorize": _RASTER_VEC_SQL,
+        "text_extract": _TEXT_EXTRACT_SQL,
+        "image_features": _IMAGE_FEATURES_SQL,
+        "stream_ingest": _STREAM_INGEST_SQL,
         "tile_assign": _TILE_SQL,
         "cover_count": _COVER_SQL,
         "pip_join": _PIP_SQL,

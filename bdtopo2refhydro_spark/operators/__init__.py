@@ -19,6 +19,8 @@ from .spatial import (  # noqa: F401
     select_by_location,
     extract_by_location,
     zonal_pct_in_surface,
+    rasterize_counts,
+    raster_vectorize,
 )
 from .graph import (  # noqa: F401
     TraversalMetrics,

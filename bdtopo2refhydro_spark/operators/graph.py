@@ -88,7 +88,8 @@ def identify_network_nodes(edges: DataFrame, key: str = "url",
 
 def snap_endpoints_knn(edges: DataFrame, key: str = "url",
                        geom_col: str = "geom_wkb",
-                       tolerance: float = DEFAULT_TOLERANCE) -> DataFrame:
+                       tolerance: float = DEFAULT_TOLERANCE,
+                       node_mode: str = "hash") -> DataFrame:
     """Graft generalization of G1 (north star: "kNN endpoint snapping within
     tolerance via cell-neighborhood candidate generation"): endpoints within
     `tolerance` of each other snap to one canonical node even when they fall
@@ -99,7 +100,11 @@ def snap_endpoints_knn(edges: DataFrame, key: str = "url",
     snap to the lexicographically-smallest quantized cell among the group —
     deterministic without iteration (tolerance-chain clusters resolve to
     per-pair minima, matching nearest-neighbor semantics, not full
-    transitive-closure clustering)."""
+    transitive-closure clustering).
+
+    node_mode='hash' → node = xxhash64(qx, qy) (scale path, as G1);
+    node_mode='cell' → node = qx * 2^26 + qy, an arithmetic encoding a SQL
+    oracle can recompute (coords must be non-negative and < 2^26·tol)."""
     e = edges.withColumn("_ep", U.st_endpoints(geom_col))
     pts = (
         e.select(key, F.lit("A").alias("end"),
@@ -127,9 +132,21 @@ def snap_endpoints_knn(edges: DataFrame, key: str = "url",
         .withColumn("qy", F.floor(F.col("oy") / tolerance).cast("long"))
         .groupBy(key, "end")
         .agg(F.min(F.struct("qx", "qy")).alias("q"))
-        .withColumn("node", F.xxhash64(F.col("q.qx"), F.col("q.qy")))
-        .select(key, "end", "node")
     )
+    if node_mode == "hash":
+        cand = cand.withColumn("node", F.xxhash64(F.col("q.qx"), F.col("q.qy")))
+    elif node_mode == "cell":
+        # lexicographic (qx, qy) order is preserved by qx*DIM+qy for
+        # 0 <= qy < DIM, so the min-struct choice above encodes faithfully
+        from ..functions.cells import CELL_SHIFT
+
+        dim = 1 << CELL_SHIFT
+        cand = cand.withColumn(
+            "node", F.col("q.qx") * F.lit(dim) + F.col("q.qy")
+        )
+    else:
+        raise ValueError(f"unknown node_mode {node_mode}")
+    cand = cand.select(key, "end", "node")
     a = cand.filter(F.col("end") == "A").select(key, F.col("node").alias("NODEA"))
     b = cand.filter(F.col("end") == "B").select(key, F.col("node").alias("NODEB"))
     return edges.join(a, key).join(b, key)

@@ -24,7 +24,7 @@ join keys on `cell`; `salt` adds explicit key salting for extreme skew.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import udfs as U
@@ -131,4 +131,40 @@ def zonal_pct_in_surface(lines: DataFrame, surfaces: DataFrame,
             ),
         )
         .drop("_in_len", "_len")
+    )
+
+
+def rasterize_counts(df: DataFrame, x_col: str, y_col: str,
+                     cell_size: float = DEFAULT_CELL_SIZE,
+                     value_col: str | None = None) -> DataFrame:
+    """Vector → raster: bin point rows into a (cy, cx) grid, one row per
+    non-empty cell with `v` = count (or sum of value_col). The raster is
+    sparse by construction — at 10^12 docs a dense grid never materializes;
+    the groupBy shuffles only occupied cells."""
+    g = df.withColumn("cx", F.floor(F.col(x_col) / cell_size).cast("long")) \
+          .withColumn("cy", F.floor(F.col(y_col) / cell_size).cast("long"))
+    agg = (F.sum(value_col) if value_col else F.count("*")).alias("v")
+    return g.groupBy("cy", "cx").agg(agg)
+
+
+def raster_vectorize(grid: DataFrame, row_col: str = "cy",
+                     col_col: str = "cx", value_col: str = "v",
+                     threshold: float = 1.0) -> DataFrame:
+    """Raster → vector: merge horizontally-adjacent cells ≥ threshold into
+    maximal per-row runs (rectangles of height one cell) — the
+    raster-to-vector half of the north star's zonal tiling. Pure window
+    functions, partitioned by the raster row, so the only shuffle keys on
+    `row_col` and parallelism scales with raster height."""
+    w = Window.partitionBy(row_col).orderBy(col_col)
+    runs = grid.filter(F.col(value_col) >= threshold) \
+               .withColumn("_rid", F.col(col_col) - F.row_number().over(w))
+    return (
+        runs.groupBy(row_col, "_rid")
+        .agg(
+            F.min(col_col).alias("col_start"),
+            F.max(col_col).alias("col_end"),
+            F.count("*").alias("n_cells"),
+            F.sum(value_col).alias("total"),
+        )
+        .drop("_rid")
     )

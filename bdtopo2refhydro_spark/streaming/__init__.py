@@ -1,1 +1,1 @@
-from .ingest import stream_pages_ingest  # noqa: F401
+from .ingest import stream_pages_ingest, stream_parquet_passthrough  # noqa: F401

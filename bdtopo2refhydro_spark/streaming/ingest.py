@@ -51,3 +51,35 @@ def stream_pages_ingest(spark: SparkSession, source_dir: str, out_dir: str,
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def stream_parquet_passthrough(spark: SparkSession, path: str, schema,
+                               query_name: str) -> DataFrame:
+    """readStream a parquet path → availableNow micro-batch drain → memory
+    sink; returns the drained table as a DataFrame. The batch-equivalence
+    harness for the ingest path: the driver's oracle compares it against a
+    plain SELECT over the same parquet, proving the stream neither drops,
+    duplicates, nor mutates rows (the byte-identity invariant applied to
+    the streaming boundary)."""
+    for q in spark.streams.active:
+        if q.name == query_name:
+            q.stop()
+    spark.catalog.dropTempView(query_name)
+    import os
+
+    reader = spark.readStream.schema(schema)
+    if os.path.isfile(path):
+        # file-stream sources list a directory; a single-file input becomes
+        # dir + pathGlobFilter (same trick works for s3://bucket/file keys)
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    src: DataFrame = reader.parquet(path)
+    q = (
+        src.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

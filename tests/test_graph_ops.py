@@ -210,3 +210,27 @@ def test_aggregate_segments_collapses_chains(spark):
     assert merged.first_url == "a"
     total = sum(s.LENGTH for s in segs)
     assert total == pytest.approx(30.0 + np.hypot(10, 10) * 2)
+
+
+def test_knn_snap_cell_mode_arithmetic_ids(spark):
+    """node_mode='cell' encodes the snapped cell arithmetically: two
+    endpoints 0.5 apart across a cell border snap to one node whose id is
+    qx * 2^26 + qy of the lexicographically smaller occupied cell."""
+    from bdtopo2refhydro_spark.functions.cells import CELL_SHIFT
+    from bdtopo2refhydro_spark.geom.wkb import linestring_wkb
+    from bdtopo2refhydro_spark.operators import snap_endpoints_knn
+
+    import numpy as np
+
+    edges = spark.createDataFrame(
+        [
+            ("a", bytearray(linestring_wkb(np.array([[10.75, 5.0], [100.0, 100.0]])))),
+            ("b", bytearray(linestring_wkb(np.array([[11.25, 5.0], [200.0, 200.0]])))),
+        ],
+        "url string, geom_wkb binary",
+    )
+    out = snap_endpoints_knn(edges, tolerance=1.0, node_mode="cell")
+    rows = {r["url"]: r["NODEA"] for r in out.collect()}
+    dim = 1 << CELL_SHIFT
+    # both A-endpoints see each other (dist 0.5): snap to min cell (10, 5)
+    assert rows["a"] == rows["b"] == 10 * dim + 5

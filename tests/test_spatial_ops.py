@@ -80,3 +80,26 @@ def test_large_cell_and_small_cell_agree(lines, polys):
     small = {r.url: r.selected
              for r in select_by_location(lines, polys, cell_size=150.0).collect()}
     assert big == small  # cell size is a perf knob, never a semantics knob
+
+
+def test_raster_roundtrip_runs(spark):
+    """rasterize_counts → raster_vectorize merges horizontally adjacent
+    above-threshold cells into maximal runs."""
+    from bdtopo2refhydro_spark.operators import (
+        raster_vectorize,
+        rasterize_counts,
+    )
+
+    pts = spark.createDataFrame(
+        # row 0: cells x=0,1,2 hot (2 pts each), x=4 hot → runs [0..2],[4]
+        # row 1: cell x=0 cold (1 pt)
+        [(x * 10.0 + 1.0, 1.0) for x in (0, 0, 1, 1, 2, 2, 4, 4)]
+        + [(1.0, 11.0)],
+        "x double, y double",
+    )
+    grid = rasterize_counts(pts, "x", "y", 10.0)
+    runs = {
+        (r["cy"], r["col_start"], r["col_end"]): (r["n_cells"], r["total"])
+        for r in raster_vectorize(grid, threshold=2.0).collect()
+    }
+    assert runs == {(0, 0, 2): (3, 6), (0, 4, 4): (1, 2)}

@@ -137,3 +137,20 @@ def test_multimodal_plumbing(spark):
     assert {r.url: r.features for r in again} == {r.url: r.features for r in feats}
     rp = media_repartition(df, target_bytes_per_task=500)
     assert rp.rdd.getNumPartitions() >= 2
+
+
+def test_extract_text_byte_identical_per_url(spark):
+    """North-rule invariant (BASELINE.json input_hint): extracted text is
+    byte-identical per url — extract_text(html) must reproduce the pages
+    table's text column exactly."""
+    from pyspark.sql import functions as F
+
+    from bdtopo2refhydro_spark.operators.text import extract_text
+    from bdtopo2refhydro_spark.sources import pages_df
+
+    pages = pages_df(spark, 200)
+    out = extract_text(pages, "html", "text_re")
+    mismatches = out.filter(
+        F.encode("text_re", "UTF-8") != F.encode("text", "UTF-8")
+    ).count()
+    assert mismatches == 0
