@@ -62,6 +62,14 @@ def main() -> None:
         n = force(df)
         timings[name] = round(time.monotonic() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        # release superseded checkpoint blocks between queries: the
+        # ContextCleaner is driver-GC-driven, and iterative queries leave
+        # hundreds of orphaned cached blocks that slow later queries ~15x.
+        # The cleaner is async — give it a beat, or the unpersist storm
+        # races the next query's scheduling (measured 62s vs 20s)
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(2)
     total = round(time.monotonic() - t_all, 3)
     # throughput of the spatial-join + tile-assignment path (north metric)
     spatial_sec = timings["pip_join"] + timings["tile_assign"] + timings["zonal_pct"]
