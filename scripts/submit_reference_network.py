@@ -23,6 +23,12 @@ per-partition counts) land at <workdir>/_lineage.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+# under spark-submit the package arrives via --py-files; for a plain-python
+# local run, fall back to the repo checkout next to this script
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 

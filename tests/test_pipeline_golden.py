@@ -168,3 +168,47 @@ def test_text_byte_identity(spark):
     )
     got = {r.url: r.h for r in out.collect()}
     assert got == expected
+
+
+def test_checkpoint_resume_skips_completed_stages(spark, tmp_path):
+    """North rule: resume-from-checkpoint. A stage whose output exists is
+    not recomputed on rerun; lineage records the skip."""
+    from pyspark.sql import functions as F
+
+    from bdtopo2refhydro_spark.plans.checkpoint import CheckpointedPipeline
+    from bdtopo2refhydro_spark.plans.lineage import Lineage
+
+    calls = {"n": 0}
+
+    def make():
+        calls["n"] += 1
+        return spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v"))
+
+    lin1 = Lineage()
+    p1 = CheckpointedPipeline(spark, str(tmp_path), lin1)
+    out1 = p1.stage("double", make)
+    assert out1.count() == 10 and calls["n"] == 1
+    assert any(r["metric"] == "rows_out" and r["value"] == 10.0
+               for r in lin1.records)
+
+    lin2 = Lineage()
+    p2 = CheckpointedPipeline(spark, str(tmp_path), lin2)
+    out2 = p2.stage("double", make)
+    assert out2.count() == 10
+    assert calls["n"] == 1  # not recomputed
+    assert any(r["metric"] == "resumed" for r in lin2.records)
+
+    # no_resume forces recompute
+    p3 = CheckpointedPipeline(spark, str(tmp_path), Lineage(), resume=False)
+    p3.stage("double", make)
+    assert calls["n"] == 2
+
+
+def test_lineage_partition_counts(spark):
+    from bdtopo2refhydro_spark.plans.lineage import Lineage
+
+    lin = Lineage()
+    df = spark.range(100).repartition(4)
+    counts = lin.partition_counts("stage_x", df)
+    assert sum(c for _, c in counts) == 100
+    assert len(counts) == 4
