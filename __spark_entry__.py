@@ -1397,6 +1397,60 @@ def _q_width_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dissolve_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 dissolve: merge the 10 disjoint derived rects into one
+    multipolygon; verify part count + total area (exact doubles — rect
+    coords and shoelace products stay under 2^53)."""
+    from bdtopo2refhydro_spark.operators import dissolve
+
+    rects = _rects(spark).select(
+        "pid", U.st_make_rect("xmin", "ymin", "xmax", "ymax").alias("geom_wkb")
+    )
+    out = dissolve(rects)
+    return out.select("gid", "n_parts",
+                      U.st_area("geom_wkb").alias("total_area"))
+
+
+_DISSOLVE_SQL = f"""
+SELECT 1 AS gid, CAST(count(*) AS INTEGER) AS n_parts,
+       sum((xmax - xmin) * (ymax - ymin)) AS total_area
+FROM ({_RECTS_D})
+"""
+
+
+def _q_emb_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: hyperplane-LSH bucket candidates +
+    exact cosine ≥ threshold (threshold chosen so random test embeddings
+    yield a non-trivial pair set)."""
+    return ANN.cosine_dup_pairs(_emb(spark, sf_dir), threshold=0.25)
+
+
+def _emb_dup_sql() -> str:
+    signs = ANN.plane_signs(ANN.N_PLANES, 64)
+    planes = " + ".join(
+        f"CASE WHEN ("
+        + " + ".join(f"({signs[p][j]}.0 * embedding[{j + 1}]::DOUBLE)"
+                     for j in range(64))
+        + f") > 0 THEN {1 << p} ELSE 0 END"
+        for p in range(ANN.N_PLANES)
+    )
+    return f"""
+WITH sig AS (SELECT vec_id, embedding, {planes} AS bucket FROM embeddings)
+SELECT DISTINCT l.vec_id AS a, r.vec_id AS b,
+       list_sum(list_transform(list_zip(l.embedding, r.embedding),
+                p -> p[1]::DOUBLE * p[2]::DOUBLE))
+       / (sqrt(list_sum(list_transform(l.embedding, x -> x::DOUBLE * x::DOUBLE)))
+        * sqrt(list_sum(list_transform(r.embedding, x -> x::DOUBLE * x::DOUBLE))))
+       AS cos_sim
+FROM sig l JOIN sig r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+WHERE list_sum(list_transform(list_zip(l.embedding, r.embedding),
+               p -> p[1]::DOUBLE * p[2]::DOUBLE))
+      / (sqrt(list_sum(list_transform(l.embedding, x -> x::DOUBLE * x::DOUBLE)))
+       * sqrt(list_sum(list_transform(r.embedding, x -> x::DOUBLE * x::DOUBLE))))
+      >= 0.25
+"""
+
+
 def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -1475,6 +1529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "cosine_topk": _q_cosine_topk,
         "lsh_ann": _q_lsh_ann,
+        "emb_dup_pairs": _q_emb_dup_pairs,
+        "dissolve_area": _q_dissolve_area,
         "tpch_q1": _q_tpch_q1,
     }
 
@@ -1532,5 +1588,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _fingerprint_sql(),
         "cosine_topk": _COSINE_SQL,
         "lsh_ann": _lsh_ann_sql(),
+        "emb_dup_pairs": _emb_dup_sql(),
+        "dissolve_area": _DISSOLVE_SQL,
         "tpch_q1": _TPCH_Q1_SQL,
     }

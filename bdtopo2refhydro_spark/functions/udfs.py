@@ -414,3 +414,8 @@ def cell_of(x_col, y_col, cell_size: float):
     ix = F.floor(F.greatest(x_col, F.lit(0.0)) / F.lit(float(cell_size)))
     iy = F.floor(F.greatest(y_col, F.lit(0.0)) / F.lit(float(cell_size)))
     return (ix * F.lit(1 << C.CELL_SHIFT) + iy).cast("long")
+
+
+@pandas_udf(T.DoubleType())
+def st_area(wkb: pd.Series) -> pd.Series:
+    return wkb.map(lambda b: K.geom_area(b) if b is not None else None)

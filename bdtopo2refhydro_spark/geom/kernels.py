@@ -369,3 +369,18 @@ def intersection_length(line: np.ndarray, polys) -> float:
             if inside:
                 total += (t1 - t0) * seg_len
     return total
+
+
+def geom_area(wkb: bytes) -> float:
+    """Area of a (multi)polygon: |exterior| − Σ|holes| per part, summed.
+    ~ the area side of native:dissolve verification; 0.0 for points/lines."""
+    gtype, _ = geom = parse_wkb(wkb)
+    if gtype not in (GeomType.POLYGON, GeomType.MULTIPOLYGON):
+        return 0.0
+    total = 0.0
+    for rings in _poly_parts(geom):
+        for i, ring in enumerate(rings):
+            closed = ring if np.allclose(ring[0], ring[-1]) else np.vstack([ring, ring[0]])
+            a = abs(_signed_area(closed[:-1]))
+            total += a if i == 0 else -a
+    return total

@@ -21,6 +21,7 @@ from .spatial import (  # noqa: F401
     zonal_pct_in_surface,
     rasterize_counts,
     raster_vectorize,
+    dissolve,
 )
 from .graph import (  # noqa: F401
     TraversalMetrics,
@@ -40,3 +41,4 @@ from .orders import (  # noqa: F401
     prune_slivers,
 )
 from .aggregate import aggregate_segments  # noqa: F401
+from .ann import cosine_topk, lsh_ann_topk, cosine_dup_pairs  # noqa: F401

@@ -115,3 +115,28 @@ def lsh_ann_topk(embeddings: DataFrame, k: int = 5,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+def cosine_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
+                     n_planes: int = N_PLANES, dim: int = 64) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: hyperplane-LSH bucket join
+    for candidate generation (same-bucket ⇒ small angle), exact cosine
+    verify ≥ threshold. Returns (a, b, cos_sim) with a < b. Like the text
+    LSH, the signature table is materialized before the self-join so the
+    signature arithmetic runs once."""
+    sig = hyperplane_signature(embeddings, n_planes, dim) \
+        .localCheckpoint(eager=False)
+    left = sig.select(F.col("vec_id").alias("a"),
+                      F.col("embedding").alias("emb_a"), "bucket")
+    right = sig.select(F.col("vec_id").alias("b"),
+                       F.col("embedding").alias("emb_b"), "bucket")
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn(
+            "cos_sim", _dot("emb_a", "emb_b") / (_norm("emb_a") * _norm("emb_b"))
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("a", "b", "cos_sim")
+        .distinct()
+    )

@@ -168,3 +168,36 @@ def raster_vectorize(grid: DataFrame, row_col: str = "cy",
         )
         .drop("_rid")
     )
+
+
+_DISSOLVE_SCHEMA = "gid int, geom_wkb binary, n_parts int"
+
+
+def dissolve(polys: DataFrame, geom_col: str = "geom_wkb") -> DataFrame:
+    """A1 ~ native:dissolve with no group field
+    (create_5m_width_hydro_network.py:174-179): merge all polygons into one
+    multipolygon row. For the disjoint(-after-make-valid) surfaces this
+    engine targets, the collection IS the geometric union; the zonal
+    operator deliberately avoids needing this at scale (SURVEY.md §7 —
+    per-surface intersection lengths sum identically), so dissolve exists
+    for API parity and small/medium inputs. Parts are ordered by their WKB
+    bytes for a deterministic result at any parallelism."""
+    import pandas as pd
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..geom.wkb import GeomType, multipolygon_wkb, parse_wkb
+
+        parts = []
+        for b in sorted(pdf[geom_col], key=bytes):
+            gtype, data = parse_wkb(bytes(b))
+            if gtype == GeomType.POLYGON:
+                parts.append(data)
+            elif gtype == GeomType.MULTIPOLYGON:
+                parts.extend(data)
+        return pd.DataFrame(
+            [{"gid": 1, "geom_wkb": multipolygon_wkb(parts),
+              "n_parts": len(parts)}]
+        )
+
+    return polys.select(F.lit(1).alias("gid"), geom_col) \
+                .groupBy("gid").applyInPandas(_merge, _DISSOLVE_SCHEMA)

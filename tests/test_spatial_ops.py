@@ -103,3 +103,29 @@ def test_raster_roundtrip_runs(spark):
         for r in raster_vectorize(grid, threshold=2.0).collect()
     }
     assert runs == {(0, 0, 2): (3, 6), (0, 4, 4): (1, 2)}
+
+
+def test_dissolve_disjoint_rects(spark):
+    """A1: dissolve merges polygons into one multipolygon row; for the
+    engine's disjoint surfaces the collection is the union — total area is
+    the sum of part areas."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from bdtopo2refhydro_spark.functions import udfs as U
+    from bdtopo2refhydro_spark.geom.kernels import geom_area
+    from bdtopo2refhydro_spark.geom.wkb import polygon_wkb
+    from bdtopo2refhydro_spark.operators import dissolve
+
+    def rect(x0, y0, x1, y1):
+        return polygon_wkb([np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])])
+
+    polys = spark.createDataFrame(
+        [(0, bytearray(rect(0, 0, 10, 10))), (1, bytearray(rect(20, 0, 25, 4)))],
+        "pid int, geom_wkb binary",
+    )
+    out = dissolve(polys).withColumn("area", U.st_area("geom_wkb")).first()
+    assert out["n_parts"] == 2
+    assert out["area"] == 100.0 + 20.0
+    assert geom_area(bytes(out["geom_wkb"])) == 120.0

@@ -154,3 +154,15 @@ def test_extract_text_byte_identical_per_url(spark):
         F.encode("text_re", "UTF-8") != F.encode("text", "UTF-8")
     ).count()
     assert mismatches == 0
+
+
+def test_cosine_dup_pairs_thresholds(emb):
+    """Embedding near-dup: every returned pair meets the threshold, is in
+    one LSH bucket, and a<b; lowering the threshold can only add pairs."""
+    from bdtopo2refhydro_spark.operators.ann import cosine_dup_pairs
+
+    hi = cosine_dup_pairs(emb, threshold=0.9).collect()
+    lo = cosine_dup_pairs(emb, threshold=0.0).collect()
+    assert all(r["cos_sim"] >= 0.9 for r in hi)
+    assert all(r["a"] < r["b"] for r in lo)
+    assert {(r["a"], r["b"]) for r in hi} <= {(r["a"], r["b"]) for r in lo}
