@@ -45,6 +45,12 @@ def _chain_roots(e: DataFrame, key: str, max_rounds: int = 64) -> DataFrame:
         .select("k", "p")
         .localCheckpoint()
     )
+    def _sig(df: DataFrame):
+        # order-independent state fingerprint — one aggregate beats a
+        # join-against-previous-state convergence check per round
+        return df.select(F.expr("bit_xor(xxhash64(k, p))").alias("h")).first()["h"]
+
+    sig = _sig(ptr)
     for _ in range(max_rounds):
         jumped = (
             ptr.alias("a")
@@ -53,14 +59,11 @@ def _chain_roots(e: DataFrame, key: str, max_rounds: int = 64) -> DataFrame:
             .select("k", F.col("pp").alias("p"))
             .localCheckpoint()
         )
-        moved = (
-            jumped.join(ptr.withColumnRenamed("p", "old"), "k")
-            .filter(F.col("p") != F.col("old"))
-            .count()
-        )
+        new_sig = _sig(jumped)
         ptr = jumped
-        if moved == 0:
+        if new_sig == sig:
             break
+        sig = new_sig
     return ptr.select(F.col("k").alias(key), F.col("p").alias("chain_id"))
 
 

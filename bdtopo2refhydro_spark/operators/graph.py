@@ -152,26 +152,24 @@ def snap_endpoints_knn(edges: DataFrame, key: str = "url",
     return edges.join(a, key).join(b, key)
 
 
-def _neighbors(edges_nodes: DataFrame, frontier_nodes: DataFrame,
-               direction: str) -> DataFrame:
-    """Nodes one hop from the frontier. direction: 'up' walks against flow
-    (B→A), 'down' with flow (A→B), 'both' undirected (the reference's
-    DIRECTION:2 at create_connected_reference_hydro.py:191-197)."""
+def _adjacency(edges_nodes: DataFrame, direction: str) -> DataFrame:
+    """(node, nbr) adjacency for the walk direction, built ONCE before the
+    traversal loop: 'up' walks against flow (B→A), 'down' with flow (A→B),
+    'both' undirected (the reference's DIRECTION:2 at
+    create_connected_reference_hydro.py:191-197). One materialized
+    adjacency turns each BFS round into a single broadcast join instead of
+    two joins + a union over the edge table."""
     out = []
     if direction in ("down", "both"):
-        out.append(
-            edges_nodes.join(frontier_nodes.withColumnRenamed("node", "NODEA"),
-                             "NODEA").select(F.col("NODEB").alias("node"))
-        )
+        out.append(edges_nodes.select(F.col("NODEA").alias("node"),
+                                      F.col("NODEB").alias("nbr")))
     if direction in ("up", "both"):
-        out.append(
-            edges_nodes.join(frontier_nodes.withColumnRenamed("node", "NODEB"),
-                             "NODEB").select(F.col("NODEA").alias("node"))
-        )
-    df = out[0]
+        out.append(edges_nodes.select(F.col("NODEB").alias("node"),
+                                      F.col("NODEA").alias("nbr")))
+    adj = out[0]
     for o in out[1:]:
-        df = df.union(o)
-    return df.distinct()
+        adj = adj.union(o)
+    return adj.localCheckpoint()
 
 
 def select_connected(edges_nodes: DataFrame, seed_nodes: DataFrame,
@@ -184,10 +182,15 @@ def select_connected(edges_nodes: DataFrame, seed_nodes: DataFrame,
     Each round is one self-join; localCheckpoint() truncates lineage so the
     plan stays O(1) per round instead of O(rounds) (SURVEY.md §7 hard parts).
     """
+    adj = _adjacency(edges_nodes, direction)
     visited = seed_nodes.select("node").distinct().localCheckpoint()
     frontier = visited
     for i in range(max_iter):
-        nxt = _neighbors(edges_nodes, frontier, direction)
+        nxt = (
+            adj.join(frontier, "node")
+            .select(F.col("nbr").alias("node"))
+            .distinct()
+        )
         frontier = nxt.join(visited, "node", "left_anti")
         if checkpoint_every and i % checkpoint_every == 0:
             frontier = frontier.localCheckpoint()

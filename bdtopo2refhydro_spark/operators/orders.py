@@ -31,6 +31,16 @@ def distance_from_outlet(edges_nodes: DataFrame, outlet_nodes: DataFrame,
     e = edges_nodes.select(F.col("NODEA").alias("src"),
                            F.col("NODEB").alias("dst"),
                            F.col(len_col).alias("_len")).localCheckpoint()
+
+    def _state_sig(df: DataFrame):
+        # order-independent fingerprint of the dist table — convergence is
+        # "state unchanged", and one aggregate over the checkpointed state
+        # is far cheaper per round than a join against the previous state
+        r = df.select(F.count("*").alias("n"),
+                      F.expr("bit_xor(xxhash64(node, dist))").alias("h")).first()
+        return r["n"], r["h"]
+
+    sig = _state_sig(dist)
     for i in range(max_iter):
         relaxed = (
             e.join(dist.withColumnRenamed("node", "dst"), "dst")
@@ -40,17 +50,13 @@ def distance_from_outlet(edges_nodes: DataFrame, outlet_nodes: DataFrame,
         new_dist = (
             dist.union(relaxed).groupBy("node").agg(F.min("dist").alias("dist"))
         ).localCheckpoint()
-        # converged when no node's dist improved
-        improved = (
-            new_dist.join(dist.withColumnRenamed("dist", "old"), "node", "left")
-            .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
-            .count()
-        )
+        new_sig = _state_sig(new_dist)
         if metrics is not None:
-            metrics.add(op="distance_from_outlet", round=i, improved=improved)
+            metrics.add(op="distance_from_outlet", round=i, nodes=new_sig[0])
         dist = new_dist
-        if improved == 0:
+        if new_sig == sig:
             break
+        sig = new_sig
     return dist
 
 
@@ -100,6 +106,13 @@ def upstream_length(edges_nodes: DataFrame, key: str = "url",
                    .localCheckpoint()
     ul = e.select(key, "NODEA", "NODEB", "_len", F.col("_len").alias("UL")) \
           .localCheckpoint()
+
+    def _sig(df: DataFrame):
+        # order-independent state fingerprint (see distance_from_outlet)
+        r = df.select(F.expr(f"bit_xor(xxhash64({key}, UL))").alias("h")).first()
+        return r["h"]
+
+    sig = _sig(ul)
     for i in range(max_iter):
         up_max = (
             ul.groupBy("NODEB").agg(F.max("UL").alias("_upmax"))
@@ -110,17 +123,13 @@ def upstream_length(edges_nodes: DataFrame, key: str = "url",
             .withColumn("UL", F.col("_len") + F.coalesce("_upmax", F.lit(0.0)))
             .drop("_upmax")
         ).localCheckpoint()
-        changed = (
-            new_ul.select(key, "UL")
-            .join(ul.select(key, F.col("UL").alias("_old")), key)
-            .filter(F.abs(F.col("UL") - F.col("_old")) > 1e-9)
-            .count()
-        )
+        new_sig = _sig(new_ul)
         if metrics is not None:
-            metrics.add(op="upstream_length", round=i, changed=changed)
+            metrics.add(op="upstream_length", round=i)
         ul = new_ul
-        if changed == 0:
+        if new_sig == sig:
             break
+        sig = new_sig
     return ul.select(key, "UL")
 
 
@@ -185,8 +194,8 @@ def strahler_order(edges_nodes: DataFrame, key: str = "url",
         .select(key, F.lit(1).alias("STRAHLER"))
     ).localCheckpoint()
     n_edges = e.count()
+    done = strahler.count()
     for i in range(max_iter):
-        done = strahler.count()
         if done >= n_edges:
             break
         # upstream arms of edge x = edges u with u.NODEB == x.NODEA
@@ -218,12 +227,16 @@ def strahler_order(edges_nodes: DataFrame, key: str = "url",
                 ).alias("STRAHLER"),
             )
         )
-        n_new = ready.count()
+        # checkpoint BEFORE counting: counting `ready` directly would
+        # compute it once uncached for the count and AGAIN for the union
+        new_strahler = strahler.union(ready).localCheckpoint()
+        new_done = new_strahler.count()
+        n_new = new_done - done
         if metrics is not None:
             metrics.add(op="strahler", round=i, newly_ordered=n_new)
         if n_new == 0:
             break
-        strahler = strahler.union(ready).localCheckpoint()
+        strahler, done = new_strahler, new_done
     return edges_nodes.join(strahler, key, "left")
 
 
