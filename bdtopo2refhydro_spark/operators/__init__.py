@@ -22,6 +22,7 @@ from .spatial import (  # noqa: F401
     rasterize_counts,
     raster_vectorize,
     dissolve,
+    salted_repartition_by_cell,
 )
 from .graph import (  # noqa: F401
     TraversalMetrics,

@@ -201,3 +201,30 @@ def dissolve(polys: DataFrame, geom_col: str = "geom_wkb") -> DataFrame:
 
     return polys.select(F.lit(1).alias("gid"), geom_col) \
                 .groupBy("gid").applyInPandas(_merge, _DISSOLVE_SCHEMA)
+
+
+def salted_repartition_by_cell(df: DataFrame, key: str = "url",
+                               geom_col: str = "geom_wkb",
+                               cell_size: float = 50_000.0, salt: int = 8,
+                               num_partitions: int | None = None) -> DataFrame:
+    """Skew guard (north rule: 'salted repartition on cell prefix plus
+    AQE'): repartition on (coarse cell of the geometry's bbox corner,
+    xxhash64(key) % salt). Dense geographic clusters — a megacity's worth
+    of pages landing in one cell — spread across `salt` partitions instead
+    of serializing into one, while coarse spatial locality is kept so the
+    downstream cover/refine work stays cache-friendly. The candidate JOIN
+    itself is broadcast (no shuffle key to skew); this operator fixes the
+    data-layout skew of the big side's partitions."""
+    b = U.st_bbox(F.col(geom_col))
+    out = df.withColumn("_bb", b).withColumn(
+        "_salt_key",
+        F.concat_ws(
+            "#",
+            U.cell_of(F.col("_bb.xmin"), F.col("_bb.ymin"), cell_size)
+             .cast("string"),
+            F.pmod(F.xxhash64(F.col(key)), F.lit(salt)).cast("string"),
+        ),
+    )
+    rp = (out.repartition(num_partitions, "_salt_key") if num_partitions
+          else out.repartition("_salt_key"))
+    return rp.drop("_bb", "_salt_key")

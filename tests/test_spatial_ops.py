@@ -129,3 +129,24 @@ def test_dissolve_disjoint_rects(spark):
     assert out["n_parts"] == 2
     assert out["area"] == 100.0 + 20.0
     assert geom_area(bytes(out["geom_wkb"])) == 120.0
+
+
+def test_salted_repartition_spreads_hot_cell(spark):
+    """All rows in ONE dense cell must spread across ~salt partitions
+    (the north rule's salted repartition on cell prefix)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from bdtopo2refhydro_spark.geom.wkb import linestring_wkb
+    from bdtopo2refhydro_spark.operators import salted_repartition_by_cell
+
+    wkb = bytearray(linestring_wkb(np.array([[10.0, 10.0], [20.0, 20.0]])))
+    rows = [(f"u{i}", wkb) for i in range(200)]
+    df = spark.createDataFrame(rows, "url string, geom_wkb binary").coalesce(1)
+    out = salted_repartition_by_cell(df, salt=8, num_partitions=8)
+    parts = (
+        out.withColumn("p", F.spark_partition_id())
+        .groupBy("p").count().collect()
+    )
+    assert len(parts) >= 3          # hot cell split across partitions
+    assert max(r["count"] for r in parts) < 200  # nothing holds everything
