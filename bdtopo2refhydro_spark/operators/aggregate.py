@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .graph import loop_profile
+
 
 def _chain_roots(e: DataFrame, key: str, max_rounds: int = 64) -> DataFrame:
     """Label each edge with the key of the last edge of its chain.
@@ -51,19 +53,20 @@ def _chain_roots(e: DataFrame, key: str, max_rounds: int = 64) -> DataFrame:
         return df.select(F.expr("bit_xor(xxhash64(k, p))").alias("h")).first()["h"]
 
     sig = _sig(ptr)
-    for _ in range(max_rounds):
-        jumped = (
-            ptr.alias("a")
-            .join(ptr.select(F.col("k").alias("p"), F.col("p").alias("pp")).alias("b"),
-                  "p")
-            .select("k", F.col("pp").alias("p"))
-            .localCheckpoint()
-        )
-        new_sig = _sig(jumped)
-        ptr = jumped
-        if new_sig == sig:
-            break
-        sig = new_sig
+    with loop_profile(ptr, ptr.count()):
+        for _ in range(max_rounds):
+            jumped = (
+                ptr.alias("a")
+                .join(ptr.select(F.col("k").alias("p"),
+                                 F.col("p").alias("pp")).alias("b"), "p")
+                .select("k", F.col("pp").alias("p"))
+                .localCheckpoint()
+            )
+            new_sig = _sig(jumped)
+            ptr = jumped
+            if new_sig == sig:
+                break
+            sig = new_sig
     return ptr.select(F.col("k").alias(key), F.col("p").alias("chain_id"))
 
 

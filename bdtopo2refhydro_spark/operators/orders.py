@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import udfs as U
-from .graph import TraversalMetrics
+from .graph import TraversalMetrics, loop_profile
 
 
 def distance_from_outlet(edges_nodes: DataFrame, outlet_nodes: DataFrame,
@@ -41,22 +41,25 @@ def distance_from_outlet(edges_nodes: DataFrame, outlet_nodes: DataFrame,
         return r["n"], r["h"]
 
     sig = _state_sig(dist)
-    for i in range(max_iter):
-        relaxed = (
-            e.join(dist.withColumnRenamed("node", "dst"), "dst")
-            .select(F.col("src").alias("node"),
-                    (F.col("dist") + F.col("_len")).alias("dist"))
-        )
-        new_dist = (
-            dist.union(relaxed).groupBy("node").agg(F.min("dist").alias("dist"))
-        ).localCheckpoint()
-        new_sig = _state_sig(new_dist)
-        if metrics is not None:
-            metrics.add(op="distance_from_outlet", round=i, nodes=new_sig[0])
-        dist = new_dist
-        if new_sig == sig:
-            break
-        sig = new_sig
+    with loop_profile(e, e.count()):
+        for i in range(max_iter):
+            relaxed = (
+                e.join(dist.withColumnRenamed("node", "dst"), "dst")
+                .select(F.col("src").alias("node"),
+                        (F.col("dist") + F.col("_len")).alias("dist"))
+            )
+            new_dist = (
+                dist.union(relaxed).groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+            ).localCheckpoint()
+            new_sig = _state_sig(new_dist)
+            if metrics is not None:
+                metrics.add(op="distance_from_outlet", round=i,
+                            nodes=new_sig[0])
+            dist = new_dist
+            if new_sig == sig:
+                break
+            sig = new_sig
     return dist
 
 
@@ -113,23 +116,25 @@ def upstream_length(edges_nodes: DataFrame, key: str = "url",
         return r["h"]
 
     sig = _sig(ul)
-    for i in range(max_iter):
-        up_max = (
-            ul.groupBy("NODEB").agg(F.max("UL").alias("_upmax"))
-            .withColumnRenamed("NODEB", "NODEA")
-        )
-        new_ul = (
-            e.join(up_max, "NODEA", "left")
-            .withColumn("UL", F.col("_len") + F.coalesce("_upmax", F.lit(0.0)))
-            .drop("_upmax")
-        ).localCheckpoint()
-        new_sig = _sig(new_ul)
-        if metrics is not None:
-            metrics.add(op="upstream_length", round=i)
-        ul = new_ul
-        if new_sig == sig:
-            break
-        sig = new_sig
+    with loop_profile(e, e.count()):
+        for i in range(max_iter):
+            up_max = (
+                ul.groupBy("NODEB").agg(F.max("UL").alias("_upmax"))
+                .withColumnRenamed("NODEB", "NODEA")
+            )
+            new_ul = (
+                e.join(up_max, "NODEA", "left")
+                .withColumn("UL",
+                            F.col("_len") + F.coalesce("_upmax", F.lit(0.0)))
+                .drop("_upmax")
+            ).localCheckpoint()
+            new_sig = _sig(new_ul)
+            if metrics is not None:
+                metrics.add(op="upstream_length", round=i)
+            ul = new_ul
+            if new_sig == sig:
+                break
+            sig = new_sig
     return ul.select(key, "UL")
 
 
@@ -158,26 +163,28 @@ def hack_order(edges_nodes: DataFrame, outlet_nodes: DataFrame,
                "left_semi")
         .select(key, F.lit(1).alias("HACK"))
     ).localCheckpoint()
-    for i in range(max_iter):
-        # child edge c (c.NODEB == parent.NODEA) inherits parent's order if
-        # main, else order+1
-        parent = e.join(hack, key).select(
-            F.col("NODEA").alias("NODEB"), F.col("HACK").alias("_ph")
-        )
-        child = (
-            e.join(parent, "NODEB")
-            .select(key, F.when(F.col("_is_main"), F.col("_ph"))
-                          .otherwise(F.col("_ph") + 1).alias("HACK"))
-        )
-        new_hack = (
-            hack.union(child).groupBy(key).agg(F.min("HACK").alias("HACK"))
-        ).localCheckpoint()
-        n_new = new_hack.count() - hack.count()
-        if metrics is not None:
-            metrics.add(op="hack_order", round=i, newly_ordered=n_new)
-        hack = new_hack
-        if n_new == 0:
-            break
+    with loop_profile(e, e.count()):
+        for i in range(max_iter):
+            # child edge c (c.NODEB == parent.NODEA) inherits parent's
+            # order if main, else order+1
+            parent = e.join(hack, key).select(
+                F.col("NODEA").alias("NODEB"), F.col("HACK").alias("_ph")
+            )
+            child = (
+                e.join(parent, "NODEB")
+                .select(key, F.when(F.col("_is_main"), F.col("_ph"))
+                              .otherwise(F.col("_ph") + 1).alias("HACK"))
+            )
+            new_hack = (
+                hack.union(child).groupBy(key)
+                .agg(F.min("HACK").alias("HACK"))
+            ).localCheckpoint()
+            n_new = new_hack.count() - hack.count()
+            if metrics is not None:
+                metrics.add(op="hack_order", round=i, newly_ordered=n_new)
+            hack = new_hack
+            if n_new == 0:
+                break
     return edges_nodes.join(hack, key, "left")
 
 
@@ -195,48 +202,49 @@ def strahler_order(edges_nodes: DataFrame, key: str = "url",
     ).localCheckpoint()
     n_edges = e.count()
     done = strahler.count()
-    for i in range(max_iter):
-        if done >= n_edges:
-            break
-        # upstream arms of edge x = edges u with u.NODEB == x.NODEA
-        up = e.select(F.col(key).alias("_ukey"), F.col("NODEB").alias("NODEA"))
-        arms = (
-            e.join(strahler, key, "left_anti")  # only unordered edges
-            .join(up, "NODEA")
-            .join(strahler.select(F.col(key).alias("_ukey"),
-                                  F.col("STRAHLER").alias("_uord")),
-                  "_ukey", "left")
-        )
-        ready = (
-            arms.groupBy(key)
-            .agg(
-                F.count("*").alias("_n"),
-                F.count("_uord").alias("_n_ordered"),
-                F.collect_list("_uord").alias("_arr"),
+    with loop_profile(e, n_edges):
+        for i in range(max_iter):
+            if done >= n_edges:
+                break
+            # upstream arms of edge x = edges u with u.NODEB == x.NODEA
+            up = e.select(F.col(key).alias("_ukey"), F.col("NODEB").alias("NODEA"))
+            arms = (
+                e.join(strahler, key, "left_anti")  # only unordered edges
+                .join(up, "NODEA")
+                .join(strahler.select(F.col(key).alias("_ukey"),
+                                      F.col("STRAHLER").alias("_uord")),
+                      "_ukey", "left")
             )
-            .filter(F.col("_n") == F.col("_n_ordered"))  # all arms ordered
-            .select(
-                key,
-                (
-                    F.array_max("_arr")
-                    + F.when(
-                        F.size(F.filter("_arr",
-                                        lambda v: v == F.array_max("_arr"))) >= 2,
-                        1,
-                    ).otherwise(0)
-                ).alias("STRAHLER"),
+            ready = (
+                arms.groupBy(key)
+                .agg(
+                    F.count("*").alias("_n"),
+                    F.count("_uord").alias("_n_ordered"),
+                    F.collect_list("_uord").alias("_arr"),
+                )
+                .filter(F.col("_n") == F.col("_n_ordered"))  # all arms ordered
+                .select(
+                    key,
+                    (
+                        F.array_max("_arr")
+                        + F.when(
+                            F.size(F.filter("_arr",
+                                            lambda v: v == F.array_max("_arr"))) >= 2,
+                            1,
+                        ).otherwise(0)
+                    ).alias("STRAHLER"),
+                )
             )
-        )
-        # checkpoint BEFORE counting: counting `ready` directly would
-        # compute it once uncached for the count and AGAIN for the union
-        new_strahler = strahler.union(ready).localCheckpoint()
-        new_done = new_strahler.count()
-        n_new = new_done - done
-        if metrics is not None:
-            metrics.add(op="strahler", round=i, newly_ordered=n_new)
-        if n_new == 0:
-            break
-        strahler, done = new_strahler, new_done
+            # checkpoint BEFORE counting: counting `ready` directly would
+            # compute it once uncached for the count and AGAIN for the union
+            new_strahler = strahler.union(ready).localCheckpoint()
+            new_done = new_strahler.count()
+            n_new = new_done - done
+            if metrics is not None:
+                metrics.add(op="strahler", round=i, newly_ordered=n_new)
+            if n_new == 0:
+                break
+            strahler, done = new_strahler, new_done
     return edges_nodes.join(strahler, key, "left")
 
 
