@@ -1354,6 +1354,79 @@ FROM h
 """
 
 
+_HEXPOS = "strpos('0123456789abcdef', substr(hx, {i}, 1)) - 1"
+
+
+def _hexbyte(i: int) -> str:
+    """SQL for sha256-hex byte i (0-based) as an integer."""
+    return (f"(16 * ({_HEXPOS.format(i=2 * i + 1)})"
+            f" + ({_HEXPOS.format(i=2 * i + 2)}))")
+
+
+def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio featurization plumbing (mapInPandas, deterministic stub
+    decode → SQL-replayable)."""
+    from bdtopo2refhydro_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    out = extract_audio_features(media)
+    return out.select("url", "n_bytes", "duration_ms", "sample_rate",
+                      F.col("loudness").cast("double").alias("loudness"))
+
+
+_AUDIO_SQL = f"""
+WITH h AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url, sha256(text) AS hx,
+         octet_length(CAST(text AS BLOB)) AS n_bytes
+  FROM documents
+)
+SELECT url, n_bytes,
+  CAST(1000 + 256 * ({_hexbyte(0)}) + ({_hexbyte(1)}) AS INTEGER)
+    AS duration_ms,
+  CAST(1000 * (CASE ({_hexbyte(2)}) % 4 WHEN 0 THEN 8 WHEN 1 THEN 16
+               WHEN 2 THEN 22 ELSE 44 END) AS INTEGER) AS sample_rate,
+  CAST(({_hexbyte(3)}) / 256.0 AS DOUBLE) AS loudness
+FROM h
+"""
+
+
+def _q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: row-expanding mapInPandas, one row per
+    sampled frame, deterministic stub → SQL-replayable."""
+    from bdtopo2refhydro_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return sample_video_frames(media, every_ms=1000)
+
+
+_VIDEO_SQL = f"""
+WITH h AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url, sha256(text) AS hx FROM documents
+),
+d AS (
+  SELECT url, hx,
+         1000 + 256 * ({_hexbyte(0)}) + ({_hexbyte(1)}) AS duration_ms
+  FROM h
+)
+SELECT d.url, CAST(g.i / 1000 AS INTEGER) AS frame_idx,
+       CAST(g.i AS INTEGER) AS ts_ms,
+       sha256(d.hx || '#' || CAST(g.i / 1000 AS INTEGER)) AS frame_sha
+FROM d, LATERAL (SELECT unnest(generate_series(0, CAST(d.duration_ms AS BIGINT) - 1, 1000)) AS i) g
+"""
+
+
 def _q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming ingest equivalence: readStream → availableNow
     drain → memory sink must equal a batch SELECT over the same parquet
@@ -1512,6 +1585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_vectorize": _q_raster_vectorize,
         "text_extract": _q_text_extract,
         "image_features": _q_image_features,
+        "audio_features": _q_audio_features,
+        "video_frames": _q_video_frames,
         "stream_ingest": _q_stream_ingest,
         "width_network": _q_width_network,
         "tile_assign": _q_tile_assign,
@@ -1572,6 +1647,8 @@ def oracle_sql() -> dict[str, str]:
         "raster_vectorize": _RASTER_VEC_SQL,
         "text_extract": _TEXT_EXTRACT_SQL,
         "image_features": _IMAGE_FEATURES_SQL,
+        "audio_features": _AUDIO_SQL,
+        "video_frames": _VIDEO_SQL,
         "stream_ingest": _STREAM_INGEST_SQL,
         "tile_assign": _TILE_SQL,
         "cover_count": _COVER_SQL,

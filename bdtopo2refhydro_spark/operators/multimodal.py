@@ -84,3 +84,95 @@ def media_repartition(df: DataFrame, payload_col: str = "html",
     ).first()["b"] or 0
     n_parts = max(1, int(total // target_bytes_per_task) + 1)
     return df.repartition(n_parts)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("loudness", T.FloatType()),
+    ]
+)
+
+
+def _decode_audio_stub(payload: bytes) -> tuple[int, int, float]:
+    """STUB: deterministic fake decode (no ffmpeg/librosa in this
+    container). A real deployment replaces this body with an ffprobe/pcm
+    decode; the (duration_ms, sample_rate, loudness) contract is
+    unchanged."""
+    digest = hashlib.sha256(payload).digest()
+    duration_ms = 1000 + int.from_bytes(digest[0:2], "big")
+    sample_rate = (8, 16, 22, 44)[digest[2] % 4] * 1000
+    # /256 not /255: power-of-two denominator → exact in float32 AND
+    # float64, so the DuckDB oracle (doubles) matches bit-for-bit
+    loudness = digest[3] / 256.0
+    return duration_ms, sample_rate, loudness
+
+
+def extract_audio_features(media: DataFrame, payload_col: str = "payload",
+                           ) -> DataFrame:
+    """mapInPandas audio featurization — same iterator contract as
+    extract_image_features."""
+
+    def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for url, payload in zip(pdf["url"], pdf[payload_col]):
+                if payload is None:
+                    continue
+                d, sr, loud = _decode_audio_stub(bytes(payload))
+                out.append({"url": url, "n_bytes": len(payload),
+                            "duration_ms": d, "sample_rate": sr,
+                            "loudness": loud})
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            )
+
+    return media.select("url", payload_col).mapInPandas(
+        _featurize, AUDIO_FEATURES_SCHEMA
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.IntegerType()),
+        T.StructField("frame_sha", T.StringType()),
+    ]
+)
+
+
+def sample_video_frames(media: DataFrame, payload_col: str = "payload",
+                        every_ms: int = 1000) -> DataFrame:
+    """Frame sampling plumbing: one output row per sampled frame — a
+    row-expanding mapInPandas (the shape a real ffmpeg key-frame extractor
+    produces). The stub derives a deterministic per-video duration and
+    per-frame digest from the payload; swap `_decode_audio_stub`-style
+    internals for ffmpeg and the schema/partitioning stays identical.
+    At scale, run media_repartition() first so the byte-heavy input is
+    partitioned by payload size, not row count."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for url, payload in zip(pdf["url"], pdf[payload_col]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                hx = hashlib.sha256(b).hexdigest()
+                digest = bytes.fromhex(hx)
+                duration_ms = 1000 + int.from_bytes(digest[0:2], "big")
+                for i, ts in enumerate(range(0, duration_ms, every_ms)):
+                    # hex-string chaining (not raw-byte concat) keeps the
+                    # derivation replayable in VARCHAR-only SQL sha256
+                    fr = hashlib.sha256(f"{hx}#{i}".encode()).hexdigest()
+                    out.append({"url": url, "frame_idx": i, "ts_ms": ts,
+                                "frame_sha": fr})
+            yield pd.DataFrame(
+                out, columns=[f.name for f in FRAME_SCHEMA.fields]
+            )
+
+    return media.select("url", payload_col).mapInPandas(_sample, FRAME_SCHEMA)

@@ -166,3 +166,35 @@ def test_cosine_dup_pairs_thresholds(emb):
     assert all(r["cos_sim"] >= 0.9 for r in hi)
     assert all(r["a"] < r["b"] for r in lo)
     assert {(r["a"], r["b"]) for r in hi} <= {(r["a"], r["b"]) for r in lo}
+
+
+def test_multimodal_audio_and_frames(spark):
+    """Audio featurization and frame sampling: schema contract, row
+    expansion proportional to stub duration, deterministic digests."""
+    from pyspark.sql import functions as F
+
+    from bdtopo2refhydro_spark.operators.multimodal import (
+        extract_audio_features,
+        sample_video_frames,
+    )
+
+    media = spark.createDataFrame(
+        [("u1", bytearray(b"payload-one")), ("u2", bytearray(b"payload-two"))],
+        "url string, payload binary",
+    )
+    audio = extract_audio_features(media).collect()
+    assert {r["url"] for r in audio} == {"u1", "u2"}
+    assert all(1000 <= r["duration_ms"] < 1000 + 65536 for r in audio)
+    assert all(r["sample_rate"] in (8000, 16000, 22000, 44000) for r in audio)
+    assert all(0.0 <= r["loudness"] < 1.0 for r in audio)
+
+    frames = sample_video_frames(media, every_ms=1000)
+    per_url = {r["url"]: r["n"] for r in
+               frames.groupBy("url").agg(F.count("*").alias("n")).collect()}
+    by_dur = {r["url"]: -(-r["duration_ms"] // 1000) for r in audio}
+    assert per_url == by_dur
+    # determinism: same payload → same frame digests
+    a = sorted(r["frame_sha"] for r in frames.filter("url = 'u1'").collect())
+    b = sorted(r["frame_sha"] for r in
+               sample_video_frames(media).filter("url = 'u1'").collect())
+    assert a == b
