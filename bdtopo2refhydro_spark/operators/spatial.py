@@ -45,14 +45,33 @@ def cell_index_polygons(polys: DataFrame, cell_size: float = DEFAULT_CELL_SIZE,
     )
 
 
+# above this many polygon rows the exploded cell index stops being a safe
+# broadcast (think continental watershed sets) and the candidate join
+# becomes a shuffle equi-join on `cell` — AQE handles skewed cells there
+BROADCAST_POLY_ROWS = 200_000
+
+
 def _candidates(lines: DataFrame, polys: DataFrame, key: str,
-                cell_size: float, geom_col: str) -> DataFrame:
-    """(key, geom, cell, pid, _poly_wkb) candidate rows — map-side only."""
-    poly_idx = F.broadcast(cell_index_polygons(polys, cell_size, geom_col))
-    return lines.select(
+                cell_size: float, geom_col: str,
+                broadcast_threshold_rows: int | None = None,
+                ) -> DataFrame:
+    """(key, geom, cell, pid, _poly_wkb) candidate rows.
+
+    Small polygon side (the normal case: outlet bands, correction zones)
+    → broadcast cell index, candidates generated map-side with zero
+    shuffle of the big side. Large polygon side → plain equi-join on
+    `cell`: both sides shuffle on the cell key, AQE splits skewed cells.
+    The refine stays identical either way."""
+    if broadcast_threshold_rows is None:
+        broadcast_threshold_rows = BROADCAST_POLY_ROWS
+    idx = cell_index_polygons(polys, cell_size, geom_col)
+    covered = lines.select(
         key, geom_col,
         F.explode(U.st_cover_cells(F.col(geom_col), cell_size)).alias("cell"),
-    ).join(poly_idx, "cell")
+    )
+    if polys.count() <= broadcast_threshold_rows:
+        return covered.join(F.broadcast(idx), "cell")
+    return covered.join(idx, "cell")
 
 
 def spatial_join_hits(lines: DataFrame, polys: DataFrame, key: str = "url",

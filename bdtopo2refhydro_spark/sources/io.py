@@ -44,3 +44,14 @@ def write_table(df: DataFrame, path_or_table: str, mode: str = "overwrite") -> N
         df.write.mode(mode).parquet(path_or_table)
     else:
         df.write.mode(mode).saveAsTable(path_or_table)
+
+
+def write_bucketed(df: DataFrame, table: str, key: str,
+                   n_buckets: int = 64) -> None:
+    """Bucketed, sorted sink for co-located equi-joins (SURVEY.md §4):
+    two tables bucketed by the same key and count join WITHOUT a shuffle
+    (no Exchange on either side) — the storage-level answer to repeated
+    node-id joins in the graph passes. Catalog table only; parquet paths
+    cannot carry bucket metadata."""
+    df.write.mode("overwrite").format("parquet") \
+        .bucketBy(n_buckets, key).sortBy(key).saveAsTable(table)

@@ -212,3 +212,39 @@ def test_lineage_partition_counts(spark):
     counts = lin.partition_counts("stage_x", df)
     assert sum(c for _, c in counts) == 100
     assert len(counts) == 4
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """write_bucketed: joining two tables bucketed on the same key plans
+    with NO shuffle (the co-located join the graph passes rely on when
+    node tables are materialized)."""
+    from pyspark.sql import functions as F
+
+    import shutil
+
+    from bdtopo2refhydro_spark.sources.io import write_bucketed
+
+    # clear stale warehouse dirs from interrupted runs — a leftover
+    # directory without a catalog entry makes saveAsTable refuse
+    for t in ("bkt_a", "bkt_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    a = spark.range(1000).select(F.col("id").alias("k"),
+                                 (F.col("id") * 2).alias("va"))
+    b = spark.range(1000).select(F.col("id").alias("k"),
+                                 (F.col("id") * 3).alias("vb"))
+    write_bucketed(a, "bkt_a", "k", n_buckets=8)
+    write_bucketed(b, "bkt_b", "k", n_buckets=8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        assert j.count() == 1000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # sort-merge join straight off the buckets: no shuffle exchange
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")

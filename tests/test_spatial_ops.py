@@ -150,3 +150,20 @@ def test_salted_repartition_spreads_hot_cell(spark):
     )
     assert len(parts) >= 3          # hot cell split across partitions
     assert max(r["count"] for r in parts) < 200  # nothing holds everything
+
+
+def test_spatial_join_shuffle_path_matches_broadcast(spark, lines, polys):
+    """The large-polygon-side fallback (shuffle equi-join on cell) must
+    produce exactly the broadcast path's hits."""
+    from bdtopo2refhydro_spark.operators import spatial as S
+
+    a = sorted(r["url"] for r in
+               S.spatial_join_hits(lines, polys, "url", 10.0).collect())
+    orig = S.BROADCAST_POLY_ROWS
+    try:
+        S.BROADCAST_POLY_ROWS = 0  # force the shuffle path
+        b = sorted(r["url"] for r in
+                   S.spatial_join_hits(lines, polys, "url", 10.0).collect())
+    finally:
+        S.BROADCAST_POLY_ROWS = orig
+    assert a == b and len(a) > 0
