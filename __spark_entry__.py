@@ -1427,6 +1427,27 @@ FROM d, LATERAL (SELECT unnest(generate_series(0, CAST(d.duration_ms AS BIGINT) 
 """
 
 
+def _q_geoparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graft's geoparse stage (SURVEY §7): deterministic page→mention
+    point derivation; text passes through untouched."""
+    from bdtopo2refhydro_spark.operators.text import geoparse_mentions
+
+    docs = _docs(spark, sf_dir)
+    out = geoparse_mentions(docs, id_col="doc_id")
+    return out.select("doc_id", "mention_x", "mention_y")
+
+
+_GEOPARSE_SQL = f"""
+WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents)
+SELECT doc_id,
+  CAST((256 * ({_hexbyte(0)}) + ({_hexbyte(1)})) % 100000 AS DOUBLE)
+    AS mention_x,
+  CAST((256 * ({_hexbyte(2)}) + ({_hexbyte(3)})) % 100000 AS DOUBLE)
+    AS mention_y
+FROM h
+"""
+
+
 def _q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming ingest equivalence: readStream → availableNow
     drain → memory sink must equal a batch SELECT over the same parquet
@@ -1587,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
+        "geoparse": _q_geoparse,
         "stream_ingest": _q_stream_ingest,
         "width_network": _q_width_network,
         "tile_assign": _q_tile_assign,
@@ -1649,6 +1671,7 @@ def oracle_sql() -> dict[str, str]:
         "image_features": _IMAGE_FEATURES_SQL,
         "audio_features": _AUDIO_SQL,
         "video_frames": _VIDEO_SQL,
+        "geoparse": _GEOPARSE_SQL,
         "stream_ingest": _STREAM_INGEST_SQL,
         "tile_assign": _TILE_SQL,
         "cover_count": _COVER_SQL,

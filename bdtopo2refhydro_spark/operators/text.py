@@ -314,3 +314,26 @@ def extract_text(df: DataFrame, html_col: str = "html",
         .otherwise(F.concat_ws("\n", title, paras))
     )
     return df.withColumn(out_col, text)
+
+
+def geoparse_mentions(df: DataFrame, id_col: str = "url",
+                      text_col: str = "text",
+                      extent: float = 100_000.0) -> DataFrame:
+    """Deterministic geoparse stage (SURVEY.md §7 graft semantics): derive
+    a point 'mention' per page from a hash of its text — the stand-in for
+    a real geoparser (NER + gazetteer lookup), keeping the page→geometry
+    derivation pure, reproducible at any parallelism, and replayable in
+    the DuckDB oracle (md5-hex arithmetic; DuckDB has no xxhash64).
+    Text passes through untouched — the byte-identity invariant holds
+    across this stage by construction."""
+    hx = F.md5(F.col(text_col))
+    def _byte(i: int):
+        return (
+            F.conv(F.substring(hx, 2 * i + 1, 2), 16, 10).cast("long")
+        )
+    x = ((_byte(0) * 256 + _byte(1)) % F.lit(int(extent))).cast("double")
+    y = ((_byte(2) * 256 + _byte(3)) % F.lit(int(extent))).cast("double")
+    return df.select(
+        id_col, text_col,
+        x.alias("mention_x"), y.alias("mention_y"),
+    )
