@@ -703,6 +703,24 @@ def _duck_shingles(k: int = TX.MINHASH_K) -> str:
     )
 
 
+def _q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.token_counts_bpe(_docs(spark, sf_dir))
+
+
+_TOKEN_BPE_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_words,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+           AS n_bpe_tokens
+  FROM documents
+)
+SELECT doc_id, n_words, n_bpe_tokens,
+       n_bpe_tokens / CAST(greatest(n_words, 1) AS DOUBLE) AS tokens_per_word
+FROM t
+"""
+
+
 def _q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.minhash_signatures(_docs(spark, sf_dir))
 
@@ -1545,6 +1563,45 @@ WHERE list_sum(list_transform(list_zip(l.embedding, r.embedding),
 """
 
 
+def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ANN.ivf_ann_topk(_emb(spark, sf_dir), k=3)
+
+
+def _ivf_ann_sql() -> str:
+    cos = (
+        "list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> p[1]::DOUBLE * p[2]::DOUBLE)) "
+        "/ (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE))) "
+        " * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))))"
+    )
+    return f"""
+WITH c AS (
+  SELECT vec_id AS cent_id, embedding AS cemb
+  FROM embeddings ORDER BY vec_id LIMIT {ANN.N_CENTROIDS}
+),
+a AS (
+  SELECT e.vec_id, e.embedding, c.cent_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {cos.format(a='e.embedding', b='c.cemb')} DESC, c.cent_id
+         ) AS rn
+  FROM embeddings e CROSS JOIN c
+),
+sig AS (SELECT vec_id, embedding, cent_id AS bucket FROM a WHERE rn = 1),
+pairs AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         {cos.format(a='q.embedding', b='n.embedding')} AS cos_sim
+  FROM sig q JOIN sig n ON q.bucket = n.bucket AND q.vec_id != n.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 3
+"""
+
+
 def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -1616,6 +1673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join": _q_pip_join,
         "zonal_pct": _q_zonal_pct_sql,
         "token_stats": _q_token_stats,
+        "token_bpe": _q_token_bpe,
         "minhash_sig": _q_minhash_sig,
         "lsh_pairs": _q_lsh_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -1626,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "cosine_topk": _q_cosine_topk,
         "lsh_ann": _q_lsh_ann,
+        "ivf_ann": _q_ivf_ann,
         "emb_dup_pairs": _q_emb_dup_pairs,
         "dissolve_area": _q_dissolve_area,
         "tpch_q1": _q_tpch_q1,
@@ -1678,6 +1737,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_join": _PIP_SQL,
         "zonal_pct": _ZONAL_SQL,
         "token_stats": _TOKEN_STATS_SQL,
+        "token_bpe": _TOKEN_BPE_SQL,
         "minhash_sig": _minhash_sql(),
         "lsh_pairs": _lsh_pairs_sql(),
         "ngram_jaccard": _jaccard_sql(),
@@ -1688,6 +1748,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _fingerprint_sql(),
         "cosine_topk": _COSINE_SQL,
         "lsh_ann": _lsh_ann_sql(),
+        "ivf_ann": _ivf_ann_sql(),
         "emb_dup_pairs": _emb_dup_sql(),
         "dissolve_area": _DISSOLVE_SQL,
         "tpch_q1": _TPCH_Q1_SQL,

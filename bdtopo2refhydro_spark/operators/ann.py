@@ -140,3 +140,54 @@ def cosine_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
         .select("a", "b", "cos_sim")
         .distinct()
     )
+
+
+N_CENTROIDS = 16
+
+
+def ivf_assign(embeddings: DataFrame, n_centroids: int = N_CENTROIDS,
+               ) -> DataFrame:
+    """IVF coarse quantization: centroids = the n_centroids lowest-vec_id
+    vectors (deterministic seed choice — a production system would k-means
+    them; the assignment/search plumbing is identical), every vector
+    assigned to its max-cosine centroid. Returns (vec_id, embedding,
+    bucket). The centroid table broadcasts; assignment is one map-side
+    pass + a row_number per vector."""
+    c = embeddings.orderBy("vec_id").limit(n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cemb")
+    )
+    scored = embeddings.crossJoin(F.broadcast(c)).withColumn(
+        "cs", _dot("embedding", "cemb") / (_norm("embedding") * _norm("cemb"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cent_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("bucket"))
+    )
+
+
+def ivf_ann_topk(embeddings: DataFrame, k: int = 5,
+                 n_centroids: int = N_CENTROIDS) -> DataFrame:
+    """IVF approximate top-k (probe=1): candidates restricted to the same
+    coarse cell. Recall knob: n_centroids down (bigger cells) or probe>1
+    (join the q-side to its top-p cells). Same materialize-before-self-join
+    discipline as the LSH operators."""
+    sig = ivf_assign(embeddings, n_centroids).localCheckpoint(eager=False)
+    q = sig.select(F.col("vec_id").alias("query_id"),
+                   F.col("embedding").alias("emb_q"), "bucket")
+    cdd = sig.select(F.col("vec_id").alias("neighbor_id"),
+                     F.col("embedding").alias("emb_n"), "bucket")
+    scored = (
+        q.join(cdd, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim",
+                    _dot("emb_q", "emb_n") / (_norm("emb_q") * _norm("emb_n")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"),
+                                               F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

@@ -337,3 +337,24 @@ def geoparse_mentions(df: DataFrame, id_col: str = "url",
         id_col, text_col,
         x.alias("mention_x"), y.alias("mention_y"),
     )
+
+
+def token_counts_bpe(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting, two tokenizations (both SQL-replayable): whitespace
+    words and a BPE-ish regex segmentation (letter runs / digit runs /
+    single punctuation marks — the shape of a byte-pair-encoded vocab's
+    pre-tokenizer). The ratio approximates tokens-per-word for LLM
+    training-cost estimates."""
+    ws = F.size(F.expr(tokens_expr(text_col)))
+    bpe = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)),
+            F.lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), F.lit(0),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        ws.alias("n_words"),
+        bpe.alias("n_bpe_tokens"),
+        (bpe / F.greatest(ws, F.lit(1))).alias("tokens_per_word"),
+    )

@@ -198,3 +198,36 @@ def test_multimodal_audio_and_frames(spark):
     b = sorted(r["frame_sha"] for r in
                sample_video_frames(media).filter("url = 'u1'").collect())
     assert a == b
+
+
+def test_ivf_ann_buckets_and_ranks(emb):
+    """IVF: every vector gets exactly one bucket from the centroid set;
+    top-k ranks are dense per query and neighbors share the query's cell."""
+    from pyspark.sql import functions as F
+
+    from bdtopo2refhydro_spark.operators.ann import ivf_ann_topk, ivf_assign
+
+    sig = ivf_assign(emb, n_centroids=4)
+    assert sig.count() == emb.count()
+    assert sig.select("bucket").distinct().count() <= 4
+    out = ivf_ann_topk(emb, k=2, n_centroids=4)
+    ranks = out.groupBy("query_id").agg(F.collect_list("rank").alias("r"))
+    assert all(sorted(r["r"]) == list(range(1, len(r["r"]) + 1))
+               for r in ranks.collect())
+    buckets = {r["vec_id"]: r["bucket"] for r in sig.collect()}
+    assert all(buckets[r["query_id"]] == buckets[r["neighbor_id"]]
+               for r in out.collect())
+
+
+def test_token_counts_bpe(spark):
+    from bdtopo2refhydro_spark.operators.text import token_counts_bpe
+
+    docs = spark.createDataFrame(
+        [(1, "Hello, world! x2"), (2, "one two three")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in token_counts_bpe(docs).collect()}
+    # "hello" "," "world" "!" "x" "2" = 6 bpe tokens over 3 ws words
+    assert rows[1]["n_words"] == 3 and rows[1]["n_bpe_tokens"] == 6
+    assert rows[2]["n_words"] == 3 and rows[2]["n_bpe_tokens"] == 3
+    assert rows[1]["tokens_per_word"] == 2.0
