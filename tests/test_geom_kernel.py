@@ -170,3 +170,23 @@ def test_buffer_line_capsules_cover_distance_band():
     assert any(point_in_polygon(-30, 0, rings) for rings in polys)  # cap zone
     assert not any(point_in_polygon(50, 51, rings) for rings in polys)
     assert not any(point_in_polygon(-60, 0, rings) for rings in polys)
+
+
+def test_udfs_pass_through_null_geometries(spark):
+    """NULL WKB rows flow through the UDF surface as NULL results instead
+    of crashing the batch (a corrupt crawl record must not kill a task)."""
+    from pyspark.sql import functions as F
+
+    from bdtopo2refhydro_spark.functions import udfs as U
+
+    df = spark.createDataFrame(
+        [("a", None)], "url string, geom_wkb binary"
+    )
+    row = df.select(
+        U.st_length("geom_wkb").alias("l"),
+        U.st_reverse("geom_wkb").alias("r"),
+        U.st_make_valid("geom_wkb").alias("v"),
+        U.st_area("geom_wkb").alias("ar"),
+    ).first()
+    assert row["l"] is None and row["r"] is None
+    assert row["v"] is None and row["ar"] is None

@@ -248,3 +248,15 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_entry_contract_schema(spark):
+    """The driver smoke-checks entry() for a stable schema — pin it."""
+    import __spark_entry__ as E
+
+    df = E.entry(spark)
+    assert [f.name for f in df.schema.fields] == ["url", "nature"]
+    assert df.count() > 0
+    qs, osql = E.queries(), E.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert len(qs) >= 59 and len(osql) >= 56
