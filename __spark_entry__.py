@@ -793,20 +793,27 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_sql() -> str:
+    # 60-bit SimHash (4×15-bit Manku bands on the Spark side); md5 per
+    # token computed once in `hs`, per-bit majority votes over the cached
+    # digests — additive terms and the total stay inside positive BIGINT
     bits = []
     for bit in range(TX.SIMHASH_BITS):
         digit = bit // 4
         mask = 1 << (bit % 4)
         vote = (
-            f"list_sum(list_transform(toks, tok -> "
-            f"CASE WHEN (position(substring(md5(tok), {digit + 1}, 1) "
+            f"list_sum(list_transform(hs, h -> "
+            f"CASE WHEN (position(substring(h, {digit + 1}, 1) "
             f"IN '0123456789abcdef') - 1) & {mask} > 0 THEN 1 ELSE -1 END))"
         )
-        bits.append(f"CASE WHEN ({vote}) > 0 THEN {1 << bit} ELSE 0 END")
+        bits.append(
+            f"CASE WHEN ({vote}) > 0 THEN CAST({1 << bit} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END")
     total = " + ".join(bits)
     return f"""
 WITH t AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  SELECT doc_id,
+         list_transform(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                        tok -> md5(tok)) AS hs
   FROM documents
 )
 SELECT doc_id, {total} AS simhash FROM t
@@ -1485,28 +1492,89 @@ _STREAM_INGEST_SQL = "SELECT doc_id, text, lang FROM documents"
 def _q_width_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.3 analytic pipeline end-to-end (J2 clip → J9 zonal filter → J10
     outlet re-add → G3 connectivity repair → G5 measure → G6 Hack → G7
-    Strahler → G8 sliver pruning). Iterative fixpoints throughout →
-    rows-only driver check; the operator stack is golden-tested piecewise
-    and end-to-end in tests/. Input capped for bounded traversal depth."""
+    Strahler → G8 sliver pruning → A3+J8 segment tail). Iterative
+    fixpoints throughout → rows-only driver check; the operator stack is
+    golden-tested piecewise and end-to-end in tests/.
+
+    The surfaces are PARTIAL bands (three rects covering ~36% of the
+    extent, the synth make_surfaces_pdf layout), so the zonal filter
+    actually deletes reaches and fix_network_connectivity re-admits
+    connector edges over multiple repair rounds
+    (tests/test_pipeline_golden.py asserts >1 G3 round on this shape)."""
     from bdtopo2refhydro_spark.plans import run_width_network
 
-    edges = _tree_geom_edges(spark, sf_dir, cap=2000)
-    # full-extent surface: zonal keeps everything, so the G3 repair loop
-    # converges in one BFS round — this entry gates pipeline plumbing and
-    # the order/pruning passes; the zonal MATH is value-checked by the
-    # zonal_pct oracle and the repair loop by tests/test_graph_ops.py
-    surfaces = spark.range(1).select(
-        F.col("id").alias("surface_id"),
-        U.st_make_rect(F.lit(-100.5), F.lit(-100.5),
-                       F.lit(100100.5), F.lit(100100.5)).alias("geom_wkb"),
-    )
-    net = run_width_network(edges, surfaces, _outlet_band(spark),
+    edges = _tree_geom_edges(spark, sf_dir)
+    surfaces = spark.createDataFrame(
+        [(0, 0.0, 0.0, 100000.0, 20000.0),
+         (1, 30000.0, 20000.0, 70000.0, 60000.0),
+         (2, 0.0, 90000.0, 20000.0, 100000.0)],
+        "surface_id int, x0 double, y0 double, x1 double, y1 double",
+    ).select("surface_id",
+             U.st_make_rect("x0", "y0", "x1", "y1").alias("geom_wkb"))
+    seg = run_width_network(edges, surfaces, _outlet_band(spark),
                             tolerance=1.0, cell_size=5000.0,
                             surface_pct_min=30.0)
-    return net.select(
-        "url", F.col("MEASURE").alias("measure"),
-        F.col("HACK").alias("hack"), F.col("STRAHLER").alias("strahler"),
+    return seg.select(
+        "url", F.col("HACK").alias("hack"),
+        F.col("STRAHLER").alias("strahler"), "n_reaches",
+        F.round("length", 6).alias("length"),
     )
+
+
+def _q_width_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The width pipeline's :365-428 tail in isolation, value-checked: A3
+    chain collapse → J8 take-first attribute re-join (prefix join_) →
+    join_-strip rename → final geometric length. Edges lie on y=0 so the
+    stitched geometry's length is an exact integer-valued double equal to
+    sum(NODEA - NODEB) over the chain (bit-identical to the SQL sum)."""
+    from bdtopo2refhydro_spark.plans import width_segments_tail
+
+    e = _forest_edges(spark, sf_dir)
+    edges = e.select(
+        "url", "NODEA", "NODEB",
+        U.st_make_line(F.col("NODEA").cast("double"), F.lit(0.0),
+                       F.col("NODEB").cast("double"), F.lit(0.0))
+        .alias("geom_wkb"),
+        F.expr("case NODEA % 3 when 0 then 'Ecoulement naturel' "
+               "when 1 then 'Canal' else 'Conduit buse' end").alias("nature"),
+    )
+    out = width_segments_tail(edges, key="url")
+    return out.select("url", "n_reaches", "nature", "length")
+
+
+_WIDTH_TAIL_SQL = f"""
+WITH RECURSIVE e AS (
+  SELECT url, nodea, nodeb,
+         CASE nodea % 3 WHEN 0 THEN 'Ecoulement naturel'
+                        WHEN 1 THEN 'Canal' ELSE 'Conduit buse' END AS nature
+  FROM ({_FOREST_D})
+),
+di AS (SELECT nodeb AS node, count(*) AS c FROM e GROUP BY nodeb),
+dout AS (SELECT nodea AS node, count(*) AS c FROM e GROUP BY nodea),
+pass AS (SELECT di.node FROM di JOIN dout ON di.node = dout.node
+         WHERE di.c = 1 AND dout.c = 1),
+nxt AS (
+  SELECT e.url AS k, f.url AS nk FROM e JOIN e f ON f.nodea = e.nodeb
+  WHERE e.nodeb IN (SELECT node FROM pass)
+),
+walk(k, t) AS (
+  SELECT url, url FROM e WHERE url NOT IN (SELECT k FROM nxt)
+  UNION
+  SELECT n.k, w.t FROM nxt n JOIN walk w ON n.nk = w.k
+),
+chain AS (SELECT w.t AS gid, e.* FROM walk w JOIN e ON e.url = w.k),
+agg AS (
+  SELECT gid, sum(CAST(nodea - nodeb AS DOUBLE)) AS length,
+         CAST(count(*) AS INTEGER) AS n_reaches
+  FROM chain GROUP BY gid
+),
+heads AS (
+  SELECT gid, url, nodea, nature FROM chain
+  WHERE url NOT IN (SELECT nk FROM nxt)
+)
+SELECT h.url AS url, a.n_reaches, h.nature, a.length
+FROM agg a JOIN heads h ON h.gid = a.gid
+"""
 
 
 def _q_dissolve_area(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1668,6 +1736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoparse": _q_geoparse,
         "stream_ingest": _q_stream_ingest,
         "width_network": _q_width_network,
+        "width_tail": _q_width_tail,
         "tile_assign": _q_tile_assign,
         "cover_count": _q_cover_count,
         "pip_join": _q_pip_join,
@@ -1722,6 +1791,7 @@ def oracle_sql() -> dict[str, str]:
         "prune_slivers": _PRUNE_SQL,
         "snap_knn": _SNAP_SQL,
         "agg_segments": _AGG_SEGMENTS_SQL,
+        "width_tail": _WIDTH_TAIL_SQL,
         "boundary_len": _BOUNDARY_LEN_SQL,
         "buffer_bbox": _BUFFER_BBOX_SQL,
         "exutoire_band": _EXUTOIRE_SQL,

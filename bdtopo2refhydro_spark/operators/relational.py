@@ -4,8 +4,10 @@ DataFrame transforms (SURVEY.md §2.2-§2.3).
 The reference collects IDs to the driver and mutates layers in place
 (e.g. fix_connection.py:75-96); here every pass is
 ``DataFrame -> DataFrame`` built from broadcast semi/anti/left joins —
-correction tables are tiny next to the edges table, so every join below
-broadcasts the correction side and never shuffles the big side.
+correction tables are tiny next to the edges table, so joins broadcast the
+correction side and never shuffle the big side. The one exception is
+``fix_connection``: its anti-join builds on the TARGET's keys, so it stays
+unhinted (broadcasting the big side's key set would OOM the driver).
 """
 
 from __future__ import annotations
@@ -37,8 +39,14 @@ def dedup_geometries(df: DataFrame, geom_col: str = "geom_wkb") -> DataFrame:
 def fix_connection(target: DataFrame, corrections: DataFrame,
                    key: str = "url") -> DataFrame:
     """J5 insert-if-absent ~ fix_connection.py:80-96: add correction rows
-    whose key is not already present."""
-    incoming = corrections.join(F.broadcast(target.select(key)), key, "left_anti")
+    whose key is not already present.
+
+    No broadcast hint: the build side of this anti-join is the TARGET's key
+    set (billions of keys at corpus scale — hinting it would collect the
+    big side to the driver). Unhinted, only the key column of the big side
+    shuffles and AQE picks the strategy; the corrections side is the small
+    one but anti-join semantics put it on the probe side."""
+    incoming = corrections.join(target.select(key), key, "left_anti")
     return target.unionByName(incoming, allowMissingColumns=True)
 
 

@@ -6,5 +6,6 @@ from .pipelines import (  # noqa: F401
     build_exutoire,
     run_reference_network,
     run_width_network,
+    width_segments_tail,
 )
 from .checkpoint import CheckpointedPipeline  # noqa: F401

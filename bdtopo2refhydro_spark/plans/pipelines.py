@@ -35,6 +35,7 @@ from ..operators import (
     select_by_location,
     select_connected,
     strahler_order,
+    take_first_join,
     zonal_pct_in_surface,
 )
 from ..operators.graph import TraversalMetrics
@@ -149,11 +150,22 @@ def run_width_network(edges: DataFrame, surfaces: DataFrame,
                       surface_pct_min: float = 30.0,
                       small_segment_filter: float = 500.0,
                       exutoire_stream_min_length: float = 10_000.0,
+                      with_segments: bool = True,
                       metrics: TraversalMetrics | None = None) -> DataFrame:
     """The analytic/zonal query ~ create_5m_width_hydro_network.py:29-451:
     clip → zonal %-in-surface filter → re-add outlet reaches → fix
-    connectivity → measure → Hack → Strahler → sliver pruning →
-    aggregate. Returns the ordered, pruned segment table."""
+    connectivity → measure → Hack → Strahler → sliver pruning → A3
+    re-aggregate (:365-373) → J8 take-first attribute re-join with
+    ``join_`` prefix (:375-386) → rename/drop working fields (:391-415) →
+    final geometric length (:418-428).
+
+    Returns the aggregated SEGMENT table: one row per between-junction
+    chain with the stitched geometry, the first reach's attributes
+    (nature/HACK/STRAHLER, keyed by `key` = upstream-most reach), chain
+    reach count, and a fresh `length`. ``with_segments=False`` stops after
+    sliver pruning and returns the ordered reach table (the pre-:365
+    state), which keeps NODEA/NODEB/len/MEASURE for callers that resume
+    from a checkpoint."""
     metrics = metrics if metrics is not None else TraversalMetrics()
     e = edges
     # J2 clip to zone (:155-171)
@@ -184,4 +196,30 @@ def run_width_network(edges: DataFrame, surfaces: DataFrame,
     net = prune_slivers(net, key,
                         small_segment_filter=small_segment_filter,
                         exutoire_stream_min_length=exutoire_stream_min_length)
-    return net
+    if not with_segments:
+        return net
+    return width_segments_tail(net, key)
+
+
+def width_segments_tail(net: DataFrame, key: str = "url") -> DataFrame:
+    """The :365-428 tail on an ordered reach table (must carry NODEA/NODEB/
+    geom_wkb and the order columns): A3 chain collapse, J8 take-first
+    attribute re-join (prefix ``join_``), join_-prefix strip, working-field
+    drop (fid/NODEA/NODEB/MEASURE/LENGTH/GID analogs), final length."""
+    seg = aggregate_segments(net, key)
+    # COPY_FIELDS:'fid' analog — the chain carries its first reach's key,
+    # which J8 uses to re-attach that reach's attributes (take-first is a
+    # no-op here since `key` is unique in net, matching METHOD:1 exactly)
+    seg_keyed = seg.select(
+        F.col("first_url").alias(key), "geom_wkb", "n_reaches"
+    )
+    attrs = net.drop("NODEA", "NODEB", "len", "MEASURE", "geom_wkb")
+    joined = take_first_join(seg_keyed, attrs, key, order_col=key,
+                             prefix="join_")
+    # rename join_X -> X (:391-403); seg side kept only geom/n_reaches so
+    # the strip never collides
+    for c in joined.columns:
+        if c.startswith("join_"):
+            joined = joined.withColumnRenamed(c, c[5:])
+    # fresh geometric length on the stitched geometry (:418-428)
+    return joined.withColumn("length", U.st_length("geom_wkb"))

@@ -191,6 +191,31 @@ def test_fix_connectivity_readds_bridging_canal(spark):
     assert kept == {"s1", "s2", "c1"}
 
 
+def test_fix_connectivity_multi_round_repair(spark):
+    # two canals IN SERIES between the components: round 1 can only admit
+    # c1 (touching the reached set), which exposes c2 in round 2 — the
+    # greedy frontier repair must take >1 outer round (VERDICT r1 #4).
+    from bdtopo2refhydro_spark.operators.graph import TraversalMetrics
+
+    rows = [
+        ("s1", linestring_wkb([(0.0, 10.0), (0.0, 0.0)])),
+        ("c1", linestring_wkb([(0.0, 20.0), (0.0, 10.0)])),
+        ("c2", linestring_wkb([(0.0, 30.0), (0.0, 20.0)])),
+        ("s2", linestring_wkb([(0.0, 40.0), (0.0, 30.0)])),
+    ]
+    df = spark.createDataFrame(rows, "url string, geom_wkb binary")
+    e = identify_network_nodes(df, tolerance=0.5)
+    subset = spark.createDataFrame([("s1",), ("s2",)], "url string")
+    outlet_nodes = e.filter("url='s1'").select(F.col("NODEB").alias("node"))
+    m = TraversalMetrics()
+    kept = {r.url for r in
+            fix_network_connectivity(e, subset, outlet_nodes,
+                                     metrics=m).collect()}
+    assert kept == {"s1", "s2", "c1", "c2"}
+    g3_rounds = [r for r in m.rounds if r.get("op") == "fix_connectivity"]
+    assert len(g3_rounds) > 1
+
+
 def test_aggregate_segments_collapses_chains(spark):
     # path a→b→c (degree-2 interior nodes) + junction with two arms
     rows = [

@@ -152,6 +152,42 @@ def test_segments_preserve_total_length(pipeline_result):
     assert segment.count() <= troncon.count()
 
 
+def test_width_pipeline_segment_tail(spark, fixed_edges):
+    """§3.3 end-to-end on PARTIAL synth surfaces (the zonal filter really
+    deletes reaches; VERDICT r1 #4): the pipeline must return the
+    aggregated SEGMENT table (A3+J8 tail, create_5m_width_hydro_network.py
+    :365-428) whose total stitched length equals the kept reaches' total
+    length, with join_-stripped attribute columns and a fresh `length`."""
+    from bdtopo2refhydro_spark.functions import udfs as U
+    from bdtopo2refhydro_spark.operators.graph import TraversalMetrics
+    from bdtopo2refhydro_spark.plans import run_width_network
+    from bdtopo2refhydro_spark.sources import surfaces_df
+
+    m = TraversalMetrics()
+    reaches = run_width_network(
+        fixed_edges, surfaces_df(spark), outlet_polygons_df(spark),
+        tolerance=0.5, surface_pct_min=30.0, with_segments=False, metrics=m,
+    ).cache()
+    seg = run_width_network(
+        fixed_edges, surfaces_df(spark), outlet_polygons_df(spark),
+        tolerance=0.5, surface_pct_min=30.0, metrics=TraversalMetrics(),
+    ).cache()
+    # the zonal filter deleted something: kept reaches < deduped input
+    assert reaches.count() < fixed_edges.count()
+    # tail columns: attributes re-joined without the join_ prefix, plus a
+    # fresh geometric length; working fields gone
+    for col in ("nature", "HACK", "STRAHLER", "length", "n_reaches"):
+        assert col in seg.columns
+    for col in ("NODEA", "NODEB", "MEASURE", "join_nature"):
+        assert col not in seg.columns
+    # stitched segments preserve total length and never outnumber reaches
+    r_len = reaches.select(F.sum(U.st_length("geom_wkb"))).first()[0]
+    s_len = seg.select(F.sum("length")).first()[0]
+    assert s_len == pytest.approx(r_len, rel=1e-9)
+    assert seg.count() <= reaches.count()
+    assert seg.select(F.sum("n_reaches")).first()[0] == reaches.count()
+
+
 def test_text_byte_identity(spark):
     """North-rule invariant: extracted text per url is byte-identical after a
     pipeline pass over the pages table."""

@@ -49,6 +49,23 @@ def test_fix_connection_inserts_only_missing(spark, target):
     assert out.filter("url = 'u2'").count() == 1  # not duplicated
 
 
+def test_fix_connection_never_broadcasts_target(spark, target):
+    """Plan guard (VERDICT r1 #1): the anti-join that filters incoming
+    corrections must not broadcast-build on the TARGET's key set — at
+    corpus scale that key set is billions of rows and the hint would
+    collect it to the driver. With both inputs tiny AQE may still *choose*
+    a broadcast at runtime; what we assert is that no broadcast HINT is
+    planned on the target side (ResolvedHint in the analyzed plan)."""
+    corr = spark.createDataFrame(
+        [("u2", L3), ("u9", L3)], "url string, geom_wkb binary"
+    )
+    out = fix_connection(target, corr)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    # and the result is still correct
+    assert out.count() == 5
+
+
 def test_fix_direction_reverses_only_keyed(spark, target):
     corr = spark.createDataFrame([("u1",)], "url string")
     out = {r.url: r.geom_wkb for r in fix_direction(target, corr).collect()}
