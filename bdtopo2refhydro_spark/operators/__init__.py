@@ -26,7 +26,9 @@ from .spatial import (  # noqa: F401
 )
 from .graph import (  # noqa: F401
     TraversalMetrics,
+    connected_components,
     identify_network_nodes,
+    network_nodes,
     snap_endpoints_knn,
     select_connected,
     edges_touching,

@@ -17,6 +17,17 @@ The local algorithms reproduce the distributed results EXACTLY:
   the relaxation loop (dist(parent) + len), so float sums agree bit for
   bit on the argmin paths;
 - chain roots: the same successor-pointer fixpoint.
+
+CONTRACT CAVEAT — cycles: the local↔distributed path-equality guarantee
+holds for ACYCLIC inputs (all river networks the reference targets, and
+everything the tests cover). On a directed cycle, local_chain_roots
+resolves members to the first revisited member while the distributed
+pointer jumping leaves cycle members oscillating until max_rounds, and
+local_upstream freezes a cycle's UL at its initial value while the
+distributed fixpoint keeps accumulating until the fingerprint stabilizes
+or max_iter. Cycles are out of contract for path equality; the distance
+contraction (orders._distance_contract) is cycle-safe only in the sense
+that pass-through rings never acquire a distance on either path.
 """
 
 from __future__ import annotations

@@ -22,11 +22,15 @@ from ._local import SMALL_GRAPH_ROWS as _SMALL_GRAPH_ROWS
 from .graph import loop_profile
 
 
-def _chain_roots(e: DataFrame, key: str, max_rounds: int = 64) -> DataFrame:
+def _chain_roots(e: DataFrame, key: str, max_rounds: int = 64,
+                 exclude_nodes: DataFrame | None = None) -> DataFrame:
     """Label each edge with the key of the last edge of its chain.
 
     successor(e) = unique edge f with f.NODEA == e.NODEB, valid only when
-    e.NODEB is a pass-through node (in-degree 1 and out-degree 1)."""
+    e.NODEB is a pass-through node (in-degree 1 and out-degree 1).
+    exclude_nodes('node') forces those nodes to be treated as junctions —
+    chains break there (distance contraction excludes outlet nodes so an
+    outlet never disappears inside a chain)."""
     indeg = e.groupBy("NODEB").agg(F.count("*").alias("_in"))
     outdeg = e.groupBy("NODEA").agg(F.count("*").alias("_out"))
     passthrough = (
@@ -34,6 +38,9 @@ def _chain_roots(e: DataFrame, key: str, max_rounds: int = 64) -> DataFrame:
         .filter((F.col("_in") == 1) & (F.col("_out") == 1))
         .select(F.col("NODEB").alias("node"))
     )
+    if exclude_nodes is not None:
+        passthrough = passthrough.join(exclude_nodes.select("node"), "node",
+                                       "left_anti")
     nxt = (
         e.select(F.col(key).alias("k"), F.col("NODEB").alias("node"))
         .join(passthrough, "node", "left_semi")

@@ -8,6 +8,7 @@ outlets are node ids.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -15,15 +16,138 @@ from ..functions import udfs as U
 from ._local import SMALL_GRAPH_ROWS as _SMALL_GRAPH_ROWS
 from .graph import TraversalMetrics, loop_profile
 
+_N_CHAIN_BUCKETS = 64
+
+
+def _distance_contract(e: DataFrame, outlet_nodes: DataFrame,
+                       metrics: TraversalMetrics | None) -> DataFrame:
+    """O(log depth)-shaped distance: contract degree-2 chains (the bulk of
+    a river network's depth) into super-edges via pointer jumping
+    (aggregate._chain_roots, O(log chain) rounds), relax on the junction
+    graph (rounds = junction depth — and the junction graph usually fits
+    the single-task local path), then recover interior chain-node
+    distances with ONE pandas pass per chain in exact left-fold order
+    (dist(src) = len + dist(dst), tail → head), so interior values are
+    bit-identical to the round-based relaxation.
+
+    The one float deviation vs the round loop: a super-edge's weight is
+    the chain's length fold summed BEFORE the junction dist is added
+    (W + d instead of l1+(l2+(…+(lk+d)))) — exact when lengths are
+    integer-valued doubles (all driver fixtures), ≤ a few ulps otherwise.
+    Chains are broken at outlet nodes, so an outlet never disappears
+    inside a chain. Cycles of pass-through nodes have no junction tail and
+    are unreachable from any outlet — they drop out here exactly as they
+    never acquire a dist in the round loop."""
+    from .aggregate import _chain_roots
+
+    de = (
+        e.groupBy("src", "dst").agg(F.min("_len").alias("elen"))
+        .withColumn("kk", F.xxhash64("src", "dst"))
+        .localCheckpoint()
+    )
+    roots = _chain_roots(
+        de.select(F.col("kk").alias("_kk"), F.col("src").alias("NODEA"),
+                  F.col("dst").alias("NODEB")),
+        "_kk", exclude_nodes=outlet_nodes).withColumnRenamed("_kk", "kk")
+    chained = de.join(roots, "kk").withColumn(
+        "bk", F.pmod(F.xxhash64("chain_id"), F.lit(_N_CHAIN_BUCKETS)))
+
+    sup_schema = "chain_id long, src long, dst long, W double"
+
+    def _super(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for cid, g in pdf.groupby("chain_id", sort=False):
+            rows = list(g[["src", "dst", "elen"]].itertuples(index=False))
+            by_src = {r.src: r for r in rows}
+            dsts = {r.dst for r in rows}
+            heads = [r for r in rows if r.src not in dsts]
+            if not heads:      # pass-through ring: no junction, unreachable
+                continue
+            cur, seq = heads[0], []
+            while cur is not None and len(seq) < len(rows):
+                seq.append(cur)
+                cur = by_src.get(cur.dst)
+            w = 0.0
+            for r in reversed(seq):   # right fold: l1+(l2+(...+lk))
+                w = r.elen + w
+            out.append((int(cid), int(seq[0].src), int(seq[-1].dst), float(w)))
+        return pd.DataFrame(out, columns=["chain_id", "src", "dst", "W"])
+
+    super_edges = chained.groupBy("bk").applyInPandas(_super, sup_schema) \
+                         .localCheckpoint()
+    if metrics is not None:
+        metrics.add(op="distance_from_outlet", mode="contract",
+                    edges=de.count(), super_edges=super_edges.count())
+    # junction relaxation: local single-task Dijkstra when the junction
+    # graph is small (the common case — contraction removes the chain
+    # bulk), round-based relaxation otherwise; never re-contract (the
+    # contracted graph has no pass-through nodes left)
+    jdist = distance_from_outlet(
+        super_edges.select(F.col("src").alias("NODEA"),
+                           F.col("dst").alias("NODEB"),
+                           F.col("W").alias("len")),
+        outlet_nodes, len_col="len", metrics=metrics,
+        algorithm="_local_or_rounds",
+    ).localCheckpoint()
+    # interior recovery: per reachable chain, walk tail → head computing
+    # dist(src) = len + dist(dst) sequentially (same order as the round
+    # loop); only pass-through (interior) nodes are emitted — junction
+    # dists are owned by jdist
+    tails = chained.filter(F.col("kk") == F.col("chain_id")) \
+                   .select("chain_id", F.col("dst").alias("node"))
+    jd = tails.join(jdist, "node").select("chain_id",
+                                          F.col("dist").alias("jdv"))
+    ch2 = chained.join(jd, "chain_id")
+
+    int_schema = "node long, dist double"
+
+    def _interior(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for cid, g in pdf.groupby("chain_id", sort=False):
+            rows = list(g[["src", "dst", "elen", "jdv"]].itertuples(index=False))
+            if len(rows) < 2:
+                continue
+            by_src = {r.src: r for r in rows}
+            dsts = {r.dst for r in rows}
+            heads = [r for r in rows if r.src not in dsts]
+            if not heads:
+                continue
+            cur, seq = heads[0], []
+            while cur is not None and len(seq) < len(rows):
+                seq.append(cur)
+                cur = by_src.get(cur.dst)
+            d = rows[0].jdv
+            for r in reversed(seq[1:]):   # skip head edge: its src is a junction
+                d = r.elen + d
+                out.append((int(r.src), float(d)))
+        return pd.DataFrame(out, columns=["node", "dist"])
+
+    interior = ch2.groupBy("bk").applyInPandas(_interior, int_schema)
+    return jdist.select("node", "dist").union(interior)
+
 
 def distance_from_outlet(edges_nodes: DataFrame, outlet_nodes: DataFrame,
-                         len_col: str = "len", max_iter: int = 500,
+                         len_col: str = "len", max_iter: int | None = None,
                          metrics: TraversalMetrics | None = None,
-                         force_distributed: bool = False) -> DataFrame:
+                         force_distributed: bool = False,
+                         algorithm: str = "auto") -> DataFrame:
     """Multi-source shortest path following flow downstream to any outlet:
     dist(n) = min over out-edges n→m of dist(m) + len. Returns ('node',
-    'dist'). Bellman-Ford-style relaxation; on the (a)cyclic river networks
-    the reference targets, rounds ≈ network depth.
+    'dist').
+
+    max_iter=None (default) runs to convergence; an integer bounds the
+    relaxation rounds (and pins the round-based path so the bound holds).
+
+    algorithm (convergence calls):
+      'auto'     → single-task Dijkstra below SMALL_GRAPH_ROWS
+                   (operators/_local.py, bit-identical accumulation);
+                   'contract' above it.
+      'contract' → degree-2 chain contraction + junction relaxation +
+                   exact per-chain interior recovery — rounds scale with
+                   junction depth, not node depth (_distance_contract).
+      'rounds'   → Bellman-Ford-style relaxation, one join round per
+                   network level (the literal checkpointed-self-join
+                   shape; rounds ≈ network depth).
 
     Backs G4 (fct:principal-stem COST:0 geometric length,
     create_connected_reference_hydro.py:202-209) and G5
@@ -33,7 +157,9 @@ def distance_from_outlet(edges_nodes: DataFrame, outlet_nodes: DataFrame,
                            F.col("NODEB").alias("dst"),
                            F.col(len_col).alias("_len")).localCheckpoint()
     n_e = e.count()
-    if n_e <= _SMALL_GRAPH_ROWS and not force_distributed:
+    bounded = max_iter is not None
+    if (n_e <= _SMALL_GRAPH_ROWS and not force_distributed and not bounded
+            and algorithm in ("auto", "contract", "_local_or_rounds")):
         # small-graph fast path: single-task Dijkstra with the same
         # dist(parent)+len accumulation → bit-identical distances
         # (see operators/_local.py; equality asserted in tests)
@@ -42,6 +168,8 @@ def distance_from_outlet(edges_nodes: DataFrame, outlet_nodes: DataFrame,
         if metrics is not None:
             metrics.add(op="distance_from_outlet", mode="local", edges=n_e)
         return local_sssp(e, outlet_nodes)
+    if not bounded and algorithm in ("auto", "contract"):
+        return _distance_contract(e, outlet_nodes, metrics)
     dist = outlet_nodes.select("node", F.lit(0.0).alias("dist")).localCheckpoint()
 
     def _state_sig(df: DataFrame):
@@ -54,7 +182,9 @@ def distance_from_outlet(edges_nodes: DataFrame, outlet_nodes: DataFrame,
 
     sig = _state_sig(dist)
     with loop_profile(e, n_e):
-        for i in range(max_iter):
+        # unbounded = run to the convergence fingerprint; the constant is
+        # a runaway guard (positive lengths always converge)
+        for i in range(max_iter if bounded else 1_000_000):
             relaxed = (
                 e.join(dist.withColumnRenamed("node", "dst"), "dst")
                 .select(F.col("src").alias("node"),
@@ -186,7 +316,8 @@ def hack_order(edges_nodes: DataFrame, outlet_nodes: DataFrame,
         from ._local import local_hack
 
         tagged = e.join(
-            outlet_nodes.withColumnRenamed("node", "NODEB")
+            outlet_nodes.select("node").dropDuplicates(["node"])
+            .withColumnRenamed("node", "NODEB")
             .withColumn("_is_outlet", F.lit(True)),
             "NODEB", "left",
         ).select(

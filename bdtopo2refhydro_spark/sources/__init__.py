@@ -15,4 +15,13 @@ from .synth import (  # noqa: F401
     zones_df,
     corrections_df,
 )
-from .io import read_table, write_table, assert_schema  # noqa: F401
+from .io import (  # noqa: F401
+    IcebergUnavailable,
+    assert_schema,
+    iceberg_available,
+    merge_append_skip_duplicates,
+    merge_upsert,
+    read_table,
+    write_iceberg,
+    write_table,
+)

@@ -55,3 +55,80 @@ def write_bucketed(df: DataFrame, table: str, key: str,
     cannot carry bucket metadata."""
     df.write.mode("overwrite").format("parquet") \
         .bucketBy(n_buckets, key).sortBy(key).saveAsTable(table)
+
+
+# --- Iceberg catalog path (SURVEY.md §1.1: GeoPackage layer ↔ Iceberg
+# `namespace.table`; J10 ↔ MERGE INTO). The sandbox has no Iceberg jars, so
+# every entry point degrades with an explicit IcebergUnavailable — the
+# tests skip (not fail) when the runtime lacks the extension. -------------
+
+class IcebergUnavailable(RuntimeError):
+    """Raised when the Spark session has no Iceberg catalog/extension."""
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark extension classes are on the JVM
+    classpath (spark-submit --packages org.apache.iceberg:...)."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.extensions"
+            ".IcebergSparkSessionExtensions")
+        return True
+    except Exception:  # noqa: BLE001 — Py4J raises raw Py4JError/JavaError
+        return False
+
+
+def _require_iceberg(spark: SparkSession) -> None:
+    if not iceberg_available(spark):
+        raise IcebergUnavailable(
+            "Iceberg extension not on the classpath; launch with "
+            "--packages org.apache.iceberg:iceberg-spark-runtime-... and "
+            "spark.sql.extensions=org.apache.iceberg.spark.extensions."
+            "IcebergSparkSessionExtensions")
+
+
+def write_iceberg(df: DataFrame, table: str,
+                  partition_by: str | None = None) -> None:
+    """S3 on the catalog path: create-or-replace an Iceberg table (the
+    production analog of the reference's create-file → overwrite-layer
+    fallback, create_exutoire.py:89-144)."""
+    _require_iceberg(df.sparkSession)
+    w = df.writeTo(table).using("iceberg")
+    if partition_by is not None:
+        from pyspark.sql import functions as F
+
+        w = w.partitionedBy(F.col(partition_by))
+    w.createOrReplace()
+
+
+def merge_append_skip_duplicates(spark: SparkSession, target_table: str,
+                                 incoming: DataFrame,
+                                 key: str = "url") -> None:
+    """J10 ~ etl_load:appendfeaturestolayer ACTION_ON_DUPLICATE:1 (skip),
+    as an Iceberg MERGE: rows whose key already exists are skipped, the
+    rest are inserted — one atomic commit, no read-modify-write of the
+    whole table (operators/relational.append_skip_duplicates is the
+    DataFrame equivalent for non-catalog tables)."""
+    _require_iceberg(spark)
+    incoming.createOrReplaceTempView("_merge_incoming")
+    spark.sql(f"""
+        MERGE INTO {target_table} t
+        USING _merge_incoming s
+        ON t.{key} = s.{key}
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+
+
+def merge_upsert(spark: SparkSession, target_table: str,
+                 incoming: DataFrame, key: str = "url") -> None:
+    """J5+J7 combined on the catalog path (fix_connection insert-if-absent
+    + fix_modified_geom overwrite-by-key as one MERGE)."""
+    _require_iceberg(spark)
+    incoming.createOrReplaceTempView("_merge_incoming")
+    spark.sql(f"""
+        MERGE INTO {target_table} t
+        USING _merge_incoming s
+        ON t.{key} = s.{key}
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """)

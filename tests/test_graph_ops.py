@@ -301,6 +301,73 @@ def test_local_and_distributed_paths_agree(spark, tree, outlet):
     assert roots_local == roots_dist
 
 
+def _deep_chain_edges(spark, n: int, branch_every: int = 0):
+    """Directed path graph e_i: node i+1 → i with integer lens (exact in
+    any summation order); node 0 is the outlet end. branch_every adds a
+    side edge n+i → i at every multiple, creating junctions."""
+    rows = [(f"p{i}", i + 1, i, float(1 + i % 7)) for i in range(n)]
+    if branch_every:
+        rows += [(f"s{i}", n + 1 + i, i, float(2 + i % 5))
+                 for i in range(branch_every, n, branch_every)]
+    return spark.createDataFrame(
+        rows, "url string, NODEA long, NODEB long, len double")
+
+
+def test_log_depth_paths_match_rounds_on_deep_chain(spark):
+    """VERDICT r1 #5: the O(log depth) physical strategies (min-label CC
+    for BFS, chain contraction for distance) must equal the O(depth)
+    round loop exactly — and take logarithmically many rounds on a deep
+    path graph (integer lens → float order immaterial)."""
+    from bdtopo2refhydro_spark.operators.graph import TraversalMetrics
+    from bdtopo2refhydro_spark.operators.orders import distance_from_outlet
+
+    n = 120
+    e = _deep_chain_edges(spark, n, branch_every=30).cache()
+    outlet = spark.createDataFrame([(0,)], "node long")
+
+    # BFS: cc vs rounds vs local all equal
+    m_cc = TraversalMetrics()
+    v_cc = {r.node for r in select_connected(
+        e, outlet, "both", force_distributed=True, algorithm="cc",
+        metrics=m_cc).collect()}
+    v_rounds = {r.node for r in select_connected(
+        e, outlet, "both", force_distributed=True, algorithm="rounds",
+        metrics=TraversalMetrics()).collect()}
+    v_local = {r.node for r in select_connected(e, outlet, "both").collect()}
+    assert v_cc == v_rounds == v_local
+    cc_rounds = len([r for r in m_cc.rounds
+                     if r.get("op") == "connected_components"])
+    assert 0 < cc_rounds <= 16  # ~log2(400) + convergence check, not 400
+
+    # distance: contract vs rounds vs local bit-identical (integer lens)
+    m_c = TraversalMetrics()
+    d_contract = {r.node: r.dist for r in distance_from_outlet(
+        e, outlet, force_distributed=True, algorithm="contract",
+        metrics=m_c).collect()}
+    d_rounds = {r.node: r.dist for r in distance_from_outlet(
+        e, outlet, force_distributed=True, algorithm="rounds",
+        metrics=TraversalMetrics()).collect()}
+    d_local = {r.node: r.dist for r in
+               distance_from_outlet(e, outlet).collect()}
+    assert d_contract == d_rounds == d_local
+    # the contract path's own relaxation ran on the ~8-junction graph
+    relax_rounds = len([r for r in m_c.rounds
+                        if r.get("op") == "distance_from_outlet"
+                        and "round" in r])
+    contract_modes = [r for r in m_c.rounds if r.get("mode") == "contract"]
+    assert contract_modes and contract_modes[0]["super_edges"] < n // 10
+
+
+def test_bounded_max_iter_truncates_bfs(spark):
+    """max_iter as a semantic depth bound must be honored (ADVICE r1):
+    bounded calls pin the round-based path on every input size."""
+    e = _deep_chain_edges(spark, 50)
+    outlet = spark.createDataFrame([(0,)], "node long")
+    v = {r.node for r in
+         select_connected(e, outlet, "both", max_iter=3).collect()}
+    assert v == {0, 1, 2, 3}
+
+
 def test_local_and_distributed_orders_agree(spark, tree, outlet):
     """upstream / Hack / Strahler local fast paths must equal the
     distributed fixpoints exactly (floats bit-identical, same nulls)."""
