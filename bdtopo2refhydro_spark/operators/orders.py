@@ -241,23 +241,10 @@ def measure_from_outlet(edges_nodes: DataFrame, outlet_nodes: DataFrame,
     )
 
 
-def upstream_length(edges_nodes: DataFrame, key: str = "url",
-                    len_col: str = "len", max_iter: int = 500,
-                    metrics: TraversalMetrics | None = None) -> DataFrame:
-    """Longest upstream path above each edge (drained length proxy): ul(e) =
-    len(e) + max(ul(u) for u with u.NODEB == e.NODEA, default 0). Fixpoint
-    bottom-up; feeds Hack ordering."""
-    e = edges_nodes.select(key, "NODEA", "NODEB", F.col(len_col).alias("_len")) \
-                   .localCheckpoint()
-    n_e = e.count()
-    if n_e <= _SMALL_GRAPH_ROWS:
-        # small-graph fast path: single-task topological pass with the
-        # same len + max(upstream) float ops (operators/_local.py)
-        from ._local import local_upstream
-
-        if metrics is not None:
-            metrics.add(op="upstream_length", mode="local", edges=n_e)
-        return local_upstream(e, key)
+def _upstream_rounds(e: DataFrame, key: str, n_e: int, max_iter: int,
+                     metrics: TraversalMetrics | None) -> DataFrame:
+    """The literal bottom-up fixpoint over (key, NODEA, NODEB, _len):
+    one join round per network level."""
     ul = e.select(key, "NODEA", "NODEB", "_len", F.col("_len").alias("UL")) \
           .localCheckpoint()
 
@@ -289,45 +276,150 @@ def upstream_length(edges_nodes: DataFrame, key: str = "url",
     return ul.select(key, "UL")
 
 
-def hack_order(edges_nodes: DataFrame, outlet_nodes: DataFrame,
-               key: str = "url", len_col: str = "len", max_iter: int = 500,
-               metrics: TraversalMetrics | None = None) -> DataFrame:
-    """G6 ~ fct:hackorder (create_5m_width_hydro_network.py:277-285): outlet
-    edges get order 1; walking upstream through each junction, the upstream
-    edge with the greatest drained (longest-upstream) length continues the
-    parent's order, the others get parent+1. Top-down propagation until all
-    edges ordered."""
-    ul = upstream_length(edges_nodes, key, len_col, max_iter, metrics)
-    e = edges_nodes.select(key, "NODEA", "NODEB").join(ul, key).localCheckpoint()
-    # main-stem flag: among edges sharing NODEB (a junction's upstream arms),
-    # the one with max UL continues the parent's order
-    best_up = (
-        e.groupBy("NODEB")
-        .agg(F.max(F.struct(F.col("UL"), F.col(key))).alias("_b"))
-        .select("NODEB", F.col(f"_b.{key}").alias("_main_key"))
-    )
-    e = e.join(best_up, "NODEB", "left") \
-         .withColumn("_is_main", F.col(key) == F.col("_main_key")) \
-         .drop("_main_key").localCheckpoint()
-    n_e = e.count()
-    if n_e <= _SMALL_GRAPH_ROWS:
-        # small-graph fast path: 0/1-weight Dijkstra over parent paths —
-        # the same integer min-fixpoint as the propagation loop
-        from ._local import local_hack
+def _chained_with_buckets(e: DataFrame, key: str,
+                          exclude_nodes: DataFrame | None = None) -> DataFrame:
+    """(all e columns, chain_id, bk): chain label per edge + pandas bucket
+    (see aggregate.py — grouping thousands of tiny chains directly costs a
+    per-group Arrow round trip each)."""
+    from .aggregate import _chain_roots
 
-        tagged = e.join(
-            outlet_nodes.select("node").dropDuplicates(["node"])
-            .withColumnRenamed("node", "NODEB")
-            .withColumn("_is_outlet", F.lit(True)),
-            "NODEB", "left",
-        ).select(
-            key, "NODEA", "NODEB",
-            F.col("_is_main").alias("is_main"),
-            F.coalesce("_is_outlet", F.lit(False)).alias("is_outlet"),
-        )
+    roots = _chain_roots(e.select(key, "NODEA", "NODEB"), key,
+                         exclude_nodes=exclude_nodes)
+    return e.join(roots, key).withColumn(
+        "bk", F.pmod(F.xxhash64("chain_id"), F.lit(_N_CHAIN_BUCKETS)))
+
+
+def _chain_span(chained: DataFrame, key: str) -> DataFrame:
+    """Per chain: head NODEA and tail NODEB via two anti-joins (no pandas).
+    head = the edge whose NODEA is no chain-mate's NODEB; tail = the edge
+    labelled chain_id (== its own key). Pass-through rings have no head
+    and drop out (they can't carry an order/measure anyway)."""
+    heads = chained.join(
+        chained.select("chain_id", F.col("NODEB").alias("NODEA")),
+        ["chain_id", "NODEA"], "left_anti",
+    ).select("chain_id", F.col("NODEA").alias("_head_a"))
+    tails = chained.filter(F.col(key) == F.col("chain_id")) \
+                   .select("chain_id", F.col("NODEB").alias("_tail_b"))
+    return heads.join(tails, "chain_id")
+
+
+def _upstream_contract(e: DataFrame, key: str,
+                       metrics: TraversalMetrics | None) -> DataFrame:
+    """O(junction depth) upstream length: contract degree-2 chains, run
+    the fixpoint on the junction graph (usually small enough for the
+    single-task path), then recover every member's UL with one exact
+    in-order pandas pass per chain (UL(e_i) = len_i + UL(e_{i-1}), head →
+    tail, seeded by the max over the head junction's upstream arms).
+    Same float contract as _distance_contract: super-edge weights are
+    pre-folded, so junction-crossing sums are bit-exact for
+    integer-valued lens, ≤ulps otherwise; recovered members are exact
+    folds of their seed either way."""
+    chained = _chained_with_buckets(e, key).localCheckpoint()
+    key_t = {f.name: f.dataType.simpleString() for f in e.schema.fields}[key]
+
+    sup_schema = f"chain_id {key_t}, NODEA long, NODEB long, len double"
+
+    def _super(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for cid, g in pdf.groupby("chain_id", sort=False):
+            rows = list(g[["NODEA", "NODEB", "elen"]].itertuples(index=False))
+            by_src = {r.NODEA: r for r in rows}
+            dsts = {r.NODEB for r in rows}
+            heads = [r for r in rows if r.NODEA not in dsts]
+            if not heads:
+                continue
+            cur, seq = heads[0], []
+            while cur is not None and len(seq) < len(rows):
+                seq.append(cur)
+                cur = by_src.get(cur.NODEB)
+            w = 0.0
+            for r in seq:              # fold in walk order: lk+(...(l2+l1))
+                w = r.elen + w
+            out.append((cid, int(seq[0].NODEA), int(seq[-1].NODEB), float(w)))
+        return pd.DataFrame(out, columns=["chain_id", "NODEA", "NODEB", "len"])
+
+    pre = chained.select("chain_id", "bk", "NODEA", "NODEB",
+                         F.col("_len").alias("elen"))
+    super_e = pre.groupBy("bk").applyInPandas(_super, sup_schema) \
+                 .localCheckpoint()
+    if metrics is not None:
+        metrics.add(op="upstream_length", mode="contract",
+                    edges=chained.count(), super_edges=super_e.count())
+    uls = upstream_length(super_e, key="chain_id", len_col="len",
+                          metrics=metrics, algorithm="_local_or_rounds")
+    # seed per chain = max UL over super-arms draining into the head node
+    arm_max = (
+        super_e.select(F.col("NODEB").alias("_head_a"),
+                       F.col("chain_id").alias("_arm"))
+        .join(uls.withColumnRenamed("chain_id", "_arm"), "_arm")
+        .groupBy("_head_a").agg(F.max("UL").alias("_seed"))
+    )
+    seeded = (
+        _chain_span(chained, key)
+        .join(arm_max, "_head_a", "left")
+        .select("chain_id", F.coalesce("_seed", F.lit(0.0)).alias("seed"))
+    )
+    ch2 = chained.select("chain_id", "bk", key, "NODEA", "NODEB",
+                         F.col("_len").alias("elen")) \
+                 .join(seeded, "chain_id")
+
+    rec_schema = f"{key} {key_t}, UL double"
+
+    def _recover(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for cid, g in pdf.groupby("chain_id", sort=False):
+            rows = list(g[[key, "NODEA", "NODEB", "elen", "seed"]]
+                        .itertuples(index=False))
+            by_src = {r.NODEA: r for r in rows}
+            dsts = {r.NODEB for r in rows}
+            heads = [r for r in rows if r.NODEA not in dsts]
+            if not heads:
+                continue
+            cur, u, n = heads[0], rows[0].seed, 0
+            while cur is not None and n < len(rows):
+                u = cur.elen + u
+                out.append((getattr(cur, key), float(u)))
+                n += 1
+                cur = by_src.get(cur.NODEB)
+        return pd.DataFrame(out, columns=[key, "UL"])
+
+    return ch2.groupBy("bk").applyInPandas(_recover, rec_schema)
+
+
+def upstream_length(edges_nodes: DataFrame, key: str = "url",
+                    len_col: str = "len", max_iter: int = 500,
+                    metrics: TraversalMetrics | None = None,
+                    algorithm: str = "auto") -> DataFrame:
+    """Longest upstream path above each edge (drained length proxy): ul(e) =
+    len(e) + max(ul(u) for u with u.NODEB == e.NODEA, default 0). Feeds
+    Hack ordering.
+
+    algorithm: 'auto' → single-task topological pass below
+    SMALL_GRAPH_ROWS, chain contraction above (_upstream_contract,
+    rounds ~ junction depth); 'rounds' → the literal bottom-up fixpoint
+    (rounds ~ network depth)."""
+    e = edges_nodes.select(key, "NODEA", "NODEB", F.col(len_col).alias("_len")) \
+                   .localCheckpoint()
+    n_e = e.count()
+    if (n_e <= _SMALL_GRAPH_ROWS
+            and algorithm in ("auto", "contract", "_local_or_rounds")):
+        # small-graph fast path: single-task topological pass with the
+        # same len + max(upstream) float ops (operators/_local.py)
+        from ._local import local_upstream
+
         if metrics is not None:
-            metrics.add(op="hack_order", mode="local", edges=n_e)
-        return edges_nodes.join(local_hack(tagged, key), key, "left")
+            metrics.add(op="upstream_length", mode="local", edges=n_e)
+        return local_upstream(e, key)
+    if algorithm in ("auto", "contract"):
+        return _upstream_contract(e, key, metrics)
+    return _upstream_rounds(e, key, n_e, max_iter, metrics)
+
+
+def _hack_propagate(e: DataFrame, outlet_nodes: DataFrame, key: str,
+                    n_e: int, max_iter: int,
+                    metrics: TraversalMetrics | None) -> DataFrame:
+    """The literal top-down propagation over (key, NODEA, NODEB, _is_main):
+    one join round per network level. Returns (key, HACK)."""
     hack = (
         e.join(outlet_nodes.withColumnRenamed("node", "NODEB"), "NODEB",
                "left_semi")
@@ -355,24 +447,133 @@ def hack_order(edges_nodes: DataFrame, outlet_nodes: DataFrame,
             hack = new_hack
             if n_new == 0:
                 break
+    return hack
+
+
+def hack_order(edges_nodes: DataFrame, outlet_nodes: DataFrame,
+               key: str = "url", len_col: str = "len", max_iter: int = 500,
+               metrics: TraversalMetrics | None = None,
+               algorithm: str = "auto") -> DataFrame:
+    """G6 ~ fct:hackorder (create_5m_width_hydro_network.py:277-285): outlet
+    edges get order 1; walking upstream through each junction, the upstream
+    edge with the greatest drained (longest-upstream) length continues the
+    parent's order, the others get parent+1. Top-down propagation until all
+    edges ordered.
+
+    algorithm 'auto': single-task below SMALL_GRAPH_ROWS; above it the
+    propagation runs on the degree-2-contracted junction graph — HACK is
+    CONSTANT along a chain (each interior node has exactly one upstream
+    arm, so is_main is vacuously true), so the chain's tail-edge order is
+    every member's order; rounds scale with junction depth. Orders are
+    integers — contraction is exactly equal to the round loop.
+    'rounds' forces the literal per-level loop."""
+    ul = upstream_length(edges_nodes, key, len_col, max_iter, metrics)
+    e = edges_nodes.select(key, "NODEA", "NODEB").join(ul, key).localCheckpoint()
+    # main-stem flag: among edges sharing NODEB (a junction's upstream arms),
+    # the one with max UL continues the parent's order
+    best_up = (
+        e.groupBy("NODEB")
+        .agg(F.max(F.struct(F.col("UL"), F.col(key))).alias("_b"))
+        .select("NODEB", F.col(f"_b.{key}").alias("_main_key"))
+    )
+    e = e.join(best_up, "NODEB", "left") \
+         .withColumn("_is_main", F.col(key) == F.col("_main_key")) \
+         .drop("_main_key").localCheckpoint()
+    n_e = e.count()
+    if (n_e <= _SMALL_GRAPH_ROWS
+            and algorithm in ("auto", "contract", "_local_or_rounds")):
+        # small-graph fast path: 0/1-weight Dijkstra over parent paths —
+        # the same integer min-fixpoint as the propagation loop
+        from ._local import local_hack
+
+        tagged = e.join(
+            outlet_nodes.select("node").dropDuplicates(["node"])
+            .withColumnRenamed("node", "NODEB")
+            .withColumn("_is_outlet", F.lit(True)),
+            "NODEB", "left",
+        ).select(
+            key, "NODEA", "NODEB",
+            F.col("_is_main").alias("is_main"),
+            F.coalesce("_is_outlet", F.lit(False)).alias("is_outlet"),
+        )
+        if metrics is not None:
+            metrics.add(op="hack_order", mode="local", edges=n_e)
+        return edges_nodes.join(local_hack(tagged, key), key, "left")
+    if algorithm in ("auto", "contract"):
+        # contract chains, breaking them at outlet nodes so an outlet edge
+        # is always a chain tail (members downstream of an outlet edge
+        # must stay unordered, exactly as in the round loop)
+        chained = _chained_with_buckets(e, key, exclude_nodes=outlet_nodes) \
+            .localCheckpoint()
+        span = _chain_span(chained, key)
+        tails = chained.filter(F.col(key) == F.col("chain_id")) \
+                       .select("chain_id", F.col("_is_main").alias("t_main"))
+        super_e = (
+            span.join(tails, "chain_id")
+            .select(F.col("chain_id").alias(key),
+                    F.col("_head_a").alias("NODEA"),
+                    F.col("_tail_b").alias("NODEB"),
+                    F.col("t_main").alias("_is_main"))
+        ).localCheckpoint()
+        n_s = super_e.count()
+        if metrics is not None:
+            metrics.add(op="hack_order", mode="contract", edges=n_e,
+                        super_edges=n_s)
+        hs = _hack_propagate(super_e, outlet_nodes, key, n_s, max_iter,
+                             metrics)
+        member_hack = (
+            chained.select(key, "chain_id")
+            .join(hs.withColumnRenamed(key, "chain_id"), "chain_id")
+            .select(key, "HACK")
+        )
+        return edges_nodes.join(member_hack, key, "left")
+    hack = _hack_propagate(e, outlet_nodes, key, n_e, max_iter, metrics)
     return edges_nodes.join(hack, key, "left")
 
 
 def strahler_order(edges_nodes: DataFrame, key: str = "url",
                    max_iter: int = 500,
-                   metrics: TraversalMetrics | None = None) -> DataFrame:
+                   metrics: TraversalMetrics | None = None,
+                   algorithm: str = "auto") -> DataFrame:
     """G7 ~ fct:strahlerorder (create_5m_width_hydro_network.py:289-296):
     leaves = 1; an edge whose upstream arms are all ordered gets
-    max(up) + (1 if the max occurs ≥2 times else 0). Bottom-up fixpoint."""
+    max(up) + (1 if the max occurs ≥2 times else 0). Bottom-up fixpoint.
+
+    algorithm 'auto': single-task below SMALL_GRAPH_ROWS; above it the
+    fixpoint runs on the degree-2-contracted junction graph — Strahler is
+    CONSTANT along a chain (one upstream arm at every interior node, so
+    max+0 propagates unchanged), so rounds scale with junction depth.
+    Orders are integers — contraction equals the round loop exactly.
+    'rounds' forces the literal per-level loop."""
     e = edges_nodes.select(key, "NODEA", "NODEB").localCheckpoint()
     n_edges = e.count()
-    if n_edges <= _SMALL_GRAPH_ROWS:
+    if (n_edges <= _SMALL_GRAPH_ROWS
+            and algorithm in ("auto", "contract", "_local_or_rounds")):
         # small-graph fast path: single-task topological Strahler pass
         from ._local import local_strahler
 
         if metrics is not None:
             metrics.add(op="strahler", mode="local", edges=n_edges)
         return edges_nodes.join(local_strahler(e, key), key, "left")
+    if algorithm in ("auto", "contract"):
+        chained = _chained_with_buckets(e, key).localCheckpoint()
+        super_e = _chain_span(chained, key).select(
+            F.col("chain_id").alias(key),
+            F.col("_head_a").alias("NODEA"),
+            F.col("_tail_b").alias("NODEB"),
+        )
+        if metrics is not None:
+            metrics.add(op="strahler", mode="contract", edges=n_edges,
+                        super_edges=super_e.count())
+        ss = strahler_order(super_e, key, max_iter, metrics,
+                            algorithm="_local_or_rounds")
+        member = (
+            chained.select(key, "chain_id")
+            .join(ss.select(F.col(key).alias("chain_id"), "STRAHLER"),
+                  "chain_id")
+            .select(key, "STRAHLER")
+        )
+        return edges_nodes.join(member, key, "left")
     # leaves: no upstream edge ends at my NODEA
     strahler = (
         e.join(e.select(F.col("NODEB").alias("NODEA")), "NODEA", "left_anti")

@@ -358,6 +358,42 @@ def test_log_depth_paths_match_rounds_on_deep_chain(spark):
     assert contract_modes and contract_modes[0]["super_edges"] < n // 10
 
 
+def test_order_contract_paths_match_rounds(spark):
+    """upstream_length / hack_order / strahler_order contraction must
+    equal the literal round loops exactly (integer lens → UL float order
+    immaterial; HACK/STRAHLER are integers always)."""
+    import bdtopo2refhydro_spark.operators.orders as O
+    from bdtopo2refhydro_spark.operators import upstream_length
+
+    e = _deep_chain_edges(spark, 90, branch_every=30).cache()
+    outlet = spark.createDataFrame([(0,)], "node long")
+
+    def run(algorithm):
+        ul = {r.url: r.UL for r in
+              upstream_length(e, algorithm=algorithm).collect()}
+        hk = {r.url: r.HACK for r in
+              hack_order(e, outlet, algorithm=algorithm).collect()}
+        st = {r.url: r.STRAHLER for r in
+              strahler_order(e, algorithm=algorithm).collect()}
+        return ul, hk, st
+
+    local = run("auto")                     # below threshold → local
+    old = O._SMALL_GRAPH_ROWS
+    try:
+        O._SMALL_GRAPH_ROWS = -1
+        import bdtopo2refhydro_spark.operators.aggregate as A
+        import bdtopo2refhydro_spark.operators._local as L
+        A._SMALL_GRAPH_ROWS = -1
+        L.SMALL_GRAPH_ROWS = -1
+        contract = run("contract")
+        rounds = run("rounds")
+    finally:
+        O._SMALL_GRAPH_ROWS = old
+        A._SMALL_GRAPH_ROWS = old
+        L.SMALL_GRAPH_ROWS = old
+    assert contract == rounds == local
+
+
 def test_bounded_max_iter_truncates_bfs(spark):
     """max_iter as a semantic depth bound must be honored (ADVICE r1):
     bounded calls pin the round-based path on every input size."""
