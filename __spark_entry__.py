@@ -1532,6 +1532,49 @@ def _q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_INGEST_SQL = "SELECT doc_id, text, lang FROM documents"
 
 
+def _q_stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming op (applyInPandasWithState): exactly one
+    deterministic representative row per `source` across micro-batches —
+    cross-batch state, not dropDuplicates-within-batch."""
+    from bdtopo2refhydro_spark.streaming import stream_dedup_stateful
+
+    out = stream_dedup_stateful(spark, f"{sf_dir}/documents.parquet",
+                                key="source",
+                                query_name="stream_dedup_docs")
+    return out.select("source", "doc_id", "n_chars")
+
+
+_STREAM_DEDUP_SQL = """
+SELECT source, doc_id, n_chars FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY source
+    ORDER BY doc_id, lang, n_chars, source, text
+  ) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+def _q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked event-time tumbling-window aggregation on the events
+    stream (1h windows × event_type), availableNow-drained; the oracle is
+    the equivalent batch GROUP BY over date_trunc'd timestamps."""
+    from bdtopo2refhydro_spark.streaming import stream_windowed_counts
+
+    out = stream_windowed_counts(spark, f"{sf_dir}/events.parquet",
+                                 time_col="ts", group_col="event_type",
+                                 query_name="stream_window_events")
+    return out.select(F.col("w_start").cast("string").alias("w_start"),
+                      "event_type", "n")
+
+
+_STREAM_WINDOW_SQL = """
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS w_start,
+       event_type, count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 def _q_width_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.3 analytic pipeline end-to-end (J2 clip → J9 zonal filter → J10
     outlet re-add → G3 connectivity repair → G5 measure → G6 Hack → G7
@@ -1779,6 +1822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": _q_video_frames,
         "geoparse": _q_geoparse,
         "stream_ingest": _q_stream_ingest,
+        "stream_dedup_state": _q_stream_dedup_state,
+        "stream_window_counts": _q_stream_window_counts,
         "width_network": _q_width_network,
         "width_tail": _q_width_tail,
         "tile_assign": _q_tile_assign,
@@ -1847,6 +1892,8 @@ def oracle_sql() -> dict[str, str]:
         "video_frames": _VIDEO_SQL,
         "geoparse": _GEOPARSE_SQL,
         "stream_ingest": _STREAM_INGEST_SQL,
+        "stream_dedup_state": _STREAM_DEDUP_SQL,
+        "stream_window_counts": _STREAM_WINDOW_SQL,
         "tile_assign": _TILE_SQL,
         "cover_count": _COVER_SQL,
         "pip_join": _PIP_SQL,

@@ -1,0 +1,123 @@
+"""Custom stateful / windowed streaming operators.
+
+The reference is pure batch, so nothing here re-creates reference
+semantics; these are the streaming operators a continuously-landing crawl
+pipeline needs (SURVEY.md §2.7 scope note):
+
+- ``stream_dedup_stateful`` — cross-micro-batch exact dedup on a key via
+  ``applyInPandasWithState``: the first row ever seen for a key is
+  emitted, every later arrival (same batch or any later batch) is
+  dropped. State per key is one boolean; at 10^12 keys the state store is
+  partitioned by the groupBy key across executors, so state never
+  concentrates anywhere.
+- ``stream_windowed_counts`` — event-time tumbling-window counts with a
+  watermark for late data (the standard readStream → window agg shape).
+
+Both are drained with ``trigger(availableNow=True)`` into a memory sink
+for deterministic testing — the driver oracle replays them as plain SQL
+over the same parquet, proving stream/batch equivalence.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def _stream_reader(spark: SparkSession, path: str, schema,
+                   files_per_trigger: int | None = None):
+    reader = spark.readStream.schema(schema)
+    if files_per_trigger is not None:
+        # forces multi-micro-batch processing under availableNow — the
+        # cross-batch state path is what distinguishes these operators
+        # from a within-batch dropDuplicates
+        reader = reader.option("maxFilesPerTrigger", files_per_trigger)
+    if os.path.isfile(path):
+        # file-stream sources list a directory (streaming/ingest.py)
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    return reader.parquet(path)
+
+
+def _drain_to_memory(stream_df: DataFrame, query_name: str,
+                     output_mode: str) -> DataFrame:
+    spark = stream_df.sparkSession
+    for q in spark.streams.active:
+        if q.name == query_name:
+            q.stop()
+    spark.catalog.dropTempView(query_name)
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+def stream_dedup_stateful(spark: SparkSession, path: str, key: str,
+                          query_name: str = "stream_dedup",
+                          files_per_trigger: int | None = None) -> DataFrame:
+    """Exactly-once-per-key emission across micro-batches.
+
+    applyInPandasWithState contract: one state cell per key holding
+    ``seen``; the first micro-batch that delivers a key emits that key's
+    representative row (lexicographic min over all columns WITHIN that
+    batch — so the survivor is deterministic given the batch split, and
+    globally deterministic when the key arrives in one batch, which is
+    what the driver oracle replays) and flips the state; every later
+    batch's rows for that key are consumed and dropped."""
+    import pandas as pd
+
+    schema = spark.read.parquet(path).schema
+    out_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                        for f in schema.fields)
+    src = _stream_reader(spark, path, schema, files_per_trigger)
+
+    def _dedup(key_tuple, pdf_iter, state: GroupState):
+        batches = list(pdf_iter)
+        if state.exists:
+            return iter(())
+        state.update((True,))
+        all_rows = pd.concat(batches, ignore_index=True)
+        first = all_rows.sort_values(list(all_rows.columns)) \
+                        .head(1).reset_index(drop=True)
+        return iter((first,))
+
+    out = src.groupBy(key).applyInPandasWithState(
+        _dedup,
+        outputStructType=out_ddl,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _drain_to_memory(out, query_name, "append")
+
+
+def stream_windowed_counts(spark: SparkSession, path: str,
+                           time_col: str, group_col: str,
+                           query_name: str = "stream_windows",
+                           window: str = "1 hour",
+                           watermark: str = "2 hours") -> DataFrame:
+    """Tumbling event-time window counts per group with a late-data
+    watermark. Complete output mode so an availableNow drain emits every
+    window (append mode would hold back windows newer than the final
+    watermark)."""
+    schema = spark.read.parquet(path).schema
+    src = _stream_reader(spark, path, schema)
+    # event-time columns must be TIMESTAMP (with local tz) — parquet NTZ
+    # timestamps are re-cast in the session timezone (UTC in this engine's
+    # session factory, so wall values are unchanged)
+    src = src.withColumn(time_col, F.col(time_col).cast("timestamp"))
+    agg = (
+        src.withWatermark(time_col, watermark)
+        .groupBy(F.window(time_col, window).alias("w"), group_col)
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("w_start"), group_col, "n")
+    )
+    return _drain_to_memory(agg, query_name, "complete")
