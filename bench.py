@@ -57,11 +57,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     t_all = time.monotonic()
     for name in headline:
-        # best of 2: single walls on this virtualized box swing up to 2-5x
-        # (scheduler noise, load-dependent clocking); the min is the
-        # reproducible capability number
+        # best of 3: single walls on this virtualized box swing up to 2-5x
+        # (scheduler noise, load-dependent clocking — three same-day clean
+        # runs of this script measured 33.5s/54.6s/67.2s totals); the min
+        # is the reproducible capability number
         walls = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.monotonic()
             df = qs[name](spark, sf_dir)
             n = force(df)
