@@ -325,6 +325,8 @@ def select_connected(edges_nodes: DataFrame, seed_nodes: DataFrame,
     # round-based path (directed log-depth would need transitive-closure
     # doubling — an edge blowup, not worth it for river depths)
     if not bounded and direction == "both" and algorithm in ("auto", "cc"):
+        if metrics is not None:
+            metrics.add(op="select_connected", mode="cc", adj_rows=n_adj)
         labels = connected_components(adj, metrics=metrics)
         seed_labels = (
             labels.join(seed_nodes.select("node"), "node", "left_semi")

@@ -464,9 +464,19 @@ def hack_order(edges_nodes: DataFrame, outlet_nodes: DataFrame,
     propagation runs on the degree-2-contracted junction graph — HACK is
     CONSTANT along a chain (each interior node has exactly one upstream
     arm, so is_main is vacuously true), so the chain's tail-edge order is
-    every member's order; rounds scale with junction depth. Orders are
-    integers — contraction is exactly equal to the round loop.
-    'rounds' forces the literal per-level loop."""
+    every member's order; rounds scale with junction depth.
+    'rounds' forces the literal per-level loop.
+
+    Contract/rounds equality caveat (ADVICE r2): the HACK propagation
+    itself is integer-exact, but the _is_main flag is derived from
+    upstream_length, whose contract path deviates ≤ulps from the round
+    loop for NON-INTEGER edge lengths — a near-tie junction could then
+    flip the main-stem choice between algorithms and change integer HACK
+    orders downstream. Equality across algorithm= values is therefore
+    EXACT for integer-valued len_col (all driver fixtures and reference
+    data at mm precision) and inherits upstream_length's ulp caveat
+    otherwise. The flag is computed ONCE here (not per algorithm branch),
+    so within a single call every branch sees the same _is_main."""
     ul = upstream_length(edges_nodes, key, len_col, max_iter, metrics)
     e = edges_nodes.select(key, "NODEA", "NODEB").join(ul, key).localCheckpoint()
     # main-stem flag: among edges sharing NODEB (a junction's upstream arms),

@@ -101,6 +101,27 @@ def write_iceberg(df: DataFrame, table: str,
     w.createOrReplace()
 
 
+def _dedupe_incoming(incoming: DataFrame, key: str) -> DataFrame:
+    """A MERGE source must be unique on the merge key: duplicate keys in
+    one incoming batch (likely for crawl data) would raise Iceberg's
+    'multiple matching source rows' on the upsert path and double-insert
+    on the append-skip path, breaking target key uniqueness for every
+    later merge (ADVICE r2). Keep one row per key under a deterministic
+    total order — all non-key columns ascending, the same take-first
+    discipline as relational.take_first_join / streaming stream_dedup."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    others = sorted(c for c in incoming.columns if c != key)
+    order = [F.col(c) for c in others] or [F.col(key)]
+    w = Window.partitionBy(key).orderBy(*order)
+    return (
+        incoming.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def merge_append_skip_duplicates(spark: SparkSession, target_table: str,
                                  incoming: DataFrame,
                                  key: str = "url") -> None:
@@ -110,7 +131,7 @@ def merge_append_skip_duplicates(spark: SparkSession, target_table: str,
     whole table (operators/relational.append_skip_duplicates is the
     DataFrame equivalent for non-catalog tables)."""
     _require_iceberg(spark)
-    incoming.createOrReplaceTempView("_merge_incoming")
+    _dedupe_incoming(incoming, key).createOrReplaceTempView("_merge_incoming")
     spark.sql(f"""
         MERGE INTO {target_table} t
         USING _merge_incoming s
@@ -124,7 +145,7 @@ def merge_upsert(spark: SparkSession, target_table: str,
     """J5+J7 combined on the catalog path (fix_connection insert-if-absent
     + fix_modified_geom overwrite-by-key as one MERGE)."""
     _require_iceberg(spark)
-    incoming.createOrReplaceTempView("_merge_incoming")
+    _dedupe_incoming(incoming, key).createOrReplaceTempView("_merge_incoming")
     spark.sql(f"""
         MERGE INTO {target_table} t
         USING _merge_incoming s

@@ -67,11 +67,14 @@ def stream_dedup_stateful(spark: SparkSession, path: str, key: str,
 
     applyInPandasWithState contract: one state cell per key holding
     ``seen``; the first micro-batch that delivers a key emits that key's
-    representative row (lexicographic min over all columns WITHIN that
-    batch — so the survivor is deterministic given the batch split, and
-    globally deterministic when the key arrives in one batch, which is
-    what the driver oracle replays) and flips the state; every later
-    batch's rows for that key are consumed and dropped."""
+    representative row (lexicographic min over ``sorted(columns)`` WITHIN
+    that batch — an EXPLICIT name-sorted order, not parquet schema order,
+    so the oracle SQL's ORDER BY list is identical by construction and a
+    schema reorder cannot silently break parity [ADVICE r2]; the survivor
+    is deterministic given the batch split, and globally deterministic
+    when the key arrives in one batch, which is what the driver oracle
+    replays) and flips the state; every later batch's rows for that key
+    are consumed and dropped."""
     import pandas as pd
 
     schema = spark.read.parquet(path).schema
@@ -85,7 +88,7 @@ def stream_dedup_stateful(spark: SparkSession, path: str, key: str,
             return iter(())
         state.update((True,))
         all_rows = pd.concat(batches, ignore_index=True)
-        first = all_rows.sort_values(list(all_rows.columns)) \
+        first = all_rows.sort_values(sorted(all_rows.columns)) \
                         .head(1).reset_index(drop=True)
         return iter((first,))
 

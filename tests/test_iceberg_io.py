@@ -59,3 +59,28 @@ def test_merge_upsert_overwrites_and_inserts(iceberg):
     got = {(r.url, r.v) for r in
            spark.read.table("default.merge_upsert_t").collect()}
     assert got == {("u1", 1), ("u2", 99), ("u3", 3)}
+
+
+def test_merge_source_dedupe_is_deterministic_take_first(spark):
+    """ADVICE r2 (medium): the MERGE source must be unique on the key —
+    duplicate keys in one incoming crawl batch would raise Iceberg's
+    'multiple matching source rows' (upsert) or double-insert
+    (append-skip). _dedupe_incoming keeps one row per key under the
+    name-sorted non-key column order; pure DataFrame logic, so this runs
+    without Iceberg jars."""
+    from bdtopo2refhydro_spark.sources.io import _dedupe_incoming
+
+    inc = spark.createDataFrame(
+        [
+            ("u1", "b-geom", 2),
+            ("u1", "a-geom", 9),  # survivor: lowest (geom, v)
+            ("u2", "x", 1),
+        ],
+        "url string, geom string, v int",
+    )
+    out = {r["url"]: (r["geom"], r["v"])
+           for r in _dedupe_incoming(inc, "url").collect()}
+    assert out == {"u1": ("a-geom", 9), "u2": ("x", 1)}
+    # key-only frame: still collapses to one row per key
+    solo = spark.createDataFrame([("k",), ("k",)], "url string")
+    assert _dedupe_incoming(solo, "url").count() == 1

@@ -219,6 +219,34 @@ def test_ivf_ann_buckets_and_ranks(emb):
                for r in out.collect())
 
 
+def test_ivf_kmeans_recall_beats_standin_and_grows_with_probe(spark):
+    """VERDICT r2 #3 'done' criterion: recall@5 vs cosine_topk ground truth
+    on the sf0.001 embeddings — k-means centroids beat the lowest-vec_id
+    stand-in, and probe=2 beats probe=1. Values are deterministic
+    (integer-quantized Lloyd updates), so the floors are pinned with
+    margin: measured 0.202 (stand-in) / 0.2564 (kmeans p1) / 0.41 (p2)."""
+    from bdtopo2refhydro_spark.operators.ann import (
+        cosine_topk,
+        ivf_ann_topk,
+        ivf_kmeans_ann_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    truth = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, k=5).collect()}
+
+    def recall(df):
+        got = {(r.query_id, r.neighbor_id) for r in df.collect()}
+        return len(got & truth) / len(truth)
+
+    r_standin = recall(ivf_ann_topk(emb, k=5))
+    r_p1 = recall(ivf_kmeans_ann_topk(emb, k=5, probe=1))
+    r_p2 = recall(ivf_kmeans_ann_topk(emb, k=5, probe=2))
+    assert r_p1 > r_standin
+    assert r_p2 > r_p1
+    assert r_p1 >= 0.22 and r_p2 >= 0.35
+
+
 def test_token_counts_bpe(spark):
     from bdtopo2refhydro_spark.operators.text import token_counts_bpe
 
