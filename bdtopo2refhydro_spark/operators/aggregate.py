@@ -48,12 +48,15 @@ def _chain_roots(e: DataFrame, key: str, max_rounds: int = 64,
               "node")
         .select("k", "nk")
     )
-    ptr = (
+    from ._ckpt import CheckpointSlots
+
+    slots = CheckpointSlots()
+    ptr = slots.checkpoint(
         e.select(F.col(key).alias("k"))
         .join(nxt, "k", "left")
         .withColumn("p", F.coalesce("nk", "k"))
-        .select("k", "p")
-        .localCheckpoint()
+        .select("k", "p"),
+        "ptr",
     )
     n_ptr = ptr.count()
     if n_ptr <= _SMALL_GRAPH_ROWS:
@@ -72,12 +75,13 @@ def _chain_roots(e: DataFrame, key: str, max_rounds: int = 64,
     sig = _sig(ptr)
     with loop_profile(ptr, n_ptr):
         for _ in range(max_rounds):
-            jumped = (
+            # slot checkpoint frees the superseded jump round (_ckpt.py)
+            jumped = slots.checkpoint(
                 ptr.alias("a")
                 .join(ptr.select(F.col("k").alias("p"),
                                  F.col("p").alias("pp")).alias("b"), "p")
-                .select("k", F.col("pp").alias("p"))
-                .localCheckpoint()
+                .select("k", F.col("pp").alias("p")),
+                "ptr",
             )
             new_sig = _sig(jumped)
             ptr = jumped

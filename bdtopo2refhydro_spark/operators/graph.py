@@ -238,11 +238,14 @@ def connected_components(adj: DataFrame, max_rounds: int = 64,
     Round cost is 3 shuffles (propagate join, min-agg, shortcut join)
     vs the BFS round's 1, but a 10^4-deep chain converges in ~15 rounds
     instead of 10^4."""
-    lab = (
+    from ._ckpt import CheckpointSlots
+
+    slots = CheckpointSlots()
+    lab = slots.checkpoint(
         adj.select("node").union(adj.select(F.col("nbr").alias("node")))
         .distinct()
-        .withColumn("l", F.col("node"))
-        .localCheckpoint()
+        .withColumn("l", F.col("node")),
+        "lab",
     )
     n_lab = lab.count()
 
@@ -264,13 +267,16 @@ def connected_components(adj: DataFrame, max_rounds: int = 64,
             )
             # shortcut: l''(v) = l'(l'(v)) — labels are node ids, so the
             # label table doubles as the pointer table
-            lab2 = (
+            # slot checkpoint: the superseded round's blocks are freed the
+            # moment lab2 is materialized (operators/_ckpt.py) — bounded
+            # state instead of an orphaned-block backlog per round
+            lab2 = slots.checkpoint(
                 lab1.join(
                     lab1.select(F.col("node").alias("l"),
                                 F.col("l").alias("_ll")),
                     "l", "left")
-                .select("node", F.coalesce("_ll", "l").alias("l"))
-                .localCheckpoint()
+                .select("node", F.coalesce("_ll", "l").alias("l")),
+                "lab",
             )
             new_sig = _sig(lab2)
             lab = lab2
@@ -396,8 +402,11 @@ def fix_network_connectivity(full_edges: DataFrame, subset_keys: DataFrame,
     re-BFS. Each outer round admits only edges adjacent to the reached
     frontier, so admitted canals form connecting paths, not the whole canal
     web. Returns the kept key set (subset + admitted)."""
+    from ._ckpt import CheckpointSlots
+
+    slots = CheckpointSlots()
     full_edges = full_edges.select(key, "NODEA", "NODEB").localCheckpoint()
-    kept_keys = subset_keys.select(key).localCheckpoint()
+    kept_keys = slots.checkpoint(subset_keys.select(key), "kept")
     for outer in range(max_outer):
         kept_edges = full_edges.join(kept_keys, key, "left_semi")
         reached = select_connected(kept_edges, outlet_nodes, "both",
@@ -431,5 +440,6 @@ def fix_network_connectivity(full_edges: DataFrame, subset_keys: DataFrame,
         n_added = touching.count()
         if n_added == 0:
             break  # disconnected beyond repair — reference keeps going too
-        kept_keys = kept_keys.union(touching).distinct().localCheckpoint()
+        kept_keys = slots.checkpoint(kept_keys.union(touching).distinct(),
+                                     "kept")
     return kept_keys

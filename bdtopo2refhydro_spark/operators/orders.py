@@ -170,7 +170,11 @@ def distance_from_outlet(edges_nodes: DataFrame, outlet_nodes: DataFrame,
         return local_sssp(e, outlet_nodes)
     if not bounded and algorithm in ("auto", "contract"):
         return _distance_contract(e, outlet_nodes, metrics)
-    dist = outlet_nodes.select("node", F.lit(0.0).alias("dist")).localCheckpoint()
+    from ._ckpt import CheckpointSlots
+
+    slots = CheckpointSlots()
+    dist = slots.checkpoint(
+        outlet_nodes.select("node", F.lit(0.0).alias("dist")), "dist")
 
     def _state_sig(df: DataFrame):
         # order-independent fingerprint of the dist table — convergence is
@@ -190,10 +194,13 @@ def distance_from_outlet(edges_nodes: DataFrame, outlet_nodes: DataFrame,
                 .select(F.col("src").alias("node"),
                         (F.col("dist") + F.col("_len")).alias("dist"))
             )
-            new_dist = (
+            # slot checkpoint (operators/_ckpt.py): frees the superseded
+            # round's blocks deterministically once new_dist materializes
+            new_dist = slots.checkpoint(
                 dist.union(relaxed).groupBy("node")
-                .agg(F.min("dist").alias("dist"))
-            ).localCheckpoint()
+                .agg(F.min("dist").alias("dist")),
+                "dist",
+            )
             new_sig = _state_sig(new_dist)
             if metrics is not None:
                 metrics.add(op="distance_from_outlet", round=i,
@@ -245,8 +252,12 @@ def _upstream_rounds(e: DataFrame, key: str, n_e: int, max_iter: int,
                      metrics: TraversalMetrics | None) -> DataFrame:
     """The literal bottom-up fixpoint over (key, NODEA, NODEB, _len):
     one join round per network level."""
-    ul = e.select(key, "NODEA", "NODEB", "_len", F.col("_len").alias("UL")) \
-          .localCheckpoint()
+    from ._ckpt import CheckpointSlots
+
+    slots = CheckpointSlots()
+    ul = slots.checkpoint(
+        e.select(key, "NODEA", "NODEB", "_len", F.col("_len").alias("UL")),
+        "ul")
 
     def _sig(df: DataFrame):
         # order-independent state fingerprint (see distance_from_outlet)
@@ -260,12 +271,13 @@ def _upstream_rounds(e: DataFrame, key: str, n_e: int, max_iter: int,
                 ul.groupBy("NODEB").agg(F.max("UL").alias("_upmax"))
                 .withColumnRenamed("NODEB", "NODEA")
             )
-            new_ul = (
+            new_ul = slots.checkpoint(
                 e.join(up_max, "NODEA", "left")
                 .withColumn("UL",
                             F.col("_len") + F.coalesce("_upmax", F.lit(0.0)))
-                .drop("_upmax")
-            ).localCheckpoint()
+                .drop("_upmax"),
+                "ul",
+            )
             new_sig = _sig(new_ul)
             if metrics is not None:
                 metrics.add(op="upstream_length", round=i)
@@ -420,11 +432,16 @@ def _hack_propagate(e: DataFrame, outlet_nodes: DataFrame, key: str,
                     metrics: TraversalMetrics | None) -> DataFrame:
     """The literal top-down propagation over (key, NODEA, NODEB, _is_main):
     one join round per network level. Returns (key, HACK)."""
-    hack = (
+    from ._ckpt import CheckpointSlots
+
+    slots = CheckpointSlots()
+    hack = slots.checkpoint(
         e.join(outlet_nodes.withColumnRenamed("node", "NODEB"), "NODEB",
                "left_semi")
-        .select(key, F.lit(1).alias("HACK"))
-    ).localCheckpoint()
+        .select(key, F.lit(1).alias("HACK")),
+        "hack",
+    )
+    done = hack.count()
     with loop_profile(e, n_e):
         for i in range(max_iter):
             # child edge c (c.NODEB == parent.NODEA) inherits parent's
@@ -437,14 +454,18 @@ def _hack_propagate(e: DataFrame, outlet_nodes: DataFrame, key: str,
                 .select(key, F.when(F.col("_is_main"), F.col("_ph"))
                               .otherwise(F.col("_ph") + 1).alias("HACK"))
             )
-            new_hack = (
+            # slot checkpoint frees the superseded round (_ckpt.py); the
+            # running `done` count replaces re-counting the freed frame
+            new_hack = slots.checkpoint(
                 hack.union(child).groupBy(key)
-                .agg(F.min("HACK").alias("HACK"))
-            ).localCheckpoint()
-            n_new = new_hack.count() - hack.count()
+                .agg(F.min("HACK").alias("HACK")),
+                "hack",
+            )
+            new_done = new_hack.count()
+            n_new = new_done - done
             if metrics is not None:
                 metrics.add(op="hack_order", round=i, newly_ordered=n_new)
-            hack = new_hack
+            hack, done = new_hack, new_done
             if n_new == 0:
                 break
     return hack
@@ -584,11 +605,15 @@ def strahler_order(edges_nodes: DataFrame, key: str = "url",
             .select(key, "STRAHLER")
         )
         return edges_nodes.join(member, key, "left")
+    from ._ckpt import CheckpointSlots
+
+    slots = CheckpointSlots()
     # leaves: no upstream edge ends at my NODEA
-    strahler = (
+    strahler = slots.checkpoint(
         e.join(e.select(F.col("NODEB").alias("NODEA")), "NODEA", "left_anti")
-        .select(key, F.lit(1).alias("STRAHLER"))
-    ).localCheckpoint()
+        .select(key, F.lit(1).alias("STRAHLER")),
+        "strahler",
+    )
     done = strahler.count()
     with loop_profile(e, n_edges):
         for i in range(max_iter):
@@ -624,15 +649,18 @@ def strahler_order(edges_nodes: DataFrame, key: str = "url",
                 )
             )
             # checkpoint BEFORE counting: counting `ready` directly would
-            # compute it once uncached for the count and AGAIN for the union
-            new_strahler = strahler.union(ready).localCheckpoint()
+            # compute it once uncached for the count and AGAIN for the
+            # union. Slot checkpoint (_ckpt.py) frees the superseded round;
+            # reassign BEFORE the break so the returned frame is the live
+            # checkpoint (n_new == 0 ⟺ ready was empty ⟹ identical content)
+            new_strahler = slots.checkpoint(strahler.union(ready), "strahler")
             new_done = new_strahler.count()
             n_new = new_done - done
             if metrics is not None:
                 metrics.add(op="strahler", round=i, newly_ordered=n_new)
+            strahler, done = new_strahler, new_done
             if n_new == 0:
                 break
-            strahler, done = new_strahler, new_done
     return edges_nodes.join(strahler, key, "left")
 
 

@@ -25,6 +25,7 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     import __spark_entry__ as E
+    from bdtopo2refhydro_spark.operators._ckpt import release_all_persistent
     from bdtopo2refhydro_spark.session import get_spark
 
     spark = get_spark("bench", cores=cpus, shuffle_partitions=int(cpus))
@@ -67,14 +68,14 @@ def main() -> None:
             df = qs[name](spark, sf_dir)
             n = force(df)
             walls.append(time.monotonic() - t0)
-            # release superseded checkpoint blocks between runs: the
-            # ContextCleaner is driver-GC-driven, and iterative queries
-            # leave hundreds of orphaned cached blocks that slow later
-            # queries ~15x. The cleaner is async — give it a beat, or the
-            # unpersist storm races the next query (measured 62s vs 20s)
+            # deterministic block hygiene between runs (VERDICT r2 #4): the
+            # fixpoint loops now free superseded checkpoints themselves
+            # (operators/_ckpt.py); this releases each query's FINAL
+            # checkpoints (consumed by force()) synchronously instead of
+            # waiting on driver GC + the async ContextCleaner, whose storm
+            # taxed the next query 4-20x (lsh_pairs 56s vs 2.0s measured)
+            release_all_persistent(spark)
             spark.catalog.clearCache()
-            spark.sparkContext._jvm.System.gc()
-            time.sleep(2)
         timings[name] = round(min(walls), 3)
         print(f"# {name}: {timings[name]}s (runs {[round(w,1) for w in walls]},"
               f" {n} rows)", file=sys.stderr)

@@ -96,6 +96,15 @@ def main() -> int:
             print(f"{name:24s} SPARK ERROR: {type(ex).__name__}: {str(ex)[:160]}")
             failures += 1
             continue
+        finally:
+            # deterministic block hygiene between queries (see _ckpt.py):
+            # each query's final checkpoints are consumed by toPandas
+            from bdtopo2refhydro_spark.operators._ckpt import (
+                release_all_persistent,
+            )
+
+            release_all_persistent(spark)
+            spark.catalog.clearCache()
         if name not in os_:
             print(f"{name:24s} rows-only: {len(sp)}")
             continue
