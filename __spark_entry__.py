@@ -639,11 +639,15 @@ FROM documents
 
 
 def _q_cover_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cell cover of each doc's segment through the engine UDF vs the
-    bbox-arithmetic oracle (single-segment lines → bbox cover)."""
+    """Cell cover of each doc's segment through the engine UDF vs an
+    arithmetic oracle. Segments are HORIZONTAL (y1 = y0) so the
+    subdivided-cover count (the production path for long diagonals —
+    udfs._subdivide_segments) coincides with the closed-form x-range cell
+    count; diagonal subdivision correctness is pinned separately by the
+    superset property test in tests/test_cells.py."""
     c = _coords(spark, sf_dir)
     lines = c.select(
-        "doc_id", U.st_make_line("x0", "y0", "x1", "y1").alias("geom_wkb")
+        "doc_id", U.st_make_line("x0", "y0", "x1", "y0").alias("geom_wkb")
     )
     return lines.select(
         "doc_id",
@@ -654,7 +658,6 @@ def _q_cover_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COVER_SQL = f"""
 SELECT doc_id,
        CAST((floor(greatest({_X0D}, {_X1D}) / 1000) - floor(least({_X0D}, {_X1D}) / 1000) + 1)
-          * (floor(greatest({_Y0D}, {_Y1D}) / 1000) - floor(least({_Y0D}, {_Y1D}) / 1000) + 1)
           AS INTEGER) AS n_cells
 FROM documents
 """
@@ -716,13 +719,13 @@ def _q_zonal_pct_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         U.st_make_line(
             F.col("x0"), F.col("y0"), F.col("x0") + 512.0, F.col("y0")
         ).alias("geom_wkb"),
-    )
+    ).localCheckpoint(eager=False)  # the operator scans lines twice
     surfaces = spark.range(1).select(
         U.st_make_rect(F.lit(20000.5), F.lit(10000.5),
                        F.lit(80000.5), F.lit(90000.5)).alias("geom_wkb")
     )
     out = zonal_pct_in_surface(lines, surfaces, key="doc_id",
-                               cell_size=float(1 << 20))
+                               cell_size=float(1 << 20), poly_rows=1)
     return out.select("doc_id", "pct_in_surface")
 
 

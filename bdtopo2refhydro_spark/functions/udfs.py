@@ -165,15 +165,61 @@ def _cover_batch(boxes: np.ndarray, row_idx: np.ndarray, n_rows: int,
     return [cells_s[bounds[i]:bounds[i + 1]].tolist() for i in range(n_rows)]
 
 
+# a single segment subdivides into at most this many pieces — keeps the
+# expansion bounded for degenerate cell_size/segment ratios; capped pieces
+# just cover more cells per piece (still a superset)
+_MAX_SEG_PIECES = 1024
+
+
+def _subdivide_segments(P: np.ndarray, Q: np.ndarray, row_idx: np.ndarray,
+                        cell_size: float):
+    """Split segments into ~cell_size-long pieces (vectorized) and return
+    per-piece bboxes + row ownership. A long diagonal's bbox covers
+    O(W×H / cell²) cells while the segment only TOUCHES O((W+H)/cell) —
+    at watershed scale that bbox blowup made the candidate join the
+    flagship bottleneck (measured 10s of a 30s reference_network run at
+    sf0.1). Piece bboxes are ≤4 cells each, so the union is O(path length)
+    cells and stays a strict superset of the touched cells (every point of
+    the segment lies in some piece; seam endpoints are computed with the
+    same t on both sides so pieces share exact float endpoints)."""
+    span = np.maximum(np.abs(Q[:, 0] - P[:, 0]), np.abs(Q[:, 1] - P[:, 1]))
+    k = np.clip(np.ceil(span / cell_size).astype(np.int64), 1,
+                _MAX_SEG_PIECES)
+    if (k == 1).all():
+        boxes = np.column_stack([
+            np.minimum(P[:, 0], Q[:, 0]), np.minimum(P[:, 1], Q[:, 1]),
+            np.maximum(P[:, 0], Q[:, 0]), np.maximum(P[:, 1], Q[:, 1]),
+        ])
+        return boxes, row_idx
+    total = int(k.sum())
+    starts = np.zeros(len(k), dtype=np.int64)
+    np.cumsum(k[:-1], out=starts[1:])
+    j = np.arange(total, dtype=np.int64) - np.repeat(starts, k)
+    kk = np.repeat(k, k).astype(np.float64)
+    ax, ay = np.repeat(P[:, 0], k), np.repeat(P[:, 1], k)
+    dx, dy = np.repeat(Q[:, 0] - P[:, 0], k), np.repeat(Q[:, 1] - P[:, 1], k)
+    t0 = j / kk
+    t1 = (j + 1) / kk
+    x0, y0 = ax + t0 * dx, ay + t0 * dy
+    x1, y1 = ax + t1 * dx, ay + t1 * dy
+    boxes = np.column_stack([
+        np.minimum(x0, x1), np.minimum(y0, y1),
+        np.maximum(x0, x1), np.maximum(y0, y1),
+    ])
+    return boxes, np.repeat(row_idx, k)
+
+
 def st_cover_cells(wkb_col, cell_size: float):
     """Cell cover of a geometry → array<long>. The explode of this array +
     equi-join on the element is the engine's spatial index. Lines cover
-    per-segment bboxes (tight for long diagonals); polygons cover the
-    exterior-ring bbox — conservative supersets, always exact-refined."""
+    per-piece bboxes of ~cell_size-subdivided segments (O(path length)
+    cells — see _subdivide_segments); polygons cover the exterior-ring
+    bbox — conservative supersets, always exact-refined."""
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def _cover(wkb: pd.Series) -> pd.Series:
         boxes, ridx = [], []
+        segP, segQ, segR = [], [], []
         null_rows = set()
         for i, b in enumerate(wkb):
             if b is None:
@@ -182,13 +228,9 @@ def st_cover_cells(wkb_col, cell_size: float):
             gtype, data = geom = parse_wkb(b)
             if gtype in (GeomType.LINESTRING, GeomType.MULTILINESTRING):
                 for part in K._line_parts(geom):
-                    a, q = part[:-1], part[1:]
-                    seg_boxes = np.column_stack([
-                        np.minimum(a[:, 0], q[:, 0]), np.minimum(a[:, 1], q[:, 1]),
-                        np.maximum(a[:, 0], q[:, 0]), np.maximum(a[:, 1], q[:, 1]),
-                    ])
-                    boxes.append(seg_boxes)
-                    ridx.append(np.full(len(seg_boxes), i, dtype=np.int64))
+                    segP.append(part[:-1])
+                    segQ.append(part[1:])
+                    segR.append(np.full(len(part) - 1, i, dtype=np.int64))
             elif gtype in (GeomType.POLYGON, GeomType.MULTIPOLYGON):
                 for rings in K._poly_parts(geom):
                     ext = rings[0]
@@ -198,6 +240,11 @@ def st_cover_cells(wkb_col, cell_size: float):
             else:  # point
                 boxes.append(np.array([[data[0], data[1], data[0], data[1]]]))
                 ridx.append(np.array([i], dtype=np.int64))
+        if segP:
+            sb, sr = _subdivide_segments(np.vstack(segP), np.vstack(segQ),
+                                         np.concatenate(segR), cell_size)
+            boxes.append(sb)
+            ridx.append(sr)
         if not boxes:
             return pd.Series([None if i in null_rows else []
                               for i in range(len(wkb))])

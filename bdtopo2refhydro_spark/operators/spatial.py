@@ -126,7 +126,8 @@ def zonal_pct_in_surface(lines: DataFrame, surfaces: DataFrame,
                          key: str = "url",
                          cell_size: float = DEFAULT_CELL_SIZE,
                          geom_col: str = "geom_wkb",
-                         pct_col: str = "pct_in_surface") -> DataFrame:
+                         pct_col: str = "pct_in_surface",
+                         poly_rows: int | None = None) -> DataFrame:
     """J9 ~ the zonal overlay loop (create_5m_width_hydro_network.py:209-245):
     for each line, % of its length inside the water surfaces.
 
@@ -135,8 +136,11 @@ def zonal_pct_in_surface(lines: DataFrame, surfaces: DataFrame,
     engine sums per-surface intersection lengths instead and caps at 100 —
     identical semantics when surfaces are disjoint (make_valid'd inputs;
     SURVEY.md §7 'Dissolve at scale'). Lengths are computed within each
-    candidate's cell (see module docstring) so no dedup shuffle exists."""
-    cand = _candidates(lines, surfaces, key, cell_size, geom_col)
+    candidate's cell (see module docstring) so no dedup shuffle exists.
+    poly_rows: pass the (approximate) surface count when the caller knows
+    it — skips the broadcast-decision LIMIT-count job."""
+    cand = _candidates(lines, surfaces, key, cell_size, geom_col,
+                       poly_rows=poly_rows)
     inter = (
         cand.withColumn(
             "_ilen",

@@ -56,3 +56,50 @@ def test_cover_line_contains_endpoint_cells():
     # per-segment bboxes, not whole-line bbox: corner cell far from both
     # segments must NOT be covered
     assert int(cell_id(100.0, 3100.0, 1000.0)) not in cells
+
+
+def test_subdivided_cover_superset_of_touched_cells(spark):
+    """The production cover path subdivides long diagonal segments into
+    ~cell_size pieces (udfs._subdivide_segments): the result must still
+    contain EVERY cell the segment passes through (dense-sample check),
+    stay within the old full-bbox cover, and shrink it dramatically for
+    long diagonals (the O(W×H) → O(W+H) fix)."""
+    import numpy as np
+
+    from bdtopo2refhydro_spark.functions import udfs as U
+    from bdtopo2refhydro_spark.functions.cells import CELL_SHIFT
+    from bdtopo2refhydro_spark.geom.wkb import linestring_wkb
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(11)
+    cell = 1000.0
+    dim = np.int64(1) << CELL_SHIFT
+    rows, expected_supersets, bbox_counts = [], [], []
+    for i in range(20):
+        a = rng.rand(2) * 90000
+        b = a + (rng.rand(2) - 0.5) * 80000
+        b = np.clip(b, 0, 99000)
+        rows.append((i, bytearray(linestring_wkb(np.vstack([a, b])))))
+        # dense sampling: every touched cell appears among the samples
+        t = np.linspace(0, 1, 20001)
+        pts = a + t[:, None] * (b - a)
+        cells = (np.floor(pts[:, 0] / cell).astype(np.int64) * dim
+                 + np.floor(pts[:, 1] / cell).astype(np.int64))
+        expected_supersets.append(set(cells.tolist()))
+        w = abs(np.floor(b[0] / cell) - np.floor(a[0] / cell)) + 1
+        h = abs(np.floor(b[1] / cell) - np.floor(a[1] / cell)) + 1
+        bbox_counts.append(int(w * h))
+    df = spark.createDataFrame(rows, "i int, geom_wkb binary")
+    got = {
+        r["i"]: set(r["c"])
+        for r in df.select(
+            "i", U.st_cover_cells(F.col("geom_wkb"), cell).alias("c")
+        ).collect()
+    }
+    total_cover = total_bbox = 0
+    for i in range(20):
+        assert expected_supersets[i] <= got[i], f"segment {i} lost cells"
+        total_cover += len(got[i])
+        total_bbox += bbox_counts[i]
+    # the whole point: far fewer candidate cells than the bbox cover
+    assert total_cover < total_bbox / 3
