@@ -18,6 +18,35 @@ from .graph import TraversalMetrics, loop_profile
 
 _N_CHAIN_BUCKETS = 64
 
+# Degree-2 contraction pays only when chains make up a real share of the
+# graph. On a junction-dense graph (e.g. a binary tree: pass-through
+# fraction ~0.1) the contraction's two applyInPandas passes iterate
+# millions of length-1 "chains" for zero round savings — measured 25+ min
+# on a 2M-edge doc_id→doc_id/2 tree vs ~1 min of plain rounds. Below this
+# pass-through-node fraction, algorithm='auto' picks the round loop; an
+# explicit algorithm='contract' still forces contraction.
+MIN_CHAIN_FRACTION = 0.2
+
+
+def _passthrough_fraction(df: DataFrame, src_col: str, dst_col: str,
+                          n_edges: int,
+                          exclude_nodes: DataFrame | None = None) -> float:
+    """Share of edges whose head is a pass-through node (in-degree 1 and
+    out-degree 1, minus excluded junction-forced nodes) — the cheap
+    structural probe behind the auto contract-vs-rounds choice (two
+    map-side-combined aggs + a join + a count; same degree computation
+    aggregate._chain_roots starts with)."""
+    indeg = df.groupBy(dst_col).agg(F.count("*").alias("_in"))
+    outdeg = df.groupBy(src_col).agg(F.count("*").alias("_out"))
+    pt = (
+        indeg.join(outdeg, F.col(dst_col) == F.col(src_col))
+        .filter((F.col("_in") == 1) & (F.col("_out") == 1))
+        .select(F.col(dst_col).alias("node"))
+    )
+    if exclude_nodes is not None:
+        pt = pt.join(exclude_nodes.select("node"), "node", "left_anti")
+    return pt.count() / max(n_edges, 1)
+
 
 def _distance_contract(e: DataFrame, outlet_nodes: DataFrame,
                        metrics: TraversalMetrics | None) -> DataFrame:
@@ -169,7 +198,13 @@ def distance_from_outlet(edges_nodes: DataFrame, outlet_nodes: DataFrame,
             metrics.add(op="distance_from_outlet", mode="local", edges=n_e)
         return local_sssp(e, outlet_nodes)
     if not bounded and algorithm in ("auto", "contract"):
-        return _distance_contract(e, outlet_nodes, metrics)
+        if (algorithm == "contract"
+                or _passthrough_fraction(e, "src", "dst", n_e, outlet_nodes)
+                >= MIN_CHAIN_FRACTION):
+            return _distance_contract(e, outlet_nodes, metrics)
+        if metrics is not None:
+            metrics.add(op="distance_from_outlet", mode="rounds_chainpoor",
+                        edges=n_e)
     from ._ckpt import CheckpointSlots
 
     slots = CheckpointSlots()
@@ -423,7 +458,13 @@ def upstream_length(edges_nodes: DataFrame, key: str = "url",
             metrics.add(op="upstream_length", mode="local", edges=n_e)
         return local_upstream(e, key)
     if algorithm in ("auto", "contract"):
-        return _upstream_contract(e, key, metrics)
+        if (algorithm == "contract"
+                or _passthrough_fraction(e, "NODEA", "NODEB", n_e)
+                >= MIN_CHAIN_FRACTION):
+            return _upstream_contract(e, key, metrics)
+        if metrics is not None:
+            metrics.add(op="upstream_length", mode="rounds_chainpoor",
+                        edges=n_e)
     return _upstream_rounds(e, key, n_e, max_iter, metrics)
 
 
@@ -530,7 +571,11 @@ def hack_order(edges_nodes: DataFrame, outlet_nodes: DataFrame,
         if metrics is not None:
             metrics.add(op="hack_order", mode="local", edges=n_e)
         return edges_nodes.join(local_hack(tagged, key), key, "left")
-    if algorithm in ("auto", "contract"):
+    if (algorithm in ("auto", "contract")
+            and (algorithm == "contract"
+                 or _passthrough_fraction(e, "NODEA", "NODEB", n_e,
+                                          outlet_nodes)
+                 >= MIN_CHAIN_FRACTION)):
         # contract chains, breaking them at outlet nodes so an outlet edge
         # is always a chain tail (members downstream of an outlet edge
         # must stay unordered, exactly as in the round loop)
@@ -558,6 +603,8 @@ def hack_order(edges_nodes: DataFrame, outlet_nodes: DataFrame,
             .select(key, "HACK")
         )
         return edges_nodes.join(member_hack, key, "left")
+    if metrics is not None and algorithm == "auto":
+        metrics.add(op="hack_order", mode="rounds_chainpoor", edges=n_e)
     hack = _hack_propagate(e, outlet_nodes, key, n_e, max_iter, metrics)
     return edges_nodes.join(hack, key, "left")
 
@@ -586,7 +633,10 @@ def strahler_order(edges_nodes: DataFrame, key: str = "url",
         if metrics is not None:
             metrics.add(op="strahler", mode="local", edges=n_edges)
         return edges_nodes.join(local_strahler(e, key), key, "left")
-    if algorithm in ("auto", "contract"):
+    if (algorithm in ("auto", "contract")
+            and (algorithm == "contract"
+                 or _passthrough_fraction(e, "NODEA", "NODEB", n_edges)
+                 >= MIN_CHAIN_FRACTION)):
         chained = _chained_with_buckets(e, key).localCheckpoint()
         super_e = _chain_span(chained, key).select(
             F.col("chain_id").alias(key),
@@ -605,6 +655,8 @@ def strahler_order(edges_nodes: DataFrame, key: str = "url",
             .select(key, "STRAHLER")
         )
         return edges_nodes.join(member, key, "left")
+    if metrics is not None and algorithm == "auto":
+        metrics.add(op="strahler", mode="rounds_chainpoor", edges=n_edges)
     from ._ckpt import CheckpointSlots
 
     slots = CheckpointSlots()

@@ -28,7 +28,12 @@ def dedup_geometries(df: DataFrame, geom_col: str = "geom_wkb") -> DataFrame:
     geometry. Deterministic keep-first by lowest key ordering (the reference
     keeps GPKG iteration order; at scale "first" must be defined)."""
     order_cols = [c for c in df.columns if c != geom_col]
-    w = Window.partitionBy(geom_col).orderBy(*order_cols)
+    # partition by (hash, bytes): the 8-byte hash decides almost every
+    # shuffle/sort comparison; the raw WKB stays in the key only for exact
+    # tie-out on hash collisions, so semantics are unchanged but the sort
+    # comparator no longer walks multi-KB geometry blobs per comparison
+    w = Window.partitionBy(F.xxhash64(geom_col), F.col(geom_col)) \
+        .orderBy(*order_cols)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

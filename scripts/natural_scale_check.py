@@ -37,16 +37,34 @@ QUERIES = ["bfs_reach", "dist_from_root", "measure_outlet", "upstream_len",
            "hack_order", "strahler_binary"]
 
 
-def build_fixture(n_docs: int, out_dir: str, src_dir: str) -> None:
+# chain fixture: doc_id = r * 2^k (r odd, k = 0..CHAIN_LEN-1). Under the
+# forest rule doc_id -> doc_id div 2, each id's only present child is
+# usually 2*id (2*id+1 is odd, present only for the few small roots), so
+# the derived graph is dominated by degree-2 chains -> algorithm='auto'
+# NATURALLY selects contraction, the opposite regime from the dense
+# range(n) binary tree (junction-dense -> rounds_chainpoor). CHAIN_LEN=14
+# keeps max id * 1103515245 (the _H hash multiplier) inside int64 under
+# ANSI mode: max id = (2*n_roots+1) * 2^13 ~ 2.6e9 << 8.3e9.
+CHAIN_LEN = 14
+
+
+def build_fixture(n_docs: int, out_dir: str, src_dir: str,
+                  shape: str = "tree") -> None:
     os.makedirs(out_dir, exist_ok=True)
     dest = os.path.join(out_dir, "documents.parquet")
     if not os.path.exists(dest):
+        if shape == "tree":
+            ids = f"SELECT i AS doc_id FROM range({n_docs}) t(i)"
+        else:
+            n_roots = (n_docs + CHAIN_LEN - 1) // CHAIN_LEN
+            ids = f"""SELECT (2*j + 1)::BIGINT * (1::BIGINT << k) AS doc_id
+                      FROM range({n_roots}) t(j), range({CHAIN_LEN}) s(k)"""
         duckdb.sql(
             f"""COPY (
-              SELECT i AS doc_id, 't' || i AS text, 'en' AS lang,
-                     's' || (i % 7) AS source,
-                     CAST(length('t' || i) AS BIGINT) AS n_chars
-              FROM range({n_docs}) t(i)
+              SELECT doc_id, 't' || doc_id AS text, 'en' AS lang,
+                     's' || (doc_id % 7) AS source,
+                     CAST(length('t' || doc_id) AS BIGINT) AS n_chars
+              FROM ({ids})
             ) TO '{dest}' (FORMAT PARQUET)"""
         )
     for t in TABLES:
@@ -55,9 +73,11 @@ def build_fixture(n_docs: int, out_dir: str, src_dir: str) -> None:
             os.symlink(os.path.join(src_dir, f"{t}.parquet"), link)
 
 
-def print_natural_modes(sf_dir: str) -> bool:
+def print_natural_modes(sf_dir: str, want_mode: str | None = None) -> bool:
     """Run the traversal operators once with metrics attached and report
-    the mode the size-based auto selection picked."""
+    the mode the size-based auto selection picked. want_mode (e.g.
+    'contract'): additionally require at least one of the chain-sensitive
+    traversals (upstream/hack/strahler) to have picked that mode."""
     import __spark_entry__ as E
     from bdtopo2refhydro_spark.operators import (
         hack_order,
@@ -88,26 +108,52 @@ def print_natural_modes(sf_dir: str) -> bool:
     m = TraversalMetrics()
     strahler_order(e, metrics=m).count()
     runs.append(("strahler_order", m))
+    seen = set()
     for name, m in runs:
         modes = sorted({r["mode"] for r in m.rounds if "mode" in r})
         print(f"{name:20s} natural mode(s): {modes}")
         if "local" in modes or not modes:
             ok = False
+        if name != "select_connected":
+            seen.update(modes)
+    if want_mode is not None and want_mode not in seen:
+        print(f"FAIL: no chain-sensitive traversal picked '{want_mode}'")
+        ok = False
     spark.stop()
     return ok
 
 
+def run_one(n_docs: int, out_dir: str, shape: str, want_mode: str | None,
+            queries: list[str]) -> int:
+    build_fixture(n_docs, out_dir, "/root/testdata/sf0.01", shape=shape)
+    print(f"== fixture {out_dir} (shape={shape}) ==")
+    if not print_natural_modes(out_dir, want_mode):
+        print("FAIL: a traversal selected the wrong path by size/shape")
+        return 1
+    return subprocess.call(
+        [sys.executable, os.path.join(os.path.dirname(__file__),
+                                      "oracle_check.py"), out_dir] + queries
+    )
+
+
 def main() -> int:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2_200_000
-    out_dir = os.environ.get("NATURAL_SCALE_DIR", "/tmp/sfbig")
-    build_fixture(n_docs, out_dir, "/root/testdata/sf0.01")
-    if not print_natural_modes(out_dir):
-        print("FAIL: a traversal still selected the local path")
-        return 1
-    rc = subprocess.call(
-        [sys.executable, os.path.join(os.path.dirname(__file__),
-                                      "oracle_check.py"), out_dir] + QUERIES
-    )
+    shapes = sys.argv[2].split(",") if len(sys.argv) > 2 else ["tree",
+                                                              "chain"]
+    rc = 0
+    if "tree" in shapes:
+        # dense range(n) ids -> binary tree: junction-dense, auto picks
+        # cc (select_connected) + rounds_chainpoor (chain probe bails)
+        rc |= run_one(n_docs, os.environ.get("NATURAL_SCALE_DIR",
+                                             "/tmp/sfbig"),
+                      "tree", None, QUERIES)
+    if "chain" in shapes:
+        # sparse r*2^k ids -> chain-dominated forest: auto picks contract;
+        # strahler_binary excluded (its closed form needs contiguous ids)
+        rc |= run_one(n_docs, os.environ.get("NATURAL_SCALE_CHAIN_DIR",
+                                             "/tmp/sfbig_chain"),
+                      "chain", "contract",
+                      [q for q in QUERIES if q != "strahler_binary"])
     return rc
 
 

@@ -33,6 +33,13 @@ def force_distributed_paths() -> None:
     L.SMALL_GRAPH_ROWS = -1
     A._SMALL_GRAPH_ROWS = -1
     O._SMALL_GRAPH_ROWS = -1
+    # pin auto -> contract: the sf fixtures are junction-dense binary
+    # forests, so the chain-fraction probe would divert auto to the round
+    # loop and contraction would never be value-verified under forcing.
+    # (The round path gets NATURAL-scale verification from the tree
+    # fixture of scripts/natural_scale_check.py, contraction from its
+    # chain fixture — this forced mode exists to gate contract cheaply.)
+    O.MIN_CHAIN_FRACTION = -1.0
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
