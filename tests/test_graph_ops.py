@@ -424,3 +424,34 @@ def test_local_and_distributed_orders_agree(spark, tree, outlet):
     finally:
         O._SMALL_GRAPH_ROWS = old
     assert local == dist
+
+
+def test_auto_strategy_follows_chain_fraction(spark):
+    """algorithm='auto' above the size threshold must pick contraction on
+    a chain-dominated graph and the round loop on a junction-dense one
+    (the r3 pass-through-fraction probe; values must match either way)."""
+    import bdtopo2refhydro_spark.operators.orders as O
+    from bdtopo2refhydro_spark.operators import upstream_length
+    from bdtopo2refhydro_spark.operators.graph import TraversalMetrics
+
+    chainy = _deep_chain_edges(spark, 80)               # pure path: ~1.0
+    # star: every edge i -> 0 shares one junction head, no chains
+    star = spark.createDataFrame(
+        [(f"b{i}", i, 0, 1.0) for i in range(1, 60)],
+        "url string, NODEA long, NODEB long, len double")
+    old = O._SMALL_GRAPH_ROWS
+    try:
+        O._SMALL_GRAPH_ROWS = -1
+        m = TraversalMetrics()
+        ul_c = {r.url: r.UL for r in
+                upstream_length(chainy, metrics=m).collect()}
+        assert {r["mode"] for r in m.rounds if "mode" in r} >= {"contract"}
+        m = TraversalMetrics()
+        ul_s = {r.url: r.UL for r in
+                upstream_length(star, metrics=m).collect()}
+        assert "rounds_chainpoor" in {r["mode"] for r in m.rounds
+                                      if "mode" in r}
+    finally:
+        O._SMALL_GRAPH_ROWS = old
+    assert ul_c == {r.url: r.UL for r in upstream_length(chainy).collect()}
+    assert ul_s == {r.url: r.UL for r in upstream_length(star).collect()}
