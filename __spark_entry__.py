@@ -1178,6 +1178,69 @@ def _q_fix_connectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fix_network_connectivity(full, subset, outlets).select("url")
 
 
+def _q_fix_conn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 with an EXACT value oracle (r3; complements the rows-only
+    `fix_connectivity` entry the way `strahler_binary` complements
+    `strahler_order`): a star-of-chains fixture whose greedy repair
+    converges in exactly ONE admit round, so the fixpoint has a closed
+    form DuckDB can state directly.
+
+    Graph derived from doc_id: backbone stream edges k<i> chain nodes
+    0..99 (contains outlet 0); for doc_id >= 100, chain c = doc_id div 20
+    with stream edges s<i> along the chain and ONE canal c<i> (at
+    j = doc_id % 20 == 0) attaching the chain to backbone node c % 99;
+    distractor canals d<i> connect neighboring chains mid-chain (both
+    endpoints unreached at admit time — a correct greedy must NOT admit
+    them, and must stop admitting once connectivity is repaired).
+    Closed form: kept = backbone + streams + every attach canal, no
+    distractors. Reference: fix_suppr_canal_auto.py:131-138."""
+    from bdtopo2refhydro_spark.operators import fix_network_connectivity
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    backbone = d.filter("doc_id >= 1 and doc_id < 100").select(
+        F.concat(F.lit("k"), F.col("doc_id")).alias("url"),
+        F.col("doc_id").alias("NODEA"),
+        (F.col("doc_id") - F.lit(1)).alias("NODEB"),
+    )
+    chain = d.filter("doc_id >= 100")
+    streams = chain.filter("doc_id % 20 != 0").select(
+        F.concat(F.lit("s"), F.col("doc_id")).alias("url"),
+        (F.col("doc_id") + F.lit(100000)).alias("NODEA"),
+        (F.col("doc_id") + F.lit(99999)).alias("NODEB"),
+    )
+    canals = chain.filter("doc_id % 20 = 0").select(
+        F.concat(F.lit("c"), F.col("doc_id")).alias("url"),
+        (F.col("doc_id") + F.lit(100000)).alias("NODEA"),
+        F.expr("(doc_id div 20) % 99").alias("NODEB"),
+    )
+    distractors = chain.filter(
+        "doc_id % 20 = 10 and (doc_id div 20) % 2 = 1 and doc_id >= 120"
+    ).select(
+        F.concat(F.lit("d"), F.col("doc_id")).alias("url"),
+        (F.col("doc_id") + F.lit(100000)).alias("NODEA"),
+        (F.col("doc_id") + F.lit(99980)).alias("NODEB"),
+    )
+    full = backbone.unionByName(streams).unionByName(canals) \
+        .unionByName(distractors)
+    subset = backbone.select("url").unionByName(streams.select("url"))
+    outlets = spark.createDataFrame([(0,)], "node long")
+    return fix_network_connectivity(full, subset, outlets).select("url")
+
+
+_FIX_CONN_EXACT_SQL = """
+WITH d AS (SELECT doc_id FROM documents)
+SELECT 'k' || CAST(doc_id AS VARCHAR) AS url FROM d
+WHERE doc_id >= 1 AND doc_id < 100
+UNION ALL
+SELECT 's' || CAST(doc_id AS VARCHAR) AS url FROM d
+WHERE doc_id >= 100 AND doc_id % 20 != 0
+UNION ALL
+SELECT 'c' || CAST(doc_id AS VARCHAR) AS url FROM d
+WHERE doc_id >= 100 AND doc_id % 20 = 0
+  AND EXISTS (SELECT 1 FROM d WHERE doc_id >= 100 AND doc_id % 20 != 0)
+"""
+
+
 _STRAHLER_EXPR = \
     "cast(1 + ( (NODEA * 1103515245 + 12345) % 2147483648 ) % 4 as int)"
 
@@ -1949,6 +2012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 3 ------------------------------------------------
         "strahler_binary": _q_strahler_binary,
         "ivf_kmeans_ann": _q_ivf_kmeans_ann,
+        "fix_conn_exact": _q_fix_conn_exact,
         # -- r02-green core ------------------------------------------------
         "reference_network": _q_reference_network,
         "dedup_exact": _q_dedup_exact,
@@ -1984,9 +2048,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cover_count": _q_cover_count,
         "pip_join": _q_pip_join,
         "zonal_pct": _q_zonal_pct_sql,
-        "minhash_sig": _q_minhash_sig,
         # -- past the 50-entry driver window (r02-green; oracle_check.py
         #    still verifies all of them every round) -----------------------
+        "minhash_sig": _q_minhash_sig,
         "corr_insert": _q_corr_insert,
         "corr_delete": _q_corr_delete,
         "corr_update": _q_corr_update,
@@ -2032,6 +2096,7 @@ def oracle_sql() -> dict[str, str]:
         "upstream_len": _UPSTREAM_SQL,
         "hack_order": _HACK_SQL,
         "strahler_binary": _STRAHLER_BINARY_SQL,
+        "fix_conn_exact": _FIX_CONN_EXACT_SQL,
         # strahler_order, fix_connectivity: iterative fixpoints with
         # accumulated state — not expressible in DuckDB 1.0 linear
         # recursion; rows-only driver check, golden pytest coverage

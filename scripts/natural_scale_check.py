@@ -112,7 +112,10 @@ def print_natural_modes(sf_dir: str, want_mode: str | None = None) -> bool:
     for name, m in runs:
         modes = sorted({r["mode"] for r in m.rounds if "mode" in r})
         print(f"{name:20s} natural mode(s): {modes}")
-        if "local" in modes or not modes:
+        # 'local' alongside a distributed mode is the contraction path
+        # recursing on the (small) junction graph — correct; only a
+        # top-level local selection (modes == {'local'}) is a failure
+        if set(modes) <= {"local"}:
             ok = False
         if name != "select_connected":
             seen.update(modes)
