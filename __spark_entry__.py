@@ -681,7 +681,10 @@ def _q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(U.st_cover_cells(F.col("_poly_wkb"), 5000.0)).alias("cell"),
         )
     )
-    cand = pts.join(poly_idx, "cell").dropDuplicates(["doc_id", "pid"])
+    # no dedup needed: a point covers exactly ONE cell and the rect cover
+    # has distinct cells, so each (doc_id, pid) candidate appears at most
+    # once — a dropDuplicates here would add a full shuffle for nothing
+    cand = pts.join(poly_idx, "cell")
     hits = cand.withColumn("hit", U.st_intersects("geom_wkb", "_poly_wkb"))
     return hits.filter("hit").select("doc_id", "pid")
 

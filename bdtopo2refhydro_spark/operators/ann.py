@@ -137,8 +137,10 @@ def cosine_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
             "cos_sim", _dot("emb_a", "emb_b") / (_norm("emb_a") * _norm("emb_b"))
         )
         .filter(F.col("cos_sim") >= threshold)
+        # each vec_id carries exactly ONE bucket (full signature, not
+        # bands), so a pair meets in at most one bucket — already distinct;
+        # a dedup here would re-shuffle the pair set for nothing
         .select("a", "b", "cos_sim")
-        .distinct()
     )
 
 
