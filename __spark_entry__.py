@@ -859,6 +859,35 @@ WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
 """
 
 
+def _q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup: LSH candidates → exact Jaccard verify →
+    connected components over verified pairs → canonical doc per cluster
+    (operators/text.py:near_dup_clusters). The component closure is the
+    cluster definition — near-dup similarity is not transitive."""
+    return TX.near_dup_clusters(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _dedup_cluster_sql() -> str:
+    # transitive closure of the verified pair graph (fine at oracle scale;
+    # the engine side runs O(log n) pointer-jumping CC instead)
+    return f"""
+WITH RECURSIVE pairs AS ({_jaccard_sql().strip()}),
+e AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+),
+lab AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+)
+SELECT d.doc_id,
+       COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+       COALESCE(l.cluster_id, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN lab l USING (doc_id)
+"""
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.simhash(_docs(spark, sf_dir))
 
@@ -2016,6 +2045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strahler_binary": _q_strahler_binary,
         "ivf_kmeans_ann": _q_ivf_kmeans_ann,
         "fix_conn_exact": _q_fix_conn_exact,
+        "dedup_cluster": _q_dedup_cluster,
         # -- r02-green core ------------------------------------------------
         "reference_network": _q_reference_network,
         "dedup_exact": _q_dedup_exact,
@@ -2041,7 +2071,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
-        "geoparse": _q_geoparse,
         "stream_ingest": _q_stream_ingest,
         "stream_dedup_state": _q_stream_dedup_state,
         "stream_window_counts": _q_stream_window_counts,
@@ -2054,6 +2083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- past the 50-entry driver window (r02-green; oracle_check.py
         #    still verifies all of them every round) -----------------------
         "minhash_sig": _q_minhash_sig,
+        "geoparse": _q_geoparse,
         "corr_insert": _q_corr_insert,
         "corr_delete": _q_corr_delete,
         "corr_update": _q_corr_update,
@@ -2128,6 +2158,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_sig": _minhash_sql(),
         "lsh_pairs": _lsh_pairs_sql(),
         "ngram_jaccard": _jaccard_sql(),
+        "dedup_cluster": _dedup_cluster_sql(),
         "simhash": _simhash_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "lang_id": _lang_id_sql(),

@@ -183,6 +183,41 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     )
 
 
+def near_dup_clusters(docs: DataFrame, threshold: float = 0.5,
+                      id_col: str = "doc_id", **kw) -> DataFrame:
+    """End-to-end corpus dedup: MinHash-LSH candidates → exact n-gram
+    Jaccard verify → connected components over verified pairs → one
+    canonical doc (min id) per duplicate cluster. The standard
+    web-corpus near-dedup pipeline (C4/RefinedWeb shape); near-duplicate
+    similarity is not transitive, so pair-level dedup under-merges — the
+    component closure is what defines a duplicate cluster.
+
+    Returns (id, cluster_id, keep): cluster_id = smallest doc id in the
+    connected component (the doc itself for singletons), keep = this row
+    is the cluster's canonical representative.
+
+    Scale: candidate generation is the banded LSH equi-join (never
+    all-pairs); the component fixpoint runs only over the verified pair
+    graph — orders of magnitude smaller than the corpus — in O(log n)
+    rounds (operators/graph.py:connected_components); labels rejoin the
+    corpus with a single equi-join on the id."""
+    from .graph import connected_components
+
+    pairs = ngram_jaccard_pairs(docs, threshold=threshold, **kw)
+    adj = pairs.select(F.col("a").alias("node"), F.col("b").alias("nbr")) \
+        .union(pairs.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+    lab = connected_components(adj)
+    return (
+        docs.select(id_col)
+        .join(
+            lab.select(F.col("node").alias(id_col),
+                       F.col("l").alias("cluster_id")),
+            id_col, "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+        .withColumn("keep", F.col("cluster_id") == F.col(id_col))
+    )
+
+
 def simhash_bit_vote_expr(bit: int, hashes_col: str = "_hs") -> str:
     """Majority-vote expression for bit `bit` over a precomputed
     md5(token) array: bit (bit%4) of hex digit (bit//4). Pure string/arith

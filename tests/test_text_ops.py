@@ -58,6 +58,37 @@ def test_ngram_jaccard(docs):
         assert 0.3 <= out[(0, 2)] < 1.0
 
 
+def test_near_dup_clusters_transitive(spark):
+    # a~b and b~c are near-dups but a and c differ more: the component
+    # closure must still put all three in one cluster (pair-level dedup
+    # would under-merge), and singletons keep themselves
+    rows = [
+        (10, "alpha beta gamma delta epsilon zeta eta theta"),
+        (11, "alpha beta gamma delta epsilon zeta eta iota"),    # ~10
+        (12, "alpha beta gamma delta epsilon zeta kappa iota"),  # ~11
+        (13, "unrelated totally different content words here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.a, r.b)
+             for r in TX.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    out = {r.doc_id: (r.cluster_id, r.keep)
+           for r in TX.near_dup_clusters(docs, threshold=0.3).collect()}
+    assert (10, 11) in pairs and (11, 12) in pairs
+    assert out[10] == (10, True)
+    assert out[11] == (10, False)
+    assert out[12] == (10, False)   # transitive merge even if (10,12) absent
+    assert out[13] == (13, True)
+
+
+def test_near_dup_clusters_no_pairs(spark):
+    docs = spark.createDataFrame(
+        [(0, "aa bb cc dd ee ff gg hh"), (1, "qq ww ee rr tt yy uu ii oo")],
+        "doc_id long, text string")
+    out = {r.doc_id: (r.cluster_id, r.keep)
+           for r in TX.near_dup_clusters(docs).collect()}
+    assert out == {0: (0, True), 1: (1, True)}
+
+
 def test_simhash_dup_pairs(docs):
     s = {r.doc_id: r.simhash for r in TX.simhash(docs).collect()}
     assert s[0] == s[1]
