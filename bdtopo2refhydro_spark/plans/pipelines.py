@@ -118,18 +118,28 @@ def run_reference_network(edges: DataFrame, outlet_polygons: DataFrame,
     # G1 (:160-166)
     e = identify_network_nodes(e, key, tolerance=tolerance)
     e = e.withColumn("len", U.st_length("geom_wkb")).localCheckpoint()
-    # J1 outlet spatial join (:181-187)
+    # J1 outlet spatial join (:181-187) — seed_edges feeds three consumers
+    # (both seed_nodes legs + outlet_nodes); checkpoint lazily so the
+    # spatial join runs once, not once per consumer
     seeded = select_by_location(e, outlet_polygons, key, cell_size=cell_size)
-    seed_edges = seeded.filter(F.col("selected"))
+    seed_edges = seeded.filter(F.col("selected")).localCheckpoint(eager=False)
     seed_nodes = (
         seed_edges.select(F.col("NODEA").alias("node"))
         .union(seed_edges.select(F.col("NODEB")))
         .distinct()
     )
-    # G2 traversal (:191-197)
-    visited = select_connected(e, seed_nodes, "both", metrics=metrics)
+    # G2 traversal (:191-197) — visited is consumed twice by
+    # edges_touching (NODEA + NODEB semi-joins); troncon three times by
+    # principal_stem (distance input, route scoring, final semi-join) plus
+    # the returned output. Without the lazy checkpoints every consumer
+    # re-runs the whole upstream traversal sub-plan (measured: 3 of the
+    # 10 SQL executions of a warm sf0.1 run were recomputes, 80 jobs
+    # total — the traversal executed 4x).
+    visited = select_connected(e, seed_nodes, "both", metrics=metrics) \
+        .localCheckpoint(eager=False)
     connected_keys = edges_touching(e, visited, key)
-    troncon = e.join(connected_keys, key, "left_semi")
+    troncon = e.join(connected_keys, key, "left_semi") \
+        .localCheckpoint(eager=False)
     # G4 principal stem (:202-209)
     if apply_principal_stem:
         outlet_nodes = seed_edges.select(F.col("NODEB").alias("node")).distinct()
@@ -174,9 +184,12 @@ def run_width_network(edges: DataFrame, surfaces: DataFrame,
     # G1 node ids (:183-189)
     e = identify_network_nodes(e, key, tolerance=tolerance)
     e = e.withColumn("len", U.st_length("geom_wkb")).localCheckpoint()
-    # J2 outlet reaches (:201-207)
+    # J2 outlet reaches (:201-207) — consumed twice (kept-union +
+    # outlet_edges semi-join); lazy checkpoint so the outlet spatial join
+    # runs once (same reuse rule as run_reference_network)
     outlet_keys = extract_by_location(e, outlet_polygons, key,
-                                      cell_size=cell_size).select(key)
+                                      cell_size=cell_size).select(key) \
+        .localCheckpoint(eager=False)
     # J9 zonal overlay + threshold (:209-245), J10 re-add outlets (:248-253)
     zonal = zonal_pct_in_surface(e, surfaces, key, cell_size=cell_size)
     kept = zonal.filter(
@@ -184,7 +197,9 @@ def run_width_network(edges: DataFrame, surfaces: DataFrame,
     ).select(key).union(outlet_keys).distinct()
     # G3 fix connectivity (:256-263)
     outlet_edges = e.join(outlet_keys, key, "left_semi")
-    outlet_nodes = outlet_edges.select(F.col("NODEB").alias("node")).distinct()
+    # three consumers (G3 repair, G5 measure, G6 Hack) — tiny table
+    outlet_nodes = outlet_edges.select(F.col("NODEB").alias("node")) \
+        .distinct().localCheckpoint(eager=False)
     repaired_keys = fix_network_connectivity(e, kept, outlet_nodes, key,
                                              metrics=metrics)
     net = e.join(repaired_keys, key, "left_semi").localCheckpoint()
@@ -193,9 +208,11 @@ def run_width_network(edges: DataFrame, surfaces: DataFrame,
     net = hack_order(net, outlet_nodes, key, metrics=metrics)
     net = strahler_order(net, key, metrics=metrics).localCheckpoint()
     # G8 sliver pruning (:298-359)
+    # the tail consumes net twice (A3 chain collapse + J8 attribute side)
     net = prune_slivers(net, key,
                         small_segment_filter=small_segment_filter,
-                        exutoire_stream_min_length=exutoire_stream_min_length)
+                        exutoire_stream_min_length=exutoire_stream_min_length) \
+        .localCheckpoint(eager=False)
     if not with_segments:
         return net
     return width_segments_tail(net, key)
