@@ -797,8 +797,13 @@ def _q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql() -> str:
+    # one md5 per shingle → 60-bit int mod P, then affine universal hashes
+    # (a_i*h + b_i) % P — mirrors operators/text.py:shingle_hash_expr /
+    # minhash_signatures term for term (% == pmod: operands nonnegative)
+    P = TX.MINHASH_P
     mh = ", ".join(
-        f"list_min(list_transform(sh, s -> md5(s || '#{i}'))) AS mh_{i}"
+        f"list_min(list_transform(hv, h -> ({TX.MINHASH_A[i]} * h "
+        f"+ {TX.MINHASH_B[i]}) % {P})) AS mh_{i}"
         for i in range(TX.MINHASH_HASHES)
     )
     return f"""
@@ -806,8 +811,14 @@ WITH t AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
   FROM documents
 ),
-s AS (SELECT doc_id, {_duck_shingles()} AS sh FROM t)
-SELECT doc_id, {mh} FROM s
+s AS (SELECT doc_id, {_duck_shingles()} AS sh FROM t),
+hvt AS (
+  SELECT doc_id,
+         list_transform(sh, s ->
+           CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {P}) AS hv
+  FROM s
+)
+SELECT doc_id, {mh} FROM hvt
 """
 
 
@@ -819,7 +830,7 @@ def _lsh_pairs_sql() -> str:
     bs, nh = TX.LSH_BAND_SIZE, TX.MINHASH_HASHES
     band_keys = ", ".join(
         "md5(" + " || '|' || ".join(
-            f"mh_{b * bs + j}" for j in range(bs)
+            f"CAST(mh_{b * bs + j} AS VARCHAR)" for j in range(bs)
         ) + f") AS band_{b}"
         for b in range(nh // bs)
     )
@@ -1005,7 +1016,9 @@ WITH t AS (
   FROM documents
 )
 SELECT doc_id,
-       list_min(list_transform({_duck_shingles()}, s -> md5(s || '#0')))
+       list_min(list_transform({_duck_shingles()}, s ->
+         ({TX.MINHASH_A[0]} * (CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+          % {TX.MINHASH_P}) + {TX.MINHASH_B[0]}) % {TX.MINHASH_P}))
          AS fingerprint
 FROM t
 """
