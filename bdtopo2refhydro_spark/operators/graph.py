@@ -241,6 +241,12 @@ def connected_components(adj: DataFrame, max_rounds: int = 64,
     from ._ckpt import CheckpointSlots
 
     slots = CheckpointSlots()
+    # pin the adjacency: the node-init union reads it twice and every
+    # propagate round once more — without this, a derived adj (e.g. the
+    # verified near-dup pair graph) re-runs its whole upstream plan per
+    # round. Same rule as persisting the edge RDD in any iterative graph
+    # algorithm.
+    adj = adj.localCheckpoint(eager=False)
     lab = slots.checkpoint(
         adj.select("node").union(adj.select(F.col("nbr").alias("node")))
         .distinct()

@@ -232,7 +232,11 @@ def near_dup_clusters(docs: DataFrame, threshold: float = 0.5,
     corpus with a single equi-join on the id."""
     from .graph import connected_components
 
-    pairs = ngram_jaccard_pairs(docs, threshold=threshold, **kw)
+    # checkpoint the verified pairs: both union legs read them, and the
+    # component fixpoint would otherwise re-run the whole LSH + verify
+    # pipeline every round (measured 3.3x the CPU of the pipeline itself)
+    pairs = ngram_jaccard_pairs(docs, threshold=threshold, **kw) \
+        .localCheckpoint(eager=False)
     adj = pairs.select(F.col("a").alias("node"), F.col("b").alias("nbr")) \
         .union(pairs.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
     lab = connected_components(adj)
