@@ -321,8 +321,11 @@ def test_log_depth_paths_match_rounds_on_deep_chain(spark):
     from bdtopo2refhydro_spark.operators.graph import TraversalMetrics
     from bdtopo2refhydro_spark.operators.orders import distance_from_outlet
 
-    n = 120
-    e = _deep_chain_edges(spark, n, branch_every=30).cache()
+    # depth 60 keeps the O(depth)-vs-O(log depth) gap observable (60
+    # rounds vs ~7) at a fraction of the wall of the old 120-deep fixture
+    # — the rounds path is pure per-round fixed cost on this box
+    n = 60
+    e = _deep_chain_edges(spark, n, branch_every=20).cache()
     outlet = spark.createDataFrame([(0,)], "node long")
 
     # BFS: cc vs rounds vs local all equal
@@ -337,7 +340,7 @@ def test_log_depth_paths_match_rounds_on_deep_chain(spark):
     assert v_cc == v_rounds == v_local
     cc_rounds = len([r for r in m_cc.rounds
                      if r.get("op") == "connected_components"])
-    assert 0 < cc_rounds <= 16  # ~log2(400) + convergence check, not 400
+    assert 0 < cc_rounds <= 16  # ~log2(n) + convergence check, not n
 
     # distance: contract vs rounds vs local bit-identical (integer lens)
     m_c = TraversalMetrics()
@@ -365,7 +368,10 @@ def test_order_contract_paths_match_rounds(spark):
     import bdtopo2refhydro_spark.operators.orders as O
     from bdtopo2refhydro_spark.operators import upstream_length
 
-    e = _deep_chain_edges(spark, 90, branch_every=30).cache()
+    # depth 40 with three junctions: deep enough that any contract/rounds
+    # divergence in chain folding or junction handling shows; the rounds
+    # path costs O(depth) Spark jobs, so depth is the test's wall time
+    e = _deep_chain_edges(spark, 40, branch_every=10).cache()
     outlet = spark.createDataFrame([(0,)], "node long")
 
     def run(algorithm):
