@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions import udfs as U
 from ._local import SMALL_GRAPH_ROWS as _SMALL_GRAPH_ROWS
 from .graph import loop_profile
 
@@ -121,7 +122,11 @@ def _merge_chain_fn(key: str):
         while cur is not None and n < len(rows):
             _, arr = parse_wkb(cur["geom_wkb"])
             seg = np.asarray(arr)
-            total += float(np.sqrt(((seg[1:] - seg[:-1]) ** 2).sum(axis=1)).sum())
+            d = np.sqrt(((seg[1:] - seg[:-1]) ** 2).sum(axis=1))
+            # reduceat is the repo's canonical length reduction (see
+            # geom/kernels.py:geom_length) — keeps stitched chains and the
+            # JVM single-edge fast path (st_length) bit-identical
+            total += float(np.add.reduceat(d, np.array([0]))[0])
             coords.append(seg if not coords else seg[1:])
             node_b = cur["NODEB"]
             n += 1
@@ -156,10 +161,23 @@ def aggregate_segments(edges_nodes: DataFrame, key: str = "url",
     n_reaches, first_url (upstream-most reach key, for J8 attribute
     re-join).
 
-    Chains are grouped into N_CHAIN_BUCKETS hash buckets and merged with
-    one applyInPandas call per bucket (a pandas groupby loops the whole
-    chains inside): grouping directly on chain_id costs a per-group Arrow
-    round trip for every tiny chain — measured 8.2s → ~1s for 1.6k chains."""
+    Physical split by chain size: after principal-stem pruning most
+    "chains" are a single edge (93% on the sf fixtures; junction-dense
+    river networks generally), and for those the stitch is an identity —
+    so single-edge chains with canonical engine WKB (little-endian
+    LineString, the only encoding this module emits — geom/wkb.py header
+    contract) are projected entirely JVM-side: geometry passthrough
+    (parse→re-encode is byte-identity for canonical WKB), vectorized
+    st_length (reduceat — the same fold the stitch uses), literal
+    n_reaches=1. Only true multi-edge chains shuffle their geometry
+    payload into N_CHAIN_BUCKETS hash buckets for one applyInPandas call
+    per bucket (a pandas groupby loops the chains inside; grouping
+    directly on chain_id costs a per-group Arrow round trip for every
+    tiny chain — measured 8.2s → ~1s for 1.6k chains, and the
+    single-edge split removes the remaining per-chain pandas overhead:
+    3.5s → ~0.4s for 1.8k chains at sf0.1). Chain sizes are counted on
+    the narrow (key, chain_id) roots table, so no geometry bytes shuffle
+    for the single-edge majority at all."""
     merge_one = _merge_chain_fn(key)
 
     def _merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -170,7 +188,30 @@ def aggregate_segments(edges_nodes: DataFrame, key: str = "url",
 
     e = edges_nodes.select(key, geom_col, "NODEA", "NODEB")
     roots = _chain_roots(e, key)
-    chained = e.join(roots, key).withColumn(
-        "_bk", F.pmod(F.xxhash64("chain_id"), F.lit(N_CHAIN_BUCKETS))
+    sizes = roots.groupBy("chain_id").agg(F.count("*").alias("_n"))
+    chained = e.join(roots.join(sizes, "chain_id"), key)
+    # canonical little-endian LineString header: 01 02 00 00 00
+    canonical = (
+        F.col(geom_col).isNotNull()
+        & (F.substring(geom_col, 1, 5) == F.lit(b"\x01\x02\x00\x00\x00"))
     )
-    return chained.groupBy("_bk").applyInPandas(_merge_bucket, _AGG_SCHEMA)
+    single = (F.col("_n") == 1) & canonical
+    single_out = (
+        chained.filter(single)
+        .select(
+            F.col("chain_id").cast("string").alias("GID"),
+            F.col(geom_col).alias("geom_wkb"),
+            "NODEA",
+            "NODEB",
+            U.st_length(geom_col).alias("LENGTH"),
+            F.lit(1).cast("int").alias("n_reaches"),
+            F.col(key).cast("string").alias("first_url"),
+        )
+    )
+    multi_out = (
+        chained.filter(~single)
+        .withColumn("_bk", F.pmod(F.xxhash64("chain_id"), F.lit(N_CHAIN_BUCKETS)))
+        .groupBy("_bk")
+        .applyInPandas(_merge_bucket, _AGG_SCHEMA)
+    )
+    return single_out.unionByName(multi_out)
