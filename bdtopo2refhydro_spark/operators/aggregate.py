@@ -187,9 +187,13 @@ def aggregate_segments(edges_nodes: DataFrame, key: str = "url",
         )
 
     e = edges_nodes.select(key, geom_col, "NODEA", "NODEB")
-    roots = _chain_roots(e, key)
+    # pin roots (consumed by the sizes agg AND the chained join) and
+    # chained (consumed by both the single- and multi-edge branches) —
+    # without this each consumer replays the whole chain-roots plan
+    roots = _chain_roots(e, key).localCheckpoint(eager=False)
     sizes = roots.groupBy("chain_id").agg(F.count("*").alias("_n"))
-    chained = e.join(roots.join(sizes, "chain_id"), key)
+    chained = e.join(roots.join(sizes, "chain_id"), key) \
+        .localCheckpoint(eager=False)
     # canonical little-endian LineString header: 01 02 00 00 00
     canonical = (
         F.col(geom_col).isNotNull()
