@@ -792,6 +792,84 @@ FROM t
 """
 
 
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.repetition_stats(_docs(spark, sf_dir))
+
+
+_REPETITION_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS gram FROM t),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS gram
+  FROM t WHERE len(toks) >= 2
+),
+tc AS (
+  SELECT doc_id, 't' AS kind, gram, count(*) AS c
+  FROM tok GROUP BY doc_id, gram
+  UNION ALL
+  SELECT doc_id, 'b' AS kind, gram, count(*) AS c
+  FROM bg GROUP BY doc_id, gram
+),
+top AS (
+  SELECT doc_id,
+         max(CASE WHEN kind = 't' THEN c END) AS top_token_count,
+         coalesce(max(CASE WHEN kind = 'b' THEN c END), 0) AS top_bigram_count
+  FROM tc GROUP BY doc_id
+)
+SELECT t.doc_id, len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct_tokens,
+       top_token_count, top_bigram_count
+FROM t JOIN top USING (doc_id)
+"""
+
+
+def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the corpus fixture carries no organic PII, so the driver entry plants
+    # synthetic, doc_id-derived emails + long digit runs (1 + doc_id%3
+    # emails, one 10-digit id per row) and verifies the scrub end-to-end
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" reach me at u"),
+            F.col("doc_id").cast("string"), F.lit("@mail"),
+            (F.col("doc_id") % F.lit(5)).cast("string"),
+            F.lit(".example.org or id 9"),
+            F.lpad((F.col("doc_id") * F.lit(137)).cast("string"), 9, "0"),
+            F.expr("repeat(' also x@y.io', cast(doc_id % 3 as int))"),
+        ).alias("text"),
+    )
+    return TX.pii_redact(docs).select(
+        "doc_id", "n_emails", "n_long_ids", "text_redacted"
+    )
+
+
+_PII_REDACT_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         text || ' reach me at u' || doc_id || '@mail' || (doc_id % 5)
+              || '.example.org or id 9'
+              || lpad(CAST(doc_id * 137 AS VARCHAR), 9, '0')
+              || repeat(' also x@y.io', CAST(doc_id % 3 AS INT)) AS text
+  FROM documents
+),
+e AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{TX.PII_EMAIL_RE}')) AS n_emails,
+         regexp_replace(text, '{TX.PII_EMAIL_RE}', '<EMAIL>', 'g') AS t2
+  FROM w
+)
+SELECT doc_id, n_emails,
+       len(regexp_extract_all(t2, '{TX.PII_LONG_ID_RE}')) AS n_long_ids,
+       regexp_replace(t2, '{TX.PII_LONG_ID_RE}', '<ID>', 'g') AS text_redacted
+FROM e
+"""
+
+
 def _q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.minhash_signatures(_docs(spark, sf_dir))
 
@@ -2059,14 +2137,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_kmeans_ann": _q_ivf_kmeans_ann,
         "fix_conn_exact": _q_fix_conn_exact,
         "dedup_cluster": _q_dedup_cluster,
+        "repetition": _q_repetition,
+        "pii_redact": _q_pii_redact,
         # -- r02-green core ------------------------------------------------
         "reference_network": _q_reference_network,
         "dedup_exact": _q_dedup_exact,
         "nodes_dense": _q_nodes_dense,
         "network_nodes": _q_network_nodes,
         "node_degree": _q_node_degree,
-        "confluence_join": _q_confluence_join,
-        "anti_isolated": _q_anti_isolated,
         "bfs_reach": _q_bfs_reach,
         "dist_from_root": _q_dist_from_root,
         "principal_stem": _q_principal_stem,
@@ -2096,6 +2174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- past the 50-entry driver window (r02-green; oracle_check.py
         #    still verifies all of them every round) -----------------------
         "minhash_sig": _q_minhash_sig,
+        "confluence_join": _q_confluence_join,
+        "anti_isolated": _q_anti_isolated,
         "geoparse": _q_geoparse,
         "corr_insert": _q_corr_insert,
         "corr_delete": _q_corr_delete,
@@ -2168,6 +2248,8 @@ def oracle_sql() -> dict[str, str]:
         "zonal_pct": _ZONAL_SQL,
         "token_stats": _TOKEN_STATS_SQL,
         "token_bpe": _TOKEN_BPE_SQL,
+        "repetition": _REPETITION_SQL,
+        "pii_redact": _PII_REDACT_SQL,
         "minhash_sig": _minhash_sql(),
         "lsh_pairs": _lsh_pairs_sql(),
         "ngram_jaccard": _jaccard_sql(),

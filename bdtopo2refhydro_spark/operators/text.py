@@ -463,3 +463,80 @@ def token_counts_bpe(docs: DataFrame, text_col: str = "text") -> DataFrame:
         bpe.alias("n_bpe_tokens"),
         (bpe / F.greatest(ws, F.lit(1))).alias("tokens_per_word"),
     )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition measures (Rae et al. 2021, appendix A1.1) —
+    the standard "remove documents dominated by one token / one n-gram"
+    quality gate, kept integer-exact: total and distinct token counts plus
+    the multiplicity of the most frequent token and most frequent adjacent
+    2-gram. Thresholds stay in integer arithmetic downstream
+    (``top_token_count * 5 > n_tokens`` == the 0.2 fraction gate), so the
+    filter replays bit-identically in any SQL engine.
+
+    Scale shape: counts-per-gram via explode + groupBy (map-side partial
+    aggregation; never materializes a per-doc gram->count map in one task),
+    then a per-doc max. Both shuffles key on doc_id-derived keys — no
+    broadcast, no skew beyond what one hot document creates, and a hot
+    document's grams still partial-aggregate map-side. The per-doc scalar
+    counts ride a separate narrow projection and join back on doc_id."""
+    t = tokens_expr(text_col)
+    bigrams = (
+        f"case when size({t}) < 2 then array() "
+        f"else transform(sequence(1, size({t}) - 1), "
+        f"i -> concat(element_at({t}, i), ' ', element_at({t}, i + 1))) end"
+    )
+    scalars = docs.select(
+        "doc_id",
+        F.size(F.expr(t)).alias("n_tokens"),
+        F.size(F.array_distinct(F.expr(t))).alias("n_distinct_tokens"),
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"concat(transform({t}, x -> struct('t' as kind, x as gram)), "
+                f"transform({bigrams}, x -> struct('b' as kind, x as gram)))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.kind", "g.gram")
+    tops = (
+        grams.groupBy("doc_id", "kind", "gram").count()
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("kind") == "t", F.col("count")))
+            .alias("top_token_count"),
+            F.coalesce(
+                F.max(F.when(F.col("kind") == "b", F.col("count"))), F.lit(0)
+            ).alias("top_bigram_count"),
+        )
+    )
+    return scalars.join(tops, "doc_id")
+
+
+# one regex dialect shared by Java (Spark) and RE2 (DuckDB): character
+# classes, greedy +, bounded {2,} — no backreferences, no lookaround, so
+# leftmost-first (Java) and leftmost-longest (RE2) agree on these shapes
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_LONG_ID_RE = "[0-9]{9,}"
+
+
+def pii_redact(df: DataFrame, text_col: str = "text",
+               out_col: str = "text_redacted") -> DataFrame:
+    """PII scrubbing pass of a training-data pipeline: replace email
+    addresses and long digit runs (SSN/CC-shaped identifiers) with typed
+    placeholders, and count what was removed per document. Pure JVM regex
+    — whole-stage-codegen'd, no Python, no shuffle; the counts let the
+    pipeline audit redaction volume per source without retaining the PII."""
+    n_emails = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(PII_EMAIL_RE), F.lit(0))
+    )
+    no_email = F.regexp_replace(F.col(text_col), PII_EMAIL_RE, "<EMAIL>")
+    n_ids = F.size(F.regexp_extract_all(no_email, F.lit(PII_LONG_ID_RE),
+                                        F.lit(0)))
+    return df.select(
+        *df.columns,
+        n_emails.alias("n_emails"),
+        n_ids.alias("n_long_ids"),
+        F.regexp_replace(no_email, PII_LONG_ID_RE, "<ID>").alias(out_col),
+    )

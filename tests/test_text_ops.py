@@ -290,3 +290,43 @@ def test_token_counts_bpe(spark):
     assert rows[1]["n_words"] == 3 and rows[1]["n_bpe_tokens"] == 6
     assert rows[2]["n_words"] == 3 and rows[2]["n_bpe_tokens"] == 3
     assert rows[1]["tokens_per_word"] == 2.0
+
+
+def test_repetition_stats_hand_checked(spark):
+    rows = [
+        (0, "a a a b"),          # top token 'a'×3; bigrams: 'a a'×2, 'a b'
+        (1, "x"),                # single token: no bigrams
+        (2, "the cat sat"),      # all distinct
+        (3, "go go go go"),      # one token dominates everything
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in TX.repetition_stats(df).collect()}
+    assert (out[0].n_tokens, out[0].n_distinct_tokens) == (4, 2)
+    assert (out[0].top_token_count, out[0].top_bigram_count) == (3, 2)
+    assert (out[1].top_token_count, out[1].top_bigram_count) == (1, 0)
+    assert (out[2].top_token_count, out[2].top_bigram_count) == (1, 1)
+    assert (out[3].top_token_count, out[3].top_bigram_count) == (4, 3)
+    # the Gopher 0.2-fraction gate in pure integers (with its usual
+    # min-length companion so trivially-short docs don't trip it):
+    # docs 0 and 3 fail it
+    flagged = {d for d, r in out.items()
+               if r.n_tokens >= 4 and r.top_token_count * 5 > r.n_tokens}
+    assert flagged == {0, 3}
+
+
+def test_pii_redact_hand_checked(spark):
+    rows = [
+        (0, "write bob.smith+x@foo-bar.co today 1234567890 ok 12345678"),
+        (1, "no pii at all"),
+        (2, "two a@b.io and c.d@e-f.org plus 999999999"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in TX.pii_redact(df).collect()}
+    assert out[0].text_redacted == "write <EMAIL> today <ID> ok 12345678"
+    assert (out[0].n_emails, out[0].n_long_ids) == (1, 1)
+    assert out[1].text_redacted == "no pii at all"
+    assert (out[1].n_emails, out[1].n_long_ids) == (0, 0)
+    assert out[2].text_redacted == "two <EMAIL> and <EMAIL> plus <ID>"
+    assert (out[2].n_emails, out[2].n_long_ids) == (2, 1)
+    # original text column is preserved alongside the redaction
+    assert out[0].text.startswith("write bob.smith")
