@@ -32,9 +32,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "embeddings"]
 
 # graph entries whose Spark side picks a physical strategy by size; all
-# carry exact DuckDB oracles (strahler_binary covers the G7 machinery)
+# carry exact DuckDB oracles (strahler_binary covers the G7 machinery).
+# agg_segments exercises A3's size-split at scale: the tree fixture is
+# single-edge-majority (JVM fast path), the chain fixture is long-chain
+# (distributed pointer jumping + bucketed pandas stitch).
 QUERIES = ["bfs_reach", "dist_from_root", "measure_outlet", "upstream_len",
-           "hack_order", "strahler_binary"]
+           "hack_order", "strahler_binary", "agg_segments"]
 
 
 # chain fixture: doc_id = r * 2^k (r odd, k = 0..CHAIN_LEN-1). Under the
