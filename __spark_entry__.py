@@ -1711,6 +1711,85 @@ FROM h
 """
 
 
+def _q_image_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode path: synthesizes valid binary-PPM payloads from
+    doc_id (operators/multimodal.py:synth_ppm_bytes), and the engine
+    byte-parses them (magic sniff → header → raw RGB means). The oracle
+    replays the constant-color fixture's closed forms — so the green row
+    verifies the genuine decode, not a hash twin."""
+    from bdtopo2refhydro_spark.operators.multimodal import (
+        extract_image_features,
+        ppm_payload_udf,
+    )
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        ppm_payload_udf()("doc_id").alias("payload"),
+    )
+    out = extract_image_features(media, payload_col="payload")
+    return out.select(
+        "url", "media_type", "n_bytes", "width", "height",
+        F.element_at("features", 1).cast("double").alias("mean_r"),
+        F.element_at("features", 2).cast("double").alias("mean_g"),
+    )
+
+
+_IMAGE_PPM_SQL = """
+WITH p AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url,
+         4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+         doc_id % 256 AS r, (doc_id * 7) % 256 AS g
+  FROM documents
+)
+SELECT url, 'image/x-portable-pixmap' AS media_type,
+       CAST(3 + length(CAST(w AS VARCHAR)) + 1 + length(CAST(h AS VARCHAR))
+              + 5 + 3 * w * h AS BIGINT) AS n_bytes,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(r AS DOUBLE) / 256.0 AS mean_r,
+       CAST(g AS DOUBLE) / 256.0 AS mean_g
+FROM p
+"""
+
+
+def _q_audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode path: valid RIFF/WAVE 16-bit PCM payloads from
+    doc_id (multimodal.py:synth_wav_bytes), chunk-walked by the engine;
+    constant amplitude + rates dividing 1000·duration make every output
+    column closed-form in doc_id for the oracle."""
+    from bdtopo2refhydro_spark.operators.multimodal import (
+        extract_audio_features,
+        wav_payload_udf,
+    )
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        wav_payload_udf()("doc_id").alias("payload"),
+    )
+    out = extract_audio_features(media)
+    return out.select(
+        "url", "n_bytes", "duration_ms", "sample_rate",
+        F.col("loudness").cast("double").alias("loudness"),
+    )
+
+
+_AUDIO_WAV_SQL = """
+WITH p AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url,
+         (CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 16 WHEN 2 THEN 32
+               ELSE 48 END) * 1000 AS rate,
+         100 + 50 * (doc_id % 7) AS dur,
+         (doc_id * 31) % 32768 AS amp
+  FROM documents
+)
+SELECT url,
+       CAST(44 + 2 * ((rate * dur) // 1000) AS BIGINT) AS n_bytes,
+       CAST(dur AS INTEGER) AS duration_ms,
+       CAST(rate AS INTEGER) AS sample_rate,
+       CAST(amp AS DOUBLE) / 32768.0 AS loudness
+FROM p
+"""
+
+
 def _q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing: row-expanding mapInPandas, one row per
     sampled frame, deterministic stub → SQL-replayable."""
@@ -2139,6 +2218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster": _q_dedup_cluster,
         "repetition": _q_repetition,
         "pii_redact": _q_pii_redact,
+        "image_ppm": _q_image_ppm,
+        "audio_wav": _q_audio_wav,
         # -- r02-green core ------------------------------------------------
         "reference_network": _q_reference_network,
         "dedup_exact": _q_dedup_exact,
@@ -2159,8 +2240,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exutoire_band": _q_exutoire_band,
         "raster_vectorize": _q_raster_vectorize,
         "text_extract": _q_text_extract,
-        "image_features": _q_image_features,
-        "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
         "stream_ingest": _q_stream_ingest,
         "stream_dedup_state": _q_stream_dedup_state,
@@ -2176,6 +2255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sig": _q_minhash_sig,
         "confluence_join": _q_confluence_join,
         "anti_isolated": _q_anti_isolated,
+        "image_features": _q_image_features,
+        "audio_features": _q_audio_features,
         "geoparse": _q_geoparse,
         "corr_insert": _q_corr_insert,
         "corr_delete": _q_corr_delete,
@@ -2237,6 +2318,8 @@ def oracle_sql() -> dict[str, str]:
         "text_extract": _TEXT_EXTRACT_SQL,
         "image_features": _IMAGE_FEATURES_SQL,
         "audio_features": _AUDIO_SQL,
+        "image_ppm": _IMAGE_PPM_SQL,
+        "audio_wav": _AUDIO_WAV_SQL,
         "video_frames": _VIDEO_SQL,
         "geoparse": _GEOPARSE_SQL,
         "stream_ingest": _STREAM_INGEST_SQL,

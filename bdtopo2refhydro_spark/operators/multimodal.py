@@ -1,10 +1,13 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The decode step is STUBBED (no image/audio libraries in this container —
-clearly marked below); the Spark-side plumbing is real: schema, Arrow batch
-shape, mapInPandas iterator contract, and partition sizing are exactly what
-a production decode would use. Swap `_decode_image_stub` for a PIL/ffmpeg
-call and nothing else changes.
+Decode dispatch is by magic bytes, the way a production featurizer sniffs
+content-type: uncompressed formats this container can genuinely parse are
+decoded FOR REAL in pure numpy (binary PPM ``P6`` images, RIFF/WAVE 16-bit
+PCM audio); everything else falls back to a deterministic STUB (no
+libjpeg/ffmpeg here — clearly marked below). The Spark-side plumbing is
+identical either way: schema, Arrow batch shape, mapInPandas iterator
+contract, and partition sizing are exactly what a full PIL/ffmpeg decode
+would use — swapping the stub for one touches nothing else.
 
 At scale: binary payloads dominate partition size, so `media_repartition`
 splits by byte budget, not row count — 128 MB of payload per task keeps
@@ -34,6 +37,39 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def _decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL decode of a binary PPM (``P6``) image: header tokens (with
+    ``#`` comment skipping per the netpbm spec), then raw interleaved RGB.
+    Features are the per-channel means scaled by the power-of-two 256 —
+    means accumulate in float64 and the /256 is exact in float32, so the
+    values replay bit-identically in a doubles-only SQL oracle."""
+    pos = 2  # past 'P6'
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval, then raw data
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"16-bit PPM unsupported (maxval={maxval})")
+    n = width * height * 3
+    px = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    means = px.reshape(-1, 3).mean(axis=0, dtype=np.float64) / 256.0
+    feats = np.zeros(8, dtype=np.float32)
+    feats[:3] = means
+    feats[3] = px.max() / 256.0
+    feats[4] = px.min() / 256.0
+    return width, height, feats
+
+
 def _decode_image_stub(payload: bytes) -> tuple[int, int, np.ndarray]:
     """STUB: deterministic fake decode (no PIL/libjpeg in this container).
     A real deployment replaces this body with
@@ -58,10 +94,16 @@ def extract_image_features(media: DataFrame, payload_col: str = "html",
             for url, payload in zip(pdf["url"], pdf[payload_col]):
                 if payload is None:
                     continue
-                w, h, f = _decode_image_stub(bytes(payload))
+                b = bytes(payload)
+                if b[:2] == b"P6":
+                    w, h, f = _decode_ppm(b)
+                    mt = "image/x-portable-pixmap"
+                else:
+                    w, h, f = _decode_image_stub(b)
+                    mt = "image/stub"
                 out.append(
-                    {"url": url, "media_type": "image/stub",
-                     "n_bytes": len(payload), "width": int(w),
+                    {"url": url, "media_type": mt,
+                     "n_bytes": len(b), "width": int(w),
                      "height": int(h), "features": f.tolist()}
                 )
             yield pd.DataFrame(
@@ -97,6 +139,42 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def _decode_wav(payload: bytes) -> tuple[int, int, float]:
+    """REAL decode of a RIFF/WAVE container with 16-bit PCM samples: walks
+    the chunk list (fmt / data, skipping unknown chunks like LIST), then
+    duration from frame count and loudness as the mean absolute sample
+    amplitude over the power-of-two full scale 32768 (float64 accumulate —
+    exact for the scale of int16 sums, so SQL-replayable)."""
+    if payload[8:12] != b"WAVE":
+        raise ValueError("RIFF but not WAVE")
+    pos, rate, channels, bits = 12, None, None, None
+    frames, samples = 0, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            if int.from_bytes(body[0:2], "little") != 1:
+                raise ValueError("non-PCM WAV unsupported")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            if bits != 16:
+                raise ValueError(f"{bits}-bit PCM unsupported")
+            samples = np.frombuffer(body, dtype="<i2",
+                                    count=size // 2)
+            frames = size // (2 * channels)
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    duration_ms = frames * 1000 // rate
+    loudness = float(
+        np.abs(samples.astype(np.float64)).mean() / 32768.0
+    ) if samples.size else 0.0
+    return duration_ms, rate, loudness
+
+
 def _decode_audio_stub(payload: bytes) -> tuple[int, int, float]:
     """STUB: deterministic fake decode (no ffmpeg/librosa in this
     container). A real deployment replaces this body with an ffprobe/pcm
@@ -122,8 +200,12 @@ def extract_audio_features(media: DataFrame, payload_col: str = "payload",
             for url, payload in zip(pdf["url"], pdf[payload_col]):
                 if payload is None:
                     continue
-                d, sr, loud = _decode_audio_stub(bytes(payload))
-                out.append({"url": url, "n_bytes": len(payload),
+                b = bytes(payload)
+                if b[:4] == b"RIFF":
+                    d, sr, loud = _decode_wav(b)
+                else:
+                    d, sr, loud = _decode_audio_stub(b)
+                out.append({"url": url, "n_bytes": len(b),
                             "duration_ms": d, "sample_rate": sr,
                             "loudness": loud})
             yield pd.DataFrame(
@@ -176,3 +258,52 @@ def sample_video_frames(media: DataFrame, payload_col: str = "payload",
             )
 
     return media.select("url", payload_col).mapInPandas(_sample, FRAME_SCHEMA)
+
+
+def synth_ppm_bytes(doc_id: int) -> bytes:
+    """Deterministic VALID binary-PPM fixture for the real decode path:
+    (4 + id%13)×(3 + id%7) pixels, constant color (id%256, 7id%256,
+    13id%256). Constant pixels make the channel means closed-form in
+    doc_id, so a SQL oracle replays the genuine byte-level decode."""
+    w, h = 4 + doc_id % 13, 3 + doc_id % 7
+    r, g, b = doc_id % 256, (doc_id * 7) % 256, (doc_id * 13) % 256
+    return f"P6\n{w} {h}\n255\n".encode() + bytes((r, g, b)) * (w * h)
+
+
+def synth_wav_bytes(doc_id: int) -> bytes:
+    """Deterministic VALID RIFF/WAVE 16-bit mono PCM fixture: rate in
+    {8,16,32,48} kHz (all divide 1000·duration), duration 100+50·(id%7) ms,
+    every sample at amplitude 31·id mod 32768 — so duration_ms and
+    loudness have closed forms in doc_id and the real chunk-walking
+    decode is SQL-verifiable."""
+    rate = (8, 16, 32, 48)[doc_id % 4] * 1000
+    dur_ms = 100 + 50 * (doc_id % 7)
+    amp = (doc_id * 31) % 32768
+    n = rate * dur_ms // 1000
+    data = np.full(n, amp, dtype="<i2").tobytes()
+    hdr = (
+        b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + (rate * 2).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + len(data).to_bytes(4, "little")
+    )
+    return hdr + data
+
+
+def ppm_payload_udf():
+    """binary pandas UDF: doc_id -> synth_ppm_bytes(doc_id). Lives here so
+    the pd.Series type hints resolve in this module's globals."""
+    @F.pandas_udf("binary")
+    def _mk(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_ppm_bytes(int(i)))
+    return _mk
+
+
+def wav_payload_udf():
+    """binary pandas UDF: doc_id -> synth_wav_bytes(doc_id)."""
+    @F.pandas_udf("binary")
+    def _mk(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_wav_bytes(int(i)))
+    return _mk

@@ -330,3 +330,55 @@ def test_pii_redact_hand_checked(spark):
     assert (out[2].n_emails, out[2].n_long_ids) == (2, 1)
     # original text column is preserved alongside the redaction
     assert out[0].text.startswith("write bob.smith")
+
+
+def test_real_ppm_and_wav_decode(spark):
+    """Magic-byte dispatch: valid PPM/WAV payloads take the REAL numpy
+    decoders (dimensions/duration/loudness parsed from bytes); other
+    payloads keep the deterministic stub. Hand-built non-synth fixtures
+    (varied pixels, multi-chunk WAV with a LIST chunk) exercise the
+    parsers beyond the closed-form driver fixture."""
+    import numpy as np
+
+    from bdtopo2refhydro_spark.operators.multimodal import (
+        extract_audio_features,
+        extract_image_features,
+    )
+
+    # 2x1 PPM, pixels (0,0,0) and (255,4,0): means (127.5, 2, 0)/256
+    ppm = b"P6\n# c\n2 1\n255\n" + bytes((0, 0, 0, 255, 4, 0))
+    media = spark.createDataFrame(
+        [("p", bytearray(ppm)), ("s", bytearray(b"not an image"))],
+        "url string, payload binary",
+    )
+    img = {r["url"]: r for r in
+           extract_image_features(media, payload_col="payload").collect()}
+    assert img["p"]["media_type"] == "image/x-portable-pixmap"
+    assert (img["p"]["width"], img["p"]["height"]) == (2, 1)
+    assert img["p"]["features"][0] == 127.5 / 256.0
+    assert img["p"]["features"][1] == 2.0 / 256.0
+    assert img["p"]["features"][3] == 255.0 / 256.0  # max
+    assert img["s"]["media_type"] == "image/stub"
+
+    # 8kHz mono WAV, 16 frames, with a LIST chunk the walker must skip;
+    # samples ±1024 → mean abs exactly 1024/32768
+    samples = np.array([1024, -1024] * 8, dtype="<i2").tobytes()
+    wav = (
+        b"RIFF" + (4 + 8 + 6 + 8 + 16 + 8 + len(samples)).to_bytes(4, "little")
+        + b"WAVE"
+        + b"LIST" + (6).to_bytes(4, "little") + b"INFOab"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + len(samples).to_bytes(4, "little") + samples
+    )
+    media2 = spark.createDataFrame(
+        [("w", bytearray(wav)), ("s", bytearray(b"not audio"))],
+        "url string, payload binary",
+    )
+    aud = {r["url"]: r for r in extract_audio_features(media2).collect()}
+    assert aud["w"]["sample_rate"] == 8000
+    assert aud["w"]["duration_ms"] == 16 * 1000 // 8000
+    assert aud["w"]["loudness"] == 1024.0 / 32768.0
+    assert aud["s"]["sample_rate"] in (8000, 16000, 22000, 44000)  # stub
