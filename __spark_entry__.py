@@ -1790,6 +1790,44 @@ FROM p
 """
 
 
+def _q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize path, round-tripped: synth PPM → nearest-neighbor
+    resample to 8×6 (multimodal.py:_resize_ppm) → re-decode the re-encoded
+    bytes with extract_image_features. Constant-color fixtures keep every
+    output closed-form; the chain proves the resized payload is a
+    well-formed image, not just that the op ran."""
+    from bdtopo2refhydro_spark.operators.multimodal import (
+        extract_image_features,
+        ppm_payload_udf,
+        resize_images,
+    )
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        ppm_payload_udf()("doc_id").alias("payload"),
+    )
+    rz = resize_images(media, 8, 6).select(
+        "url", F.col("resized").alias("payload")
+    )
+    out = extract_image_features(rz, payload_col="payload")
+    return out.select(
+        "url", "media_type", "n_bytes", "width", "height",
+        F.element_at("features", 1).cast("double").alias("mean_r"),
+        F.element_at("features", 3).cast("double").alias("mean_b"),
+    )
+
+
+_IMAGE_RESIZE_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS url,
+       'image/x-portable-pixmap' AS media_type,
+       CAST(11 + 3 * 8 * 6 AS BIGINT) AS n_bytes,
+       CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height,
+       CAST(doc_id % 256 AS DOUBLE) / 256.0 AS mean_r,
+       CAST((doc_id * 13) % 256 AS DOUBLE) / 256.0 AS mean_b
+FROM documents
+"""
+
+
 def _q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing: row-expanding mapInPandas, one row per
     sampled frame, deterministic stub → SQL-replayable."""
@@ -2220,6 +2258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "image_ppm": _q_image_ppm,
         "audio_wav": _q_audio_wav,
+        "image_resize": _q_image_resize,
         # -- r02-green core ------------------------------------------------
         "reference_network": _q_reference_network,
         "dedup_exact": _q_dedup_exact,
@@ -2240,7 +2279,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exutoire_band": _q_exutoire_band,
         "raster_vectorize": _q_raster_vectorize,
         "text_extract": _q_text_extract,
-        "video_frames": _q_video_frames,
         "stream_ingest": _q_stream_ingest,
         "stream_dedup_state": _q_stream_dedup_state,
         "stream_window_counts": _q_stream_window_counts,
@@ -2257,6 +2295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_isolated": _q_anti_isolated,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
+        "video_frames": _q_video_frames,
         "geoparse": _q_geoparse,
         "corr_insert": _q_corr_insert,
         "corr_delete": _q_corr_delete,
@@ -2320,6 +2359,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": _AUDIO_SQL,
         "image_ppm": _IMAGE_PPM_SQL,
         "audio_wav": _AUDIO_WAV_SQL,
+        "image_resize": _IMAGE_RESIZE_SQL,
         "video_frames": _VIDEO_SQL,
         "geoparse": _GEOPARSE_SQL,
         "stream_ingest": _STREAM_INGEST_SQL,

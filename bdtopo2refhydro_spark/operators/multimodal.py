@@ -307,3 +307,61 @@ def wav_payload_udf():
     def _mk(ids: pd.Series) -> pd.Series:
         return ids.map(lambda i: synth_wav_bytes(int(i)))
     return _mk
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def _resize_ppm(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL nearest-neighbor resample of a binary PPM: decode, index-map
+    rows/columns with the standard floor((i + 0.5) * src / dst) center
+    rule, re-encode. Integer arithmetic only — deterministic across
+    platforms."""
+    w, h, _ = _decode_ppm(payload)
+    header_end = len(payload) - w * h * 3
+    px = np.frombuffer(payload, dtype=np.uint8, offset=header_end,
+                       count=w * h * 3).reshape(h, w, 3)
+    rows = ((2 * np.arange(out_h) + 1) * h) // (2 * out_h)
+    cols = ((2 * np.arange(out_w) + 1) * w) // (2 * out_w)
+    out = px[rows][:, cols]
+    return f"P6\n{out_w} {out_h}\n255\n".encode() + out.tobytes()
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int,
+                  payload_col: str = "payload") -> DataFrame:
+    """Image-resize stage of a multimodal training pipeline: mapInPandas
+    over binary payloads, PPM payloads genuinely resampled (nearest
+    neighbor), anything else passed through untouched with its original
+    dimensions unknown (-1) — the shape a production letterboxing pass
+    has, minus the libjpeg-backed formats this container can't parse."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for url, payload in zip(pdf["url"], pdf[payload_col]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                if b[:2] == b"P6":
+                    rb = _resize_ppm(b, out_w, out_h)
+                    out.append({"url": url, "width": out_w,
+                                "height": out_h, "n_bytes": len(rb),
+                                "resized": rb})
+                else:
+                    out.append({"url": url, "width": -1, "height": -1,
+                                "n_bytes": len(b), "resized": b})
+            yield pd.DataFrame(
+                out, columns=[f.name for f in RESIZED_SCHEMA.fields]
+            )
+
+    return media.select("url", payload_col).mapInPandas(
+        _resize, RESIZED_SCHEMA
+    )
