@@ -870,6 +870,47 @@ FROM e
 """
 
 
+def _q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.corpus_manifest(_docs(spark, sf_dir))
+
+
+_CORPUS_MANIFEST_SQL = """
+WITH base AS (
+  SELECT doc_id, source, md5(text) AS text_hash,
+         len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tokens
+  FROM documents
+),
+keep AS (
+  SELECT text_hash, min(doc_id) AS keep_id FROM base GROUP BY text_hash
+),
+top AS (
+  SELECT doc_id, max(c) AS top_token_count FROM (
+    SELECT doc_id, tok, count(*) AS c FROM (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+      FROM documents)
+    GROUP BY doc_id, tok)
+  GROUP BY doc_id
+),
+staged AS (
+  SELECT b.source, b.n_tokens,
+         (b.doc_id = k.keep_id) AS is_survivor,
+         (b.n_tokens >= 10 AND t.top_token_count * 5 <= b.n_tokens)
+           AS passes
+  FROM base b JOIN keep k USING (text_hash) JOIN top t ON b.doc_id = t.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS docs_total,
+       CAST(sum(CASE WHEN is_survivor THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_after_dedup,
+       CAST(sum(CASE WHEN is_survivor AND passes THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_kept,
+       CAST(sum(CASE WHEN is_survivor AND passes THEN n_tokens ELSE 0 END)
+            AS BIGINT) AS tokens_kept
+FROM staged GROUP BY source
+"""
+
+
 def _q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.minhash_signatures(_docs(spark, sf_dir))
 
@@ -2259,6 +2300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_ppm": _q_image_ppm,
         "audio_wav": _q_audio_wav,
         "image_resize": _q_image_resize,
+        "corpus_manifest": _q_corpus_manifest,
         # -- r02-green core ------------------------------------------------
         "reference_network": _q_reference_network,
         "dedup_exact": _q_dedup_exact,
@@ -2278,7 +2320,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_segments": _q_agg_segments,
         "exutoire_band": _q_exutoire_band,
         "raster_vectorize": _q_raster_vectorize,
-        "text_extract": _q_text_extract,
         "stream_ingest": _q_stream_ingest,
         "stream_dedup_state": _q_stream_dedup_state,
         "stream_window_counts": _q_stream_window_counts,
@@ -2293,6 +2334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sig": _q_minhash_sig,
         "confluence_join": _q_confluence_join,
         "anti_isolated": _q_anti_isolated,
+        "text_extract": _q_text_extract,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
@@ -2373,6 +2415,7 @@ def oracle_sql() -> dict[str, str]:
         "token_bpe": _TOKEN_BPE_SQL,
         "repetition": _REPETITION_SQL,
         "pii_redact": _PII_REDACT_SQL,
+        "corpus_manifest": _CORPUS_MANIFEST_SQL,
         "minhash_sig": _minhash_sql(),
         "lsh_pairs": _lsh_pairs_sql(),
         "ngram_jaccard": _jaccard_sql(),

@@ -540,3 +540,50 @@ def pii_redact(df: DataFrame, text_col: str = "text",
         n_ids.alias("n_long_ids"),
         F.regexp_replace(no_email, PII_LONG_ID_RE, "<ID>").alias(out_col),
     )
+
+
+def corpus_manifest(docs: DataFrame, min_tokens: int = 10,
+                    rep_factor: int = 5) -> DataFrame:
+    """End-to-end curation manifest — the query a training-data pipeline
+    runs before handing a corpus to a tokenizer: exact-dedup survivors
+    (min doc_id per identical text) pass a minimum-length gate and the
+    integer Gopher repetition gate (top token multiplicity ≤ 1/rep_factor
+    of tokens), and the manifest reports per source how many documents and
+    whitespace tokens survive each stage. Every gate is integer
+    arithmetic, so the manifest replays bit-identically in SQL.
+
+    Scale shape: the dedup shuffle moves 16-byte digests (never text);
+    the repetition counts explode tokens with map-side partial
+    aggregation keyed by doc_id; the final rollup groups by the
+    low-cardinality source key. No stage carries document bodies."""
+    toks = tokens_expr()
+    base = docs.select(
+        "doc_id", "source",
+        F.md5(F.col("text").cast("binary")).alias("text_hash"),
+        F.size(F.expr(toks)).alias("n_tokens"),
+    )
+    keep = base.groupBy("text_hash").agg(F.min("doc_id").alias("keep_id"))
+    top = (
+        docs.select("doc_id", F.explode(F.expr(toks)).alias("tok"))
+        .groupBy("doc_id", "tok").count()
+        .groupBy("doc_id").agg(F.max("count").alias("top_token_count"))
+    )
+    survivor = F.col("doc_id") == F.col("keep_id")
+    passes = (
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("top_token_count") * rep_factor <= F.col("n_tokens"))
+    )
+    staged = (
+        base.join(keep, "text_hash")
+        .join(top, "doc_id")
+        .select("source", "n_tokens", survivor.alias("is_survivor"),
+                passes.alias("passes_gates"))
+    )
+    kept = F.col("is_survivor") & F.col("passes_gates")
+    return staged.groupBy("source").agg(
+        F.count("*").alias("docs_total"),
+        F.sum(F.col("is_survivor").cast("long")).alias("docs_after_dedup"),
+        F.sum(kept.cast("long")).alias("docs_kept"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(F.lit(0)))
+        .cast("long").alias("tokens_kept"),
+    )

@@ -408,3 +408,22 @@ def test_resize_images_real_and_passthrough(spark):
     dec = extract_image_features(back, payload_col="payload").collect()[0]
     assert (dec["width"], dec["height"]) == (4, 2)
     assert dec["features"][0] == (10 + 50) / 2 / 256.0
+
+
+def test_corpus_manifest_hand_checked(spark):
+    rows = [
+        # src A: one 12-token clean doc, an exact dup of it, and a
+        # repetitive doc (top 'go'x6 of 12 -> fails the 1/5 gate)
+        (0, "a b c d e f g h i j k l", "A"),
+        (5, "a b c d e f g h i j k l", "A"),
+        (1, "go go go go go go m n o p q r", "A"),
+        # src B: a too-short doc and a 10-token clean doc
+        (2, "tiny doc", "B"),
+        (3, "q w e r t y u i o p", "B"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in TX.corpus_manifest(df).collect()}
+    assert (out["A"].docs_total, out["A"].docs_after_dedup,
+            out["A"].docs_kept, out["A"].tokens_kept) == (3, 2, 1, 12)
+    assert (out["B"].docs_total, out["B"].docs_after_dedup,
+            out["B"].docs_kept, out["B"].tokens_kept) == (2, 2, 1, 10)
