@@ -2265,6 +2265,114 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped 3-way join + aggregate: broadcast the filtered
+    customer dim into orders, shuffle-join lineitem on the order key.
+    Aggregates stay order-independent-exact (counts + sums of
+    integer-valued quantities, < 2^53)."""
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(
+            F.broadcast(cu.filter(cu.c_mktsegment == "BUILDING")),
+            od.o_custkey == cu.c_custkey,
+        )
+        .filter((F.col("o_orderdate") < "1995-03-15")
+                & (F.col("l_shipdate") > "1995-03-15"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+        # emit the date as a string: Spark→pandas lands datetime64[ns],
+        # DuckDB→pandas datetime64[us], and the comparator requires
+        # identical dtypes
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority", "n_items", "sum_qty",
+        )
+    )
+
+
+_TPCH_Q3_SQL = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       count(*) AS n_items, sum(l_quantity) AS sum_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+"""
+
+SESSION_GAP_S = 1800
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the event stream (the batch analog of a
+    session window): a new session starts when a user's inter-event gap
+    exceeds SESSION_GAP_S. One window pass (lag → gap flag → running sum)
+    then a per-session rollup — all shuffles keyed by user_id. Times ride
+    as integer epoch MICROseconds (unix_timestamp would truncate
+    sub-second parts and shift gaps by up to a second vs the oracle)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id",
+        # parquet lands ts as TIMESTAMP_NTZ; the session tz is pinned UTC,
+        # so the cast is value-preserving and unix_micros stays integer
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ep"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    gap = F.col("ep") - F.lag("ep").over(w)
+    new_sess = F.when(
+        gap.isNull() | (gap > SESSION_GAP_S * 1_000_000), 1
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "session_seq",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        (F.max("ep") - F.min("ep")).alias("duration_us"),
+        F.min("event_id").alias("first_event_id"),
+    )
+
+
+_SESSIONIZE_SQL = f"""
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ep FROM events
+),
+flagged AS (
+  SELECT event_id, user_id, ep,
+         CASE WHEN ep - lag(ep) OVER w IS NULL
+                OR ep - lag(ep) OVER w > {SESSION_GAP_S * 1_000_000}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
+),
+sess AS (
+  SELECT event_id, user_id, ep,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ep, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       max(ep) - min(ep) AS duration_us,
+       min(event_id) AS first_event_id
+FROM sess GROUP BY user_id, session_seq
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -2301,6 +2409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_wav": _q_audio_wav,
         "image_resize": _q_image_resize,
         "corpus_manifest": _q_corpus_manifest,
+        "sessionize": _q_sessionize,
         # -- r02-green core ------------------------------------------------
         "reference_network": _q_reference_network,
         "dedup_exact": _q_dedup_exact,
@@ -2319,7 +2428,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_knn": _q_snap_knn,
         "agg_segments": _q_agg_segments,
         "exutoire_band": _q_exutoire_band,
-        "raster_vectorize": _q_raster_vectorize,
         "stream_ingest": _q_stream_ingest,
         "stream_dedup_state": _q_stream_dedup_state,
         "stream_window_counts": _q_stream_window_counts,
@@ -2338,7 +2446,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
+        "raster_vectorize": _q_raster_vectorize,
         "geoparse": _q_geoparse,
+        "tpch_q3": _q_tpch_q3,
         "corr_insert": _q_corr_insert,
         "corr_delete": _q_corr_delete,
         "corr_update": _q_corr_update,
@@ -2432,4 +2542,6 @@ def oracle_sql() -> dict[str, str]:
         "emb_dup_pairs": _emb_dup_sql(),
         "dissolve_area": _DISSOLVE_SQL,
         "tpch_q1": _TPCH_Q1_SQL,
+        "tpch_q3": _TPCH_Q3_SQL,
+        "sessionize": _SESSIONIZE_SQL,
     }
