@@ -46,6 +46,45 @@ def write_table(df: DataFrame, path_or_table: str, mode: str = "overwrite") -> N
         df.write.mode(mode).saveAsTable(path_or_table)
 
 
+def read_jsonl(spark: SparkSession, path: str, schema: str,
+               corrupt_col: str = "_corrupt_record") -> DataFrame:
+    """S1 alternate format: newline-delimited JSON — the standard crawl
+    interchange (CDX/WAT/WET sidecars, export dumps). The schema is
+    REQUIRED: schema inference scans the whole input once before the real
+    read, which is a non-starter at corpus scale. PERMISSIVE mode keeps
+    malformed lines, routing their raw text into `corrupt_col` so the
+    pipeline can quarantine instead of abort (mirrors the S2 fail-fast
+    guard but at row granularity, which is what a 100-TB ingest needs)."""
+    return (
+        spark.read.schema(f"{schema}, {corrupt_col} string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def read_csv(spark: SparkSession, path: str, schema: str,
+             header: bool = True, sep: str = ",") -> DataFrame:
+    """S1 alternate format: CSV with an explicit schema (no inference scan),
+    PERMISSIVE malformed-row handling."""
+    return (
+        spark.read.schema(schema)
+        .option("header", header).option("sep", sep)
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
+                      mode: str = "overwrite") -> None:
+    """S3 at scale: hive-partitioned parquet layout (e.g. by source / crawl
+    date) so downstream reads prune partitions at plan time instead of
+    scanning the corpus. Choose LOW-cardinality keys: each distinct tuple
+    is a directory, and a high-cardinality partition key (url, doc_id)
+    melts the metastore and produces millions of tiny files."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
 def write_bucketed(df: DataFrame, table: str, key: str,
                    n_buckets: int = 64) -> None:
     """Bucketed, sorted sink for co-located equi-joins (SURVEY.md §4):

@@ -296,3 +296,53 @@ def test_entry_contract_schema(spark):
     qs, osql = E.queries(), E.oracle_sql()
     assert set(osql) <= set(qs)
     assert len(qs) >= 59 and len(osql) >= 56
+
+
+def test_read_jsonl_permissive_and_csv(spark, tmp_path):
+    """Alternate S1 formats: explicit-schema JSONL with malformed-line
+    quarantine, and explicit-schema CSV — no inference scan in either."""
+    from bdtopo2refhydro_spark.sources.io import read_csv, read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        'this line is not json\n'
+        '{"doc_id": 2, "text": "ok"}\n'
+    )
+    df = read_jsonl(spark, str(p), "doc_id bigint, text string")
+    rows = {r.doc_id: r for r in df.collect()}
+    assert rows[1].text == "hello world" and rows[2].text == "ok"
+    bad = [r for r in rows.values() if r.doc_id is None]
+    assert len(bad) == 1 and "not json" in bad[0]._corrupt_record
+
+    c = tmp_path / "docs.csv"
+    c.write_text("doc_id,text\n1,hello\n2,world\n")
+    out = {r.doc_id: r.text
+           for r in read_csv(spark, str(c), "doc_id bigint, text string")
+           .collect()}
+    assert out == {1: "hello", 2: "world"}
+
+
+def test_write_partitioned_prunes(spark, tmp_path):
+    """Hive-partitioned sink: directory-per-key layout, read-back equality,
+    and a partition filter that scans only the matching directory."""
+    import os
+
+    from bdtopo2refhydro_spark.sources.io import write_partitioned
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}", f"s{i % 3}") for i in range(30)],
+        "doc_id long, text string, source string",
+    )
+    out = str(tmp_path / "part")
+    write_partitioned(df, out, ["source"])
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("source=")
+    ) == ["source=s0", "source=s1", "source=s2"]
+    back = spark.read.parquet(out)
+    assert back.count() == 30
+    pruned = back.filter("source = 's1'")
+    assert pruned.count() == 10
+    # the partition filter must reach the scan (plan-time pruning)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(source" in plan
