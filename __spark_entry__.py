@@ -1937,6 +1937,20 @@ def _q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_INGEST_SQL = "SELECT doc_id, text, lang FROM documents"
 
 
+def _q_stream_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless operator through the streaming boundary: quality_score
+    applied inside readStream → availableNow drain must equal the batch
+    result exactly (same oracle as the batch `quality` entry)."""
+    from bdtopo2refhydro_spark.streaming import stream_parquet_passthrough
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    return stream_parquet_passthrough(
+        spark, path, schema, "stream_docs_quality",
+        transform=TX.quality_score,
+    )
+
+
 def _q_stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming op (applyInPandasWithState): exactly one
     deterministic representative row per `source` across micro-batches —
@@ -2425,10 +2439,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strahler_order": _q_strahler,
         "fix_connectivity": _q_fix_connectivity,
         "prune_slivers": _q_prune_slivers,
-        "snap_knn": _q_snap_knn,
         "agg_segments": _q_agg_segments,
         "exutoire_band": _q_exutoire_band,
         "stream_ingest": _q_stream_ingest,
+        "stream_quality": _q_stream_quality,
         "stream_dedup_state": _q_stream_dedup_state,
         "stream_window_counts": _q_stream_window_counts,
         "width_network": _q_width_network,
@@ -2447,6 +2461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
         "raster_vectorize": _q_raster_vectorize,
+        "snap_knn": _q_snap_knn,
         "geoparse": _q_geoparse,
         "tpch_q3": _q_tpch_q3,
         "corr_insert": _q_corr_insert,
@@ -2515,6 +2530,7 @@ def oracle_sql() -> dict[str, str]:
         "video_frames": _VIDEO_SQL,
         "geoparse": _GEOPARSE_SQL,
         "stream_ingest": _STREAM_INGEST_SQL,
+        "stream_quality": _quality_sql(),
         "stream_dedup_state": _STREAM_DEDUP_SQL,
         "stream_window_counts": _STREAM_WINDOW_SQL,
         "tile_assign": _TILE_SQL,

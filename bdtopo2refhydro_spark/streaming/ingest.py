@@ -54,13 +54,15 @@ def stream_pages_ingest(spark: SparkSession, source_dir: str, out_dir: str,
 
 
 def stream_parquet_passthrough(spark: SparkSession, path: str, schema,
-                               query_name: str) -> DataFrame:
-    """readStream a parquet path → availableNow micro-batch drain → memory
-    sink; returns the drained table as a DataFrame. The batch-equivalence
-    harness for the ingest path: the driver's oracle compares it against a
-    plain SELECT over the same parquet, proving the stream neither drops,
-    duplicates, nor mutates rows (the byte-identity invariant applied to
-    the streaming boundary)."""
+                               query_name: str, transform=None) -> DataFrame:
+    """readStream a parquet path → optional stateless DataFrame transform →
+    availableNow micro-batch drain → memory sink; returns the drained table
+    as a DataFrame. The batch-equivalence harness for the streaming
+    boundary: the driver's oracle compares it against the same logic as a
+    plain batch SELECT, proving the stream neither drops, duplicates, nor
+    mutates rows — and, with `transform`, that the engine's stateless
+    operators (quality scoring, PII redaction, language id, …) run
+    UNCHANGED on a stream: same logical plan, micro-batched."""
     for q in spark.streams.active:
         if q.name == query_name:
             q.stop()
@@ -74,6 +76,8 @@ def stream_parquet_passthrough(spark: SparkSession, path: str, schema,
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     src: DataFrame = reader.parquet(path)
+    if transform is not None:
+        src = transform(src)
     q = (
         src.writeStream.format("memory")
         .queryName(query_name)
