@@ -2387,6 +2387,26 @@ FROM sess GROUP BY user_id, session_seq
 """
 
 
+def _q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP grouping sets: per-(source, lang) counts with ROLLUP subtotals
+    and a grand total — one aggregation pass, three grouping sets."""
+    return (
+        _docs(spark, sf_dir)
+        .rollup("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+_ROLLUP_SQL = """
+SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY ROLLUP (source, lang)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -2464,6 +2484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_knn": _q_snap_knn,
         "geoparse": _q_geoparse,
         "tpch_q3": _q_tpch_q3,
+        "rollup_counts": _q_rollup_counts,
         "corr_insert": _q_corr_insert,
         "corr_delete": _q_corr_delete,
         "corr_update": _q_corr_update,
@@ -2560,4 +2581,5 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q1": _TPCH_Q1_SQL,
         "tpch_q3": _TPCH_Q3_SQL,
         "sessionize": _SESSIONIZE_SQL,
+        "rollup_counts": _ROLLUP_SQL,
     }
