@@ -2407,13 +2407,233 @@ FROM documents GROUP BY ROLLUP (source, lang)
 """
 
 
+# ---------------------------------------------------------------------------
+# temporal joins (operators/temporal.py) — as-of, bucketed range, rollup
+# ---------------------------------------------------------------------------
+
+def _events_ep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with integer epoch-µs (same UTC-pinned cast as sessionize)."""
+    return spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ep"),
+    )
+
+
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF backward join: every event picks up the most recent prior
+    "rate update" (every 10th event defines one) for its user. Spark has
+    no ASOF JOIN — operators/temporal.asof_join lowers it to one
+    union + window pass (single shuffle on user_id, no nested-loop);
+    the DuckDB oracle uses its native ASOF LEFT JOIN."""
+    from bdtopo2refhydro_spark.operators import temporal as T
+
+    ev = _events_ep(spark, sf_dir)
+    updates = T.dedup_right_per_ts(
+        ev.filter(F.col("event_id") % 10 == 0)
+        .select("user_id", "ep", F.col("event_id").alias("rate")),
+        "user_id", "ep", "rate",
+    )
+    return T.asof_join(ev, updates, "user_id", "ep", "rate")
+
+
+_ASOF_SQL = """
+WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ep FROM events),
+r AS (
+  SELECT user_id, ep, max(event_id) AS rate
+  FROM ev WHERE event_id % 10 = 0 GROUP BY user_id, ep
+)
+SELECT ev.event_id, ev.user_id, ev.ep, COALESCE(r.rate, -1) AS rate
+FROM ev ASOF LEFT JOIN r ON ev.user_id = r.user_id AND ev.ep >= r.ep
+"""
+
+# interval fixture: 30-min windows every 7 min from 2024-01-01 UTC
+# (overlapping ×4+); constants, so both engines derive identical µs
+_RANGE_BASE_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+_RANGE_STEP_US = 7 * 60 * 1_000_000
+_RANGE_WIDTH_US = 30 * 60 * 1_000_000
+_RANGE_N = 6000
+
+
+def _q_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: count events inside 6000 overlapping
+    maintenance windows. The naive `ts BETWEEN start AND end` join plans
+    as BroadcastNestedLoop; operators/temporal.range_join_buckets
+    decomposes intervals into 30-min buckets so it runs as an equi-join
+    (each event joins its single bucket → no dedup)."""
+    from bdtopo2refhydro_spark.operators import temporal as T
+
+    ev = _events_ep(spark, sf_dir)
+    iv = spark.range(_RANGE_N).select(
+        F.col("id").alias("interval_id"),
+        (F.lit(_RANGE_BASE_US) + F.col("id") * _RANGE_STEP_US).alias("w_start"),
+        (F.lit(_RANGE_BASE_US) + F.col("id") * _RANGE_STEP_US
+         + _RANGE_WIDTH_US).alias("w_end"),
+    )
+    joined = T.range_join_buckets(ev, iv, "ep", "w_start", "w_end",
+                                  _RANGE_WIDTH_US)
+    return joined.groupBy("interval_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.pmod(F.col("event_id"), F.lit(100))).alias("sum_mod"),
+        F.min("event_id").alias("first_event"),
+    )
+
+
+_RANGE_SQL = f"""
+WITH ev AS (SELECT event_id, epoch_us(ts) AS ep FROM events),
+iv AS (
+  SELECT i AS interval_id,
+         {_RANGE_BASE_US} + i * {_RANGE_STEP_US} AS w_start,
+         {_RANGE_BASE_US} + i * {_RANGE_STEP_US} + {_RANGE_WIDTH_US} AS w_end
+  FROM range({_RANGE_N}) t(i)
+)
+SELECT interval_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(event_id % 100) AS BIGINT) AS sum_mod,
+       min(event_id) AS first_event
+FROM ev JOIN iv ON ep >= w_start AND ep < w_end
+GROUP BY interval_id
+"""
+
+
+def _q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate shape: hourly × event_type
+    rollup of the event stream (date_trunc bucketing, map-side partial
+    agg). Hour emitted as a string (Spark/DuckDB land different
+    datetime64 pandas units)."""
+    from bdtopo2refhydro_spark.operators import temporal as T
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return T.time_rollup(
+        ev, "ts", "event_type", bucket="hour",
+        aggs=[
+            F.count("*").alias("n_events"),
+            F.sum(F.pmod(F.col("event_id"), F.lit(100))).alias("sum_mod"),
+        ],
+    )
+
+
+_TIME_ROLLUP_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+       event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(event_id % 100) AS BIGINT) AS sum_mod
+FROM events GROUP BY bucket_ts, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus curation (operators/corpus.py) — paragraph dedup, sampling,
+# heavy hitters, KMV sketch
+# ---------------------------------------------------------------------------
+
+def _q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/Gopher-style boilerplate removal: drop 10-token paragraphs
+    whose corpus document frequency exceeds 2, reassemble each doc."""
+    from bdtopo2refhydro_spark.operators import corpus as C
+
+    return C.dedup_paragraphs(_docs(spark, sf_dir),
+                              chunk_words=10, max_df=2)
+
+
+_PARA_DEDUP_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+chunks AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(ws[i*10+1 : i*10+10], ' ') AS chunk
+  FROM w, UNNEST(generate_series(0, (len(ws) + 9) // 10 - 1)) AS t(i)
+),
+flagged AS (
+  SELECT doc_id, pos, chunk, count(*) OVER (PARTITION BY chunk) AS df
+  FROM chunks
+),
+kept AS (SELECT * FROM flagged WHERE df <= 2),
+re AS (
+  SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+        FROM chunks GROUP BY doc_id)
+SELECT tot.doc_id, COALESCE(re.clean_text, '') AS clean_text, tot.n_chunks,
+       CAST(tot.n_chunks - COALESCE(re.n_kept, 0) AS BIGINT) AS n_removed
+FROM tot LEFT JOIN re USING (doc_id)
+"""
+
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.125,
+                 "zh": 0.125}
+
+
+def _q_sample_strat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified subsample: per-lang keep-rates applied
+    via a 16-bit Fibonacci hash of doc_id — map-side only, no RNG, so
+    resume/rerun reproduce the exact sample (and the oracle replays it)."""
+    from bdtopo2refhydro_spark.operators import corpus as C
+
+    return C.sample_stratified(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), _SAMPLE_RATES
+    )
+
+
+_SAMPLE_STRAT_SQL = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+WHERE ((doc_id % 65536) * 40503) % 65536 <
+  CASE lang WHEN 'en' THEN 32768 WHEN 'de' THEN 16384 WHEN 'fr' THEN 16384
+            WHEN 'es' THEN 8192 WHEN 'zh' THEN 8192 ELSE -1 END
+"""
+
+
+def _q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global heavy hitters: top-50 tokens, deterministic tie-break."""
+    from bdtopo2refhydro_spark.operators import corpus as C
+
+    out = C.top_tokens(_docs(spark, sf_dir), k=50)
+    return out.select("token", "cnt", F.col("rank").cast("bigint")
+                      .alias("rank"))
+
+
+_TOP_TOKENS_SQL = """
+WITH c AS (
+  SELECT t AS token, CAST(count(*) AS BIGINT) AS cnt
+  FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+  WHERE t <> '' GROUP BY t
+),
+ranked AS (
+  SELECT token, cnt,
+         row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank
+  FROM c
+)
+SELECT token, cnt, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 50
+"""
+
+
+def _q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch of the event user population: 32
+    minimum distinct fib16 hashes → (k-1)·M/kth_min estimator. The
+    sketch merge is TakeOrdered (per-partition heap), not a sort."""
+    from bdtopo2refhydro_spark.operators import corpus as C
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return C.kmv_distinct(ev.select("user_id"), "user_id", k=32)
+
+
+_KMV_SQL = """
+WITH h AS (
+  SELECT DISTINCT ((user_id % 65536) * 40503) % 65536 AS h FROM events
+),
+kmin AS (SELECT h FROM h ORDER BY h LIMIT 32)
+SELECT CAST(count(*) AS BIGINT) AS k_used,
+       CAST(max(h) AS BIGINT) AS kth_min,
+       (CAST(count(*) - 1 AS DOUBLE) * 65536.0) / CAST(max(h) AS DOUBLE)
+         AS est_distinct
+FROM kmin
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
     # in a CORRECTNESS_r*.json come first (VERDICT r2 'Next round' #1), then
-    # everything green only in r01, then the r02-green core. The 15 simplest
-    # relational/scalar entries (all green in r02, machinery also exercised
-    # by in-window composites like reference_network/width_tail) sit past
+    # everything green only in r01, then the r02-green core. The simplest
+    # r02-green relational/scalar entries (machinery also exercised by
+    # in-window composites like reference_network/width_tail) sit past
     # position 50 — still runnable via scripts/oracle_check.py, which checks
     # ALL entries.
     return {
@@ -2444,23 +2664,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": _q_image_resize,
         "corpus_manifest": _q_corpus_manifest,
         "sessionize": _q_sessionize,
+        "asof_join": _q_asof_join,
+        "range_count": _q_range_count,
+        "time_rollup": _q_time_rollup,
+        "para_dedup": _q_para_dedup,
+        "sample_strat": _q_sample_strat,
+        "top_tokens": _q_top_tokens,
+        "kmv_distinct": _q_kmv_distinct,
         # -- r02-green core ------------------------------------------------
         "reference_network": _q_reference_network,
         "dedup_exact": _q_dedup_exact,
-        "nodes_dense": _q_nodes_dense,
-        "network_nodes": _q_network_nodes,
-        "node_degree": _q_node_degree,
         "bfs_reach": _q_bfs_reach,
         "dist_from_root": _q_dist_from_root,
         "principal_stem": _q_principal_stem,
-        "measure_outlet": _q_measure_outlet,
         "upstream_len": _q_upstream_len,
         "hack_order": _q_hack,
         "strahler_order": _q_strahler,
         "fix_connectivity": _q_fix_connectivity,
-        "prune_slivers": _q_prune_slivers,
-        "agg_segments": _q_agg_segments,
-        "exutoire_band": _q_exutoire_band,
         "stream_ingest": _q_stream_ingest,
         "stream_quality": _q_stream_quality,
         "stream_dedup_state": _q_stream_dedup_state,
@@ -2474,6 +2694,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- past the 50-entry driver window (r02-green; oracle_check.py
         #    still verifies all of them every round) -----------------------
         "minhash_sig": _q_minhash_sig,
+        "nodes_dense": _q_nodes_dense,
+        "network_nodes": _q_network_nodes,
+        "node_degree": _q_node_degree,
+        "measure_outlet": _q_measure_outlet,
+        "prune_slivers": _q_prune_slivers,
+        "agg_segments": _q_agg_segments,
+        "exutoire_band": _q_exutoire_band,
         "confluence_join": _q_confluence_join,
         "anti_isolated": _q_anti_isolated,
         "text_extract": _q_text_extract,
@@ -2582,4 +2809,11 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q3": _TPCH_Q3_SQL,
         "sessionize": _SESSIONIZE_SQL,
         "rollup_counts": _ROLLUP_SQL,
+        "asof_join": _ASOF_SQL,
+        "range_count": _RANGE_SQL,
+        "time_rollup": _TIME_ROLLUP_SQL,
+        "para_dedup": _PARA_DEDUP_SQL,
+        "sample_strat": _SAMPLE_STRAT_SQL,
+        "top_tokens": _TOP_TOKENS_SQL,
+        "kmv_distinct": _KMV_SQL,
     }

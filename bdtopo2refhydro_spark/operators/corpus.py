@@ -1,0 +1,172 @@
+"""Corpus-level curation operators (beyond per-document text ops).
+
+These cover the remaining training-data-pipeline surface: boilerplate
+(paragraph-level) dedup à la CCNet/Gopher, deterministic stratified
+subsampling, global heavy-hitter token stats, and a KMV distinct-count
+sketch. Everything is built from JVM built-ins (split/slice/transform/
+window/groupBy — whole-stage codegen, zero Python in the hot path) and
+every formula is 1:1 expressible in DuckDB SQL for the driver oracle.
+
+Scale notes:
+- paragraph dedup: ONE shuffle keyed by the paragraph string (document
+  frequency via window count) + one shuffle back on doc_id for
+  reassembly; hot boilerplate paragraphs are exactly the AQE-skew-split
+  case (string keys, no pre-agg needed since the count is the signal).
+  At 100 TB you'd key on xxhash64(paragraph) instead of the raw string
+  to shrink the shuffle; kept as the string here so the DuckDB oracle
+  can replay it exactly (no shared 64-bit string hash across engines).
+- stratified sampling: pure map-side filter — a 16-bit multiplicative
+  (Fibonacci) hash of doc_id against a per-stratum threshold. No RNG:
+  reruns and resumes see the same sample, and the oracle replays it.
+- top-k tokens: explode → two-level hash aggregate (map-side partial
+  combine collapses the per-partition token stream before the shuffle)
+  → rank on the (tiny) post-agg table.
+- KMV: per-partition top-k smallest hashes fold into a global top-k via
+  TakeOrdered (orderBy+limit plans as a per-partition heap + merge, not
+  a full sort), the canonical distributed KMV merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 16-bit multiplicative hash: 40503 ≈ 65536/φ (Knuth). Products stay
+# < 2^32 so ANSI mode can't overflow, and DuckDB computes the identical
+# value with the same % arithmetic.
+FIB_MOD = 65536
+FIB_MULT = 40503
+
+
+def fib16(col):
+    """Deterministic 16-bit hash of a BIGINT column, identical in
+    DuckDB: ((x % 65536) * 40503) % 65536."""
+    return (F.pmod(F.col(col), F.lit(FIB_MOD)) * FIB_MULT) % FIB_MOD
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 10,
+    max_df: int = 2,
+) -> DataFrame:
+    """Remove corpus-frequent paragraphs from every document (CCNet-style
+    boilerplate removal), where a "paragraph" is a fixed run of
+    ``chunk_words`` whitespace tokens (the fixture corpus has no
+    newlines; swap the chunker for split-on-\\n on real crawl text).
+
+    A paragraph is dropped from ALL documents when its document
+    frequency exceeds ``max_df``. Returns one row per input document:
+    (id, clean_text, n_chunks, n_removed) — documents whose every chunk
+    is boilerplate survive with clean_text = ''.
+
+    Plan: chunk (map-side, slice over the token array) → posexplode →
+    window count over the paragraph string → filter → re-assemble via
+    groupBy(id) with an order-pinned sort_array(collect_list(struct)).
+    """
+    cw = int(chunk_words)
+    words = F.split(F.col(text_col), " ")
+    n_chunks = ((F.size(words) + cw - 1) / cw).cast("bigint")
+    chunks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice(words, i * cw + 1, cw), " "),
+            )
+        ).alias("pos", "chunk"),
+    )
+    df_w = Window.partitionBy("chunk")
+    flagged = chunks.withColumn("df", F.count("*").over(df_w))
+    kept = flagged.filter(F.col("df") <= max_df)
+    reassembled = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = chunks.groupBy("id").agg(F.count("*").alias("n_chunks"))
+    return (
+        totals.join(reassembled, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_chunks",
+            (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0)))
+            .alias("n_removed"),
+        )
+    )
+
+
+def sample_stratified(
+    docs: DataFrame,
+    rates: dict[str, float],
+    *,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sample: keep a row when
+    fib16(id) < rate[stratum] * 65536. Strata missing from ``rates``
+    are dropped (rate 0). Pure map-side — no shuffle, no RNG, stable
+    under reruns/resume, replayable by the SQL oracle."""
+    thr = F.lit(-1)
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(F.col(stratum_col) == stratum,
+                     F.lit(int(rate * FIB_MOD))).otherwise(thr)
+    return (
+        docs.withColumn("fib", fib16(id_col))
+        .filter(F.col("fib") < thr)
+        .drop("fib")
+    )
+
+
+def top_tokens(docs: DataFrame, *, text_col: str = "text",
+               k: int = 50) -> DataFrame:
+    """Global heavy hitters: the k most frequent whitespace tokens with a
+    deterministic tie-break (count desc, token asc). The rank window is
+    a single partition BY DESIGN — it runs on the post-aggregation
+    vocabulary table (|vocab| rows, not |corpus|); at 100 TB the explode
+    +partial-agg stages carry the volume."""
+    counts = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def kmv_distinct(values: DataFrame, col: str, *, k: int = 32) -> DataFrame:
+    """K-minimum-values distinct-count sketch over a BIGINT column.
+
+    Hash each value with fib16, keep the k smallest DISTINCT hashes, and
+    estimate |distinct| as (k-1) * M / kth_min (the classic KMV
+    estimator, M = hash-space size). orderBy+limit lowers to TakeOrdered
+    (per-partition heap + driver merge of k rows), so the sketch costs
+    one pass + one k-row merge regardless of input size. Returns a
+    single row (k, kth_min, est_distinct); the estimate is exact-
+    reproducible because the hash is deterministic and shared with the
+    DuckDB oracle. The 16-bit hash space caps resolvable cardinality at
+    ~65k — a production KMV swaps in xxhash64 (same plan shape), kept
+    16-bit here only so the oracle can replay the arithmetic."""
+    hashes = values.select(fib16(col).alias("h")).distinct()
+    kmin = hashes.orderBy("h").limit(k)
+    return kmin.agg(
+        F.count("*").cast("bigint").alias("k_used"),
+        F.max("h").cast("bigint").alias("kth_min"),
+        (
+            (F.count("*") - 1).cast("double")
+            * F.lit(float(FIB_MOD))
+            / F.max("h").cast("double")
+        ).alias("est_distinct"),
+    )

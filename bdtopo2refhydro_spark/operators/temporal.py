@@ -1,0 +1,149 @@
+"""Temporal join operators over the events stream.
+
+Spark has no built-in AS-OF or interval/range join; the naive spellings
+(`l.ts >= r.ts` inequality joins) plan as BroadcastNestedLoopJoin — an
+O(N·M) scan that dies long before 100 TB. These operators re-express both
+as shuffle-friendly compositions:
+
+- ``asof_join``: union the two sides, one window pass per key ordered by
+  time, ``last(value, ignorenulls=True)`` carries the most recent right
+  value forward onto left rows. Exactly ONE shuffle (hash on the key),
+  no join at all — the classic "merge as-of" lowered onto Spark's
+  sort-based window operator, so it scales to any number of keys and
+  AQE handles hot keys.
+- ``range_join_buckets``: decompose intervals into fixed-width time
+  buckets (explode ×(interval_width/bucket+1)), bucket each point once,
+  then a plain equi-join on the bucket key + an exact residual filter.
+  Each point carries ONE bucket, so no post-join dedup is needed. This
+  is the standard bucketed interval join (cf. the same trick for
+  spatial cells in operators/spatial.py).
+- ``time_rollup``: hypertable-style continuous-aggregate shape —
+  date_trunc bucketing + groupBy, fully codegen'd, partial aggregation
+  map-side.
+
+Reference parity note: the reference has no temporal joins (PyQGIS,
+bdtopo2refhydro); these extend the engine for the web-scale event/crawl
+tables per the graft brief (as-of join / range join / hypertable rollup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    *,
+    default: int = -1,
+    out_col: str | None = None,
+) -> DataFrame:
+    """For every left row, attach the right ``value_col`` with the largest
+    right ``ts`` <= left ``ts`` for the same ``key`` (an AS-OF backward
+    join, right-inclusive at ties).
+
+    right must be unique per (key, ts) — callers dedupe first (see
+    ``dedup_right_per_ts``); with duplicates the result would depend on
+    shuffle order. Left rows with no prior right row get ``default``
+    (kept non-null so the column stays integral end-to-end — a NULL long
+    lands as float64 in pandas/Arrow, CLAUDE.md).
+
+    Plan shape: union(left, right) → window(partition key, order ts,
+    right-before-left at equal ts) → last(ignorenulls) → filter left.
+    One hash shuffle on ``key``; no nested-loop join.
+    """
+    out_col = out_col or value_col
+    lhs = left.select(
+        F.col(key).alias("k"),
+        F.col(ts).alias("t"),
+        F.lit(1).alias("is_left"),
+        F.lit(None).cast("bigint").alias("v"),
+        F.struct(*left.columns).alias("row"),
+    )
+    rhs = right.select(
+        F.col(key).alias("k"),
+        F.col(ts).alias("t"),
+        F.lit(0).alias("is_left"),
+        F.col(value_col).cast("bigint").alias("v"),
+        F.lit(None).cast(lhs.schema["row"].dataType).alias("row"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = lhs.unionByName(rhs).withColumn(
+        "asof_v", F.last("v", ignorenulls=True).over(w)
+    )
+    return (
+        filled.filter(F.col("is_left") == 1)
+        .select("row.*", F.coalesce("asof_v", F.lit(default)).alias(out_col))
+    )
+
+
+def dedup_right_per_ts(right: DataFrame, key: str, ts: str,
+                       value_col: str) -> DataFrame:
+    """Collapse an as-of right side to one row per (key, ts) by keeping
+    the max value — a deterministic tie-break so asof_join is
+    shuffle-order independent."""
+    return right.groupBy(key, ts).agg(F.max(value_col).alias(value_col))
+
+
+def range_join_buckets(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts: str,
+    start: str,
+    end: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Join each point row to every interval with start <= ts < end
+    (half-open), via fixed-width bucket decomposition.
+
+    ``ts``/``start``/``end`` are integer epoch microseconds (exactness:
+    no float time arithmetic anywhere). Intervals explode into the
+    buckets they overlap — sequence(start div w, (end-1) div w) — while
+    each point maps to exactly one bucket, so the bucket equi-join
+    produces each qualifying pair exactly once and no dedup shuffle is
+    needed. Pick ``bucket_width`` ≈ the typical interval width so the
+    explode factor stays ~2.
+    """
+    w = int(bucket_width)
+    # `div` = exact BIGINT division (a double-divide-then-cast could round
+    # across a bucket boundary for epoch-µs magnitudes)
+    iv = intervals.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"({start}) div {w}"),
+                F.expr(f"(({end}) - 1) div {w}"),
+            )
+        ),
+    )
+    pt = points.withColumn("bucket", F.expr(f"({ts}) div {w}"))
+    cond = (
+        (pt["bucket"] == iv["bucket"])
+        & (pt[ts] >= iv[start])
+        & (pt[ts] < iv[end])
+    )
+    return pt.join(iv, cond).drop(iv["bucket"]).drop("bucket")
+
+
+def time_rollup(events: DataFrame, ts: str, *group_cols: str,
+                bucket: str = "hour", aggs: list | None = None) -> DataFrame:
+    """Hypertable-style rollup: truncate ``ts`` to ``bucket`` and
+    aggregate per (bucket, *group_cols). The bucket column is emitted as
+    a formatted string so Arrow/pandas datetime64 unit mismatches (ns vs
+    us between Spark and DuckDB) can't poison value comparison."""
+    aggs = aggs or [F.count("*").alias("n")]
+    b = F.date_trunc(bucket, F.col(ts).cast("timestamp"))
+    return (
+        events.withColumn("bucket_ts",
+                          F.date_format(b, "yyyy-MM-dd HH:mm:ss"))
+        .groupBy("bucket_ts", *group_cols)
+        .agg(*aggs)
+    )

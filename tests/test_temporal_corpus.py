@@ -1,0 +1,147 @@
+"""Temporal-join and corpus-curation operator tests on hand-checked rows.
+
+Covers operators/temporal.py (as-of join, bucketed range join, time
+rollup) and operators/corpus.py (paragraph dedup, stratified sampling,
+top-k tokens, KMV sketch) against small fixtures where the expected
+output is computable by hand.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bdtopo2refhydro_spark.operators import corpus as C
+from bdtopo2refhydro_spark.operators import temporal as T
+
+
+# ---------------------------------------------------------------------------
+# temporal
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    # (id, key, ts)
+    rows = [(1, 10, 100), (2, 10, 205), (3, 10, 300),
+            (4, 20, 150), (5, 20, 151), (6, 30, 50)]
+    return spark.createDataFrame(rows, "id long, key long, ts long")
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    # (key, ts, px)
+    rows = [(10, 100, 7), (10, 200, 8), (10, 301, 9),
+            (20, 150, 5), (40, 1, 99)]
+    return spark.createDataFrame(rows, "key long, ts long, px long")
+
+
+def test_asof_backward_semantics(trades, quotes):
+    out = {r.id: r.px
+           for r in T.asof_join(trades, quotes, "key", "ts", "px").collect()}
+    assert out[1] == 7      # tie at equal ts is inclusive
+    assert out[2] == 8      # most recent prior, not the later 301
+    assert out[3] == 8      # quote at 301 is in the future
+    assert out[4] == 5
+    assert out[5] == 5      # carried forward past the quote ts
+    assert out[6] == -1     # key with no quotes at all -> default
+    assert len(out) == 6    # every left row survives exactly once
+
+
+def test_asof_dedup_right(spark):
+    dup = spark.createDataFrame([(1, 10, 3), (1, 10, 9), (1, 20, 4)],
+                                "key long, ts long, px long")
+    ded = T.dedup_right_per_ts(dup, "key", "ts", "px").collect()
+    assert {(r.key, r.ts, r.px) for r in ded} == {(1, 10, 9), (1, 20, 4)}
+
+
+def test_range_join_buckets_half_open_and_exact_once(spark):
+    pts = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([0, 99, 100, 150, 199, 200, 500])],
+        "pid long, ts long")
+    iv = spark.createDataFrame(
+        [(0, 100, 200), (1, 150, 400)], "iid long, s long, e long")
+    out = T.range_join_buckets(pts, iv, "ts", "s", "e", bucket_width=100)
+    pairs = sorted((r.pid, r.iid) for r in out.collect())
+    # half-open [s, e): ts=100 in iv0, ts=199 in iv0, ts=200 NOT in iv0;
+    # ts in {150,199,200} in iv1; each qualifying pair appears exactly once
+    assert pairs == [(2, 0), (3, 0), (3, 1), (4, 0), (4, 1), (5, 1)]
+
+
+def test_range_join_interval_wider_than_bucket(spark):
+    # interval spans many buckets; the point in the middle still joins once
+    pts = spark.createDataFrame([(0, 555)], "pid long, ts long")
+    iv = spark.createDataFrame([(7, 100, 1000)], "iid long, s long, e long")
+    out = T.range_join_buckets(pts, iv, "ts", "s", "e", bucket_width=10)
+    assert [(r.pid, r.iid) for r in out.collect()] == [(0, 7)]
+
+
+def test_time_rollup_hour_buckets(spark):
+    ev = spark.createDataFrame(
+        [("2024-01-01 10:15:00", "a"), ("2024-01-01 10:45:00", "a"),
+         ("2024-01-01 11:05:00", "a"), ("2024-01-01 10:20:00", "b")],
+        "ts string, event_type string")
+    out = {(r.bucket_ts, r.event_type): r.n
+           for r in T.time_rollup(ev, "ts", "event_type").collect()}
+    assert out[("2024-01-01 10:00:00", "a")] == 2
+    assert out[("2024-01-01 11:00:00", "a")] == 1
+    assert out[("2024-01-01 10:00:00", "b")] == 1
+
+
+# ---------------------------------------------------------------------------
+# corpus
+# ---------------------------------------------------------------------------
+
+def test_dedup_paragraphs_removes_frequent_chunk(spark):
+    boiler = "b " * 2 + "b"          # 3-word boilerplate chunk "b b b"
+    docs = spark.createDataFrame(
+        [(0, f"{boiler} u0 u1 u2"), (1, f"{boiler} v0 v1 v2"),
+         (2, f"{boiler} w0 w1 w2"), (3, boiler)],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           C.dedup_paragraphs(docs, chunk_words=3, max_df=2).collect()}
+    assert len(out) == 4             # every doc survives, even if emptied
+    assert out[0].clean_text == "u0 u1 u2"
+    assert out[0].n_chunks == 2 and out[0].n_removed == 1
+    assert out[3].clean_text == "" and out[3].n_removed == 1
+
+
+def test_dedup_paragraphs_keeps_rare_chunks_in_order(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f")], "doc_id long, text string")
+    out = C.dedup_paragraphs(docs, chunk_words=2, max_df=2).collect()[0]
+    assert out.clean_text == "a b c d e f"   # order preserved
+    assert out.n_chunks == 3 and out.n_removed == 0
+
+
+def test_sample_stratified_deterministic_and_thresholded(spark):
+    docs = spark.createDataFrame(
+        [(i, "t", "en" if i % 2 == 0 else "xx") for i in range(2000)],
+        "doc_id long, text string, lang string")
+    rates = {"en": 0.5}
+    a = sorted(r.doc_id for r in C.sample_stratified(docs, rates).collect())
+    b = sorted(r.doc_id for r in C.sample_stratified(docs, rates).collect())
+    assert a == b                                   # no RNG: identical reruns
+    assert all(i % 2 == 0 for i in a)               # 'xx' stratum dropped
+    assert 0.35 * 1000 < len(a) < 0.65 * 1000       # ~rate of the stratum
+    # matches the documented formula exactly
+    expect = [i for i in range(0, 2000, 2)
+              if ((i % 65536) * 40503) % 65536 < 32768]
+    assert a == expect
+
+
+def test_top_tokens_rank_and_tiebreak(spark):
+    docs = spark.createDataFrame(
+        [(0, "x x x y y z"), (1, "y w  z")], "doc_id long, text string")
+    out = [(r.token, r.cnt, r.rank)
+           for r in C.top_tokens(docs, k=3).orderBy("rank").collect()]
+    # empty tokens from the double space are dropped; y=3 ties x=3 ->
+    # token asc breaks the tie
+    assert out == [("x", 3, 1), ("y", 3, 2), ("z", 2, 3)]
+
+
+def test_kmv_exact_when_distinct_below_k(spark):
+    vals = spark.createDataFrame([(i,) for i in range(10) for _ in range(3)],
+                                 "v long")
+    row = C.kmv_distinct(vals, "v", k=32).collect()[0]
+    assert row.k_used == 10          # fib16 is a bijection mod 65536
+    exp_kth = max(((i % 65536) * 40503) % 65536 for i in range(10))
+    assert row.kth_min == exp_kth
+    assert row.est_distinct == pytest.approx((10 - 1) * 65536.0 / exp_kth)
