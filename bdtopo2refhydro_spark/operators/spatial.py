@@ -234,6 +234,160 @@ def dissolve(polys: DataFrame, geom_col: str = "geom_wkb") -> DataFrame:
                 .groupBy("gid").applyInPandas(_merge, _DISSOLVE_SCHEMA)
 
 
+def knn_join(queries: DataFrame, data: DataFrame, k: int,
+             cell_size: int = 1000, extent: int = 100_000,
+             qid: str = "qid", did: str = "did",
+             x: str = "x", y: str = "y") -> DataFrame:
+    """Exact k-nearest-neighbors join (north rule: "kNN") without a cross
+    join: grid-bucketed candidate generation with a per-query distance
+    certificate, resolution doubling until every query is certified.
+
+    Round at resolution ``s``: bucket both sides into s-cells, explode each
+    uncertified query into its 3×3 cell neighborhood, equi-join on the cell
+    key, take the top-k candidates per query by (d2, did). The 3×3 ring at
+    resolution s contains EVERY data point within Chebyshev (hence
+    Euclidean) distance s, and any non-candidate is strictly farther than
+    s — so a query whose k-th candidate satisfies d2 <= s² is exact and
+    retires; the rest re-run at 2s. Once s >= extent the 3×3 ring holds the
+    whole plane and the round is unconditionally exact (also the <k-total-
+    points case).
+
+    Scale shape: NO driver-side action anywhere — the round count is fixed
+    by geometry (log2(extent/cell_size) + 1), so the whole join is one lazy
+    plan; each round shuffles only on the s-cell key (AQE splits dense
+    cells) and only uncertified queries (typically a fast-shrinking
+    minority in sparse regions) survive to coarser rounds. Per-round
+    results are lazily localCheckpoint()ed — each feeds both the emitted
+    top-k and the next round's anti-join, which Catalyst would otherwise
+    recompute through (projection-collapse note, CLAUDE.md).
+
+    Coordinates must be integer-valued (cast to long): distances are exact
+    BIGINT products, so ties and certificates are deterministic and
+    oracle-checkable bit-for-bit. Returns (qid, did, d2, rn), rn in 1..k.
+
+    Reference parity: generalizes the reference's fixed-tolerance nearest
+    matching (quantized endpoint equality, SURVEY.md G1) to true kNN — the
+    reference has no kNN; the north rule requires it.
+    """
+    d0 = data.select(
+        F.col(did).alias("_did"),
+        F.col(x).cast("long").alias("_dx"),
+        F.col(y).cast("long").alias("_dy"),
+    ).localCheckpoint(eager=False)
+    remaining = queries.select(
+        F.col(qid).alias("_qid"),
+        F.col(x).cast("long").alias("_qx"),
+        F.col(y).cast("long").alias("_qy"),
+    )
+    per_round = []
+    s = int(cell_size)
+    w = Window.partitionBy("_qid").orderBy("d2", "_did")
+    while True:
+        dcell = d0.select(
+            "_did", "_dx", "_dy",
+            F.expr(f"_dx div {s}").alias("cx"),
+            F.expr(f"_dy div {s}").alias("cy"),
+        )
+        nbr = remaining.select(
+            "_qid", "_qx", "_qy",
+            F.explode(F.array(*[
+                F.struct(
+                    (F.expr(f"_qx div {s}") + dx_).alias("cx"),
+                    (F.expr(f"_qy div {s}") + dy_).alias("cy"),
+                )
+                for dx_ in (-1, 0, 1) for dy_ in (-1, 0, 1)
+            ])).alias("n"),
+        ).select("_qid", "_qx", "_qy", "n.cx", "n.cy")
+        topk = (
+            nbr.join(dcell, ["cx", "cy"])
+            .withColumn(
+                "d2",
+                (F.col("_qx") - F.col("_dx")) * (F.col("_qx") - F.col("_dx"))
+                + (F.col("_qy") - F.col("_dy")) * (F.col("_qy") - F.col("_dy")),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("_qid", "_did", "d2", "rn")
+            .localCheckpoint(eager=False)
+        )
+        if s >= extent:
+            per_round.append(topk)
+            break
+        cert = (
+            topk.groupBy("_qid")
+            .agg(F.max("d2").alias("kd2"), F.count("*").alias("n"))
+            .filter((F.col("n") == k) & (F.col("kd2") <= s * s))
+            .select("_qid")
+        )
+        per_round.append(topk.join(cert, "_qid", "left_semi"))
+        remaining = remaining.join(cert, "_qid", "left_anti") \
+                             .localCheckpoint(eager=False)
+        s *= 2
+    out = per_round[0]
+    for r in per_round[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        F.col("_qid").alias(qid), F.col("_did").alias(did), "d2", "rn"
+    )
+
+
+def compact_cover(cover: DataFrame, gid: str = "gid", cell: str = "cell",
+                  levels: int = 2) -> DataFrame:
+    """S2/H3-style cover compaction (the hierarchical half of the north
+    rule's "H3/S2 index"): given a per-geometry cell cover at the finest
+    resolution, replace every aligned 2×2 sibling block that is fully
+    present with its parent cell, recursively ``levels`` times — a mixed-
+    resolution cover with identical coverage but up to 4^levels fewer rows
+    (what you ship to a tile-serving layer or use as a coarse join key).
+
+    Cell ids use the arithmetic layout of functions/cells.py
+    (cell = ix·2^26 + iy); the parent of (ix, iy) at the next level is
+    (ix div 2, iy div 2) in the SAME layout, so every level is pure integer
+    arithmetic and a SQL oracle replays it exactly.
+
+    One shuffle per level, on (gid, parent): sibling counts and the
+    deterministic promote-one-row choice are two window functions over the
+    same partitioning (one Exchange, count + row_number). Input need not be
+    distinct — duplicates are collapsed first (covers from exploded
+    multi-geometry parts routinely overlap). Returns (gid, level, cell)
+    with level 0 = input resolution.
+    """
+    from ..functions.cells import CELL_SHIFT
+
+    dim = 1 << CELL_SHIFT
+    cur = cover.select(
+        F.col(gid).alias("_gid"), F.col(cell).cast("long").alias("_cell")
+    ).distinct()
+    out = []
+    for lvl in range(levels):
+        annotated = cur.withColumn(
+            "_parent",
+            F.expr(f"(_cell div {dim}) div 2") * dim
+            + F.expr(f"(_cell % {dim}) div 2"),
+        )
+        wp = Window.partitionBy("_gid", "_parent")
+        annotated = (
+            annotated.withColumn("_n", F.count("*").over(wp))
+            .withColumn("_rn", F.row_number().over(wp.orderBy("_cell")))
+            .localCheckpoint(eager=False)  # feeds kept AND promoted
+        )
+        out.append(
+            annotated.filter(F.col("_n") < 4)
+            .select("_gid", F.lit(lvl).alias("_lvl"), "_cell")
+        )
+        cur = annotated.filter((F.col("_n") == 4) & (F.col("_rn") == 1)) \
+                       .select("_gid", F.col("_parent").alias("_cell"))
+    out.append(cur.select("_gid", F.lit(levels).alias("_lvl"), "_cell"))
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res.select(
+        F.col("_gid").alias(gid),
+        F.col("_lvl").cast("int").alias("level"),
+        F.col("_cell").alias(cell),
+    )
+
+
 def salted_repartition_by_cell(df: DataFrame, key: str = "url",
                                geom_col: str = "geom_wkb",
                                cell_size: float = 50_000.0, salt: int = 8,

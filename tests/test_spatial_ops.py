@@ -167,3 +167,106 @@ def test_spatial_join_shuffle_path_matches_broadcast(spark, lines, polys):
     finally:
         S.BROADCAST_POLY_ROWS = orig
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# knn_join (exact grid-bucketed kNN) + compact_cover (multi-res tiling)
+# ---------------------------------------------------------------------------
+
+
+def test_knn_join_hand_checked(spark):
+    from bdtopo2refhydro_spark.operators.spatial import knn_join
+
+    data = spark.createDataFrame(
+        [(i, i * 10, 0) for i in range(5)], "did long, x long, y long"
+    )
+    qs = spark.createDataFrame(
+        [(100, 1, 0), (101, 38, 5)], "qid long, x long, y long"
+    )
+    got = {
+        (r.qid, r.rn): (r.did, r.d2)
+        for r in knn_join(qs, data, k=2, cell_size=4, extent=64).collect()
+    }
+    assert got == {
+        (100, 1): (0, 1), (100, 2): (1, 81),
+        (101, 1): (4, 29), (101, 2): (3, 89),
+    }
+
+
+def test_knn_join_matches_brute_force(spark):
+    """Random-ish integer points: operator == exact brute force, including
+    (d2, did) tie-breaks, across cell sizes that force 1 vs many rounds."""
+    pts = [(i, (i * 7919) % 500, (i * 104729) % 500) for i in range(120)]
+    data = spark.createDataFrame(pts, "did long, x long, y long")
+    qs = spark.createDataFrame(pts[:25], "qid long, x long, y long") \
+              .withColumnRenamed("did", "qid")
+    expected = {}
+    for qid, qx, qy in pts[:25]:
+        cand = sorted(
+            ((qx - x) ** 2 + (qy - y) ** 2, did) for did, x, y in pts
+        )[:4]
+        for rn, (d2, did) in enumerate(cand, 1):
+            expected[(qid, rn)] = (did, d2)
+    from bdtopo2refhydro_spark.operators.spatial import knn_join
+
+    for cs in (8, 100, 1000):  # many rounds / few rounds / single round
+        got = {
+            (r.qid, r.rn): (r.did, r.d2)
+            for r in knn_join(qs, data, k=4, cell_size=cs,
+                              extent=512).collect()
+        }
+        assert got == expected, f"cell_size={cs}"
+
+
+def test_knn_join_fewer_than_k_points(spark):
+    """With < k data points the terminal whole-plane round still emits all
+    of them (no certificate ever fires)."""
+    from bdtopo2refhydro_spark.operators.spatial import knn_join
+
+    data = spark.createDataFrame([(1, 0, 0), (2, 30, 40)],
+                                 "did long, x long, y long")
+    qs = spark.createDataFrame([(9, 100, 100)], "qid long, x long, y long")
+    rows = knn_join(qs, data, k=5, cell_size=16, extent=128) \
+        .orderBy("rn").collect()
+    assert [(r.did, r.d2, r.rn) for r in rows] == [
+        (2, 70 * 70 + 60 * 60, 1), (1, 20000, 2)
+    ]
+
+
+def test_compact_cover_levels(spark):
+    from bdtopo2refhydro_spark.functions.cells import CELL_SHIFT
+    from bdtopo2refhydro_spark.operators.spatial import compact_cover
+
+    dim = 1 << CELL_SHIFT
+    rows = (
+        # gid 1: complete 2x2 at origin -> one level-1 parent; lone cell kept
+        [(1, x * dim + y) for x in range(2) for y in range(2)]
+        + [(1, 5 * dim + 5)]
+        # gid 2: complete aligned 4x4 -> recurses to a single level-2 cell
+        + [(2, x * dim + y) for x in range(4) for y in range(4)]
+        # gid 3: 2x2 NOT aligned (offset 1) -> nothing compacts
+        + [(3, (x + 1) * dim + (y + 1)) for x in range(2) for y in range(2)]
+    )
+    cov = spark.createDataFrame(rows, "gid long, cell long")
+    got = {(r.gid, r.level, r.cell)
+           for r in compact_cover(cov, levels=2).collect()}
+    assert got == (
+        {(1, 0, 5 * dim + 5), (1, 1, 0), (2, 2, 0)}
+        | {(3, 0, (x + 1) * dim + (y + 1)) for x in range(2) for y in range(2)}
+    )
+
+
+def test_compact_cover_dedups_input(spark):
+    """Overlapping multi-part covers: duplicates collapse before counting,
+    so a duplicated sibling can't fake a complete block."""
+    from bdtopo2refhydro_spark.functions.cells import CELL_SHIFT
+    from bdtopo2refhydro_spark.operators.spatial import compact_cover
+
+    dim = 1 << CELL_SHIFT
+    # three distinct siblings, one of them twice: must stay level 0
+    cov = spark.createDataFrame(
+        [(1, 0), (1, 1), (1, dim), (1, dim)], "gid long, cell long"
+    )
+    got = sorted((r.level, r.cell)
+                 for r in compact_cover(cov, levels=1).collect())
+    assert got == [(0, 0), (0, 1), (0, dim)]
