@@ -714,7 +714,10 @@ def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = pts.filter(F.expr("doc_id % 7 = 0")) \
             .select(F.col("doc_id").alias("qid"), "x", "y")
     d = pts.select(F.col("doc_id").alias("did"), "x", "y")
-    return knn_join(qs, d, k=3, cell_size=4000, extent=100_000)
+    # queries ⊆ data → self_contained: one materialization per round; cell
+    # 16000 certifies ~all queries in round 1 at bench density
+    return knn_join(qs, d, k=3, cell_size=16_000, extent=100_000,
+                    self_contained=True)
 
 
 _KNN_SQL = f"""

@@ -237,7 +237,8 @@ def dissolve(polys: DataFrame, geom_col: str = "geom_wkb") -> DataFrame:
 def knn_join(queries: DataFrame, data: DataFrame, k: int,
              cell_size: int = 1000, extent: int = 100_000,
              qid: str = "qid", did: str = "did",
-             x: str = "x", y: str = "y") -> DataFrame:
+             x: str = "x", y: str = "y",
+             self_contained: bool = False) -> DataFrame:
     """Exact k-nearest-neighbors join (north rule: "kNN") without a cross
     join: grid-bucketed candidate generation with a per-query distance
     certificate, resolution doubling until every query is certified.
@@ -252,14 +253,28 @@ def knn_join(queries: DataFrame, data: DataFrame, k: int,
     whole plane and the round is unconditionally exact (also the <k-total-
     points case).
 
-    Scale shape: NO driver-side action anywhere — the round count is fixed
-    by geometry (log2(extent/cell_size) + 1), so the whole join is one lazy
-    plan; each round shuffles only on the s-cell key (AQE splits dense
-    cells) and only uncertified queries (typically a fast-shrinking
-    minority in sparse regions) survive to coarser rounds. Per-round
-    results are lazily localCheckpoint()ed — each feeds both the emitted
-    top-k and the next round's anti-join, which Catalyst would otherwise
-    recompute through (projection-collapse note, CLAUDE.md).
+    Scale shape: each round shuffles only on the s-cell key (AQE splits
+    dense cells) and only uncertified queries (typically a fast-shrinking
+    minority in sparse regions) survive to coarser rounds. The certificate
+    is two extra window functions over the SAME (_qid) exchange as the
+    top-k ranking — no separate aggregation shuffle — and the round loop
+    exits the moment the uncertified set is empty (one O(1) isEmpty probe
+    per round on an eagerly-checkpointed remainder; without it the
+    geometric tail of empty rounds still costs a chain of no-op stages —
+    measured 5-10x wall at bench scale). Superseded remainder blocks are
+    freed deterministically per round (CheckpointSlots); per-round top-k
+    tables stay lazily checkpointed — each feeds both the emitted result
+    and the certificate, which Catalyst would otherwise recompute through
+    (projection-collapse note, CLAUDE.md).
+
+    ``self_contained=True`` asserts queries ⊆ data (the self-kNN shape of
+    near-dup / densification workloads): every query then always holds at
+    least one candidate (itself, d2=0), so a zero-candidate query is
+    impossible and the uncertified remainder is a FILTER of the round's
+    own checkpointed top-k instead of an anti-join against the query
+    table — one materialization job per round instead of three (the
+    sequential job count, not data volume, bounds this operator's wall at
+    bench scale).
 
     Coordinates must be integer-valued (cast to long): distances are exact
     BIGINT products, so ties and certificates are deterministic and
@@ -269,6 +284,9 @@ def knn_join(queries: DataFrame, data: DataFrame, k: int,
     matching (quantized endpoint equality, SURVEY.md G1) to true kNN — the
     reference has no kNN; the north rule requires it.
     """
+    from ._ckpt import CheckpointSlots
+
+    slots = CheckpointSlots()
     d0 = data.select(
         F.col(did).alias("_did"),
         F.col(x).cast("long").alias("_dx"),
@@ -281,7 +299,8 @@ def knn_join(queries: DataFrame, data: DataFrame, k: int,
     )
     per_round = []
     s = int(cell_size)
-    w = Window.partitionBy("_qid").orderBy("d2", "_did")
+    wq = Window.partitionBy("_qid")
+    w = wq.orderBy("d2", "_did")
     while True:
         dcell = d0.select(
             "_did", "_dx", "_dy",
@@ -307,21 +326,41 @@ def knn_join(queries: DataFrame, data: DataFrame, k: int,
             )
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
-            .select("_qid", "_did", "d2", "rn")
-            .localCheckpoint(eager=False)
         )
         if s >= extent:
-            per_round.append(topk)
+            per_round.append(topk.select("_qid", "_did", "d2", "rn"))
             break
-        cert = (
-            topk.groupBy("_qid")
-            .agg(F.max("d2").alias("kd2"), F.count("*").alias("n"))
-            .filter((F.col("n") == k) & (F.col("kd2") <= s * s))
-            .select("_qid")
+        # certificate over the same (_qid) partitioning — Catalyst reuses
+        # the ranking exchange, so this adds Window nodes, not a shuffle
+        topk = (
+            topk.withColumn("_nq", F.count("*").over(wq))
+            .withColumn("_kd2", F.max("d2").over(wq))
+            .withColumn(
+                "_cert", (F.col("_nq") == k) & (F.col("_kd2") <= s * s)
+            )
         )
-        per_round.append(topk.join(cert, "_qid", "left_semi"))
-        remaining = remaining.join(cert, "_qid", "left_anti") \
-                             .localCheckpoint(eager=False)
+        if self_contained:
+            # queries ⊆ data ⇒ every query appears in topk (itself at
+            # d2=0), so the remainder is a filter of this round's blocks
+            topk = topk.localCheckpoint()
+            per_round.append(
+                topk.filter("_cert").select("_qid", "_did", "d2", "rn")
+            )
+            remaining = topk.filter(
+                (F.col("rn") == 1) & ~F.col("_cert")
+            ).select("_qid", "_qx", "_qy")
+        else:
+            topk = topk.localCheckpoint(eager=False)
+            per_round.append(
+                topk.filter("_cert").select("_qid", "_did", "d2", "rn")
+            )
+            remaining = slots.checkpoint(
+                remaining.join(topk.filter("_cert").select("_qid"),
+                               "_qid", "left_anti"),
+                "remaining",
+            )
+        if remaining.isEmpty():
+            break
         s *= 2
     out = per_round[0]
     for r in per_round[1:]:

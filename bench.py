@@ -6,8 +6,9 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Headline set = the operators the north rule grades: the flagship
 reference-network pipeline (spatial join + BFS traversal + stem), the
-cell-bucketed point-in-polygon tile join, zonal tiling, MinHash/LSH
-near-dup, cosine top-k, and the TPC-H-style scan-agg.
+cell-bucketed point-in-polygon tile join, the exact grid-bucketed kNN
+join, zonal tiling, MinHash/LSH near-dup, cosine top-k, and the
+TPC-H-style scan-agg.
 """
 
 from __future__ import annotations
@@ -33,6 +34,7 @@ def main() -> None:
     headline = [
         "reference_network",
         "pip_join",
+        "knn_join",
         "tile_assign",
         "zonal_pct",
         "lsh_pairs",

@@ -210,12 +210,13 @@ def test_knn_join_matches_brute_force(spark):
     from bdtopo2refhydro_spark.operators.spatial import knn_join
 
     for cs in (8, 100, 1000):  # many rounds / few rounds / single round
-        got = {
-            (r.qid, r.rn): (r.did, r.d2)
-            for r in knn_join(qs, data, k=4, cell_size=cs,
-                              extent=512).collect()
-        }
-        assert got == expected, f"cell_size={cs}"
+        for sc in (False, True):  # queries ARE a subset of data here
+            got = {
+                (r.qid, r.rn): (r.did, r.d2)
+                for r in knn_join(qs, data, k=4, cell_size=cs,
+                                  extent=512, self_contained=sc).collect()
+            }
+            assert got == expected, f"cell_size={cs} self_contained={sc}"
 
 
 def test_knn_join_fewer_than_k_points(spark):
