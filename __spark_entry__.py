@@ -2754,6 +2754,141 @@ FROM kmin
 """
 
 
+# messy synthetic raw URL derived from doc_id: a stable page key k (so
+# doc pairs k, k+250 collide after normalization) decorated with
+# case-noise, www., a default port, tracking params, fragments and a
+# trailing slash, all switched by h-arithmetic — identical in DuckDB.
+_RAWURL = (
+    f"concat('HTTP://', case when {_H} % 3 = 0 then 'WWW.' else '' end, "
+    f"'Site', cast(doc_id % 250 % 7 as string), '.COM', "
+    f"case when {_H} % 4 = 0 then ':80' else '' end, "
+    f"'/p/', cast(doc_id % 250 as string), "
+    f"case when {_H} % 7 = 0 then '/' else '' end, "
+    f"case when {_H} % 5 = 0 then concat('?utm_source=a&utm_campaign=', cast({_H} % 9 as string)) "
+    f"when {_H} % 5 = 1 then concat('?fbclid=', cast(doc_id as string)) else '' end, "
+    f"case when {_H} % 2 = 0 then concat('#sec', cast({_H} % 4 as string)) else '' end)"
+)
+_RAWURLD = (
+    f"'HTTP://' || CASE WHEN {_HD} % 3 = 0 THEN 'WWW.' ELSE '' END || "
+    f"'Site' || CAST(doc_id % 250 % 7 AS VARCHAR) || '.COM' || "
+    f"CASE WHEN {_HD} % 4 = 0 THEN ':80' ELSE '' END || "
+    f"'/p/' || CAST(doc_id % 250 AS VARCHAR) || "
+    f"CASE WHEN {_HD} % 7 = 0 THEN '/' ELSE '' END || "
+    f"CASE WHEN {_HD} % 5 = 0 THEN '?utm_source=a&utm_campaign=' || CAST({_HD} % 9 AS VARCHAR) "
+    f"WHEN {_HD} % 5 = 1 THEN '?fbclid=' || CAST(doc_id AS VARCHAR) ELSE '' END || "
+    f"CASE WHEN {_HD} % 2 = 0 THEN '#sec' || CAST({_HD} % 4 AS VARCHAR) ELSE '' END"
+)
+
+# the normalization pipeline in DuckDB dialect ('g' flag = replace-all,
+# \\1 backrefs; Spark implies 'g' and spells $1) — operators/corpus.py
+_CANOND = """
+  SELECT doc_id, u3,
+         regexp_extract(u3, '^[A-Za-z]+://[^/]*') AS host
+  FROM (
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(raw, '#.*', '', 'g'),
+               '(utm_[a-zA-Z]+|fbclid|gclid)=[^&]*&?', '', 'g'),
+             '[?&]+$', '', 'g') AS u3
+    FROM rawurls
+  )
+"""
+
+
+def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup (the Common-Crawl dedup key): messy synthetic
+    URLs → normalize_urls (fragment/tracking-param/case/www/port/slash
+    canonicalization, pure codegen expressions) → one groupBy on the
+    canonical string with deterministic keeper + dup count."""
+    from bdtopo2refhydro_spark.operators import corpus as C
+
+    raw = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_RAWURL).alias("url")
+    )
+    return C.dedup_by_url(raw, url_col="url", id_col="doc_id")
+
+
+_URL_DEDUP_SQL = f"""
+WITH rawurls AS (SELECT doc_id, {_RAWURLD} AS raw FROM documents),
+hosted AS ({_CANOND}),
+canon AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(lower(host), '^([a-z]+://)www\\.', '\\1', 'g'),
+             ':(80|443)$', '', 'g')
+           || substr(u3, length(host) + 1),
+           '/$', '', 'g') AS url_canon
+  FROM hosted
+)
+SELECT url_canon, min(doc_id) AS keeper_doc_id,
+       count(*) AS n_docs
+FROM canon GROUP BY url_canon
+"""
+
+
+def _q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balancing: keep at most 15 docs per source, longest first
+    (n_chars desc, doc_id tie-break) — window row_number + filter, one
+    shuffle on the domain key."""
+    from bdtopo2refhydro_spark.operators import corpus as C
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return C.domain_cap(docs, 15, domain_col="source", id_col="doc_id")
+
+
+_DOMAIN_CAP_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         CAST(row_number() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id
+         ) AS INTEGER) AS rank_in_domain
+  FROM documents
+)
+SELECT doc_id, source, n_chars, rank_in_domain
+FROM ranked WHERE rank_in_domain <= 15
+"""
+
+
+def _q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining sequence packing: documents laid end-to-end per source
+    in doc_id order, cut into 2048-token shards; each doc gets the shard
+    its first token lands in + its in-shard offset. Window running sum,
+    integer-exact (token counts via the shared tokens_expr pair)."""
+    from bdtopo2refhydro_spark.operators import corpus as C
+    from bdtopo2refhydro_spark.operators.text import tokens_expr
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source",
+        F.size(F.expr(tokens_expr())).cast("long").alias("n_tokens"),
+    )
+    return C.pack_shards(docs, 2048, tokens_col="n_tokens",
+                         group_col="source", id_col="doc_id")
+
+
+_PACK_SHARDS_SQL = """
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+              AS BIGINT) AS n_tokens
+  FROM documents
+),
+runs AS (
+  SELECT doc_id, source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS tok_start
+  FROM toks
+)
+SELECT doc_id, source, n_tokens,
+       CAST(tok_start // 2048 AS BIGINT) AS shard,
+       CAST(tok_start % 2048 AS BIGINT) AS tok_offset
+FROM runs
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -2800,6 +2935,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": _q_kmv_distinct,
         "knn_join": _q_knn_join,
         "tile_compact": _q_tile_compact,
+        "url_dedup": _q_url_dedup,
+        "domain_cap": _q_domain_cap,
+        "pack_shards": _q_pack_shards,
         # -- r02-green core ------------------------------------------------
         "reference_network": _q_reference_network,
         "bfs_reach": _q_bfs_reach,
@@ -2814,12 +2952,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window_counts": _q_stream_window_counts,
         "width_network": _q_width_network,
         "width_tail": _q_width_tail,
-        "tile_assign": _q_tile_assign,
-        "cover_count": _q_cover_count,
-        "pip_join": _q_pip_join,
         "zonal_pct": _q_zonal_pct_sql,
         # -- past the 50-entry driver window (r02-green; oracle_check.py
         #    still verifies all of them every round) -----------------------
+        "tile_assign": _q_tile_assign,
+        "cover_count": _q_cover_count,
+        "pip_join": _q_pip_join,
         "dedup_exact": _q_dedup_exact,
         "stream_ingest": _q_stream_ingest,
         "minhash_sig": _q_minhash_sig,
@@ -2894,6 +3032,9 @@ def oracle_sql() -> dict[str, str]:
         "snap_knn": _SNAP_SQL,
         "knn_join": _KNN_SQL,
         "tile_compact": _COMPACT_SQL,
+        "url_dedup": _URL_DEDUP_SQL,
+        "domain_cap": _DOMAIN_CAP_SQL,
+        "pack_shards": _PACK_SHARDS_SQL,
         "agg_segments": _AGG_SEGMENTS_SQL,
         "width_tail": _WIDTH_TAIL_SQL,
         "boundary_len": _BOUNDARY_LEN_SQL,

@@ -170,3 +170,107 @@ def kmv_distinct(values: DataFrame, col: str, *, k: int = 32) -> DataFrame:
             / F.max("h").cast("double")
         ).alias("est_distinct"),
     )
+
+
+def normalize_urls(df: DataFrame, url_col: str = "url",
+                   out_col: str = "url_canon") -> DataFrame:
+    """Canonical-URL normalization (the Common-Crawl dedup key): strip the
+    fragment, strip tracking params (utm_*/fbclid/gclid) and any dangling
+    separators they leave, lowercase scheme+host, drop a leading "www."
+    and default ports (:80/:443), and strip one trailing slash.
+
+    Pure JVM regex/string expressions — zero shuffles, whole-stage
+    codegen; the regex PATTERNS are shared with the DuckDB oracle (both
+    dialects accept them) while each side writes its own replacement
+    backref spelling ($1 vs \\1) and DuckDB adds the 'g' flag Spark
+    implies. Non-tracking query params are deliberately preserved — they
+    distinguish real pages (?page=2).
+    """
+    u1 = F.regexp_replace(F.col(url_col), "#.*", "")
+    u2 = F.regexp_replace(u1, "(utm_[a-zA-Z]+|fbclid|gclid)=[^&]*&?", "")
+    u3 = F.regexp_replace(u2, "[?&]+$", "")
+    df = df.withColumn("_u3", u3).withColumn(
+        "_host", F.regexp_extract(F.col("_u3"), "^[A-Za-z]+://[^/]*", 0)
+    )
+    host_canon = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("_host")),
+                         "^([a-z]+://)www\\.", "$1"),
+        ":(80|443)$", "",
+    )
+    rest = F.expr("substring(_u3, length(_host) + 1)")
+    return df.withColumn(
+        out_col, F.regexp_replace(F.concat(host_canon, rest), "/$", "")
+    ).drop("_u3", "_host")
+
+
+def dedup_by_url(df: DataFrame, url_col: str = "url",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Canonical-URL exact dedup: one output row per normalized URL with
+    the deterministic keeper (lowest id) and the duplicate count. One
+    shuffle on the canonical string (at 100 TB key the shuffle on
+    xxhash64(url_canon) and keep the string only for in-group tie-out,
+    as dedup_geometries does for WKB)."""
+    return (
+        normalize_urls(df, url_col)
+        .groupBy("url_canon")
+        .agg(
+            F.min(id_col).alias("keeper_" + id_col),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def domain_cap(docs: DataFrame, cap: int, *,
+               domain_col: str = "source",
+               order_exprs: list | None = None,
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-domain document cap (domain balancing): keep at most ``cap``
+    documents per domain, preferring the front of ``order_exprs`` (default:
+    longest first, id ascending as the deterministic tie-break). The
+    standard anti-head-domain measure before corpus mixing — a handful of
+    mega-domains otherwise dominate the token budget.
+
+    One shuffle on the domain key; row_number + filter, so the cap is
+    applied map-side after the sort within each domain partition. Hot
+    domains are the textbook AQE skew case. Returns the surviving rows
+    plus their per-domain rank."""
+    order_exprs = order_exprs or [F.desc("n_chars"), F.asc(id_col)]
+    w = Window.partitionBy(domain_col).orderBy(*order_exprs)
+    return (
+        docs.withColumn("rank_in_domain", F.row_number().over(w))
+        .filter(F.col("rank_in_domain") <= cap)
+    )
+
+
+def pack_shards(docs: DataFrame, budget: int, *,
+                tokens_col: str = "n_tokens",
+                group_col: str = "source",
+                id_col: str = "doc_id") -> DataFrame:
+    """Contiguous token-shard packing (pretraining sequence packing, the
+    deterministic contiguous flavor): within each group, documents are
+    laid end-to-end in ``id_col`` order and cut into shards of ``budget``
+    tokens; each document is assigned the shard its FIRST token lands in
+    plus its token offset inside that shard. Downstream tokenizer workers
+    then read (group, shard) partitions independently and resume is
+    trivially deterministic.
+
+    One shuffle on the group key; the running sum is a window over
+    (group, id) — integer-exact, so the SQL oracle replays it bit-for-bit.
+    Per-group sequential packing is the scale shape: groups (sources /
+    domains / dump shards) are many and independent."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    b = int(budget)
+    return docs.select(
+        id_col, group_col, tokens_col, start.alias("tok_start")
+    ).select(
+        id_col, group_col, tokens_col,
+        # `div` = exact BIGINT division (a double divide-then-cast could
+        # round across a shard boundary for large running sums)
+        F.expr(f"tok_start div {b}").alias("shard"),
+        F.expr(f"tok_start % {b}").alias("tok_offset"),
+    )

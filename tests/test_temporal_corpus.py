@@ -145,3 +145,82 @@ def test_kmv_exact_when_distinct_below_k(spark):
     exp_kth = max(((i % 65536) * 40503) % 65536 for i in range(10))
     assert row.kth_min == exp_kth
     assert row.est_distinct == pytest.approx((10 - 1) * 65536.0 / exp_kth)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization / domain cap / shard packing
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_urls_cases(spark):
+    from bdtopo2refhydro_spark.operators.corpus import normalize_urls
+
+    cases = [
+        # (raw, expected canonical)
+        ("HTTP://WWW.Example.COM:80/a/b#frag", "http://example.com/a/b"),
+        ("https://example.com:443/x?utm_source=a&utm_medium=b",
+         "https://example.com/x"),
+        ("http://example.com/p?utm_source=a&page=2#x",
+         "http://example.com/p?page=2"),
+        ("http://example.com/p?page=2&fbclid=abc",
+         "http://example.com/p?page=2"),
+        ("http://example.com/dir/", "http://example.com/dir"),
+        # non-tracking params and path case are preserved
+        ("http://Example.com/CaseSensitive?q=X",
+         "http://example.com/CaseSensitive?q=X"),
+        # www elsewhere in the host is kept; only the leading label drops
+        ("http://www.www2.com/a", "http://www2.com/a"),
+        # no scheme: host steps are no-ops, param/fragment steps still act
+        ("nothing-like-a-url#f", "nothing-like-a-url"),
+    ]
+    df = spark.createDataFrame([(i, r) for i, (r, _) in enumerate(cases)],
+                               "doc_id long, url string")
+    got = {r.doc_id: r.url_canon for r in normalize_urls(df).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+
+
+def test_dedup_by_url_groups(spark):
+    from bdtopo2refhydro_spark.operators.corpus import dedup_by_url
+
+    df = spark.createDataFrame(
+        [
+            (1, "HTTP://WWW.A.COM/p"),
+            (2, "http://a.com:80/p/"),
+            (3, "http://a.com/p?utm_source=x"),
+            (4, "http://a.com/q"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {r.url_canon: (r.keeper_doc_id, r.n_docs)
+           for r in dedup_by_url(df).collect()}
+    assert got == {"http://a.com/p": (1, 3), "http://a.com/q": (4, 1)}
+
+
+def test_domain_cap_order_and_ties(spark):
+    from bdtopo2refhydro_spark.operators.corpus import domain_cap
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 30), (3, "a", 30), (4, "a", 5),
+         (5, "b", 1)],
+        "doc_id long, source string, n_chars long",
+    )
+    got = sorted((r.doc_id, r.rank_in_domain)
+                 for r in domain_cap(df, 2).collect())
+    # longest first; n_chars tie between 2 and 3 broken by doc_id asc
+    assert got == [(2, 1), (3, 2), (5, 1)]
+
+
+def test_pack_shards_boundaries(spark):
+    from bdtopo2refhydro_spark.operators.corpus import pack_shards
+
+    df = spark.createDataFrame(
+        [(1, "s", 60), (2, "s", 60), (3, "s", 60), (4, "s", 1),
+         (5, "t", 250)],
+        "doc_id long, source string, n_tokens long",
+    )
+    got = {r.doc_id: (r.shard, r.tok_offset)
+           for r in pack_shards(df, 100, group_col="source").collect()}
+    # starts: 0, 60, 120, 180 in s; 0 in t
+    assert got == {1: (0, 0), 2: (0, 60), 3: (1, 20), 4: (1, 80),
+                   5: (0, 0)}
