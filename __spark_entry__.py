@@ -2754,6 +2754,39 @@ FROM kmin
 """
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: docs with doc_id % 101 == 0 act as the
+    benchmark; every corpus doc sharing >=1 3-token shingle with it is
+    flagged with its distinct-shared-shingle count. Benchmark shingles
+    broadcast; corpus bytes never shuffle."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.expr("doc_id % 101 = 0"))
+    return TX.decontaminate(docs, bench, k=3)
+
+
+_DECONTAM_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+b AS (
+  SELECT DISTINCT unnest(list_distinct({_duck_shingles(3)})) AS sh
+  FROM t WHERE doc_id % 101 = 0
+),
+d AS (
+  SELECT doc_id, unnest(list_distinct({_duck_shingles(3)})) AS sh FROM t
+),
+hits AS (
+  SELECT d.doc_id, count(*) AS n_shared
+  FROM d JOIN b USING (sh) GROUP BY d.doc_id
+)
+SELECT t.doc_id,
+       COALESCE(h.n_shared, 0) AS n_shared,
+       COALESCE(h.n_shared, 0) > 0 AS contaminated
+FROM t LEFT JOIN hits h ON t.doc_id = h.doc_id
+"""
+
+
 # messy synthetic raw URL derived from doc_id: a stable page key k (so
 # doc pairs k, k+250 collide after normalization) decorated with
 # case-noise, www., a default port, tracking params, fragments and a
@@ -2938,6 +2971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": _q_url_dedup,
         "domain_cap": _q_domain_cap,
         "pack_shards": _q_pack_shards,
+        "decontaminate": _q_decontaminate,
         # -- r02-green core ------------------------------------------------
         "reference_network": _q_reference_network,
         "bfs_reach": _q_bfs_reach,
@@ -2949,12 +2983,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fix_connectivity": _q_fix_connectivity,
         "stream_quality": _q_stream_quality,
         "stream_dedup_state": _q_stream_dedup_state,
-        "stream_window_counts": _q_stream_window_counts,
         "width_network": _q_width_network,
         "width_tail": _q_width_tail,
         "zonal_pct": _q_zonal_pct_sql,
         # -- past the 50-entry driver window (r02-green; oracle_check.py
         #    still verifies all of them every round) -----------------------
+        "stream_window_counts": _q_stream_window_counts,
         "tile_assign": _q_tile_assign,
         "cover_count": _q_cover_count,
         "pip_join": _q_pip_join,
@@ -3035,6 +3069,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": _URL_DEDUP_SQL,
         "domain_cap": _DOMAIN_CAP_SQL,
         "pack_shards": _PACK_SHARDS_SQL,
+        "decontaminate": _DECONTAM_SQL,
         "agg_segments": _AGG_SEGMENTS_SQL,
         "width_tail": _WIDTH_TAIL_SQL,
         "boundary_len": _BOUNDARY_LEN_SQL,

@@ -587,3 +587,39 @@ def corpus_manifest(docs: DataFrame, min_tokens: int = 10,
         F.sum(F.when(kept, F.col("n_tokens")).otherwise(F.lit(0)))
         .cast("long").alias("tokens_kept"),
     )
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, *, k: int = 8,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination: flag every corpus document that shares
+    at least one k-token shingle with a benchmark/test set (the standard
+    pre-training hygiene pass — leaked eval data inflates downstream
+    scores). Returns (id, n_shared, contaminated) for every input doc,
+    n_shared = number of DISTINCT shingles the doc shares with the
+    benchmark.
+
+    Plan: benchmark shingles explode + distinct and BROADCAST — a test
+    set is kilobytes next to a corpus, so the corpus side's exploded
+    shingles join map-side and document bytes never shuffle; per-doc hit
+    counts are one hash aggregate on the id. Shingling shares
+    tokens_expr/shingles_expr with the MinHash/Jaccard stack, so the
+    same normalization defines "overlap" everywhere."""
+    sh = F.expr(shingles_expr(text_col, k))
+    bench_sh = benchmark.select(
+        F.explode(F.array_distinct(sh)).alias("sh")
+    ).distinct()
+    doc_sh = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(sh)).alias("sh")
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .withColumn("n_shared", F.coalesce("n_shared", F.lit(0)))
+        .withColumn("contaminated", F.col("n_shared") > 0)
+    )

@@ -427,3 +427,25 @@ def test_corpus_manifest_hand_checked(spark):
             out["A"].docs_kept, out["A"].tokens_kept) == (3, 2, 1, 12)
     assert (out["B"].docs_total, out["B"].docs_after_dedup,
             out["B"].docs_kept, out["B"].tokens_kept) == (2, 2, 1, 10)
+
+
+def test_decontaminate_flags_overlap(spark):
+    from bdtopo2refhydro_spark.operators.text import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "a quick brown fox sleeps"),   # shares "quick brown fox"
+            (3, "completely different words here"),
+            (4, "the quick brown fox jumps"),  # exact dup of benchmark
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.filter("doc_id = 1")
+    got = {r.doc_id: (r.n_shared, r.contaminated)
+           for r in decontaminate(docs, bench, k=3).collect()}
+    # doc 1: 3 trigrams, all shared with itself; doc 2 shares exactly one
+    assert got[1] == (3, True)
+    assert got[2] == (1, True)
+    assert got[3] == (0, False)
+    assert got[4] == (3, True)
