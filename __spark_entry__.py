@@ -2787,6 +2787,55 @@ FROM t LEFT JOIN hits h ON t.doc_id = h.doc_id
 """
 
 
+def _q_inv_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: token → (df, sorted posting list), min_df=3.
+    One explode + one hash aggregate with map-side partial combine;
+    postings pinned to doc-id order inside the aggregate."""
+    from bdtopo2refhydro_spark.operators import corpus as C
+
+    return C.inverted_index(_docs(spark, sf_dir), min_df=3)
+
+
+_INV_INDEX_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_split_to_array(trim(lower(text)),
+                                                    '\\s+'))) AS token
+  FROM documents
+)
+SELECT token, count(*) AS df, list_sort(array_agg(doc_id)) AS postings
+FROM tok WHERE token != ''
+GROUP BY token HAVING count(*) >= 3
+"""
+
+
+def _q_quantile_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact discrete percentiles of document length
+    (rank = ceil(q·n) under a deterministic (value, id) order — integer
+    arithmetic, no interpolation, so any engine replays it exactly).
+    The calibration stats behind length/quality gate thresholds."""
+    from bdtopo2refhydro_spark.operators import corpus as C
+
+    return C.group_quantiles(_docs(spark, sf_dir), "n_chars",
+                             group_col="lang", id_col="doc_id")
+
+
+_QUANTILE_SQL = """
+WITH ranked AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang, max(n) AS n,
+       max(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS p50,
+       max(CASE WHEN rn = (n * 9 + 9) // 10 THEN n_chars END) AS p90,
+       max(CASE WHEN rn = (n * 99 + 99) // 100 THEN n_chars END) AS p99
+FROM ranked GROUP BY lang
+"""
+
+
 # messy synthetic raw URL derived from doc_id: a stable page key k (so
 # doc pairs k, k+250 collide after normalization) decorated with
 # case-noise, www., a default port, tracking params, fragments and a
@@ -2972,6 +3021,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": _q_domain_cap,
         "pack_shards": _q_pack_shards,
         "decontaminate": _q_decontaminate,
+        "inv_index": _q_inv_index,
+        "quantile_gates": _q_quantile_gates,
         # -- r02-green core ------------------------------------------------
         "reference_network": _q_reference_network,
         "bfs_reach": _q_bfs_reach,
@@ -2979,15 +3030,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "principal_stem": _q_principal_stem,
         "upstream_len": _q_upstream_len,
         "hack_order": _q_hack,
-        "strahler_order": _q_strahler,
         "fix_connectivity": _q_fix_connectivity,
         "stream_quality": _q_stream_quality,
         "stream_dedup_state": _q_stream_dedup_state,
-        "width_network": _q_width_network,
         "width_tail": _q_width_tail,
         "zonal_pct": _q_zonal_pct_sql,
-        # -- past the 50-entry driver window (r02-green; oracle_check.py
-        #    still verifies all of them every round) -----------------------
+        # -- past the 50-entry driver window (r02-checked; oracle_check.py /
+        #    pytest goldens still verify all of them every round; the two
+        #    rows-only fixpoints moved out have exact in-window machinery
+        #    gates: strahler_binary, width_tail) ---------------------------
+        "strahler_order": _q_strahler,
+        "width_network": _q_width_network,
         "stream_window_counts": _q_stream_window_counts,
         "tile_assign": _q_tile_assign,
         "cover_count": _q_cover_count,
@@ -3070,6 +3123,8 @@ def oracle_sql() -> dict[str, str]:
         "domain_cap": _DOMAIN_CAP_SQL,
         "pack_shards": _PACK_SHARDS_SQL,
         "decontaminate": _DECONTAM_SQL,
+        "inv_index": _INV_INDEX_SQL,
+        "quantile_gates": _QUANTILE_SQL,
         "agg_segments": _AGG_SEGMENTS_SQL,
         "width_tail": _WIDTH_TAIL_SQL,
         "boundary_len": _BOUNDARY_LEN_SQL,

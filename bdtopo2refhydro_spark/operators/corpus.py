@@ -274,3 +274,62 @@ def pack_shards(docs: DataFrame, budget: int, *,
         F.expr(f"tok_start div {b}").alias("shard"),
         F.expr(f"tok_start % {b}").alias("tok_offset"),
     )
+
+
+def inverted_index(docs: DataFrame, *, text_col: str = "text",
+                   id_col: str = "doc_id", min_df: int = 1) -> DataFrame:
+    """Build an inverted index: one row per token with its document
+    frequency and the SORTED posting list of containing documents
+    (distinct per doc). The classic search-index build as one explode +
+    one hash aggregate; map-side partial aggregation collapses each
+    partition's token stream before the shuffle, and postings are pinned
+    to doc-id order inside the aggregate so the output is deterministic
+    at any parallelism. ``min_df`` drops hapax noise (and bounds output
+    rows). At 100 TB the posting lists of stop-word-frequency tokens are
+    the skew case — shard them by posting-block (doc_id div B) as a
+    second explode if a consumer needs bounded row sizes."""
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))),
+                                     r"\s+"))
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").alias("df"),
+            F.sort_array(F.collect_list(id_col)).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+
+
+def group_quantiles(df: DataFrame, value_col: str, *,
+                    group_col: str = "lang",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Exact DISCRETE per-group percentiles (p50/p90/p99) of an integer
+    column: the value at rank ceil(q·n) under a deterministic
+    (value, id) order — integer index arithmetic, no interpolation, so
+    the result is a value that exists in the data and replays bit-for-bit
+    in any engine. One shuffle on the group key; the rank and count come
+    from two window functions over the same exchange. The corpus-stats
+    shape used for length/quality gate calibration."""
+    w = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    wg = Window.partitionBy(group_col)
+    ranked = (
+        df.select(group_col, value_col, id_col)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(wg))
+    )
+
+    def at(q_num: int, q_den: int):
+        idx = F.expr(f"(n * {q_num} + {q_den} - 1) div {q_den}")
+        return F.max(F.when(F.col("rn") == idx, F.col(value_col)))
+
+    return ranked.groupBy(group_col).agg(
+        F.max("n").alias("n"),
+        at(1, 2).alias("p50"),
+        at(9, 10).alias("p90"),
+        at(99, 100).alias("p99"),
+    )

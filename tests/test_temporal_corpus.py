@@ -224,3 +224,32 @@ def test_pack_shards_boundaries(spark):
     # starts: 0, 60, 120, 180 in s; 0 in t
     assert got == {1: (0, 0), 2: (0, 60), 3: (1, 20), 4: (1, 80),
                    5: (0, 0)}
+
+
+def test_inverted_index(spark):
+    from bdtopo2refhydro_spark.operators.corpus import inverted_index
+
+    df = spark.createDataFrame(
+        [(3, "a b a"), (1, "b c"), (2, "  A  b ")],
+        "doc_id long, text string",
+    )
+    got = {r.token: (r.df, r.postings)
+           for r in inverted_index(df, min_df=1).collect()}
+    # per-doc distinct, lowercased, postings sorted regardless of input order
+    assert got == {"a": (2, [2, 3]), "b": (3, [1, 2, 3]), "c": (1, [1])}
+    got2 = {r.token for r in inverted_index(df, min_df=3).collect()}
+    assert got2 == {"b"}
+
+
+def test_group_quantiles_discrete(spark):
+    from bdtopo2refhydro_spark.operators.corpus import group_quantiles
+
+    rows = [(i, "en", v) for i, v in enumerate([10, 20, 30, 40])]
+    rows += [(100, "fr", 7)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    got = {r.lang: (r.n, r.p50, r.p90, r.p99)
+           for r in group_quantiles(df, "n_chars").collect()}
+    # n=4: p50 at rank ceil(2)=2 -> 20; p90 at ceil(3.6)=4 -> 40; p99 -> 40
+    assert got["en"] == (4, 20, 40, 40)
+    # n=1: every percentile is the single value
+    assert got["fr"] == (1, 7, 7, 7)
