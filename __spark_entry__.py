@@ -2787,6 +2787,41 @@ FROM t LEFT JOIN hits h ON t.doc_id = h.doc_id
 """
 
 
+def _q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order clustering key of each doc's cell (the layout key
+    write_zordered sorts by): pure bit-interleave arithmetic, identical
+    in DuckDB's operator dialect."""
+    from bdtopo2refhydro_spark.functions.cells import zorder_key_expr
+
+    c = _coords(spark, sf_dir)
+    return c.select(
+        "doc_id",
+        F.expr(f"CAST(floor(greatest(x0, 0.0) / {CELL}) AS BIGINT)").alias("_ix"),
+        F.expr(f"CAST(floor(greatest(y0, 0.0) / {CELL}) AS BIGINT)").alias("_iy"),
+    ).select(
+        "doc_id", F.expr(zorder_key_expr("_ix", "_iy", 26)).alias("zkey")
+    )
+
+
+def _duck_zorder(ix: str, iy: str, bits: int = 26) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({ix} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({iy} >> {b}) & 1) << {2 * b + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+_ZORDER_SQL = f"""
+WITH g AS (
+  SELECT doc_id,
+         CAST(floor(greatest({_X0D}, 0.0) / 1000.0) AS BIGINT) AS ix,
+         CAST(floor(greatest({_Y0D}, 0.0) / 1000.0) AS BIGINT) AS iy
+  FROM documents
+)
+SELECT doc_id, {_duck_zorder("ix", "iy", 26)} AS zkey FROM g
+"""
+
+
 def _q_inv_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index build: token → (df, sorted posting list), min_df=3.
     One explode + one hash aggregate with map-side partial combine;
@@ -3023,9 +3058,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "inv_index": _q_inv_index,
         "quantile_gates": _q_quantile_gates,
+        "zorder_key": _q_zorder_key,
         # -- r02-green core ------------------------------------------------
         "reference_network": _q_reference_network,
-        "bfs_reach": _q_bfs_reach,
         "dist_from_root": _q_dist_from_root,
         "principal_stem": _q_principal_stem,
         "upstream_len": _q_upstream_len,
@@ -3041,6 +3076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    gates: strahler_binary, width_tail) ---------------------------
         "strahler_order": _q_strahler,
         "width_network": _q_width_network,
+        "bfs_reach": _q_bfs_reach,
         "stream_window_counts": _q_stream_window_counts,
         "tile_assign": _q_tile_assign,
         "cover_count": _q_cover_count,
@@ -3125,6 +3161,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _DECONTAM_SQL,
         "inv_index": _INV_INDEX_SQL,
         "quantile_gates": _QUANTILE_SQL,
+        "zorder_key": _ZORDER_SQL,
         "agg_segments": _AGG_SEGMENTS_SQL,
         "width_tail": _WIDTH_TAIL_SQL,
         "boundary_len": _BOUNDARY_LEN_SQL,

@@ -83,3 +83,24 @@ def cover_line_cells(coords: np.ndarray, cell_size: float) -> list[int]:
     for i in range(len(coords) - 1):
         cells |= cover_segment_cells(coords[i], coords[i + 1], cell_size)
     return sorted(cells)
+
+
+def zorder_key_expr(ix_col: str, iy_col: str, bits: int = 26) -> str:
+    """Spark-SQL expression interleaving the low ``bits`` of two
+    non-negative BIGINT axis indices into one Morton/Z-order key
+    (ix bit b → key bit 2b, iy bit b → key bit 2b+1; 2·bits ≤ 62 so the
+    key stays a positive BIGINT). Pure integer bit arithmetic — DuckDB
+    evaluates the identical formula, so Z keys are oracle-checkable.
+
+    Z-ordering is the storage-layout half of the tiling story: sorting a
+    corpus by this key before writing makes spatially-adjacent rows
+    file-adjacent, so a tile-range scan prunes row groups by min/max
+    stats instead of reading the corpus (the same role CLUSTER BY
+    zorder plays in lakehouse engines)."""
+    if not 1 <= bits <= 31:
+        raise ValueError("bits must be in [1, 31]")
+    terms = []
+    for b in range(bits):
+        terms.append(f"(shiftleft(shiftright({ix_col}, {b}) & 1, {2 * b}))")
+        terms.append(f"(shiftleft(shiftright({iy_col}, {b}) & 1, {2 * b + 1}))")
+    return "(" + " + ".join(terms) + ")"

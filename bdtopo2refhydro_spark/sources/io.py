@@ -192,3 +192,27 @@ def merge_upsert(spark: SparkSession, target_table: str,
         WHEN MATCHED THEN UPDATE SET *
         WHEN NOT MATCHED THEN INSERT *
     """)
+
+
+def write_zordered(df: DataFrame, path: str, x_col: str, y_col: str,
+                   cell_size: float, n_files: int = 64,
+                   mode: str = "overwrite", bits: int = 26) -> None:
+    """Z-order-clustered parquet sink: rows sorted by the Morton key of
+    their (x, y) cell, range-partitioned into ``n_files`` so every output
+    file owns a DISJOINT key range (repartitionByRange) and rows are
+    sorted within each file. A tile/bbox scan then prunes whole files and
+    row groups via parquet min/max stats on ``zkey`` — the lakehouse
+    CLUSTER BY zorder layout, built from primitives. The key column is
+    kept in the output (it doubles as the coarse join/prune key)."""
+    from ..functions.cells import zorder_key_expr
+    from pyspark.sql import functions as F
+
+    keyed = df.withColumn(
+        "_ix", F.expr(f"CAST(floor(greatest({x_col}, 0.0) / {cell_size}) AS BIGINT)")
+    ).withColumn(
+        "_iy", F.expr(f"CAST(floor(greatest({y_col}, 0.0) / {cell_size}) AS BIGINT)")
+    ).withColumn("zkey", F.expr(zorder_key_expr("_ix", "_iy", bits))) \
+     .drop("_ix", "_iy")
+    keyed.repartitionByRange(n_files, "zkey") \
+         .sortWithinPartitions("zkey") \
+         .write.mode(mode).parquet(path)

@@ -346,3 +346,39 @@ def test_write_partitioned_prunes(spark, tmp_path):
     # the partition filter must reach the scan (plan-time pruning)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(source" in plan
+
+
+def test_write_zordered_disjoint_sorted_files(spark, tmp_path):
+    """Z-order sink: every output file owns a disjoint zkey range and is
+    sorted within — the property parquet min/max pruning relies on. Also
+    pins the Morton key itself against a python bit-interleave."""
+    from pyspark.sql import functions as F
+
+    from bdtopo2refhydro_spark.sources.io import write_zordered
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 37) % 100 * 10.0).alias("x"),
+        ((F.col("id") * 53) % 100 * 10.0).alias("y"),
+    )
+    out = str(tmp_path / "z")
+    write_zordered(df, out, "x", "y", cell_size=10.0, n_files=8)
+
+    back = spark.read.parquet(out).withColumn("f", F.input_file_name())
+    rows = back.select("doc_id", "x", "y", "zkey", "f").collect()
+
+    def interleave(ix, iy):
+        z = 0
+        for b in range(26):
+            z |= ((ix >> b) & 1) << (2 * b)
+            z |= ((iy >> b) & 1) << (2 * b + 1)
+        return z
+
+    per_file = {}
+    for r in rows:
+        assert r.zkey == interleave(int(r.x // 10), int(r.y // 10))
+        per_file.setdefault(r.f, []).append(r.zkey)
+    assert len(per_file) > 1
+    ranges = sorted((min(v), max(v)) for v in per_file.values())
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "file zkey ranges overlap"
