@@ -1,0 +1,94 @@
+"""Physical-plan shape guards.
+
+The 100-TB story rests on plan properties (.explain evidence in
+PLANS.md); these tests pin the load-bearing ones so a refactor cannot
+silently reintroduce a nested-loop join, a needless shuffle, or a
+full-width scan. Plans are inspected at sf0.001 — shape, not timing.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def entry():
+    import __spark_entry__ as E
+
+    return E
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_asof_join_has_no_join_operator(spark, entry):
+    """The as-of join lowers to union + window: ZERO join operators —
+    the naive inequality-join spelling would be BroadcastNestedLoop."""
+    plan = _plan(entry.queries()["asof_join"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_range_join_is_equi_join(spark, entry):
+    """Bucket decomposition turns the interval join into an equi-join."""
+    plan = _plan(entry.queries()["range_count"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stratified_sample_is_map_side_only(spark, entry):
+    """Deterministic hash sampling must not shuffle: no Exchange beyond
+    the fixture repartition the _docs helper adds (RoundRobin), i.e. no
+    hash/range exchange introduced by the operator itself."""
+    plan = _plan(entry.queries()["sample_strat"](spark, SF))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_knn_join_never_cross_joins(spark, entry):
+    plan = _plan(entry.queries()["knn_join"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pip_join_broadcasts_the_cell_index(spark, entry):
+    """The polygon cell index is tiny → the big point side must join it
+    map-side (broadcast), never shuffle."""
+    plan = _plan(entry.queries()["pip_join"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q1_scan_is_column_pruned(spark, entry):
+    """Column pruning must reach the parquet scan: the lineitem read
+    schema carries only the handful of columns the aggregate needs, not
+    the full table."""
+    df = entry.queries()["tpch_q1"](spark, SF)
+    scan = [ln for ln in _plan(df).splitlines() if "ReadSchema" in ln]
+    assert scan, "no parquet scan with ReadSchema found"
+    schema = scan[0].split("ReadSchema:")[1]
+    assert "l_comment" not in schema and "l_partkey" not in schema
+
+
+def test_filter_is_pushed_to_scan(spark):
+    """A predicate on a scanned column must appear in PushedFilters."""
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_quantity") > 30)
+        .select("l_orderkey")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(l_quantity" in plan
+
+
+def test_reference_network_has_no_cartesian(spark, entry):
+    plan = _plan(entry.queries()["reference_network"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
