@@ -2787,6 +2787,78 @@ FROM t LEFT JOIN hits h ON t.doc_id = h.doc_id
 """
 
 
+def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The webtext flagship composition: dedup → quality gates →
+    decontamination → domain cap → shard packing as ONE plan, exact
+    end-to-end (plans/curation.py). Benchmark = doc_id % 101 == 0."""
+    from bdtopo2refhydro_spark.plans import run_curation_pipeline
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.expr("doc_id % 101 = 0"))
+    return run_curation_pipeline(docs, bench)
+
+
+_CURATION_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source, n_chars, md5(text) AS text_hash,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+              AS BIGINT) AS n_tokens
+  FROM documents
+),
+keep AS (SELECT text_hash, min(doc_id) AS keep_id FROM base GROUP BY text_hash),
+top AS (
+  SELECT doc_id, max(c) AS top_token_count FROM (
+    SELECT doc_id, tok, count(*) AS c FROM (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+      FROM documents)
+    GROUP BY doc_id, tok)
+  GROUP BY doc_id
+),
+t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+bsh AS (
+  SELECT DISTINCT unnest(list_distinct({_duck_shingles(3)})) AS sh
+  FROM t WHERE doc_id % 101 = 0
+),
+dsh AS (
+  SELECT doc_id, unnest(list_distinct({_duck_shingles(3)})) AS sh FROM t
+),
+contaminated AS (SELECT DISTINCT dsh.doc_id FROM dsh JOIN bsh USING (sh)),
+surv AS (
+  SELECT b.doc_id, b.source, b.n_chars, b.n_tokens
+  FROM base b
+  JOIN keep k USING (text_hash)
+  JOIN top tt ON b.doc_id = tt.doc_id
+  WHERE b.doc_id = k.keep_id
+    AND b.n_tokens >= 10
+    AND tt.top_token_count * 5 <= b.n_tokens
+    AND b.doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+capped AS (
+  SELECT doc_id, source, n_tokens,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM surv
+),
+kept AS (SELECT doc_id, source, n_tokens FROM capped WHERE rn <= 15),
+packed AS (
+  SELECT doc_id, source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS tok_start
+  FROM kept
+)
+SELECT doc_id, source, n_tokens,
+       CAST(tok_start // 2048 AS BIGINT) AS shard,
+       CAST(tok_start % 2048 AS BIGINT) AS tok_offset
+FROM packed
+"""
+
+
 def _q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton/Z-order clustering key of each doc's cell (the layout key
     write_zordered sorts by): pure bit-interleave arithmetic, identical
@@ -3059,13 +3131,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inv_index": _q_inv_index,
         "quantile_gates": _q_quantile_gates,
         "zorder_key": _q_zorder_key,
+        "curation_pipeline": _q_curation_pipeline,
         # -- r02-green core ------------------------------------------------
         "reference_network": _q_reference_network,
         "dist_from_root": _q_dist_from_root,
         "principal_stem": _q_principal_stem,
         "upstream_len": _q_upstream_len,
         "hack_order": _q_hack,
-        "fix_connectivity": _q_fix_connectivity,
         "stream_quality": _q_stream_quality,
         "stream_dedup_state": _q_stream_dedup_state,
         "width_tail": _q_width_tail,
@@ -3075,6 +3147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    rows-only fixpoints moved out have exact in-window machinery
         #    gates: strahler_binary, width_tail) ---------------------------
         "strahler_order": _q_strahler,
+        "fix_connectivity": _q_fix_connectivity,
         "width_network": _q_width_network,
         "bfs_reach": _q_bfs_reach,
         "stream_window_counts": _q_stream_window_counts,
@@ -3162,6 +3235,7 @@ def oracle_sql() -> dict[str, str]:
         "inv_index": _INV_INDEX_SQL,
         "quantile_gates": _QUANTILE_SQL,
         "zorder_key": _ZORDER_SQL,
+        "curation_pipeline": _CURATION_SQL,
         "agg_segments": _AGG_SEGMENTS_SQL,
         "width_tail": _WIDTH_TAIL_SQL,
         "boundary_len": _BOUNDARY_LEN_SQL,

@@ -9,3 +9,4 @@ from .pipelines import (  # noqa: F401
     width_segments_tail,
 )
 from .checkpoint import CheckpointedPipeline  # noqa: F401
+from .curation import run_curation_pipeline  # noqa: F401

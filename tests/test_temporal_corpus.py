@@ -253,3 +253,32 @@ def test_group_quantiles_discrete(spark):
     assert got["en"] == (4, 20, 40, 40)
     # n=1: every percentile is the single value
     assert got["fr"] == (1, 7, 7, 7)
+
+
+def test_curation_pipeline_stages(spark):
+    """Each gate demonstrably removes its target: duplicate, short doc,
+    repetitive doc, contaminated doc; survivors pack deterministically."""
+    from bdtopo2refhydro_spark.plans import run_curation_pipeline
+
+    long_a = " ".join(f"w{i}" for i in range(20))          # healthy
+    long_b = " ".join(f"v{i}" for i in range(30))          # healthy
+    rows = [
+        (1, "s", long_a, len(long_a)),
+        (2, "s", long_a, len(long_a)),                      # exact dup of 1
+        (3, "s", "too short", 9),                           # < min_tokens
+        (4, "s", " ".join(["spam"] * 20), 99),              # repetition gate
+        (5, "s", long_b, len(long_b)),
+        (6, "t", "the benchmark text lives here now ok yes ten tok",
+         49),                                               # = benchmark
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, n_chars long")
+    bench = docs.filter("doc_id = 6")
+    got = {r.doc_id: (r.source, r.n_tokens, r.shard, r.tok_offset)
+           for r in run_curation_pipeline(docs, bench,
+                                          shard_budget=25).collect()}
+    # survivors: 1 (dup keeper) and 5; 2 dup, 3 short, 4 repetitive,
+    # 6 contaminated (shares shingles with itself)
+    assert set(got) == {1, 5}
+    assert got[1] == ("s", 20, 0, 0)
+    assert got[5] == ("s", 30, 0, 20)  # starts at 20, straddles into shard 1
