@@ -41,6 +41,7 @@ def main() -> None:
         "ngram_jaccard",
         "cosine_topk",
         "tpch_q1",
+        "curation_pipeline",
     ]
     from pyspark.sql import functions as F
 
