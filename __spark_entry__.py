@@ -3005,10 +3005,10 @@ canon AS (
   SELECT doc_id,
          regexp_replace(
            regexp_replace(
-             regexp_replace(lower(host), '^([a-z]+://)www\\.', '\\1', 'g'),
+             regexp_replace(lower(host), '^([a-z]+://)(www\\.)+', '\\1', 'g'),
              ':(80|443)$', '', 'g')
            || substr(u3, length(host) + 1),
-           '/$', '', 'g') AS url_canon
+           '/+$', '', 'g') AS url_canon
   FROM hosted
 )
 SELECT url_canon, min(doc_id) AS keeper_doc_id,

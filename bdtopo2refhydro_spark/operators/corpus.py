@@ -192,14 +192,18 @@ def normalize_urls(df: DataFrame, url_col: str = "url",
     df = df.withColumn("_u3", u3).withColumn(
         "_host", F.regexp_extract(F.col("_u3"), "^[A-Za-z]+://[^/]*", 0)
     )
+    # (www\.)+ so stacked www labels drop in ONE pass — idempotence
+    # (normalize∘normalize == normalize) is property-tested
     host_canon = F.regexp_replace(
         F.regexp_replace(F.lower(F.col("_host")),
-                         "^([a-z]+://)www\\.", "$1"),
+                         "^([a-z]+://)(www\\.)+", "$1"),
         ":(80|443)$", "",
     )
     rest = F.expr("substring(_u3, length(_host) + 1)")
+    # strip ALL trailing slashes (not one) so normalization is idempotent
+    # — normalize(normalize(u)) == normalize(u), property-tested
     return df.withColumn(
-        out_col, F.regexp_replace(F.concat(host_canon, rest), "/$", "")
+        out_col, F.regexp_replace(F.concat(host_canon, rest), "/+$", "")
     ).drop("_u3", "_host")
 
 

@@ -282,3 +282,59 @@ def test_curation_pipeline_stages(spark):
     assert set(got) == {1, 5}
     assert got[1] == ("s", 20, 0, 0)
     assert got[5] == ("s", 30, 0, 20)  # starts at 20, straddles into shard 1
+
+
+def test_normalize_urls_idempotent(spark):
+    """Canonicalization must be a projection: normalize(normalize(u)) ==
+    normalize(u). Hypothesis-style sweep over composed URL parts
+    (exhaustive product, deterministic) including the '//'-tail and
+    repeated-separator edge cases that break single-pass rules."""
+    from itertools import product
+
+    from bdtopo2refhydro_spark.operators.corpus import normalize_urls
+
+    schemes = ["http://", "HTTPS://", ""]
+    hosts = ["WWW.Ex.COM", "ex.com:80", "www.www.ex.com:443", "a.b"]
+    paths = ["", "/", "//", "/p/1", "/p/1//", "/P"]
+    qs = ["", "?utm_source=a", "?q=1&utm_medium=b", "?utm_a=1&utm_b=2",
+          "?q=1&fbclid=2&r=3"]
+    frags = ["", "#f", "#a/b?c"]
+    urls = ["".join(p) for p in product(schemes, hosts, paths, qs, frags)]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, url string")
+    once = normalize_urls(df).select("doc_id", "url_canon")
+    twice = normalize_urls(
+        once.withColumnRenamed("url_canon", "url")
+    ).select("doc_id", "url_canon")
+    a = {r.doc_id: r.url_canon for r in once.collect()}
+    b = {r.doc_id: r.url_canon for r in twice.collect()}
+    diffs = {i: (a[i], b[i]) for i in a if a[i] != b[i]}
+    assert not diffs, f"{len(diffs)} non-idempotent cases, e.g. {list(diffs.items())[:3]}"
+
+
+def test_compact_cover_preserves_coverage(spark):
+    """Compaction must never change WHAT is covered: expanding every
+    output cell back to level-0 children reproduces the input set
+    exactly. Swept over derived pseudo-random rectangular covers."""
+    from bdtopo2refhydro_spark.functions.cells import CELL_SHIFT
+    from bdtopo2refhydro_spark.operators.spatial import compact_cover
+
+    dim = 1 << CELL_SHIFT
+    rows = []
+    for g in range(40):
+        h = (g * 2654435761) % (1 << 31)
+        a, b = h % 16, (h // 16) % 16
+        wx, wy = 1 + h % 9, 1 + (h // 7) % 9
+        rows += [(g, (a + x) * dim + (b + y))
+                 for x in range(wx) for y in range(wy)]
+    cov = spark.createDataFrame(rows, "gid long, cell long")
+    out = compact_cover(cov, levels=3).collect()
+
+    expanded = set()
+    for r in out:
+        side = 1 << r.level
+        ix, iy = (r.cell // dim) << r.level, (r.cell % dim) << r.level
+        for x in range(side):
+            for y in range(side):
+                expanded.add((r.gid, (ix + x) * dim + (iy + y)))
+    assert expanded == set(map(tuple, rows))
