@@ -1919,6 +1919,45 @@ FROM p
 """
 
 
+def _q_image_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP decode path: valid 24-bit uncompressed BMPs synthesized
+    from doc_id (bottom-up BGR rows, 4-byte stride padding — widths 4..8
+    hit every padding remainder), byte-parsed by multimodal._decode_bmp.
+    Closed-form oracle incl. the stride in n_bytes, so the green row
+    verifies genuine header/stride/BGR handling."""
+    from bdtopo2refhydro_spark.operators.multimodal import (
+        bmp_payload_udf,
+        extract_image_features,
+    )
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        bmp_payload_udf()("doc_id").alias("payload"),
+    )
+    out = extract_image_features(media, payload_col="payload")
+    return out.select(
+        "url", "media_type", "n_bytes", "width", "height",
+        F.element_at("features", 1).cast("double").alias("mean_r"),
+        F.element_at("features", 2).cast("double").alias("mean_g"),
+    )
+
+
+_IMAGE_BMP_SQL = """
+WITH p AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url,
+         4 + doc_id % 5 AS w, 2 + doc_id % 4 AS h,
+         doc_id % 256 AS r, (doc_id * 7) % 256 AS g
+  FROM documents
+)
+SELECT url, 'image/bmp' AS media_type,
+       CAST(54 + h * ((3 * w + 3) // 4 * 4) AS BIGINT) AS n_bytes,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(r AS DOUBLE) / 256.0 AS mean_r,
+       CAST(g AS DOUBLE) / 256.0 AS mean_g
+FROM p
+"""
+
+
 def _q_audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode path: valid RIFF/WAVE 16-bit PCM payloads from
     doc_id (multimodal.py:synth_wav_bytes), chunk-walked by the engine;
@@ -3132,6 +3171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_gates": _q_quantile_gates,
         "zorder_key": _q_zorder_key,
         "curation_pipeline": _q_curation_pipeline,
+        "image_bmp": _q_image_bmp,
         # -- r02-green core ------------------------------------------------
         "reference_network": _q_reference_network,
         "dist_from_root": _q_dist_from_root,
@@ -3139,7 +3179,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upstream_len": _q_upstream_len,
         "hack_order": _q_hack,
         "stream_quality": _q_stream_quality,
-        "stream_dedup_state": _q_stream_dedup_state,
         "width_tail": _q_width_tail,
         "zonal_pct": _q_zonal_pct_sql,
         # -- past the 50-entry driver window (r02-checked; oracle_check.py /
@@ -3150,6 +3189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fix_connectivity": _q_fix_connectivity,
         "width_network": _q_width_network,
         "bfs_reach": _q_bfs_reach,
+        "stream_dedup_state": _q_stream_dedup_state,
         "stream_window_counts": _q_stream_window_counts,
         "tile_assign": _q_tile_assign,
         "cover_count": _q_cover_count,
@@ -3236,6 +3276,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_gates": _QUANTILE_SQL,
         "zorder_key": _ZORDER_SQL,
         "curation_pipeline": _CURATION_SQL,
+        "image_bmp": _IMAGE_BMP_SQL,
         "agg_segments": _AGG_SEGMENTS_SQL,
         "width_tail": _WIDTH_TAIL_SQL,
         "boundary_len": _BOUNDARY_LEN_SQL,

@@ -70,6 +70,34 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
     return width, height, feats
 
 
+def _decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL decode of an uncompressed 24-bit BMP: BITMAPFILEHEADER (data
+    offset at byte 10) + BITMAPINFOHEADER (width/height/bpp/compression),
+    rows bottom-up, BGR byte order, each row padded to a 4-byte boundary
+    — all four quirks byte-exact per the Windows BMP spec. Features match
+    the PPM path (RGB channel means /256, max, min)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = int.from_bytes(payload[10:14], "little")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit uncompressed BMP (bpp={bpp})")
+    h = abs(height)
+    stride = (3 * width + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=h * stride,
+                         offset=data_off).reshape(h, stride)
+    px = rows[:, : 3 * width].reshape(-1, 3)  # (B, G, R) per pixel
+    means = px.mean(axis=0, dtype=np.float64)[::-1] / 256.0  # → R, G, B
+    feats = np.zeros(8, dtype=np.float32)
+    feats[:3] = means
+    feats[3] = px.max() / 256.0
+    feats[4] = px.min() / 256.0
+    return width, h, feats
+
+
 def _decode_image_stub(payload: bytes) -> tuple[int, int, np.ndarray]:
     """STUB: deterministic fake decode (no PIL/libjpeg in this container).
     A real deployment replaces this body with
@@ -98,6 +126,9 @@ def extract_image_features(media: DataFrame, payload_col: str = "html",
                 if b[:2] == b"P6":
                     w, h, f = _decode_ppm(b)
                     mt = "image/x-portable-pixmap"
+                elif b[:2] == b"BM":
+                    w, h, f = _decode_bmp(b)
+                    mt = "image/bmp"
                 else:
                     w, h, f = _decode_image_stub(b)
                     mt = "image/stub"
@@ -290,6 +321,40 @@ def synth_wav_bytes(doc_id: int) -> bytes:
         + b"data" + len(data).to_bytes(4, "little")
     )
     return hdr + data
+
+
+def synth_bmp_bytes(doc_id: int) -> bytes:
+    """Deterministic VALID 24-bit BMP fixture: (4 + id%5)×(2 + id%4)
+    pixels — widths 4..8 cover every row-padding remainder (3w % 4 ∈
+    {0,1,2,3}) — constant color (id%256, 7id%256, 11id%256) written
+    bottom-up in BGR with padded rows, so channel means are closed-form
+    in doc_id and the oracle verifies the genuine byte-level decode
+    including stride handling."""
+    w, h = 4 + doc_id % 5, 2 + doc_id % 4
+    r, g, b = doc_id % 256, (doc_id * 7) % 256, (doc_id * 11) % 256
+    stride = (3 * w + 3) & ~3
+    row = bytes((b, g, r)) * w + b"\x00" * (stride - 3 * w)
+    data = row * h
+    size = 14 + 40 + len(data)
+    hdr = (
+        b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")                       # data offset
+        + (40).to_bytes(4, "little")                       # info header
+        + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")                        # BI_RGB
+        + len(data).to_bytes(4, "little")
+        + b"\x00" * 16                                     # res/palette
+    )
+    return hdr + data
+
+
+def bmp_payload_udf():
+    """binary pandas UDF: doc_id -> synth_bmp_bytes(doc_id)."""
+    @F.pandas_udf("binary")
+    def _mk(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_bmp_bytes(int(i)))
+    return _mk
 
 
 def ppm_payload_udf():

@@ -449,3 +449,41 @@ def test_decontaminate_flags_overlap(spark):
     assert got[2] == (1, True)
     assert got[3] == (0, False)
     assert got[4] == (3, True)
+
+
+def test_bmp_decode_varied_pixels_and_stride(spark):
+    """Hand-built 2x2 24-bit BMP with distinct pixels: bottom-up row
+    order, BGR byte order, and 4-byte row padding all byte-exact; then
+    the same payload through the Spark featurizer."""
+    import numpy as np
+
+    from bdtopo2refhydro_spark.operators.multimodal import (
+        _decode_bmp,
+        extract_image_features,
+    )
+
+    px = [(10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120)]
+    rows = []
+    for rr in (px[2:], px[:2]):  # bottom-up
+        rows.append(b"".join(bytes((b, g, r)) for (r, g, b) in rr)
+                    + b"\x00\x00")
+    data = b"".join(rows)
+    hdr = (
+        b"BM" + (54 + len(data)).to_bytes(4, "little") + b"\x00" * 4
+        + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+        + (2).to_bytes(4, "little") + (2).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(data).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    payload = hdr + data
+    w, h, f = _decode_bmp(payload)
+    exp = np.array(px, dtype=float).mean(axis=0) / 256.0
+    assert (w, h) == (2, 2)
+    assert np.allclose(f[:3], exp)
+
+    media = spark.createDataFrame([("u1", payload)], "url string, payload binary")
+    row = extract_image_features(media, payload_col="payload").collect()[0]
+    assert row.media_type == "image/bmp"
+    assert (row.width, row.height) == (2, 2)
+    assert np.allclose(row.features[:3], exp)
