@@ -2933,6 +2933,48 @@ SELECT doc_id, {_duck_zorder("ix", "iy", 26)} AS zkey FROM g
 """
 
 
+# geometrically-skewed group key (sizes ~ 32:16:8:4:2:1 per 63 ids) — the
+# fixture's real sources are balanced, which would make temperature
+# sampling degenerate
+_SKEWGRP = ("case when doc_id % 63 < 32 then 0 when doc_id % 63 < 48 then 1 "
+            "when doc_id % 63 < 56 then 2 when doc_id % 63 < 60 then 3 "
+            "when doc_id % 63 < 62 then 4 else 5 end")
+
+
+def _q_temp_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (α=0.5) over geometrically
+    skewed groups, budget 200 — small groups saturate (rate clamps at 1),
+    big groups flatten. Exact across engines: integer-ized sqrt weights
+    make the cross-group sum order-independent; the rest is fixed-shape
+    correctly-rounded float arithmetic (operators/corpus.py)."""
+    from bdtopo2refhydro_spark.operators.corpus import sample_temperature
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_SKEWGRP).cast("long").alias("grp")
+    )
+    return sample_temperature(docs, 200, source_col="grp",
+                              id_col="doc_id").select("doc_id", "grp")
+
+
+_TEMP_SAMPLE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, CAST({_SKEWGRP} AS BIGINT) AS grp FROM documents
+),
+n AS (SELECT grp, count(*) AS n FROM d GROUP BY grp),
+w AS (SELECT grp, n, CAST(floor(sqrt(n) * 1048576) AS BIGINT) AS w FROM n),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
+thr AS (
+  SELECT grp,
+         CAST(floor(least(1.0, (200 * w / tw) / n) * 65536) AS BIGINT)
+           AS thr
+  FROM w, tot
+)
+SELECT d.doc_id, d.grp
+FROM d JOIN thr USING (grp)
+WHERE ((d.doc_id % 65536) * 40503) % 65536 < thr.thr
+"""
+
+
 def _q_inv_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index build: token → (df, sorted posting list), min_df=3.
     One explode + one hash aggregate with map-side partial combine;
@@ -3172,10 +3214,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": _q_zorder_key,
         "curation_pipeline": _q_curation_pipeline,
         "image_bmp": _q_image_bmp,
+        "temp_sample": _q_temp_sample,
         # -- r02-green core ------------------------------------------------
         "reference_network": _q_reference_network,
         "dist_from_root": _q_dist_from_root,
-        "principal_stem": _q_principal_stem,
         "upstream_len": _q_upstream_len,
         "hack_order": _q_hack,
         "stream_quality": _q_stream_quality,
@@ -3189,6 +3231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fix_connectivity": _q_fix_connectivity,
         "width_network": _q_width_network,
         "bfs_reach": _q_bfs_reach,
+        "principal_stem": _q_principal_stem,
         "stream_dedup_state": _q_stream_dedup_state,
         "stream_window_counts": _q_stream_window_counts,
         "tile_assign": _q_tile_assign,
@@ -3277,6 +3320,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_key": _ZORDER_SQL,
         "curation_pipeline": _CURATION_SQL,
         "image_bmp": _IMAGE_BMP_SQL,
+        "temp_sample": _TEMP_SAMPLE_SQL,
         "agg_segments": _AGG_SEGMENTS_SQL,
         "width_tail": _WIDTH_TAIL_SQL,
         "boundary_len": _BOUNDARY_LEN_SQL,

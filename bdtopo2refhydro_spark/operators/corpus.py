@@ -337,3 +337,50 @@ def group_quantiles(df: DataFrame, value_col: str, *,
         at(9, 10).alias("p90"),
         at(99, 100).alias("p99"),
     )
+
+
+def sample_temperature(docs: DataFrame, budget: int, *,
+                       source_col: str = "source",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Temperature-based mixture sampling (α = 0.5): re-weight sources by
+    sqrt(n_s) — the standard anti-head flattening between uniform (α=0)
+    and natural (α=1) — and keep each doc with per-source probability
+    rate_s = min(1, budget·w_s/Σw/n_s), decided by the deterministic
+    fib16 hash (no RNG; reruns, resumes, and the SQL oracle agree).
+
+    Exactness design: w_s = floor(sqrt(n_s)·2^20) is integer-exact
+    (hardware sqrt is IEEE correctly-rounded, floor pins the ulp), so
+    Σw is an ORDER-INDEPENDENT integer sum — the one place a float sum
+    would diverge between engines — and the remaining expression tree
+    (two divisions, least, ·65536, floor) is fixed-shape correctly-
+    rounded arithmetic both engines reproduce bit-for-bit.
+
+    Scale shape: per-source counts are one partial-aggregated groupBy
+    (|sources| rows); the threshold table broadcasts; the keep decision
+    is a map-side filter on the corpus. One corpus-wide shuffle total
+    (the count), zero on the data path."""
+    w = docs.groupBy(source_col).agg(F.count("*").alias("n")).withColumn(
+        "w", F.floor(F.sqrt(F.col("n")) * F.lit(1 << 20)).cast("long")
+    )
+    tot = w.agg(F.sum("w").alias("tw"))
+    thr = (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "thr",
+            F.floor(
+                F.least(
+                    F.lit(1.0),
+                    (F.lit(int(budget)) * F.col("w") / F.col("tw"))
+                    / F.col("n"),
+                )
+                * 65536
+            ).cast("long"),
+        )
+        .select(source_col, "thr")
+    )
+    return (
+        docs.join(F.broadcast(thr), source_col)
+        .withColumn("fib", fib16(id_col))
+        .filter(F.col("fib") < F.col("thr"))
+        .drop("fib", "thr")
+    )

@@ -338,3 +338,17 @@ def test_compact_cover_preserves_coverage(spark):
             for y in range(side):
                 expanded.add((r.gid, (ix + x) * dim + (iy + y)))
     assert expanded == set(map(tuple, rows))
+
+
+def test_sample_temperature_hand_checked(spark):
+    """4-vs-1 sources, budget 3: big source rate is exactly 0.5
+    (thr 32768 keeps fib16 < 32768: ids 0 and 2), small source
+    saturates at rate 1 (kept regardless of hash)."""
+    from bdtopo2refhydro_spark.operators.corpus import sample_temperature
+
+    df = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, "a"), (3, "a"), (10, "b")],
+        "doc_id long, source string",
+    )
+    got = sorted(r.doc_id for r in sample_temperature(df, 3).collect())
+    assert got == [0, 2, 10]
