@@ -2933,6 +2933,45 @@ SELECT doc_id, {_duck_zorder("ix", "iy", 26)} AS zkey FROM g
 """
 
 
+# decomposed-unicode text derived from doc_id: combining acute after 'e'
+# (doc_id%2=0), combining ring after 'A' (doc_id%3=0) — NFC composes both
+_UNITEXT = (
+    # NB: Spark's chr() is ASCII mod-256 (chr(769) = \x01), unlike DuckDB's
+    # codepoint chr() — embed the combining marks as literals instead.
+    "concat('cafe', case when doc_id % 2 = 0 then '́' else '' end, "
+    "' A', case when doc_id % 3 = 0 then '̊' else '' end, "
+    "' t', cast(doc_id % 97 as string))"
+)
+_UNITEXTD = (
+    "'cafe' || CASE WHEN doc_id % 2 = 0 THEN chr(769) ELSE '' END || "
+    "' A' || CASE WHEN doc_id % 3 = 0 THEN chr(778) ELSE '' END || "
+    "' t' || CAST(doc_id % 97 AS VARCHAR)"
+)
+
+
+def _q_text_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization over synthesized decomposed sequences
+    (combining acute/ring compose to é/Å): python unicodedata (Arrow
+    pandas UDF) vs DuckDB nfc_normalize — two independent Unicode
+    implementations agreeing byte-for-byte IS the check."""
+    from bdtopo2refhydro_spark.operators.text import normalize_text_nfc
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_UNITEXT).alias("text")
+    )
+    return normalize_text_nfc(docs)
+
+
+_TEXT_NFC_SQL = f"""
+WITH d AS (SELECT doc_id, {_UNITEXTD} AS s FROM documents)
+SELECT doc_id, nfc_normalize(s) AS text_nfc,
+       nfc_normalize(s) != s AS changed,
+       length(s) AS n_before,
+       length(nfc_normalize(s)) AS n_after
+FROM d
+"""
+
+
 # geometrically-skewed group key (sizes ~ 32:16:8:4:2:1 per 63 ids) — the
 # fixture's real sources are balanced, which would make temperature
 # sampling degenerate
@@ -3215,10 +3254,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": _q_curation_pipeline,
         "image_bmp": _q_image_bmp,
         "temp_sample": _q_temp_sample,
+        "text_nfc": _q_text_nfc,
         # -- r02-green core ------------------------------------------------
         "reference_network": _q_reference_network,
         "dist_from_root": _q_dist_from_root,
-        "upstream_len": _q_upstream_len,
         "hack_order": _q_hack,
         "stream_quality": _q_stream_quality,
         "width_tail": _q_width_tail,
@@ -3232,6 +3271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "width_network": _q_width_network,
         "bfs_reach": _q_bfs_reach,
         "principal_stem": _q_principal_stem,
+        "upstream_len": _q_upstream_len,
         "stream_dedup_state": _q_stream_dedup_state,
         "stream_window_counts": _q_stream_window_counts,
         "tile_assign": _q_tile_assign,
@@ -3321,6 +3361,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": _CURATION_SQL,
         "image_bmp": _IMAGE_BMP_SQL,
         "temp_sample": _TEMP_SAMPLE_SQL,
+        "text_nfc": _TEXT_NFC_SQL,
         "agg_segments": _AGG_SEGMENTS_SQL,
         "width_tail": _WIDTH_TAIL_SQL,
         "boundary_len": _BOUNDARY_LEN_SQL,

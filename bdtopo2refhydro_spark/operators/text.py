@@ -20,6 +20,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -622,4 +623,33 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, *, k: int = 8,
         .join(hits, id_col, "left")
         .withColumn("n_shared", F.coalesce("n_shared", F.lit(0)))
         .withColumn("contaminated", F.col("n_shared") > 0)
+    )
+
+
+def normalize_text_nfc(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Unicode NFC normalization — the pre-tokenization hygiene pass that
+    collapses decomposed sequences (e + U+0301 → é) so hashing, dedup and
+    tokenization see one canonical byte form. Spark has no built-in
+    normalizer, so this is an Arrow-batched pandas UDF over python's
+    unicodedata (the reference Unicode implementation); DuckDB's
+    nfc_normalize replays it for the oracle. Emits the normalized text
+    plus the changed flag and before/after codepoint counts the manifest
+    stages consume."""
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda t: unicodedata.normalize("NFC", t)
+                     if t is not None else None)
+
+    return docs.select(
+        id_col,
+        F.col(text_col).alias("_orig"),
+        _nfc(F.col(text_col)).alias("text_nfc"),
+    ).select(
+        id_col, "text_nfc",
+        (F.col("text_nfc") != F.col("_orig")).alias("changed"),
+        F.length("_orig").alias("n_before"),
+        F.length("text_nfc").alias("n_after"),
     )

@@ -487,3 +487,25 @@ def test_bmp_decode_varied_pixels_and_stride(spark):
     assert row.media_type == "image/bmp"
     assert (row.width, row.height) == (2, 2)
     assert np.allclose(row.features[:3], exp)
+
+
+def test_nfc_normalization_composes_and_counts(spark):
+    """Decomposed e+U+0301 / A+U+030A compose under NFC; already-composed
+    and ASCII rows pass through unchanged with changed=False."""
+    from bdtopo2refhydro_spark.operators.text import normalize_text_nfc
+
+    rows = [
+        (1, "café"),          # decomposed acute -> café
+        (2, "café"),           # already composed
+        (3, "Å b"),           # decomposed ring -> Å b
+        (4, "plain ascii"),
+        (5, None),
+    ]
+    out = {r.doc_id: r for r in normalize_text_nfc(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    assert out[1].text_nfc == "café" and out[1].changed
+    assert (out[1].n_before, out[1].n_after) == (5, 4)
+    assert out[2].text_nfc == "café" and not out[2].changed
+    assert out[3].text_nfc == "Å b" and out[3].changed
+    assert not out[4].changed and out[4].n_before == out[4].n_after == 11
+    assert out[5].text_nfc is None and out[5].changed is None
