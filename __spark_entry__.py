@@ -2972,6 +2972,118 @@ FROM d
 """
 
 
+def _q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized MIPS top-k (operators/ann.py:ann_int8_topk):
+    the 4×-compression serving path for billion-vector corpora. Integer
+    dot products → the oracle is exact."""
+    emb = _emb(spark, sf_dir)
+    return ANN.ann_int8_topk(emb, emb.filter("vec_id % 25 = 0"), k=3)
+
+
+_ANN_INT8_SQL = """
+WITH qt AS (
+  SELECT vec_id,
+         list_transform(embedding, v -> CAST(floor(
+           greatest(-1.0, least(1.0, v::DOUBLE)) * 127.0 + 0.5) AS BIGINT)
+         ) AS q8
+  FROM embeddings
+),
+qn AS (
+  SELECT vec_id, q8,
+         CAST(list_sum(list_transform(q8, x -> x * x)) AS BIGINT) AS n2
+  FROM qt
+),
+qs AS (SELECT vec_id AS query_id, q8 AS qq, n2 AS nq2
+       FROM qn WHERE vec_id % 25 = 0),
+pairs AS (
+  SELECT qs.query_id, c.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(list_zip(qs.qq, c.q8),
+              p -> p[1] * p[2])) AS BIGINT) AS qdot,
+         qs.nq2, c.n2 AS nn2
+  FROM qs JOIN qn c ON qs.query_id != c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, qdot,
+         qdot::DOUBLE / (sqrt(nq2::DOUBLE) * sqrt(nn2::DOUBLE)) AS q_cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY qdot DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, rank, qdot, q_cos FROM ranked WHERE rank <= 3
+"""
+
+
+def _q_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram fluency gate (operators/text.py:bigram_fluency) —
+    the integer-exact KenLM-perplexity stand-in."""
+    from bdtopo2refhydro_spark.operators.text import bigram_fluency
+
+    return bigram_fluency(_docs(spark, sf_dir), min_avg_count=2)
+
+
+_LM_FLUENCY_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] AS bg
+  FROM t, UNNEST(range(1, len(toks))) AS r(i)
+),
+cnt AS (SELECT bg, count(*) AS c FROM b GROUP BY bg),
+sc AS (
+  SELECT b.doc_id, CAST(sum(c.c) AS BIGINT) AS score,
+         count(*) AS n_bigrams
+  FROM b JOIN cnt c USING (bg) GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       coalesce(sc.score, 0) AS score,
+       coalesce(sc.n_bigrams, 0) AS n_bigrams,
+       (coalesce(sc.n_bigrams, 0) > 0
+        AND coalesce(sc.score, 0) >= 2 * coalesce(sc.n_bigrams, 0)) AS fluent
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+"""
+
+
+def _q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped scan-filter-aggregate: every predicate reaches the
+    parquet scan (PushedFilters), revenue accumulates as exact integer
+    cents² (order-independent — a raw double sum's value would depend on
+    partial-agg order) and divides once at the end."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = lambda c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long")  # noqa: E731
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(cents("l_extendedprice") * cents("l_discount"))
+            .alias("cents2"),
+            F.count("*").alias("n_rows"),
+        )
+        .select((F.col("cents2") / F.lit(10000.0)).alias("revenue"), "n_rows")
+    )
+
+
+_TPCH_Q6_SQL = """
+WITH f AS (
+  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+         * CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS c2
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    AND l_discount BETWEEN 0.05 AND 0.07
+    AND l_quantity < 24
+)
+SELECT CAST(sum(c2) AS BIGINT) / 10000.0 AS revenue, count(*) AS n_rows
+FROM f
+"""
+
+
 # geometrically-skewed group key (sizes ~ 32:16:8:4:2:1 per 63 ids) — the
 # fixture's real sources are balanced, which would make temperature
 # sampling degenerate
@@ -3255,6 +3367,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_bmp": _q_image_bmp,
         "temp_sample": _q_temp_sample,
         "text_nfc": _q_text_nfc,
+        "ann_int8": _q_ann_int8,
+        "lm_fluency": _q_lm_fluency,
+        "tpch_q6": _q_tpch_q6,
         # -- r02-green core ------------------------------------------------
         "reference_network": _q_reference_network,
         "dist_from_root": _q_dist_from_root,
@@ -3362,6 +3477,9 @@ def oracle_sql() -> dict[str, str]:
         "image_bmp": _IMAGE_BMP_SQL,
         "temp_sample": _TEMP_SAMPLE_SQL,
         "text_nfc": _TEXT_NFC_SQL,
+        "ann_int8": _ANN_INT8_SQL,
+        "lm_fluency": _LM_FLUENCY_SQL,
+        "tpch_q6": _TPCH_Q6_SQL,
         "agg_segments": _AGG_SEGMENTS_SQL,
         "width_tail": _WIDTH_TAIL_SQL,
         "boundary_len": _BOUNDARY_LEN_SQL,

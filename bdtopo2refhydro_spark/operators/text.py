@@ -653,3 +653,50 @@ def normalize_text_nfc(docs: DataFrame, text_col: str = "text",
         F.length("_orig").alias("n_before"),
         F.length("text_nfc").alias("n_after"),
     )
+
+
+def bigram_fluency(docs: DataFrame, min_avg_count: int = 2,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Count-based statistical fluency gate — the integer-exact stand-in
+    for a KenLM-style perplexity filter (which needs a trained LM this
+    sandbox doesn't ship): a document is 'fluent' when its bigrams are,
+    on average, common in the corpus. score = Σ corpus_count(bigram) over
+    the doc's bigram INSTANCES (multiplicity kept), and the gate
+    score ≥ min_avg_count·n_bigrams is pure integer arithmetic — no float
+    log-probs, so the DuckDB oracle is exact.
+
+    Plan shape at scale: bigram extraction is a JVM-side transform (no
+    shuffle), corpus counts are one map-side-combinable groupBy on the
+    bigram string, the count join back is an equi-join AQE can skew-split
+    (boilerplate bigrams are hot keys), and the per-doc rollup shuffles
+    (doc_id) once. Nothing is O(N²) and nothing collects."""
+    toks = F.expr(tokens_expr(text_col))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.expr(
+            f"transform(slice({tokens_expr(text_col)}, 1, "
+            f"size({tokens_expr(text_col)}) - 1), "
+            f"(t, i) -> concat(t, ' ', element_at({tokens_expr(text_col)}, i + 2)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    inst = (
+        docs.select(id_col, bigrams.alias("bgs"))
+        .select(id_col, F.explode_outer("bgs").alias("bg"))
+    )
+    counts = inst.filter(F.col("bg").isNotNull()) \
+        .groupBy("bg").agg(F.count("*").alias("c"))
+    scored = (
+        inst.join(counts, "bg", "left")
+        .groupBy(id_col)
+        .agg(
+            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("score"),
+            F.count("bg").alias("n_bigrams"),
+        )
+    )
+    return scored.select(
+        id_col, "score", "n_bigrams",
+        ((F.col("n_bigrams") > 0)
+         & (F.col("score") >= F.lit(min_avg_count) * F.col("n_bigrams"))
+         ).alias("fluent"),
+    )

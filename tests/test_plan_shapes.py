@@ -92,3 +92,20 @@ def test_reference_network_has_no_cartesian(spark, entry):
     plan = _plan(entry.queries()["reference_network"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q6_pushdown_and_pruning(spark, entry):
+    """Q6 is the pushdown litmus: every predicate reaches the parquet
+    scan and the scan reads only the 4 referenced columns."""
+    plan = _plan(entry.queries()["tpch_q6"](spark, SF))
+    scan = [l for l in plan.splitlines() if "FileScan parquet" in l][0]
+    assert "GreaterThanOrEqual(l_shipda" in scan       # PushedFilters
+    assert "l_orderkey" not in scan                    # column pruning
+    assert "ReadSchema: struct<l_quantity" in scan
+
+
+def test_ann_int8_broadcasts_queries_no_cartesian(spark, entry):
+    plan = _plan(entry.queries()["ann_int8"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # != join over broadcast q side
+    assert plan.count("BroadcastExchange") >= 1

@@ -509,3 +509,52 @@ def test_nfc_normalization_composes_and_counts(spark):
     assert out[3].text_nfc == "Å b" and out[3].changed
     assert not out[4].changed and out[4].n_before == out[4].n_after == 11
     assert out[5].text_nfc is None and out[5].changed is None
+
+
+def test_bigram_fluency_hand_checked(spark):
+    """'a b a b' → bigrams [a b, b a, a b]: 'a b' has corpus count 2+1
+    (doc2 contributes one more) ... verified by hand below."""
+    from bdtopo2refhydro_spark.operators.text import bigram_fluency
+
+    rows = [
+        (1, "a b a b"),     # bigrams: (a b), (b a), (a b)
+        (2, "a b"),         # bigram:  (a b)
+        (3, "x"),           # no bigrams
+        (4, "p q"),         # bigram (p q), corpus count 1
+    ]
+    # corpus counts: (a b)=3, (b a)=1, (p q)=1
+    out = {r.doc_id: r for r in bigram_fluency(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        min_avg_count=2).collect()}
+    assert (out[1].score, out[1].n_bigrams, out[1].fluent) == (7, 3, True)
+    assert (out[2].score, out[2].n_bigrams, out[2].fluent) == (3, 1, True)
+    assert (out[3].score, out[3].n_bigrams, out[3].fluent) == (0, 0, False)
+    assert (out[4].score, out[4].n_bigrams, out[4].fluent) == (1, 1, False)
+
+
+def test_int8_quantization_and_recall(spark, emb):
+    """Quantization: exact codes on hand values (incl. clamp + negative
+    round-half-up); ANN: int8 MIPS top-3 ranks against float cosine
+    ground truth with high overlap on the fixture embeddings."""
+    from bdtopo2refhydro_spark.operators.ann import (
+        ann_int8_topk,
+        cosine_topk,
+        quantize_int8,
+    )
+
+    hand = spark.createDataFrame(
+        [(1, [0.5, -0.5, 1.2, -1.2, 0.0037, -0.0037])],
+        "vec_id long, embedding array<float>")
+    q = quantize_int8(hand).collect()[0]
+    # floor(x*127+0.5): 64 (63.5→64), -63 (-63.0), 127 (clamped), -127,
+    # 0 (0.9699→floor 0 ... wait 0.0037*127=0.47 → floor(0.97)=0), 0
+    assert q.qemb8 == [64, -63, 127, -127, 0, 0]
+    assert q.qnorm2 == 64 * 64 + 63 * 63 + 2 * 127 * 127
+
+    queries = emb.filter("vec_id < 20")
+    truth = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, queries, k=3).collect()}
+    got = {(r.query_id, r.neighbor_id)
+           for r in ann_int8_topk(emb, queries, k=3).collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.85, recall
