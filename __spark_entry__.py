@@ -2162,6 +2162,43 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming event-time session windows (native session_window state,
+    streaming/stateful.py:stream_session_windows), availableNow-drained;
+    the cross-micro-batch session-merge path is pytest-covered with
+    maxFilesPerTrigger. Oracle = the batch gap-island rollup in integer
+    µs (new session when gap ≥ 30 min — Spark's session_window is
+    end-exclusive, unlike the batch sessionize's strict >)."""
+    from bdtopo2refhydro_spark.streaming import stream_session_windows
+
+    return stream_session_windows(
+        spark, f"{sf_dir}/events.parquet", time_col="ts",
+        group_col="user_id", gap="30 minutes",
+        query_name="stream_session_events",
+    )
+
+
+_STREAM_SESSIONS_SQL = """
+WITH ev AS (SELECT user_id, epoch_us(ts) AS ep FROM events),
+flagged AS (
+  SELECT user_id, ep,
+         CASE WHEN ep - lag(ep) OVER w IS NULL
+                OR ep - lag(ep) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ep)
+),
+sess AS (
+  SELECT user_id, ep,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ep
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ep) AS start_us, max(ep) + 1800000000 AS end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
 def _q_width_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.3 analytic pipeline end-to-end (J2 clip → J9 zonal filter → J10
     outlet re-add → G3 connectivity repair → G5 measure → G6 Hack → G7
@@ -3069,6 +3106,39 @@ def _q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join (sources/io.py:write_bucketed): both
+    sides bucketed on their join key at write time → the equi-join plans
+    with ZERO Exchange (pinned in test_plan_shapes); only the final
+    5-row priority rollup shuffles. At 100 TB this is the difference
+    between shuffling the fact table on every join and never."""
+    from bdtopo2refhydro_spark.sources.io import (
+        bucketed_equijoin,
+        write_bucketed,
+    )
+
+    tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .select("l_orderkey", "l_quantity")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select("o_orderkey", "o_orderpriority")
+    write_bucketed(li, f"li_bkt_{tag}", "l_orderkey")
+    write_bucketed(od, f"od_bkt_{tag}", "o_orderkey")
+    j = bucketed_equijoin(spark, f"li_bkt_{tag}", f"od_bkt_{tag}",
+                          "l_orderkey", "o_orderkey")
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+
+
+_BUCKET_JOIN_SQL = """
+SELECT o_orderpriority, count(*) AS n_items, sum(l_quantity) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 _TPCH_Q6_SQL = """
 WITH f AS (
   SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
@@ -3370,6 +3440,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_int8": _q_ann_int8,
         "lm_fluency": _q_lm_fluency,
         "tpch_q6": _q_tpch_q6,
+        "bucket_join": _q_bucket_join,
+        "stream_sessions": _q_stream_sessions,
         # -- r02-green core ------------------------------------------------
         "reference_network": _q_reference_network,
         "dist_from_root": _q_dist_from_root,
@@ -3480,6 +3552,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_int8": _ANN_INT8_SQL,
         "lm_fluency": _LM_FLUENCY_SQL,
         "tpch_q6": _TPCH_Q6_SQL,
+        "bucket_join": _BUCKET_JOIN_SQL,
+        "stream_sessions": _STREAM_SESSIONS_SQL,
         "agg_segments": _AGG_SEGMENTS_SQL,
         "width_tail": _WIDTH_TAIL_SQL,
         "boundary_len": _BOUNDARY_LEN_SQL,

@@ -216,3 +216,34 @@ def write_zordered(df: DataFrame, path: str, x_col: str, y_col: str,
     keyed.repartitionByRange(n_files, "zkey") \
          .sortWithinPartitions("zkey") \
          .write.mode(mode).parquet(path)
+
+
+def write_bucketed(df: DataFrame, table: str, key: str,
+                   n_buckets: int = 8, sorted_by_key: bool = True) -> None:
+    """Co-located (bucketed) table sink: ONE shuffle on `key` at write
+    time buys every later equi-join/aggregate on `key` a shuffle-free
+    plan — the amortization that matters when a 100-TB fact table is
+    joined daily. The explicit repartition(n_buckets, key) puts exactly
+    one file in each bucket, so a bucketed sort-merge join needs no
+    Exchange AND no extra Sort (multi-file buckets would re-sort).
+    Parquet + saveAsTable keeps bucket metadata in the session catalog;
+    the Iceberg path is the same call with `bucket(n, key)` partitioning."""
+    w = (
+        df.repartition(n_buckets, key)
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(n_buckets, key)
+    )
+    if sorted_by_key:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
+def bucketed_equijoin(spark: SparkSession, left_table: str,
+                      right_table: str, left_key: str,
+                      right_key: str) -> DataFrame:
+    """Equi-join two tables bucketed on their join keys (same bucket
+    count): Catalyst recognizes the matching hash distributions and plans
+    a zero-Exchange sort-merge join (pinned by test_plan_shapes)."""
+    lt = spark.read.table(left_table)
+    rt = spark.read.table(right_table)
+    return lt.join(rt, lt[left_key] == rt[right_key])

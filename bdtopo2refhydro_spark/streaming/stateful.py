@@ -124,3 +124,36 @@ def stream_windowed_counts(spark: SparkSession, path: str,
         .select(F.col("w.start").alias("w_start"), group_col, "n")
     )
     return _drain_to_memory(agg, query_name, "complete")
+
+
+def stream_session_windows(spark: SparkSession, path: str,
+                           time_col: str, group_col: str,
+                           gap: str = "30 minutes",
+                           query_name: str = "stream_sessions",
+                           files_per_trigger: int | None = None) -> DataFrame:
+    """Event-time SESSION windows per group on a stream — Spark's native
+    session_window aggregation, the streaming twin of the batch
+    sessionize operator. Sessions merge across micro-batches in the state
+    store (keyed by group → partitioned across executors, same state
+    story as stream_dedup_stateful); a session extends while consecutive
+    events arrive < gap apart and closes at last_event + gap. Complete
+    output mode: session-window aggregations support neither update nor
+    append-without-final-watermark emission under an availableNow drain
+    (probed on Spark 4), and complete re-emits the merged final sessions,
+    which is exactly what the batch-equivalence oracle replays. Emits
+    (group, start_us, end_us, n_events) as integer microseconds."""
+    schema = spark.read.parquet(path).schema
+    src = _stream_reader(spark, path, schema, files_per_trigger)
+    src = src.withColumn(time_col, F.col(time_col).cast("timestamp"))
+    agg = (
+        src.groupBy(F.session_window(F.col(time_col), gap),
+                    F.col(group_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            group_col,
+            F.unix_micros("session_window.start").alias("start_us"),
+            F.unix_micros("session_window.end").alias("end_us"),
+            "n_events",
+        )
+    )
+    return _drain_to_memory(agg, query_name, "complete")

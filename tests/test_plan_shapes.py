@@ -109,3 +109,31 @@ def test_ann_int8_broadcasts_queries_no_cartesian(spark, entry):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # != join over broadcast q side
     assert plan.count("BroadcastExchange") >= 1
+
+
+def test_bucketed_join_has_zero_exchanges(spark, entry):
+    """The co-located join property: with both sides bucketed on the join
+    key (one file per bucket), the sort-merge join plans with NO Exchange
+    anywhere — the write-time shuffle is the only one that ever happens."""
+    from bdtopo2refhydro_spark.sources.io import (
+        bucketed_equijoin,
+        write_bucketed,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = spark.read.parquet(f"{SF}/lineitem.parquet") \
+            .select("l_orderkey", "l_quantity")
+        od = spark.read.parquet(f"{SF}/orders.parquet") \
+            .select("o_orderkey", "o_orderpriority")
+        write_bucketed(li, "li_bkt_plan", "l_orderkey")
+        write_bucketed(od, "od_bkt_plan", "o_orderkey")
+        j = bucketed_equijoin(spark, "li_bkt_plan", "od_bkt_plan",
+                              "l_orderkey", "o_orderkey")
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert j.count() == spark.read.parquet(f"{SF}/lineitem.parquet").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
