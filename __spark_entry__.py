@@ -2388,15 +2388,18 @@ def _q_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ANN.ivf_kmeans_ann_topk(_emb(spark, sf_dir), k=3, probe=2)
 
 
-def _ivf_kmeans_sql() -> str:
-    """Unrolled (KMEANS_ITERS iterations) DuckDB replay of the
-    deterministic k-means + probe-2 IVF search."""
-    cos = (
-        "list_sum(list_transform(list_zip({a}, {b}), "
-        "p -> p[1]::DOUBLE * p[2]::DOUBLE)) "
-        "/ (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE))) "
-        " * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))))"
-    )
+_KM_COS = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> p[1]::DOUBLE * p[2]::DOUBLE)) "
+    "/ (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE))) "
+    " * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))))"
+)
+
+
+def _kmeans_prefix_parts() -> list[str]:
+    """Shared unrolled k-means CTE prefix (emb, c0 .. c{KMEANS_ITERS}) —
+    used by the IVF search oracle and the SemDedup oracle."""
+    cos = _KM_COS
     n, iters = ANN.N_CENTROIDS, ANN.KMEANS_ITERS
     parts = [f"""
 WITH emb AS (
@@ -2430,6 +2433,14 @@ c{i} AS (
   SELECT cent_id, list(s / (cnt * 1000.0) ORDER BY i) AS cemb
   FROM m{i} GROUP BY cent_id
 )""")
+    return parts
+
+
+def _ivf_kmeans_sql() -> str:
+    """Unrolled (KMEANS_ITERS iterations) DuckDB replay of the
+    deterministic k-means + probe-2 IVF search."""
+    cos, iters = _KM_COS, ANN.KMEANS_ITERS
+    parts = _kmeans_prefix_parts()
     f_cos = cos.format(a="e.embedding", b="c.cemb")
     p_cos = cos.format(a="q.emb_q", b="d.emb_n")
     parts.append(f""",
@@ -3106,6 +3117,74 @@ def _q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the sf fixtures carry no planted embedding near-dups (max pairwise
+# cosine ≈ 0.513), so the driver entry runs at 0.40 where the gate
+# demonstrably drops rows (15 at sf0.01); production-threshold (0.95)
+# semantics are pytest-gated on planted duplicates
+SEM_DEDUP_T = 0.40
+
+
+def _q_sem_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup (operators/ann.py:sem_dedup): k-means clusters → intra-
+    cluster cosine ≥ t → drop higher vec_id. Exact oracle = the shared
+    unrolled k-means prefix + a per-cluster pair closure."""
+    return ANN.sem_dedup(_emb(spark, sf_dir), threshold=SEM_DEDUP_T)
+
+
+def _sem_dedup_sql() -> str:
+    cos, iters = _KM_COS, ANN.KMEANS_ITERS
+    parts = _kmeans_prefix_parts()
+    f_cos = cos.format(a="e.embedding", b="c.cemb")
+    p_cos = cos.format(a="a.embedding", b="b.embedding")
+    parts.append(f""",
+fin AS (
+  SELECT e.vec_id, e.embedding, c.cent_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {f_cos} DESC, c.cent_id) AS rn
+  FROM emb e CROSS JOIN c{iters} c
+),
+asg AS (SELECT vec_id, embedding, CAST(cent_id AS BIGINT) AS bucket
+        FROM fin WHERE rn = 1),
+dup AS (
+  SELECT DISTINCT b.vec_id AS b
+  FROM asg a JOIN asg b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {p_cos} >= {SEM_DEDUP_T}
+)
+SELECT asg.vec_id, asg.bucket, dup.b IS NULL AS kept
+FROM asg LEFT JOIN dup ON asg.vec_id = dup.b
+""")
+    return "".join(parts)
+
+
+def _q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (operators/corpus.py:
+    chunk_documents) — map-side only, zero shuffles."""
+    from bdtopo2refhydro_spark.operators.corpus import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir),
+                           chunk_tokens=40, stride=32)
+
+
+_CHUNK_DOCS_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, toks, CAST(i AS BIGINT) AS chunk_idx
+  FROM t, UNNEST(range(0, (len(toks) - 1) // 32 + 1)) AS r(i)
+)
+SELECT doc_id, chunk_idx,
+       chunk_idx * 32 AS start_tok,
+       CAST(least(40, len(toks) - chunk_idx * 32) AS BIGINT) AS n_tok,
+       array_to_string(list_slice(toks, CAST(chunk_idx * 32 + 1 AS INT),
+                                  CAST(chunk_idx * 32 + 40 AS INT)), ' ')
+         AS chunk_text
+FROM c
+"""
+
+
 def _q_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed co-located join (sources/io.py:write_bucketed): both
     sides bucketed on their join key at write time → the equi-join plans
@@ -3442,6 +3521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": _q_tpch_q6,
         "bucket_join": _q_bucket_join,
         "stream_sessions": _q_stream_sessions,
+        "chunk_docs": _q_chunk_docs,
+        "sem_dedup": _q_sem_dedup,
         # -- r02-green core ------------------------------------------------
         "reference_network": _q_reference_network,
         "dist_from_root": _q_dist_from_root,
@@ -3554,6 +3635,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q6": _TPCH_Q6_SQL,
         "bucket_join": _BUCKET_JOIN_SQL,
         "stream_sessions": _STREAM_SESSIONS_SQL,
+        "chunk_docs": _CHUNK_DOCS_SQL,
+        "sem_dedup": _sem_dedup_sql(),
         "agg_segments": _AGG_SEGMENTS_SQL,
         "width_tail": _WIDTH_TAIL_SQL,
         "boundary_len": _BOUNDARY_LEN_SQL,

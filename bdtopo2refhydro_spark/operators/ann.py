@@ -382,3 +382,50 @@ def ann_int8_topk(embeddings: DataFrame, queries: DataFrame | None = None,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "qdot", "q_cos")
     )
+
+
+def sem_dedup(embeddings: DataFrame, threshold: float = 0.95,
+              n_centroids: int = N_CENTROIDS,
+              n_iters: int = KMEANS_ITERS,
+              scale: float = KMEANS_SCALE) -> DataFrame:
+    """SemDedup-style semantic deduplication (Abbas et al. 2023): cluster
+    the corpus with the deterministic k-means coarse quantizer, then
+    compare pairs ONLY within a cluster and drop the higher vec_id of any
+    pair with cosine ≥ threshold. The cluster pass is what makes this
+    100-TB-shaped — candidate pairs are per-cluster (Σ nᵢ² ≪ N²), the
+    cluster table broadcasts, and the self-join is an equi-join on the
+    cluster id. Known recall caveat (as in the paper): near-dup pairs
+    split across cluster boundaries are not compared. Returns one row per
+    vector: (vec_id, bucket, kept)."""
+    from pyspark.sql import Window as W
+
+    c = kmeans_centroids(embeddings, n_centroids, n_iters, scale) \
+        .localCheckpoint(eager=False)
+    scored = embeddings.crossJoin(F.broadcast(c)).withColumn(
+        "cs", _dot("embedding", "cemb") / (_norm("embedding") * _norm("cemb"))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cent_id"))
+    asg = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding",
+                F.col("cent_id").cast("long").alias("bucket"))
+        .localCheckpoint(eager=False)  # materialize before the self-join
+    )
+    left = asg.select(F.col("vec_id").alias("a"),
+                      F.col("embedding").alias("emb_a"), "bucket")
+    right = asg.select(F.col("vec_id").alias("b"),
+                       F.col("embedding").alias("emb_b"), "bucket")
+    dup = (
+        left.join(right, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .filter(
+            _dot("emb_a", "emb_b") / (_norm("emb_a") * _norm("emb_b"))
+            >= threshold
+        )
+        .select("b").distinct()
+    )
+    return (
+        asg.join(dup, asg.vec_id == dup.b, "left")
+        .select("vec_id", "bucket", F.col("b").isNull().alias("kept"))
+    )

@@ -384,3 +384,52 @@ def sample_temperature(docs: DataFrame, budget: int, *,
         .filter(F.col("fib") < F.col("thr"))
         .drop("fib", "thr")
     )
+
+
+def chunk_documents(docs: DataFrame, *, chunk_tokens: int = 100,
+                    stride: int = 80, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split documents into overlapping fixed-size token chunks — the
+    context-window preprocessing step between curation and tokenization
+    (RAG indexing and pretraining-example windowing both consume this).
+    Chunk c covers tokens [c·stride, c·stride + chunk_tokens); the last
+    chunk starts at the largest multiple of stride < n_tokens, so every
+    token lands in ≥1 chunk and no chunk is empty. Emits (doc_id,
+    chunk_idx, start_tok, n_tok, chunk_text) with chunk_text re-joined by
+    single spaces (tokenization is whitespace-split, so the re-join is
+    deterministic — NOT byte-identity to the source; the byte-identical
+    path is text_extract).
+
+    Plan shape: tokens → sequence → explode → slice are all JVM codegen
+    expressions; the op is embarrassingly map-side (ZERO shuffles) and
+    row-expanding by ~n_tokens/stride, which is exactly how it pipelines
+    over 100 TB."""
+    if stride <= 0 or chunk_tokens < stride:
+        raise ValueError("need 0 < stride <= chunk_tokens")
+    toks = f"split(trim(lower({text_col})), '\\\\s+')"
+    n = f"size({toks})"
+    # number of chunks = floor((n-1)/stride) + 1  (n >= 1 always: split
+    # of an empty string yields [''])
+    starts = f"sequence(0, ({n} - 1) div {int(stride)})"
+    return (
+        docs.select(
+            id_col,
+            F.expr(toks).alias("_toks"),
+            F.explode(F.expr(starts)).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            (F.col("chunk_idx") * stride).cast("long").alias("start_tok"),
+            F.least(
+                F.lit(int(chunk_tokens)),
+                F.size("_toks") - F.col("chunk_idx") * stride,
+            ).cast("long").alias("n_tok"),
+            F.array_join(
+                F.slice("_toks",
+                        F.col("chunk_idx") * stride + 1,
+                        F.lit(int(chunk_tokens))),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )

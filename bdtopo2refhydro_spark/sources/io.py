@@ -228,6 +228,19 @@ def write_bucketed(df: DataFrame, table: str, key: str,
     Exchange AND no extra Sort (multi-file buckets would re-sort).
     Parquet + saveAsTable keeps bucket metadata in the session catalog;
     the Iceberg path is the same call with `bucket(n, key)` partitioning."""
+    spark = df.sparkSession
+    # a fresh session's in-memory catalog forgets the table but its
+    # managed LOCATION survives on disk → CREATE collides
+    # (LOCATION_ALREADY_EXISTS). DROP IF EXISTS covers a known table
+    # (and any persistent metastore); the orphaned-directory sweep is
+    # the local/in-memory-catalog case.
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(wh.removeprefix("file:"), table.lower())
+    if os.path.isdir(loc):
+        import shutil
+
+        shutil.rmtree(loc)
     w = (
         df.repartition(n_buckets, key)
         .write.mode("overwrite").format("parquet")

@@ -558,3 +558,57 @@ def test_int8_quantization_and_recall(spark, emb):
            for r in ann_int8_topk(emb, queries, k=3).collect()}
     recall = len(truth & got) / len(truth)
     assert recall >= 0.85, recall
+
+
+def test_sem_dedup_drops_planted_near_dups(spark):
+    """Plant two exact-duplicate groups among spread-out vectors: within
+    each group only the LOWEST vec_id survives; singletons all survive."""
+    import numpy as np
+
+    from bdtopo2refhydro_spark.operators.ann import sem_dedup
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(40):
+        v = rng.randn(64).astype(np.float32)
+        rows.append((i, [float(x) for x in v]))
+    # duplicates of vec 3 and vec 11 (slight jitter, cosine ~ 1)
+    for j, src in [(100, 3), (101, 3), (102, 11)]:
+        v = np.array(rows[src][1], dtype=np.float32)
+        v = v + np.float32(1e-4) * np.sign(v)
+        rows.append((j, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in
+           sem_dedup(emb, threshold=0.98, n_centroids=4).collect()}
+    assert len(out) == 43
+    assert not out[100].kept and not out[101].kept and not out[102].kept
+    assert out[3].kept and out[11].kept
+    # dup groups land in their source's cluster
+    assert out[100].bucket == out[3].bucket
+    assert out[102].bucket == out[11].bucket
+    assert sum(not r.kept for r in out.values()) == 3
+
+
+def test_chunk_documents_windows(spark):
+    """9 tokens, chunk 4 / stride 3 → starts 0,3,6: last chunk short (3
+    tokens); 1-token and empty docs yield exactly one chunk."""
+    from bdtopo2refhydro_spark.operators.corpus import chunk_documents
+
+    rows = [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8"), (2, "solo"), (3, "")]
+    out = chunk_documents(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        chunk_tokens=4, stride=3).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.doc_id, []).append(r)
+    one = sorted(by[1], key=lambda r: r.chunk_idx)
+    assert [(r.start_tok, r.n_tok, r.chunk_text) for r in one] == [
+        (0, 4, "t0 t1 t2 t3"), (3, 4, "t3 t4 t5 t6"), (6, 3, "t6 t7 t8")]
+    assert [(r.start_tok, r.n_tok, r.chunk_text) for r in by[2]] == \
+        [(0, 1, "solo")]
+    assert len(by[3]) == 1 and by[3][0].n_tok == 1  # split('') -> ['']
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(spark.createDataFrame(rows, "doc_id long, text string"),
+                        chunk_tokens=2, stride=3)
