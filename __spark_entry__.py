@@ -3121,6 +3121,58 @@ def _q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cosine ≈ 0.513), so the driver entry runs at 0.40 where the gate
 # demonstrably drops rows (15 at sf0.01); production-threshold (0.95)
 # semantics are pytest-gated on planted duplicates
+def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training (operators/text.py:
+    bpe_train_merges): 3 rounds of pair-count → argmax → replace-merge
+    over the word-frequency table."""
+    return TX.bpe_train_merges(_docs(spark, sf_dir))
+
+
+def _bpe_train_sql() -> str:
+    """Unrolled BPE replay: chr(31)-guarded symbol strings, the same
+    fixed-count literal replace, argmax with the same tie-break."""
+    SEP = "chr(31)"
+    parts = [f"""
+WITH w AS (
+  SELECT w, count(*) AS wc FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+    FROM documents)
+  WHERE length(w) > 0 GROUP BY w
+),
+s0 AS (
+  SELECT {SEP} || array_to_string(
+           list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)),
+           {SEP}) || {SEP} AS s, wc
+  FROM w
+)"""]
+    for r in range(1, TX.BPE_MERGES + 1):
+        merged = "s"
+        pat = f"{SEP} || b{r}.x || {SEP} || b{r}.y || {SEP}"
+        rep = f"{SEP} || b{r}.x || b{r}.y || {SEP}"
+        for _ in range(TX.BPE_REPLACE_PASSES):
+            merged = f"replace({merged}, {pat}, {rep})"
+        parts.append(f""",
+p{r} AS (
+  SELECT list_filter(string_split(s, {SEP}), t -> t != '') AS toks, wc
+  FROM s{r - 1}
+),
+pc{r} AS (
+  SELECT toks[CAST(i AS INT)] AS x, toks[CAST(i AS INT) + 1] AS y,
+         CAST(sum(wc) AS BIGINT) AS n_occ
+  FROM p{r}, UNNEST(range(1, len(toks))) t(i)
+  GROUP BY 1, 2
+),
+b{r} AS (SELECT x, y, n_occ FROM pc{r} ORDER BY n_occ DESC, x, y LIMIT 1),
+s{r} AS (SELECT {merged} AS s, wc FROM s{r - 1}, b{r})""")
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, x AS left_sym, "
+        f"y AS right_sym, n_occ FROM b{r}"
+        for r in range(1, TX.BPE_MERGES + 1)
+    )
+    parts.append(f"\n{rows}\n")
+    return "".join(parts)
+
+
 SEM_DEDUP_T = 0.40
 
 
@@ -3523,6 +3575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessions": _q_stream_sessions,
         "chunk_docs": _q_chunk_docs,
         "sem_dedup": _q_sem_dedup,
+        "bpe_train": _q_bpe_train,
         # -- r02-green core ------------------------------------------------
         "reference_network": _q_reference_network,
         "dist_from_root": _q_dist_from_root,
@@ -3637,6 +3690,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_sessions": _STREAM_SESSIONS_SQL,
         "chunk_docs": _CHUNK_DOCS_SQL,
         "sem_dedup": _sem_dedup_sql(),
+        "bpe_train": _bpe_train_sql(),
         "agg_segments": _AGG_SEGMENTS_SQL,
         "width_tail": _WIDTH_TAIL_SQL,
         "boundary_len": _BOUNDARY_LEN_SQL,

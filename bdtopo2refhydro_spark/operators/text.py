@@ -700,3 +700,71 @@ def bigram_fluency(docs: DataFrame, min_avg_count: int = 2,
          & (F.col("score") >= F.lit(min_avg_count) * F.col("n_bigrams"))
          ).alias("fluent"),
     )
+
+
+BPE_SEP = "\x1f"
+BPE_MERGES = 3
+BPE_REPLACE_PASSES = 8
+
+
+def bpe_train_merges(docs: DataFrame, n_merges: int = BPE_MERGES,
+                     text_col: str = "text") -> DataFrame:
+    """Distributed BPE tokenizer-merge training: learn the top `n_merges`
+    byte-pair merges over the corpus (Sennrich-style, word-frequency
+    weighted). Each round counts adjacent symbol pairs, takes the global
+    argmax (ties → lexicographic (x, y)), and merges that pair everywhere.
+
+    The merge itself is the trick that keeps this JVM-side AND oracle-
+    replayable: a word's symbol stream is one string with \\x1f guards
+    around every symbol, and the merge is `replace(s, ␟x␟y␟, ␟xy␟)` —
+    literal, left-to-right, non-overlapping in both Spark and DuckDB.
+    One pass misses an occurrence whose leading guard the previous match
+    consumed, so the replace is applied BPE_REPLACE_PASSES times — a
+    fixed count both sides replay identically; back-to-back occurrence
+    chains halve per pass, so 8 passes reach the greedy-BPE fixpoint for
+    any word up to ~2^8 symbols (pytest pins fixpoint on hand words).
+
+    Plan shape per round: pair explode is a JVM transform over the word
+    table (|vocab| rows, NOT the corpus — frequencies ride along), the
+    count is one map-side-combinable groupBy, the argmax a 1-row
+    TakeOrdered broadcast into the merge projection; the symbol table is
+    localCheckpoint'd per round so Catalyst never re-inlines the growing
+    replace tree. Returns (round, left_sym, right_sym, n_occ)."""
+    sep = F.lit(BPE_SEP)
+    words = (
+        docs.select(F.explode(F.expr(tokens_expr(text_col))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w").agg(F.count("*").alias("wc"))
+    )
+    chars = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    sym = words.select(
+        F.concat(sep, F.concat_ws(BPE_SEP, chars), sep).alias("s"), "wc"
+    ).localCheckpoint(eager=False)
+
+    merges = None
+    for r in range(1, n_merges + 1):
+        toks = F.filter(F.split("s", BPE_SEP), lambda t: t != F.lit(""))
+        prs = F.transform(
+            F.slice(toks, 1, F.size(toks) - 1),
+            lambda t, i: F.struct(t.alias("x"),
+                                  F.element_at(toks, i + 2).alias("y")),
+        )
+        pc = (
+            sym.select("wc", F.explode(prs).alias("p"))
+            .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+            .agg(F.sum("wc").alias("n_occ"))
+        )
+        best = pc.orderBy(F.desc("n_occ"), "x", "y").limit(1) \
+            .localCheckpoint(eager=False)
+        row = best.select(F.lit(r).cast("long").alias("round"),
+                          F.col("x").alias("left_sym"),
+                          F.col("y").alias("right_sym"), "n_occ")
+        merges = row if merges is None else merges.unionByName(row)
+        s = F.col("s")
+        pat = F.concat(sep, F.col("x"), sep, F.col("y"), sep)
+        rep = F.concat(sep, F.col("x"), F.col("y"), sep)
+        for _ in range(BPE_REPLACE_PASSES):
+            s = F.replace(s, pat, rep)
+        sym = sym.crossJoin(F.broadcast(best)) \
+            .select(s.alias("s"), "wc").localCheckpoint(eager=False)
+    return merges

@@ -612,3 +612,25 @@ def test_chunk_documents_windows(spark):
     with pytest.raises(ValueError):
         chunk_documents(spark.createDataFrame(rows, "doc_id long, text string"),
                         chunk_tokens=2, stride=3)
+
+
+def test_bpe_train_hand_checked(spark):
+    """'low lower lowest low low': pair counts l-o:5 o-w:5 (tie → lexico
+    (l,o) wins) → merges (l,o) then (lo,w) then (low,e)."""
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low")], "doc_id long, text string")
+    got = [(r.round, r.left_sym, r.right_sym, r.n_occ)
+           for r in TX.bpe_train_merges(docs).orderBy("round").collect()]
+    assert got == [(1, "l", "o", 5), (2, "lo", "w", 5), (3, "low", "e", 2)]
+
+
+def test_bpe_merge_handles_back_to_back_chains(spark):
+    """'ababab': greedy merge of (a,b) must catch ALL THREE back-to-back
+    occurrences (the single-pass replace misses every other one — this
+    pins the multi-pass fixpoint), then rounds 2-3 stack merges."""
+    docs = spark.createDataFrame(
+        [(1, "ababab")], "doc_id long, text string")
+    got = [(r.round, r.left_sym, r.right_sym, r.n_occ)
+           for r in TX.bpe_train_merges(docs).orderBy("round").collect()]
+    assert got == [(1, "a", "b", 3), (2, "ab", "ab", 2),
+                   (3, "abab", "ab", 1)]
