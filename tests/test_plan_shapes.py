@@ -137,3 +137,11 @@ def test_bucketed_join_has_zero_exchanges(spark, entry):
         assert j.count() == spark.read.parquet(f"{SF}/lineitem.parquet").count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_chunk_docs_is_map_side_only(spark, entry):
+    """Chunking must not shuffle: no hash/range exchange beyond the
+    fixture repartition the _docs helper adds."""
+    plan = _plan(entry.queries()["chunk_docs"](spark, SF))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
