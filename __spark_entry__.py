@@ -319,7 +319,7 @@ def _q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEMI_JOIN_SQL = """
 SELECT doc_id, lang FROM documents
-WHERE doc_id IN (SELECT doc_id FROM documents WHERE doc_id % 11 = 0)
+WHERE doc_id IN (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
 """
 
 
@@ -2841,6 +2841,210 @@ FROM kmin
 """
 
 
+def _host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic host link graph: src = the doc's source host, dst =
+    'src' || (doc_id % 20), weight = link multiplicity (the fixture has
+    no real hyperlinks, so outlinks derive from doc_id — same trick as
+    the geometry derivations above, replayable in SQL)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            F.col("source").alias("src"),
+            F.expr(f"concat('src', cast(({_H} div 17) % 20 as string))")
+            .alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("weight"))
+    )
+
+
+def _q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point PageRank (3 rounds, damping 85/100) over the
+    derived host link graph — the canonical crawl-frontier centrality.
+    Floor-division fixed point makes every round exactly replayable in
+    the unrolled DuckDB CTE (no float sums)."""
+    from bdtopo2refhydro_spark.operators import linkgraph as LG
+
+    return LG.page_rank_int(_host_edges(spark, sf_dir), rounds=3)
+
+
+_HOST_EDGES_D = f"""
+e AS (
+  SELECT source AS src,
+         'src' || CAST(({_HD} // 17) % 20 AS VARCHAR) AS dst,
+         CAST(count(*) AS BIGINT) AS weight
+  FROM documents GROUP BY 1, 2
+)"""
+
+
+def _host_rank_sql(rounds: int = 3) -> str:
+    ctes = [
+        f"WITH {_HOST_EDGES_D}",
+        "outw AS (SELECT src, CAST(SUM(weight) AS BIGINT) AS outw"
+        " FROM e GROUP BY src)",
+        "ew AS (SELECT e.src, e.dst, e.weight, outw.outw"
+        " FROM e JOIN outw USING (src))",
+        "n AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM n)",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"r{i + 1} AS (SELECT n.node, CAST(150000 + COALESCE(SUM("
+            f"(((r.rank * 85) // 100) * ew.weight) // ew.outw), 0)"
+            f" AS BIGINT) AS rank"
+            f" FROM n LEFT JOIN ew ON ew.dst = n.node"
+            f" LEFT JOIN r{i} r ON r.node = ew.src GROUP BY n.node)"
+        )
+    return ",\n".join(ctes) + f"\nSELECT node, rank FROM r{rounds}"
+
+
+def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host triangle participation over the sparsified undirected
+    host graph (doc_id % 3 linkers) — degree-oriented wedge join, the
+    Suri-Vassilvitskii distributed triangle count."""
+    from bdtopo2refhydro_spark.operators import linkgraph as LG
+
+    docs = _docs(spark, sf_dir)
+    pairs = (
+        docs.filter(F.expr("doc_id % 3 = 0"))
+        .select(
+            F.col("source").alias("h1"),
+            F.expr(f"concat('src', cast(({_H} div 17) % 20 as string))")
+            .alias("h2"),
+        )
+        .filter(F.expr("h1 <> h2"))
+        .select(F.least("h1", "h2").alias("a"),
+                F.greatest("h1", "h2").alias("b"))
+        .distinct()
+    )
+    return LG.triangle_counts(pairs)
+
+
+_TRIANGLES_SQL = f"""
+WITH raw AS (
+  SELECT source AS h1,
+         'src' || CAST(({_HD} // 17) % 20 AS VARCHAR) AS h2
+  FROM documents WHERE doc_id % 3 = 0
+),
+p AS (
+  SELECT DISTINCT least(h1, h2) AS a, greatest(h1, h2) AS b
+  FROM raw WHERE h1 <> h2
+),
+tri AS (
+  SELECT p1.a AS x, p1.b AS y, p2.b AS z
+  FROM p p1
+  JOIN p p2 ON p2.a = p1.b
+  JOIN p p3 ON p3.a = p1.a AND p3.b = p2.b
+),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS tri_cnt FROM corners GROUP BY node
+"""
+
+
+def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms, integer score
+    tf * ((N * 1e6) div df) — floor division, no float log, exact
+    oracle. The per-doc window runs on the post-aggregation table."""
+    from bdtopo2refhydro_spark.operators import corpus as C
+
+    return C.tfidf_topk(_docs(spark, sf_dir), k=3)
+
+
+_TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, t AS token
+  FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+  WHERE t <> ''
+),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2
+),
+df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         CAST(tf.tf * ((n.n_docs * 1000000) // df.df) AS BIGINT) AS score
+  FROM tf JOIN df USING (token) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, token, tf, df, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def _q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter dedup prefilter: members = content hashes of docs
+    with doc_id % 7 == 0; every doc is probed against the 64-word
+    filter and carries its exact membership alongside, surfacing the
+    false positives the prefilter admits (never a false negative —
+    property-tested). Filter build is one bit_or groupBy; the probe
+    side broadcast-joins the 64-row filter."""
+    from bdtopo2refhydro_spark.operators import corpus as C
+
+    docs = _docs(spark, sf_dir)
+    key = (
+        "pmod(cast(conv(substr(md5(trim(lower(text))), 1, 15), 16, 10)"
+        f" as bigint), {TX.MINHASH_P})"
+    )
+    keyed = docs.select("doc_id", F.expr(key).alias("key"))
+    members = keyed.filter(F.expr("doc_id % 7 = 0")).select("key").distinct()
+    bloom = C.bloom_build(members, "key", m_words=64)
+    probed = C.bloom_probe(keyed, "key", bloom, m_words=64)
+    mem = members.withColumn("_m", F.lit(True))
+    return (
+        keyed.join(mem, "key", "left")
+        .select("doc_id", F.coalesce("_m", F.lit(False)).alias("is_member"))
+        .join(probed, "doc_id")
+        .select("doc_id", "bloom_hit", "is_member")
+    )
+
+
+_BLOOM_DEDUP_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(trim(lower(text))), 1, 15) AS BIGINT)
+           % {TX.MINHASH_P} AS key
+  FROM documents
+),
+members AS (SELECT DISTINCT key FROM keyed WHERE doc_id % 7 = 0),
+h AS (SELECT * FROM (VALUES (40503, 11), (48271, 271), (69621, 9973))
+      AS t(a, b)),
+mpos AS (
+  SELECT ((h.a * m.key + h.b) % {TX.MINHASH_P}) % 4032 AS pos
+  FROM members m, h
+),
+filt AS (
+  SELECT pos // 63 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER)) AS bits
+  FROM mpos GROUP BY 1
+),
+ppos AS (
+  SELECT k.doc_id, ((h.a * k.key + h.b) % {TX.MINHASH_P}) % 4032 AS pos
+  FROM keyed k, h
+),
+hits AS (
+  SELECT p.doc_id,
+         bool_and((COALESCE(f.bits, 0)
+           & (CAST(1 AS BIGINT) << CAST(p.pos % 63 AS INTEGER))) <> 0)
+           AS bloom_hit
+  FROM ppos p LEFT JOIN filt f ON f.word = p.pos // 63
+  GROUP BY p.doc_id
+)
+SELECT k.doc_id, hits.bloom_hit,
+       (k.key IN (SELECT key FROM members)) AS is_member
+FROM keyed k JOIN hits USING (doc_id)
+"""
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-set decontamination: docs with doc_id % 101 == 0 act as the
     benchmark; every corpus doc sharing >=1 3-token shingle with it is
@@ -3532,10 +3736,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissolve_area": _q_dissolve_area,
         "tpch_q1": _q_tpch_q1,
         # -- green in r01 only, fell outside the r02 window ----------------
-        "lsh_pairs": _q_lsh_pairs,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "simhash": _q_simhash,
-        "simhash_pairs": _q_simhash_pairs,
         # -- new in round 3 ------------------------------------------------
         "strahler_binary": _q_strahler_binary,
         "ivf_kmeans_ann": _q_ivf_kmeans_ann,
@@ -3574,9 +3774,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": _q_chunk_docs,
         "sem_dedup": _q_sem_dedup,
         "bpe_train": _q_bpe_train,
+        "host_rank": _q_host_rank,
+        "triangles": _q_triangles,
+        "tfidf_topk": _q_tfidf_topk,
+        "bloom_dedup": _q_bloom_dedup,
         # image_bmp/temp_sample rotated just past the window to admit
         # sem_dedup/bpe_train: both are pytest-pinned on hand-built
         # fixtures and oracle_check re-verifies them every round
+        "lsh_pairs": _q_lsh_pairs,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
         "image_bmp": _q_image_bmp,
         "temp_sample": _q_temp_sample,
         # -- r02-green core ------------------------------------------------
@@ -3747,4 +3955,8 @@ def oracle_sql() -> dict[str, str]:
         "sample_strat": _SAMPLE_STRAT_SQL,
         "top_tokens": _TOP_TOKENS_SQL,
         "kmv_distinct": _KMV_SQL,
+        "host_rank": _host_rank_sql(),
+        "triangles": _TRIANGLES_SQL,
+        "tfidf_topk": _TFIDF_SQL,
+        "bloom_dedup": _BLOOM_DEDUP_SQL,
     }

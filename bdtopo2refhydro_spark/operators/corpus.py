@@ -433,3 +433,107 @@ def chunk_documents(docs: DataFrame, *, chunk_tokens: int = 100,
             ).alias("chunk_text"),
         )
     )
+
+
+def tfidf_topk(docs: DataFrame, *, k: int = 3, text_col: str = "text",
+               id_col: str = "doc_id", scale: int = 1_000_000) -> DataFrame:
+    """Per-document top-k TF-IDF terms with an integer score.
+
+    score = tf * ((N * scale) div df) — floor division keeps every value
+    a BIGINT, so the ranking is bit-reproducible in the DuckDB oracle
+    (no float log). Ties break (score desc, token asc). N is attached
+    via a broadcast 1-row aggregate instead of a driver-side count so
+    the whole computation stays one declarative plan.
+
+    Scale shape: explode -> partial-agg groupBy (doc, token) for tf ->
+    groupBy token for df (both map-side combinable) -> shuffle equi-join
+    tf x df on token -> per-doc window on the post-agg table. No stage
+    touches raw text after the first projection.
+    """
+    toks = (
+        docs.select(F.col(id_col), F.explode(
+            F.split(F.col(text_col), " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").cast("bigint").alias("df"))
+    n = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .join(F.broadcast(n))
+        .withColumn("score", F.expr(f"tf * ((n_docs * {int(scale)}) div df)"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "token", F.col("tf").cast("bigint").alias("tf"),
+                "df", F.col("score").cast("bigint").alias("score"), "rank")
+    )
+
+
+# Bloom-filter prefilter: k multiplicative hashes over a 31-bit key into
+# m_words x 63-bit words (bit 63 never set, so 1<<bit stays a positive
+# BIGINT in every engine). Constants are odd multipliers mod the Mersenne
+# prime 2^31-1; products stay < 2^48 (ANSI-safe).
+BLOOM_P = 2_147_483_647
+BLOOM_HASHES = ((40503, 11), (48271, 271), (69621, 9973))
+
+
+def _bloom_pos_exprs(key_col: str, m_words: int) -> list:
+    m_bits = int(m_words) * 63
+    return [
+        F.expr(f"pmod({a} * {key_col} + {b}, {BLOOM_P}) % {m_bits}")
+        for a, b in BLOOM_HASHES
+    ]
+
+
+def bloom_build(keys: DataFrame, key_col: str, *,
+                m_words: int = 64) -> DataFrame:
+    """Build a Bloom filter over a nonnegative BIGINT key column.
+
+    Returns the filter as (word, bits) — m_words rows of packed 63-bit
+    words, built with one explode + one bit_or groupBy. The filter table
+    is tiny by construction, which is the point: at 100 TB the build is
+    one map-side-combinable aggregation over the member side, and the
+    probe side never shuffles (the filter broadcasts).
+    """
+    pos = keys.select(
+        F.explode(F.array(*_bloom_pos_exprs(key_col, m_words))).alias("pos")
+    )
+    return (
+        pos.select(F.expr("pos div 63").alias("word"),
+                   F.expr("shiftleft(cast(1 as bigint), "
+                          "cast(pos % 63 as int))").alias("m"))
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+
+
+def bloom_probe(probe: DataFrame, key_col: str, bloom: DataFrame, *,
+                m_words: int = 64, id_col: str = "doc_id") -> DataFrame:
+    """Probe a Bloom filter: adds bloom_hit per probe row.
+
+    Each probe key explodes into its k bit positions, broadcast-joins
+    the (word -> bits) filter, and a bool_and over the k checks yields
+    the membership verdict. Bloom guarantees no false negatives; false
+    positives are the caller's to audit (see the bloom_dedup driver
+    query, which carries exact membership alongside).
+    """
+    pos = probe.select(
+        id_col, F.col(key_col).alias("_k"),
+        F.explode(F.array(*_bloom_pos_exprs(key_col, m_words))).alias("pos")
+    ).select(
+        id_col, "_k",
+        F.expr("pos div 63").alias("word"),
+        F.expr("shiftleft(cast(1 as bigint), "
+               "cast(pos % 63 as int))").alias("m"),
+    )
+    checked = pos.join(F.broadcast(bloom), "word", "left").select(
+        id_col, "_k",
+        (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("m")) != 0)
+        .alias("bit_set"),
+    )
+    return checked.groupBy(id_col).agg(
+        F.bool_and("bit_set").alias("bloom_hit")
+    )

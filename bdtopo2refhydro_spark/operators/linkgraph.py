@@ -1,0 +1,160 @@
+"""Link-graph analytics over a host/page graph (web-crawl flavored).
+
+The reference's network operators (SURVEY §2 G1-G8, reference
+``identify_network_nodes.py`` / ``create_exutoire.py``) walk a river
+graph; a Common-Crawl-scale corpus has the same shape in its hyperlink
+graph. This module adds the two canonical link-graph analytics a crawl
+pipeline runs on that graph: a PageRank-style centrality and triangle
+counting (local clustering / spam-farm signal).
+
+Everything is integer arithmetic (scaled fixed point, floor division)
+so the DuckDB driver oracle reproduces bit-identical values — no float
+sums whose order could differ between engines.
+
+Scale notes (the part that must survive 100 TB):
+- ``page_rank_int``: the edge table is the big static side. It is
+  joined ONCE with out-weights, persisted, and each round costs exactly
+  one equi-join against the (|nodes|-sized) rank table on ``src`` plus
+  one shuffle for the groupBy on ``dst`` — the textbook distributed
+  PageRank step. Rounds are a fixed small constant (crawl-rank style),
+  not convergence-driven, so the plan is a bounded chain;
+  ``localCheckpoint`` between rounds keeps Catalyst from inlining the
+  whole unrolled loop into one exponential tree.
+- ``triangle_counts``: edges are oriented from the (degree, node)-
+  smaller endpoint to the larger one before the wedge self-join. With
+  that orientation every node's out-fan is O(sqrt(m)), which bounds the
+  wedge-join fan-out on power-law web graphs — the standard distributed
+  triangle-counting trick (Suri & Vassilvitskii). The closing-edge
+  check is an equi-join on the (v1, v2) pair, never a cartesian.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Fixed-point scale for integer PageRank: ranks start at RANK_SCALE and
+# stay in the low millions, so rank * damping products stay far below
+# 2^63 (ANSI-safe).
+RANK_SCALE = 1_000_000
+
+
+def page_rank_int(
+    edges: DataFrame,
+    *,
+    rounds: int = 3,
+    damping_pct: int = 85,
+    scale: int = RANK_SCALE,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Integer (fixed-point) PageRank over a weighted directed graph.
+
+    rank_0(n) = scale for every node; each round
+        rank_{i+1}(n) = base + SUM over in-edges (s -> n) of
+            (((rank_i(s) * damping_pct) div 100) * w(s->n)) div outw(s)
+    with base = (scale * (100 - damping_pct)) div 100 and
+    outw(s) = total out-weight of s. All divisions are floor divisions
+    on nonnegative BIGINTs, so the result is deterministic and exactly
+    reproducible in any engine (dangling mass leaks, as in push-style
+    crawl rank). Returns (node, rank) for every node.
+    """
+    src, dst, w = F.col(src_col), F.col(dst_col), F.col(weight_col)
+    nodes = (
+        edges.select(src.alias("node"))
+        .unionByName(edges.select(dst.alias("node")))
+        .distinct()
+    )
+    outw = edges.groupBy(src.alias("_s")).agg(F.sum(w).alias("outw"))
+    ew = (
+        edges.join(outw, edges[src_col] == outw["_s"])
+        .select(src.alias("e_src"), dst.alias("e_dst"),
+                w.cast("bigint").alias("e_w"), "outw")
+    )
+    # The edge side is reused every round: cut its lineage once so the
+    # unrolled round plans stay linear in `rounds`.
+    ew = ew.localCheckpoint(eager=False)
+    nodes = nodes.localCheckpoint(eager=False)
+
+    base = (scale * (100 - damping_pct)) // 100
+    rank = nodes.select("node", F.lit(scale).cast("bigint").alias("rank"))
+    contrib_expr = F.expr(
+        f"(((rank * {damping_pct}) div 100) * e_w) div outw"
+    ).alias("contrib")
+    for _ in range(rounds):
+        inflow = (
+            ew.join(rank, ew["e_src"] == rank["node"])
+            .select(F.col("e_dst").alias("node"), contrib_expr)
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        rank = nodes.join(inflow, "node", "left").select(
+            "node",
+            (F.lit(base) + F.coalesce(F.col("inflow"), F.lit(0)))
+            .cast("bigint")
+            .alias("rank"),
+        )
+    return rank
+
+
+def triangle_counts(
+    pairs: DataFrame, *, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph.
+
+    ``pairs`` must be the deduplicated undirected edge set with
+    ``a_col < b_col`` (no self loops). Edges are re-oriented from the
+    (degree, node)-smaller endpoint to the larger one; wedges are built
+    by self-joining the oriented edges on their low endpoint and closed
+    against the oriented edge set. Each triangle is found exactly once,
+    then exploded into its three corners. Returns (node, tri_cnt) for
+    nodes in at least one triangle.
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    deg = (
+        pairs.select(a.alias("node"))
+        .unionByName(pairs.select(b.alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    fwd = F.struct(F.col("deg_a").alias("d"), a.alias("n")) < F.struct(
+        F.col("deg_b").alias("d"), b.alias("n")
+    )
+    e = (
+        pairs.join(deg.withColumnRenamed("node", a_col)
+                   .withColumnRenamed("deg", "deg_a"), a_col)
+        .join(deg.withColumnRenamed("node", b_col)
+              .withColumnRenamed("deg", "deg_b"), b_col)
+        .select(
+            F.when(fwd, a).otherwise(b).alias("u"),
+            F.when(fwd, b).otherwise(a).alias("v"),
+            F.when(
+                fwd, F.struct(F.col("deg_b").alias("d"), b.alias("n"))
+            ).otherwise(
+                F.struct(F.col("deg_a").alias("d"), a.alias("n"))
+            ).alias("vkey"),
+        )
+    )
+    e = e.localCheckpoint(eager=False)
+    e1 = e.select(F.col("u").alias("w1"), F.col("v").alias("v1"),
+                  F.col("vkey").alias("k1"))
+    e2 = e.select(F.col("u").alias("w2"), F.col("v").alias("v2"),
+                  F.col("vkey").alias("k2"))
+    wedges = (
+        e1.join(e2, (e1["w1"] == e2["w2"]) & (e1["k1"] < e2["k2"]))
+        .select(F.col("w1").alias("u"), "v1", "v2")
+    )
+    # k1 < k2 and degree-consistent orientation mean the closing edge,
+    # if present, is stored exactly as (u=v1, v=v2) — one semi-join.
+    closed = wedges.join(
+        e.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
+        ["v1", "v2"],
+        "leftsemi",
+    )
+    corners = closed.select(
+        F.explode(F.array("u", "v1", "v2")).alias("node")
+    )
+    return corners.groupBy("node").agg(
+        F.count("*").cast("bigint").alias("tri_cnt")
+    )

@@ -1,0 +1,154 @@
+"""Link-graph analytics (operators/linkgraph.py) and the Bloom/TF-IDF
+corpus additions, on hand-checked graphs and documents.
+
+page_rank_int is verified against a by-hand replay of the integer
+fixed-point recurrence; triangle_counts against known graphs (K4, a
+path, and a wheel). Bloom is property-tested for the no-false-negative
+guarantee and replayed bit-for-bit in python.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bdtopo2refhydro_spark.operators import corpus as C
+from bdtopo2refhydro_spark.operators import linkgraph as LG
+
+
+# ---------------------------------------------------------------------------
+# page_rank_int
+# ---------------------------------------------------------------------------
+
+def _py_pagerank(edges, rounds=3, scale=1_000_000, damping=85):
+    nodes = {s for s, _, _ in edges} | {d for _, d, _ in edges}
+    outw = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0) + w
+    base = scale * (100 - damping) // 100
+    rank = {n: scale for n in nodes}
+    for _ in range(rounds):
+        nxt = {n: base for n in nodes}
+        for s, d, w in edges:
+            nxt[d] += ((rank[s] * damping) // 100) * w // outw[s]
+        rank = nxt
+    return rank
+
+
+@pytest.mark.parametrize("rounds", [1, 3])
+def test_page_rank_matches_python_replay(spark, rounds):
+    # star into 'hub' + a 2-cycle + a dangling sink
+    edges = [("a", "hub", 1), ("b", "hub", 2), ("c", "hub", 1),
+             ("hub", "a", 1), ("x", "y", 3), ("y", "x", 1),
+             ("a", "sink", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, weight long")
+    got = {r["node"]: r["rank"]
+           for r in LG.page_rank_int(df, rounds=rounds).collect()}
+    assert got == _py_pagerank(edges, rounds=rounds)
+
+
+def test_page_rank_partitioning_invariant(spark):
+    edges = [(f"n{i}", f"n{(i * 7 + 3) % 23}", 1 + i % 4)
+             for i in range(60)]
+    edges = [(s, d, w) for s, d, w in edges if s != d]
+    df = spark.createDataFrame(edges, "src string, dst string, weight long")
+    a = sorted(map(tuple, LG.page_rank_int(df, rounds=3).collect()))
+    b = sorted(map(tuple,
+                   LG.page_rank_int(df.repartition(7), rounds=3).collect()))
+    assert a == b == sorted(_py_pagerank(edges).items())
+
+
+# ---------------------------------------------------------------------------
+# triangle_counts
+# ---------------------------------------------------------------------------
+
+def _tri(spark, pairs):
+    df = spark.createDataFrame(pairs, "a string, b string")
+    return {r["node"]: r["tri_cnt"]
+            for r in LG.triangle_counts(df).collect()}
+
+
+def test_triangles_k4(spark):
+    # K4: every node is in C(3,2)=3 triangles, 4 triangles total
+    nodes = ["a", "b", "c", "d"]
+    pairs = [(x, y) for i, x in enumerate(nodes)
+             for y in nodes[i + 1:]]
+    assert _tri(spark, pairs) == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_triangles_path_has_none(spark):
+    assert _tri(spark, [("a", "b"), ("b", "c"), ("c", "d")]) == {}
+
+
+def test_triangles_wheel(spark):
+    # hub + 5-cycle rim: 5 triangles; hub in all 5, each rim node in 2
+    rim = [("r0", "r1"), ("r1", "r2"), ("r2", "r3"), ("r3", "r4"),
+           ("r0", "r4")]
+    spokes = [("hub", f"r{i}") for i in range(5)]
+    pairs = [(min(x, y), max(x, y)) for x, y in rim + spokes]
+    got = _tri(spark, pairs)
+    assert got["hub"] == 5
+    assert all(got[f"r{i}"] == 2 for i in range(5))
+
+
+# ---------------------------------------------------------------------------
+# tfidf_topk
+# ---------------------------------------------------------------------------
+
+def test_tfidf_ranks_rare_terms_above_stopwords(spark):
+    docs = spark.createDataFrame(
+        [(1, "the the the zebra"), (2, "the cat"), (3, "the dog dog")],
+        "doc_id long, text string")
+    out = C.tfidf_topk(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 'the' tf=3 df=3 -> 3*(3e6//3)=3e6; 'zebra' tf=1 df=1 -> 3e6;
+    # tie broken token asc -> 'the' first
+    assert [r["token"] for r in by_doc[1]] == ["the", "zebra"]
+    assert [r["rank"] for r in by_doc[1]] == [1, 2]
+    # doc 3: 'dog' tf=2 df=1 -> 6e6 beats 'the' tf=1 df=3 -> 1e6
+    assert [r["token"] for r in by_doc[3]] == ["dog", "the"]
+    assert by_doc[3][0]["score"] == 6_000_000
+    assert by_doc[3][1]["score"] == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# bloom filter
+# ---------------------------------------------------------------------------
+
+def _py_bloom_positions(key, m_words=64):
+    m_bits = m_words * 63
+    return [((a * key + b) % C.BLOOM_P) % m_bits for a, b in C.BLOOM_HASHES]
+
+
+def test_bloom_no_false_negatives_and_exact_replay(spark):
+    member_keys = [(k * k * 7919 + 13) % C.BLOOM_P for k in range(40)]
+    probe_keys = member_keys + [(k * 104729 + 5) % C.BLOOM_P
+                                for k in range(200)]
+    members = spark.createDataFrame([(k,) for k in member_keys],
+                                    "key long").distinct()
+    bloom = C.bloom_build(members, "key", m_words=64)
+    probe = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(probe_keys)], "doc_id long, key long")
+    got = {r["doc_id"]: r["bloom_hit"]
+           for r in C.bloom_probe(probe, "key", bloom, m_words=64).collect()}
+
+    words = [0] * 64
+    for k in set(member_keys):
+        for pos in _py_bloom_positions(k):
+            words[pos // 63] |= 1 << (pos % 63)
+    expect = {
+        i: all(words[p // 63] & (1 << (p % 63))
+               for p in _py_bloom_positions(k))
+        for i, k in enumerate(probe_keys)
+    }
+    assert got == expect
+    # the guarantee: every member key hits
+    assert all(got[i] for i in range(len(member_keys)))
+
+
+def test_bloom_filter_is_tiny(spark):
+    members = spark.createDataFrame([(k,) for k in range(1000)], "key long")
+    bloom = C.bloom_build(members, "key", m_words=8)
+    rows = bloom.collect()
+    assert len(rows) <= 8
+    assert all(0 <= r["word"] < 8 and r["bits"] > 0 for r in rows)
