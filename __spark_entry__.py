@@ -1072,7 +1072,10 @@ def _q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.lsh_candidate_pairs(_docs(spark, sf_dir))
 
 
-def _lsh_pairs_sql() -> str:
+def _bands_cte() -> str:
+    """CTE chain producing the (doc_id, band_idx, band_key) table —
+    shared by the self-join (lsh_pairs) and cross-snapshot (incr_dedup)
+    oracles."""
     bs, nh = TX.LSH_BAND_SIZE, TX.MINHASH_HASHES
     band_keys = ", ".join(
         "md5(" + " || '|' || ".join(
@@ -1084,10 +1087,14 @@ def _lsh_pairs_sql() -> str:
         f"SELECT doc_id, {b} AS band_idx, band_{b} AS band_key FROM sig"
         for b in range(nh // bs)
     )
+    return (f"sigsrc AS ({_minhash_sql().strip()}),\n"
+            f"sig AS (SELECT *, {band_keys} FROM sigsrc),\n"
+            f"bands AS ({unions})")
+
+
+def _lsh_pairs_sql() -> str:
     return f"""
-WITH sigsrc AS ({_minhash_sql().strip()}),
-sig AS (SELECT *, {band_keys} FROM sigsrc),
-bands AS ({unions})
+WITH {_bands_cte()}
 SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
 FROM bands l JOIN bands r
   ON l.band_idx = r.band_idx AND l.band_key = r.band_key
@@ -3045,6 +3052,141 @@ FROM keyed k JOIN hits USING (doc_id)
 """
 
 
+def _q_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup: docs with odd doc_id play the
+    NEW crawl, even doc_id the EXISTING corpus. Exact digests + an
+    asymmetric new-x-old LSH band join + Jaccard verify flag each new
+    doc (text.py:incremental_dedup) — the per-snapshot operation a
+    production crawl pipeline runs (never re-self-dedups the old
+    corpus)."""
+    docs = _docs(spark, sf_dir)
+    return TX.incremental_dedup(
+        docs.filter(F.expr("doc_id % 2 = 1")),
+        docs.filter(F.expr("doc_id % 2 = 0")),
+        threshold=0.5,
+    )
+
+
+def _incr_dedup_sql() -> str:
+    return f"""
+WITH {_bands_cte()},
+newdoc AS (
+  SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id % 2 = 1
+),
+olddig AS (
+  SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id % 2 = 0
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS n_id, o.doc_id AS o_id
+  FROM bands n JOIN bands o
+    ON n.band_idx = o.band_idx AND n.band_key = o.band_key
+  WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
+),
+tt AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+ss AS (
+  SELECT doc_id, list_distinct({_duck_shingles()}) AS sh FROM tt
+),
+near AS (
+  SELECT DISTINCT cand.n_id AS doc_id
+  FROM cand
+  JOIN ss sn ON sn.doc_id = cand.n_id
+  JOIN ss so ON so.doc_id = cand.o_id
+  WHERE CAST(len(list_intersect(sn.sh, so.sh)) AS DOUBLE)
+        / len(list_distinct(sn.sh || so.sh)) >= 0.5
+)
+SELECT nd.doc_id,
+       (nd.digest IN (SELECT digest FROM olddig)) AS dropped_exact,
+       (nd.doc_id IN (SELECT doc_id FROM near)) AS dropped_near,
+       NOT (nd.digest IN (SELECT digest FROM olddig))
+         AND NOT (nd.doc_id IN (SELECT doc_id FROM near)) AS keep
+FROM newdoc nd
+"""
+
+
+_CLEANURL = (
+    "concat('https://', source, '.example.com/', "
+    "cast(doc_id % 50 as string), '/', cast(doc_id as string))"
+)
+_CLEANURLD = (
+    "'https://' || source || '.example.com/' || "
+    "CAST(doc_id % 50 AS VARCHAR) || '/' || CAST(doc_id AS VARCHAR)"
+)
+
+
+def _url_rules(spark: SparkSession) -> DataFrame:
+    """Deterministic policy table: 20 host-level rules (deny even hosts,
+    allow odd) + 40 more-specific path rules ('https://srcH.../SEG/')
+    that flip the verdict — longest prefix must win for parity."""
+    return spark.range(60).select(
+        F.col("id").cast("bigint").alias("rule_id"),
+        F.expr(
+            "concat('src', cast(case when id < 20 then id"
+            " else (id - 20) % 20 end as string), '.example.com')"
+        ).alias("host"),
+        F.expr(
+            "case when id < 20 then"
+            " concat('https://src', cast(id as string), '.example.com/')"
+            " else concat('https://src', cast((id - 20) % 20 as string),"
+            " '.example.com/', cast((id * 7) % 50 as string), '/') end"
+        ).alias("prefix"),
+        F.expr("case when id < 20 then id % 2 = 1"
+               " else id % 2 = 0 end").alias("allow"),
+    )
+
+
+def _q_url_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-style longest-matching-prefix URL policy over clean
+    synthetic URLs (corpus.py:apply_url_rules): the 64-row rule table
+    broadcasts, the page side equi-joins on its own host's rules only
+    and never shuffles."""
+    from bdtopo2refhydro_spark.operators import corpus as C
+
+    pages = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_CLEANURL).alias("url"))
+    return C.apply_url_rules(pages, _url_rules(spark))
+
+
+_URL_RULES_SQL = f"""
+WITH rules AS (
+  SELECT range AS rule_id,
+         'src' || CAST(CASE WHEN range < 20 THEN range
+                            ELSE (range - 20) % 20 END AS VARCHAR)
+           || '.example.com' AS host,
+         CASE WHEN range < 20
+              THEN 'https://src' || CAST(range AS VARCHAR)
+                   || '.example.com/'
+              ELSE 'https://src' || CAST((range - 20) % 20 AS VARCHAR)
+                   || '.example.com/' || CAST((range * 7) % 50 AS VARCHAR)
+                   || '/'
+         END AS prefix,
+         CASE WHEN range < 20 THEN range % 2 = 1
+              ELSE range % 2 = 0 END AS allow
+  FROM range(60)
+),
+pages AS (SELECT doc_id, {_CLEANURLD} AS url FROM documents),
+m AS (
+  SELECT p.doc_id, CAST(length(r.prefix) AS BIGINT) AS matched_len,
+         CAST(r.rule_id AS BIGINT) AS matched_rule, r.allow
+  FROM pages p JOIN rules r
+    ON regexp_extract(p.url, '^[a-z]+://([^/]+)/', 1) = r.host
+   AND starts_with(p.url, r.prefix)
+),
+best AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY matched_len DESC, matched_rule ASC) AS rn
+  FROM m
+)
+SELECT p.doc_id, p.url,
+       COALESCE(b.allow, TRUE) AS allow,
+       COALESCE(b.matched_rule, CAST(-1 AS BIGINT)) AS matched_rule,
+       COALESCE(b.matched_len, CAST(0 AS BIGINT)) AS matched_len
+FROM pages p LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+"""
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-set decontamination: docs with doc_id % 101 == 0 act as the
     benchmark; every corpus doc sharing >=1 3-token shingle with it is
@@ -3730,9 +3872,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": _q_quality,
         "fingerprint": _q_fingerprint,
         "cosine_topk": _q_cosine_topk,
-        "lsh_ann": _q_lsh_ann,
+        "incr_dedup": _q_incr_dedup,
         "ivf_ann": _q_ivf_ann,
-        "emb_dup_pairs": _q_emb_dup_pairs,
+        "url_rules": _q_url_rules,
         "dissolve_area": _q_dissolve_area,
         "tpch_q1": _q_tpch_q1,
         # -- green in r01 only, fell outside the r02 window ----------------
@@ -3778,9 +3920,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": _q_triangles,
         "tfidf_topk": _q_tfidf_topk,
         "bloom_dedup": _q_bloom_dedup,
-        # image_bmp/temp_sample rotated just past the window to admit
-        # sem_dedup/bpe_train: both are pytest-pinned on hand-built
-        # fixtures and oracle_check re-verifies them every round
+        # image_bmp/temp_sample (r3) and lsh_ann/emb_dup_pairs (the ANN
+        # family keeps cosine_topk/ivf_ann/ivf_kmeans_ann/ann_int8/
+        # sem_dedup in-window) rotated just past the window to admit
+        # sem_dedup/bpe_train/incr_dedup/url_rules: all pytest-pinned on
+        # hand-built fixtures and oracle_check re-verifies every round
+        "lsh_ann": _q_lsh_ann,
+        "emb_dup_pairs": _q_emb_dup_pairs,
         "lsh_pairs": _q_lsh_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
@@ -3959,4 +4105,6 @@ def oracle_sql() -> dict[str, str]:
         "triangles": _TRIANGLES_SQL,
         "tfidf_topk": _TFIDF_SQL,
         "bloom_dedup": _BLOOM_DEDUP_SQL,
+        "incr_dedup": _incr_dedup_sql(),
+        "url_rules": _URL_RULES_SQL,
     }

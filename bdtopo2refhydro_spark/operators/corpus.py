@@ -537,3 +537,53 @@ def bloom_probe(probe: DataFrame, key_col: str, bloom: DataFrame, *,
     return checked.groupBy(id_col).agg(
         F.bool_and("bit_set").alias("bloom_hit")
     )
+
+
+def apply_url_rules(pages: DataFrame, rules: DataFrame, *,
+                    url_col: str = "url", id_col: str = "doc_id",
+                    default_allow: bool = True) -> DataFrame:
+    """Longest-matching-prefix URL policy (robots.txt Allow/Disallow
+    semantics with Google's longest-match-wins rule).
+
+    ``rules`` columns: (rule_id BIGINT, host STRING, prefix STRING,
+    allow BOOLEAN). A page matches a rule when its host equals the
+    rule's host AND the url starts with the rule's prefix; the longest
+    matching prefix decides (rule_id asc breaks exact-duplicate-prefix
+    ties deterministically). Pages matching no rule get
+    ``default_allow``. Returns (id, url, allow, matched_rule,
+    matched_len) with matched_rule = -1 / matched_len = 0 for the
+    default.
+
+    Scale shape: the rule table is policy-sized — it BROADCASTS, the
+    equi-join key is the host (so a page only meets its own host's
+    rules, never the whole rule set), and the page side never shuffles;
+    the per-page argmax window runs on the match table, which is
+    |pages that matched| * avg-rules-per-host, not |corpus|."""
+    host = F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)/", 1)
+    p = pages.select(id_col, url_col, host.alias("_host"))
+    matched = (
+        p.join(F.broadcast(rules), p["_host"] == rules["host"])
+        .filter(F.col(url_col).startswith(F.col("prefix")))
+        .select(id_col, url_col,
+                F.length("prefix").cast("bigint").alias("matched_len"),
+                F.col("rule_id").cast("bigint").alias("matched_rule"),
+                "allow")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("matched_len"), F.asc("matched_rule"))
+    best = (
+        matched.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", url_col)
+    )
+    return (
+        p.select(id_col, url_col).join(best, id_col, "left")
+        .select(
+            id_col, url_col,
+            F.coalesce("allow", F.lit(bool(default_allow))).alias("allow"),
+            F.coalesce("matched_rule", F.lit(-1)).cast("bigint")
+            .alias("matched_rule"),
+            F.coalesce("matched_len", F.lit(0)).cast("bigint")
+            .alias("matched_len"),
+        )
+    )

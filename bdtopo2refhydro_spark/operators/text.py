@@ -768,3 +768,71 @@ def bpe_train_merges(docs: DataFrame, n_merges: int = BPE_MERGES,
         sym = sym.crossJoin(F.broadcast(best)) \
             .select(s.alias("s"), "wc").localCheckpoint(eager=False)
     return merges
+
+
+def incremental_dedup(new: DataFrame, old: DataFrame, *,
+                      threshold: float = 0.5, k: int = MINHASH_K,
+                      id_col: str = "doc_id", **kw) -> DataFrame:
+    """Cross-snapshot dedup: flag every NEW-crawl doc against the
+    EXISTING corpus — the operation a crawl pipeline actually runs per
+    snapshot (self-dedup of the union would re-verify the old corpus
+    against itself every month).
+
+    Returns one row per new doc: (id, dropped_exact, dropped_near,
+    keep). dropped_exact = same md5(text) digest as any old doc;
+    dropped_near = shares >=1 MinHash-LSH band with an old doc AND the
+    exact n-gram Jaccard against that candidate is >= threshold.
+
+    Scale shape: the old side contributes only 16-byte digests and band
+    keys (its text bytes never shuffle); the candidate join is the
+    banded equi-join restricted new x old (asymmetric — no old x old
+    pairs); Jaccard shingles are computed only for docs that appear in a
+    candidate pair (semi-join pruned), exactly like
+    ngram_jaccard_pairs."""
+    old_dig = (
+        old.select(F.md5(F.col("text").cast("binary")).alias("digest"))
+        .distinct().withColumn("_e", F.lit(True))
+    )
+    ex = (
+        new.select(id_col,
+                   F.md5(F.col("text").cast("binary")).alias("digest"))
+        .join(old_dig, "digest", "left")
+        .select(id_col, F.coalesce("_e", F.lit(False)).alias("dropped_exact"))
+    )
+
+    nb = lsh_bands(new, k=k, **kw).localCheckpoint(eager=False)
+    ob = lsh_bands(old, k=k, **kw).localCheckpoint(eager=False)
+    cand = (
+        nb.select(F.col(id_col).alias("n_id"), "band_idx", "band_key")
+        .join(ob.select(F.col(id_col).alias("o_id"), "band_idx",
+                        "band_key"), ["band_idx", "band_key"])
+        .select("n_id", "o_id").distinct()
+        .localCheckpoint(eager=False)
+    )
+    sh_expr = F.array_distinct(F.expr(shingles_expr(k=k))).alias("sh")
+    n_sh = (
+        new.join(cand.select(F.col("n_id").alias(id_col)).distinct(),
+                 id_col, "left_semi")
+        .select(F.col(id_col).alias("n_id"), sh_expr)
+    )
+    o_sh = (
+        old.join(cand.select(F.col("o_id").alias(id_col)).distinct(),
+                 id_col, "left_semi")
+        .select(F.col(id_col).alias("o_id"), sh_expr)
+    )
+    near = (
+        cand.join(n_sh.withColumnRenamed("sh", "sh_n"), "n_id")
+        .join(o_sh.withColumnRenamed("sh", "sh_o"), "o_id")
+        .filter(
+            F.size(F.array_intersect("sh_n", "sh_o"))
+            / F.size(F.array_union("sh_n", "sh_o")) >= threshold)
+        .select(F.col("n_id").alias(id_col)).distinct()
+        .withColumn("_n", F.lit(True))
+    )
+    return (
+        ex.join(near, id_col, "left")
+        .select(id_col, "dropped_exact",
+                F.coalesce("_n", F.lit(False)).alias("dropped_near"))
+        .withColumn("keep",
+                    ~F.col("dropped_exact") & ~F.col("dropped_near"))
+    )

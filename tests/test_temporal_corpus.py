@@ -352,3 +352,44 @@ def test_sample_temperature_hand_checked(spark):
     )
     got = sorted(r.doc_id for r in sample_temperature(df, 3).collect())
     assert got == [0, 2, 10]
+
+
+# ---------------------------------------------------------------------------
+# longest-prefix URL rules
+# ---------------------------------------------------------------------------
+
+def test_url_rules_longest_prefix_wins(spark):
+    rules = spark.createDataFrame(
+        [(0, "a.com", "https://a.com/", False),       # host-level deny
+         (1, "a.com", "https://a.com/docs/", True),   # path-level allow
+         (2, "b.com", "https://b.com/", True)],
+        "rule_id long, host string, prefix string, allow boolean")
+    pages = spark.createDataFrame(
+        [(10, "https://a.com/docs/intro"),   # path rule (longer) -> allow
+         (11, "https://a.com/blog/x"),       # host rule -> deny
+         (12, "https://b.com/anything"),     # allow
+         (13, "https://c.com/no/rules")],    # default allow
+        "doc_id long, url string")
+    from bdtopo2refhydro_spark.operators.corpus import apply_url_rules
+    got = {r["doc_id"]: (r["allow"], r["matched_rule"], r["matched_len"])
+           for r in apply_url_rules(pages, rules).collect()}
+    assert got[10] == (True, 1, len("https://a.com/docs/"))
+    assert got[11] == (False, 0, len("https://a.com/"))
+    assert got[12] == (True, 2, len("https://b.com/"))
+    assert got[13] == (True, -1, 0)
+
+
+def test_url_rules_duplicate_prefix_tiebreak_and_default_deny(spark):
+    rules = spark.createDataFrame(
+        [(5, "a.com", "https://a.com/", True),
+         (3, "a.com", "https://a.com/", False)],  # same prefix, lower id
+        "rule_id long, host string, prefix string, allow boolean")
+    pages = spark.createDataFrame(
+        [(1, "https://a.com/x"), (2, "https://z.com/y")],
+        "doc_id long, url string")
+    from bdtopo2refhydro_spark.operators.corpus import apply_url_rules
+    got = {r["doc_id"]: (r["allow"], r["matched_rule"])
+           for r in apply_url_rules(pages, rules,
+                                    default_allow=False).collect()}
+    assert got[1] == (False, 3)   # rule_id asc breaks the tie
+    assert got[2] == (False, -1)  # default_deny honored

@@ -634,3 +634,40 @@ def test_bpe_merge_handles_back_to_back_chains(spark):
            for r in TX.bpe_train_merges(docs).orderBy("round").collect()]
     assert got == [(1, "a", "b", 3), (2, "ab", "ab", 2),
                    (3, "abab", "ab", 1)]
+
+
+# ---------------------------------------------------------------------------
+# incremental (cross-snapshot) dedup
+# ---------------------------------------------------------------------------
+
+def test_incremental_dedup_flags(spark):
+    from bdtopo2refhydro_spark.operators.text import incremental_dedup
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    old = spark.createDataFrame(
+        [(0, base), (2, "completely unrelated content about spark plans"),
+         (4, "another distinct old document body here")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, base),                                   # exact copy of old 0
+         (3, base + " today"),                        # near-dup of old 0
+         (5, "fresh never seen text with many novel tokens indeed")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["dropped_exact"], r["dropped_near"], r["keep"])
+           for r in incremental_dedup(new, old, threshold=0.5).collect()}
+    assert got[1][0] is True and got[1][2] is False
+    assert got[3] == (False, True, False)
+    assert got[5] == (False, False, True)
+
+
+def test_incremental_dedup_never_drops_new_vs_new(spark):
+    from bdtopo2refhydro_spark.operators.text import incremental_dedup
+    dup = "identical new snapshot text repeated across two new docs only"
+    old = spark.createDataFrame(
+        [(0, "old corpus text sharing nothing with the new snapshot")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, dup), (3, dup)], "doc_id long, text string")
+    out = incremental_dedup(new, old, threshold=0.5).collect()
+    # intra-snapshot duplicates are NOT this operator's job (self-dedup
+    # handles them) — both copies survive the cross-snapshot pass
+    assert all(r["keep"] for r in out)
