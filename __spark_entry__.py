@@ -2206,6 +2206,32 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+def _q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval join (streaming/stateful.py:
+    stream_interval_join): every click pairs with the same user's views
+    within the following 6 hours, both sides buffered in the join state
+    store. availableNow drain in append mode — inner joins emit eagerly
+    on match, so the drain equals the batch interval join exactly (the
+    fixture is one file = one micro-batch; the cross-batch match and
+    watermark-eviction paths are pytest-pinned with maxFilesPerTrigger).
+    Integer-µs deltas keep the oracle bit-exact."""
+    from bdtopo2refhydro_spark.streaming import stream_interval_join
+
+    return stream_interval_join(
+        spark, f"{sf_dir}/events.parquet", within="6 hours",
+        watermark="60 days", query_name="stream_join_events",
+    )
+
+
+_STREAM_JOIN_SQL = """
+SELECT l.event_id AS left_id, r.event_id AS right_id,
+       l.user_id AS key, epoch_us(r.ts) - epoch_us(l.ts) AS delta_us
+FROM events l JOIN events r ON l.user_id = r.user_id
+WHERE l.event_type = 'click' AND r.event_type = 'view'
+  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR
+"""
+
+
 def _q_width_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.3 analytic pipeline end-to-end (J2 clip → J9 zonal filter → J10
     outlet re-add → G3 connectivity repair → G5 measure → G6 Hack → G7
@@ -3887,7 +3913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "image_ppm": _q_image_ppm,
         "audio_wav": _q_audio_wav,
-        "image_resize": _q_image_resize,
+        "stream_join": _q_stream_join,
         "corpus_manifest": _q_corpus_manifest,
         "sessionize": _q_sessionize,
         "asof_join": _q_asof_join,
@@ -3927,6 +3953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hand-built fixtures and oracle_check re-verifies every round
         "lsh_ann": _q_lsh_ann,
         "emb_dup_pairs": _q_emb_dup_pairs,
+        "image_resize": _q_image_resize,
         "lsh_pairs": _q_lsh_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
@@ -4045,6 +4072,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q6": _TPCH_Q6_SQL,
         "bucket_join": _BUCKET_JOIN_SQL,
         "stream_sessions": _STREAM_SESSIONS_SQL,
+        "stream_join": _STREAM_JOIN_SQL,
         "chunk_docs": _CHUNK_DOCS_SQL,
         "sem_dedup": _sem_dedup_sql(),
         "bpe_train": _bpe_train_sql(),

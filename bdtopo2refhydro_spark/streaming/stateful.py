@@ -126,6 +126,60 @@ def stream_windowed_counts(spark: SparkSession, path: str,
     return _drain_to_memory(agg, query_name, "complete")
 
 
+def stream_interval_join(spark: SparkSession, path: str, *,
+                         time_col: str = "ts", key_col: str = "user_id",
+                         id_col: str = "event_id",
+                         type_col: str = "event_type",
+                         left_type: str = "click", right_type: str = "view",
+                         within: str = "10 minutes",
+                         watermark: str = "30 minutes",
+                         query_name: str = "stream_join",
+                         files_per_trigger: int | None = None) -> DataFrame:
+    """Stream-stream event-time INTERVAL join: every ``left_type`` event
+    pairs with the same key's ``right_type`` events whose timestamp lands
+    in ``[l.ts, l.ts + within]`` (both bounds inclusive).
+
+    This is Spark's stateful stream-stream join: both sides buffer in the
+    state store (partitioned by the join key across executors — at crawl
+    scale neither side's state concentrates anywhere), watermarks bound
+    how long a buffered row waits for a late partner, and the time-range
+    predicate lets Spark evict state as the watermark passes
+    ``l.ts + within``. Inner joins emit eagerly on match, so an
+    availableNow drain in append mode is deterministic and equals the
+    batch interval join — PROVIDED no needed row arrives later than the
+    watermark allows; the cross-batch pytest pins both the match-across-
+    micro-batches path and the watermark-eviction path.
+
+    Emits (left_id, right_id, key, delta_us) with integer-microsecond
+    deltas (bit-exact vs the DuckDB oracle's epoch_us arithmetic)."""
+    schema = spark.read.parquet(path).schema
+    left = (
+        _stream_reader(spark, path, schema, files_per_trigger)
+        .filter(F.col(type_col) == left_type)
+        .select(F.col(id_col).alias("left_id"),
+                F.col(key_col).alias("key"),
+                F.col(time_col).cast("timestamp").alias("l_ts"))
+        .withWatermark("l_ts", watermark)
+    )
+    right = (
+        _stream_reader(spark, path, schema, files_per_trigger)
+        .filter(F.col(type_col) == right_type)
+        .select(F.col(id_col).alias("right_id"),
+                F.col(key_col).alias("r_key"),
+                F.col(time_col).cast("timestamp").alias("r_ts"))
+        .withWatermark("r_ts", watermark)
+    )
+    joined = left.join(
+        right,
+        F.expr(f"key = r_key AND r_ts >= l_ts "
+               f"AND r_ts <= l_ts + INTERVAL {within}"),
+    ).select(
+        "left_id", "right_id", F.col("key"),
+        (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("delta_us"),
+    )
+    return _drain_to_memory(joined, query_name, "append")
+
+
 def stream_session_windows(spark: SparkSession, path: str,
                            time_col: str, group_col: str,
                            gap: str = "30 minutes",

@@ -107,3 +107,85 @@ def test_session_windows_merge_across_micro_batches(spark, tmp_path):
         (1, us("2024-01-01 11:30:00"), us("2024-01-01 11:30:00") + gap, 1),
         (2, us("2024-01-01 09:00:00"), us("2024-01-01 09:00:00") + gap, 1),
     }
+
+
+def _write_ordered_batches(tmp_path, batches, schema, ts_cols=("ts",)):
+    """Write each batch as one parquet file with increasing mtime so the
+    file stream source replays them as separate ordered micro-batches."""
+    import glob
+    import os
+    import shutil
+    import time as _t
+
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat, exist_ok=True)
+    from pyspark.sql import SparkSession
+    spark = SparkSession.getActiveSession()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, schema)
+        for c in ts_cols:
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+        sub = str(tmp_path / f"ij_b{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(sub)
+        src = glob.glob(sub + "/part-*.parquet")[0]
+        shutil.copy(src, f"{flat}/{i:02d}.parquet")
+        os.utime(f"{flat}/{i:02d}.parquet", (_t.time() + i, _t.time() + i))
+    return flat
+
+
+def test_interval_join_matches_across_micro_batches(spark, tmp_path):
+    """Left rows buffered in batch 1 must still match right rows that only
+    arrive in batch 2 — the state-store path a within-batch join lacks."""
+    from bdtopo2refhydro_spark.streaming import stream_interval_join
+
+    schema = "event_id long, ts string, user_id long, event_type string"
+    b1 = [(0, "2024-01-01 10:00:00", 1, "click"),
+          (1, "2024-01-01 10:03:00", 1, "view"),     # same-batch match
+          (2, "2024-01-01 10:00:00", 2, "click")]
+    b2 = [(3, "2024-01-01 10:08:00", 1, "view"),     # cross-batch match
+          (4, "2024-01-01 10:09:00", 2, "view"),     # cross-batch match
+          (5, "2024-01-01 10:20:00", 1, "view")]     # outside 10-min window
+    flat = _write_ordered_batches(tmp_path, [b1, b2], schema)
+    out = stream_interval_join(spark, flat, within="10 minutes",
+                               watermark="2 hours",
+                               query_name="t_ij_multi",
+                               files_per_trigger=1)
+    got = {(r.left_id, r.right_id, r.key, r.delta_us) for r in out.collect()}
+    m = 60 * 1_000_000
+    assert got == {(0, 1, 1, 3 * m), (0, 3, 1, 8 * m), (2, 4, 2, 9 * m)}
+
+
+def test_interval_join_watermark_evicts_stale_state(spark, tmp_path):
+    """A left row older than (watermark - within) is evicted from the
+    state store once the event-time watermark advances past its join
+    window; a right partner arriving in a later batch then finds nothing.
+    This is the bounded-state guarantee that makes the join runnable on
+    an unbounded crawl stream."""
+    from bdtopo2refhydro_spark.streaming import stream_interval_join
+
+    schema = "event_id long, ts string, user_id long, event_type string"
+    # Two subtleties pinned here (both probed on Spark 4):
+    # - the global watermark is the MIN over both inputs', so batch 1
+    #   must advance BOTH sides (a side with no data yet pins the global
+    #   watermark at epoch and nothing ever evicts);
+    # - join-state cleanup runs at the END of a batch with that batch's
+    #   watermark, which derives from the PREVIOUS batch's data — so a
+    #   stale row survives one extra batch, and observing eviction takes
+    #   three: seed watermark (b1), cleanup fires (end of b2), late
+    #   partner misses (b3).
+    b1 = [(0, "2024-01-01 10:00:00", 1, "click"),
+          (1, "2024-01-01 15:00:00", 9, "click"),
+          (2, "2024-01-01 15:00:00", 9, "view")]     # advances right side
+    b2 = [(3, "2024-01-01 15:01:00", 9, "view")]
+    # b2 ran with watermark 15:00-10min = 14:50; its end-of-batch cleanup
+    # evicted click 0 (window [10:00,10:10] ≪ 14:50)
+    b3 = [(4, "2024-01-01 10:05:00", 1, "view"),     # partner came too late
+          (5, "2024-01-01 15:04:00", 9, "view")]     # fresh pair still joins
+    flat = _write_ordered_batches(tmp_path, [b1, b2, b3], schema)
+    out = stream_interval_join(spark, flat, within="10 minutes",
+                               watermark="10 minutes",
+                               query_name="t_ij_evict",
+                               files_per_trigger=1)
+    got = {(r.left_id, r.right_id) for r in out.collect()}
+    assert {(1, 2), (1, 3), (1, 5)} <= got
+    assert (0, 4) not in got
