@@ -2232,6 +2232,90 @@ WHERE l.event_type = 'click' AND r.event_type = 'view'
 """
 
 
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-snapshot corpus diff (cdc.py:snapshot_diff): NEW is derived
+    from documents deterministically — doc_id%7==0 removed, survivors
+    with doc_id%5==0 get ' v2' appended (changed), doc_id%11==0 re-enter
+    as added rows at doc_id+10M. Only 16-byte digests shuffle through
+    the full-outer join; text bytes never leave the scan."""
+    from bdtopo2refhydro_spark.operators.cdc import snapshot_diff
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source")
+    new = docs.filter("doc_id % 7 != 0").withColumn(
+        "text", F.expr("case when doc_id % 5 = 0 then concat(text, ' v2')"
+                       " else text end"))
+    added = docs.filter("doc_id % 11 = 0").select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.lit("added page "),
+                 F.col("doc_id").cast("string")).alias("text"),
+        "lang", "source")
+    return snapshot_diff(docs, new.unionByName(added), "doc_id",
+                         ["text", "lang", "source"])
+
+
+def _snap_digest_sql(src: str, out: str) -> str:
+    return (f"SELECT doc_id, md5(coalesce(text, chr(1)) || chr(31) || "
+            f"coalesce(lang, chr(1)) || chr(31) || "
+            f"coalesce(source, chr(1)) || chr(31)) AS {out} FROM {src}")
+
+
+_SNAPSHOT_DIFF_SQL = f"""
+WITH oldsnap AS (SELECT doc_id, text, lang, source FROM documents),
+newsnap AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text,
+         lang, source
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000, 'added page ' || CAST(doc_id AS VARCHAR),
+         lang, source
+  FROM documents WHERE doc_id % 11 = 0
+),
+od AS ({_snap_digest_sql('oldsnap', 'old_digest')}),
+nd AS ({_snap_digest_sql('newsnap', 'new_digest')})
+SELECT coalesce(od.doc_id, nd.doc_id) AS doc_id,
+       CASE WHEN od.doc_id IS NULL THEN 'added'
+            WHEN nd.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS change,
+       old_digest, new_digest
+FROM od FULL OUTER JOIN nd ON od.doc_id = nd.doc_id
+WHERE od.doc_id IS NULL OR nd.doc_id IS NULL OR old_digest <> new_digest
+"""
+
+
+def _q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history of each user's event_type from the events
+    change log (cdc.py:scd2_build): consecutive same-value events
+    collapse, validity is [valid_from_us, valid_to_us) in integer µs
+    with the open version flagged is_current (NULL end coalesced to -1
+    for the driver hash — nullable BIGINT lands as float64 in pandas)."""
+    from bdtopo2refhydro_spark.operators.cdc import scd2_build
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hist = scd2_build(ev, "user_id", "ts", "event_type",
+                      tiebreak_col="event_id")
+    return hist.withColumn(
+        "valid_to_us", F.coalesce("valid_to_us", F.lit(-1).cast("bigint")))
+
+
+_SCD2_SQL = """
+WITH lagged AS (
+  SELECT user_id, event_id, event_type, ts,
+         lag(event_type) OVER w AS prev
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+versions AS (
+  SELECT user_id, event_type, ts, event_id FROM lagged
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type,
+       epoch_us(ts) AS valid_from_us,
+       coalesce(epoch_us(lead(ts) OVER w2), -1) AS valid_to_us,
+       lead(ts) OVER w2 IS NULL AS is_current
+FROM versions WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def _q_width_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.3 analytic pipeline end-to-end (J2 clip → J9 zonal filter → J10
     outlet re-add → G3 connectivity repair → G5 measure → G6 Hack → G7
@@ -3918,10 +4002,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "asof_join": _q_asof_join,
         "range_count": _q_range_count,
-        "time_rollup": _q_time_rollup,
+        "snapshot_diff": _q_snapshot_diff,
         "para_dedup": _q_para_dedup,
         "sample_strat": _q_sample_strat,
-        "top_tokens": _q_top_tokens,
+        "scd2": _q_scd2,
         "kmv_distinct": _q_kmv_distinct,
         "knn_join": _q_knn_join,
         "tile_compact": _q_tile_compact,
@@ -3954,6 +4038,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann": _q_lsh_ann,
         "emb_dup_pairs": _q_emb_dup_pairs,
         "image_resize": _q_image_resize,
+        "time_rollup": _q_time_rollup,
+        "top_tokens": _q_top_tokens,
         "lsh_pairs": _q_lsh_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
@@ -4073,6 +4159,8 @@ def oracle_sql() -> dict[str, str]:
         "bucket_join": _BUCKET_JOIN_SQL,
         "stream_sessions": _STREAM_SESSIONS_SQL,
         "stream_join": _STREAM_JOIN_SQL,
+        "snapshot_diff": _SNAPSHOT_DIFF_SQL,
+        "scd2": _SCD2_SQL,
         "chunk_docs": _CHUNK_DOCS_SQL,
         "sem_dedup": _sem_dedup_sql(),
         "bpe_train": _bpe_train_sql(),

@@ -1,0 +1,83 @@
+"""CDC operators (operators/cdc.py): snapshot diff + SCD2 history."""
+
+from pyspark.sql import functions as F
+
+from bdtopo2refhydro_spark.operators.cdc import scd2_build, snapshot_diff
+
+
+def test_snapshot_diff_classifies_all_change_kinds(spark):
+    old = spark.createDataFrame(
+        [(1, "alpha", "en"), (2, "beta", "en"), (3, "gamma", "fr")],
+        "doc_id long, text string, lang string")
+    new = spark.createDataFrame(
+        [(1, "alpha", "en"),        # unchanged
+         (2, "beta EDITED", "en"),  # changed
+         (4, "delta", "de")],       # added; 3 removed
+        "doc_id long, text string, lang string")
+    got = {r.doc_id: r.change
+           for r in snapshot_diff(old, new, "doc_id",
+                                  ["text", "lang"]).collect()}
+    assert got == {2: "changed", 3: "removed", 4: "added"}
+
+    with_unchanged = {r.doc_id: r.change
+                      for r in snapshot_diff(old, new, "doc_id",
+                                             ["text", "lang"],
+                                             include_unchanged=True)
+                      .collect()}
+    assert with_unchanged[1] == "unchanged" and len(with_unchanged) == 4
+
+
+def test_snapshot_diff_null_vs_empty_and_separator_injection(spark):
+    """NULL and '' must digest differently, and column-boundary drift
+    ('ab','c') vs ('a','bc') must not collide."""
+    old = spark.createDataFrame([(1, None, "x"), (2, "ab", "c")],
+                                "k long, a string, b string")
+    new = spark.createDataFrame([(1, "", "x"), (2, "a", "bc")],
+                                "k long, a string, b string")
+    got = {r.k: r.change
+           for r in snapshot_diff(old, new, "k", ["a", "b"]).collect()}
+    assert got == {1: "changed", 2: "changed"}
+
+
+def test_scd2_collapses_runs_and_builds_validity_ranges(spark):
+    ev = spark.createDataFrame(
+        [(7, "2024-01-01 00:00:00", 0, "trial"),
+         (7, "2024-01-02 00:00:00", 1, "trial"),     # same value: collapses
+         (7, "2024-01-03 00:00:00", 2, "paid"),
+         (7, "2024-01-05 00:00:00", 3, "churned"),
+         (8, "2024-06-01 00:00:00", 4, "paid")],
+        "user_id long, ts_s string, event_id long, plan string"
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "event_id", "plan")
+    rows = scd2_build(ev, "user_id", "ts", "plan",
+                      tiebreak_col="event_id").collect()
+    by_key = {(r.user_id, r.plan): (r.valid_from_us, r.valid_to_us,
+                                    r.is_current) for r in rows}
+    us = lambda s: int(  # noqa: E731
+        __import__("datetime").datetime.fromisoformat(s + "+00:00")
+        .timestamp() * 1_000_000)
+    assert len(rows) == 4  # the duplicate 'trial' produced no version
+    assert by_key[(7, "trial")] == (
+        us("2024-01-01 00:00:00"), us("2024-01-03 00:00:00"), False)
+    assert by_key[(7, "paid")] == (
+        us("2024-01-03 00:00:00"), us("2024-01-05 00:00:00"), False)
+    assert by_key[(7, "churned")] == (
+        us("2024-01-05 00:00:00"), None, True)
+    assert by_key[(8, "paid")] == (us("2024-06-01 00:00:00"), None, True)
+
+
+def test_scd2_equal_timestamps_break_ties_deterministically(spark):
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 2, "b"),
+         (1, "2024-01-01 00:00:00", 1, "a")],   # same ts: event_id orders
+        "user_id long, ts_s string, event_id long, plan string"
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "event_id", "plan")
+    rows = sorted(scd2_build(ev, "user_id", "ts", "plan",
+                             tiebreak_col="event_id").collect(),
+                  key=lambda r: r.valid_from_us == r.valid_from_us
+                  and not r.is_current, reverse=True)
+    assert [r.plan for r in rows] == ["a", "b"]
+    assert rows[0].is_current is False and rows[1].is_current is True
+    # zero-length validity: both versions share valid_from == valid_to
+    assert rows[0].valid_to_us == rows[1].valid_from_us
