@@ -2316,6 +2316,29 @@ FROM versions WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact-to-dim join (relational.py:salted_join): events'
+    user_id is power-law by construction; each event row gets a
+    deterministic salt, the per-user rollup replicates salts×, and the
+    join runs on (user_id, salt) so no single reducer owns a hot user.
+    Values are exactly the plain equi-join — which is what the oracle
+    runs."""
+    from bdtopo2refhydro_spark.operators.relational import salted_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("event_id", "user_id", "event_type")
+    dim = ev.groupBy("user_id").agg(F.count("*").alias("user_total"))
+    return salted_join(ev, dim, "user_id", salts=16)
+
+
+_SALTED_JOIN_SQL = """
+SELECT e.user_id, e.event_id, e.event_type, t.user_total
+FROM events e
+JOIN (SELECT user_id, count(*) AS user_total FROM events GROUP BY 1) t
+  USING (user_id)
+"""
+
+
 def _q_width_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.3 analytic pipeline end-to-end (J2 clip → J9 zonal filter → J10
     outlet re-add → G3 connectivity repair → G5 measure → G6 Hack → G7
@@ -4006,7 +4029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "para_dedup": _q_para_dedup,
         "sample_strat": _q_sample_strat,
         "scd2": _q_scd2,
-        "kmv_distinct": _q_kmv_distinct,
+        "salted_join": _q_salted_join,
         "knn_join": _q_knn_join,
         "tile_compact": _q_tile_compact,
         "url_dedup": _q_url_dedup,
@@ -4040,6 +4063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": _q_image_resize,
         "time_rollup": _q_time_rollup,
         "top_tokens": _q_top_tokens,
+        "kmv_distinct": _q_kmv_distinct,
         "lsh_pairs": _q_lsh_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
@@ -4161,6 +4185,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_join": _STREAM_JOIN_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "scd2": _SCD2_SQL,
+        "salted_join": _SALTED_JOIN_SQL,
         "chunk_docs": _CHUNK_DOCS_SQL,
         "sem_dedup": _sem_dedup_sql(),
         "bpe_train": _bpe_train_sql(),

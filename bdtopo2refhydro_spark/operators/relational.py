@@ -142,3 +142,36 @@ def append_skip_duplicates(base: DataFrame, incoming: DataFrame,
         incoming.join(base.select(key), key, "left_anti"),
         allowMissingColumns=True,
     )
+
+
+def salted_join(skewed: DataFrame, other: DataFrame, key: str, *,
+                salts: int = 16, salt_cols: list[str] | None = None,
+                how: str = "inner") -> DataFrame:
+    """Skew-safe equi-join: salt the SKEWED side, replicate the other.
+
+    A hash join on a power-law key (host, user, domain — every crawl
+    table has one) lands each hot key in one shuffle partition; one task
+    then processes the whole head of the distribution while the rest of
+    the cluster idles. AQE's skew-join splitting fixes this for
+    sort-merge joins at runtime, but not for stateful operators or when
+    the skewed side must stay hash-partitioned downstream — this is the
+    explicit fallback.
+
+    Each skewed row gets a deterministic salt in [0, salts) derived from
+    ``salt_cols`` (default: all non-key columns — NOT a random number,
+    so retries/resumes place rows identically); the other side is
+    replicated ``salts``× via an explode, and the join runs on
+    (key, salt). Hot keys therefore spread over ``salts`` partitions at
+    the cost of |other| × salts shuffle bytes — the right trade when
+    ``other`` is per-key aggregates (small rows) and ``skewed`` is the
+    corpus. Result == the plain equi-join, row for row.
+    """
+    if salt_cols is None:
+        salt_cols = [c for c in skewed.columns if c != key]
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]),
+                  F.lit(salts)).cast("int")
+    left = skewed.withColumn("_salt", salt)
+    right = other.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
+    return left.join(right, [key, "_salt"], how).drop("_salt")

@@ -133,3 +133,49 @@ def test_append_skip_duplicates(spark):
     out = append_skip_duplicates(base, inc)
     rows = {r.url: r.v for r in out.collect()}
     assert rows == {"u1": 1, "u2": 2}
+
+
+def test_salted_join_equals_plain_join_on_skewed_keys(spark):
+    from bdtopo2refhydro_spark.operators.relational import salted_join
+
+    # 997 rows on key 1 (the hot head), a few on 2/3, one dangling dim key
+    rows = [(i, 1 if i < 997 else (2 if i % 2 == 0 else 3), f"p{i}")
+            for i in range(1000)]
+    skewed = spark.createDataFrame(rows, "row_id long, k long, payload string")
+    dim = spark.createDataFrame([(1, "hot"), (2, "warm"), (9, "unused")],
+                                "k long, label string")
+    got = salted_join(skewed, dim, "k", salts=8).collect()
+    want = skewed.join(dim, "k").collect()
+    key = lambda r: (r.row_id, r.k, r.payload, r.label)  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want))
+
+    left_got = salted_join(skewed, dim, "k", salts=8, how="left").collect()
+    left_want = skewed.join(dim, "k", "left").collect()
+    lkey = lambda r: (r.row_id, r.k, r.payload, r.label)  # noqa: E731
+    assert sorted(map(lkey, left_got)) == sorted(map(lkey, left_want))
+
+
+def test_salted_join_spreads_hot_key_and_is_deterministic(spark):
+    from bdtopo2refhydro_spark.operators.relational import salted_join
+
+    skewed = spark.createDataFrame(
+        [(i, 1, f"p{i}") for i in range(512)],
+        "row_id long, k long, payload string")
+    dim = spark.createDataFrame([(1, "hot")], "k long, label string")
+    out = salted_join(skewed, dim, "k", salts=8)
+    # the hot key's rows really occupy many (key, salt) buckets
+    n_buckets = (
+        skewed.withColumn(
+            "_salt",
+            __import__("pyspark.sql.functions", fromlist=["pmod"]).pmod(
+                __import__("pyspark.sql.functions",
+                           fromlist=["xxhash64"]).xxhash64("row_id",
+                                                           "payload"), 8))
+        .select("_salt").distinct().count())
+    assert n_buckets == 8
+    # physical join keys include the salt; the dim side replicates via
+    # an explode (Generate) — the shape that actually spreads the work
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan and "Generate explode" in plan
+    # deterministic salting: two runs place rows identically
+    assert sorted(r.row_id for r in out.collect()) == list(range(512))
