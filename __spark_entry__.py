@@ -3038,6 +3038,86 @@ def _host_rank_sql(rounds: int = 3) -> str:
     return ",\n".join(ctes) + f"\nSELECT node, rank FROM r{rounds}"
 
 
+def _q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer): the big-order keys come from a
+    pre-aggregation of lineitem (HAVING sum_qty > 250 keeps ~1%), which
+    then SEMI-drives the plan — orders joins the small key set, the
+    policy-sized customer dim broadcasts, and lineitem is touched once
+    (its rollup is reused as the join payload, no second scan-agg).
+    Quantities are integer-valued doubles → order-independent sums,
+    cast to BIGINT for the hash."""
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("bigint").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        od.join(big, od.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice", "sum_qty",
+        )
+    )
+
+
+_TPCH_Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING CAST(sum(l_quantity) AS BIGINT) > 250
+)
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, sum_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def _q_anchor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation per link target (linkgraph.py:
+    anchor_aggregate): links derive deterministically from documents
+    (target = doc-hash bucket, anchor = the doc's first two tokens);
+    per target the k=3 most frequent anchors, frequency-desc then
+    lexicographic, chr(31)-joined. Raw links collapse to
+    (dst, anchor) counts map-side before any shuffle."""
+    from bdtopo2refhydro_spark.operators.linkgraph import anchor_aggregate
+
+    docs = _docs(spark, sf_dir)
+    links = docs.select(
+        F.expr(f"concat('d', cast(({_H} div 13) % 50 as string))")
+        .alias("dst"),
+        F.expr("array_join(slice(split(trim(lower(text)), '\\\\s+'), 1, 2),"
+               " ' ')").alias("anchor"),
+    )
+    return anchor_aggregate(links, k=3)
+
+
+_ANCHOR_AGG_SQL = f"""
+WITH links AS (
+  SELECT 'd' || CAST(({_HD} // 13) % 50 AS VARCHAR) AS dst,
+         array_to_string(list_slice(regexp_split_to_array(
+           trim(lower(text)), '\\s+'), 1, 2), ' ') AS anchor
+  FROM documents
+),
+counts AS (SELECT dst, anchor, count(*) AS cnt FROM links GROUP BY 1, 2),
+ranked AS (
+  SELECT dst, anchor, cnt, row_number() OVER (
+    PARTITION BY dst ORDER BY cnt DESC, anchor ASC) AS rn
+  FROM counts
+)
+SELECT dst, CAST(SUM(cnt) AS BIGINT) AS n_links,
+       CAST(count(*) AS BIGINT) AS n_anchors,
+       array_to_string(list(anchor ORDER BY rn) FILTER (rn <= 3),
+                       chr(31)) AS top_anchors
+FROM ranked GROUP BY dst
+"""
+
+
 def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host triangle participation over the sparsified undirected
     host graph (doc_id % 3 linkers) — degree-oriented wedge join, the
@@ -4016,7 +4096,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_kmeans_ann": _q_ivf_kmeans_ann,
         "fix_conn_exact": _q_fix_conn_exact,
         "dedup_cluster": _q_dedup_cluster,
-        "repetition": _q_repetition,
         "pii_redact": _q_pii_redact,
         "image_ppm": _q_image_ppm,
         "audio_wav": _q_audio_wav,
@@ -4044,6 +4123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_int8": _q_ann_int8,
         "lm_fluency": _q_lm_fluency,
         "tpch_q6": _q_tpch_q6,
+        "tpch_q18": _q_tpch_q18,
         "bucket_join": _q_bucket_join,
         "stream_sessions": _q_stream_sessions,
         "chunk_docs": _q_chunk_docs,
@@ -4051,7 +4131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": _q_bpe_train,
         "host_rank": _q_host_rank,
         "triangles": _q_triangles,
-        "tfidf_topk": _q_tfidf_topk,
+        "anchor_agg": _q_anchor_agg,
         "bloom_dedup": _q_bloom_dedup,
         # image_bmp/temp_sample (r3) and lsh_ann/emb_dup_pairs (the ANN
         # family keeps cosine_topk/ivf_ann/ivf_kmeans_ann/ann_int8/
@@ -4061,6 +4141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann": _q_lsh_ann,
         "emb_dup_pairs": _q_emb_dup_pairs,
         "image_resize": _q_image_resize,
+        "repetition": _q_repetition,
+        "tfidf_topk": _q_tfidf_topk,
         "time_rollup": _q_time_rollup,
         "top_tokens": _q_top_tokens,
         "kmv_distinct": _q_kmv_distinct,
@@ -4186,6 +4268,8 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "scd2": _SCD2_SQL,
         "salted_join": _SALTED_JOIN_SQL,
+        "anchor_agg": _ANCHOR_AGG_SQL,
+        "tpch_q18": _TPCH_Q18_SQL,
         "chunk_docs": _CHUNK_DOCS_SQL,
         "sem_dedup": _sem_dedup_sql(),
         "bpe_train": _bpe_train_sql(),

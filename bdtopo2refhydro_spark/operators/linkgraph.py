@@ -158,3 +158,44 @@ def triangle_counts(
     return corners.groupBy("node").agg(
         F.count("*").cast("bigint").alias("tri_cnt")
     )
+
+
+def anchor_aggregate(links: DataFrame, *, k: int = 3,
+                     dst_col: str = "dst",
+                     anchor_col: str = "anchor") -> DataFrame:
+    """Aggregate anchor text per link target — the classic web-search
+    signal (a page is what its in-links call it).
+
+    Returns one row per target: (dst, n_links, n_anchors,
+    top_anchors) where top_anchors is the k most frequent anchor
+    strings, most-frequent first, ties broken lexicographically.
+
+    Scale shape: the anchor strings are first reduced to
+    (dst, anchor) → count with map-side partial aggregation (the raw
+    link table — trillions of edges — collapses before the shuffle);
+    the per-target top-k window then runs on the collapsed table whose
+    size is Σ distinct anchors per target, and the final per-target
+    rollup reuses the same (dst) partitioning. No anchor text ever
+    moves more than once.
+    """
+    counts = (
+        links.groupBy(dst_col, anchor_col)
+        .agg(F.count("*").alias("cnt"))
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy(dst_col).orderBy(F.desc("cnt"),
+                                            F.asc(anchor_col))
+    ranked = counts.withColumn("_rn", F.row_number().over(w))
+    return ranked.groupBy(dst_col).agg(
+        F.sum("cnt").alias("n_links"),
+        F.count("*").cast("bigint").alias("n_anchors"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(
+                    F.when(F.col("_rn") <= k,
+                           F.struct("_rn", anchor_col)))),
+                lambda s: s[anchor_col],
+            ),
+            "\x1f",
+        ).alias("top_anchors"),
+    )

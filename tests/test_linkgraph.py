@@ -152,3 +152,27 @@ def test_bloom_filter_is_tiny(spark):
     rows = bloom.collect()
     assert len(rows) <= 8
     assert all(0 <= r["word"] < 8 and r["bits"] > 0 for r in rows)
+
+
+def test_anchor_aggregate_topk_and_ties(spark):
+    from bdtopo2refhydro_spark.operators.linkgraph import anchor_aggregate
+
+    links = spark.createDataFrame(
+        [("t1", "home"), ("t1", "home"), ("t1", "home"),
+         ("t1", "docs"), ("t1", "docs"),
+         ("t1", "blog"), ("t1", "api"),       # cnt=1 tie: 'api' < 'blog'
+         ("t2", "solo")],
+        "dst string, anchor string")
+    got = {r.dst: (r.n_links, r.n_anchors, r.top_anchors)
+           for r in anchor_aggregate(links, k=3).collect()}
+    assert got["t1"] == (7, 4, "home\x1fdocs\x1fapi")
+    assert got["t2"] == (1, 1, "solo")
+
+
+def test_anchor_aggregate_k_larger_than_anchors(spark):
+    from bdtopo2refhydro_spark.operators.linkgraph import anchor_aggregate
+
+    links = spark.createDataFrame([("t", "a"), ("t", "b")],
+                                  "dst string, anchor string")
+    [r] = anchor_aggregate(links, k=10).collect()
+    assert (r.n_links, r.n_anchors, r.top_anchors) == (2, 2, "a\x1fb")
