@@ -145,3 +145,51 @@ def test_chunk_docs_is_map_side_only(spark, entry):
     plan = _plan(entry.queries()["chunk_docs"](spark, SF))
     assert "Exchange hashpartitioning" not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_scd2_single_exchange_single_sort(spark, entry):
+    """Both SCD2 windows (change-collapse lag, validity lead) must share
+    ONE hash exchange and ONE sort — the filter between them preserves
+    the (key) partitioning and (ts, tiebreak) ordering."""
+    plan = _plan(entry.queries()["scd2"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("+- Sort ") + plan.count("+- *Sort ") <= 1 or \
+        plan.count("Sort [") == 1
+
+
+def test_snapshot_diff_shuffles_digests_not_text(spark, entry):
+    """The full-outer join must consume pre-digested 16-byte columns:
+    no Exchange row carries the text column (only the scans read it)."""
+    plan = _plan(entry.queries()["snapshot_diff"](spark, SF))
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line
+
+
+def test_url_rules_broadcasts_the_policy_table(spark, entry):
+    plan = _plan(entry.queries()["url_rules"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q18_broadcasts_customer_only(spark, entry):
+    """customer is the policy-sized dim — always a BroadcastHashJoin (at
+    sf0.001 AQE may broadcast the tiny big-order key set too, which is
+    the right call at that size and would revert to shuffle at scale);
+    never a nested loop or cartesian."""
+    plan = _plan(entry.queries()["tpch_q18"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_anchor_agg_partial_aggregates_before_shuffle(spark, entry):
+    """The raw link table must collapse map-side: a partial HashAggregate
+    appears below the first exchange."""
+    plan = _plan(entry.queries()["anchor_agg"](spark, SF))
+    first_exchange = plan.index("Exchange hashpartitioning")
+    assert "HashAggregate" in plan[first_exchange:]
+    # partial agg below (printed after) the exchange in the tree
+    below = plan[first_exchange:]
+    assert "partial_count" in below or "count(1)" in below
