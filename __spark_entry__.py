@@ -319,7 +319,7 @@ def _q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEMI_JOIN_SQL = """
 SELECT doc_id, lang FROM documents
-WHERE doc_id IN (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
+WHERE doc_id IN (SELECT doc_id FROM documents WHERE doc_id % 11 = 0)
 """
 
 

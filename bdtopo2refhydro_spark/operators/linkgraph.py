@@ -199,3 +199,49 @@ def anchor_aggregate(links: DataFrame, *, k: int = 3,
             "\x1f",
         ).alias("top_anchors"),
     )
+
+
+def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3,
+               src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Bounded-round k-core peeling over the undirected link graph —
+    the classic link-farm / spam-cluster signal (a dense core survives
+    peeling; organic periphery doesn't).
+
+    Each round removes every node whose current degree is < k, then
+    drops edges touching removed nodes; after ``rounds`` rounds the
+    survivors and their residual degrees are returned as
+    (node, degree). Rounds are a fixed constant (crawl-rank style, like
+    ``page_rank_int``), NOT convergence-driven — the driver oracle
+    replays the identical unrolled rounds, and production picks rounds
+    ≈ log(graph diameter) since each peel is a full pass.
+
+    Scale shape: one round = one groupBy(degree) shuffle + two
+    broadcast-or-shuffle semi-joins against the (node-sized) keep set;
+    the edge table is localCheckpointed each round so Catalyst never
+    inlines the unrolled loop into an exponential tree (the same guard
+    as page_rank_int). Self-loops are dropped, parallel edges collapse
+    before the first count.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(edges.select(F.col(dst_col).alias("a"),
+                                  F.col(src_col).alias("b")))
+        .filter(F.col("a") != F.col("b"))  # AFTER the union: a reversed
+        .distinct()                        # self-loop is still a self-loop
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        keep = (
+            sym.groupBy("a").agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("a")
+        )
+        sym = (
+            sym.join(keep, "a", "left_semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        sym.groupBy("a").agg(F.count("*").cast("bigint").alias("degree"))
+        .select(F.col("a").alias("node"), "degree")
+    )

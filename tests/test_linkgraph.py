@@ -176,3 +176,35 @@ def test_anchor_aggregate_k_larger_than_anchors(spark):
                                   "dst string, anchor string")
     [r] = anchor_aggregate(links, k=10).collect()
     assert (r.n_links, r.n_anchors, r.top_anchors) == (2, 2, "a\x1fb")
+
+
+def test_kcore_peels_periphery_keeps_clique(spark):
+    from bdtopo2refhydro_spark.operators.linkgraph import kcore_peel
+
+    # K4 clique (0-1-2-3 all pairs) + a pendant chain 3-4-5
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.degree for r in kcore_peel(df, k=3, rounds=3).collect()}
+    # round 1 removes 5 (deg 1) and 4 (deg 2); round 2 removes nothing:
+    # the K4 is the 3-core, every member at degree 3
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_kcore_needs_multiple_rounds_for_chains(spark):
+    from bdtopo2refhydro_spark.operators.linkgraph import kcore_peel
+
+    # chain 0-1-2-3-4: 2-core is empty, but only after cascading peels
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    after1 = {r.node for r in kcore_peel(df, k=2, rounds=1).collect()}
+    assert after1 == {1, 2, 3}           # endpoints peeled first
+    assert kcore_peel(df, k=2, rounds=3).count() == 0   # cascade finishes
+
+
+def test_kcore_ignores_self_loops_and_parallel_edges(spark):
+    from bdtopo2refhydro_spark.operators.linkgraph import kcore_peel
+
+    edges = [(0, 0), (0, 1), (1, 0), (0, 1), (1, 2), (2, 0)]  # triangle
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.degree for r in kcore_peel(df, k=2, rounds=2).collect()}
+    assert got == {0: 2, 1: 2, 2: 2}
