@@ -3038,6 +3038,46 @@ def _host_rank_sql(rounds: int = 3) -> str:
     return ",\n".join(ctes) + f"\nSELECT node, rank FROM r{rounds}"
 
 
+def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round k-core peel (linkgraph.py:kcore_peel) — the
+    link-farm signal: a 12-node planted clique survives k=8 peeling
+    while the doc-derived random periphery cascades away over all three
+    rounds (120 → 83 → 30 → 12 nodes on this fixture — every round does
+    real work). Oracle = the identical unrolled rounds."""
+    from bdtopo2refhydro_spark.operators.linkgraph import kcore_peel
+
+    docs = _docs(spark, sf_dir)
+    random_part = docs.select(
+        (F.col("doc_id") % 120).alias("src"),
+        F.expr(f"({_H} div 7) % 120").alias("dst"))
+    clique = spark.range(12).alias("a").join(
+        spark.range(12).alias("b"), F.expr("a.id < b.id")).select(
+        F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+    return kcore_peel(random_part.unionByName(clique), k=8, rounds=3)
+
+
+def _kcore_sql(k: int = 8, rounds: int = 3) -> str:
+    ctes = [f"""raw AS (
+  SELECT doc_id % 120 AS src, ({_HD} // 7) % 120 AS dst FROM documents
+  UNION ALL
+  SELECT a.range, b.range FROM range(12) a JOIN range(12) b
+    ON a.range < b.range
+)""", """e0 AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM raw UNION ALL SELECT dst, src FROM raw)
+  WHERE a <> b
+)"""]
+    for i in range(rounds):
+        ctes.append(f"k{i} AS (SELECT a FROM e{i} GROUP BY a"
+                    f" HAVING count(*) >= {k})")
+        ctes.append(f"e{i + 1} AS (SELECT e{i}.a, e{i}.b FROM e{i}"
+                    f" JOIN k{i} USING (a)"
+                    f" JOIN k{i} kb ON e{i}.b = kb.a)")
+    return ("WITH " + ",\n".join(ctes) +
+            f"\nSELECT a AS node, CAST(count(*) AS BIGINT) AS degree"
+            f" FROM e{rounds} GROUP BY a")
+
+
 def _q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 (large-volume customer): the big-order keys come from a
     pre-aggregation of lineitem (HAVING sum_qty > 250 keeps ~1%), which
@@ -4130,7 +4170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sem_dedup": _q_sem_dedup,
         "bpe_train": _q_bpe_train,
         "host_rank": _q_host_rank,
-        "triangles": _q_triangles,
+        "kcore": _q_kcore,
         "anchor_agg": _q_anchor_agg,
         "bloom_dedup": _q_bloom_dedup,
         # image_bmp/temp_sample (r3) and lsh_ann/emb_dup_pairs (the ANN
@@ -4141,6 +4181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann": _q_lsh_ann,
         "emb_dup_pairs": _q_emb_dup_pairs,
         "image_resize": _q_image_resize,
+        "triangles": _q_triangles,
         "repetition": _q_repetition,
         "tfidf_topk": _q_tfidf_topk,
         "time_rollup": _q_time_rollup,
@@ -4270,6 +4311,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_join": _SALTED_JOIN_SQL,
         "anchor_agg": _ANCHOR_AGG_SQL,
         "tpch_q18": _TPCH_Q18_SQL,
+        "kcore": _kcore_sql(),
         "chunk_docs": _CHUNK_DOCS_SQL,
         "sem_dedup": _sem_dedup_sql(),
         "bpe_train": _bpe_train_sql(),
