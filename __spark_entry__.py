@@ -3038,6 +3038,77 @@ def _host_rank_sql(rounds: int = 3) -> str:
     return ",\n".join(ctes) + f"\nSELECT node, rank FROM r{rounds}"
 
 
+def _q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiling (dq.py:profile_columns): documents is
+    melted via stack to (column, value-string) and ONE hash aggregate
+    emits n / n_null / exact n_distinct / lexicographic min-max per
+    column — a single shuffle keyed by column name, map-side-combined."""
+    from bdtopo2refhydro_spark.operators.dq import profile_columns
+
+    return profile_columns(_docs(spark, sf_dir),
+                           ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+def _dq_profile_col(c: str) -> str:
+    return (f"SELECT '{c}' AS \"column\", CAST(count(*) AS BIGINT) AS n,"
+            f" CAST(count(*) - count({c}) AS BIGINT) AS n_null,"
+            f" CAST(count(DISTINCT CAST({c} AS VARCHAR)) AS BIGINT)"
+            f" AS n_distinct,"
+            f" min(CAST({c} AS VARCHAR)) AS min_str,"
+            f" max(CAST({c} AS VARCHAR)) AS max_str FROM documents")
+
+
+_DQ_PROFILE_SQL = "\nUNION ALL\n".join(
+    _dq_profile_col(c) for c in ["doc_id", "text", "lang", "source",
+                                 "n_chars"])
+
+
+def _q_dq_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint report (dq.py:check_constraints +
+    check_unique): four row-level rules fold into ONE full-scan
+    aggregate (zero shuffles beyond the 1-row reduce; NULL predicate
+    counts as a violation), plus the table-level doc_id uniqueness
+    check (one map-side-combinable groupBy)."""
+    from bdtopo2refhydro_spark.operators.dq import (check_constraints,
+                                                    check_unique)
+
+    docs = _docs(spark, sf_dir)
+    report = check_constraints(docs, [
+        ("text_nonempty", "length(text) > 0"),
+        ("nchars_consistent", "n_chars = length(text)"),
+        ("lang_known", "lang in ('en','es','fr')"),
+        ("id_nonneg", "doc_id >= 0"),
+    ])
+    return report.unionByName(check_unique(docs, ["doc_id"]))
+
+
+_DQ_CHECK_SQL = """
+WITH s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN NOT coalesce(length(text) > 0, FALSE)
+             THEN 1 ELSE 0 END) AS BIGINT) AS v_text_nonempty,
+    CAST(sum(CASE WHEN NOT coalesce(n_chars = length(text), FALSE)
+             THEN 1 ELSE 0 END) AS BIGINT) AS v_nchars_consistent,
+    CAST(sum(CASE WHEN NOT coalesce(lang IN ('en','es','fr'), FALSE)
+             THEN 1 ELSE 0 END) AS BIGINT) AS v_lang_known,
+    CAST(sum(CASE WHEN NOT coalesce(doc_id >= 0, FALSE)
+             THEN 1 ELSE 0 END) AS BIGINT) AS v_id_nonneg
+  FROM documents
+),
+u AS (
+  SELECT CAST(sum(c) AS BIGINT) AS nc, CAST(sum(c - 1) AS BIGINT) AS nv
+  FROM (SELECT count(*) AS c FROM documents GROUP BY doc_id)
+)
+SELECT 'text_nonempty' AS rule, n AS n_checked,
+       v_text_nonempty AS n_violations, v_text_nonempty = 0 AS passed FROM s
+UNION ALL SELECT 'nchars_consistent', n, v_nchars_consistent,
+       v_nchars_consistent = 0 FROM s
+UNION ALL SELECT 'lang_known', n, v_lang_known, v_lang_known = 0 FROM s
+UNION ALL SELECT 'id_nonneg', n, v_id_nonneg, v_id_nonneg = 0 FROM s
+UNION ALL SELECT 'unique:doc_id', nc, nv, nv = 0 FROM u
+"""
+
+
 def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-round k-core peel (linkgraph.py:kcore_peel) — the
     link-farm signal: a 12-node planted clique survives k=8 peeling
@@ -4142,11 +4213,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join": _q_stream_join,
         "corpus_manifest": _q_corpus_manifest,
         "sessionize": _q_sessionize,
+        "dq_profile": _q_dq_profile,
+        "dq_check": _q_dq_check,
         "asof_join": _q_asof_join,
         "range_count": _q_range_count,
         "snapshot_diff": _q_snapshot_diff,
         "para_dedup": _q_para_dedup,
-        "sample_strat": _q_sample_strat,
         "scd2": _q_scd2,
         "salted_join": _q_salted_join,
         "knn_join": _q_knn_join,
@@ -4155,7 +4227,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": _q_domain_cap,
         "pack_shards": _q_pack_shards,
         "decontaminate": _q_decontaminate,
-        "inv_index": _q_inv_index,
         "quantile_gates": _q_quantile_gates,
         "zorder_key": _q_zorder_key,
         "curation_pipeline": _q_curation_pipeline,
@@ -4183,6 +4254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": _q_image_resize,
         "triangles": _q_triangles,
         "repetition": _q_repetition,
+        "sample_strat": _q_sample_strat,
+        "inv_index": _q_inv_index,
         "tfidf_topk": _q_tfidf_topk,
         "time_rollup": _q_time_rollup,
         "top_tokens": _q_top_tokens,
@@ -4312,6 +4385,8 @@ def oracle_sql() -> dict[str, str]:
         "anchor_agg": _ANCHOR_AGG_SQL,
         "tpch_q18": _TPCH_Q18_SQL,
         "kcore": _kcore_sql(),
+        "dq_profile": _DQ_PROFILE_SQL,
+        "dq_check": _DQ_CHECK_SQL,
         "chunk_docs": _CHUNK_DOCS_SQL,
         "sem_dedup": _sem_dedup_sql(),
         "bpe_train": _bpe_train_sql(),

@@ -1,0 +1,92 @@
+"""Data-quality operators: column profiling and declarative constraint
+checks (Deequ-style) — the monitoring layer a continuously-ingesting
+corpus pipeline runs on every snapshot before it reaches training.
+
+The reference validates its inputs ad hoc (schema asserts in the
+extract scripts); at crawl scale validation must be a first-class
+distributed pass with a machine-readable report.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One-pass column profile: (column, n, n_null, n_distinct,
+    min_str, max_str) per profiled column.
+
+    Values are melted to (column, value-as-string) rows with a
+    ``stack``, then ONE hash aggregate computes every metric — a single
+    shuffle on the column name (bounded by the schema width, never by
+    the data), with map-side partial aggregation collapsing each
+    partition to ≤|cols| rows before it. min/max are lexicographic on
+    the string form (both engines use codepoint order, so the driver
+    oracle replays it); n_distinct is exact and excludes NULL.
+    """
+    cols = list(cols) if cols is not None else list(df.columns)
+    pairs = ", ".join(
+        f"'{c}', cast(`{c}` as string)" for c in cols
+    )
+    melted = df.select(
+        F.expr(f"stack({len(cols)}, {pairs}) as (column, value)"))
+    return melted.groupBy("column").agg(
+        F.count("*").alias("n"),
+        (F.count("*") - F.count("value")).alias("n_null"),
+        F.countDistinct("value").alias("n_distinct"),
+        F.min("value").alias("min_str"),
+        F.max("value").alias("max_str"),
+    )
+
+
+def check_constraints(df: DataFrame,
+                      rules: list[tuple[str, str | Column]]) -> DataFrame:
+    """Evaluate declarative row-level constraints in ONE pass: rules are
+    (name, boolean SQL expression over the row); returns one row per
+    rule — (rule, n_checked, n_violations, passed). A NULL predicate
+    result counts as a violation (unknown is not proof of quality).
+
+    Everything folds into a single global aggregate: no shuffle at all
+    beyond the final 1-partition reduce, whatever the corpus size, and
+    every rule shares the same scan. Table-level rules (key uniqueness)
+    don't fit a row predicate — see ``check_unique``.
+    """
+    aggs = []
+    for name, pred in rules:
+        p = F.expr(pred) if isinstance(pred, str) else pred
+        viol = F.sum(
+            F.when(~F.coalesce(p, F.lit(False)), 1).otherwise(0)
+        ).cast("bigint")
+        aggs.append(viol.alias(f"v_{name}"))
+    counted = df.agg(F.count("*").cast("bigint").alias("n"), *aggs)
+    rows = ", ".join(
+        f"'{name}', v_{name}" for name, _ in rules
+    )
+    return counted.select(
+        "n", F.expr(f"stack({len(rules)}, {rows}) as (rule, n_violations)")
+    ).select(
+        "rule",
+        F.col("n").alias("n_checked"),
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
+def check_unique(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Table-level uniqueness check: (rule, n_checked, n_violations,
+    passed) where a violation is every row beyond the first of a
+    duplicated key. One groupBy on the key (map-side combinable) + a
+    1-row reduce."""
+    dup = (
+        df.groupBy(*key_cols).agg(F.count("*").alias("c"))
+        .agg(
+            F.sum("c").cast("bigint").alias("n_checked"),
+            F.sum(F.col("c") - 1).cast("bigint").alias("n_violations"),
+        )
+    )
+    return dup.select(
+        F.lit("unique:" + ",".join(key_cols)).alias("rule"),
+        "n_checked", "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
