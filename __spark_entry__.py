@@ -3038,6 +3038,64 @@ def _host_rank_sql(rounds: int = 3) -> str:
     return ",\n".join(ctes) + f"\nSELECT node, rank FROM r{rounds}"
 
 
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → click → purchase
+    (temporal.py:funnel_steps): step i joins a filtered min-aggregate
+    to the shrinking step-(i-1) frontier on the user key — strictly-
+    later semantics, integer-µs, -1 for unreached."""
+    from bdtopo2refhydro_spark.operators.temporal import funnel_steps
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_steps(ev, ["signup", "click", "purchase"])
+
+
+_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t1_us FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t2_us
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1_us
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t3_us
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2_us
+  GROUP BY e.user_id
+)
+SELECT s1.user_id,
+       CAST(1 + (s2.user_id IS NOT NULL)::INT
+              + (s3.user_id IS NOT NULL)::INT AS BIGINT) AS n_reached,
+       t1_us, coalesce(t2_us, -1) AS t2_us, coalesce(t3_us, -1) AS t3_us
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
+def _q_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event ML features from the user's own history
+    (temporal.py:event_features): sequence index, gap to previous
+    event, trailing-24h activity count — one hash shuffle on user_id
+    feeds the row, lag, and RANGE frames. All integer µs."""
+    from bdtopo2refhydro_spark.operators.temporal import event_features
+
+    return event_features(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+_EVENT_FEATURES_SQL = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       CAST(row_number() OVER w AS BIGINT) AS seq_idx,
+       coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1) AS gap_us,
+       CAST(count(*) OVER wr - 1 AS BIGINT) AS n_prev_24h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+       wr AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+              RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 def _q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass column profiling (dq.py:profile_columns): documents is
     melted via stack to (column, value-string) and ONE hash aggregate
@@ -4215,6 +4273,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "dq_profile": _q_dq_profile,
         "dq_check": _q_dq_check,
+        "funnel": _q_funnel,
+        "event_features": _q_event_features,
         "asof_join": _q_asof_join,
         "range_count": _q_range_count,
         "snapshot_diff": _q_snapshot_diff,
@@ -4225,10 +4285,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_compact": _q_tile_compact,
         "url_dedup": _q_url_dedup,
         "domain_cap": _q_domain_cap,
-        "pack_shards": _q_pack_shards,
         "decontaminate": _q_decontaminate,
         "quantile_gates": _q_quantile_gates,
-        "zorder_key": _q_zorder_key,
         "curation_pipeline": _q_curation_pipeline,
         "text_nfc": _q_text_nfc,
         "ann_int8": _q_ann_int8,
@@ -4256,6 +4314,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": _q_repetition,
         "sample_strat": _q_sample_strat,
         "inv_index": _q_inv_index,
+        "zorder_key": _q_zorder_key,
+        "pack_shards": _q_pack_shards,
         "tfidf_topk": _q_tfidf_topk,
         "time_rollup": _q_time_rollup,
         "top_tokens": _q_top_tokens,
@@ -4387,6 +4447,8 @@ def oracle_sql() -> dict[str, str]:
         "kcore": _kcore_sql(),
         "dq_profile": _DQ_PROFILE_SQL,
         "dq_check": _DQ_CHECK_SQL,
+        "funnel": _FUNNEL_SQL,
+        "event_features": _EVENT_FEATURES_SQL,
         "chunk_docs": _CHUNK_DOCS_SQL,
         "sem_dedup": _sem_dedup_sql(),
         "bpe_train": _bpe_train_sql(),

@@ -147,3 +147,76 @@ def time_rollup(events: DataFrame, ts: str, *group_cols: str,
         .groupBy("bucket_ts", *group_cols)
         .agg(*aggs)
     )
+
+
+def funnel_steps(events: DataFrame, steps: list[str], *,
+                 user_col: str = "user_id", ts_col: str = "ts",
+                 type_col: str = "event_type") -> DataFrame:
+    """Ordered funnel analysis: for each user, the earliest time each
+    step was reached AFTER the previous step (strictly later — the
+    standard conversion-funnel semantics). Returns one row per user who
+    reached step 1: (user, n_reached, t1_us..tk_us) with -1 for
+    unreached steps, all integer microseconds.
+
+    Scale shape: step i is one filtered aggregate joined to the
+    step-(i-1) frontier on the user key — k-1 equi-joins on
+    progressively SHRINKING frontiers (every funnel stage loses users),
+    never a window over whole user histories. All joins share the user
+    hash partitioning."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    frontier = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col).agg(F.min(us).alias("t1_us"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .select(user_col, us.alias("_ts"))
+            .join(frontier.select(user_col, F.col(f"t{i - 1}_us")
+                                  .alias("_prev")), user_col)
+            .filter(F.col("_ts") > F.col("_prev"))
+            .groupBy(user_col).agg(F.min("_ts").alias(f"t{i}_us"))
+        )
+        frontier = frontier.join(nxt, user_col, "left")
+    reached = sum(
+        F.when(F.col(f"t{i}_us").isNotNull(), 1).otherwise(0)
+        for i in range(1, len(steps) + 1)
+    )
+    return frontier.select(
+        user_col,
+        reached.cast("bigint").alias("n_reached"),
+        *[F.coalesce(F.col(f"t{i}_us"), F.lit(-1)).cast("bigint")
+          .alias(f"t{i}_us") for i in range(1, len(steps) + 1)],
+    )
+
+
+def event_features(events: DataFrame, *, user_col: str = "user_id",
+                   ts_col: str = "ts", id_col: str = "event_id",
+                   lookback_us: int = 86_400_000_000) -> DataFrame:
+    """Per-event ML features from the user's own history: sequence
+    index, gap to the previous event, and activity count inside the
+    trailing lookback window — the standard session/engagement features
+    a ranking model trains on. All integer µs, fully deterministic
+    ((ts, id) ordering).
+
+    Scale shape: ONE hash shuffle on the user key feeds all three
+    window frames (row lag, row number, RANGE frame over integer
+    event-time); nothing is recomputed per feature and no self-join
+    materializes the history."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(user_col).orderBy("ts_us", id_col)
+    wr = (
+        Window.partitionBy(user_col).orderBy("ts_us")
+        .rangeBetween(-lookback_us, 0)
+    )
+    return (
+        events.select(id_col, user_col, us.alias("ts_us"))
+        .withColumn("seq_idx",
+                    F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "gap_us",
+            F.coalesce(F.col("ts_us") - F.lag("ts_us").over(w),
+                       F.lit(-1)).cast("bigint"))
+        .withColumn("n_prev_24h",
+                    (F.count("*").over(wr) - 1).cast("bigint"))
+    )

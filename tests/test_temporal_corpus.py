@@ -393,3 +393,68 @@ def test_url_rules_duplicate_prefix_tiebreak_and_default_deny(spark):
                                     default_allow=False).collect()}
     assert got[1] == (False, 3)   # rule_id asc breaks the tie
     assert got[2] == (False, -1)  # default_deny honored
+
+
+# ---------------------------------------------------------------------------
+# funnel + per-event features
+# ---------------------------------------------------------------------------
+
+def _us(s):
+    import datetime
+    return int(datetime.datetime.fromisoformat(s + "+00:00")
+               .timestamp() * 1_000_000)
+
+
+def test_funnel_requires_strict_step_order(spark):
+    from bdtopo2refhydro_spark.operators.temporal import funnel_steps
+
+    rows = [
+        # u1 completes in order
+        (1, "2024-01-01 10:00:00", "signup"),
+        (1, "2024-01-01 11:00:00", "click"),
+        (1, "2024-01-01 12:00:00", "purchase"),
+        # u2: purchase BEFORE click → step 3 not reached after step 2
+        (2, "2024-01-01 10:00:00", "signup"),
+        (2, "2024-01-01 10:30:00", "purchase"),
+        (2, "2024-01-01 11:00:00", "click"),
+        # u3 never signs up → absent from the funnel
+        (3, "2024-01-01 09:00:00", "click"),
+        # u4: click at the same instant as signup does NOT count
+        (4, "2024-01-01 10:00:00", "signup"),
+        (4, "2024-01-01 10:00:00", "click"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_s string, "
+                               "event_type string") \
+        .selectExpr("user_id", "cast(ts_s as timestamp) as ts",
+                    "event_type")
+    got = {r.user_id: (r.n_reached, r.t1_us, r.t2_us, r.t3_us)
+           for r in funnel_steps(ev, ["signup", "click", "purchase"])
+           .collect()}
+    assert set(got) == {1, 2, 4}
+    assert got[1] == (3, _us("2024-01-01 10:00:00"),
+                      _us("2024-01-01 11:00:00"),
+                      _us("2024-01-01 12:00:00"))
+    assert got[2] == (2, _us("2024-01-01 10:00:00"),
+                      _us("2024-01-01 11:00:00"), -1)
+    assert got[4] == (1, _us("2024-01-01 10:00:00"), -1, -1)
+
+
+def test_event_features_gaps_and_trailing_window(spark):
+    from bdtopo2refhydro_spark.operators.temporal import event_features
+
+    rows = [(10, 1, "2024-01-01 00:00:00"),
+            (11, 1, "2024-01-01 06:00:00"),
+            (12, 1, "2024-01-02 05:00:00"),   # 23h after #11 → both in 24h
+            (13, 1, "2024-01-03 12:00:00"),   # nothing in trailing 24h
+            (20, 2, "2024-01-01 00:00:00")]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, "
+                               "ts_s string") \
+        .selectExpr("event_id", "user_id", "cast(ts_s as timestamp) as ts")
+    got = {r.event_id: (r.seq_idx, r.gap_us, r.n_prev_24h)
+           for r in event_features(ev).collect()}
+    h = 3_600_000_000
+    assert got[10] == (1, -1, 0)
+    assert got[11] == (2, 6 * h, 1)
+    assert got[12] == (3, 23 * h, 1)
+    assert got[13] == (4, 31 * h, 0)
+    assert got[20] == (1, -1, 0)
