@@ -3038,6 +3038,37 @@ def _host_rank_sql(rounds: int = 3) -> str:
     return ",\n".join(ctes) + f"\nSELECT node, rank FROM r{rounds}"
 
 
+def _q_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive-triplet mining (corpus.py:
+    contrastive_triplets): positive = same-source successor (one window
+    over the source partitioning), negatives = reps of the next two
+    hash buckets (64-row broadcast) — zero self-joins, zero RNG."""
+    from bdtopo2refhydro_spark.operators.corpus import contrastive_triplets
+
+    return contrastive_triplets(
+        _docs(spark, sf_dir), k_neg=2, buckets=64,
+        bucket_expr=f"({_H}) % 64")
+
+
+_TRIPLETS_SQL = f"""
+WITH a AS (
+  SELECT doc_id, source,
+         lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id)
+           AS pos_id,
+         ({_HD}) % 64 AS b
+  FROM documents
+),
+reps AS (
+  SELECT ({_HD}) % 64 AS rb, min(doc_id) AS neg_id
+  FROM documents GROUP BY 1
+)
+SELECT a.doc_id AS anchor_id, pos_id, neg_id, CAST(j.range AS BIGINT) AS j
+FROM a CROSS JOIN range(1, 3) j
+JOIN reps ON (a.b + j.range) % 64 = reps.rb
+WHERE pos_id IS NOT NULL
+"""
+
+
 def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel signup → click → purchase
     (temporal.py:funnel_steps): step i joins a filtered min-aggregate
@@ -4275,6 +4306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_check": _q_dq_check,
         "funnel": _q_funnel,
         "event_features": _q_event_features,
+        "triplets": _q_triplets,
         "asof_join": _q_asof_join,
         "range_count": _q_range_count,
         "snapshot_diff": _q_snapshot_diff,
@@ -4283,7 +4315,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": _q_salted_join,
         "knn_join": _q_knn_join,
         "tile_compact": _q_tile_compact,
-        "url_dedup": _q_url_dedup,
         "domain_cap": _q_domain_cap,
         "decontaminate": _q_decontaminate,
         "quantile_gates": _q_quantile_gates,
@@ -4316,6 +4347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inv_index": _q_inv_index,
         "zorder_key": _q_zorder_key,
         "pack_shards": _q_pack_shards,
+        "url_dedup": _q_url_dedup,
         "tfidf_topk": _q_tfidf_topk,
         "time_rollup": _q_time_rollup,
         "top_tokens": _q_top_tokens,
@@ -4449,6 +4481,7 @@ def oracle_sql() -> dict[str, str]:
         "dq_check": _DQ_CHECK_SQL,
         "funnel": _FUNNEL_SQL,
         "event_features": _EVENT_FEATURES_SQL,
+        "triplets": _TRIPLETS_SQL,
         "chunk_docs": _CHUNK_DOCS_SQL,
         "sem_dedup": _sem_dedup_sql(),
         "bpe_train": _bpe_train_sql(),

@@ -587,3 +587,48 @@ def apply_url_rules(pages: DataFrame, rules: DataFrame, *,
             .alias("matched_len"),
         )
     )
+
+
+def contrastive_triplets(docs: DataFrame, *, k_neg: int = 2,
+                         buckets: int = 64,
+                         bucket_expr: str | None = None,
+                         id_col: str = "doc_id",
+                         group_col: str = "source") -> DataFrame:
+    """Mine (anchor, positive, negative) triplets for contrastive
+    embedding training, fully deterministically — no RNG state to
+    coordinate across executors or resumes.
+
+    positive = the anchor's successor within its ``group_col`` (lead
+    over (group, id) — same-host pages are the standard weak-positive
+    signal); anchors with no successor produce no triplet. negatives =
+    the representative (min id) of the ``j``-th next hash bucket,
+    j = 1..k_neg — guaranteed outside the anchor's bucket, spread over
+    the corpus by the hash.
+
+    Scale shape: positives are one window over the group partitioning;
+    the bucket-representative table is ``buckets`` rows and BROADCASTS,
+    so negatives cost an explode(k_neg) plus a broadcast equi-join —
+    the corpus never self-joins.
+    """
+    b = bucket_expr if bucket_expr is not None else \
+        f"pmod(xxhash64({id_col}), {buckets})"
+    w = Window.partitionBy(group_col).orderBy(id_col)
+    anchors = (
+        docs.select(id_col, group_col)
+        .withColumn("pos_id", F.lead(id_col).over(w))
+        .filter(F.col("pos_id").isNotNull())
+        .withColumn("_b", F.expr(b).cast("bigint"))
+    )
+    reps = (
+        docs.select(F.expr(b).cast("bigint").alias("_rb"),
+                    F.col(id_col).alias("neg_id"))
+        .groupBy("_rb").agg(F.min("neg_id").alias("neg_id"))
+    )
+    return (
+        anchors.withColumn("j", F.explode(F.sequence(F.lit(1),
+                                                     F.lit(k_neg))))
+        .withColumn("_nb", (F.col("_b") + F.col("j")) % buckets)
+        .join(F.broadcast(reps), F.col("_nb") == F.col("_rb"))
+        .select(F.col(id_col).alias("anchor_id"), "pos_id",
+                "neg_id", F.col("j").cast("bigint").alias("j"))
+    )

@@ -133,6 +133,7 @@ def stream_interval_join(spark: SparkSession, path: str, *,
                          left_type: str = "click", right_type: str = "view",
                          within: str = "10 minutes",
                          watermark: str = "30 minutes",
+                         how: str = "inner",
                          query_name: str = "stream_join",
                          files_per_trigger: int | None = None) -> DataFrame:
     """Stream-stream event-time INTERVAL join: every ``left_type`` event
@@ -151,7 +152,14 @@ def stream_interval_join(spark: SparkSession, path: str, *,
     micro-batches path and the watermark-eviction path.
 
     Emits (left_id, right_id, key, delta_us) with integer-microsecond
-    deltas (bit-exact vs the DuckDB oracle's epoch_us arithmetic)."""
+    deltas (bit-exact vs the DuckDB oracle's epoch_us arithmetic).
+
+    ``how='left_outer'``: a left row with no partner emits NULL-padded
+    only once the watermark has passed its whole join window (the join
+    must be certain no partner can still arrive) — so unmatched rows
+    near the stream's end stay withheld under an availableNow drain,
+    and the null-emission path needs the same 3-batch structure as
+    eviction to observe (pytest-pinned)."""
     schema = spark.read.parquet(path).schema
     left = (
         _stream_reader(spark, path, schema, files_per_trigger)
@@ -173,6 +181,7 @@ def stream_interval_join(spark: SparkSession, path: str, *,
         right,
         F.expr(f"key = r_key AND r_ts >= l_ts "
                f"AND r_ts <= l_ts + INTERVAL {within}"),
+        how,
     ).select(
         "left_id", "right_id", F.col("key"),
         (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("delta_us"),

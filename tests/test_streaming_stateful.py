@@ -189,3 +189,26 @@ def test_interval_join_watermark_evicts_stale_state(spark, tmp_path):
     got = {(r.left_id, r.right_id) for r in out.collect()}
     assert {(1, 2), (1, 3), (1, 5)} <= got
     assert (0, 4) not in got
+
+
+def test_interval_join_left_outer_emits_nulls_after_watermark(spark,
+                                                              tmp_path):
+    """An unmatched left row null-pads only once the watermark clears its
+    join window — same 3-batch structure as state eviction (the outer
+    result is literally produced by the eviction pass)."""
+    from bdtopo2refhydro_spark.streaming import stream_interval_join
+
+    schema = "event_id long, ts string, user_id long, event_type string"
+    b1 = [(0, "2024-01-01 10:00:00", 1, "click"),    # never matched
+          (1, "2024-01-01 15:00:00", 9, "click"),
+          (2, "2024-01-01 15:00:00", 9, "view")]
+    b2 = [(3, "2024-01-01 15:01:00", 9, "view")]
+    b3 = [(4, "2024-01-01 15:04:00", 9, "view")]
+    flat = _write_ordered_batches(tmp_path, [b1, b2, b3], schema)
+    out = stream_interval_join(spark, flat, within="10 minutes",
+                               watermark="10 minutes", how="left_outer",
+                               query_name="t_ij_outer",
+                               files_per_trigger=1)
+    got = {(r.left_id, r.right_id) for r in out.collect()}
+    assert (0, None) in got          # null-padded after watermark passed
+    assert {(1, 2), (1, 3), (1, 4)} <= got

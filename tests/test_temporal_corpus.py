@@ -458,3 +458,36 @@ def test_event_features_gaps_and_trailing_window(spark):
     assert got[12] == (3, 23 * h, 1)
     assert got[13] == (4, 31 * h, 0)
     assert got[20] == (1, -1, 0)
+
+
+# ---------------------------------------------------------------------------
+# contrastive triplet mining
+# ---------------------------------------------------------------------------
+
+def test_contrastive_triplets_deterministic_shape(spark):
+    from bdtopo2refhydro_spark.operators.corpus import contrastive_triplets
+
+    docs = spark.createDataFrame(
+        [(0, "h1"), (4, "h1"), (9, "h1"), (2, "h2"), (7, "h2"), (5, "h3")],
+        "doc_id long, source string")
+    got = contrastive_triplets(
+        docs, k_neg=2, buckets=4,
+        bucket_expr="doc_id % 4").collect()
+    trip = {(r.anchor_id, r.j): (r.pos_id, r.neg_id) for r in got}
+    # positives: successor within source → (0→4), (4→9), (2→7);
+    # 9, 7, 5 have no successor → no triplets
+    assert {t[0] for t in trip} == {0, 4, 2}
+    # bucket reps by doc_id%4: b0→0, b1→5, b2→2, b3→7
+    assert trip[(0, 1)] == (4, 5)    # anchor b0 → bucket 1 rep 5
+    assert trip[(0, 2)] == (4, 2)    # bucket 2 rep 2
+    assert trip[(4, 1)] == (9, 5)    # anchor 4 is b0 too
+    assert trip[(2, 1)] == (7, 7)    # anchor b2 → bucket 3 rep 7
+    # negatives never come from the anchor's own bucket
+    for (a, j), (_, n) in trip.items():
+        assert n % 4 != a % 4
+    # determinism: re-run is identical
+    again = {(r.anchor_id, r.j): (r.pos_id, r.neg_id)
+             for r in contrastive_triplets(
+                 docs, k_neg=2, buckets=4,
+                 bucket_expr="doc_id % 4").collect()}
+    assert again == trip
