@@ -1042,7 +1042,7 @@ def _q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.minhash_signatures(_docs(spark, sf_dir))
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(src: str = "documents") -> str:
     # one md5 per shingle → 60-bit int mod P, then affine universal hashes
     # (a_i*h + b_i) % P — mirrors operators/text.py:shingle_hash_expr /
     # minhash_signatures term for term (% == pmod: operands nonnegative)
@@ -1055,7 +1055,7 @@ def _minhash_sql() -> str:
     return f"""
 WITH t AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
-  FROM documents
+  FROM {src}
 ),
 s AS (SELECT doc_id, {_duck_shingles()} AS sh FROM t),
 hvt AS (
@@ -1072,11 +1072,14 @@ def _q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.lsh_candidate_pairs(_docs(spark, sf_dir))
 
 
-def _bands_cte() -> str:
+def _bands_cte(src: str = "documents", prefix: str = "") -> str:
     """CTE chain producing the (doc_id, band_idx, band_key) table —
-    shared by the self-join (lsh_pairs) and cross-snapshot (incr_dedup)
-    oracles."""
+    shared by the self-join (lsh_pairs), cross-snapshot (incr_dedup)
+    and refresh-pipeline oracles. ``src`` is the table/CTE to band;
+    ``prefix`` namespaces the intermediate CTEs so two band tables can
+    coexist in one WITH."""
     bs, nh = TX.LSH_BAND_SIZE, TX.MINHASH_HASHES
+    p = prefix
     band_keys = ", ".join(
         "md5(" + " || '|' || ".join(
             f"CAST(mh_{b * bs + j} AS VARCHAR)" for j in range(bs)
@@ -1084,12 +1087,12 @@ def _bands_cte() -> str:
         for b in range(nh // bs)
     )
     unions = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_idx, band_{b} AS band_key FROM sig"
+        f"SELECT doc_id, {b} AS band_idx, band_{b} AS band_key FROM {p}sig"
         for b in range(nh // bs)
     )
-    return (f"sigsrc AS ({_minhash_sql().strip()}),\n"
-            f"sig AS (SELECT *, {band_keys} FROM sigsrc),\n"
-            f"bands AS ({unions})")
+    return (f"{p}sigsrc AS ({_minhash_sql(src).strip()}),\n"
+            f"{p}sig AS (SELECT *, {band_keys} FROM {p}sigsrc),\n"
+            f"{p}bands AS ({unions})")
 
 
 def _lsh_pairs_sql() -> str:
@@ -2232,24 +2235,53 @@ WHERE l.event_type = 'click' AND r.event_type = 'view'
 """
 
 
-def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-snapshot corpus diff (cdc.py:snapshot_diff): NEW is derived
-    from documents deterministically — doc_id%7==0 removed, survivors
-    with doc_id%5==0 get ' v2' appended (changed), doc_id%11==0 re-enter
-    as added rows at doc_id+10M. Only 16-byte digests shuffle through
-    the full-outer join; text bytes never leave the scan."""
-    from bdtopo2refhydro_spark.operators.cdc import snapshot_diff
-
-    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source")
+def _new_snapshot(docs: DataFrame) -> DataFrame:
+    """Deterministic NEW crawl snapshot derived from documents:
+    doc_id%7==0 removed, survivors with doc_id%5==0 get ' v2' appended
+    (changed), doc_id%11==0 re-enter as added rows at doc_id+10M whose
+    text exercises every refresh outcome — %3: a verbatim copy of the
+    old doc (exact-dup vs the corpus), else %2: an 8-token novel page
+    (admitted), else: a 3-token stub (fails the ≥4-token gate). Shared
+    by snapshot_diff and refresh_pipeline (SQL twin:
+    _NEW_SNAPSHOT_SQL)."""
     new = docs.filter("doc_id % 7 != 0").withColumn(
         "text", F.expr("case when doc_id % 5 = 0 then concat(text, ' v2')"
                        " else text end"))
     added = docs.filter("doc_id % 11 = 0").select(
         (F.col("doc_id") + 10_000_000).alias("doc_id"),
-        F.concat(F.lit("added page "),
-                 F.col("doc_id").cast("string")).alias("text"),
+        F.expr("case when doc_id % 3 = 0 then text"
+               " when doc_id % 2 = 0 then concat('added page ',"
+               "   cast(doc_id as string), ' with fresh novel content')"
+               " else concat('added page ', cast(doc_id as string)) end")
+        .alias("text"),
         "lang", "source")
-    return snapshot_diff(docs, new.unionByName(added), "doc_id",
+    return new.unionByName(added)
+
+
+_NEW_SNAPSHOT_SQL = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text,
+         lang, source
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000,
+         CASE WHEN doc_id % 3 = 0 THEN text
+              WHEN doc_id % 2 = 0 THEN 'added page '
+                || CAST(doc_id AS VARCHAR) || ' with fresh novel content'
+              ELSE 'added page ' || CAST(doc_id AS VARCHAR) END,
+         lang, source
+  FROM documents WHERE doc_id % 11 = 0
+"""
+
+
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-snapshot corpus diff (cdc.py:snapshot_diff) over the derived
+    NEW snapshot (_new_snapshot). Only 16-byte digests shuffle through
+    the full-outer join; text bytes never leave the scan."""
+    from bdtopo2refhydro_spark.operators.cdc import snapshot_diff
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source")
+    return snapshot_diff(docs, _new_snapshot(docs), "doc_id",
                          ["text", "lang", "source"])
 
 
@@ -2261,16 +2293,7 @@ def _snap_digest_sql(src: str, out: str) -> str:
 
 _SNAPSHOT_DIFF_SQL = f"""
 WITH oldsnap AS (SELECT doc_id, text, lang, source FROM documents),
-newsnap AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text,
-         lang, source
-  FROM documents WHERE doc_id % 7 <> 0
-  UNION ALL
-  SELECT doc_id + 10000000, 'added page ' || CAST(doc_id AS VARCHAR),
-         lang, source
-  FROM documents WHERE doc_id % 11 = 0
-),
+newsnap AS ({_NEW_SNAPSHOT_SQL}),
 od AS ({_snap_digest_sql('oldsnap', 'old_digest')}),
 nd AS ({_snap_digest_sql('newsnap', 'new_digest')})
 SELECT coalesce(od.doc_id, nd.doc_id) AS doc_id,
@@ -2313,6 +2336,82 @@ SELECT user_id, event_type,
        coalesce(epoch_us(lead(ts) OVER w2), -1) AS valid_to_us,
        lead(ts) OVER w2 IS NULL AS is_current
 FROM versions WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def _q_refresh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-refresh capstone (plans/refresh.py): snapshot diff →
+    incremental dedup of the delta against the OLD corpus only → token
+    gate → per-source admission manifest, composed as ONE plan with an
+    exact unrolled oracle (diff CTEs + two namespaced band chains +
+    Jaccard verify + manifest rollup). The old corpus ships only
+    digests and band keys; candidates are the delta, not the
+    snapshot."""
+    from bdtopo2refhydro_spark.plans.refresh import run_refresh_pipeline
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source")
+    return run_refresh_pipeline(docs, _new_snapshot(docs),
+                                threshold=0.5, min_tokens=4)
+
+
+def _refresh_pipeline_sql() -> str:
+    dig = ("md5(coalesce(text, chr(1)) || chr(31) || "
+           "coalesce(lang, chr(1)) || chr(31) || "
+           "coalesce(source, chr(1)) || chr(31))")
+    return f"""
+WITH newsnap AS ({_NEW_SNAPSHOT_SQL}),
+od AS (SELECT doc_id, {dig} AS dg FROM documents),
+nd AS (SELECT doc_id, {dig} AS dg FROM newsnap),
+delta AS (
+  SELECT nd.doc_id FROM nd LEFT JOIN od USING (doc_id)
+  WHERE od.doc_id IS NULL OR od.dg <> nd.dg
+),
+cand AS (SELECT n.* FROM newsnap n JOIN delta USING (doc_id)),
+olddig AS (SELECT DISTINCT md5(text) AS digest FROM documents),
+cdig AS (SELECT doc_id, md5(text) AS digest FROM cand),
+{_bands_cte('cand', 'n')},
+{_bands_cte('documents', 'o')},
+bpair AS (
+  SELECT DISTINCT n.doc_id AS n_id, o.doc_id AS o_id
+  FROM nbands n JOIN obands o
+    ON n.band_idx = o.band_idx AND n.band_key = o.band_key
+),
+ctt AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM cand
+),
+css AS (SELECT doc_id, list_distinct({_duck_shingles()}) AS sh FROM ctt),
+ott AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+oss AS (SELECT doc_id, list_distinct({_duck_shingles()}) AS sh FROM ott),
+near AS (
+  SELECT DISTINCT bpair.n_id AS doc_id
+  FROM bpair
+  JOIN css sn ON sn.doc_id = bpair.n_id
+  JOIN oss so ON so.doc_id = bpair.o_id
+  WHERE CAST(len(list_intersect(sn.sh, so.sh)) AS DOUBLE)
+        / len(list_distinct(sn.sh || so.sh)) >= 0.5
+),
+outcome AS (
+  SELECT c.source,
+         len(regexp_split_to_array(trim(lower(c.text)), '\\s+')) AS n_tok,
+         (cdig.digest IN (SELECT digest FROM olddig)) AS de,
+         (c.doc_id IN (SELECT doc_id FROM near)) AS dn
+  FROM cand c JOIN cdig USING (doc_id)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(sum(de::INT) AS BIGINT) AS n_exact,
+       CAST(sum((NOT de AND dn)::INT) AS BIGINT) AS n_near,
+       CAST(sum((NOT de AND NOT dn AND n_tok < 4)::INT) AS BIGINT)
+         AS n_gate_failed,
+       CAST(sum((NOT de AND NOT dn AND n_tok >= 4)::INT) AS BIGINT)
+         AS n_admitted,
+       CAST(sum(CASE WHEN NOT de AND NOT dn AND n_tok >= 4
+                THEN n_tok ELSE 0 END) AS BIGINT) AS tok_admitted
+FROM outcome GROUP BY source
 """
 
 
@@ -4313,9 +4412,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "para_dedup": _q_para_dedup,
         "scd2": _q_scd2,
         "salted_join": _q_salted_join,
+        "refresh_pipeline": _q_refresh_pipeline,
         "knn_join": _q_knn_join,
         "tile_compact": _q_tile_compact,
-        "domain_cap": _q_domain_cap,
         "decontaminate": _q_decontaminate,
         "quantile_gates": _q_quantile_gates,
         "curation_pipeline": _q_curation_pipeline,
@@ -4348,6 +4447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": _q_zorder_key,
         "pack_shards": _q_pack_shards,
         "url_dedup": _q_url_dedup,
+        "domain_cap": _q_domain_cap,
         "tfidf_topk": _q_tfidf_topk,
         "time_rollup": _q_time_rollup,
         "top_tokens": _q_top_tokens,
@@ -4482,6 +4582,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel": _FUNNEL_SQL,
         "event_features": _EVENT_FEATURES_SQL,
         "triplets": _TRIPLETS_SQL,
+        "refresh_pipeline": _refresh_pipeline_sql(),
         "chunk_docs": _CHUNK_DOCS_SQL,
         "sem_dedup": _sem_dedup_sql(),
         "bpe_train": _bpe_train_sql(),

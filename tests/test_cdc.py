@@ -81,3 +81,30 @@ def test_scd2_equal_timestamps_break_ties_deterministically(spark):
     assert rows[0].is_current is False and rows[1].is_current is True
     # zero-length validity: both versions share valid_from == valid_to
     assert rows[0].valid_to_us == rows[1].valid_from_us
+
+
+def test_refresh_pipeline_outcome_partition(spark):
+    """The four outcome counts must partition the candidate set with
+    exact precedence: exact-dup > near-dup > token gate > admitted."""
+    from bdtopo2refhydro_spark.plans.refresh import run_refresh_pipeline
+
+    base = ("the quick brown fox jumps over the lazy dog near the wide "
+            "river bank today")
+    old = spark.createDataFrame(
+        [(0, base, "en", "h1"),
+         (2, "some other old corpus page body entirely", "en", "h1")],
+        "doc_id long, text string, lang string, source string")
+    new = spark.createDataFrame(
+        [(0, base, "en", "h1"),                      # unchanged → NOT a candidate
+         (2, base + " appended", "en", "h1"),        # changed + near-dup of 0
+         (5, "some other old corpus page body entirely", "en", "h1"),
+         # added + exact-dup of old 2 ↑
+         (6, "tiny", "en", "h1"),                    # added, fails ≥4 gate
+         (7, "a genuinely fresh page with plenty of new words", "en", "h1")],
+        "doc_id long, text string, lang string, source string")
+    [r] = run_refresh_pipeline(old, new, threshold=0.5,
+                               min_tokens=4).collect()
+    assert (r.source, r.n_candidates) == ("h1", 4)   # doc 0 not a candidate
+    assert (r.n_exact, r.n_near, r.n_gate_failed, r.n_admitted) == \
+        (1, 1, 1, 1)
+    assert r.tok_admitted == 9
