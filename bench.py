@@ -7,8 +7,9 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Headline set = the operators the north rule grades: the flagship
 reference-network pipeline (spatial join + BFS traversal + stem), the
 cell-bucketed point-in-polygon tile join, the exact grid-bucketed kNN
-join, zonal tiling, MinHash/LSH near-dup, cosine top-k, and the
-TPC-H-style scan-agg.
+join, zonal tiling, MinHash/LSH near-dup, cosine top-k, the
+TPC-H-style scan-agg, and the two end-to-end capstones (batch curation
++ incremental refresh).
 """
 
 from __future__ import annotations
@@ -42,6 +43,7 @@ def main() -> None:
         "cosine_topk",
         "tpch_q1",
         "curation_pipeline",
+        "refresh_pipeline",
     ]
     from pyspark.sql import functions as F
 
