@@ -4369,6 +4369,235 @@ FROM runs
 """
 
 
+def _q_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span stats (Lee et al. 2022): every
+    k-token window hashed, windows occurring in >= 2 distinct docs are
+    shared spans; per-doc multiplicity counts + integer dup percent.
+    Document bytes never shuffle — only (doc_id, 31-bit hash) pairs."""
+    return TX.shared_window_stats(_docs(spark, sf_dir))
+
+
+_EXACT_SUBSTR_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+s AS (SELECT doc_id, {_duck_shingles()} AS sh FROM t),
+w AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(u.sv), 1, 15)) AS BIGINT)
+           % {TX.MINHASH_P} AS wh
+  FROM s, UNNEST(sh) AS u(sv)
+),
+df AS (
+  SELECT wh FROM (SELECT DISTINCT doc_id, wh FROM w)
+  GROUP BY wh HAVING count(*) >= 2
+),
+agg AS (
+  SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         CAST(count(df.wh) AS BIGINT) AS n_shared
+  FROM w LEFT JOIN df ON df.wh = w.wh
+  GROUP BY w.doc_id
+)
+SELECT doc_id, n_windows, n_shared,
+       CAST((100 * n_shared) // n_windows AS BIGINT) AS dup_pct,
+       n_shared > 0 AS has_dup_span
+FROM agg
+"""
+
+
+def _q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation similarity over the derived host link graph: source
+    hosts sharing >= 2 distinct targets, per-target source lists capped
+    at 8 (deterministic ascending rank) so hot targets can't emit a
+    quadratic pair blow-up (linkgraph.py:cocitation_pairs)."""
+    from bdtopo2refhydro_spark.operators import linkgraph as LG
+
+    docs = _docs(spark, sf_dir).filter(F.expr("doc_id % 2 = 0"))
+    edges = docs.select(
+        F.col("source").alias("src"),
+        F.explode(F.array(
+            F.expr(f"concat('d', cast({_H} % 12 as string))"),
+            F.expr(f"concat('d', cast(({_H} div 5) % 12 as string))"),
+        )).alias("dst"),
+    )
+    return LG.cocitation_pairs(edges, min_common=2, cap=8)
+
+
+_COCITATION_SQL = f"""
+WITH raw AS (
+  SELECT source AS s, 'd' || CAST({_HD} % 12 AS VARCHAR) AS d
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT source, 'd' || CAST(({_HD} // 5) % 12 AS VARCHAR)
+  FROM documents WHERE doc_id % 2 = 0
+),
+e AS (SELECT DISTINCT s, d FROM raw WHERE s <> d),
+ranked AS (
+  SELECT d, s, row_number() OVER (PARTITION BY d ORDER BY s) AS rk FROM e
+),
+kept AS (SELECT d, s FROM ranked WHERE rk <= 8),
+pairs AS (
+  SELECT l.s AS a, r.s AS b FROM kept l JOIN kept r
+  ON l.d = r.d AND l.s < r.s
+)
+SELECT a, b, CAST(count(*) AS BIGINT) AS common
+FROM pairs GROUP BY a, b HAVING count(*) >= 2
+"""
+
+
+def _q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation over the token stream:
+    3x512 integer counters built with one map-side-combinable groupBy,
+    every distinct token probed back (min over 3 cells, broadcast
+    sketch) with its exact count alongside — surfacing the collision
+    overestimates (never an underestimate; property-tested)."""
+    from bdtopo2refhydro_spark.operators import corpus as C
+
+    docs = _docs(spark, sf_dir)
+    keyed = (
+        docs.select(F.explode(F.expr(TX.tokens_expr())).alias("token"))
+        .filter(F.col("token") != "")
+        .withColumn("key", F.expr(
+            "pmod(cast(conv(substr(md5(token), 1, 15), 16, 10) as bigint), "
+            f"{C.BLOOM_P})"))
+    )
+    cms = C.cms_build(keyed, "key", width=512)
+    exact = keyed.groupBy("token", "key").agg(
+        F.count("*").alias("exact_cnt"))
+    est = C.cms_estimate(exact.select("key"), "key", cms, width=512)
+    return exact.join(est, "key").select("token", "exact_cnt", "cms_est")
+
+
+_CMS_TOPK_SQL = """
+WITH keyed AS (
+  SELECT t AS token,
+         CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
+           % 2147483647 AS key
+  FROM documents,
+       UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS u(t)
+  WHERE t <> ''
+),
+h AS (SELECT * FROM (VALUES (0, 40503, 11), (1, 48271, 271),
+                            (2, 69621, 9973)) AS t(row_i, a, b)),
+cms AS (
+  SELECT h.row_i, ((h.a * keyed.key + h.b) % 2147483647) % 512 AS pos,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM keyed CROSS JOIN h GROUP BY 1, 2
+),
+exact AS (
+  SELECT token, key, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM keyed GROUP BY token, key
+),
+probes AS (SELECT DISTINCT key FROM exact),
+est AS (
+  SELECT p.key, CAST(min(COALESCE(c.cnt, 0)) AS BIGINT) AS cms_est
+  FROM probes p CROSS JOIN h
+  LEFT JOIN cms c ON c.row_i = h.row_i
+    AND c.pos = ((h.a * p.key + h.b) % 2147483647) % 512
+  GROUP BY p.key
+)
+SELECT e.token, e.exact_cnt, est.cms_est
+FROM exact e JOIN est ON est.key = e.key
+"""
+
+
+def _q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 80/10/10 train/valid/test split keyed on the GROUP
+    (source host), not the row — documents sharing a host can never
+    straddle the train/test boundary (corpus.py:assign_split; pure
+    map-side, zero shuffles, rerun-stable)."""
+    from bdtopo2refhydro_spark.operators import corpus as C
+
+    return C.assign_split(_docs(spark, sf_dir), group_col="source").select(
+        "doc_id", "source", "split")
+
+
+_GROUP_SPLIT_SQL = """
+SELECT doc_id, source,
+       CASE WHEN CAST(('0x' || substr(md5(source), 1, 15)) AS BIGINT)
+                 % 100 < 80 THEN 'train'
+            WHEN CAST(('0x' || substr(md5(source), 1, 15)) AS BIGINT)
+                 % 100 < 90 THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def _q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-<=1 similarity join via FastSS deletion
+    neighborhoods (corpus.py:fuzzy_join_ed1): left = distinct source
+    hosts, right = deterministic per-doc mutations (identity / one
+    deletion / one insertion / a distance-2 distractor that must NOT
+    match). The oracle is a full cross join verified with DuckDB's own
+    levenshtein — a complete, independent ground truth for the
+    candidate generator."""
+    from bdtopo2refhydro_spark.operators import corpus as C
+
+    docs = _docs(spark, sf_dir)
+    mut = (
+        "case when doc_id % 4 = 0 then source "
+        f"when doc_id % 4 = 1 then concat(substr(source, 1, {_H} % "
+        f"length(source)), substr(source, 2 + {_H} % length(source))) "
+        "when doc_id % 4 = 2 then concat(source, 'q') "
+        "else concat('zz', source) end"
+    )
+    left = docs.select(F.col("source").alias("s"))
+    right = docs.select(F.expr(mut).alias("s"))
+    return C.fuzzy_join_ed1(left, right)
+
+
+_FUZZY_JOIN_SQL = f"""
+WITH l AS (SELECT DISTINCT source AS a FROM documents),
+r AS (
+  SELECT DISTINCT
+    CASE WHEN doc_id % 4 = 0 THEN source
+         WHEN doc_id % 4 = 1 THEN
+           substr(source, 1, {_HD} % length(source))
+           || substr(source, 2 + {_HD} % length(source))
+         WHEN doc_id % 4 = 2 THEN source || 'q'
+         ELSE 'zz' || source END AS b
+  FROM documents
+)
+SELECT l.a, r.b, CAST(levenshtein(l.a, r.b) AS BIGINT) AS dist
+FROM l CROSS JOIN r WHERE levenshtein(l.a, r.b) <= 1
+"""
+
+
+def _q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): EXISTS subquery as a
+    LEFT SEMI join — orders keep their bytes out of the join payload,
+    lineitem contributes only matching keys; the date-window predicate
+    pushes to the orders scan. (The synthetic lineitem has no
+    commitdate/receiptdate, so 'late line' = shipped > 30 days after
+    the order date — same plan shape, same semi-join cardinality
+    story.)"""
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.expr("o_orderdate >= timestamp'1996-01-01' "
+               "and o_orderdate < timestamp'1997-01-01'"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    late = od.join(
+        li,
+        (od.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.expr("o_orderdate + interval 30 days")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count"))
+
+
+_TPCH_Q4_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -4400,12 +4629,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_wav": _q_audio_wav,
         "stream_join": _q_stream_join,
         "corpus_manifest": _q_corpus_manifest,
-        "sessionize": _q_sessionize,
-        "dq_profile": _q_dq_profile,
-        "dq_check": _q_dq_check,
-        "funnel": _q_funnel,
-        "event_features": _q_event_features,
-        "triplets": _q_triplets,
+        "exact_substr": _q_exact_substr,
+        "cocitation": _q_cocitation,
+        "cms_topk": _q_cms_topk,
+        "group_split": _q_group_split,
+        "fuzzy_join": _q_fuzzy_join,
+        "tpch_q4": _q_tpch_q4,
         "asof_join": _q_asof_join,
         "range_count": _q_range_count,
         "snapshot_diff": _q_snapshot_diff,
@@ -4432,11 +4661,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": _q_kcore,
         "anchor_agg": _q_anchor_agg,
         "bloom_dedup": _q_bloom_dedup,
-        # image_bmp/temp_sample (r3) and lsh_ann/emb_dup_pairs (the ANN
-        # family keeps cosine_topk/ivf_ann/ivf_kmeans_ann/ann_int8/
-        # sem_dedup in-window) rotated just past the window to admit
-        # sem_dedup/bpe_train/incr_dedup/url_rules: all pytest-pinned on
-        # hand-built fixtures and oracle_check re-verifies every round
+        # Rotated just past the window (all pytest-pinned on hand-built
+        # fixtures; oracle_check re-verifies every entry every round):
+        # image_bmp/temp_sample, lsh_ann/emb_dup_pairs (the ANN family
+        # keeps cosine_topk/ivf_ann/ivf_kmeans_ann/ann_int8/sem_dedup
+        # in-window), and — to admit exact_substr/cocitation/cms_topk/
+        # group_split/fuzzy_join/tpch_q4 — sessionize/dq_profile/
+        # dq_check/funnel/event_features/triplets (each unit-tested in
+        # test_dq/test_temporal_corpus on hand-computed fixtures)
+        "sessionize": _q_sessionize,
+        "dq_profile": _q_dq_profile,
+        "dq_check": _q_dq_check,
+        "funnel": _q_funnel,
+        "event_features": _q_event_features,
+        "triplets": _q_triplets,
         "lsh_ann": _q_lsh_ann,
         "emb_dup_pairs": _q_emb_dup_pairs,
         "image_resize": _q_image_resize,
@@ -4643,6 +4881,12 @@ def oracle_sql() -> dict[str, str]:
         "triangles": _TRIANGLES_SQL,
         "tfidf_topk": _TFIDF_SQL,
         "bloom_dedup": _BLOOM_DEDUP_SQL,
+        "exact_substr": _EXACT_SUBSTR_SQL,
+        "cocitation": _COCITATION_SQL,
+        "cms_topk": _CMS_TOPK_SQL,
+        "group_split": _GROUP_SPLIT_SQL,
+        "fuzzy_join": _FUZZY_JOIN_SQL,
+        "tpch_q4": _TPCH_Q4_SQL,
         "incr_dedup": _incr_dedup_sql(),
         "url_rules": _URL_RULES_SQL,
     }

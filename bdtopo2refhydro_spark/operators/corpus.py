@@ -632,3 +632,120 @@ def contrastive_triplets(docs: DataFrame, *, k_neg: int = 2,
         .select(F.col(id_col).alias("anchor_id"), "pos_id",
                 "neg_id", F.col("j").cast("bigint").alias("j"))
     )
+
+
+# Count-min sketch: depth = len(BLOOM_HASHES) affine hash rows over the
+# same public-constant family as the Bloom filter; width counters per
+# row. All arithmetic is nonnegative BIGINT (ANSI-safe, DuckDB-exact).
+def _cms_pos_exprs(key_col: str, width: int) -> list:
+    return [
+        F.expr(f"pmod({a} * {key_col} + {b}, {BLOOM_P}) % {int(width)}")
+        for a, b in BLOOM_HASHES
+    ]
+
+
+def cms_build(keys: DataFrame, key_col: str, *,
+              width: int = 1024) -> DataFrame:
+    """Build a count-min sketch over a nonnegative BIGINT key stream.
+
+    Returns (row, pos, cnt): depth x width integer counters, where
+    cnt = number of input rows hashing to that cell. The sketch is the
+    mergeable streaming-frequency summary (Cormode & Muthukrishnan):
+    estimates are upper bounds, exact unless the cell collided.
+
+    Scale shape: one explode (x depth) + ONE groupBy with map-side
+    partial combine — the shuffle carries at most depth*width rows per
+    partition regardless of input size, and sketches from different
+    partitions/days merge by cell-wise addition.
+    """
+    pos = keys.select(
+        F.posexplode(F.array(*_cms_pos_exprs(key_col, width)))
+        .alias("row", "pos")
+    )
+    return pos.groupBy("row", "pos").agg(F.count("*").alias("cnt"))
+
+
+def cms_estimate(probe: DataFrame, key_col: str, cms: DataFrame, *,
+                 width: int = 1024) -> DataFrame:
+    """Point-query a count-min sketch: adds ``cms_est`` per probe row.
+
+    Each probe key looks up its depth cells (broadcast join — the
+    sketch is bounded at depth*width rows by construction) and takes
+    the MIN across rows; absent cells count 0. CMS guarantees
+    cms_est >= true frequency.
+    """
+    p = probe.select(
+        F.col(key_col).alias("_k"),
+        F.posexplode(F.array(*_cms_pos_exprs(key_col, width)))
+        .alias("row", "pos"),
+    )
+    return (
+        p.join(F.broadcast(cms), ["row", "pos"], "left")
+        .groupBy(F.col("_k").alias(key_col))
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"))
+    )
+
+
+def assign_split(df: DataFrame, *, group_col: str = "source",
+                 weights: tuple = (80, 10, 10),
+                 names: tuple = ("train", "valid", "test")) -> DataFrame:
+    """Leakage-safe train/valid/test split: the split is a deterministic
+    hash of the GROUP key (host / canonical url / dedup-cluster id),
+    never of the row — every document of a group lands in the same
+    split, so near-duplicates that share the key can never straddle the
+    train/test boundary (the standard contamination guard).
+
+    weights are integer percents summing to 100; the group's md5-derived
+    bucket in [0, 100) is compared against their running sum. Pure
+    map-side (zero shuffles), rerun-stable, and exactly replayable in
+    any engine that has md5.
+    """
+    if sum(weights) != 100 or len(weights) != len(names):
+        raise ValueError("weights must be percents summing to 100, "
+                         "one per split name")
+    bucket = (f"pmod(cast(conv(substr(md5({group_col}), 1, 15), 16, 10) "
+              f"as bigint), 100)")
+    cum, parts = 0, []
+    for w, n in zip(weights[:-1], names[:-1]):
+        cum += int(w)
+        parts.append(f"when {bucket} < {cum} then '{n}'")
+    expr = "case " + " ".join(parts) + f" else '{names[-1]}' end"
+    return df.withColumn("split", F.expr(expr))
+
+
+def fuzzy_join_ed1(left: DataFrame, right: DataFrame, *,
+                   left_col: str = "s", right_col: str = "s") -> DataFrame:
+    """Similarity join at edit distance <= 1 via FastSS deletion
+    neighborhoods (Bocek et al.): each string emits itself plus its
+    len(s) single-character-deletion variants; two strings within one
+    edit ALWAYS share a variant (substitution -> delete the differing
+    position from both; insert/delete -> the shorter string itself), so
+    an equi-join on the variant is a complete candidate generator — no
+    cross join, no per-pair scan of either table. Candidates are
+    deduped, then verified with the built-in levenshtein (both engines
+    ship one).
+
+    Returns (a, b, dist) for every cross pair with dist <= 1.
+
+    Scale shape: blow-up is (avg_len + 1) x rows on each side — linear;
+    the join key is a short string (hash it at 100 TB), and the verify
+    runs once per DISTINCT candidate pair. Distance-2 would recurse the
+    deletion once; out of scope here.
+    """
+    def variants(col: str):
+        return F.expr(
+            f"case when length({col}) = 0 then array({col}) else "
+            f"concat(array({col}), transform(sequence(1, length({col})), "
+            f"i -> concat(substr({col}, 1, i - 1), substr({col}, i + 1)))) "
+            f"end"
+        )
+
+    lv = left.select(F.col(left_col).alias("a")).distinct().select(
+        "a", F.explode(variants("a")).alias("v"))
+    rv = right.select(F.col(right_col).alias("b")).distinct().select(
+        "b", F.explode(variants("b")).alias("v"))
+    cand = lv.join(rv, "v").select("a", "b").distinct()
+    return (
+        cand.withColumn("dist", F.levenshtein("a", "b").cast("bigint"))
+        .filter(F.col("dist") <= 1)
+    )

@@ -30,7 +30,7 @@ Scale notes (the part that must survive 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Fixed-point scale for integer PageRank: ranks start at RANK_SCALE and
@@ -244,4 +244,53 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3,
     return (
         sym.groupBy("a").agg(F.count("*").cast("bigint").alias("degree"))
         .select(F.col("a").alias("node"), "degree")
+    )
+
+
+def cocitation_pairs(
+    edges: DataFrame,
+    *,
+    min_common: int = 2,
+    cap: int = 16,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Co-citation similarity over the link graph: pairs of sources
+    that point at >= ``min_common`` common targets (the classic
+    "related pages" signal; transposed it is bibliographic coupling).
+
+    Output: (a, b, common) with a < b, common = number of shared
+    distinct targets counted over the capped per-target source lists.
+
+    Scale shape: the naive form is a self-join of the edge list on
+    ``dst`` — quadratic in the in-degree of hot targets (a page linked
+    by 10M hosts would emit 10^14 pairs). The standard fix is applied
+    here: per target, sources are ranked deterministically (ascending)
+    and only the first ``cap`` participate in pair generation, bounding
+    the per-target fan-out at cap^2 rows while keeping every pair among
+    low-in-degree targets exact (hot targets contribute capped,
+    deterministic evidence — they carry little similarity signal
+    anyway, the same reasoning as stopword removal). One shuffle ranks
+    per dst, the wedge join shares that dst partitioning, and the final
+    pair count is a map-side-combinable groupBy.
+    """
+    e = edges.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+    ).filter(F.col(src_col) != F.col(dst_col)).distinct()
+    w = Window.partitionBy("d").orderBy("s")
+    ranked = (
+        e.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= cap)
+        .select("d", "s")
+    ).localCheckpoint(eager=False)  # defeat projection collapse in self-join
+    pairs = (
+        ranked.alias("l")
+        .join(ranked.alias("r"), "d")
+        .filter(F.col("l.s") < F.col("r.s"))
+        .select(F.col("l.s").alias("a"), F.col("r.s").alias("b"))
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+        .filter(F.col("common") >= min_common)
     )

@@ -98,6 +98,87 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
     return width, h, feats
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL decode of an 8-bit RGB non-interlaced PNG: chunk walk
+    (IHDR / concatenated IDAT / IEND, CRCs skipped), zlib inflate, then
+    the full scanline-filter reconstruction — all five filter types
+    (None/Sub/Up/Average/Paeth) per the PNG spec §9. Only the container
+    lacks libpng; zlib is stdlib, so unlike JPEG this format needs no
+    stub. Features match the PPM/BMP paths (RGB means /256, max, min).
+
+    Sub/Average/Paeth are byte recurrences along the row (each byte
+    depends on the reconstructed byte 3 positions back), so those rows
+    reconstruct in a per-byte loop; None/Up rows stay vectorized. A
+    production decoder hands this to libpng — the mapInPandas plumbing
+    around it would not change."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat, w, h = 8, b"", None, None
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        if typ == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            bit_depth, color_type = data[8], data[9]
+            comp, filt, interlace = data[10], data[11], data[12]
+            if (bit_depth, color_type, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError("only 8-bit RGB non-interlaced PNG")
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + payload + CRC
+    if w is None:
+        raise ValueError("PNG without IHDR")
+    raw = zlib.decompress(idat)
+    stride = 3 * w
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline size mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    prev = np.zeros(stride, dtype=np.uint8)
+    recon = np.empty((h, stride), dtype=np.uint8)
+    for r in range(h):
+        ft, cur = int(rows[r, 0]), rows[r, 1:]
+        if ft == 0:
+            rec = cur.copy()
+        elif ft == 2:
+            rec = cur + prev  # uint8 wraparound == mod-256 add
+        elif ft in (1, 3, 4):
+            rec = np.zeros(stride, dtype=np.int64)
+            pv = prev.astype(np.int64)
+            for i in range(stride):
+                a = rec[i - 3] if i >= 3 else 0
+                b = pv[i]
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:  # Paeth
+                    c = pv[i - 3] if i >= 3 else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[i] = (int(cur[i]) + pred) % 256
+            rec = rec.astype(np.uint8)
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        recon[r] = rec
+        prev = recon[r]
+    px = recon.reshape(-1, 3)
+    feats = np.zeros(8, dtype=np.float32)
+    feats[:3] = px.mean(axis=0, dtype=np.float64) / 256.0
+    feats[3] = px.max() / 256.0
+    feats[4] = px.min() / 256.0
+    return w, h, feats
+
+
 def _decode_image_stub(payload: bytes) -> tuple[int, int, np.ndarray]:
     """STUB: deterministic fake decode (no PIL/libjpeg in this container).
     A real deployment replaces this body with
@@ -129,6 +210,9 @@ def extract_image_features(media: DataFrame, payload_col: str = "html",
                 elif b[:2] == b"BM":
                     w, h, f = _decode_bmp(b)
                     mt = "image/bmp"
+                elif b[:8] == _PNG_SIG:
+                    w, h, f = _decode_png(b)
+                    mt = "image/png"
                 else:
                     w, h, f = _decode_image_stub(b)
                     mt = "image/stub"
@@ -347,6 +431,38 @@ def synth_bmp_bytes(doc_id: int) -> bytes:
         + b"\x00" * 16                                     # res/palette
     )
     return hdr + data
+
+
+def synth_png_bytes(doc_id: int) -> bytes:
+    """Deterministic VALID PNG fixture: (4 + id%13)×(3 + id%7) pixels,
+    constant color (id%256, 7id%256, 11id%256), filter byte 0 per row,
+    IDAT deflated at level 0 (stored blocks) so the compressed length —
+    and therefore n_bytes — is CLOSED-FORM in doc_id for the oracle:
+    raw = h·(1+3w) bytes, idat = raw + 11 (2 zlib hdr + 5 stored-block
+    hdr + 4 adler), total = 8 sig + 25 IHDR + (12 + idat) + 12 IEND.
+    Real compression levels and nonzero filters are pytest-covered."""
+    import zlib
+
+    w, h = 4 + doc_id % 13, 3 + doc_id % 7
+    r, g, b = doc_id % 256, (doc_id * 7) % 256, (doc_id * 11) % 256
+    raw = (b"\x00" + bytes((r, g, b)) * w) * h
+    idat = zlib.compress(raw, 0)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (len(data).to_bytes(4, "big") + typ + data
+                + zlib.crc32(typ + data).to_bytes(4, "big"))
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes((8, 2, 0, 0, 0))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))
+
+
+def png_payload_udf():
+    """binary pandas UDF: doc_id -> synth_png_bytes(doc_id)."""
+    @F.pandas_udf("binary")
+    def _mk(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_png_bytes(int(i)))
+    return _mk
 
 
 def bmp_payload_udf():

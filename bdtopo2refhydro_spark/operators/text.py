@@ -836,3 +836,51 @@ def incremental_dedup(new: DataFrame, old: DataFrame, *,
         .withColumn("keep",
                     ~F.col("dropped_exact") & ~F.col("dropped_near"))
     )
+
+
+def shared_window_stats(docs: DataFrame, *, k: int = MINHASH_K,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """ExactSubstr-style duplicated-span detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    k-token window of every document is hashed; a window whose hash
+    occurs in >= 2 DISTINCT documents is a shared span. The suffix-array
+    machinery of the paper finds arbitrary-length repeats; the fixed-k
+    windowed form is its scalable streaming analog (any repeat of
+    length >= k tokens contains a shared k-window, so recall for long
+    repeats is exact).
+
+    Returns one row per doc: (id, n_windows, n_shared, dup_pct,
+    has_dup_span) where n_shared counts this doc's window OCCURRENCES
+    (with multiplicity) whose hash also appears in another document and
+    dup_pct = (100 * n_shared) // n_windows (integer percent — exact in
+    any engine).
+
+    Scale shape: document bytes never shuffle — only (doc_id, 31-bit
+    window hash) pairs move. Document frequency is a groupBy on the
+    hash with map-side partial aggregation; the flag returns to the
+    window stream via an equi-join on the hash (hot boilerplate windows
+    are the AQE skew-join case). No self-join, no pairs — per-doc cost
+    is linear in document length at any corpus size.
+    """
+    wins = docs.select(
+        F.col(id_col),
+        F.explode(F.expr(shingle_hash_expr(text_col, k))).alias("wh"),
+    )
+    wins = wins.localCheckpoint(eager=False)  # reused twice below
+    docfreq = wins.distinct().groupBy("wh").agg(F.count("*").alias("df"))
+    shared = docfreq.filter(F.col("df") >= 2).select(
+        "wh", F.lit(True).alias("_s"))
+    return (
+        wins.join(shared, "wh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.count("_s").alias("n_shared"),
+        )
+        .select(
+            id_col, "n_windows", "n_shared",
+            F.expr("(100 * n_shared) div n_windows").alias("dup_pct"),
+            (F.col("n_shared") > 0).alias("has_dup_span"),
+        )
+    )

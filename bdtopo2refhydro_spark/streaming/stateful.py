@@ -220,3 +220,33 @@ def stream_session_windows(spark: SparkSession, path: str,
         )
     )
     return _drain_to_memory(agg, query_name, "complete")
+
+
+def stream_dedup_within_watermark(spark: SparkSession, path: str,
+                                  keys: list, time_col: str,
+                                  delay: str = "1 hour",
+                                  query_name: str = "stream_dedup_wm",
+                                  files_per_trigger: int | None = None
+                                  ) -> DataFrame:
+    """Native watermark-bounded streaming dedup: Spark's
+    dropDuplicatesWithinWatermark keeps one row per key while the key's
+    event time is inside the watermark window, then FREES the key's
+    state — the production-shaped dedup for unbounded streams, where
+    the applyInPandasWithState variant (stream_dedup_stateful) keeps a
+    boolean per key forever. State is partitioned by the dedup key
+    across executors; at 100 TB/day the watermark bound is what keeps
+    the state store finite.
+
+    Emits only the key columns (every suppressed duplicate carries the
+    same key tuple, so the drained result is exactly the DISTINCT key
+    set regardless of intra-batch arrival order — which is what makes
+    an exact value oracle possible for a first-wins operator)."""
+    schema = spark.read.parquet(path).schema
+    src = _stream_reader(spark, path, schema, files_per_trigger)
+    deduped = (
+        src.withColumn(time_col, F.col(time_col).cast("timestamp"))
+        .withWatermark(time_col, delay)
+        .dropDuplicatesWithinWatermark(list(keys))
+        .select(*keys)
+    )
+    return _drain_to_memory(deduped, query_name, "append")

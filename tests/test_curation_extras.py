@@ -1,0 +1,184 @@
+"""Round-3 continuation batch 4 operators, on hand-checked fixtures:
+
+- text.shared_window_stats (ExactSubstr-style windowed span dedup)
+- linkgraph.cocitation_pairs (capped co-citation wedge join)
+- corpus.cms_build / cms_estimate (count-min sketch, upper-bound law)
+- corpus.assign_split (leakage-safe grouped train/valid/test split)
+- corpus.fuzzy_join_ed1 (FastSS deletion-neighborhood ed<=1 join)
+"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from bdtopo2refhydro_spark.operators import corpus as C
+from bdtopo2refhydro_spark.operators import linkgraph as LG
+from bdtopo2refhydro_spark.operators import text as TX
+
+
+# ---------------------------------------------------------------------------
+# shared_window_stats
+# ---------------------------------------------------------------------------
+
+def test_shared_window_stats_hand_fixture(spark):
+    # k = MINHASH_K = 3. "a b c" occurs in docs 1, 2 and twice in doc 4.
+    docs = spark.createDataFrame(
+        [(1, "a b c d"),      # windows: abc, bcd
+         (2, "x a b c"),      # windows: xab, abc
+         (3, "p q r s"),      # windows: pqr, qrs (unique)
+         (4, "a b c a b c")], # windows: abc, bca, cab, abc
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in TX.shared_window_stats(docs).collect()}
+    assert got[1] == {"doc_id": 1, "n_windows": 2, "n_shared": 1,
+                      "dup_pct": 50, "has_dup_span": True}
+    assert got[2]["n_shared"] == 1 and got[2]["has_dup_span"]
+    assert got[3] == {"doc_id": 3, "n_windows": 2, "n_shared": 0,
+                      "dup_pct": 0, "has_dup_span": False}
+    # multiplicity: doc 4's two "a b c" occurrences BOTH count
+    assert got[4]["n_windows"] == 4 and got[4]["n_shared"] == 2
+    assert got[4]["dup_pct"] == 50
+
+
+def test_shared_window_stats_short_doc_whole_shingle(spark):
+    # docs shorter than k collapse to one whole-doc window; two equal
+    # short docs are shared, a distinct one is not
+    docs = spark.createDataFrame(
+        [(1, "hi there"), (2, "hi there"), (3, "bye now")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["has_dup_span"]
+           for r in TX.shared_window_stats(docs).collect()}
+    assert got == {1: True, 2: True, 3: False}
+
+
+# ---------------------------------------------------------------------------
+# cocitation_pairs
+# ---------------------------------------------------------------------------
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+def test_cocitation_min_common(spark):
+    e = _edges(spark, [
+        ("a", "t1"), ("b", "t1"), ("c", "t1"),
+        ("a", "t2"), ("b", "t2"),
+        ("a", "t3"), ("c", "t3"),
+        # duplicate edge + self-loop must be ignored
+        ("a", "t1"), ("t1", "t1"),
+    ])
+    got = {(r["a"], r["b"]): r["common"]
+           for r in LG.cocitation_pairs(e, min_common=2).collect()}
+    assert got == {("a", "b"): 2, ("a", "c"): 2}  # (b,c) common=1 filtered
+
+
+def test_cocitation_cap_truncates_hot_target(spark):
+    rows = [(f"s{i}", "hot") for i in range(6)] + [("s0", "t"), ("s5", "t")]
+    got = LG.cocitation_pairs(_edges(spark, rows), min_common=1,
+                              cap=3).collect()
+    pairs = {(r["a"], r["b"]) for r in got}
+    # only the 3 rank-lowest sources of 'hot' pair up; s3..s5 are capped
+    # out, so (s0,s5) exists only if a low-degree target supplies it —
+    # 't' has sources s0,s5 (both within its own cap)
+    assert pairs == {("s0", "s1"), ("s0", "s2"), ("s1", "s2"),
+                     ("s0", "s5")}
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+def _py_cms(keys, width):
+    cells = {}
+    for k in keys:
+        for i, (a, b) in enumerate(C.BLOOM_HASHES):
+            pos = ((a * k + b) % C.BLOOM_P) % width
+            cells[(i, pos)] = cells.get((i, pos), 0) + 1
+    return cells
+
+
+@pytest.mark.parametrize("width", [8, 1024])
+def test_cms_upper_bound_and_replay(spark, width):
+    # skewed key stream: key k appears k times; width=8 forces collisions
+    keys = [k for k in range(1, 12) for _ in range(k)]
+    kdf = spark.createDataFrame([(k,) for k in keys], "key long")
+    cms = C.cms_build(kdf, "key", width=width)
+    # bit-for-bit python replay of every cell
+    got_cells = {(r["row"], r["pos"]): r["cnt"] for r in cms.collect()}
+    assert got_cells == _py_cms(keys, width)
+    probe = spark.createDataFrame([(k,) for k in set(keys)], "key long")
+    est = {r["key"]: r["cms_est"]
+           for r in C.cms_estimate(probe, "key", cms, width=width).collect()}
+    exact = {k: keys.count(k) for k in set(keys)}
+    for k, e in exact.items():
+        assert est[k] >= e  # CMS law: never an underestimate
+    if width == 1024:  # no collisions at this density → exact
+        assert est == exact
+
+
+def test_cms_absent_key_estimates_zero_or_collision(spark):
+    kdf = spark.createDataFrame([(7,)] * 5, "key long")
+    cms = C.cms_build(kdf, "key", width=1024)
+    probe = spark.createDataFrame([(7,), (999_999,)], "key long")
+    est = {r["key"]: r["cms_est"]
+           for r in C.cms_estimate(probe, "key", cms, width=1024).collect()}
+    assert est[7] == 5 and est[999_999] == 0
+
+
+# ---------------------------------------------------------------------------
+# assign_split
+# ---------------------------------------------------------------------------
+
+def _py_bucket(group: str) -> int:
+    return int(hashlib.md5(group.encode()).hexdigest()[:15], 16) % 100
+
+
+def test_assign_split_is_group_constant_and_replayable(spark):
+    rows = [(i, f"host{i % 7}") for i in range(70)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = C.assign_split(df, group_col="source").collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["source"], set()).add(r["split"])
+    # leakage guard: one split per group
+    assert all(len(s) == 1 for s in by_group.values())
+    for g, s in by_group.items():
+        b = _py_bucket(g)
+        want = "train" if b < 80 else ("valid" if b < 90 else "test")
+        assert s == {want}
+
+
+def test_assign_split_rejects_bad_weights(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError):
+        C.assign_split(df, weights=(50, 50, 50))
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_join_ed1
+# ---------------------------------------------------------------------------
+
+def test_fuzzy_join_ed1_complete_for_one_edit(spark):
+    left = spark.createDataFrame(
+        [("host",), ("alpha",)], "s string")
+    right = spark.createDataFrame(
+        [("host",),   # identity
+         ("hosf",),   # substitution
+         ("hosts",),  # insertion
+         ("hot",),    # deletion
+         ("alphaxx",),  # distance 2 — must NOT match
+         ("beta",)], "s string")
+    got = {(r["a"], r["b"]): r["dist"]
+           for r in C.fuzzy_join_ed1(left, right).collect()}
+    assert got == {("host", "host"): 0, ("host", "hosf"): 1,
+                   ("host", "hosts"): 1, ("host", "hot"): 1}
+
+
+def test_fuzzy_join_ed1_empty_string_guard(spark):
+    left = spark.createDataFrame([("",)], "s string")
+    right = spark.createDataFrame([("a",), ("",), ("ab",)], "s string")
+    got = {(r["a"], r["b"]): r["dist"]
+           for r in C.fuzzy_join_ed1(left, right).collect()}
+    # "" matches itself (0) and any single char (1); "ab" is distance 2
+    assert got == {("", ""): 0, ("", "a"): 1}

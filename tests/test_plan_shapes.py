@@ -193,3 +193,51 @@ def test_anchor_agg_partial_aggregates_before_shuffle(spark, entry):
     # partial agg below (printed after) the exchange in the tree
     below = plan[first_exchange:]
     assert "partial_count" in below or "count(1)" in below
+
+
+def test_exact_substr_no_pairs_no_cartesian(spark, entry):
+    """Windowed span-dedup is join-on-hash + two aggregates — never a
+    self-join of documents, never a nested loop."""
+    plan = _plan(entry.queries()["exact_substr"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cocitation_wedge_is_equi_join(spark, entry):
+    plan = _plan(entry.queries()["cocitation"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # (the per-target cap Window sits behind the ranked-table
+    # localCheckpoint, so it is invisible here; the cap semantics are
+    # value-tested in test_curation_extras)
+
+
+def test_cms_probe_broadcasts_the_sketch(spark, entry):
+    """The sketch is bounded at depth*width rows — the probe join must
+    broadcast it, never shuffle the token stream against it."""
+    plan = _plan(entry.queries()["cms_topk"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_group_split_is_map_side_only(spark, entry):
+    plan = _plan(entry.queries()["group_split"](spark, SF))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_fuzzy_join_is_equi_join_on_variants(spark, entry):
+    """FastSS candidate generation joins on the deletion variant — the
+    whole point is that no cross join appears anywhere."""
+    plan = _plan(entry.queries()["fuzzy_join"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q4_semi_join_and_date_pushdown(spark, entry):
+    plan = _plan(entry.queries()["tpch_q4"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    # the date window reaches the orders parquet scan
+    assert "PushedFilters" in plan and "o_orderdate" in plan.split(
+        "PushedFilters", 1)[1][:400]
