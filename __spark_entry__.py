@@ -4598,6 +4598,151 @@ GROUP BY o_orderpriority
 """
 
 
+def _q_image_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode path #3: valid 8-bit RGB PNGs synthesized from
+    doc_id (multimodal.py:synth_png_bytes — zlib level 0 makes the
+    compressed size closed-form), chunk-walked, inflated and
+    filter-reconstructed by multimodal._decode_png. Nonzero filter
+    types and real compression levels are pytest-covered; this gate
+    proves the byte-level chunk/inflate/reconstruct path on every
+    doc."""
+    from bdtopo2refhydro_spark.operators.multimodal import (
+        extract_image_features,
+        png_payload_udf,
+    )
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        png_payload_udf()("doc_id").alias("payload"),
+    )
+    out = extract_image_features(media, payload_col="payload")
+    return out.select(
+        "url", "media_type", "n_bytes", "width", "height",
+        F.element_at("features", 1).cast("double").alias("mean_r"),
+        F.element_at("features", 2).cast("double").alias("mean_g"),
+    )
+
+
+_IMAGE_PNG_SQL = """
+WITH p AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url,
+         4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+         doc_id % 256 AS r, (doc_id * 7) % 256 AS g
+  FROM documents
+)
+SELECT url, 'image/png' AS media_type,
+       CAST(68 + h * (1 + 3 * w) AS BIGINT) AS n_bytes,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(r AS DOUBLE) / 256.0 AS mean_r,
+       CAST(g AS DOUBLE) / 256.0 AS mean_g
+FROM p
+"""
+
+
+def _q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local-supplier volume): the 6-way star join — region
+    prunes nation, nation+supplier+customer broadcast (policy-sized
+    dims), lineitem x orders is the one shuffle join; revenue
+    accumulates as exact integer cents x (100 - discount-cents)
+    (order-independent) and divides once at the end."""
+    rg = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "ASIA")
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.expr("o_orderdate >= timestamp'1996-01-01' "
+               "and o_orderdate < timestamp'1997-01-01'"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    asia_nations = na.join(F.broadcast(rg),
+                           na.n_regionkey == rg.r_regionkey)
+    sup = su.join(F.broadcast(asia_nations),
+                  su.s_nationkey == asia_nations.n_nationkey)
+    cents = lambda c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long")  # noqa: E731
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(cu),
+              (od.o_custkey == cu.c_custkey)
+              & (cu.c_nationkey == sup.s_nationkey))
+        .groupBy("n_name")
+        .agg(F.sum(cents("l_extendedprice")
+                   * (F.lit(100) - cents("l_discount"))).alias("sc"))
+        .select("n_name", (F.col("sc") / F.lit(10000.0)).alias("revenue"))
+    )
+
+
+_TPCH_Q5_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+            AS BIGINT) / 10000.0 AS revenue
+FROM lineitem, orders, supplier, customer, nation, region
+WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+  AND o_custkey = c_custkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def _q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-scheduled crawl frontier (corpus.py:crawl_frontier):
+    per-host rank -> fetch_round (2 fetches/host/round) + a
+    deterministic global slot within each round."""
+    from bdtopo2refhydro_spark.operators import corpus as C
+
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("u"), F.col("doc_id")).alias("url"),
+        F.col("source").alias("host"),
+        F.expr(f"cast({_H} % 100 as bigint)").alias("score"),
+    )
+    return C.crawl_frontier(pages, per_round=2)
+
+
+_CRAWL_FRONTIER_SQL = f"""
+WITH p AS (
+  SELECT 'u' || CAST(doc_id AS VARCHAR) AS url, source AS host,
+         CAST({_HD} % 100 AS BIGINT) AS score
+  FROM documents
+),
+r AS (
+  SELECT *, CAST((row_number() OVER (
+           PARTITION BY host ORDER BY score DESC, url) - 1) // 2
+         AS BIGINT) AS fetch_round
+  FROM p
+)
+SELECT url, host, score, fetch_round,
+       CAST(row_number() OVER (
+         PARTITION BY fetch_round ORDER BY score DESC, host, url)
+       AS BIGINT) AS slot
+FROM r
+"""
+
+
+def _q_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native watermark-bounded streaming dedup
+    (streaming/stateful.py:stream_dedup_within_watermark):
+    dropDuplicatesWithinWatermark on (user_id, event_type) over the
+    events stream, availableNow drain — emits exactly the distinct key
+    set (exact oracle) while the watermark keeps the state store
+    finite."""
+    from bdtopo2refhydro_spark.streaming.stateful import (
+        stream_dedup_within_watermark,
+    )
+
+    return stream_dedup_within_watermark(
+        spark, f"{sf_dir}/events.parquet",
+        ["user_id", "event_type"], "ts")
+
+
+_STREAM_DEDUP_WM_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -4635,12 +4780,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_split": _q_group_split,
         "fuzzy_join": _q_fuzzy_join,
         "tpch_q4": _q_tpch_q4,
-        "asof_join": _q_asof_join,
-        "range_count": _q_range_count,
+        "image_png": _q_image_png,
+        "tpch_q5": _q_tpch_q5,
+        "crawl_frontier": _q_crawl_frontier,
+        "stream_dedup_wm": _q_stream_dedup_wm,
         "snapshot_diff": _q_snapshot_diff,
-        "para_dedup": _q_para_dedup,
         "scd2": _q_scd2,
-        "salted_join": _q_salted_join,
         "refresh_pipeline": _q_refresh_pipeline,
         "knn_join": _q_knn_join,
         "tile_compact": _q_tile_compact,
@@ -4668,7 +4813,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window), and — to admit exact_substr/cocitation/cms_topk/
         # group_split/fuzzy_join/tpch_q4 — sessionize/dq_profile/
         # dq_check/funnel/event_features/triplets (each unit-tested in
-        # test_dq/test_temporal_corpus on hand-computed fixtures)
+        # test_dq/test_temporal_corpus on hand-computed fixtures), and —
+        # to admit image_png/tpch_q5/crawl_frontier/stream_dedup_wm —
+        # asof_join/range_count/para_dedup/salted_join (plan-pinned in
+        # test_plan_shapes, value-tested in test_temporal_corpus/
+        # test_relational_ops)
+        "asof_join": _q_asof_join,
+        "range_count": _q_range_count,
+        "para_dedup": _q_para_dedup,
+        "salted_join": _q_salted_join,
         "sessionize": _q_sessionize,
         "dq_profile": _q_dq_profile,
         "dq_check": _q_dq_check,
@@ -4887,6 +5040,10 @@ def oracle_sql() -> dict[str, str]:
         "group_split": _GROUP_SPLIT_SQL,
         "fuzzy_join": _FUZZY_JOIN_SQL,
         "tpch_q4": _TPCH_Q4_SQL,
+        "image_png": _IMAGE_PNG_SQL,
+        "tpch_q5": _TPCH_Q5_SQL,
+        "crawl_frontier": _CRAWL_FRONTIER_SQL,
+        "stream_dedup_wm": _STREAM_DEDUP_WM_SQL,
         "incr_dedup": _incr_dedup_sql(),
         "url_rules": _URL_RULES_SQL,
     }

@@ -749,3 +749,31 @@ def fuzzy_join_ed1(left: DataFrame, right: DataFrame, *,
         cand.withColumn("dist", F.levenshtein("a", "b").cast("bigint"))
         .filter(F.col("dist") <= 1)
     )
+
+
+def crawl_frontier(pages: DataFrame, *, host_col: str = "host",
+                   url_col: str = "url", score_col: str = "score",
+                   per_round: int = 1) -> DataFrame:
+    """Politeness-scheduled crawl frontier: within each host, pages are
+    ranked by (score desc, url) and assigned
+    ``fetch_round = rank div per_round`` — at most ``per_round`` fetches
+    per host per round, the standard per-host politeness constraint —
+    plus a deterministic ``slot`` ordering hosts within each round by
+    (score desc, host, url) so the scheduler's output is a total order.
+
+    Scale shape: two window passes (one shuffle on host, one on the
+    round key). Host skew is inherent — a 10M-page host simply occupies
+    10M rounds — so no salting applies; the round window's key
+    cardinality grows with the deepest host, keeping that exchange
+    balanced."""
+    w_host = Window.partitionBy(host_col).orderBy(
+        F.desc(score_col), F.col(url_col))
+    ranked = pages.withColumn(
+        "fetch_round",
+        (F.row_number().over(w_host) - 1).cast("long"))
+    ranked = ranked.withColumn(
+        "fetch_round", F.expr(f"fetch_round div {int(per_round)}"))
+    w_round = Window.partitionBy("fetch_round").orderBy(
+        F.desc(score_col), F.col(host_col), F.col(url_col))
+    return ranked.withColumn(
+        "slot", F.row_number().over(w_round).cast("long"))

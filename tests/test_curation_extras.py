@@ -182,3 +182,31 @@ def test_fuzzy_join_ed1_empty_string_guard(spark):
            for r in C.fuzzy_join_ed1(left, right).collect()}
     # "" matches itself (0) and any single char (1); "ab" is distance 2
     assert got == {("", ""): 0, ("", "a"): 1}
+
+
+# ---------------------------------------------------------------------------
+# crawl_frontier
+# ---------------------------------------------------------------------------
+
+def test_crawl_frontier_politeness_and_slots(spark):
+    pages = spark.createDataFrame(
+        [("u1", "h1", 90), ("u2", "h1", 80), ("u3", "h1", 70),
+         ("u4", "h2", 95), ("u5", "h2", 60)],
+        "url string, host string, score long")
+    out = {r["url"]: (r["fetch_round"], r["slot"])
+           for r in C.crawl_frontier(pages).collect()}
+    # per_round=1: one fetch per host per round, rank by score desc
+    assert out["u1"][0] == 0 and out["u4"][0] == 0
+    assert out["u2"][0] == 1 and out["u5"][0] == 1
+    assert out["u3"][0] == 2
+    # slot orders within a round by score desc: round 0 = u4(95), u1(90)
+    assert out["u4"][1] == 1 and out["u1"][1] == 2
+
+
+def test_crawl_frontier_per_round_batches(spark):
+    pages = spark.createDataFrame(
+        [(f"u{i}", "h", 100 - i) for i in range(5)],
+        "url string, host string, score long")
+    out = {r["url"]: r["fetch_round"]
+           for r in C.crawl_frontier(pages, per_round=2).collect()}
+    assert out == {"u0": 0, "u1": 0, "u2": 1, "u3": 1, "u4": 2}

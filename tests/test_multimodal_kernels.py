@@ -92,3 +92,88 @@ def test_synth_fixtures_decode_to_their_closed_forms(doc_id):
     assert sr == (8, 16, 32, 48)[doc_id % 4] * 1000
     assert d == 100 + 50 * (doc_id % 7)
     assert loud == ((doc_id * 31) % 32768) / 32768.0
+
+
+# ---------------------------------------------------------------------------
+# PNG decode (chunk walk + inflate + all five scanline filters)
+# ---------------------------------------------------------------------------
+
+def _encode_png(px: np.ndarray, filters, level=6) -> bytes:
+    """Reference PNG encoder for tests: encodes row r with filters[r]
+    per the spec's FILTER definitions (the inverse of the decoder)."""
+    import zlib
+
+    from bdtopo2refhydro_spark.operators.multimodal import _PNG_SIG
+
+    h, w, _ = px.shape
+    flat = px.reshape(h, 3 * w).astype(int)
+    raw = bytearray()
+    prev = np.zeros(3 * w, dtype=int)
+    for r in range(h):
+        ft = filters[r]
+        raw.append(ft)
+        cur = flat[r]
+        for i in range(3 * w):
+            a = cur[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            raw.append((cur[i] - pred) % 256)
+        prev = flat[r]
+    idat = zlib.compress(bytes(raw), level)
+
+    def chunk(t, d):
+        return (len(d).to_bytes(4, "big") + t + d
+                + zlib.crc32(t + d).to_bytes(4, "big"))
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes((8, 2, 0, 0, 0))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))
+
+
+@settings(max_examples=60, deadline=None)
+@given(w=st.integers(1, 12), h=st.integers(1, 8),
+       seed=st.integers(0, 2**31 - 1),
+       data=st.data())
+def test_png_decode_matches_numpy_reference_all_filters(w, h, seed, data):
+    from bdtopo2refhydro_spark.operators.multimodal import _decode_png
+
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    filters = data.draw(st.lists(st.integers(0, 4), min_size=h, max_size=h))
+    gw, gh, feats = _decode_png(_encode_png(px, filters))
+    assert (gw, gh) == (w, h)
+    flat = px.reshape(-1, 3)
+    assert np.allclose(feats[:3],
+                       flat.mean(axis=0, dtype=np.float64) / 256.0,
+                       atol=1e-6)
+    assert feats[3] == flat.max() / 256.0
+    assert feats[4] == flat.min() / 256.0
+
+
+@settings(max_examples=200, deadline=None)
+@given(doc_id=st.integers(0, 2**40))
+def test_synth_png_closed_forms(doc_id):
+    from bdtopo2refhydro_spark.operators.multimodal import (
+        _decode_png,
+        synth_png_bytes,
+    )
+
+    p = synth_png_bytes(doc_id)
+    w, h, feats = _decode_png(p)
+    assert (w, h) == (4 + doc_id % 13, 3 + doc_id % 7)
+    # level-0 deflate makes the total byte count closed-form
+    assert len(p) == 68 + h * (1 + 3 * w)
+    assert feats[0] == (doc_id % 256) / 256.0
+    assert feats[1] == (doc_id * 7 % 256) / 256.0

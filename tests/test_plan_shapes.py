@@ -241,3 +241,18 @@ def test_tpch_q4_semi_join_and_date_pushdown(spark, entry):
     # the date window reaches the orders parquet scan
     assert "PushedFilters" in plan and "o_orderdate" in plan.split(
         "PushedFilters", 1)[1][:400]
+
+
+def test_tpch_q5_broadcasts_all_dims(spark, entry):
+    """The 6-way star: exactly one shuffle join family (lineitem x
+    orders); supplier/nation/region/customer all broadcast."""
+    plan = _plan(entry.queries()["tpch_q5"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_crawl_frontier_two_window_passes(spark, entry):
+    plan = _plan(entry.queries()["crawl_frontier"](spark, SF))
+    assert plan.count("Window") >= 2
+    assert "CartesianProduct" not in plan

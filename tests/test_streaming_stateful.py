@@ -212,3 +212,43 @@ def test_interval_join_left_outer_emits_nulls_after_watermark(spark,
     got = {(r.left_id, r.right_id) for r in out.collect()}
     assert (0, None) in got          # null-padded after watermark passed
     assert {(1, 2), (1, 3), (1, 4)} <= got
+
+
+def test_dedup_within_watermark_cross_batch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a key repeated in a LATER
+    micro-batch (inside the watermark delay) is suppressed by the keyed
+    state store; output is exactly the distinct key set."""
+    import glob
+    import os
+    import shutil
+
+    from bdtopo2refhydro_spark.streaming.stateful import (
+        stream_dedup_within_watermark,
+    )
+
+    d = str(tmp_path / "drops")
+    spark.createDataFrame(
+        [("2024-01-01 10:00:00", "a", "click"),
+         ("2024-01-01 10:00:10", "a", "view")],
+        "ts_s string, user_id string, event_type string",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"),
+             "user_id", "event_type").coalesce(1).write.parquet(d + "/f1")
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [("2024-01-01 10:00:20", "a", "click"),   # dup within watermark
+         ("2024-01-01 10:00:30", "b", "click")],
+        "ts_s string, user_id string, event_type string",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"),
+             "user_id", "event_type").coalesce(1).write.parquet(d + "/f2")
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    now = time.time()
+    for i, f in enumerate(sorted(glob.glob(d + "/f*/part-*.parquet"))):
+        shutil.copy(f, f"{flat}/{i:02d}.parquet")
+        os.utime(f"{flat}/{i:02d}.parquet", (now + i, now + i))
+    out = stream_dedup_within_watermark(
+        spark, flat, ["user_id", "event_type"], "ts",
+        query_name="t_dedup_wm_x", files_per_trigger=1)
+    got = {(r.user_id, r.event_type) for r in out.collect()}
+    assert got == {("a", "click"), ("a", "view"), ("b", "click")}
+    assert out.count() == 3  # the 2nd-batch ("a","click") was suppressed
