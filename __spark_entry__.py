@@ -3986,10 +3986,25 @@ def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bpe_train_merges(_docs(spark, sf_dir))
 
 
-def _bpe_train_sql() -> str:
-    """Unrolled BPE replay: chr(31)-guarded symbol strings, the same
-    fixed-count literal replace, argmax with the same tie-break."""
-    SEP = "chr(31)"
+_BPE_SEP_SQL = "chr(31)"
+
+
+def _bpe_merge_expr(col: str, left: str, right: str) -> str:
+    """The fixed-pass-count guarded literal replace, DuckDB spelling."""
+    SEP = _BPE_SEP_SQL
+    merged = col
+    pat = f"{SEP} || {left} || {SEP} || {right} || {SEP}"
+    rep = f"{SEP} || {left} || {right} || {SEP}"
+    for _ in range(TX.BPE_REPLACE_PASSES):
+        merged = f"replace({merged}, {pat}, {rep})"
+    return merged
+
+
+def _bpe_prefix_parts() -> list[str]:
+    """CTE chain replaying BPE training through b{r} (the per-round merge
+    rows) and s{r} (the merged weighted symbol table) — shared by the
+    bpe_train and bpe_encode oracles."""
+    SEP = _BPE_SEP_SQL
     parts = [f"""
 WITH w AS (
   SELECT w, count(*) AS wc FROM (
@@ -4004,11 +4019,7 @@ s0 AS (
   FROM w
 )"""]
     for r in range(1, TX.BPE_MERGES + 1):
-        merged = "s"
-        pat = f"{SEP} || b{r}.x || {SEP} || b{r}.y || {SEP}"
-        rep = f"{SEP} || b{r}.x || b{r}.y || {SEP}"
-        for _ in range(TX.BPE_REPLACE_PASSES):
-            merged = f"replace({merged}, {pat}, {rep})"
+        merged = _bpe_merge_expr("s", f"b{r}.x", f"b{r}.y")
         parts.append(f""",
 p{r} AS (
   SELECT list_filter(string_split(s, {SEP}), t -> t != '') AS toks, wc
@@ -4022,12 +4033,59 @@ pc{r} AS (
 ),
 b{r} AS (SELECT x, y, n_occ FROM pc{r} ORDER BY n_occ DESC, x, y LIMIT 1),
 s{r} AS (SELECT {merged} AS s, wc FROM s{r - 1}, b{r})""")
+    return parts
+
+
+def _bpe_train_sql() -> str:
+    """Unrolled BPE replay: chr(31)-guarded symbol strings, the same
+    fixed-count literal replace, argmax with the same tie-break."""
+    parts = _bpe_prefix_parts()
     rows = " UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS round, x AS left_sym, "
         f"y AS right_sym, n_occ FROM b{r}"
         for r in range(1, TX.BPE_MERGES + 1)
     )
     parts.append(f"\n{rows}\n")
+    return "".join(parts)
+
+
+def _bpe_encode_sql() -> str:
+    """Encode replay: the shared training prefix yields b1..bN; a
+    w-KEYED vocabulary chain applies the same merges, and per-doc totals
+    join the word->symbol-count table back to the (doc, word, count)
+    stream — mirroring text.py:bpe_encode stage for stage."""
+    SEP = _BPE_SEP_SQL
+    n = TX.BPE_MERGES
+    parts = _bpe_prefix_parts()
+    parts.append(f""",
+dw AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+    FROM documents)
+  WHERE length(w) > 0 GROUP BY doc_id, w
+),
+v0 AS (
+  SELECT w, {SEP} || array_to_string(
+           list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)),
+           {SEP}) || {SEP} AS s
+  FROM (SELECT DISTINCT w FROM dw)
+)""")
+    for r in range(1, n + 1):
+        merged = _bpe_merge_expr("s", f"b{r}.x", f"b{r}.y")
+        parts.append(f""",
+v{r} AS (SELECT w, {merged} AS s FROM v{r - 1}, b{r})""")
+    parts.append(f""",
+enc AS (
+  SELECT w, CAST(len(list_filter(string_split(s, {SEP}), t -> t != ''))
+                 AS BIGINT) AS n_sym
+  FROM v{n}
+)
+SELECT dw.doc_id, CAST(sum(dw.cnt) AS BIGINT) AS n_words,
+       CAST(sum(dw.cnt * enc.n_sym) AS BIGINT) AS n_bpe_tokens
+FROM dw JOIN enc ON enc.w = dw.w
+GROUP BY dw.doc_id
+""")
     return "".join(parts)
 
 
@@ -4722,6 +4780,111 @@ FROM r
 """
 
 
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer INFERENCE (text.py:bpe_encode): the merges learned by
+    bpe_train re-applied to every document — per-doc word and
+    BPE-token counts, the accounting that drives shard packing with
+    the real tokenizer. Merge replay runs on the distinct-word vocab,
+    never the corpus."""
+    return TX.bpe_encode(_docs(spark, sf_dir))
+
+
+def _q_minhash_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash sketch MERGEABILITY: the signature of a union of doc sets
+    is the elementwise min of their signatures — so per-source (per-
+    shard, per-day) sketches fold with one groupBy-min, no re-scan of
+    text. This is the property that lets 100 TB of per-shard sketches
+    combine into corpus-level similarity without touching bytes
+    again."""
+    docs = _docs(spark, sf_dir)
+    sigs = TX.minhash_signatures(docs)
+    return (
+        sigs.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(*[F.min(f"mh_{i}").alias(f"mh_{i}")
+               for i in range(TX.MINHASH_HASHES)])
+    )
+
+
+def _minhash_union_sql() -> str:
+    mins = ", ".join(f"min(mh_{i}) AS mh_{i}"
+                     for i in range(TX.MINHASH_HASHES))
+    return f"""
+WITH sig AS ({_minhash_sql().strip()})
+SELECT d.source, {mins}
+FROM sig JOIN documents d ON d.doc_id = sig.doc_id
+GROUP BY d.source
+"""
+
+
+def _q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVAL HARNESS: recall of the LSH candidate generator against
+    brute-force ground truth (all pairs with exact n-gram Jaccard >=
+    0.5). The cross join is the point — this query is the quality
+    measurement a pipeline runs on a SAMPLE (fixture-scale here) to
+    pick band parameters; the production dedup path never runs it.
+    Output: one row (n_true, n_cand, n_hit, recall_pct)."""
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(F.expr(TX.shingles_expr())).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"))
+    b = sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb"))
+    truth = (
+        a.crossJoin(b).filter(F.col("a") < F.col("b"))
+        .filter(F.size(F.array_intersect("sha", "shb"))
+                / F.size(F.array_union("sha", "shb")) >= 0.5)
+        .select("a", "b")
+    )
+    cand = TX.lsh_candidate_pairs(docs).withColumn("_c", F.lit(True))
+    joined = truth.join(cand, ["a", "b"], "left")
+    return (
+        joined.agg(
+            F.count("*").alias("n_true"),
+            F.count("_c").alias("n_hit"),
+        )
+        .crossJoin(cand.agg(F.count("*").alias("n_cand")))
+        .select(
+            "n_true", "n_cand", "n_hit",
+            F.expr("case when n_true = 0 then 100 "
+                   "else (100 * n_hit) div n_true end").alias("recall_pct"),
+        )
+    )
+
+
+def _lsh_recall_sql() -> str:
+    return f"""
+WITH {_bands_cte()},
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+  WHERE l.doc_id < r.doc_id
+),
+t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+sh AS (SELECT doc_id, list_distinct({_duck_shingles()}) AS sh FROM t),
+truth AS (
+  SELECT sa.doc_id AS a, sb.doc_id AS b
+  FROM sh sa JOIN sh sb ON sa.doc_id < sb.doc_id
+  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        / len(list_distinct(sa.sh || sb.sh)) >= 0.5
+),
+hit AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_true,
+         CAST(count(c.a) AS BIGINT) AS n_hit
+  FROM truth LEFT JOIN cand c ON c.a = truth.a AND c.b = truth.b
+),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand)
+SELECT n_true, n_cand, n_hit,
+       CASE WHEN n_true = 0 THEN 100
+            ELSE (100 * n_hit) // n_true END AS recall_pct
+FROM hit CROSS JOIN nc
+"""
+
+
 def _q_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native watermark-bounded streaming dedup
     (streaming/stateful.py:stream_dedup_within_watermark):
@@ -4790,7 +4953,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": _q_knn_join,
         "tile_compact": _q_tile_compact,
         "decontaminate": _q_decontaminate,
-        "quantile_gates": _q_quantile_gates,
+        "bpe_encode": _q_bpe_encode,
+        "minhash_union": _q_minhash_union,
+        "lsh_recall": _q_lsh_recall,
         "curation_pipeline": _q_curation_pipeline,
         "text_nfc": _q_text_nfc,
         "ann_int8": _q_ann_int8,
@@ -4798,8 +4963,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": _q_tpch_q6,
         "tpch_q18": _q_tpch_q18,
         "bucket_join": _q_bucket_join,
-        "stream_sessions": _q_stream_sessions,
-        "chunk_docs": _q_chunk_docs,
         "sem_dedup": _q_sem_dedup,
         "bpe_train": _q_bpe_train,
         "host_rank": _q_host_rank,
@@ -4817,7 +4980,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # to admit image_png/tpch_q5/crawl_frontier/stream_dedup_wm —
         # asof_join/range_count/para_dedup/salted_join (plan-pinned in
         # test_plan_shapes, value-tested in test_temporal_corpus/
-        # test_relational_ops)
+        # test_relational_ops), and — to admit bpe_encode/minhash_union/
+        # lsh_recall — quantile_gates/chunk_docs/stream_sessions (all
+        # value-tested; stream_sessions also trims driver-gate wall)
+        "quantile_gates": _q_quantile_gates,
+        "chunk_docs": _q_chunk_docs,
+        "stream_sessions": _q_stream_sessions,
         "asof_join": _q_asof_join,
         "range_count": _q_range_count,
         "para_dedup": _q_para_dedup,
@@ -5044,6 +5212,9 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q5": _TPCH_Q5_SQL,
         "crawl_frontier": _CRAWL_FRONTIER_SQL,
         "stream_dedup_wm": _STREAM_DEDUP_WM_SQL,
+        "bpe_encode": _bpe_encode_sql(),
+        "minhash_union": _minhash_union_sql(),
+        "lsh_recall": _lsh_recall_sql(),
         "incr_dedup": _incr_dedup_sql(),
         "url_rules": _URL_RULES_SQL,
     }

@@ -884,3 +884,59 @@ def shared_window_stats(docs: DataFrame, *, k: int = MINHASH_K,
             (F.col("n_shared") > 0).alias("has_dup_span"),
         )
     )
+
+
+def bpe_encode(docs: DataFrame, n_merges: int = BPE_MERGES,
+               text_col: str = "text", id_col: str = "doc_id",
+               merges: DataFrame | None = None) -> DataFrame:
+    """The inference side of the BPE tokenizer: apply trained merges to
+    every document and report (id, n_words, n_bpe_tokens) — the token
+    accounting a data pipeline needs for packing/budgeting with the
+    tokenizer it actually trains. ``merges`` defaults to training on
+    the same corpus (bpe_train_merges); pass a pre-trained table to
+    encode a new snapshot with a frozen tokenizer.
+
+    Scale shape: the merge replay runs over the DISTINCT-word VOCAB
+    table, never the corpus — each round is a broadcast of the 1-row
+    merge into a literal guarded `replace` (same fixed pass count as
+    training, so both dialects replay the greedy merge identically).
+    Document bytes are touched exactly once (the word explode); per-doc
+    totals come from joining the word->symbol-count table back to the
+    (doc, word, count) stream. Docs with zero words drop out on both
+    sides."""
+    if merges is None:
+        merges = bpe_train_merges(docs, n_merges=n_merges,
+                                  text_col=text_col)
+    merges = merges.localCheckpoint(eager=False)
+    sep = F.lit(BPE_SEP)
+    dw = (
+        docs.select(F.col(id_col),
+                    F.explode(F.expr(tokens_expr(text_col))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy(id_col, "w").agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)  # reused for vocab AND the final join
+    )
+    chars = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    sym = dw.select("w").distinct().select(
+        "w", F.concat(sep, F.concat_ws(BPE_SEP, chars), sep).alias("s")
+    ).localCheckpoint(eager=False)
+    for r in range(1, n_merges + 1):
+        best = merges.filter(F.col("round") == r) \
+            .select("left_sym", "right_sym")
+        s = F.col("s")
+        pat = F.concat(sep, F.col("left_sym"), sep, F.col("right_sym"), sep)
+        rep = F.concat(sep, F.col("left_sym"), F.col("right_sym"), sep)
+        for _ in range(BPE_REPLACE_PASSES):
+            s = F.replace(s, pat, rep)
+        sym = sym.crossJoin(F.broadcast(best)) \
+            .select("w", s.alias("s")).localCheckpoint(eager=False)
+    enc = sym.select(
+        "w",
+        F.size(F.filter(F.split("s", BPE_SEP),
+                        lambda t: t != F.lit(""))).alias("n_sym"))
+    return (
+        dw.join(enc, "w")
+        .groupBy(id_col)
+        .agg(F.sum("cnt").alias("n_words"),
+             F.sum(F.col("cnt") * F.col("n_sym")).alias("n_bpe_tokens"))
+    )

@@ -210,3 +210,75 @@ def test_crawl_frontier_per_round_batches(spark):
     out = {r["url"]: r["fetch_round"]
            for r in C.crawl_frontier(pages, per_round=2).collect()}
     assert out == {"u0": 0, "u1": 0, "u2": 1, "u3": 1, "u4": 2}
+
+
+# ---------------------------------------------------------------------------
+# bpe_encode / minhash_union / lsh_recall
+# ---------------------------------------------------------------------------
+
+def test_bpe_encode_hand_merges(spark):
+    # corpus: aaab(wc2) ab(wc1) ba(wc1) → merges: (a,a), (a,b), (aa,ab);
+    # encoded symbol counts: aaab→1, ab→1, ba→2 (never merged)
+    docs = spark.createDataFrame(
+        [(1, "aaab ab"), (2, "aaab"), (3, "ba")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+           for r in TX.bpe_encode(docs).collect()}
+    assert got == {1: (2, 2), 2: (1, 1), 3: (1, 2)}
+
+
+def test_bpe_encode_with_frozen_merges(spark):
+    # a pre-trained merge table applied to a NEW snapshot the trainer
+    # never saw — the frozen-tokenizer path
+    train = spark.createDataFrame(
+        [(1, "aaab ab"), (2, "aaab"), (3, "ba")],
+        "doc_id long, text string")
+    merges = TX.bpe_train_merges(train)
+    new = spark.createDataFrame(
+        [(9, "aaab aaab xy")], "doc_id long, text string")
+    got = TX.bpe_encode(new, merges=merges).collect()[0]
+    # aaab→1 symbol (twice), xy→2 symbols (no merge covers it)
+    assert (got["n_words"], got["n_bpe_tokens"]) == (3, 4)
+
+
+def test_minhash_union_is_elementwise_min(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps", "s1"),
+         (2, "a totally different sentence here", "s1"),
+         (3, "third doc in another source", "s2")],
+        "doc_id long, text string, source string")
+    sigs = {r["doc_id"]: r for r in TX.minhash_signatures(docs).collect()}
+    merged = TX.minhash_signatures(docs).join(
+        docs.select("doc_id", "source"), "doc_id").groupBy("source").agg(
+        *[F.min(f"mh_{i}").alias(f"mh_{i}")
+          for i in range(TX.MINHASH_HASHES)])
+    got = {r["source"]: r for r in merged.collect()}
+    for i in range(TX.MINHASH_HASHES):
+        assert got["s1"][f"mh_{i}"] == min(sigs[1][f"mh_{i}"],
+                                           sigs[2][f"mh_{i}"])
+        assert got["s2"][f"mh_{i}"] == sigs[3][f"mh_{i}"]
+
+
+def test_lsh_recall_catches_exact_dups(spark):
+    import __spark_entry__ as E
+
+    # identical docs share every band → LSH recall on exact dups is 100
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "one two three four five six"),
+         (4, "seven eight nine ten eleven twelve")],
+        "doc_id long, text string")
+    docs.createOrReplaceTempView("_lsh_recall_fixture")
+    sh = docs.select(
+        "doc_id", F.array_distinct(F.expr(TX.shingles_expr())).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"))
+    b = sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb"))
+    truth = (a.crossJoin(b).filter(F.col("a") < F.col("b"))
+             .filter(F.size(F.array_intersect("sha", "shb"))
+                     / F.size(F.array_union("sha", "shb")) >= 0.5))
+    cand = TX.lsh_candidate_pairs(docs)
+    t = {(r["a"], r["b"]) for r in truth.collect()}
+    c = {(r["a"], r["b"]) for r in cand.collect()}
+    assert t == {(1, 2)}
+    assert t <= c  # every exact dup is a candidate
