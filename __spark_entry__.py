@@ -4906,6 +4906,115 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+def _q_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) pair counts, window=2 — word2vec /
+    embedding-training data prep (corpus.py:skipgrams). Each token EMITS
+    its context positions and pairs form by equi-join on (doc, pos) —
+    no range self-join of the token stream."""
+    from bdtopo2refhydro_spark.operators import corpus as C
+
+    return C.skipgrams(_docs(spark, sf_dir), window=2)
+
+
+_SKIPGRAMS_SQL = """
+WITH lists AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     t -> t != '') AS l
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, l[CAST(i AS INT)] AS tok, CAST(i - 1 AS BIGINT) AS pos
+  FROM lists, UNNEST(range(1, len(l) + 1)) t(i)
+)
+SELECT a.tok AS center, b.tok AS context,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM toks a JOIN toks b
+  ON a.doc_id = b.doc_id AND a.pos <> b.pos
+  AND abs(a.pos - b.pos) <= 2
+GROUP BY 1, 2
+"""
+
+
+def _q_graph_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style 2-hop neighbor sampling with fanout 3
+    (linkgraph.py:sample_neighbors) over a derived host->mid->tail
+    graph: per-node neighborhoods bounded at fanout^hop regardless of
+    degree — deterministic md5 rank, no RNG."""
+    from bdtopo2refhydro_spark.operators import linkgraph as LG
+
+    docs = _docs(spark, sf_dir)
+    e1 = docs.filter(F.expr("doc_id % 2 = 0")).select(
+        F.expr("concat('h', cast(doc_id % 20 as string))").alias("src"),
+        F.expr(f"concat('m', cast({_H} % 10 as string))").alias("dst"),
+    )
+    e2 = docs.filter(F.expr("doc_id % 2 = 1")).select(
+        F.expr(f"concat('m', cast({_H} % 10 as string))").alias("src"),
+        F.expr(f"concat('t', cast(({_H} div 7) % 15 as string))").alias("dst"),
+    )
+    return LG.sample_neighbors(e1.unionByName(e2), fanout=3, hops=2)
+
+
+_GRAPH_SAMPLE_SQL = f"""
+WITH raw AS (
+  SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) AS s,
+         'm' || CAST({_HD} % 10 AS VARCHAR) AS d
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT 'm' || CAST({_HD} % 10 AS VARCHAR),
+         't' || CAST(({_HD} // 7) % 15 AS VARCHAR)
+  FROM documents WHERE doc_id % 2 = 1
+),
+e AS (SELECT DISTINCT s, d FROM raw),
+rk AS (
+  SELECT s, d, row_number() OVER (
+    PARTITION BY s
+    ORDER BY CAST(('0x' || substr(md5(s || chr(31) || d), 1, 15)) AS BIGINT)
+             % 2147483647, d) AS rk
+  FROM e
+),
+smp AS (SELECT s, d FROM rk WHERE rk <= 3),
+seeds AS (SELECT DISTINCT s AS seed FROM smp),
+f1 AS (SELECT DISTINCT seed, d AS node
+       FROM seeds JOIN smp ON smp.s = seed),
+f2 AS (SELECT DISTINCT f1.seed, smp.d AS node
+       FROM f1 JOIN smp ON smp.s = f1.node)
+SELECT seed, CAST(1 AS BIGINT) AS hop, node FROM f1
+UNION ALL
+SELECT seed, CAST(2 AS BIGINT) AS hop, node FROM f2
+"""
+
+
+def _q_dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day volume drift monitor (operators/dq.py:drift_check):
+    per (event_type, day) counts, integer percent change vs the
+    previous observed day, flag at |change| > 50%."""
+    from bdtopo2refhydro_spark.operators import dq as DQ
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return DQ.drift_check(events)
+
+
+_DQ_DRIFT_SQL = """
+WITH daily AS (
+  SELECT event_type AS grp, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+lagd AS (
+  SELECT *, lag(n) OVER (PARTITION BY grp ORDER BY day) AS prev_n
+  FROM daily
+)
+SELECT grp, day, n,
+       CAST(COALESCE(prev_n, 0) AS BIGINT) AS prev_n,
+       CASE WHEN prev_n IS NULL THEN CAST(0 AS BIGINT)
+            ELSE (100 * (n - prev_n)) // prev_n END AS change_pct,
+       CASE WHEN prev_n IS NULL THEN FALSE
+            ELSE abs((100 * (n - prev_n)) // prev_n) > 50 END AS drifted
+FROM lagd
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -4956,19 +5065,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _q_bpe_encode,
         "minhash_union": _q_minhash_union,
         "lsh_recall": _q_lsh_recall,
+        "skipgrams": _q_skipgrams,
+        "graph_sample": _q_graph_sample,
+        "dq_drift": _q_dq_drift,
         "curation_pipeline": _q_curation_pipeline,
         "text_nfc": _q_text_nfc,
         "ann_int8": _q_ann_int8,
         "lm_fluency": _q_lm_fluency,
-        "tpch_q6": _q_tpch_q6,
         "tpch_q18": _q_tpch_q18,
-        "bucket_join": _q_bucket_join,
         "sem_dedup": _q_sem_dedup,
         "bpe_train": _q_bpe_train,
         "host_rank": _q_host_rank,
         "kcore": _q_kcore,
         "anchor_agg": _q_anchor_agg,
-        "bloom_dedup": _q_bloom_dedup,
         # Rotated just past the window (all pytest-pinned on hand-built
         # fixtures; oracle_check re-verifies every entry every round):
         # image_bmp/temp_sample, lsh_ann/emb_dup_pairs (the ANN family
@@ -4982,7 +5091,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # test_plan_shapes, value-tested in test_temporal_corpus/
         # test_relational_ops), and — to admit bpe_encode/minhash_union/
         # lsh_recall — quantile_gates/chunk_docs/stream_sessions (all
-        # value-tested; stream_sessions also trims driver-gate wall)
+        # value-tested; stream_sessions also trims driver-gate wall),
+        # and — to admit skipgrams/graph_sample/dq_drift —
+        # tpch_q6/bucket_join (both plan-pinned in test_plan_shapes,
+        # exercising pushdown/pruning and the zero-Exchange bucketed
+        # SMJ every round) and bloom_dedup (bit-exact python replay +
+        # no-false-negative property in test_linkgraph)
+        "bloom_dedup": _q_bloom_dedup,
+        "tpch_q6": _q_tpch_q6,
+        "bucket_join": _q_bucket_join,
         "quantile_gates": _q_quantile_gates,
         "chunk_docs": _q_chunk_docs,
         "stream_sessions": _q_stream_sessions,
@@ -5215,6 +5332,9 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _bpe_encode_sql(),
         "minhash_union": _minhash_union_sql(),
         "lsh_recall": _lsh_recall_sql(),
+        "skipgrams": _SKIPGRAMS_SQL,
+        "graph_sample": _GRAPH_SAMPLE_SQL,
+        "dq_drift": _DQ_DRIFT_SQL,
         "incr_dedup": _incr_dedup_sql(),
         "url_rules": _URL_RULES_SQL,
     }

@@ -777,3 +777,34 @@ def crawl_frontier(pages: DataFrame, *, host_col: str = "host",
         F.desc(score_col), F.col(host_col), F.col(url_col))
     return ranked.withColumn(
         "slot", F.row_number().over(w_round).cast("long"))
+
+
+def skipgrams(docs: DataFrame, *, window: int = 2,
+              text_col: str = "text") -> DataFrame:
+    """Skip-gram (center, context) pair counts — the word2vec /
+    embedding-training data-prep operator. For every token at position
+    i, every token at distance 1..window (both directions) is a context;
+    output is the aggregated pair-count table.
+
+    Scale shape: NO self-join of the token stream on a range predicate
+    (the naive spelling). Each token row instead EMITS its ±window
+    context positions (a 2·window explode — constant factor), and the
+    pair forms by an EQUI-join on (doc_id, position). The pair count is
+    a map-side-combinable groupBy; hot (stopword, stopword) pairs are
+    the AQE skew case."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"filter(split(trim(lower({text_col})), '\\\\s+'), "
+            "t -> t != '')")).alias("pos", "tok"),
+    ).localCheckpoint(eager=False)  # reused as both sides of the equi-join
+    offsets = [d for d in range(-window, window + 1) if d != 0]
+    ctx_pos = toks.select(
+        "doc_id", F.col("tok").alias("center"),
+        F.explode(F.array(*[F.col("pos") + F.lit(d) for d in offsets]))
+        .alias("pos"),
+    )
+    pairs = ctx_pos.join(toks, ["doc_id", "pos"]).select(
+        "center", F.col("tok").alias("context"))
+    return pairs.groupBy("center", "context").agg(
+        F.count("*").alias("n_pairs"))

@@ -9,7 +9,7 @@ distributed pass with a machine-readable report.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -89,4 +89,37 @@ def check_unique(df: DataFrame, key_cols: list[str]) -> DataFrame:
         F.lit("unique:" + ",".join(key_cols)).alias("rule"),
         "n_checked", "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
+def drift_check(events: DataFrame, *, time_col: str = "ts",
+                group_col: str = "event_type",
+                threshold_pct: int = 50) -> DataFrame:
+    """Day-over-day volume drift monitor: per (group, day) row counts,
+    integer percent change vs the group's PREVIOUS observed day, and a
+    drift flag at |change| > threshold_pct — the freshness/volume alarm
+    a production ingest runs after every snapshot.
+
+    First observed day per group has no baseline: change_pct = 0, never
+    flagged. All arithmetic is integer (100·(cur−prev) div prev), so
+    any engine replays it exactly. One shuffle for the (group, day)
+    count (map-side combinable), one window pass on the tiny post-agg
+    table."""
+    daily = (
+        events.select(F.col(group_col).alias("grp"),
+                      F.to_date(time_col).cast("string").alias("day"))
+        .groupBy("grp", "day").agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("grp").orderBy("day")
+    prev = F.lag("n").over(w)
+    change = F.expr("case when prev_n is null then cast(0 as bigint) "
+                    "else (100 * (n - prev_n)) div prev_n end")
+    return (
+        daily.withColumn("prev_n", prev)
+        .withColumn("change_pct", change)
+        .withColumn("drifted",
+                    F.abs(F.col("change_pct")) > threshold_pct)
+        .select("grp", "day", "n",
+                F.coalesce("prev_n", F.lit(0)).alias("prev_n"),
+                "change_pct", "drifted")
     )

@@ -294,3 +294,47 @@ def cocitation_pairs(
         .agg(F.count("*").alias("common"))
         .filter(F.col("common") >= min_common)
     )
+
+
+def sample_neighbors(edges: DataFrame, *, fanout: int = 3, hops: int = 2,
+                     src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """GraphSAGE-style deterministic neighbor sampling: per node, keep
+    the ``fanout`` neighbors with the smallest md5-derived rank, then
+    expand ``hops`` times — the training-data operator that turns a
+    full link graph into bounded per-seed neighborhoods for GNN
+    mini-batches. Deterministic (hash rank, not RNG): resumes and
+    reruns sample identical neighborhoods, and the oracle replays it.
+
+    Output: (seed, hop, node) — hop 1..hops, nodes deduped per
+    (seed, hop). Frontier size is bounded by fanout^hop per seed, so
+    the per-hop join fan-out is a constant factor of the seed count —
+    never degree-driven (a celebrity node contributes at most
+    ``fanout`` rows to any frontier).
+
+    Scale shape: the ranked edge table is computed ONCE (one shuffle on
+    src + a window), localCheckpoint'd, and every hop is an equi-join
+    of the (bounded) frontier against it."""
+    e = edges.select(F.col(src_col).alias("s"),
+                     F.col(dst_col).alias("d")).distinct()
+    rnk = F.expr(
+        "pmod(cast(conv(substr(md5(concat(s, chr(31), d)), 1, 15), 16, 10) "
+        "as bigint), 2147483647)")
+    w = Window.partitionBy("s").orderBy(rnk.asc(), F.col("d").asc())
+    sampled = (
+        e.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= fanout)
+        .select("s", "d")
+    ).localCheckpoint(eager=False)
+    seeds = sampled.select(F.col("s").alias("seed")).distinct()
+    frontier = seeds.withColumn("node", F.col("seed"))
+    out = None
+    for hop in range(1, hops + 1):
+        frontier = (
+            frontier.join(sampled, frontier.node == sampled.s)
+            .select("seed", F.col("d").alias("node")).distinct()
+            .localCheckpoint(eager=False)
+        )
+        layer = frontier.select(
+            "seed", F.lit(hop).cast("long").alias("hop"), "node")
+        out = layer if out is None else out.unionByName(layer)
+    return out

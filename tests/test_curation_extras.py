@@ -282,3 +282,63 @@ def test_lsh_recall_catches_exact_dups(spark):
     c = {(r["a"], r["b"]) for r in cand.collect()}
     assert t == {(1, 2)}
     assert t <= c  # every exact dup is a candidate
+
+
+# ---------------------------------------------------------------------------
+# skipgrams / sample_neighbors / drift_check
+# ---------------------------------------------------------------------------
+
+def test_skipgrams_window2_hand_counts(spark):
+    docs = spark.createDataFrame([(1, "a b c a")], "doc_id long, text string")
+    got = {(r["center"], r["context"]): r["n_pairs"]
+           for r in C.skipgrams(docs, window=2).collect()}
+    # positions: a0 b1 c2 a3; pairs within distance 2, both directions
+    # (a0,a3 are 3 apart → no (a,a) pair)
+    assert got == {("a", "b"): 2, ("b", "a"): 2, ("a", "c"): 2,
+                   ("c", "a"): 2, ("b", "c"): 1, ("c", "b"): 1}
+
+
+def test_skipgrams_no_cross_document_pairs(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "y z")], "doc_id long, text string")
+    got = {(r["center"], r["context"]) for r in
+           C.skipgrams(docs, window=2).collect()}
+    assert ("x", "z") not in got and ("z", "x") not in got
+
+
+def test_sample_neighbors_bounded_fanout_and_determinism(spark):
+    rows = ([("hub", f"n{i}") for i in range(10)]
+            + [(f"n{i}", f"leaf{i}{j}") for i in range(10) for j in range(2)])
+    e = spark.createDataFrame(rows, "src string, dst string")
+    out1 = LG.sample_neighbors(e, fanout=3, hops=2).collect()
+    out2 = LG.sample_neighbors(e, fanout=3, hops=2).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))  # no RNG
+    by_seed_hop = {}
+    for r in out1:
+        by_seed_hop.setdefault((r["seed"], r["hop"]), set()).add(r["node"])
+    # hub's hop-1 frontier is capped at fanout=3 despite degree 10
+    assert len(by_seed_hop[("hub", 1)]) == 3
+    # hop 2 from hub: each sampled n_i has 2 leaves, all within 3-cap
+    assert len(by_seed_hop[("hub", 2)]) == 6
+    # hop-2 nodes are exactly the leaves of the hop-1 sample
+    h1 = by_seed_hop[("hub", 1)]
+    want = {f"leaf{n[1:]}{j}" for n in h1 for j in range(2)}
+    assert by_seed_hop[("hub", 2)] == want
+
+
+def test_drift_check_flags_and_first_day(spark):
+    from bdtopo2refhydro_spark.operators import dq as DQ
+
+    rows = ([("2024-01-01 00:00:00", "click")] * 10
+            + [("2024-01-02 00:00:00", "click")] * 16   # +60% → drift
+            + [("2024-01-03 00:00:00", "click")] * 12   # -25% → ok
+            + [("2024-01-01 00:00:00", "view")] * 4)    # single day
+    df = spark.createDataFrame(rows, "ts_s string, event_type string") \
+        .select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type")
+    got = {(r["grp"], r["day"]): (r["n"], r["prev_n"], r["change_pct"],
+                                  r["drifted"])
+           for r in DQ.drift_check(df).collect()}
+    assert got[("click", "2024-01-01")] == (10, 0, 0, False)
+    assert got[("click", "2024-01-02")] == (16, 10, 60, True)
+    assert got[("click", "2024-01-03")] == (12, 16, -25, False)
+    assert got[("view", "2024-01-01")] == (4, 0, 0, False)

@@ -256,3 +256,17 @@ def test_crawl_frontier_two_window_passes(spark, entry):
     plan = _plan(entry.queries()["crawl_frontier"](spark, SF))
     assert plan.count("Window") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_skipgrams_is_equi_join_on_positions(spark, entry):
+    """Context positions are EMITTED then equi-joined — never a range
+    self-join of the token stream."""
+    plan = _plan(entry.queries()["skipgrams"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_graph_sample_no_cartesian(spark, entry):
+    plan = _plan(entry.queries()["graph_sample"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
