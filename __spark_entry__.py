@@ -5015,6 +5015,103 @@ FROM lagd
 """
 
 
+def _q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split at the NEAR-DUP CLUSTER level: the full dedup
+    pipeline (LSH -> Jaccard verify -> connected components) defines the
+    cluster, and the split is an md5 bucket of the CLUSTER id — so
+    near-duplicates can never straddle the train/test boundary even
+    when they live on different hosts (stronger guarantee than
+    group_split; the composition the contamination literature actually
+    calls for)."""
+    from bdtopo2refhydro_spark.operators import corpus as C
+
+    clusters = TX.near_dup_clusters(_docs(spark, sf_dir), threshold=0.5)
+    keyed = clusters.withColumn(
+        "ckey", F.col("cluster_id").cast("string"))
+    return C.assign_split(keyed, group_col="ckey").select(
+        "doc_id", "cluster_id", "split")
+
+
+def _cluster_split_sql() -> str:
+    bucket = ("CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), "
+              "1, 15)) AS BIGINT) % 100")
+    return f"""
+WITH base AS ({_dedup_cluster_sql().strip()})
+SELECT doc_id, cluster_id,
+       CASE WHEN {bucket} < 80 THEN 'train'
+            WHEN {bucket} < 90 THEN 'valid'
+            ELSE 'test' END AS split
+FROM base
+"""
+
+
+def _q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the events STREAM joins a static
+    broadcast user dimension inside the streaming plan (per micro-batch
+    re-resolution is Spark's stream-static contract), availableNow
+    drain == the batch join. The dim is derived from user_id arithmetic
+    so the oracle replays the enrichment exactly."""
+    from bdtopo2refhydro_spark.streaming.ingest import (
+        stream_parquet_passthrough,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = (
+        events.select("user_id").distinct()
+        .withColumn("tier", F.expr(
+            "case when user_id % 3 = 0 then 'gold' "
+            "when user_id % 3 = 1 then 'silver' else 'bronze' end"))
+    )
+    out = stream_parquet_passthrough(
+        spark, f"{sf_dir}/events.parquet", events.schema,
+        "q_stream_static_join",
+        transform=lambda df: df.join(F.broadcast(dim), "user_id")
+        .select("event_id", "user_id", "tier", "event_type"),
+    )
+    return out
+
+
+_STREAM_STATIC_JOIN_SQL = """
+SELECT event_id, user_id,
+       CASE WHEN user_id % 3 = 0 THEN 'gold'
+            WHEN user_id % 3 = 1 THEN 'silver'
+            ELSE 'bronze' END AS tier,
+       event_type
+FROM events
+"""
+
+
+def _q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's pure-SQL surface: a quality gate written as Spark
+    SQL TEXT over a registered temp view — no DataFrame calls — proving
+    the whole catalog/SQL entry point works (a reference user could
+    port their queries as SQL strings verbatim)."""
+    _docs(spark, sf_dir).createOrReplaceTempView("docs_sql_api")
+    return spark.sql("""
+        SELECT doc_id, n_tokens,
+               (10 * n_chars) div n_tokens AS chars_per_10tok,
+               n_tokens >= 5 AS passes
+        FROM (SELECT doc_id, n_chars,
+                     cast(size(filter(split(trim(lower(text)), '\\\\s+'),
+                                      t -> t != '')) as bigint) AS n_tokens
+              FROM docs_sql_api)
+        WHERE n_tokens > 0
+    """)
+
+
+_SQL_API_SQL = """
+SELECT doc_id, n_tokens,
+       (10 * n_chars) // n_tokens AS chars_per_10tok,
+       n_tokens >= 5 AS passes
+FROM (SELECT doc_id, n_chars,
+             CAST(len(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\\s+'),
+               t -> t != '')) AS BIGINT) AS n_tokens
+      FROM documents)
+WHERE n_tokens > 0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -5041,9 +5138,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_kmeans_ann": _q_ivf_kmeans_ann,
         "fix_conn_exact": _q_fix_conn_exact,
         "dedup_cluster": _q_dedup_cluster,
-        "pii_redact": _q_pii_redact,
-        "image_ppm": _q_image_ppm,
-        "audio_wav": _q_audio_wav,
         "stream_join": _q_stream_join,
         "corpus_manifest": _q_corpus_manifest,
         "exact_substr": _q_exact_substr,
@@ -5068,6 +5162,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgrams": _q_skipgrams,
         "graph_sample": _q_graph_sample,
         "dq_drift": _q_dq_drift,
+        "cluster_split": _q_cluster_split,
+        "stream_static_join": _q_stream_static_join,
+        "sql_api": _q_sql_api,
         "curation_pipeline": _q_curation_pipeline,
         "text_nfc": _q_text_nfc,
         "ann_int8": _q_ann_int8,
@@ -5096,7 +5193,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tpch_q6/bucket_join (both plan-pinned in test_plan_shapes,
         # exercising pushdown/pruning and the zero-Exchange bucketed
         # SMJ every round) and bloom_dedup (bit-exact python replay +
-        # no-false-negative property in test_linkgraph)
+        # no-false-negative property in test_linkgraph), and — to admit
+        # cluster_split/stream_static_join/sql_api — image_ppm/audio_wav
+        # (hypothesis-tested byte-level decoders in
+        # test_multimodal_kernels; image_png keeps the decode family's
+        # driver gate) and pii_redact (shared Java/RE2 regex dialect,
+        # value-tested in test_text_ops)
+        "pii_redact": _q_pii_redact,
+        "image_ppm": _q_image_ppm,
+        "audio_wav": _q_audio_wav,
         "bloom_dedup": _q_bloom_dedup,
         "tpch_q6": _q_tpch_q6,
         "bucket_join": _q_bucket_join,
@@ -5335,6 +5440,9 @@ def oracle_sql() -> dict[str, str]:
         "skipgrams": _SKIPGRAMS_SQL,
         "graph_sample": _GRAPH_SAMPLE_SQL,
         "dq_drift": _DQ_DRIFT_SQL,
+        "cluster_split": _cluster_split_sql(),
+        "stream_static_join": _STREAM_STATIC_JOIN_SQL,
+        "sql_api": _SQL_API_SQL,
         "incr_dedup": _incr_dedup_sql(),
         "url_rules": _URL_RULES_SQL,
     }

@@ -342,3 +342,28 @@ def test_drift_check_flags_and_first_day(spark):
     assert got[("click", "2024-01-02")] == (16, 10, 60, True)
     assert got[("click", "2024-01-03")] == (12, 16, -25, False)
     assert got[("view", "2024-01-01")] == (4, 0, 0, False)
+
+
+# ---------------------------------------------------------------------------
+# cluster-level leakage-safe split
+# ---------------------------------------------------------------------------
+
+def test_cluster_split_keeps_near_dups_in_one_split(spark):
+    import __spark_entry__  # noqa: F401  (pattern parity with driver entry)
+    from bdtopo2refhydro_spark.operators import corpus as C
+
+    # docs 1 and 2 are exact near-dups (identical text) on different
+    # "hosts"; doc 3 unrelated. Cluster-level split MUST co-assign 1+2.
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "one two three four five six")],
+        "doc_id long, text string")
+    clusters = TX.near_dup_clusters(docs, threshold=0.5)
+    keyed = clusters.withColumn("ckey", F.col("cluster_id").cast("string"))
+    out = {r["doc_id"]: (r["cluster_id"], r["split"])
+           for r in C.assign_split(keyed, group_col="ckey")
+           .select("doc_id", "cluster_id", "split").collect()}
+    assert out[1][0] == out[2][0] == 1       # one cluster, min-id label
+    assert out[1][1] == out[2][1]            # same split — no leakage
+    assert out[3][0] == 3
