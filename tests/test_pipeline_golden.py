@@ -382,3 +382,19 @@ def test_write_zordered_disjoint_sorted_files(spark, tmp_path):
     ranges = sorted((min(v), max(v)) for v in per_file.values())
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, "file zkey ranges overlap"
+
+
+def test_compact_files_preserves_content(spark, tmp_path):
+    from bdtopo2refhydro_spark.sources.io import compact_files
+
+    p = str(tmp_path / "small_files")
+    df = spark.range(0, 10_000).selectExpr("id", "id * 3 as v")
+    df.repartition(64).write.parquet(p)  # 64 tiny files
+    import os
+    before = sorted(r.id for r in spark.read.parquet(p).collect())
+    n = compact_files(spark, p, target_bytes=1 << 30)
+    files = [f for f in os.listdir(p) if f.endswith(".parquet")]
+    assert n == len(files) == 1  # tiny table → one file
+    after = spark.read.parquet(p)
+    assert sorted(r.id for r in after.collect()) == before
+    assert after.selectExpr("sum(v)").first()[0] == 3 * sum(range(10_000))
