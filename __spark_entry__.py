@@ -5164,6 +5164,42 @@ FROM p
 """
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP PIVOT: per user-bucket event counts pivoted to one column
+    per event type — Spark's groupBy().pivot() with an EXPLICIT value
+    list (no distinct-collect job; at scale an implicit pivot scans the
+    data twice and caps at 10k values). Compiles to one hash aggregate
+    of CASE-filtered counts — same plan as the portable SQL spelling
+    the oracle uses."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = (
+        events.withColumn("bucket", F.expr("user_id % 10"))
+        .groupBy("bucket")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))  # Pivot rejects count(*)
+    )
+    # pivot leaves NULL for absent combos; a count semantics wants 0
+    return out.select(
+        "bucket",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+          for t in _EVENT_TYPES])
+
+
+_PIVOT_COUNTS_SQL = """
+SELECT user_id % 10 AS bucket,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+         AS n_purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -5184,11 +5220,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_rules": _q_url_rules,
         "tpch_q1": _q_tpch_q1,
         "warc_scan": _q_warc_scan,
+        "pivot_counts": _q_pivot_counts,
         # -- green in r01 only, fell outside the r02 window ----------------
         # -- new in round 3 ------------------------------------------------
         "strahler_binary": _q_strahler_binary,
         "ivf_kmeans_ann": _q_ivf_kmeans_ann,
-        "fix_conn_exact": _q_fix_conn_exact,
         "dedup_cluster": _q_dedup_cluster,
         "stream_join": _q_stream_join,
         "corpus_manifest": _q_corpus_manifest,
@@ -5252,7 +5288,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver gate) and pii_redact (shared Java/RE2 regex dialect,
         # value-tested in test_text_ops), and — to admit warc_scan —
         # dissolve_area (judge-verified in the r2 re-run, covered by
-        # test_spatial_ops + oracle_check)
+        # test_spatial_ops + oracle_check), and — to admit pivot_counts
+        # — fix_conn_exact (the G3 machinery keeps its rows-only
+        # fix_connectivity golden tests; the closed-form gate stays
+        # oracle_check-verified every round)
+        "fix_conn_exact": _q_fix_conn_exact,
         "dissolve_area": _q_dissolve_area,
         "pii_redact": _q_pii_redact,
         "image_ppm": _q_image_ppm,
@@ -5499,6 +5539,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_static_join": _STREAM_STATIC_JOIN_SQL,
         "sql_api": _SQL_API_SQL,
         "warc_scan": _WARC_SCAN_SQL,
+        "pivot_counts": _PIVOT_COUNTS_SQL,
         "incr_dedup": _incr_dedup_sql(),
         "url_rules": _URL_RULES_SQL,
     }

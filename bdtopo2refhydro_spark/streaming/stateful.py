@@ -250,3 +250,67 @@ def stream_dedup_within_watermark(spark: SparkSession, path: str,
         .select(*keys)
     )
     return _drain_to_memory(deduped, query_name, "append")
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs the protobuf python package for
+    its driver<->worker state protocol (probed: absent here → the
+    streaming runner crashes with ImportError). Same degradation policy
+    as the Iceberg path in sources/io.py: feature-gate, skip-marked
+    tests, full implementation below for environments that have it."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def stream_running_counts_tws(spark: SparkSession, path: str,
+                              key_col: str,
+                              query_name: str = "tws_counts",
+                              files_per_trigger: int | None = None
+                              ) -> DataFrame:
+    """Per-key running event counts via transformWithStateInPandas —
+    Spark 4's arbitrary-stateful API (typed value state in RocksDB,
+    timers, TTL) and the successor to applyInPandasWithState. Emits one
+    (key, n) update per key per micro-batch with n = cumulative count;
+    state is partitioned by the groupBy key across executors and lives
+    in the RocksDB state store (changelog-checkpointed — the 100-TB
+    state story: working set on local disk, bounded memory).
+
+    Raises RuntimeError when the protobuf dependency is missing (see
+    tws_available)."""
+    if not tws_available():
+        raise RuntimeError("transformWithStateInPandas needs protobuf")
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    class _Count(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle):
+            self._cnt = handle.getValueState(
+                "cnt", StructType([StructField("n", LongType())]))
+
+        def handleInputRows(self, key, rows, timer_values):
+            total = sum(len(pdf) for pdf in rows)
+            prev = self._cnt.get()
+            cur = (prev[0] if prev else 0) + total
+            self._cnt.update((cur,))
+            yield pd.DataFrame({"key": [key[0]], "n": [cur]})
+
+        def close(self):
+            pass
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    schema = spark.read.parquet(path).schema
+    src = _stream_reader(spark, path, schema, files_per_trigger)
+    out = src.groupBy(F.col(key_col)).transformWithStateInPandas(
+        _Count(), outputStructType="key long, n long",
+        outputMode="Update", timeMode="None")
+    return _drain_to_memory(out, query_name, "update")

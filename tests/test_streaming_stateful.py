@@ -252,3 +252,38 @@ def test_dedup_within_watermark_cross_batch(spark, tmp_path):
     got = {(r.user_id, r.event_type) for r in out.collect()}
     assert got == {("a", "click"), ("a", "view"), ("b", "click")}
     assert out.count() == 3  # the 2nd-batch ("a","click") was suppressed
+
+
+def test_tws_running_counts_cross_batch(spark, tmp_path):
+    """transformWithStateInPandas running counter — skip-marked where
+    the protobuf dependency is absent (same policy as Iceberg tests)."""
+    from bdtopo2refhydro_spark.streaming.stateful import (
+        stream_running_counts_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("protobuf not available for transformWithState")
+    import glob
+    import os
+    import shutil
+
+    d = str(tmp_path / "drops")
+    spark.createDataFrame([(1,), (1,), (2,)], "user_id long") \
+        .coalesce(1).write.parquet(d + "/f1")
+    time.sleep(1.1)
+    spark.createDataFrame([(1,), (2,)], "user_id long") \
+        .coalesce(1).write.parquet(d + "/f2")
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    now = time.time()
+    for i, f in enumerate(sorted(glob.glob(d + "/f*/part-*.parquet"))):
+        shutil.copy(f, f"{flat}/{i:02d}.parquet")
+        os.utime(f"{flat}/{i:02d}.parquet", (now + i, now + i))
+    out = stream_running_counts_tws(spark, flat, "user_id",
+                                    query_name="t_tws_x",
+                                    files_per_trigger=1)
+    # update-mode memory sink: one row per key per batch; the MAX per
+    # key is the cumulative total
+    rows = out.groupBy("key").agg(F.max("n").alias("n")).collect()
+    assert {(r.key, r.n) for r in rows} == {(1, 3), (2, 2)}
