@@ -367,3 +367,53 @@ def test_cluster_split_keeps_near_dups_in_one_split(spark):
     assert out[1][0] == out[2][0] == 1       # one cluster, min-id label
     assert out[1][1] == out[2][1]            # same split — no leakage
     assert out[3][0] == 3
+
+
+# ---------------------------------------------------------------------------
+# bitext mining
+# ---------------------------------------------------------------------------
+
+def test_bitext_pairs_asymmetric_and_gated(spark):
+    import numpy as np
+
+    from bdtopo2refhydro_spark.operators import ann as ANN
+
+    # three "en" docs and two "fr" docs in 64-d; en0/fr0 nearly parallel
+    # (cos ~1), en1/fr1 orthogonal, en2 parallel to en0 (same-language
+    # near-dup that must NOT pair)
+    def vec(seed, base=None, eps=0.0):
+        rng = np.random.RandomState(seed)
+        v = rng.randn(64) if base is None else base + eps * rng.randn(64)
+        return [float(x) for x in v]
+
+    v0 = vec(1)
+    rows = [(0, vec(0, np.array(v0), 0.01)),   # en ~ fr0
+            (1, vec(2)),                        # en orthogonal
+            (2, vec(3, np.array(v0), 0.01)),   # en dup of en0
+            (3, v0),                            # fr0
+            (4, vec(4))]                        # fr orthogonal
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    docs = spark.createDataFrame(
+        [(0, "en", 100), (1, "en", 100), (2, "en", 100),
+         (3, "fr", 120), (4, "fr", 500)],
+        "vec_id long, lang string, n_chars long")
+    sig = ANN.hyperplane_signature(emb).join(docs, "vec_id")
+    left = sig.filter(F.col("lang") == "en").select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("emb_a"),
+        F.col("n_chars").alias("len_a"), "bucket")
+    right = sig.filter(F.col("lang") == "fr").select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("emb_b"),
+        F.col("n_chars").alias("len_b"), "bucket")
+    got = (left.join(right, "bucket")
+           .filter((F.col("len_a") <= 2 * F.col("len_b"))
+                   & (F.col("len_b") <= 2 * F.col("len_a")))
+           .withColumn("cos_sim", ANN._dot("emb_a", "emb_b")
+                       / (ANN._norm("emb_a") * ANN._norm("emb_b")))
+           .filter(F.col("cos_sim") >= 0.9)
+           .select("a", "b").collect())
+    pairs = {(r["a"], r["b"]) for r in got}
+    assert (0, 3) in pairs          # the true translation pair
+    assert (2, 3) in pairs          # dup-of-en0 also pairs with fr0
+    assert all(a in (0, 1, 2) and b in (3, 4) for a, b in pairs)  # en x fr only
+    # the 5x-length fr doc can never pair (ratio gate), whatever the bucket
+    assert all(b != 4 for _, b in pairs)
