@@ -5383,6 +5383,65 @@ WHERE l.lang = 'en' AND r.lang = 'fr'
 """
 
 
+def _q_simplify_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas-Peucker simplification (geom/kernels.py:simplify_dp, the
+    QGIS simplify-geometries analog): per doc a 3-point zigzag whose
+    middle vertex deviates dev = h%10 from the chord; at tol=5 (strict
+    >) the keep decision — and thus vertex count and simplified length
+    — is closed-form, so the oracle gates the REAL recursive kernel
+    (deep zigzags are pytest-verified against a python reference)."""
+    zz = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(f"cast({_H} % 1000 as double)").alias("x0"),
+        F.expr(f"cast({_H} % 10 as double)").alias("dev"),
+    ).select(
+        "doc_id",
+        U.st_make_line_xy(
+            F.array("x0", F.col("x0") + 50, F.col("x0") + 100),
+            F.array(F.lit(0.0), F.col("dev"), F.lit(0.0)),
+        ).alias("geom_wkb"),
+    )
+    simp = zz.select(
+        "doc_id", U.st_simplify(F.col("geom_wkb"), 5.0).alias("s"))
+    return simp.select(
+        "doc_id",
+        U.st_npoints("s").alias("n_pts"),
+        U.st_length("s").alias("len_simp"),
+    )
+
+
+_SIMPLIFY_DP_SQL = f"""
+WITH p AS (SELECT doc_id, CAST({_HD} % 10 AS DOUBLE) AS dev FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN dev > 5 THEN 3 ELSE 2 END AS BIGINT) AS n_pts,
+       CASE WHEN dev > 5 THEN 2 * sqrt(2500 + dev * dev)
+            ELSE 100.0 END AS len_simp
+FROM p
+"""
+
+
+def _q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregates (TPC-H Q16 family): per brand, exact
+    count(DISTINCT p_size) + count(DISTINCT p_type) + plain count —
+    Catalyst plans multi-distinct via Expand (one input row per
+    distinct column), partial-aggregated map-side."""
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return pt.groupBy("p_brand").agg(
+        F.countDistinct("p_size").alias("n_sizes"),
+        F.countDistinct("p_type").alias("n_types"),
+        F.count("*").alias("n_parts"),
+    )
+
+
+_DISTINCT_COUNTS_SQL = """
+SELECT p_brand,
+       CAST(count(DISTINCT p_size) AS BIGINT) AS n_sizes,
+       CAST(count(DISTINCT p_type) AS BIGINT) AS n_types,
+       CAST(count(*) AS BIGINT) AS n_parts
+FROM part GROUP BY p_brand
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -5396,7 +5455,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never driver-checked before round 3 ---------------------------
         "lang_id": _q_lang_id,
         "quality": _q_quality,
-        "fingerprint": _q_fingerprint,
         "ivf_ann": _q_ivf_ann,
         "tpch_q1": _q_tpch_q1,
         "warc_scan": _q_warc_scan,
@@ -5405,6 +5463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14": _q_tpch_q14,
         "tpch_q10": _q_tpch_q10,
         "bitext_pairs": _q_bitext_pairs,
+        "simplify_dp": _q_simplify_dp,
+        "distinct_counts": _q_distinct_counts,
         # -- green in r01 only, fell outside the r02 window ----------------
         # -- new in round 3 ------------------------------------------------
         "strahler_binary": _q_strahler_binary,
@@ -5439,7 +5499,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": _q_curation_pipeline,
         "text_nfc": _q_text_nfc,
         "ann_int8": _q_ann_int8,
-        "lm_fluency": _q_lm_fluency,
         "tpch_q18": _q_tpch_q18,
         "sem_dedup": _q_sem_dedup,
         "bpe_train": _q_bpe_train,
@@ -5480,7 +5539,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # incr_dedup (composed inside the in-window refresh_pipeline)
         # and url_rules (broadcast plan pin + longest-prefix pytest);
         # ivf_kmeans_ann rotated for bitext_pairs (its pinned-recall
-        # pytest + unrolled k-means oracle stay oracle_check-covered)
+        # pytest + unrolled k-means oracle stay oracle_check-covered);
+        # fingerprint/lm_fluency rotated for simplify_dp/distinct_counts
+        # (both value-tested in test_text_ops, oracle_check-covered)
+        "fingerprint": _q_fingerprint,
+        "lm_fluency": _q_lm_fluency,
         "ivf_kmeans_ann": _q_ivf_kmeans_ann,
         "cosine_topk": _q_cosine_topk,
         "incr_dedup": _q_incr_dedup,
@@ -5737,6 +5800,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q14": _TPCH_Q14_SQL,
         "tpch_q10": _TPCH_Q10_SQL,
         "bitext_pairs": _bitext_sql(),
+        "simplify_dp": _SIMPLIFY_DP_SQL,
+        "distinct_counts": _DISTINCT_COUNTS_SQL,
         "incr_dedup": _incr_dedup_sql(),
         "url_rules": _URL_RULES_SQL,
     }

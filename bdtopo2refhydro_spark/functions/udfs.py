@@ -515,3 +515,48 @@ def cell_of(x_col, y_col, cell_size: float):
 @pandas_udf(T.DoubleType())
 def st_area(wkb: pd.Series) -> pd.Series:
     return wkb.map(lambda b: K.geom_area(b) if b is not None else None)
+
+
+def st_simplify(wkb_col, tol: float):
+    """Douglas-Peucker simplification of a WKB (multi)linestring column
+    (geom/kernels.py:simplify_dp) — the map-generalization stage a
+    rendering/tiling pipeline runs before serving; pure map-side."""
+
+    @pandas_udf(T.BinaryType())
+    def _simp(wkb: pd.Series) -> pd.Series:
+        return wkb.map(
+            lambda b: K.simplify_dp(b, tol) if b is not None else None
+        )
+
+    return _simp(wkb_col)
+
+
+@pandas_udf(T.BinaryType())
+def st_make_line_xy(xs: pd.Series, ys: pd.Series) -> pd.Series:
+    """Build a LineString WKB from parallel coordinate arrays — the
+    n-point generalization of st_make_line (fixture builder for
+    multi-vertex operators like st_simplify)."""
+    def mk(x, y):
+        if x is None or y is None:
+            return None
+        return K.linestring_wkb(
+            np.column_stack([np.asarray(x, dtype=np.float64),
+                             np.asarray(y, dtype=np.float64)]))
+    return pd.Series([mk(x, y) for x, y in zip(xs, ys)])
+
+
+@pandas_udf(T.LongType())
+def st_npoints(wkb: pd.Series) -> pd.Series:
+    """Vertex count of a WKB geometry (linestrings sum their parts)."""
+    def n(b):
+        if b is None:
+            return None
+        gtype, data = K.parse_wkb(b)
+        if gtype == K.GeomType.LINESTRING:
+            return len(data)
+        if gtype == K.GeomType.MULTILINESTRING:
+            return sum(len(p) for p in data)
+        if gtype == K.GeomType.POINT:
+            return 1
+        raise ValueError(f"npoints undefined for {gtype}")
+    return wkb.map(n)

@@ -400,3 +400,51 @@ def geom_area(wkb: bytes) -> float:
             a = abs(_signed_area(closed[:-1]))
             total += a if i == 0 else -a
     return total
+
+
+def _dp_mask(coords: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas-Peucker keep-mask for one coordinate array (n, 2).
+
+    Iterative stack (no recursion limit); per span the farthest vertex
+    from the chord is kept iff its perpendicular distance EXCEEDS tol
+    (strict >, so a vertex exactly at tol collapses — the closed-form
+    fixture contract). Distance to a degenerate chord (closed span)
+    falls back to point distance."""
+    n = len(coords)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j - i < 2:
+            continue
+        seg = coords[i + 1:j]
+        a, b = coords[i], coords[j]
+        d = b - a
+        L = np.hypot(d[0], d[1])
+        if L <= _EPS:
+            dist = np.hypot(seg[:, 0] - a[0], seg[:, 1] - a[1])
+        else:
+            dist = np.abs(d[0] * (seg[:, 1] - a[1])
+                          - d[1] * (seg[:, 0] - a[0])) / L
+        k = int(np.argmax(dist))
+        if dist[k] > tol:
+            idx = i + 1 + k
+            keep[idx] = True
+            stack.append((i, idx))
+            stack.append((idx, j))
+    return keep
+
+
+def simplify_dp(wkb: bytes, tol: float) -> bytes:
+    """Douglas-Peucker line simplification (the classic GIS
+    generalization operator; QGIS `native:simplifygeometries` with
+    method=0 computes the same keep set). Endpoints always survive;
+    interior vertices survive iff some span's farthest-point recursion
+    keeps them. MultiLineStrings simplify part-wise."""
+    gtype, data = parse_wkb(wkb)
+    if gtype == GeomType.LINESTRING:
+        return linestring_wkb(data[_dp_mask(data, tol)])
+    if gtype == GeomType.MULTILINESTRING:
+        return multilinestring_wkb([p[_dp_mask(p, tol)] for p in data])
+    raise ValueError(f"simplify undefined for {gtype}")

@@ -253,3 +253,69 @@ def test_geom_length_fallback_matches_vectorized_reduction(spark):
     }
     assert v_vec == v_mix["a"]  # bit-identical across batch compositions
     assert v_mix["a"] == geom_length(line)
+
+
+# ---------------------------------------------------------------------------
+# Douglas-Peucker simplification
+# ---------------------------------------------------------------------------
+
+def _py_dp(coords, tol):
+    """Recursive reference implementation (CLRS-style)."""
+    import numpy as np
+
+    def rec(i, j, keep):
+        if j - i < 2:
+            return
+        a, b = coords[i], coords[j]
+        d = b - a
+        L = np.hypot(d[0], d[1])
+        best, bi = -1.0, -1
+        for k in range(i + 1, j):
+            if L <= 1e-12:
+                dist = np.hypot(*(coords[k] - a))
+            else:
+                dist = abs(d[0] * (coords[k][1] - a[1])
+                           - d[1] * (coords[k][0] - a[0])) / L
+            if dist > best:
+                best, bi = dist, k
+        if best > tol:
+            keep[bi] = True
+            rec(i, bi, keep)
+            rec(bi, j, keep)
+
+    keep = [False] * len(coords)
+    keep[0] = keep[-1] = True
+    rec(0, len(coords) - 1, keep)
+    return keep
+
+
+def test_simplify_dp_matches_reference_on_random_zigzags():
+    import numpy as np
+
+    from bdtopo2refhydro_spark.geom import kernels as K
+
+    for seed in range(30):
+        rng = np.random.RandomState(seed)
+        n = rng.randint(3, 40)
+        coords = np.cumsum(rng.randn(n, 2) * 10, axis=0)
+        tol = float(rng.uniform(0.5, 15))
+        wkb = K.linestring_wkb(coords)
+        got = K.parse_wkb(K.simplify_dp(wkb, tol))[1]
+        want = coords[np.array(_py_dp(coords, tol))]
+        assert np.array_equal(got, want), (seed, tol)
+
+
+def test_simplify_dp_endpoints_and_straight_line():
+    import numpy as np
+
+    from bdtopo2refhydro_spark.geom import kernels as K
+
+    # collinear interior points all collapse, endpoints survive
+    coords = np.array([[0, 0], [10, 0], [20, 0], [30, 0]], float)
+    out = K.parse_wkb(K.simplify_dp(K.linestring_wkb(coords), 0.5))[1]
+    assert np.array_equal(out, coords[[0, 3]])
+    # multilinestring simplifies part-wise
+    parts = [coords, np.array([[0, 0], [5, 9], [10, 0]], float)]
+    mls = K.multilinestring_wkb(parts)
+    gtype, data = K.parse_wkb(K.simplify_dp(mls, 0.5))
+    assert len(data[0]) == 2 and len(data[1]) == 3
