@@ -5442,6 +5442,76 @@ FROM part GROUP BY p_brand
 """
 
 
+def _q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    an OR-of-ANDs across both join sides — the predicate class that
+    exercises CNF conversion / partial pushdown; the join stays a
+    broadcast equi-join on partkey with the residual disjunction as a
+    post-join filter. Revenue exact integer cents^2."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet")
+    cents = lambda c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long")  # noqa: E731
+    rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10)
+         & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 11))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20)
+           & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30)
+           & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 30))
+    )
+    return (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .filter(cond)
+        .agg(F.count("*").alias("n_rows"),
+             F.sum(rev).alias("sc"))
+        .select("n_rows",
+                (F.col("sc") / F.lit(10000.0)).alias("revenue"))
+    )
+
+
+_TPCH_Q19_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+            AS BIGINT) / 10000.0 AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 10
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size <= 20
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size <= 30
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def _q_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window breadth: rank / dense_rank / ntile over one
+    partition+order spec — all three share a single sort+exchange
+    (one Window operator in the plan). Deterministic total order via
+    the (n_chars desc, doc_id) tie-break."""
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return docs.select(
+        "doc_id", "source", "n_chars",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+_RANK_FUNCS_SQL = """
+SELECT doc_id, source, n_chars,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+FROM documents
+WINDOW w AS (PARTITION BY source ORDER BY n_chars DESC, doc_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -5453,8 +5523,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ALL entries.
     return {
         # -- never driver-checked before round 3 ---------------------------
-        "lang_id": _q_lang_id,
-        "quality": _q_quality,
         "ivf_ann": _q_ivf_ann,
         "tpch_q1": _q_tpch_q1,
         "warc_scan": _q_warc_scan,
@@ -5465,6 +5533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitext_pairs": _q_bitext_pairs,
         "simplify_dp": _q_simplify_dp,
         "distinct_counts": _q_distinct_counts,
+        "tpch_q19": _q_tpch_q19,
+        "rank_funcs": _q_rank_funcs,
         # -- green in r01 only, fell outside the r02 window ----------------
         # -- new in round 3 ------------------------------------------------
         "strahler_binary": _q_strahler_binary,
@@ -5541,7 +5611,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ivf_kmeans_ann rotated for bitext_pairs (its pinned-recall
         # pytest + unrolled k-means oracle stay oracle_check-covered);
         # fingerprint/lm_fluency rotated for simplify_dp/distinct_counts
-        # (both value-tested in test_text_ops, oracle_check-covered)
+        # (both value-tested in test_text_ops, oracle_check-covered);
+        # lang_id/quality rotated for tpch_q19/rank_funcs (both pure
+        # expressions, test_text_ops + oracle_check; quality also runs
+        # inside the in-window curation_pipeline)
+        "lang_id": _q_lang_id,
+        "quality": _q_quality,
         "fingerprint": _q_fingerprint,
         "lm_fluency": _q_lm_fluency,
         "ivf_kmeans_ann": _q_ivf_kmeans_ann,
@@ -5802,6 +5877,8 @@ def oracle_sql() -> dict[str, str]:
         "bitext_pairs": _bitext_sql(),
         "simplify_dp": _SIMPLIFY_DP_SQL,
         "distinct_counts": _DISTINCT_COUNTS_SQL,
+        "tpch_q19": _TPCH_Q19_SQL,
+        "rank_funcs": _RANK_FUNCS_SQL,
         "incr_dedup": _incr_dedup_sql(),
         "url_rules": _URL_RULES_SQL,
     }

@@ -270,3 +270,19 @@ def test_graph_sample_no_cartesian(spark, entry):
     plan = _plan(entry.queries()["graph_sample"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q19_single_join_no_cartesian(spark, entry):
+    """The disjunctive predicate must NOT degrade the equi-join: one
+    broadcast hash join on partkey, residual OR as a filter."""
+    plan = _plan(entry.queries()["tpch_q19"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rank_funcs_share_one_window(spark, entry):
+    """rank/dense_rank/ntile over the same spec must share one Window
+    operator (one sort + one exchange)."""
+    plan = _plan(entry.queries()["rank_funcs"](spark, SF))
+    assert plan.count("Window") == 1
