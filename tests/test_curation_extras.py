@@ -417,3 +417,23 @@ def test_bitext_pairs_asymmetric_and_gated(spark):
     assert all(a in (0, 1, 2) and b in (3, 4) for a, b in pairs)  # en x fr only
     # the 5x-length fr doc can never pair (ratio gate), whatever the bucket
     assert all(b != 4 for _, b in pairs)
+
+
+# ---------------------------------------------------------------------------
+# kv_parse UDTF
+# ---------------------------------------------------------------------------
+
+def test_kv_parse_udtf_edge_cases(spark):
+    TX.register_kv_parse(spark)
+    spark.createDataFrame(
+        [(1, "a=1;b=2"), (2, "x=;=y;flag"), (3, ";;"), (4, None)],
+        "id long, kvs string").createOrReplaceTempView("kv_edge")
+    rows = spark.sql(
+        "SELECT id, p.key, p.value FROM kv_edge, LATERAL kv_parse(kvs) p"
+    ).collect()
+    got = {(r.id, r.key, r.value) for r in rows}
+    # empty value kept; '=y' → empty key; bare token → value ''
+    assert got == {(1, "a", "1"), (1, "b", "2"),
+                   (2, "x", ""), (2, "", "y"), (2, "flag", "")}
+    # ';;' and NULL rows vanish entirely (no rows with id 3 or 4)
+    assert all(r.id in (1, 2) for r in rows)
