@@ -87,3 +87,76 @@ def stream_parquet_passthrough(spark: SparkSession, path: str, schema,
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def stream_upsert_foreach_batch(spark: SparkSession, source_path: str,
+                                target_dir: str, checkpoint_dir: str,
+                                key: str = "url",
+                                order_col: str | None = None,
+                                files_per_trigger: int | None = None):
+    """Streaming UPSERT sink via foreachBatch: each micro-batch is
+    deduplicated per key (keep the order_col-max row, ties to the
+    incoming row) and merged copy-on-write into a keyed parquet target —
+    the hand-rolled analog of `MERGE INTO` against a table format, for
+    plain parquet directories.
+
+    Exactly-once: Spark's checkpoint replays a failed batch with the
+    SAME batch_id, and `_apply` is IDEMPOTENT per batch_id — a marker
+    file under <target>/_applied/ records completion, so a replayed
+    batch that already committed becomes a no-op (the classic
+    foreachBatch contract; pytest drives _apply twice directly).
+
+    Scale notes: copy-on-write rewrites the whole target per batch —
+    right for small/medium dimension tables kept fresh off a stream; a
+    fact-scale target wants the Iceberg MERGE path (sources/io.py) with
+    file-level pruning instead. The anti-join is keyed, never a scan of
+    incoming x target."""
+    import os
+    import shutil
+
+    schema = spark.read.parquet(source_path).schema
+    applied_dir = os.path.join(target_dir, "_applied")
+    os.makedirs(applied_dir, exist_ok=True)
+    data_dir = os.path.join(target_dir, "data")
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(applied_dir, str(batch_id))
+        if os.path.exists(marker):
+            return  # replayed batch, already committed
+        from pyspark.sql import Window
+
+        order = F.col(order_col).desc() if order_col else F.lit(1).asc()
+        w = Window.partitionBy(key).orderBy(order)
+        incoming = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn")
+        )
+        sess = batch_df.sparkSession
+        if os.path.exists(data_dir):
+            current = sess.read.parquet(data_dir)
+            keep = current.join(incoming.select(key), key, "left_anti")
+            merged = keep.unionByName(incoming)
+        else:
+            merged = incoming
+        tmp = data_dir + f"._tmp_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(data_dir):
+            shutil.rmtree(data_dir)
+        os.rename(tmp, data_dir)
+        open(marker, "w").close()  # commit AFTER the swap
+
+    src = spark.readStream.schema(schema)
+    if files_per_trigger is not None:
+        src = src.option("maxFilesPerTrigger", files_per_trigger)
+    if os.path.isfile(source_path):
+        src = src.option("pathGlobFilter", os.path.basename(source_path))
+        source_path = os.path.dirname(source_path)
+    q = (
+        src.parquet(source_path)
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _apply  # exposed so tests can drive batch replay directly

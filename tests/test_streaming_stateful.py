@@ -287,3 +287,48 @@ def test_tws_running_counts_cross_batch(spark, tmp_path):
     # key is the cumulative total
     rows = out.groupBy("key").agg(F.max("n").alias("n")).collect()
     assert {(r.key, r.n) for r in rows} == {(1, 3), (2, 2)}
+
+
+def test_foreach_batch_upsert_and_idempotent_replay(spark, tmp_path):
+    """foreachBatch UPSERT sink: later batches overwrite keys, and a
+    REPLAYED batch_id is a committed no-op (the exactly-once
+    contract)."""
+    import glob
+    import os
+    import shutil
+
+    from bdtopo2refhydro_spark.streaming.ingest import (
+        stream_upsert_foreach_batch,
+    )
+
+    d = str(tmp_path / "drops")
+    spark.createDataFrame([("a", 1), ("b", 1), ("b", 5)],
+                          "url string, v long") \
+        .coalesce(1).write.parquet(d + "/f1")
+    time.sleep(1.1)
+    spark.createDataFrame([("b", 9), ("c", 2)], "url string, v long") \
+        .coalesce(1).write.parquet(d + "/f2")
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    now = time.time()
+    for i, f in enumerate(sorted(glob.glob(d + "/f*/part-*.parquet"))):
+        shutil.copy(f, f"{flat}/{i:02d}.parquet")
+        os.utime(f"{flat}/{i:02d}.parquet", (now + i, now + i))
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    apply_fn = stream_upsert_foreach_batch(
+        spark, flat, target, ckpt, key="url", order_col="v",
+        files_per_trigger=1)
+    data = os.path.join(target, "data")
+    got = {(r.url, r.v) for r in spark.read.parquet(data).collect()}
+    # within-batch dedup kept b=5, then batch 2 upserted b=9, added c
+    assert got == {("a", 1), ("b", 9), ("c", 2)}
+    # idempotent replay: re-apply batch 0 (already committed) → no-op
+    replay = spark.createDataFrame([("a", 777)], "url string, v long")
+    apply_fn(replay, 0)
+    got2 = {(r.url, r.v) for r in spark.read.parquet(data).collect()}
+    assert got2 == got
+    # a NEW batch id does apply
+    apply_fn(replay, 99)
+    got3 = {(r.url, r.v) for r in spark.read.parquet(data).collect()}
+    assert got3 == {("a", 777), ("b", 9), ("c", 2)}
