@@ -286,3 +286,41 @@ def test_rank_funcs_share_one_window(spark, entry):
     operator (one sort + one exchange)."""
     plan = _plan(entry.queries()["rank_funcs"](spark, SF))
     assert plan.count("Window") == 1
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Runtime evidence for the PLANS.md skew story: a 97%-hot key in a
+    shuffle join is split by AQE (skew=true in the FINAL adaptive plan).
+    Thresholds are shrunk so the toy fixture crosses them; production
+    relies on the same mechanism at default thresholds. The final plan
+    is only observable through the DataFrame's own QueryExecution, so
+    the fixture collect()s through it (df.count()/df.write use a
+    separate QE whose adaptive plan never finalizes — a Spark 4
+    subtlety this test documents)."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 100 < 97, F.lit(7))
+            .otherwise(F.col("id") % 1000).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id")).alias("pad"))
+        dim = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.col("id").alias("v"))
+        j = big.join(dim, "k").select("k")
+        assert len(j.collect()) == 200_000
+        final = _plan(j)
+        assert "isFinalPlan=true" in final
+        assert final.count("skew=true") >= 1
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
