@@ -437,3 +437,23 @@ def test_kv_parse_udtf_edge_cases(spark):
                    (2, "x", ""), (2, "", "y"), (2, "flag", "")}
     # ';;' and NULL rows vanish entirely (no rows with id 3 or 4)
     assert all(r.id in (1, 2) for r in rows)
+
+
+def test_cms_sketches_merge_cellwise(spark):
+    """The distributed claim behind CMS: sketches of two shards merged
+    cell-wise equal the sketch of the union stream — per-day/per-shard
+    sketches fold without re-touching data."""
+    a = [1, 1, 2, 3, 5, 8, 8, 8]
+    b = [2, 3, 3, 13, 21]
+    da = spark.createDataFrame([(k,) for k in a], "key long")
+    db = spark.createDataFrame([(k,) for k in b], "key long")
+    dall = spark.createDataFrame([(k,) for k in a + b], "key long")
+    def cells(df):
+        return {(r["row"], r["pos"]): r["cnt"]
+                for r in C.cms_build(df, "key", width=64).collect()}
+    ca, cb, cu = cells(da), cells(db), cells(dall)
+    merged = {}
+    for d in (ca, cb):
+        for k, v in d.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == cu
