@@ -5539,6 +5539,25 @@ SELECT doc_id, 'c', CAST({_HD} % 5 AS VARCHAR) FROM documents
 """
 
 
+def _q_arrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow surface (text.py:arrow_token_stats): token/char stats
+    computed at the Arrow RecordBatch level — no pandas
+    materialization — completing the python-execution API family
+    (pandas UDF / mapInPandas / applyInPandas(+WithState) / UDTF /
+    DataSource / mapInArrow), each with a driver gate."""
+    return TX.arrow_token_stats(_docs(spark, sf_dir))
+
+
+_ARROW_STATS_SQL = """
+SELECT doc_id,
+       CAST(len(list_filter(
+         regexp_split_to_array(trim(lower(text)), '\\s+'),
+         t -> t != '')) AS BIGINT) AS n_tokens,
+       CAST(length(trim(lower(text))) AS BIGINT) AS n_chars_norm
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -5562,10 +5581,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": _q_tpch_q19,
         "rank_funcs": _q_rank_funcs,
         "udtf_kv": _q_udtf_kv,
+        "arrow_stats": _q_arrow_stats,
         # -- green in r01 only, fell outside the r02 window ----------------
         # -- new in round 3 ------------------------------------------------
         "strahler_binary": _q_strahler_binary,
-        "dedup_cluster": _q_dedup_cluster,
         "stream_join": _q_stream_join,
         "corpus_manifest": _q_corpus_manifest,
         "exact_substr": _q_exact_substr,
@@ -5643,7 +5662,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # expressions, test_text_ops + oracle_check; quality also runs
         # inside the in-window curation_pipeline); ivf_ann rotated for
         # udtf_kv (deterministic stand-in fixture, oracle_check-covered;
-        # ann_int8/sem_dedup keep ANN in-window gates)
+        # ann_int8/sem_dedup keep ANN in-window gates); dedup_cluster
+        # rotated for arrow_stats (cluster_split runs the full
+        # near_dup_clusters pipeline in-window, and the unrolled closure
+        # oracle stays oracle_check-covered)
+        "dedup_cluster": _q_dedup_cluster,
         "ivf_ann": _q_ivf_ann,
         "lang_id": _q_lang_id,
         "quality": _q_quality,
@@ -5910,6 +5933,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q19": _TPCH_Q19_SQL,
         "rank_funcs": _RANK_FUNCS_SQL,
         "udtf_kv": _UDTF_KV_SQL,
+        "arrow_stats": _ARROW_STATS_SQL,
         "incr_dedup": _incr_dedup_sql(),
         "url_rules": _URL_RULES_SQL,
     }

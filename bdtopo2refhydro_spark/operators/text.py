@@ -968,3 +968,41 @@ def make_kv_parse_udtf():
 
 def register_kv_parse(spark) -> None:
     spark.udtf.register("kv_parse", make_kv_parse_udtf())
+
+
+def arrow_token_stats(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Token/char stats computed in mapInArrow — the RecordBatch-level
+    API (no pandas materialization: lower peak memory than mapInPandas
+    for wide binary batches, the right tool when the per-batch work is
+    itself vectorizable in Arrow compute). Semantics match the JVM
+    tokens_expr: whitespace split of trimmed lowercased text.
+
+    Scale shape: row-local, zero shuffles; batches stream through as
+    Arrow RecordBatches end to end."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _stats(batches):
+        for batch in batches:
+            t = pc.utf8_trim_whitespace(
+                pc.utf8_lower(batch.column(text_col)))
+            toks = pc.split_pattern_regex(t, r"\s+")
+            # trim of "" yields [""] from the regex split; count only
+            # non-empty tokens to match size(filter(split(...)))
+            flat_valid = pc.not_equal(pc.list_flatten(toks), "")
+            n_tok = pc.list_value_length(toks).cast(pa.int64())
+            # subtract empty-string tokens per row (only the empty doc
+            # produces them, and then exactly one)
+            n_empty = pa.array(
+                [lst.count("") if lst is not None else 0
+                 for lst in toks.to_pylist()], type=pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(id_col),
+                 pc.subtract(n_tok, n_empty),
+                 pc.utf8_length(t).cast(pa.int64())],
+                names=[id_col, "n_tokens", "n_chars_norm"])
+            del flat_valid
+
+    return docs.select(id_col, text_col).mapInArrow(
+        _stats, f"{id_col} long, n_tokens long, n_chars_norm long")
