@@ -5558,6 +5558,69 @@ FROM documents
 """
 
 
+def _q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-priority audit): one windowed scan of
+    lineitem joined to orders, conditional CASE counts splitting
+    high-priority (1-URGENT/2-HIGH) from low — the
+    pivot-by-CASE-aggregation relational idiom, all-integer. (The
+    synthetic lineitem has no shipmode; l_returnflag plays the 2-3
+    value grouping column.)"""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01"))
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+_TPCH_Q12_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+"""
+
+
+def _q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP CUBE: event counts over (event_type, weekday) with ALL four
+    grouping-set combinations in one pass (Expand-based, map-side
+    partial) — completing the grouping-sets family next to
+    rollup_counts' ROLLUP. NULL group markers are replaced with 'ALL'
+    so the DuckDB compare is null-free."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.date_format("ts", "E").alias("wd"))
+    return (
+        ev.cube("event_type", "wd")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("wd", F.lit("ALL")).alias("wd"),
+            "n",
+        )
+    )
+
+
+_CUBE_COUNTS_SQL = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(wd, 'ALL') AS wd,
+       CAST(count(*) AS BIGINT) AS n
+FROM (SELECT event_type, strftime(ts, '%a') AS wd FROM events)
+GROUP BY CUBE (event_type, wd)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -5582,11 +5645,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_funcs": _q_rank_funcs,
         "udtf_kv": _q_udtf_kv,
         "arrow_stats": _q_arrow_stats,
+        "tpch_q12": _q_tpch_q12,
+        "cube_counts": _q_cube_counts,
         # -- green in r01 only, fell outside the r02 window ----------------
         # -- new in round 3 ------------------------------------------------
         "strahler_binary": _q_strahler_binary,
-        "stream_join": _q_stream_join,
-        "corpus_manifest": _q_corpus_manifest,
         "exact_substr": _q_exact_substr,
         "cocitation": _q_cocitation,
         "cms_topk": _q_cms_topk,
@@ -5665,7 +5728,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ann_int8/sem_dedup keep ANN in-window gates); dedup_cluster
         # rotated for arrow_stats (cluster_split runs the full
         # near_dup_clusters pipeline in-window, and the unrolled closure
-        # oracle stays oracle_check-covered)
+        # oracle stays oracle_check-covered); stream_join/corpus_manifest
+        # rotated for tpch_q12/cube_counts (stream_join's two Spark-4
+        # subtleties stay pytest-pinned; corpus_manifest is the
+        # TEXT_SCALING benchmark workload, exercised every scaling run)
+        "stream_join": _q_stream_join,
+        "corpus_manifest": _q_corpus_manifest,
         "dedup_cluster": _q_dedup_cluster,
         "ivf_ann": _q_ivf_ann,
         "lang_id": _q_lang_id,
@@ -5934,6 +6002,8 @@ def oracle_sql() -> dict[str, str]:
         "rank_funcs": _RANK_FUNCS_SQL,
         "udtf_kv": _UDTF_KV_SQL,
         "arrow_stats": _ARROW_STATS_SQL,
+        "tpch_q12": _TPCH_Q12_SQL,
+        "cube_counts": _CUBE_COUNTS_SQL,
         "incr_dedup": _incr_dedup_sql(),
         "url_rules": _URL_RULES_SQL,
     }
