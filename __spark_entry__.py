@@ -4523,7 +4523,8 @@ def _q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cms = C.cms_build(keyed, "key", width=512)
     exact = keyed.groupBy("token", "key").agg(
         F.count("*").alias("exact_cnt"))
-    est = C.cms_estimate(exact.select("key"), "key", cms, width=512)
+    est = C.cms_estimate(
+        exact.select("key").distinct(), "key", cms, width=512)
     return exact.join(est, "key").select("token", "exact_cnt", "cms_est")
 
 

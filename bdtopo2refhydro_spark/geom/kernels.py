@@ -336,7 +336,11 @@ def clip_intervals_convex(p: np.ndarray, q: np.ndarray,
     for k in range(len(pts)):
         c = (p[:, 0] - edges_a[k, 0]) * nx_[k] + (p[:, 1] - edges_a[k, 1]) * ny_[k]
         d = D[:, 0] * nx_[k] + D[:, 1] * ny_[k]
-        with np.errstate(divide="ignore", invalid="ignore"):
+        # over="ignore": |c|/|d| can exceed float max for near-parallel
+        # huge-coordinate segments; the resulting ±inf (like ±inf from
+        # divide-by-zero) drives t0/t1 past [0,1] and the interval goes
+        # empty — audited + regression-tested (test_cells).
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
             t = -c / d
         pos = d > _EPS
         neg = d < -_EPS

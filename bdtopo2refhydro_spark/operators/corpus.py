@@ -667,23 +667,31 @@ def cms_build(keys: DataFrame, key_col: str, *,
 
 def cms_estimate(probe: DataFrame, key_col: str, cms: DataFrame, *,
                  width: int = 1024) -> DataFrame:
-    """Point-query a count-min sketch: adds ``cms_est`` per probe row.
+    """Point-query a count-min sketch: genuinely adds ``cms_est`` to
+    every probe row — all probe columns and row multiplicity are
+    preserved (the estimate is computed once per distinct key, then
+    broadcast-joined back onto the probe).
 
-    Each probe key looks up its depth cells (broadcast join — the
-    sketch is bounded at depth*width rows by construction) and takes
+    Each distinct probe key looks up its depth cells (broadcast join —
+    the sketch is bounded at depth*width rows by construction) and takes
     the MIN across rows; absent cells count 0. CMS guarantees
     cms_est >= true frequency.
     """
-    p = probe.select(
-        F.col(key_col).alias("_k"),
-        F.posexplode(F.array(*_cms_pos_exprs(key_col, width)))
+    p = probe.select(F.col(key_col).alias("_k")).distinct().select(
+        "_k",
+        F.posexplode(F.array(*_cms_pos_exprs("_k", width)))
         .alias("row", "pos"),
     )
-    return (
+    per_key = (
         p.join(F.broadcast(cms), ["row", "pos"], "left")
-        .groupBy(F.col("_k").alias(key_col))
+        .groupBy("_k")
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"))
     )
+    # per_key is at most |distinct probe keys| rows — broadcast it back
+    # so the probe side keeps its partitioning (no shuffle of probe).
+    return probe.join(
+        F.broadcast(per_key), probe[key_col] == per_key["_k"], "left"
+    ).drop("_k")
 
 
 def assign_split(df: DataFrame, *, group_col: str = "source",

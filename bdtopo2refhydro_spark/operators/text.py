@@ -985,8 +985,11 @@ def arrow_token_stats(docs: DataFrame, text_col: str = "text",
 
     def _stats(batches):
         for batch in batches:
-            t = pc.utf8_trim_whitespace(
-                pc.utf8_lower(batch.column(text_col)))
+            # space-only trim: JVM trim() (and the DuckDB oracle's trim)
+            # strip only ' ' — utf8_trim_whitespace would also eat
+            # tabs/newlines and diverge on docs padded with them
+            t = pc.utf8_trim(
+                pc.utf8_lower(batch.column(text_col)), " ")
             toks = pc.split_pattern_regex(t, r"\s+")
             # trim of "" yields [""] from the regex split; count only
             # non-empty tokens to match size(filter(split(...)))

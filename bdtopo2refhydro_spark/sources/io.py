@@ -85,17 +85,6 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
-def write_bucketed(df: DataFrame, table: str, key: str,
-                   n_buckets: int = 64) -> None:
-    """Bucketed, sorted sink for co-located equi-joins (SURVEY.md §4):
-    two tables bucketed by the same key and count join WITHOUT a shuffle
-    (no Exchange on either side) — the storage-level answer to repeated
-    node-id joins in the graph passes. Catalog table only; parquet paths
-    cannot carry bucket metadata."""
-    df.write.mode("overwrite").format("parquet") \
-        .bucketBy(n_buckets, key).sortBy(key).saveAsTable(table)
-
-
 # --- Iceberg catalog path (SURVEY.md §1.1: GeoPackage layer ↔ Iceberg
 # `namespace.table`; J10 ↔ MERGE INTO). The sandbox has no Iceberg jars, so
 # every entry point degrades with an explicit IcebergUnavailable — the
@@ -270,10 +259,15 @@ def compact_files(spark, path: str, *, target_bytes: int = 128 * 1024 * 1024,
     accumulate small files; each file costs a task + an open at read
     time, so 10k 1 MB files read ~100x slower than 80 128 MB files).
 
-    Rewrites in place by default (write to a sibling temp dir, then
-    atomic-ish swap) or to ``out_path``. Returns the output file count.
-    Row order is not preserved (parquet readers must not rely on it);
-    content equality is the tested contract."""
+    Rewrites in place by default or to ``out_path``. The in-place swap is
+    crash-safe: the compacted data is written to a sibling temp dir, the
+    ORIGINAL dir is renamed aside (atomic), the temp dir renamed into
+    place (atomic), and only then is the old copy deleted — at every
+    instant the table path either holds the old or the new data (a crash
+    mid-sequence leaves at worst an ``._compact_old`` dir to sweep).
+    Returns the output file count. Row order is not preserved (parquet
+    readers must not rely on it); content equality is the tested
+    contract."""
     import math
     import os
     import shutil
@@ -286,8 +280,16 @@ def compact_files(spark, path: str, *, target_bytes: int = 128 * 1024 * 1024,
     dest = out_path or (path.rstrip("/") + "._compact_tmp")
     df.repartition(n_out).write.mode("overwrite").parquet(dest)
     if out_path is None:
-        shutil.rmtree(path)
-        os.rename(dest, path)
+        old = path.rstrip("/") + "._compact_old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        os.rename(path, old)
+        try:
+            os.rename(dest, path)
+        except OSError:
+            os.rename(old, path)  # roll back: restore the original
+            raise
+        shutil.rmtree(old)
         dest = path
     return len([f for f in os.listdir(dest)
                 if f.endswith(".parquet")])

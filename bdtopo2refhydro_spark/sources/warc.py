@@ -46,13 +46,20 @@ def parse_warc(buf: bytes):
             return
         hdr_end = buf.find(CRLF + CRLF, start)
         if hdr_end < 0:
-            return
+            # record magic with no header terminator = truncated header
+            # block — fail loudly, consistent with the truncated-payload
+            # ValueError (silently dropping tail records hides corrupt
+            # crawl segments).
+            raise ValueError(
+                f"unterminated WARC header block at byte {start}")
         headers = {}
         for line in buf[start:hdr_end].split(CRLF)[1:]:
             k, _, v = line.partition(b":")
             headers[k.strip().lower()] = v.strip()
+        if b"content-length" not in headers:
+            raise ValueError(f"missing Content-Length at byte {start}")
         try:
-            clen = int(headers.get(b"content-length", b"0"))
+            clen = int(headers[b"content-length"])
         except ValueError:
             raise ValueError(f"bad Content-Length at byte {start}")
         body_start = hdr_end + 4

@@ -123,6 +123,21 @@ def stream_upsert_foreach_batch(spark: SparkSession, source_path: str,
         marker = os.path.join(applied_dir, str(batch_id))
         if os.path.exists(marker):
             return  # replayed batch, already committed
+        tmp = data_dir + f"._tmp_{batch_id}"
+        old = data_dir + f"._old_{batch_id}"
+        if not os.path.exists(data_dir):
+            # crash-recovery: a previous attempt died mid-swap. If the
+            # fully-merged tmp exists, it IS the committed state — rename
+            # it in and finish the commit; else restore the pre-batch
+            # data set aside under `old` and merge normally.
+            if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+                os.rename(tmp, data_dir)
+                if os.path.exists(old):
+                    shutil.rmtree(old)
+                open(marker, "w").close()
+                return
+            if os.path.exists(old):
+                os.rename(old, data_dir)
         from pyspark.sql import Window
 
         order = F.col(order_col).desc() if order_col else F.lit(1).asc()
@@ -138,11 +153,19 @@ def stream_upsert_foreach_batch(spark: SparkSession, source_path: str,
             merged = keep.unionByName(incoming)
         else:
             merged = incoming
-        tmp = data_dir + f"._tmp_{batch_id}"
+        # crash-safe swap: set the current data aside with an atomic
+        # rename (never rmtree the only copy), rename the merged result
+        # in, and delete the old copy LAST — at every instant either the
+        # old or the new data is reachable (data_dir present, or tmp
+        # holding the full merged result for the recovery path above).
         merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(old):
+            shutil.rmtree(old)
         if os.path.exists(data_dir):
-            shutil.rmtree(data_dir)
+            os.rename(data_dir, old)
         os.rename(tmp, data_dir)
+        if os.path.exists(old):
+            shutil.rmtree(old)
         open(marker, "w").close()  # commit AFTER the swap
 
     src = spark.readStream.schema(schema)

@@ -154,6 +154,27 @@ def test_clip_intervals_convex_matches_general_path():
     np.testing.assert_allclose(lens, expected, atol=1e-9)
 
 
+def test_clip_intervals_convex_overflow_lane_no_warning():
+    """A near-degenerate segment (denormal y-delta) makes d tiny-nonzero
+    on its parallel lanes while c stays moderate → |c/d| overflows float
+    max in the vectorized divide. The lane is discarded (|d| < eps ⇒
+    parallel), so the errstate must cover over= and the result must be
+    the correct EMPTY interval — regression for the RuntimeWarning audit
+    (VERDICT r3 item 8)."""
+    import warnings
+
+    from bdtopo2refhydro_spark.geom.kernels import clip_intervals_convex
+
+    # vs the top edge: c ≈ 100, d ≈ -2e-310 → t ≈ 5e311 overflows;
+    # the segment sits at x=20, fully outside the square
+    P = np.array([[20.0, 1e-311]])
+    Q = np.array([[20.0, 3e-311]])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        t0, t1 = clip_intervals_convex(P, Q, SQUARE)
+    assert t0[0] > t1[0]  # empty interval: no intersection
+
+
 def test_buffer_point_is_circle():
     gtype, rings = parse_wkb(buffer_geom(point_wkb(0, 0), 10.0))
     assert gtype == GeomType.POLYGON
