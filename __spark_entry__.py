@@ -1420,14 +1420,62 @@ SELECT e.url, h.h AS hack FROM e LEFT JOIN hack h ON h.url = e.url
 
 
 def _q_strahler(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G7 — bottom-up fixpoint; not expressible in DuckDB 1.0's linear
-    recursive CTEs (needs the full accumulated state each round), so the
-    driver records the weaker rows-only check; golden-tested on a
-    hand-computed river graph in tests/test_graph_ops.py."""
+    """G7 — bottom-up fixpoint. DuckDB 1.0's linear recursive CTEs can't
+    hold the accumulated per-round state, but the fixture forest
+    (doc_id → doc_id div 2) has edge-height ≤ log2(max doc_id) — 9 at
+    sf0.01, 13 at sf0.1, 16 at an sf1-sized 50k-doc fixture — so a
+    BOUNDED-DEPTH UNROLL of the admit rounds (the kcore/host_rank
+    pattern) is an EXACT oracle: `_strahler_unrolled_sql` emits 20
+    non-recursive rounds, enough for any fixture up to ~1M docs
+    (VERDICT r3 next-round #2). Golden-tested on a hand-computed river
+    graph in tests/test_graph_ops.py."""
     from bdtopo2refhydro_spark.operators import strahler_order
 
     e = _forest_edges(spark, sf_dir)
-    return strahler_order(e).select("url", F.col("STRAHLER").alias("strahler"))
+    return strahler_order(e).select(
+        "url", F.col("STRAHLER").cast("int").alias("strahler"))
+
+
+def _strahler_unrolled_sql(edges_sql: str, rounds: int = 20) -> str:
+    """Unrolled bottom-up Strahler over an (url, nodea, nodeb) edge
+    table: round 0 resolves leaf edges at order 1; round k resolves every
+    edge whose upstream arms (edges with nodeb = my nodea) are ALL
+    resolved, at max(arm orders) + (1 if the max occurs ≥2 times).
+    Exact whenever `rounds` ≥ the forest's edge-height."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_sql}),",
+        "cc AS MATERIALIZED (SELECT nodeb AS n, count(*) AS c FROM e GROUP BY nodeb),",
+        "s0 AS MATERIALIZED (SELECT e.url, e.nodea, e.nodeb, 1 AS s FROM e\n"
+        "       LEFT JOIN cc ON cc.n = e.nodea WHERE cc.n IS NULL)",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(f""",
+g{k} AS MATERIALIZED (
+  SELECT n, mx, count(*) AS nr,
+         sum(CASE WHEN s = mx THEN 1 ELSE 0 END) AS cm
+  FROM (SELECT nodeb AS n, s,
+               max(s) OVER (PARTITION BY nodeb) AS mx
+        FROM s{p})
+  GROUP BY n, mx
+),
+s{k} AS MATERIALIZED (
+  SELECT * FROM s{p}
+  UNION ALL
+  SELECT e.url, e.nodea, e.nodeb,
+         g.mx + CASE WHEN g.cm >= 2 THEN 1 ELSE 0 END AS s
+  FROM e
+  JOIN g{k} g ON g.n = e.nodea
+  JOIN cc ON cc.n = e.nodea AND g.nr = cc.c
+  WHERE e.url NOT IN (SELECT url FROM s{p})
+)""")
+    parts.append(f"""
+SELECT e.url, CAST(r.s AS INTEGER) AS strahler
+FROM e LEFT JOIN s{rounds} r ON r.url = e.url""")
+    return "\n".join(parts)
+
+
+_STRAHLER_SQL = _strahler_unrolled_sql(_FOREST_D)
 
 
 def _q_strahler_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1467,8 +1515,15 @@ WHERE doc_id >= 1 AND doc_id < (1 << (SELECT kk FROM k))
 
 
 def _q_fix_connectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G3 — greedy iterative repair (round-order dependent); rows-only
-    check, golden-tested in tests/test_graph_ops.py."""
+    """G3 — greedy iterative repair. The round order IS deterministic
+    (each outer round admits exactly the non-kept edges touching the
+    reached set while any unreachable subset edge remains), and the
+    outer-round count is bounded by the outlet's undirected eccentricity
+    — ≤ log2(max doc_id) on this forest — so a BOUNDED-DEPTH UNROLL with
+    one recursive-CTE BFS per round is an EXACT oracle
+    (`_fix_conn_unrolled_sql`, VERDICT r3 next-round #2; extra rounds
+    past stabilization are no-ops by construction). Golden-tested in
+    tests/test_graph_ops.py."""
     from bdtopo2refhydro_spark.operators import fix_network_connectivity
 
     full = _forest_edges(spark, sf_dir)
@@ -1477,6 +1532,52 @@ def _q_fix_connectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("url")
     outlets = spark.createDataFrame([(0,)], "node long")
     return fix_network_connectivity(full, subset, outlets).select("url")
+
+
+def _fix_conn_unrolled_sql(edges_sql: str, rounds: int = 20) -> str:
+    """Unrolled greedy connectivity repair over (url, nodea, nodeb):
+    kept₀ = the LCG-filtered subset; each round k runs an undirected
+    recursive-CTE BFS from outlet node 0 over the kept edges, and — IF
+    any subset edge still has both endpoints unreached — admits every
+    non-kept edge with an endpoint in the reached set. Mirrors
+    operators/graph.py:fix_network_connectivity round for round; rounds
+    past the fixpoint add nothing (the EXISTS gate goes false or the
+    touching set is already kept)."""
+    parts = [
+        f"WITH RECURSIVE e AS MATERIALIZED ({edges_sql}),",
+        "sub AS MATERIALIZED (SELECT url FROM e\n"
+        "        WHERE ((nodea * 1103515245 + 12345) % 2147483648) % 10 < 6),",
+        "k0 AS MATERIALIZED (SELECT url FROM sub)",
+    ]
+    for k in range(rounds):
+        parts.append(f""",
+ek{k} AS MATERIALIZED (SELECT e.nodea, e.nodeb FROM e JOIN k{k} USING (url)),
+ad{k} AS (SELECT nodea AS frm, nodeb AS nxt FROM ek{k}
+          UNION ALL SELECT nodeb, nodea FROM ek{k}),
+r{k}(node) AS (
+  SELECT CAST(0 AS BIGINT)
+  UNION
+  SELECT a.nxt FROM r{k} JOIN ad{k} a ON a.frm = r{k}.node
+),
+unr{k} AS MATERIALIZED (
+  SELECT e.url FROM e JOIN sub USING (url)
+  WHERE e.nodea NOT IN (SELECT node FROM r{k})
+    AND e.nodeb NOT IN (SELECT node FROM r{k})
+),
+k{k + 1} AS MATERIALIZED (
+  SELECT url FROM k{k}
+  UNION
+  SELECT e.url FROM e
+  WHERE e.url NOT IN (SELECT url FROM k{k})
+    AND (e.nodea IN (SELECT node FROM r{k})
+         OR e.nodeb IN (SELECT node FROM r{k}))
+    AND EXISTS (SELECT 1 FROM unr{k})
+)""")
+    parts.append(f"\nSELECT url FROM k{rounds}")
+    return "\n".join(parts)
+
+
+_FIX_CONN_SQL = _fix_conn_unrolled_sql(_FOREST_D)
 
 
 def _q_fix_conn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5876,9 +5977,12 @@ def oracle_sql() -> dict[str, str]:
         "hack_order": _HACK_SQL,
         "strahler_binary": _STRAHLER_BINARY_SQL,
         "fix_conn_exact": _FIX_CONN_EXACT_SQL,
-        # strahler_order, fix_connectivity: iterative fixpoints with
-        # accumulated state — not expressible in DuckDB 1.0 linear
-        # recursion; rows-only driver check, golden pytest coverage
+        # strahler_order / fix_connectivity: iterative fixpoints, now
+        # EXACT via bounded-depth unrolled rounds (the fixture forest is
+        # log-depth, so 20 unrolled rounds reach the fixpoint at any sf
+        # up to ~1M docs) — VERDICT r3 next-round #2
+        "strahler_order": _STRAHLER_SQL,
+        "fix_connectivity": _FIX_CONN_SQL,
         "prune_slivers": _PRUNE_SQL,
         "snap_knn": _SNAP_SQL,
         "knn_join": _KNN_SQL,
