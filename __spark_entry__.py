@@ -1436,46 +1436,52 @@ def _q_strahler(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", F.col("STRAHLER").cast("int").alias("strahler"))
 
 
-def _strahler_unrolled_sql(edges_sql: str, rounds: int = 20) -> str:
-    """Unrolled bottom-up Strahler over an (url, nodea, nodeb) edge
-    table: round 0 resolves leaf edges at order 1; round k resolves every
-    edge whose upstream arms (edges with nodeb = my nodea) are ALL
-    resolved, at max(arm orders) + (1 if the max occurs ≥2 times).
-    Exact whenever `rounds` ≥ the forest's edge-height."""
+def _strahler_cte(src: str, p: str, rounds: int = 20) -> tuple[str, str]:
+    """CTE FRAGMENT for unrolled bottom-up Strahler over edge table
+    `src` (url, nodea, nodeb): round 0 resolves leaf edges at order 1;
+    round k resolves every edge whose upstream arms (edges with nodeb =
+    my nodea) are ALL resolved, at max(arm orders) + (1 if the max
+    occurs ≥2 times). Exact whenever `rounds` ≥ the forest's
+    edge-height. Returns (fragment, final_table); the final table has
+    (url, nodea, nodeb, s). All CTEs are MATERIALIZED — DuckDB otherwise
+    inlines the chain and the exploded plan exhausts file handles."""
     parts = [
-        f"WITH e AS MATERIALIZED ({edges_sql}),",
-        "cc AS MATERIALIZED (SELECT nodeb AS n, count(*) AS c FROM e GROUP BY nodeb),",
-        "s0 AS MATERIALIZED (SELECT e.url, e.nodea, e.nodeb, 1 AS s FROM e\n"
-        "       LEFT JOIN cc ON cc.n = e.nodea WHERE cc.n IS NULL)",
+        f"{p}cc AS MATERIALIZED (SELECT nodeb AS n, count(*) AS c\n"
+        f"        FROM {src} GROUP BY nodeb),",
+        f"{p}s0 AS MATERIALIZED (SELECT e.url, e.nodea, e.nodeb, 1 AS s\n"
+        f"       FROM {src} e LEFT JOIN {p}cc ON {p}cc.n = e.nodea\n"
+        f"       WHERE {p}cc.n IS NULL)",
     ]
     for k in range(1, rounds + 1):
-        p = k - 1
+        q = k - 1
         parts.append(f""",
-g{k} AS MATERIALIZED (
+{p}g{k} AS MATERIALIZED (
   SELECT n, mx, count(*) AS nr,
          sum(CASE WHEN s = mx THEN 1 ELSE 0 END) AS cm
   FROM (SELECT nodeb AS n, s,
                max(s) OVER (PARTITION BY nodeb) AS mx
-        FROM s{p})
+        FROM {p}s{q})
   GROUP BY n, mx
 ),
-s{k} AS MATERIALIZED (
-  SELECT * FROM s{p}
+{p}s{k} AS MATERIALIZED (
+  SELECT * FROM {p}s{q}
   UNION ALL
   SELECT e.url, e.nodea, e.nodeb,
          g.mx + CASE WHEN g.cm >= 2 THEN 1 ELSE 0 END AS s
-  FROM e
-  JOIN g{k} g ON g.n = e.nodea
-  JOIN cc ON cc.n = e.nodea AND g.nr = cc.c
-  WHERE e.url NOT IN (SELECT url FROM s{p})
+  FROM {src} e
+  JOIN {p}g{k} g ON g.n = e.nodea
+  JOIN {p}cc ON {p}cc.n = e.nodea AND g.nr = {p}cc.c
+  WHERE e.url NOT IN (SELECT url FROM {p}s{q})
 )""")
-    parts.append(f"""
+    return "\n".join(parts), f"{p}s{rounds}"
+
+
+_STRAHLER_FRAG, _STRAHLER_FINAL = _strahler_cte("e", "")
+_STRAHLER_SQL = f"""
+WITH e AS MATERIALIZED ({_FOREST_D}),
+{_STRAHLER_FRAG}
 SELECT e.url, CAST(r.s AS INTEGER) AS strahler
-FROM e LEFT JOIN s{rounds} r ON r.url = e.url""")
-    return "\n".join(parts)
-
-
-_STRAHLER_SQL = _strahler_unrolled_sql(_FOREST_D)
+FROM e LEFT JOIN {_STRAHLER_FINAL} r ON r.url = e.url"""
 
 
 def _q_strahler_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1534,50 +1540,55 @@ def _q_fix_connectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fix_network_connectivity(full, subset, outlets).select("url")
 
 
-def _fix_conn_unrolled_sql(edges_sql: str, rounds: int = 20) -> str:
-    """Unrolled greedy connectivity repair over (url, nodea, nodeb):
-    kept₀ = the LCG-filtered subset; each round k runs an undirected
-    recursive-CTE BFS from outlet node 0 over the kept edges, and — IF
-    any subset edge still has both endpoints unreached — admits every
+def _fix_conn_cte(src: str, subset: str, outlet_base: str, p: str,
+                  rounds: int = 20) -> tuple[str, str]:
+    """CTE FRAGMENT for unrolled greedy connectivity repair over edge
+    table `src` (url, nodea, nodeb) with kept₀ = `subset` (url): each
+    round k runs an undirected recursive-CTE BFS seeded by `outlet_base`
+    (a SELECT yielding BIGINT nodes) over the kept edges, and — IF any
+    subset edge still has both endpoints unreached — admits every
     non-kept edge with an endpoint in the reached set. Mirrors
     operators/graph.py:fix_network_connectivity round for round; rounds
     past the fixpoint add nothing (the EXISTS gate goes false or the
-    touching set is already kept)."""
-    parts = [
-        f"WITH RECURSIVE e AS MATERIALIZED ({edges_sql}),",
-        "sub AS MATERIALIZED (SELECT url FROM e\n"
-        "        WHERE ((nodea * 1103515245 + 12345) % 2147483648) % 10 < 6),",
-        "k0 AS MATERIALIZED (SELECT url FROM sub)",
-    ]
+    touching set is already kept). Enclosing WITH must be RECURSIVE.
+    Returns (fragment, kept_table)."""
+    parts = [f"{p}k0 AS MATERIALIZED (SELECT url FROM {subset})"]
     for k in range(rounds):
         parts.append(f""",
-ek{k} AS MATERIALIZED (SELECT e.nodea, e.nodeb FROM e JOIN k{k} USING (url)),
-ad{k} AS (SELECT nodea AS frm, nodeb AS nxt FROM ek{k}
-          UNION ALL SELECT nodeb, nodea FROM ek{k}),
-r{k}(node) AS (
-  SELECT CAST(0 AS BIGINT)
+{p}ek{k} AS MATERIALIZED (SELECT e.nodea, e.nodeb
+  FROM {src} e JOIN {p}k{k} USING (url)),
+{p}ad{k} AS (SELECT nodea AS frm, nodeb AS nxt FROM {p}ek{k}
+          UNION ALL SELECT nodeb, nodea FROM {p}ek{k}),
+{p}r{k}(node) AS (
+  {outlet_base}
   UNION
-  SELECT a.nxt FROM r{k} JOIN ad{k} a ON a.frm = r{k}.node
+  SELECT a.nxt FROM {p}r{k} JOIN {p}ad{k} a ON a.frm = {p}r{k}.node
 ),
-unr{k} AS MATERIALIZED (
-  SELECT e.url FROM e JOIN sub USING (url)
-  WHERE e.nodea NOT IN (SELECT node FROM r{k})
-    AND e.nodeb NOT IN (SELECT node FROM r{k})
+{p}unr{k} AS MATERIALIZED (
+  SELECT e.url FROM {src} e JOIN {subset} USING (url)
+  WHERE e.nodea NOT IN (SELECT node FROM {p}r{k})
+    AND e.nodeb NOT IN (SELECT node FROM {p}r{k})
 ),
-k{k + 1} AS MATERIALIZED (
-  SELECT url FROM k{k}
+{p}k{k + 1} AS MATERIALIZED (
+  SELECT url FROM {p}k{k}
   UNION
-  SELECT e.url FROM e
-  WHERE e.url NOT IN (SELECT url FROM k{k})
-    AND (e.nodea IN (SELECT node FROM r{k})
-         OR e.nodeb IN (SELECT node FROM r{k}))
-    AND EXISTS (SELECT 1 FROM unr{k})
+  SELECT e.url FROM {src} e
+  WHERE e.url NOT IN (SELECT url FROM {p}k{k})
+    AND (e.nodea IN (SELECT node FROM {p}r{k})
+         OR e.nodeb IN (SELECT node FROM {p}r{k}))
+    AND EXISTS (SELECT 1 FROM {p}unr{k})
 )""")
-    parts.append(f"\nSELECT url FROM k{rounds}")
-    return "\n".join(parts)
+    return "\n".join(parts), f"{p}k{rounds}"
 
 
-_FIX_CONN_SQL = _fix_conn_unrolled_sql(_FOREST_D)
+_FIX_CONN_FRAG, _FIX_CONN_FINAL = _fix_conn_cte(
+    "e", "sub", "SELECT CAST(0 AS BIGINT)", "")
+_FIX_CONN_SQL = f"""
+WITH RECURSIVE e AS MATERIALIZED ({_FOREST_D}),
+sub AS MATERIALIZED (SELECT url FROM e
+        WHERE ((nodea * 1103515245 + 12345) % 2147483648) % 10 < 6),
+{_FIX_CONN_FRAG}
+SELECT url FROM {_FIX_CONN_FINAL}"""
 
 
 def _q_fix_conn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2566,9 +2577,213 @@ def _q_width_network(spark: SparkSession, sf_dir: str) -> DataFrame:
                             surface_pct_min=30.0)
     return seg.select(
         "url", F.col("HACK").alias("hack"),
-        F.col("STRAHLER").alias("strahler"), "n_reaches",
-        F.round("length", 6).alias("length"),
+        F.col("STRAHLER").alias("strahler"),
+        F.col("n_reaches").cast("int").alias("n_reaches"),
+        F.col("length").cast("double").alias("length"),
     )
+
+
+_REDUCEAT_MAX_CHAIN = 32
+
+
+def _reduceat_pivot_cols() -> str:
+    """Pivot a chain's per-reach lengths into columns m0..m{MAX-1} by
+    walk index — the inputs to the exact reduceat replica below."""
+    return ",\n         ".join(
+        f"max(CASE WHEN f.idx = {i} THEN p.len END) AS m{i}"
+        for i in range(_REDUCEAT_MAX_CHAIN))
+
+
+def _reduceat_expr(cnt: int) -> str:
+    """The EXACT accumulation tree of np.add.reduceat over `cnt` chain
+    segment lengths: res = a0 + pairwise(a[1:]) where numpy's pairwise
+    is sequential below 8 elements and 8-way unrolled (8 accumulators,
+    pairwise-combined, sequential tail) from 8 to 128 — verified
+    element-for-element against np.add.reduceat for n = 1..1000. Chains
+    here are bounded by the forest's log-depth (≤17 reaches at an
+    sf1-sized fixture), far below the 128-block recursion."""
+    if cnt == 1:
+        return "m0"
+    m = cnt - 1  # tail elements b_i = m{i+1}
+    if m < 8:
+        res = "m1"
+        for i in range(1, m):
+            res = f"({res} + m{i + 1})"
+    else:
+        unr = m - m % 8
+        r = [f"m{1 + j}" for j in range(8)]
+        i = 8
+        while i < unr:
+            r = [f"({r[j]} + m{1 + i + j})" for j in range(8)]
+            i += 8
+        res = (f"((({r[0]} + {r[1]}) + ({r[2]} + {r[3]})) + "
+               f"(({r[4]} + {r[5]}) + ({r[6]} + {r[7]})))")
+        for t in range(unr, m):
+            res = f"({res} + m{1 + t})"
+    return f"(m0 + {res})"
+
+
+def _reduceat_case_expr() -> str:
+    whens = "\n    ".join(
+        f"WHEN {c} THEN {_reduceat_expr(c)}"
+        for c in range(1, _REDUCEAT_MAX_CHAIN + 1))
+    return f"CASE n_reaches\n    {whens}\n    END"
+
+
+def _width_network_sql() -> str:
+    """EXACT DuckDB oracle for the FULL width pipeline (VERDICT r3
+    next-round #2): every stage re-derived in closed form over the same
+    doc_id fixture, composed as one WITH RECURSIVE chain.
+
+    Why this is value-exact, stage by stage:
+    - topology: endpoint positions are distinct per doc (verified: zero
+      collisions at sf0.001/0.01/0.1), so identify_network_nodes' hashed
+      ids are isomorphic to (doc_id, doc_id//2);
+    - per-reach len: sqrt of an exact-integer dx²+dy² (< 2⁵³) — one IEEE
+      sqrt, bit-identical in both engines;
+    - zonal gate: the SQL Liang-Barsky clip is only DECISION-equal
+      (ulp-near) to the cell-piece sum, which suffices — pct feeds one
+      ≥30 comparison and no fixture value sits near the threshold;
+    - fix-connectivity / Strahler: the bounded-depth unrolled fragments
+      (log-depth forest, 20 rounds);
+    - upstream lengths (Hack's is_main): UL = len + max(child UL) and
+      the SQL walk's max(acc + len) agree BIT-exactly — IEEE + is
+      commutative and monotone, so max∘(+len) = (+len)∘max; ties break
+      on url in both engines;
+    - prune: single-len threshold compares on bit-exact lens + integer
+      STRAHLER;
+    - chain length: st_length of the stitched line reduces the per-reach
+      lengths with np.add.reduceat, whose accumulation tree
+      (a0 + numpy-pairwise(a[1:]), 8-way unrolled from 8 elements) is
+      replicated EXACTLY by _reduceat_expr over the walk-indexed pivot
+      → raw double, no rounding needed."""
+    fix_frag, fix_kept = _fix_conn_cte(
+        "e", "wkept0", "SELECT node FROM wonodes", "w")
+    str_frag, str_final = _strahler_cte("wnet", "z")
+    return f"""
+WITH RECURSIVE
+pos AS MATERIALIZED (SELECT doc_id, {_PXD} AS px, {_PYD} AS py FROM documents),
+ch AS (SELECT doc_id, 'e' || CAST(doc_id AS VARCHAR) AS url,
+              doc_id // 2 AS parent, {_NATURED} AS nature
+       FROM documents WHERE doc_id >= 1 AND {_HD} % 17 != 0),
+e AS MATERIALIZED (
+  SELECT ch.url, ch.doc_id AS nodea, ch.parent AS nodeb, ch.nature,
+         cp.px AS ax, cp.py AS ay, pp.px AS bx, pp.py AS by,
+         sqrt((pp.px - cp.px) * (pp.px - cp.px)
+              + (pp.py - cp.py) * (pp.py - cp.py)) AS len
+  FROM ch JOIN pos cp ON cp.doc_id = ch.doc_id
+          JOIN pos pp ON pp.doc_id = ch.parent),
+wsurf AS (SELECT * FROM (VALUES (0.0, 0.0, 100000.0, 20000.0),
+                                (30000.0, 20000.0, 70000.0, 60000.0),
+                                (0.0, 90000.0, 20000.0, 100000.0))
+          s(rx0, ry0, rx1, ry1)),
+wclip AS MATERIALIZED (
+  SELECT url, CASE WHEN t1 > t0 THEN (t1 - t0) * len ELSE 0.0 END AS clen
+  FROM (
+    SELECT e.url, e.len,
+      greatest(0.0,
+        CASE WHEN e.bx > e.ax THEN (s.rx0 - e.ax) / (e.bx - e.ax)
+             WHEN e.bx < e.ax THEN (s.rx1 - e.ax) / (e.bx - e.ax)
+             WHEN e.ax >= s.rx0 AND e.ax <= s.rx1 THEN 0.0
+             ELSE 1e300 END,
+        CASE WHEN e.by > e.ay THEN (s.ry0 - e.ay) / (e.by - e.ay)
+             WHEN e.by < e.ay THEN (s.ry1 - e.ay) / (e.by - e.ay)
+             WHEN e.ay >= s.ry0 AND e.ay <= s.ry1 THEN 0.0
+             ELSE 1e300 END) AS t0,
+      least(1.0,
+        CASE WHEN e.bx > e.ax THEN (s.rx1 - e.ax) / (e.bx - e.ax)
+             WHEN e.bx < e.ax THEN (s.rx0 - e.ax) / (e.bx - e.ax)
+             WHEN e.ax >= s.rx0 AND e.ax <= s.rx1 THEN 1.0
+             ELSE -1e300 END,
+        CASE WHEN e.by > e.ay THEN (s.ry1 - e.ay) / (e.by - e.ay)
+             WHEN e.by < e.ay THEN (s.ry0 - e.ay) / (e.by - e.ay)
+             WHEN e.ay >= s.ry0 AND e.ay <= s.ry1 THEN 1.0
+             ELSE -1e300 END) AS t1
+    FROM e CROSS JOIN wsurf s)),
+winlen AS (SELECT url, sum(clen) AS v FROM wclip GROUP BY url),
+wpct AS MATERIALIZED (
+  SELECT e.url, least(100.0, coalesce(i.v / e.len * 100.0, 0.0)) AS pct
+  FROM e LEFT JOIN winlen i USING (url)),
+wonodes AS MATERIALIZED (
+  SELECT DISTINCT CAST(nodeb AS BIGINT) AS node FROM e WHERE nodeb = 0),
+wkept0 AS MATERIALIZED (
+  -- DISTINCT-over-UNION-ALL, not UNION: under WITH RECURSIVE DuckDB 1.0
+  -- parses a top-level UNION as base/step of a (non-)recursion and skips
+  -- the dedup, duplicating rows in both branches (the outlet edge here)
+  SELECT DISTINCT url FROM (
+    SELECT url FROM wpct WHERE pct >= 30.0
+    UNION ALL SELECT url FROM e WHERE nodeb = 0)),
+{fix_frag},
+wnet AS MATERIALIZED (SELECT e.* FROM e JOIN {fix_kept} USING (url)),
+{str_frag},
+whwalk(url, node, acc) AS (
+  SELECT url, nodeb, len FROM wnet
+  WHERE nodea NOT IN (SELECT nodeb FROM wnet)
+  UNION
+  SELECT f.url, f.nodeb, w.acc + f.len
+  FROM wnet f JOIN whwalk w ON f.nodea = w.node),
+wul AS MATERIALIZED (SELECT url, max(acc) AS ul FROM whwalk GROUP BY url),
+wrk AS (SELECT url, row_number() OVER (PARTITION BY nodeb
+                                       ORDER BY ul DESC, url DESC) AS rn
+        FROM (SELECT n.url, n.nodeb, u.ul FROM wnet n JOIN wul u USING (url))),
+wem AS MATERIALIZED (
+  SELECT n.url, n.nodea, n.nodeb, (wrk.rn = 1) AS is_main
+  FROM wnet n JOIN wrk USING (url)),
+whack(url, nodea, h) AS (
+  SELECT url, nodea, 1 FROM wem WHERE nodeb IN (SELECT node FROM wonodes)
+  UNION
+  SELECT c.url, c.nodea, CASE WHEN c.is_main THEN p.h ELSE p.h + 1 END
+  FROM wem c JOIN whack p ON c.nodeb = p.nodea),
+wnet2 AS MATERIALIZED (
+  SELECT n.url, n.nodea, n.nodeb, n.nature, n.len,
+         CAST(s.s AS INTEGER) AS strahler, CAST(h.h AS INTEGER) AS hack
+  FROM wnet n
+  LEFT JOIN {str_final} s ON s.url = n.url
+  LEFT JOIN whack h ON h.url = n.url),
+wdrop AS MATERIALIZED (
+  SELECT DISTINCT url FROM (
+    SELECT url FROM wnet2
+    WHERE strahler = 1 AND len <= 500.0
+      AND nodeb IN (SELECT nodea FROM wnet2 WHERE strahler >= 3)
+    UNION ALL
+    SELECT url FROM wnet2 n
+    WHERE strahler = 1 AND len <= 10000.0
+      AND n.nodea NOT IN (SELECT nodeb FROM wnet2)
+      AND n.nodeb NOT IN (SELECT nodea FROM wnet2))),
+wpr AS MATERIALIZED (
+  SELECT * FROM wnet2 WHERE url NOT IN (SELECT url FROM wdrop)),
+wdi AS (SELECT nodeb AS node, count(*) AS c FROM wpr GROUP BY nodeb),
+wdo AS (SELECT nodea AS node, count(*) AS c FROM wpr GROUP BY nodea),
+wpass AS (SELECT wdi.node FROM wdi JOIN wdo ON wdi.node = wdo.node
+          WHERE wdi.c = 1 AND wdo.c = 1),
+wnxt AS MATERIALIZED (
+  SELECT a.url AS k, f.url AS nk FROM wpr a JOIN wpr f ON f.nodea = a.nodeb
+  WHERE a.nodeb IN (SELECT node FROM wpass)),
+wwalk(k, t) AS (
+  SELECT url, url FROM wpr WHERE url NOT IN (SELECT k FROM wnxt)
+  UNION
+  SELECT n.k, w.t FROM wnxt n JOIN wwalk w ON n.nk = w.k),
+wheads AS MATERIALIZED (
+  SELECT w.t AS gid, p.url, p.nature, p.strahler, p.hack, p.len
+  FROM wwalk w JOIN wpr p ON p.url = w.k
+  WHERE p.url NOT IN (SELECT nk FROM wnxt)),
+wfold(gid, k, idx) AS (
+  SELECT gid, url, 0 FROM wheads
+  UNION
+  SELECT f.gid, n.nk, f.idx + 1
+  FROM wfold f JOIN wnxt n ON n.k = f.k),
+wpiv AS MATERIALIZED (
+  SELECT gid, CAST(count(*) AS INTEGER) AS n_reaches,
+         {_reduceat_pivot_cols()}
+  FROM wfold f JOIN wpr p ON p.url = f.k GROUP BY gid),
+wlen AS MATERIALIZED (
+  SELECT gid, n_reaches, {_reduceat_case_expr()} AS length FROM wpiv)
+SELECT h.url, h.hack, h.strahler, l.n_reaches, l.length
+FROM wheads h JOIN wlen l USING (gid)
+"""
+
+
+_WIDTH_NET_SQL = _width_network_sql()
 
 
 def _q_width_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5750,6 +5965,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12": _q_tpch_q12,
         "cube_counts": _q_cube_counts,
         # -- green in r01 only, fell outside the r02 window ----------------
+        # -- round 4: the three ex-rows-only fixpoints, now EXACT via
+        # bounded-depth unrolled oracles (VERDICT r3 #2) — in-window so
+        # the driver value-checks them for the first time ------------------
+        "strahler_order": _q_strahler,
+        "fix_connectivity": _q_fix_connectivity,
+        "width_network": _q_width_network,
         # -- new in round 3 ------------------------------------------------
         "strahler_binary": _q_strahler_binary,
         "exact_substr": _q_exact_substr,
@@ -5776,16 +5997,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_drift": _q_dq_drift,
         "cluster_split": _q_cluster_split,
         "stream_static_join": _q_stream_static_join,
-        "sql_api": _q_sql_api,
         "curation_pipeline": _q_curation_pipeline,
         "text_nfc": _q_text_nfc,
         "ann_int8": _q_ann_int8,
-        "tpch_q18": _q_tpch_q18,
         "sem_dedup": _q_sem_dedup,
         "bpe_train": _q_bpe_train,
         "host_rank": _q_host_rank,
         "kcore": _q_kcore,
-        "anchor_agg": _q_anchor_agg,
         # Rotated just past the window (all pytest-pinned on hand-built
         # fixtures; oracle_check re-verifies every entry every round):
         # image_bmp/temp_sample, lsh_ann/emb_dup_pairs (the ANN family
@@ -5834,6 +6052,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated for tpch_q12/cube_counts (stream_join's two Spark-4
         # subtleties stay pytest-pinned; corpus_manifest is the
         # TEXT_SCALING benchmark workload, exercised every scaling run)
+        # r4 rotation: sql_api/tpch_q18/anchor_agg (r3-green, families
+        # still in-window via tpch_q1..q19 / cocitation+host_rank+kcore)
+        # moved past the edge to admit the three ex-rows-only fixpoints
+        "sql_api": _q_sql_api,
+        "tpch_q18": _q_tpch_q18,
+        "anchor_agg": _q_anchor_agg,
         "stream_join": _q_stream_join,
         "corpus_manifest": _q_corpus_manifest,
         "dedup_cluster": _q_dedup_cluster,
@@ -5898,10 +6122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- past the 50-entry driver window (r02-checked; oracle_check.py /
         #    pytest goldens still verify all of them every round; the two
         #    rows-only fixpoints moved out have exact in-window machinery
-        #    gates: strahler_binary, width_tail) ---------------------------
-        "strahler_order": _q_strahler,
-        "fix_connectivity": _q_fix_connectivity,
-        "width_network": _q_width_network,
+        #    gates: strahler_binary, width_tail; since r4 the fixpoints
+        #    themselves are exact AND in-window) ---------------------------
         "bfs_reach": _q_bfs_reach,
         "principal_stem": _q_principal_stem,
         "upstream_len": _q_upstream_len,
@@ -6021,6 +6243,9 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": _bpe_train_sql(),
         "agg_segments": _AGG_SEGMENTS_SQL,
         "width_tail": _WIDTH_TAIL_SQL,
+        # width_network: the full pipeline, EXACT via composed closed
+        # forms + unrolled fixpoint fragments (see _width_network_sql)
+        "width_network": _WIDTH_NET_SQL,
         "boundary_len": _BOUNDARY_LEN_SQL,
         "buffer_bbox": _BUFFER_BBOX_SQL,
         "exutoire_band": _EXUTOIRE_SQL,
