@@ -276,6 +276,54 @@ def test_ivf_kmeans_recall_beats_standin_and_grows_with_probe(spark):
     assert r_p1 > r_standin
     assert r_p2 > r_p1
     assert r_p1 >= 0.22 and r_p2 >= 0.35
+    # serving bar on UNCLUSTERED data (VERDICT r3 #4): the sf embeddings
+    # are near-uniform — the worst case for any IVF — yet the probe knob
+    # alone reaches the >=0.8 bar (measured 0.41 / 0.60 / 0.71 / 0.82 at
+    # probe 2/4/6/8; deterministic Lloyd, so the floor is stable)
+    r_p8 = recall(ivf_kmeans_ann_topk(emb, k=5, probe=8))
+    assert r_p8 >= 0.8, r_p8
+
+
+def test_ivf_kmeans_recall_planted_neighbors(spark):
+    """VERDICT r3 #4 'done' criterion: recall@5 >= 0.8 on a
+    PLANTED-neighbor fixture. 40 tight clusters x 12 points (dim 64,
+    deterministic integer arithmetic, no RNG): every point's true top-5
+    are its cluster mates, the structure IVF's coarse quantization is
+    built to exploit. probe=2 with 16 centroids clears the bar with
+    margin while scanning ~1/8 of the corpus."""
+    import numpy as np
+
+    from bdtopo2refhydro_spark.operators.ann import (
+        cosine_topk,
+        ivf_kmeans_ann_topk,
+    )
+
+    dim, n_clusters, per = 64, 40, 12
+    rows = []
+    for c in range(n_clusters):
+        # the c*d mixing term decorrelates centers: without it every
+        # center is the same base sequence under a constant shift (two
+        # of the 40 come out IDENTICAL); with it max inter-center cosine
+        # is 0.706 vs ~0.999 intra-cluster
+        center = np.array(
+            [((c * 131071 + d * 524287 + c * d * 999983) % 2000) / 1000.0
+             - 1.0 for d in range(dim)])
+        for i in range(per):
+            jit = np.array(
+                [((i * 7919 + d * 104729 + c * 15485863) % 1000) / 10000.0
+                 - 0.05 for d in range(dim)])
+            rows.append((c * per + i, (center + jit).tolist()))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    truth = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, k=5).collect()}
+    got = {(r.query_id, r.neighbor_id)
+           for r in ivf_kmeans_ann_topk(emb, k=5, probe=2).collect()}
+    rec = len(got & truth) / len(truth)
+    assert rec >= 0.8, rec
+    # sanity: the plant worked — true neighbors are intra-cluster
+    same = sum(1 for q, n in truth if q // per == n // per)
+    assert same / len(truth) >= 0.95
 
 
 def test_token_counts_bpe(spark):
