@@ -3024,14 +3024,23 @@ SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 3
 
 
 def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue in integer cents² (price cents × (100 - discount
+    hundredths)), summed as BIGINT and divided once at the end: float
+    Σ ep·(1-disc) is summation-order-dependent and diverged from DuckDB
+    at sf1 (6M rows, max|diff| 1.6e-4); the integer sum is exact at any
+    scale and the final /10000.0 double conversion is IEEE-identical in
+    both engines."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev_c2 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    )
     return (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-            .alias("revenue"),
+            (F.sum(rev_c2) / F.lit(10000.0)).alias("revenue"),
             F.count("*").alias("n_rows"),
         )
     )
@@ -3040,7 +3049,9 @@ def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TPCH_Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity) AS sum_qty,
-       sum(l_extendedprice * (1 - l_discount)) AS revenue,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS revenue,
        count(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

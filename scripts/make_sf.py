@@ -49,7 +49,7 @@ def main() -> int:
     base_text = (
         f"concat_ws(' ', transform(sequence(1, 15 + {H} % 46), "
         f"i -> element_at(array({vocab}), "
-        f"cast((({H} // 7 + i * ({H} % 97 + 1))) % 31 + 1 as int))))")
+        f"cast((({H} div 7 + i * ({H} % 97 + 1))) % 31 + 1 as int))))")
     docs = spark.range(N_DOCS).select(
         F.col("id").alias("doc_id"), F.expr(base_text).alias("text"),
         F.expr(f"element_at(array('en','en','en','en','fr','de','es','zh',"
@@ -89,20 +89,20 @@ def main() -> int:
     li = spark.range(n_li).select(
         F.expr(f"id % {n_ord}").alias("l_orderkey"),
         F.expr(f"{H} % {n_part}").alias("l_partkey"),
-        F.expr(f"({H} // 11) % {n_supp}").alias("l_suppkey"),
-        F.expr(f"cast(id // {n_ord} + 1 as int)").alias("l_linenumber"),
+        F.expr(f"({H} div 11) % {n_supp}").alias("l_suppkey"),
+        F.expr(f"cast(id div {n_ord} + 1 as int)").alias("l_linenumber"),
         F.expr(f"cast(1 + {H} % 50 as double)").alias("l_quantity"),
-        F.expr(f"cast(90000 + ({H} // 13) % 10410000 as double) / 100.0")
+        F.expr(f"cast(90000 + ({H} div 13) % 10410000 as double) / 100.0")
         .alias("l_extendedprice"),
-        F.expr(f"cast(({H} // 17) % 11 as double) / 100.0")
+        F.expr(f"cast(({H} div 17) % 11 as double) / 100.0")
         .alias("l_discount"),
-        F.expr(f"cast(({H} // 19) % 9 as double) / 100.0").alias("l_tax"),
+        F.expr(f"cast(({H} div 19) % 9 as double) / 100.0").alias("l_tax"),
         F.expr(f"element_at(array('R','A','N'), cast({H} % 3 + 1 as int))")
         .alias("l_returnflag"),
-        F.expr(f"element_at(array('O','F'), cast(({H} // 23) % 2 + 1 as int))")
+        F.expr(f"element_at(array('O','F'), cast(({H} div 23) % 2 + 1 as int))")
         .alias("l_linestatus"),
         F.expr(f"timestamp'1995-01-01' + make_interval(0, 0, 0, "
-               f"cast(({H} // 29) % 2500 as int), 0, 0, 0)")
+               f"cast(({H} div 29) % 2500 as int), 0, 0, 0)")
         .alias("l_shipdate"),
     )
     _write(li.repartition(64), "lineitem")
@@ -112,13 +112,13 @@ def main() -> int:
         F.expr(f"{H} % {n_cust}").alias("o_custkey"),
         F.expr(f"element_at(array('O','F','P'), cast({H} % 3 + 1 as int))")
         .alias("o_orderstatus"),
-        F.expr(f"cast(100000 + ({H} // 7) % 50000000 as double) / 100.0")
+        F.expr(f"cast(100000 + ({H} div 7) % 50000000 as double) / 100.0")
         .alias("o_totalprice"),
         F.expr(f"timestamp'1995-01-01' + make_interval(0, 0, 0, "
-               f"cast(({H} // 11) % 2400 as int), 0, 0, 0)")
+               f"cast(({H} div 11) % 2400 as int), 0, 0, 0)")
         .alias("o_orderdate"),
         F.expr(f"element_at(array('1-URGENT','2-HIGH','3-MEDIUM',"
-               f"'4-NOT SPECIFIED','5-LOW'), cast(({H} // 13) % 5 + 1 "
+               f"'4-NOT SPECIFIED','5-LOW'), cast(({H} div 13) % 5 + 1 "
                f"as int))").alias("o_orderpriority"),
     )
     _write(orders.repartition(32), "orders")
@@ -131,7 +131,7 @@ def main() -> int:
         F.expr(f"{H} % 2000").alias("user_id"),
         F.expr(f"element_at(array('view','click','purchase','signup',"
                f"'error'), cast({H} % 5 + 1 as int))").alias("event_type"),
-        F.expr(f"cast(({H} // 3) % 20000 as double) / 100.0").alias("value"),
+        F.expr(f"cast(({H} div 3) % 20000 as double) / 100.0").alias("value"),
         F.expr(f"concat('{{\"k\": ', cast({H} % 100 as string), '}}')")
         .alias("props"),
     )
@@ -145,7 +145,7 @@ def main() -> int:
         F.expr(f"cast(-99999 + {H} % 1100000 as double) / 100.0")
         .alias("c_acctbal"),
         F.expr(f"element_at(array('BUILDING','HOUSEHOLD','FURNITURE',"
-               f"'AUTOMOBILE','MACHINERY'), cast(({H} // 7) % 5 + 1 "
+               f"'AUTOMOBILE','MACHINERY'), cast(({H} div 7) % 5 + 1 "
                f"as int))").alias("c_mktsegment"),
     )
     _write(customer, "customer")
@@ -155,7 +155,7 @@ def main() -> int:
         F.expr("concat('Supplier#', lpad(cast(id as string), 9, '0'))")
         .alias("s_name"),
         F.expr(f"cast({H} % 25 as int)").alias("s_nationkey"),
-        F.expr(f"cast(-99999 + ({H} // 3) % 1100000 as double) / 100.0")
+        F.expr(f"cast(-99999 + ({H} div 3) % 1100000 as double) / 100.0")
         .alias("s_acctbal"),
     )
     _write(supplier, "supplier")
@@ -165,14 +165,14 @@ def main() -> int:
         F.expr(f"concat(element_at(array('large','hot','blue','green',"
                f"'small'), cast({H} % 5 + 1 as int)), ' ', "
                f"element_at(array('ring','bolt','case','drum','plate'), "
-               f"cast(({H} // 7) % 5 + 1 as int)))").alias("p_name"),
-        F.expr(f"concat('Brand#', cast(({H} // 11) % 25 as string))")
+               f"cast(({H} div 7) % 5 + 1 as int)))").alias("p_name"),
+        F.expr(f"concat('Brand#', cast(({H} div 11) % 25 as string))")
         .alias("p_brand"),
         F.expr(f"element_at(array('ECONOMY','MEDIUM','SMALL','PROMO',"
-               f"'LARGE','STANDARD'), cast(({H} // 13) % 6 + 1 as int))")
+               f"'LARGE','STANDARD'), cast(({H} div 13) % 6 + 1 as int))")
         .alias("p_type"),
-        F.expr(f"cast(1 + ({H} // 17) % 50 as int)").alias("p_size"),
-        F.expr(f"cast(90000 + ({H} // 19) % 1000000 as double) / 100.0")
+        F.expr(f"cast(1 + ({H} div 17) % 50 as int)").alias("p_size"),
+        F.expr(f"cast(90000 + ({H} div 19) % 1000000 as double) / 100.0")
         .alias("p_retailprice"),
     )
     _write(part, "part")

@@ -13,6 +13,7 @@ not just equality-to-local (VERDICT r1 'Next round' #6).
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
@@ -88,9 +89,11 @@ def main() -> int:
     only = set(args[1:])
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # driver fixtures are single files; scripts/make_sf.py fixtures
+        # are Spark-written directories -> glob the part files for DuckDB
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     spark = get_spark("oracle_check", cores=8, shuffle_partitions=16)
     qs, os_ = E.queries(), E.oracle_sql()
     failures = 0

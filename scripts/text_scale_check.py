@@ -4,26 +4,41 @@ The spatial family has scripts/knn_scale_check.py (2M skewed points ==
 numpy); the text family's skew story had only an sf0.1 runtime pin. This
 script builds a 2.4M-document corpus with PLANTED boilerplate — the real
 web-skew shape: one template page (cookie banner / nav chrome) appears on
-a large fraction of a crawl, so its MinHash band key owns a hot LSH
-bucket — and demonstrates, at that scale:
+10% of a crawl, so its MinHash band keys own hot LSH buckets — and
+demonstrates, at that scale:
 
-1. **AQE splits the hot band bucket** in the asymmetric new×old banded
-   join (`skew=true` in the FINAL adaptive plan of the same
-   lsh_bands-join shape `incremental_dedup` runs).
+1. **AQE splits the hot band bucket at the production-default
+   skewedPartitionFactor=5** in the asymmetric new×old banded join
+   (`skew=true` in the FINAL adaptive plan of the same lsh_bands-join
+   shape `incremental_dedup` runs).
 2. **Values stay exact**: the full `incremental_dedup` of a 60k-doc new
    snapshot against the 2.4M-doc old corpus reproduces the planted
    closed form — every planted exact copy flagged dropped_exact, every
    planted near-boilerplate doc flagged dropped_near, everything else
    kept. Counts are asserted, not eyeballed.
 
-Skew thresholds: banded joins ship ONLY (id, band_idx, band_key) rows —
-by design no text payload shuffles — so a hot bucket of 60k rows is a
-few MB, not the 256MB default skew threshold (which at that row width
-would need billions of planted rows). The thresholds are scaled to the
-fixture's bytes (the AQE skew decision is byte-ratio-relative, the same
-mechanism at any absolute size); the skewedPartitionFactor=5 median
-multiple is kept at a production-like value rather than the pytest pin's
-factor=1.
+Fixture-realism notes, learned the hard way (each iterated empirically):
+
+- **AQE's skew decision reads COMPRESSED map-output bytes, and the
+  compression asymmetry works AGAINST the hot bucket**: its rows repeat
+  one band_key, which lz4 compresses away (~12B/row effective), while
+  median partitions hold distinct md5 band keys (~45B/row incompressible)
+  — a 7× ROW skew shrinks to <2× BYTE skew and factor=5 never fires
+  (factor=1 does — the mechanism works, the fixture lied). Honest at
+  factor=5 needs rows_hot ≳ 19× rows_median: at 2.4M docs / 10% boiler /
+  1024 partitions the hot bucket is 240k rows (~2.9MB) vs a ~9.4k-row
+  (~420KB) median — ratio ≈ 7 > 5. A 60k-row hot bucket (the first
+  fixture) is only ~1.7× in bytes and silently under the bar.
+- doc_id is additionally a bijective high-entropy scramble (Knuth-hash
+  high 32 bits, identity low 22) so the id payload itself doesn't
+  deflate the hot bucket further the way sequential ids do.
+- **Byte thresholds are scaled to the row width**: band rows ship ids +
+  band key, never text, so the 256MB default threshold regime is three
+  orders away. The skewedPartitionFactor — the skew *ratio* bar — stays
+  at the production default 5.
+- The new-side boiler rate is kept small (~45 docs) so the candidate
+  pair volume (new_boiler × old_boiler ≈ 11M) exercises the hot bucket
+  without turning the check into an all-pairs stress test.
 
 Usage: python scripts/text_scale_check.py [n_old] [n_new]
 """
@@ -39,27 +54,38 @@ from pyspark.sql import functions as F  # noqa: E402
 
 N_OLD = int(sys.argv[1]) if len(sys.argv) > 1 else 2_400_000
 N_NEW = int(sys.argv[2]) if len(sys.argv) > 2 else 60_000
+# doc_id scrambling keeps the low 22 bits as the raw index (bijectivity)
+assert N_OLD + N_NEW < (1 << 22), "id scramble needs ix < 2^22"
 
 _VOCAB = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
           "lam mu nu xi omicron pi rho sigma tau upsilon phi chi psi "
           "omega red green blue cyan magenta yellow").split()
 
-# every BOILER_EVERY-th old doc carries the template text (≈2.5% of the
-# crawl on one band key — the hot bucket); planted new-side rates below
-BOILER_EVERY = 40
-NEW_EXACT_EVERY = 10   # new doc copies an old doc byte-for-byte
-NEW_BOILER_EVERY = 37  # new doc is a 1-token variant of the template
+# every BOILER_EVERY-th old doc carries the template text (10% of the
+# crawl on one signature — the hot buckets); planted new-side rates below
+BOILER_EVERY = 10
+NEW_EXACT_EVERY = 10    # new doc copies an old doc byte-for-byte
+NEW_BOILER_EVERY = 1201  # new doc is a 1-token variant of the template
 
 BOILER = " ".join(_VOCAB) + " accept cookies to continue browsing"
+
+
+def _scramble(col: str) -> str:
+    """Bijective high-entropy doc id: Knuth multiplicative hash in the
+    high 32 bits, raw index in the low 22 (collision-free for ix < 2^22,
+    no int64 overflow under ANSI for ix < 2^32)."""
+    return (f"(shiftleft(pmod({col} * 2654435761, 4294967296), 22) "
+            f"+ {col})")
 
 
 def _corpus(spark, n: int, planted: bool) -> "DataFrame":  # noqa: F821
     """Deterministic corpus. planted=True (old corpus): every
     BOILER_EVERY-th doc is the byte-identical template. planted=False
     (new snapshot): every NEW_EXACT_EVERY-th doc duplicates old doc
-    (doc_id*7) byte-for-byte, every NEW_BOILER_EVERY-th (when not exact)
+    (ix*7) byte-for-byte, every NEW_BOILER_EVERY-th (when not exact)
     is the template with ONE token changed — misses the digest, shares
-    bands, passes the Jaccard≥0.5 verify."""
+    bands, passes the Jaccard≥0.5 verify. Text derives from the RAW
+    index ix; only the doc_id column is scrambled."""
     vocab = ", ".join(f"'{w}'" for w in _VOCAB)
 
     def unique_text(col: str) -> str:
@@ -75,13 +101,14 @@ def _corpus(spark, n: int, planted: bool) -> "DataFrame":  # noqa: F821
                 f"cast((({col} + 13) * i) % 30 + 1 as int)) END))")
 
     if planted:
-        text = (f"CASE WHEN doc_id % {BOILER_EVERY} = 0 THEN '{BOILER}' "
-                f"ELSE {unique_text('doc_id')} END")
-        base = spark.range(N_OLD).withColumnRenamed("id", "doc_id")
+        text = (f"CASE WHEN ix % {BOILER_EVERY} = 0 THEN '{BOILER}' "
+                f"ELSE {unique_text('ix')} END")
+        base = spark.range(N_OLD).withColumnRenamed("id", "ix")
+        doc_id = _scramble("ix")
     else:
-        # new ids live ABOVE the old id space; derive planted content
-        # from the underlying index. The exact-copy target must itself
-        # be a unique_text old doc, never a template slot (+1 bump).
+        # new index space sits ABOVE the old one inside the scramble's
+        # domain. The exact-copy target must itself be a unique_text old
+        # doc, never a template slot (+1 bump).
         tgt = (f"((ix * 7) % {N_OLD} + CASE WHEN (ix * 7) % {N_OLD} "
                f"% {BOILER_EVERY} = 0 THEN 1 ELSE 0 END)")
         text = (
@@ -90,10 +117,10 @@ def _corpus(spark, n: int, planted: bool) -> "DataFrame":  # noqa: F821
             f"WHEN ix % {NEW_BOILER_EVERY} = 0 THEN "
             f"replace('{BOILER}', 'cookies', concat('c', cast(ix as string)))"
             f" ELSE {unique_text(f'(ix + {N_OLD * 9})')} END")
-        base = spark.range(N_NEW).select(
-            F.col("id").alias("ix"),
-            (F.col("id") + F.lit(N_OLD)).alias("doc_id"))
-    return base.select("doc_id", F.expr(text).alias("text"))
+        base = spark.range(N_NEW).withColumnRenamed("id", "ix")
+        doc_id = _scramble(f"(ix + {N_OLD})")
+    return base.select(F.expr(doc_id).alias("doc_id"),
+                       F.expr(text).alias("text"))
 
 
 def main() -> int:
@@ -103,7 +130,12 @@ def main() -> int:
     )
     from bdtopo2refhydro_spark.session import get_spark
 
-    spark = get_spark("text_scale_check", cores=32, shuffle_partitions=64)
+    # 1024 shuffle partitions: the 9.6M-row old band table spreads to a
+    # ~9.4k-row (~420KB) median partition, so each planted 240k-row hot
+    # bucket (~2.9MB — its repeated band_key compresses away; see module
+    # docstring) clears BOTH the factor=5 ratio bar and the width-scaled
+    # byte threshold.
+    spark = get_spark("text_scale_check", cores=32, shuffle_partitions=1024)
     for k, v in {
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "5",
@@ -128,9 +160,14 @@ def main() -> int:
                         "band_key"), ["band_idx", "band_key"])
         .select("n_id", "o_id").distinct()
     )
-    rows = cand.collect()  # the df's OWN QE → final adaptive plan
-    n_pairs = len(rows)
-    plan = cand._jdf.queryExecution().executedPlan().toString()
+    # Count THROUGH an agg built on top of the join df: counted's own QE
+    # contains the join, so collecting it finalizes the join's adaptive
+    # plan (df.count() spawns a separate QE — Spark 4 subtlety pinned in
+    # test_plan_shapes) without hauling ~11M candidate pairs into the
+    # Python driver.
+    counted = cand.groupBy().count()
+    n_pairs = counted.collect()[0][0]
+    plan = counted._jdf.queryExecution().executedPlan().toString()
     has_skew = "skew=true" in plan
     print(f"band join: {n_pairs:,} candidate pairs in "
           f"{time.monotonic() - t0:.1f}s; skew=true in final plan: "
@@ -140,7 +177,7 @@ def main() -> int:
     # the hot bucket dominates: template pairs = new_boiler × old_boiler
     new_boiler = sum(1 for i in range(N_NEW)
                      if i % NEW_EXACT_EVERY != 0 and i % NEW_BOILER_EVERY == 0)
-    old_boiler = N_OLD // BOILER_EVERY
+    old_boiler = (N_OLD + BOILER_EVERY - 1) // BOILER_EVERY
     assert n_pairs >= new_boiler * old_boiler, (n_pairs, new_boiler,
                                                 old_boiler)
 
