@@ -3464,6 +3464,47 @@ def _host_rank_sql(rounds: int = 3) -> str:
     return ",\n".join(ctes) + f"\nSELECT node, rank FROM r{rounds}"
 
 
+def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point HITS (2 rounds) over the derived host link
+    graph — the hub/authority dual of host_rank. Floor-division
+    max-normalization each half-step keeps every value an exact integer
+    function of the edge multiset (linkgraph.hits_int)."""
+    from bdtopo2refhydro_spark.operators import linkgraph as LG
+
+    return LG.hits_int(_host_edges(spark, sf_dir), rounds=2)
+
+
+def _hits_sql(rounds: int = 2, scale: int = 1_000_000) -> str:
+    """Unrolled-rounds DuckDB replay of hits_int: each half-step is a
+    weighted sum + scalar-MAX floor-div normalization (the host_rank /
+    kcore unrolled pattern)."""
+    ctes = [
+        f"WITH {_HOST_EDGES_D}",
+        "n AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        f"h0 AS (SELECT node, CAST({scale} AS BIGINT) AS hub FROM n)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"a{i}r AS (SELECT e.dst AS node, CAST(SUM(h.hub * e.weight)"
+            f" AS BIGINT) AS ar FROM e JOIN h{i - 1} h ON h.node = e.src"
+            f" GROUP BY e.dst)")
+        ctes.append(
+            f"a{i} AS (SELECT n.node, CAST((COALESCE(ar, 0) * {scale}) //"
+            f" GREATEST((SELECT MAX(ar) FROM a{i}r), 1) AS BIGINT) AS auth"
+            f" FROM n LEFT JOIN a{i}r USING (node))")
+        ctes.append(
+            f"h{i}r AS (SELECT e.src AS node, CAST(SUM(a.auth * e.weight)"
+            f" AS BIGINT) AS hr FROM e JOIN a{i} a ON a.node = e.dst"
+            f" GROUP BY e.src)")
+        ctes.append(
+            f"h{i} AS (SELECT n.node, CAST((COALESCE(hr, 0) * {scale}) //"
+            f" GREATEST((SELECT MAX(hr) FROM h{i}r), 1) AS BIGINT) AS hub"
+            f" FROM n LEFT JOIN h{i}r USING (node))")
+    return ",\n".join(ctes) + (
+        f"\nSELECT node, hub, auth FROM h{rounds} JOIN a{rounds}"
+        f" USING (node)")
+
+
 def _q_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic contrastive-triplet mining (corpus.py:
     contrastive_triplets): positive = same-source successor (one window
@@ -5646,6 +5687,113 @@ GROUP BY c_custkey, c_name, n_name
 """
 
 
+def _q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): the one TPC-H
+    shape where the filter must live IN the outer-join condition —
+    customers with zero qualifying orders survive with c_count = 0 and
+    form the histogram's head. Two-level aggregate; all counts integer."""
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderpriority") != "1-URGENT")
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+_TPCH_Q13_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+GROUP BY c_count
+"""
+
+
+def _q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): per-part scalar-avg
+    subquery — lineitems of Brand#7/PROMO parts below a fifth of their
+    part's average quantity. The per-part avg joins back broadcast (the
+    filtered part side is tiny); the quantity gate compares
+    l_quantity * 5.0 < avg (5.0 exact, avg = exact-integer sum / count —
+    IEEE-identical in both engines); revenue summed in integer cents."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pa = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        (F.col("p_brand") == "Brand#7") & (F.col("p_type") == "PROMO"))
+    l = li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey).select(
+        "l_partkey", "l_quantity",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long").alias("epc"))
+    avgq = l.groupBy(F.col("l_partkey").alias("a_pk")).agg(
+        F.avg("l_quantity").alias("avg_qty"))
+    return (
+        l.join(F.broadcast(avgq), l.l_partkey == avgq.a_pk)
+        .filter(F.col("l_quantity") * F.lit(5.0) < F.col("avg_qty"))
+        .agg((F.sum("epc") / F.lit(700.0)).alias("avg_yearly"),
+             F.count("*").alias("n_small"))
+    )
+
+
+_TPCH_Q17_SQL = """
+WITH l AS (
+  SELECT l_partkey, l_quantity,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS epc
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#7' AND p_type = 'PROMO'
+),
+a AS (SELECT l_partkey AS a_pk, avg(l_quantity) AS avg_qty
+      FROM l GROUP BY l_partkey)
+SELECT CAST(sum(epc) AS BIGINT) / 700.0 AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_small
+FROM l JOIN a ON l_partkey = a_pk
+WHERE l_quantity * 5.0 < avg_qty
+"""
+
+
+def _q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): customers with above-average
+    positive balance and NO orders — a scalar-avg gate plus an anti-join,
+    rolled up by a derived country code. Balances compared and summed in
+    integer cents (the global avg is an exact integer sum / count)."""
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        (F.col("c_nationkey") % 10).alias("cntrycode"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("long").alias("balc"))
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    avg_bal = cu.filter(F.col("balc") > 0).agg(
+        (F.sum("balc").cast("double") / F.count("*")).alias("avg_c"))
+    return (
+        cu.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("balc") > F.col("avg_c"))
+        .join(od, cu.c_custkey == od.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(F.count("*").alias("numcust"),
+             (F.sum("balc") / F.lit(100.0)).alias("totacctbal"))
+    )
+
+
+_TPCH_Q22_SQL = """
+WITH cu AS (
+  SELECT c_custkey, c_nationkey % 10 AS cntrycode,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS balc
+  FROM customer
+),
+ab AS (SELECT CAST(sum(balc) AS DOUBLE) / count(*) AS avg_c
+       FROM cu WHERE balc > 0)
+SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(balc) AS BIGINT) / 100.0 AS totacctbal
+FROM cu, ab
+WHERE balc > avg_c
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY cntrycode
+"""
+
+
 BITEXT_T = 0.25  # fixture has no planted cross-lingual dups (max pair
 # cosine ≈ 0.51, same fact as sem_dedup) — gate where pairs demonstrably
 # survive; production threshold semantics are the same plan
@@ -5959,6 +6107,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # position 50 — still runnable via scripts/oracle_check.py, which checks
     # ALL entries.
     return {
+        # -- new in round 4: never driver-checked --------------------------
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q17": _q_tpch_q17,
+        "tpch_q22": _q_tpch_q22,
+        "hits": _q_hits,
         # -- never driver-checked before round 3 ---------------------------
         "tpch_q1": _q_tpch_q1,
         "warc_scan": _q_warc_scan,
@@ -6011,6 +6164,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": _q_curation_pipeline,
         "text_nfc": _q_text_nfc,
         "ann_int8": _q_ann_int8,
+        # r4 rotation #2: sem_dedup/bpe_train/host_rank/kcore (all
+        # r3-driver-green; sem_dedup's k-means machinery stays in-window
+        # via nothing else, but its unrolled oracle + pinned-threshold
+        # pytest stay oracle_check-covered every round, as do the other
+        # three) moved past the edge to admit tpch_q13/q17/q22 + hits
         "sem_dedup": _q_sem_dedup,
         "bpe_train": _q_bpe_train,
         "host_rank": _q_host_rank,
@@ -6298,6 +6456,10 @@ def oracle_sql() -> dict[str, str]:
         "emb_dup_pairs": _emb_dup_sql(),
         "dissolve_area": _DISSOLVE_SQL,
         "tpch_q1": _TPCH_Q1_SQL,
+        "tpch_q13": _TPCH_Q13_SQL,
+        "tpch_q17": _TPCH_Q17_SQL,
+        "tpch_q22": _TPCH_Q22_SQL,
+        "hits": _hits_sql(),
         "tpch_q3": _TPCH_Q3_SQL,
         "sessionize": _SESSIONIZE_SQL,
         "rollup_counts": _ROLLUP_SQL,

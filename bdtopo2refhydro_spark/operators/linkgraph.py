@@ -201,6 +201,76 @@ def anchor_aggregate(links: DataFrame, *, k: int = 3,
     )
 
 
+def hits_int(
+    edges: DataFrame,
+    *,
+    rounds: int = 2,
+    scale: int = RANK_SCALE,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Integer fixed-point HITS (Kleinberg hubs/authorities) over a
+    weighted directed graph, bounded rounds — the hub/authority dual of
+    `page_rank_int` with the same exact-replay contract.
+
+    hub_0(n) = scale; each round
+        auth_raw(n) = SUM over in-edges  (s -> n) of hub(s)  * w
+        auth(n)     = (auth_raw(n) * scale) div max(auth_raw)
+        hub_raw(n)  = SUM over out-edges (n -> d) of auth(d) * w
+        hub(n)      = (hub_raw(n) * scale) div max(hub_raw)
+
+    Max-normalizing each half-step with a floor division keeps every
+    value a deterministic integer function of the edge multiset (no
+    float L2 norms), so an unrolled SQL CTE chain with a scalar
+    MAX subquery replays it bit-for-bit. ANSI-safe while a node's
+    weighted in/out degree stays under 2^63 / scale^2 (~9.2e6 total
+    edge weight per node at the default scale). Nodes missing a side
+    carry 0 for it. Returns (node, hub, auth) for every node.
+    """
+    src, dst, w = F.col(src_col), F.col(dst_col), F.col(weight_col)
+    nodes = (
+        edges.select(src.alias("node"))
+        .unionByName(edges.select(dst.alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    e = edges.select(
+        src.alias("e_src"), dst.alias("e_dst"), w.cast("bigint").alias("e_w")
+    ).localCheckpoint(eager=False)
+
+    def _norm(raw: DataFrame, val: str, out: str) -> DataFrame:
+        mx = raw.agg(F.greatest(F.max(val), F.lit(1)).alias("_mx"))
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(mx))
+            .select(
+                "node",
+                F.expr(f"(coalesce({val}, 0) * {scale}) div _mx")
+                .cast("bigint").alias(out),
+            )
+        )
+
+    hub = nodes.select("node", F.lit(scale).cast("bigint").alias("hub"))
+    auth = None
+    for _ in range(rounds):
+        araw = (
+            e.join(hub, e["e_src"] == hub["node"])
+            .select(F.col("e_dst").alias("node"),
+                    (F.col("hub") * F.col("e_w")).alias("c"))
+            .groupBy("node").agg(F.sum("c").alias("ar"))
+        )
+        auth = _norm(araw, "ar", "auth")
+        hraw = (
+            e.join(auth, e["e_dst"] == auth["node"])
+            .select(F.col("e_src").alias("node"),
+                    (F.col("auth") * F.col("e_w")).alias("c"))
+            .groupBy("node").agg(F.sum("c").alias("hr"))
+        )
+        hub = _norm(hraw, "hr", "hub")
+    return hub.join(auth, "node")
+
+
 def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3,
                src_col: str = "src", dst_col: str = "dst") -> DataFrame:
     """Bounded-round k-core peeling over the undirected link graph —

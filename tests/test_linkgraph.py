@@ -56,6 +56,51 @@ def test_page_rank_partitioning_invariant(spark):
     assert a == b == sorted(_py_pagerank(edges).items())
 
 
+def _py_hits(edges, rounds=2, scale=1_000_000):
+    nodes = {s for s, _, _ in edges} | {d for _, d, _ in edges}
+    hub = {n: scale for n in nodes}
+    auth = {}
+    for _ in range(rounds):
+        ar = {n: 0 for n in nodes}
+        for s, d, w in edges:
+            ar[d] += hub[s] * w
+        amax = max(max(ar.values()), 1)
+        auth = {n: v * scale // amax for n, v in ar.items()}
+        hr = {n: 0 for n in nodes}
+        for s, d, w in edges:
+            hr[s] += auth[d] * w
+        hmax = max(max(hr.values()), 1)
+        hub = {n: v * scale // hmax for n, v in hr.items()}
+    return {n: (hub[n], auth[n]) for n in nodes}
+
+
+@pytest.mark.parametrize("rounds", [1, 2])
+def test_hits_matches_python_replay(spark, rounds):
+    # a classic hub (h fans out to three authorities), one authority
+    # also pointed at by a stray node, a 2-cycle, a pure sink
+    edges = [("h", "p1", 1), ("h", "p2", 2), ("h", "p3", 1),
+             ("stray", "p1", 1), ("x", "y", 1), ("y", "x", 1),
+             ("p1", "sink", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, weight long")
+    got = {r["node"]: (r["hub"], r["auth"])
+           for r in LG.hits_int(df, rounds=rounds).collect()}
+    exp = _py_hits(edges, rounds=rounds)
+    assert got == exp
+    # the fan-out node is the top hub, its most-linked target top authority
+    assert max(exp, key=lambda n: exp[n][0]) == "h"
+
+
+def test_hits_partitioning_invariant(spark):
+    edges = [(f"n{i}", f"n{(i * 5 + 2) % 19}", 1 + i % 3)
+             for i in range(50)]
+    edges = [(s, d, w) for s, d, w in edges if s != d]
+    df = spark.createDataFrame(edges, "src string, dst string, weight long")
+    a = sorted(map(tuple, LG.hits_int(df, rounds=2).collect()))
+    b = sorted(map(tuple, LG.hits_int(df.repartition(7), rounds=2).collect()))
+    exp = sorted((n, h, au) for n, (h, au) in _py_hits(edges).items())
+    assert a == b == exp
+
+
 # ---------------------------------------------------------------------------
 # triangle_counts
 # ---------------------------------------------------------------------------

@@ -272,6 +272,35 @@ def test_graph_sample_no_cartesian(spark, entry):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_tpch_q13_outer_join_keeps_filter_off_scan(spark, entry):
+    """Q13's priority filter lives in the JOIN condition semantics: it
+    must reach the orders scan as a pushed filter (it's a plain child
+    filter of the outer join's right side), while customer rows with no
+    match survive — the plan keeps a LeftOuter/RightOuter join, never an
+    inner one."""
+    plan = _plan(entry.queries()["tpch_q13"](spark, SF))
+    assert "Outer" in plan
+    assert "CartesianProduct" not in plan
+    assert "o_orderpriority" in plan.split("PushedFilters", 2)[-1][:400]
+
+
+def test_tpch_q17_broadcasts_part_and_avg(spark, entry):
+    """Both small sides (filtered part dim, per-part avg) broadcast —
+    lineitem never shuffles."""
+    plan = _plan(entry.queries()["tpch_q17"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q22_anti_join_and_scalar_gate(spark, entry):
+    """The no-orders gate is a genuine anti join; the global-average
+    gate is a broadcast of a 1-row aggregate, not a shuffled join."""
+    plan = _plan(entry.queries()["tpch_q22"](spark, SF))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_tpch_q19_single_join_no_cartesian(spark, entry):
     """The disjunctive predicate must NOT degrade the equi-join: one
     broadcast hash join on partkey, residual OR as a filter."""
