@@ -5687,6 +5687,107 @@ GROUP BY c_custkey, c_name, n_name
 """
 
 
+def _q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (ann.py pq_codebooks/pq_encode/
+    pq_adc_topk): per-subspace deterministic Lloyd codebooks, m=4 3-bit
+    codes per vector, fixed-order 4-term LUT sums — the compressed-domain
+    scoring stage of IVF-PQ, exactly replayable (integer-sum means, per-
+    row float folds)."""
+    emb = _emb(spark, sf_dir)
+    return ANN.pq_adc_topk(emb, emb.filter("vec_id < 50"), k=3)
+
+
+def _pq_sql(m: int = 4, ksub: int = 8, n_iters: int = 2,
+            dim: int = 64) -> str:
+    """Unrolled DuckDB replay of the PQ pipeline: per-subspace k-means
+    (the _kmeans_prefix_parts pattern with an L2 metric and a sub_idx
+    partition column), min-L2 encoding, per-query LUT, fixed-order
+    ADC sum."""
+    d = dim // m
+    l2 = ("list_sum(list_transform(list_zip({a}, {b}), "
+          "p -> (p[1]::DOUBLE - p[2]::DOUBLE)"
+          " * (p[1]::DOUBLE - p[2]::DOUBLE)))")
+    ip = ("list_sum(list_transform(list_zip({a}, {b}), "
+          "p -> p[1]::DOUBLE * p[2]::DOUBLE))")
+    subs = ", ".join(f"({j})" for j in range(m))
+    parts = [f"""
+WITH emb AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+                        v -> CAST(round(v::DOUBLE * 1000.0) AS BIGINT)) AS qemb
+  FROM embeddings
+),
+sub AS (
+  SELECT vec_id, j.sub_idx,
+         embedding[j.sub_idx * {d} + 1 : j.sub_idx * {d} + {d}] AS es,
+         qemb[j.sub_idx * {d} + 1 : j.sub_idx * {d} + {d}] AS qs
+  FROM emb, (VALUES {subs}) j(sub_idx)
+),
+seed AS (
+  SELECT vec_id, (vec_id * 1103515245 + 12345) % 2147483648 AS _r
+  FROM emb ORDER BY 2, vec_id LIMIT {ksub}
+),
+c0 AS (
+  SELECT s.sub_idx,
+         row_number() OVER (PARTITION BY s.sub_idx
+                            ORDER BY sd._r, sd.vec_id) AS cent_id,
+         list_transform(s.qs, q -> q / 1000.0) AS cemb
+  FROM sub s JOIN seed sd USING (vec_id)
+)"""]
+    for i in range(1, n_iters + 1):
+        e_l2 = l2.format(a="s.es", b="c.cemb")
+        parts.append(f""",
+a{i} AS (
+  SELECT s.vec_id, s.sub_idx, s.qs, c.cent_id,
+         row_number() OVER (PARTITION BY s.vec_id, s.sub_idx
+                            ORDER BY {e_l2} ASC, c.cent_id) AS rn
+  FROM sub s JOIN c{i - 1} c ON s.sub_idx = c.sub_idx
+),
+m{i} AS (
+  SELECT sub_idx, cent_id, i, sum(qs[i]) AS s, count(*) AS cnt
+  FROM (SELECT sub_idx, cent_id, qs FROM a{i} WHERE rn = 1),
+       range(1, {d + 1}) t(i)
+  GROUP BY sub_idx, cent_id, i
+),
+c{i} AS (
+  SELECT sub_idx, cent_id, list(s / (cnt * 1000.0) ORDER BY i) AS cemb
+  FROM m{i} GROUP BY sub_idx, cent_id
+)""")
+    e_l2 = l2.format(a="s.es", b="c.cemb")
+    q_ip = ip.format(a="s.es", b="c.cemb")
+    adc = " + ".join(
+        f"q.lut[{j + 1}][x.codes[{j + 1}]]" for j in range(m))
+    parts.append(f""",
+enc AS (
+  SELECT s.vec_id, s.sub_idx, c.cent_id AS code,
+         row_number() OVER (PARTITION BY s.vec_id, s.sub_idx
+                            ORDER BY {e_l2} ASC, c.cent_id) AS rn
+  FROM sub s JOIN c{n_iters} c ON s.sub_idx = c.sub_idx
+),
+xcodes AS (SELECT vec_id, list(code ORDER BY sub_idx) AS codes
+           FROM enc WHERE rn = 1 GROUP BY vec_id),
+lutp AS (
+  SELECT s.vec_id AS query_id, s.sub_idx, c.cent_id, {q_ip} AS ip
+  FROM sub s JOIN c{n_iters} c ON s.sub_idx = c.sub_idx
+  WHERE s.vec_id < 50
+),
+lutj AS (SELECT query_id, sub_idx, list(ip ORDER BY cent_id) AS ips
+         FROM lutp GROUP BY query_id, sub_idx),
+lutq AS (SELECT query_id, list(ips ORDER BY sub_idx) AS lut
+         FROM lutj GROUP BY query_id),
+pairs AS (
+  SELECT q.query_id, x.vec_id, {adc} AS score
+  FROM lutq q JOIN xcodes x ON q.query_id != x.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id) AS rank
+  FROM pairs
+)
+SELECT query_id, vec_id, rank, score FROM ranked WHERE rank <= 3""")
+    return "".join(parts)
+
+
 def _q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 (customer order-count distribution): the one TPC-H
     shape where the filter must live IN the outer-join condition —
@@ -6112,6 +6213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17": _q_tpch_q17,
         "tpch_q22": _q_tpch_q22,
         "hits": _q_hits,
+        "pq_adc": _q_pq_adc,
         # -- never driver-checked before round 3 ---------------------------
         "tpch_q1": _q_tpch_q1,
         "warc_scan": _q_warc_scan,
@@ -6163,12 +6265,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_static_join": _q_stream_static_join,
         "curation_pipeline": _q_curation_pipeline,
         "text_nfc": _q_text_nfc,
+        # r4 rotation #2: ann_int8/sem_dedup/bpe_train/host_rank/kcore
+        # (all r3-driver-green; the ANN family keeps pq_adc + the
+        # curation/refresh composites in-window, and every rotated
+        # entry's unrolled oracle + pinned pytest stay oracle_check-
+        # covered each round) moved past the edge to admit
+        # tpch_q13/q17/q22 + hits + pq_adc
         "ann_int8": _q_ann_int8,
-        # r4 rotation #2: sem_dedup/bpe_train/host_rank/kcore (all
-        # r3-driver-green; sem_dedup's k-means machinery stays in-window
-        # via nothing else, but its unrolled oracle + pinned-threshold
-        # pytest stay oracle_check-covered every round, as do the other
-        # three) moved past the edge to admit tpch_q13/q17/q22 + hits
         "sem_dedup": _q_sem_dedup,
         "bpe_train": _q_bpe_train,
         "host_rank": _q_host_rank,
@@ -6457,6 +6560,7 @@ def oracle_sql() -> dict[str, str]:
         "dissolve_area": _DISSOLVE_SQL,
         "tpch_q1": _TPCH_Q1_SQL,
         "tpch_q13": _TPCH_Q13_SQL,
+        "pq_adc": _pq_sql(),
         "tpch_q17": _TPCH_Q17_SQL,
         "tpch_q22": _TPCH_Q22_SQL,
         "hits": _hits_sql(),

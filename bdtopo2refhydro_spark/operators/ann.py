@@ -437,3 +437,178 @@ def sem_dedup(embeddings: DataFrame, threshold: float = 0.95,
         asg.join(dup, asg.vec_id == dup.b, "left")
         .select("vec_id", "bucket", F.col("b").isNull().alias("kept"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN scoring
+# ---------------------------------------------------------------------------
+
+PQ_M = 4        # subspaces
+PQ_KSUB = 8     # centroids per subspace (3-bit codes)
+
+
+def _sub_long(emb: DataFrame, m: int, d: int, cols=("embedding", "qemb")) \
+        -> DataFrame:
+    """Explode a (vec_id, embedding[, qemb]) row into m subspace rows
+    (vec_id, sub_idx, e[, qe]) where e = the sub_idx-th dim/m-dim slice.
+    Slicing is a per-row projection — no shuffle."""
+    structs = [
+        F.struct(
+            F.lit(j).alias("sub_idx"),
+            *[F.slice(F.col(c), j * d + 1, d).alias(c + "s")
+              for c in cols],
+        )
+        for j in range(m)
+    ]
+    return emb.select(
+        "vec_id", F.explode(F.array(*structs)).alias("s")
+    ).select("vec_id", "s.*")
+
+
+def _l2(a, b):
+    """Squared L2 distance between two double arrays — sequential left
+    fold, bit-identical to the oracle's list_sum of per-element squares."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codebooks(embeddings: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB,
+                 n_iters: int = 2, dim: int = 64,
+                 scale: float = KMEANS_SCALE) -> DataFrame:
+    """Product-quantization codebooks: an INDEPENDENT deterministic Lloyd
+    k-means per dim/m-dim subspace — min-L2 assignment (per-row float
+    fold, deterministic), integer-sum means (order-independent), LCG seed
+    init shared across subspaces. The m subspaces train in ONE plan over
+    the long-form table (groupBy carries sub_idx), not m sequential jobs.
+    Returns (sub_idx, cent_id, cemb: array<double>[dim/m]).
+    Same exact-replay contract as kmeans_centroids."""
+    from pyspark.sql import Window as W
+
+    d = dim // m
+    emb = _quantize(embeddings, scale)
+    sub = _sub_long(emb, m, d).localCheckpoint(eager=False)
+    seed_ids = (
+        emb.select("vec_id", F.expr(_LCG).alias("_r"))
+        .orderBy("_r", "vec_id").limit(ksub)
+        .select("vec_id", "_r")
+    )
+    c = (
+        sub.join(F.broadcast(seed_ids), "vec_id")
+        .select(
+            "sub_idx",
+            F.row_number().over(
+                W.partitionBy("sub_idx").orderBy("_r", "vec_id")
+            ).alias("cent_id"),
+            F.transform("qembs", lambda q: q / F.lit(scale)).alias("cemb"),
+        )
+    )
+    for _ in range(n_iters):
+        scored = sub.join(F.broadcast(c), "sub_idx").withColumn(
+            "d2", _l2("embeddings", "cemb"))
+        w = W.partitionBy("vec_id", "sub_idx").orderBy(
+            F.asc("d2"), F.asc("cent_id"))
+        a = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("sub_idx", "cent_id", "qembs")
+        )
+        sums = (
+            a.select("sub_idx", "cent_id",
+                     F.posexplode("qembs").alias("pos", "q"))
+            .groupBy("sub_idx", "cent_id", "pos")
+            .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+        )
+        c = (
+            sums.groupBy("sub_idx", "cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "s", "n"))),
+                    lambda x: x["s"] / (x["n"] * F.lit(scale)),
+                ).alias("cemb")
+            )
+        ).localCheckpoint()
+    return c
+
+
+def pq_encode(embeddings: DataFrame, codebooks: DataFrame,
+              m: int = PQ_M, dim: int = 64) -> DataFrame:
+    """Encode each vector as m small codes: per subspace, the min-L2
+    codebook entry. Codebooks broadcast; assignment is map-side — the
+    64-float payload never shuffles, and downstream ADC reads only
+    (vec_id, sub_idx, code). Returns (vec_id, sub_idx, code)."""
+    from pyspark.sql import Window as W
+
+    d = dim // m
+    sub = _sub_long(embeddings, m, d, cols=("embedding",))
+    scored = sub.join(F.broadcast(codebooks), "sub_idx").withColumn(
+        "d2", _l2("embeddings", "cemb"))
+    w = W.partitionBy("vec_id", "sub_idx").orderBy(
+        F.asc("d2"), F.asc("cent_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub_idx", F.col("cent_id").alias("code"))
+    )
+
+
+def pq_adc_topk(embeddings: DataFrame, queries: DataFrame | None = None,
+                k: int = 3, m: int = PQ_M, ksub: int = PQ_KSUB,
+                n_iters: int = 2, dim: int = 64,
+                scale: float = KMEANS_SCALE) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k by inner product over PQ codes:
+    IP(q, x) ≈ Σ_j IP(q_j, codebook_j[code_j(x)]) — the compressed-domain
+    scoring stage of IVF-PQ. Each query precomputes an m×ksub lookup
+    table (one broadcast row per query); the data side is scanned as m
+    small ints per vector, never as floats — that bandwidth reduction
+    (dim·4 bytes → m bytes) is PQ's value at scale; candidate PRUNING
+    composes with the IVF cells (ivf_kmeans_ann_topk) upstream.
+    The per-pair score is a fixed-order m-term sum (deterministic), so
+    the DuckDB oracle replays it exactly.
+    Returns (query_id, vec_id, rank, score)."""
+    from pyspark.sql import Window as W
+
+    if queries is None:
+        queries = embeddings
+    d = dim // m
+    cb = pq_codebooks(embeddings, m, ksub, n_iters, dim, scale) \
+        .localCheckpoint(eager=False)
+    codes = (
+        pq_encode(embeddings, cb, m, dim)
+        .groupBy("vec_id")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("sub_idx", "code"))),
+            lambda x: x["code"]).alias("codes"))
+    )
+    qsub = _sub_long(queries, m, d, cols=("embedding",))
+    lut = (
+        qsub.join(F.broadcast(cb), "sub_idx")
+        .select("vec_id", "sub_idx", "cent_id",
+                _dot("embeddings", "cemb").alias("ip"))
+        .groupBy("vec_id", "sub_idx")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("cent_id", "ip"))),
+            lambda x: x["ip"]).alias("ips"))
+        .groupBy(F.col("vec_id").alias("query_id"))
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("sub_idx", "ips"))),
+            lambda x: x["ips"]).alias("lut"))
+    )
+    score = None
+    for j in range(m):
+        term = F.expr(f"lut[{j}][codes[{j}] - 1]")
+        score = term if score is None else score + term
+    pairs = (
+        codes.crossJoin(F.broadcast(lut))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", score.alias("score"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "score")
+    )

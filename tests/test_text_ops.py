@@ -326,6 +326,40 @@ def test_ivf_kmeans_recall_planted_neighbors(spark):
     assert same / len(truth) >= 0.95
 
 
+def test_pq_adc_keeps_neighbors_in_cluster(spark):
+    """PQ compressed-domain scoring on the planted-cluster fixture
+    (same plant as the IVF recall test): after quantizing every vector
+    to m=4 3-bit codes (64 floats -> 4 bytes), ADC top-3 neighbors stay
+    inside the query's true cluster. Uniform-random embeddings are the
+    adversarial case for any product quantizer (measured recall@3 0.057
+    on the sf0.001 fixture vs 0.006 random — real but weak); the planted
+    structure is what PQ exists to exploit, mirroring how the IVF bar is
+    pinned."""
+    import numpy as np
+
+    from bdtopo2refhydro_spark.operators.ann import pq_adc_topk
+
+    dim, n_clusters, per = 64, 40, 12
+    rows = []
+    for c in range(n_clusters):
+        center = np.array(
+            [((c * 131071 + d * 524287 + c * d * 999983) % 2000) / 1000.0
+             - 1.0 for d in range(dim)])
+        for i in range(per):
+            jit = np.array(
+                [((i * 7919 + d * 104729 + c * 15485863) % 1000) / 10000.0
+                 - 0.05 for d in range(dim)])
+            rows.append((c * per + i, (center + jit).tolist()))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    got = pq_adc_topk(emb, k=3).collect()
+    in_cluster = sum(1 for r in got if r.query_id // per == r.vec_id // per)
+    assert in_cluster / len(got) >= 0.9, in_cluster / len(got)
+    # determinism: the whole pipeline is partitioning-invariant
+    b = pq_adc_topk(emb.repartition(7), k=3).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, b))
+
+
 def test_token_counts_bpe(spark):
     from bdtopo2refhydro_spark.operators.text import token_counts_bpe
 
