@@ -5895,6 +5895,79 @@ GROUP BY cntrycode
 """
 
 
+def _q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the argmax-WITH-TIES shape — a derived
+    per-supplier revenue view, its scalar max broadcast back, equality
+    keeps every tied winner. Revenue in integer cents² so the tie
+    comparison is exact integer equality, never float."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01"))
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    rev_c2 = (
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        * (100 - F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+           .cast("long"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(rev_c2).alias("tc"))
+    mx = rev.agg(F.max("tc").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("tc") == F.col("mx"))
+        .join(su, F.col("supplier_no") == su.s_suppkey)
+        .select("s_suppkey", "s_name",
+                (F.col("tc") / F.lit(10000.0)).alias("total_revenue"))
+    )
+
+
+_TPCH_Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                  * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+              AS BIGINT) AS tc
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, tc / 10000.0 AS total_revenue
+FROM rev JOIN supplier ON supplier_no = s_suppkey
+WHERE tc = (SELECT max(tc) FROM rev)
+"""
+
+
+def _q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (supplier-part relationship counts): count DISTINCT
+    suppliers per (brand, type, size) over the lineitem part-supplier
+    pairs, EXCLUDING one brand (pushed filter) and a derived complaint
+    supplier list (NOT IN as a left ANTI join — the fixture keys are
+    non-null, so anti-join and NOT IN agree). All-integer output."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pa = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        (F.col("p_brand") != "Brand#3") & F.col("p_size").isin(1, 5, 9, 13))
+    bad = spark.read.parquet(f"{sf_dir}/supplier.parquet").filter(
+        F.col("s_acctbal") < -900).select("s_suppkey")
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_TPCH_Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#3' AND p_size IN (1, 5, 9, 13)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < -900)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
 BITEXT_T = 0.25  # fixture has no planted cross-lingual dups (max pair
 # cosine ≈ 0.51, same fact as sem_dedup) — gate where pairs demonstrably
 # survive; production threshold semantics are the same plan
@@ -6214,6 +6287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22": _q_tpch_q22,
         "hits": _q_hits,
         "pq_adc": _q_pq_adc,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q16": _q_tpch_q16,
         # -- never driver-checked before round 3 ---------------------------
         "tpch_q1": _q_tpch_q1,
         "warc_scan": _q_warc_scan,
@@ -6254,9 +6329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refresh_pipeline": _q_refresh_pipeline,
         "knn_join": _q_knn_join,
         "tile_compact": _q_tile_compact,
-        "decontaminate": _q_decontaminate,
         "bpe_encode": _q_bpe_encode,
-        "minhash_union": _q_minhash_union,
         "lsh_recall": _q_lsh_recall,
         "skipgrams": _q_skipgrams,
         "graph_sample": _q_graph_sample,
@@ -6265,12 +6338,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_static_join": _q_stream_static_join,
         "curation_pipeline": _q_curation_pipeline,
         "text_nfc": _q_text_nfc,
-        # r4 rotation #2: ann_int8/sem_dedup/bpe_train/host_rank/kcore
-        # (all r3-driver-green; the ANN family keeps pq_adc + the
-        # curation/refresh composites in-window, and every rotated
-        # entry's unrolled oracle + pinned pytest stay oracle_check-
-        # covered each round) moved past the edge to admit
-        # tpch_q13/q17/q22 + hits + pq_adc
+        # r4 rotation #2: ann_int8/sem_dedup/bpe_train/host_rank/kcore +
+        # decontaminate/minhash_union (all r3-driver-green; the ANN
+        # family keeps pq_adc + the curation/refresh composites
+        # in-window, the dedup family keeps exact_substr/refresh_
+        # pipeline/cluster_split, and every rotated entry's oracle +
+        # pinned pytest stay oracle_check-covered each round) moved past
+        # the edge to admit tpch_q13/q15/q16/q17/q22 + hits + pq_adc
+        "decontaminate": _q_decontaminate,
+        "minhash_union": _q_minhash_union,
         "ann_int8": _q_ann_int8,
         "sem_dedup": _q_sem_dedup,
         "bpe_train": _q_bpe_train,
@@ -6560,6 +6636,8 @@ def oracle_sql() -> dict[str, str]:
         "dissolve_area": _DISSOLVE_SQL,
         "tpch_q1": _TPCH_Q1_SQL,
         "tpch_q13": _TPCH_Q13_SQL,
+        "tpch_q15": _TPCH_Q15_SQL,
+        "tpch_q16": _TPCH_Q16_SQL,
         "pq_adc": _pq_sql(),
         "tpch_q17": _TPCH_Q17_SQL,
         "tpch_q22": _TPCH_Q22_SQL,

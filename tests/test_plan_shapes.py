@@ -301,6 +301,23 @@ def test_tpch_q22_anti_join_and_scalar_gate(spark, entry):
     assert "CartesianProduct" not in plan
 
 
+def test_tpch_q15_scalar_max_broadcast(spark, entry):
+    """The argmax-with-ties gate: Catalyst rewrites crossJoin(1-row max)
+    + equality filter into a broadcast HASH join on tc = mx — pinned so
+    it never degrades to a nested loop or cartesian."""
+    plan = _plan(entry.queries()["tpch_q15"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2  # scalar gate + supplier
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q16_anti_join_and_broadcasts(spark, entry):
+    plan = _plan(entry.queries()["tpch_q16"](spark, SF))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_tpch_q19_single_join_no_cartesian(spark, entry):
     """The disjunctive predicate must NOT degrade the equi-join: one
     broadcast hash join on partkey, residual OR as a filter."""
