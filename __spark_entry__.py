@@ -5975,6 +5975,116 @@ GROUP BY p_brand, p_type, p_size
 """
 
 
+def _q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): the TWO-ROLE dimension join — nation
+    joined twice under different aliases (supplier's vs customer's), a
+    symmetric OR pair filter, per-year rollup. Both nation roles and the
+    supplier/customer dims broadcast; revenue integer cents². The nation
+    pair is widened to two 5-nation blocks so the sf0.001 fixture (10
+    suppliers) still produces rows — same shape, non-degenerate gate."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") <= "1997-12-31"))
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    n1 = na.select(F.col("n_nationkey").alias("n1k"),
+                   F.col("n_name").alias("supp_nation"))
+    n2 = na.select(F.col("n_nationkey").alias("n2k"),
+                   F.col("n_name").alias("cust_nation"))
+    rev = (
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        * (100 - F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+           .cast("long"))
+    )
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(n1), su.s_nationkey == F.col("n1k"))
+        .join(F.broadcast(n2), cu.c_nationkey == F.col("n2k"))
+        .filter(
+            ((F.col("n1k") < 5) & (F.col("n2k").between(5, 9)))
+            | (F.col("n1k").between(5, 9) & (F.col("n2k") < 5)))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg((F.sum(rev) / F.lit(10000.0)).alias("revenue"))
+    )
+
+
+_TPCH_Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+            AS BIGINT) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_nationkey < 5 AND n2.n_nationkey BETWEEN 5 AND 9)
+    OR (n1.n_nationkey BETWEEN 5 AND 9 AND n2.n_nationkey < 5))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <= TIMESTAMP '1997-12-31'
+GROUP BY 1, 2, 3
+"""
+
+
+def _q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (waiting suppliers): the EXISTS + NOT-EXISTS pair on the
+    same fact table — suppliers whose item was the ONLY late one in a
+    multi-supplier finished order. 'Late' derives as shipped >200 days
+    after the order date (the fixture has no receipt/commit dates).
+    Both subqueries are genuine semi/anti joins with a non-equi
+    different-supplier condition, never aggregates in disguise."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderstatus") == "F")
+    lo = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select("l_orderkey", "l_suppkey",
+                F.expr("l_shipdate > o_orderdate + make_interval(0, 0, 0, "
+                       "200, 0, 0, 0)").alias("late"))
+    ).localCheckpoint(eager=False)
+    l1 = lo.filter("late").select("l_orderkey", "l_suppkey").distinct()
+    other = lo.select(F.col("l_orderkey").alias("o_k"),
+                      F.col("l_suppkey").alias("o_s"), "late")
+    waiting = (
+        l1.join(other,
+                (l1.l_orderkey == other.o_k) & (l1.l_suppkey != other.o_s),
+                "left_semi")
+        .join(other.filter("late"),
+              (l1.l_orderkey == F.col("o_k"))
+              & (l1.l_suppkey != F.col("o_s")),
+              "left_anti")
+    )
+    return (
+        waiting.groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+_TPCH_Q21_SQL = """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 200 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+),
+l1 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lo WHERE late)
+SELECT l_suppkey AS s_suppkey, CAST(count(*) AS BIGINT) AS numwait
+FROM l1
+WHERE EXISTS (SELECT 1 FROM lo o WHERE o.l_orderkey = l1.l_orderkey
+                AND o.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lo o WHERE o.l_orderkey = l1.l_orderkey
+                    AND o.l_suppkey <> l1.l_suppkey AND o.late)
+GROUP BY l_suppkey
+"""
+
+
 BITEXT_T = 0.25  # fixture has no planted cross-lingual dups (max pair
 # cosine ≈ 0.51, same fact as sem_dedup) — gate where pairs demonstrably
 # survive; production threshold semantics are the same plan
@@ -6296,6 +6406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc": _q_pq_adc,
         "tpch_q15": _q_tpch_q15,
         "tpch_q16": _q_tpch_q16,
+        "tpch_q7": _q_tpch_q7,
+        "tpch_q21": _q_tpch_q21,
         # -- never driver-checked before round 3 ---------------------------
         "tpch_q1": _q_tpch_q1,
         "warc_scan": _q_warc_scan,
@@ -6336,9 +6448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refresh_pipeline": _q_refresh_pipeline,
         "knn_join": _q_knn_join,
         "tile_compact": _q_tile_compact,
-        "bpe_encode": _q_bpe_encode,
         "lsh_recall": _q_lsh_recall,
-        "skipgrams": _q_skipgrams,
         "graph_sample": _q_graph_sample,
         "dq_drift": _q_dq_drift,
         "cluster_split": _q_cluster_split,
@@ -6351,7 +6461,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window, the dedup family keeps exact_substr/refresh_
         # pipeline/cluster_split, and every rotated entry's oracle +
         # pinned pytest stay oracle_check-covered each round) moved past
-        # the edge to admit tpch_q13/q15/q16/q17/q22 + hits + pq_adc
+        # the edge to admit tpch_q7/q13/q15/q16/q17/q21/q22 + hits +
+        # pq_adc; bpe_encode/skipgrams rotated with them (same terms)
+        "bpe_encode": _q_bpe_encode,
+        "skipgrams": _q_skipgrams,
         "decontaminate": _q_decontaminate,
         "minhash_union": _q_minhash_union,
         "ann_int8": _q_ann_int8,
@@ -6645,6 +6758,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q13": _TPCH_Q13_SQL,
         "tpch_q15": _TPCH_Q15_SQL,
         "tpch_q16": _TPCH_Q16_SQL,
+        "tpch_q7": _TPCH_Q7_SQL,
+        "tpch_q21": _TPCH_Q21_SQL,
         "pq_adc": _pq_sql(),
         "tpch_q17": _TPCH_Q17_SQL,
         "tpch_q22": _TPCH_Q22_SQL,

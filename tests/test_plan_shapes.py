@@ -318,6 +318,23 @@ def test_tpch_q16_anti_join_and_broadcasts(spark, entry):
     assert "CartesianProduct" not in plan
 
 
+def test_tpch_q7_two_role_dims_broadcast(spark, entry):
+    """Nation joins twice (supplier role + customer role) — all four
+    dims broadcast; lineitem x orders stays the single shuffle join."""
+    plan = _plan(entry.queries()["tpch_q7"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q21_exists_and_not_exists_joins(spark, entry):
+    """The waiting-supplier pair: EXISTS → LeftSemi, NOT EXISTS →
+    LeftAnti, both with the non-equi different-supplier condition."""
+    plan = _plan(entry.queries()["tpch_q21"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_tpch_q19_single_join_no_cartesian(spark, entry):
     """The disjunctive predicate must NOT degrade the equi-join: one
     broadcast hash join on partkey, residual OR as a filter."""
