@@ -88,6 +88,11 @@ def main() -> int:
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     con = duckdb.connect()
+    # big fixtures (sf1): cap DuckDB's memory and let it spill to disk
+    # instead of climbing to the box limit (the closure oracles' verify
+    # stage materializes shingle lists per candidate pair)
+    con.execute("SET memory_limit='40GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         # driver fixtures are single files; scripts/make_sf.py fixtures
         # are Spark-written directories -> glob the part files for DuckDB
