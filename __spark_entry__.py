@@ -6388,6 +6388,327 @@ GROUP BY CUBE (event_type, wd)
 """
 
 
+def _partsupp_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic partsupp derived from part × 4 supplier slots.
+
+    The fixture set has no partsupp table, so the five partsupp-based
+    TPC-H shapes (Q2/Q8/Q9/Q11/Q20) generate one with pure integer
+    arithmetic — expressible identically in Spark and DuckDB (see
+    _PARTSUPP_CTE), so the oracles stay value-exact. Keys are 0-based
+    like the fixtures; the supplier count is the modulus so every
+    generated ps_suppkey resolves. 13·i mod n_supp is injective for the
+    fixture sizes (10/100/1k/10k), giving 4 distinct suppliers per part
+    exactly like dbgen's partsupp."""
+    pa = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey")
+    ns = spark.read.parquet(f"{sf_dir}/supplier.parquet").agg(
+        F.count("*").alias("n_supp"))
+    pk = F.col("p_partkey")
+    i = F.col("i").cast("long")
+    return (
+        pa.crossJoin(F.broadcast(ns))
+        .select(
+            "*",
+            F.explode(F.array(*[F.lit(k) for k in range(4)])).alias("i"))
+        .select(
+            pk.alias("ps_partkey"),
+            ((pk * 7 + i * 13) % F.col("n_supp")).alias("ps_suppkey"),
+            ((pk * 17 + i * 31) % 9999 + 1).alias("ps_availqty"),
+            ((pk * 97 + i * 71) % 99000 + 100).alias("ps_supplycost_c"),
+        )
+    )
+
+
+_PARTSUPP_CTE = """
+ps AS (
+  SELECT p_partkey AS ps_partkey,
+         (p_partkey * 7 + i * 13) % (SELECT count(*) FROM supplier)
+           AS ps_suppkey,
+         (p_partkey * 17 + i * 31) % 9999 + 1 AS ps_availqty,
+         (p_partkey * 97 + i * 71) % 99000 + 100 AS ps_supplycost_c
+  FROM part CROSS JOIN (SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS i) gen
+)"""
+
+
+def _q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier): the correlated-min shape — for
+    each qualifying part, keep exactly the EUROPE suppliers whose
+    supply cost equals that part's regional minimum. Min computed by a
+    groupBy (no window sort) and equi-joined back; supply cost is
+    integer cents so the tie test is exact. Reference shape:
+    correlated scalar subquery over partsupp (dbgen Q2)."""
+    ps = _partsupp_df(spark, sf_dir)
+    pa = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        (F.col("p_size") <= 25) & (F.col("p_type") == "LARGE"))
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    re = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "EUROPE")
+    eu = (su.join(F.broadcast(na),
+                  su.s_nationkey == na.n_nationkey)
+            .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+            .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    cand = (ps.join(F.broadcast(pa.select("p_partkey", "p_brand")),
+                    ps.ps_partkey == F.col("p_partkey"))
+              .join(F.broadcast(eu), ps.ps_suppkey == F.col("s_suppkey")))
+    mn = cand.groupBy(F.col("ps_partkey").alias("mk")).agg(
+        F.min("ps_supplycost_c").alias("mn_c"))
+    return (
+        cand.join(mn, (cand.ps_partkey == mn.mk)
+                  & (cand.ps_supplycost_c == mn.mn_c))
+        .select("p_partkey", "p_brand", "s_name", "n_name", "s_acctbal",
+                (F.col("ps_supplycost_c") / F.lit(100.0))
+                .alias("supplycost"))
+    )
+
+
+_TPCH_Q2_SQL = f"""
+WITH {_PARTSUPP_CTE.strip()},
+cand AS (
+  SELECT p_partkey, p_brand, s_name, n_name, s_acctbal, ps_supplycost_c
+  FROM ps
+  JOIN part ON ps_partkey = p_partkey
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE' AND p_size <= 25 AND p_type = 'LARGE'
+),
+mn AS (SELECT p_partkey AS mk, min(ps_supplycost_c) AS mn_c
+       FROM cand GROUP BY p_partkey)
+SELECT p_partkey, p_brand, s_name, n_name, s_acctbal,
+       ps_supplycost_c / 100.0 AS supplycost
+FROM cand JOIN mn ON p_partkey = mk AND ps_supplycost_c = mn_c
+"""
+
+
+def _q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): the ratio-of-conditional-sums
+    shape over a 6-table star. Numerator and denominator are integer
+    cents² sums; the single double division of two identical BIGINTs is
+    bit-deterministic across engines. Customers restricted to ASIA,
+    share measured for supplier nation NATION_3, per order year."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01"))
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    re = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "ASIA")
+    pa = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_type") == "ECONOMY").select("p_partkey")
+    asia_cust = (cu.join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+                   .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+                   .select("c_custkey"))
+    supp_nat = (su.join(F.broadcast(
+        na.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        su.s_nationkey == F.col("n_nationkey"))
+        .select("s_suppkey", "supp_nation"))
+    vol = (
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        * (100 - F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+           .cast("long"))
+    )
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(asia_cust), od.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(supp_nat), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)
+                  .otherwise(F.lit(0))).alias("num_c2"),
+            F.sum(vol).alias("den_c2"),
+        )
+        .select("o_year",
+                (F.col("num_c2") / F.col("den_c2")).alias("mkt_share"))
+    )
+
+
+_TPCH_Q8_SQL = """
+WITH vol AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS v,
+         (SELECT n_name FROM nation WHERE n_nationkey = s_nationkey)
+           AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN v ELSE 0 END)
+            AS BIGINT)
+         / CAST(sum(v) AS BIGINT) AS mkt_share
+FROM vol GROUP BY o_year
+"""
+
+
+def _q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit): profit = revenue − supply cost,
+    per supplier nation per order year, over the generated partsupp.
+    All terms in integer cents² (supply cost cents × qty × 100), so the
+    sum is exact; partsupp (4 rows/part) broadcasts — the big side
+    never shuffles for the dim joins."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pa = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_name").like("%bolt%")).select("p_partkey")
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    ps = _partsupp_df(spark, sf_dir)
+    supp_nat = (su.join(F.broadcast(na),
+                        su.s_nationkey == na.n_nationkey)
+                  .select("s_suppkey", "n_name"))
+    rev = (
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        * (100 - F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+           .cast("long"))
+    )
+    cost = (F.col("ps_supplycost_c")
+            * F.col("l_quantity").cast("long") * 100)
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(F.broadcast(ps),
+              (li.l_partkey == ps.ps_partkey)
+              & (li.l_suppkey == ps.ps_suppkey))
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(supp_nat), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("n_name",
+                 F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.sum(rev - cost).alias("profit_c2"))
+        .select("n_name", "o_year",
+                (F.col("profit_c2") / F.lit(10000.0)).alias("sum_profit"))
+    )
+
+
+_TPCH_Q9_SQL = f"""
+WITH {_PARTSUPP_CTE.strip()}
+SELECT n_name, year(o_orderdate) AS o_year,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                  * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                - ps_supplycost_c * CAST(l_quantity AS BIGINT) * 100)
+            AS BIGINT) / 10000.0 AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+def _q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock): per-part inventory value HAVING an
+    above-the-mean gate. dbgen's fraction is scale-adjusted
+    (0.0001/SF); the scale-free analogue keeps parts whose value
+    exceeds the mean per-part value — sum·n_parts > total in pure
+    BIGINTs, exact and non-degenerate at every SF. Suppliers
+    restricted to one region's nation block (region 2)."""
+    ps = _partsupp_df(spark, sf_dir)
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet").filter(
+        F.col("n_regionkey") == 2)
+    keep = (su.join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+              .select("s_suppkey"))
+    val = (ps.join(F.broadcast(keep), ps.ps_suppkey == F.col("s_suppkey"))
+             .select("ps_partkey",
+                     (F.col("ps_supplycost_c") * F.col("ps_availqty"))
+                     .alias("val_c")))
+    per_part = val.groupBy("ps_partkey").agg(F.sum("val_c").alias("v_c"))
+    tot = per_part.agg(F.sum("v_c").alias("tot_c"),
+                       F.count("*").alias("n_parts"))
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .filter(F.col("v_c") * F.col("n_parts") > F.col("tot_c"))
+        .select("ps_partkey", (F.col("v_c") / F.lit(100.0)).alias("value"))
+    )
+
+
+_TPCH_Q11_SQL = f"""
+WITH {_PARTSUPP_CTE.strip()},
+val AS (
+  SELECT ps_partkey, ps_supplycost_c * ps_availqty AS val_c
+  FROM ps
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_regionkey = 2
+),
+per_part AS (SELECT ps_partkey, CAST(sum(val_c) AS BIGINT) AS v_c
+             FROM val GROUP BY ps_partkey),
+tot AS (SELECT CAST(sum(v_c) AS BIGINT) AS tot_c,
+               CAST(count(*) AS BIGINT) AS n_parts FROM per_part)
+SELECT ps_partkey, v_c / 100.0 AS value
+FROM per_part, tot
+WHERE v_c * n_parts > tot_c
+"""
+
+
+def _q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): suppliers holding excess
+    stock — ps_availqty > ½ of the quantity they shipped of that part
+    in 1996 (2·availqty > Σqty in exact integers), for 'small%' parts,
+    suppliers in region 1's nation block. The nested-IN chain becomes
+    aggregate → equi-join → semi-join; quantities shuffle as longs."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01"))
+    pa = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_name").like("small%")).select("p_partkey")
+    ps = _partsupp_df(spark, sf_dir)
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet").filter(
+        F.col("n_regionkey") <= 2)
+    shipped = (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    excess = (
+        ps.join(shipped, (ps.ps_partkey == shipped.l_partkey)
+                & (ps.ps_suppkey == shipped.l_suppkey))
+        .filter(F.col("ps_availqty") * 2 > F.col("qty"))
+        .select("ps_suppkey").distinct()
+    )
+    return (
+        su.join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(excess, su.s_suppkey == excess.ps_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+_TPCH_Q20_SQL = f"""
+WITH {_PARTSUPP_CTE.strip()},
+shipped AS (
+  SELECT l_partkey, l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT))
+                                    AS BIGINT) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part
+                      WHERE p_name LIKE 'small%')
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_regionkey <= 2
+  AND s_suppkey IN (
+    SELECT ps_suppkey FROM ps
+    JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    WHERE ps_availqty * 2 > qty)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -6399,6 +6720,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ALL entries.
     return {
         # -- new in round 4: never driver-checked --------------------------
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q9": _q_tpch_q9,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q20": _q_tpch_q20,
         "tpch_q13": _q_tpch_q13,
         "tpch_q17": _q_tpch_q17,
         "tpch_q22": _q_tpch_q22,
@@ -6755,6 +7081,11 @@ def oracle_sql() -> dict[str, str]:
         "emb_dup_pairs": _emb_dup_sql(),
         "dissolve_area": _DISSOLVE_SQL,
         "tpch_q1": _TPCH_Q1_SQL,
+        "tpch_q2": _TPCH_Q2_SQL,
+        "tpch_q8": _TPCH_Q8_SQL,
+        "tpch_q9": _TPCH_Q9_SQL,
+        "tpch_q11": _TPCH_Q11_SQL,
+        "tpch_q20": _TPCH_Q20_SQL,
         "tpch_q13": _TPCH_Q13_SQL,
         "tpch_q15": _TPCH_Q15_SQL,
         "tpch_q16": _TPCH_Q16_SQL,

@@ -387,3 +387,48 @@ def test_aqe_splits_skewed_join_partition(spark):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_tpch_q2_min_cost_without_window(spark, entry):
+    """Q2's correlated min lowers to groupBy-min + equi-join back —
+    no Window (no global sort), dims broadcast, no cartesian beyond
+    the 1-row supplier-count broadcast inside the partsupp generator."""
+    plan = _plan(entry.queries()["tpch_q2"](spark, SF))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q8_dims_broadcast(spark, entry):
+    """Q8's 6-table star: every dim side (part, ASIA customers,
+    supplier-nation) broadcasts; only lineitem x orders may shuffle."""
+    plan = _plan(entry.queries()["tpch_q8"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q9_partsupp_broadcasts(spark, entry):
+    """The generated partsupp is 4 rows/part — it must broadcast so
+    lineitem never shuffles for the (partkey, suppkey) cost lookup."""
+    plan = _plan(entry.queries()["tpch_q9"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q11_single_agg_exchange(spark, entry):
+    """Q11's per-part aggregate shuffles on ps_partkey only; the
+    total/n_parts gate rides a 1-row broadcast. Catalyst duplicates the
+    per_part branch into the total's subtree (two identical exchanges —
+    both over the tiny generated partsupp, and eligible for runtime
+    ReusedExchange), so the pin is <=2 and never a third."""
+    plan = _plan(entry.queries()["tpch_q11"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning(ps_partkey") <= 2
+
+
+def test_tpch_q20_semi_join(spark, entry):
+    """The nested-IN chain lowers to aggregate -> equi-join -> LeftSemi,
+    never a nested-loop membership probe over lineitem."""
+    plan = _plan(entry.queries()["tpch_q20"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
