@@ -6388,6 +6388,78 @@ GROUP BY CUBE (event_type, wd)
 """
 
 
+def _q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType: a nested JSON document parsed with
+    parse_json into the binary variant encoding, then typed path
+    extraction via variant_get — the shredded semi-structured scan
+    path (vs json_extract's string re-parse per access). The document
+    nests the fixture's props under a synthesized envelope so the
+    extraction exercises two levels; aggregates are all-BIGINT so the
+    DuckDB json_extract oracle is value-exact."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    doc = F.concat(
+        F.lit('{"meta":{"u":'), F.col("user_id").cast("string"),
+        F.lit(',"ty":"'), F.col("event_type"), F.lit('"},"p":'),
+        F.col("props"), F.lit("}"))
+    v = F.parse_json(doc)
+    return (
+        ev.select(
+            "event_type",
+            F.variant_get(v, "$.meta.u", "bigint").alias("u"),
+            F.variant_get(v, "$.p.k", "bigint").alias("k"),
+            F.try_variant_get(v, "$.absent.path", "bigint").alias("miss"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("u").alias("sum_u"),
+             F.sum("k").alias("sum_k"),
+             F.count("miss").alias("n_miss"))
+    )
+
+
+_VARIANT_EXTRACT_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(user_id) AS BIGINT) AS sum_u,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(0 AS BIGINT) AS n_miss
+FROM events
+GROUP BY event_type
+"""
+
+
+def _q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observation API: named aggregate metrics collected as a side
+    channel of a single pass over the data — the zero-extra-job way to
+    audit a pipeline stage at 100 TB (vs a second aggregate query that
+    rescans the input). The observed metrics (all integers) come back
+    as a 1-row DataFrame for the exact oracle compare."""
+    from pyspark.sql import Observation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    obs = Observation("dq_metrics")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"))
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n"], m["sum_chars"], m["min_id"], m["max_id"])],
+        "n bigint, sum_chars bigint, min_id bigint, max_id bigint")
+
+
+_OBSERVE_METRICS_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(min(doc_id) AS BIGINT) AS min_id,
+       CAST(max(doc_id) AS BIGINT) AS max_id
+FROM documents
+"""
+
+
 def _partsupp_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic partsupp derived from part × 4 supplier slots.
 
@@ -6720,6 +6792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ALL entries.
     return {
         # -- new in round 4: never driver-checked --------------------------
+        "variant_extract": _q_variant_extract,
+        "observe_metrics": _q_observe_metrics,
         "tpch_q2": _q_tpch_q2,
         "tpch_q8": _q_tpch_q8,
         "tpch_q9": _q_tpch_q9,
@@ -7081,6 +7155,8 @@ def oracle_sql() -> dict[str, str]:
         "emb_dup_pairs": _emb_dup_sql(),
         "dissolve_area": _DISSOLVE_SQL,
         "tpch_q1": _TPCH_Q1_SQL,
+        "variant_extract": _VARIANT_EXTRACT_SQL,
+        "observe_metrics": _OBSERVE_METRICS_SQL,
         "tpch_q2": _TPCH_Q2_SQL,
         "tpch_q8": _TPCH_Q8_SQL,
         "tpch_q9": _TPCH_Q9_SQL,
