@@ -432,3 +432,40 @@ def test_tpch_q20_semi_join(spark, entry):
     plan = _plan(entry.queries()["tpch_q20"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime row-level filtering: a selective dim-side predicate must
+    inject a bloom_filter_agg on the dim and a might_contain probe on
+    the fact side of a shuffle join — at 100 TB this prunes fact rows
+    before the exchange instead of shuffling them to die in the join.
+    Thresholds are lowered because the sf0.001 scan is tiny; the
+    default 10 GB application-side threshold targets exactly the scans
+    this repo is designed for."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "creationSideThreshold": "100MB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        od = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT")
+        j = (li.join(od, li.l_orderkey == od.o_orderkey)
+               .groupBy("o_orderpriority").count())
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt
+        assert "might_contain" in opt
+        # and the rewrite must not have changed the answer
+        urgent = li.join(od, li.l_orderkey == od.o_orderkey).count()
+        assert j.collect()[0]["count"] == urgent
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
