@@ -6388,6 +6388,44 @@ GROUP BY CUBE (event_type, wd)
 """
 
 
+def _q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by lift (corpus.py:collocations): adjacent
+    bigram counts + unigram marginals, lift = n_xy·N/(n_x·n_y) — the
+    log-free monotone equivalent of PMI (one double division of two
+    exact BIGINT products). Pairs form map-side from the token array
+    (zero joins); marginals broadcast."""
+    from bdtopo2refhydro_spark.operators import corpus as C
+
+    return C.collocations(_docs(spark, sf_dir), min_count=2)
+
+
+_COLLOCATIONS_SQL = """
+WITH lists AS (
+  SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     t -> t != '') AS l
+  FROM documents
+),
+big AS (
+  SELECT l[CAST(i - 1 AS INT)] AS w1, l[CAST(i AS INT)] AS w2
+  FROM lists, UNNEST(range(2, len(l) + 1)) t(i)
+),
+nxy AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_xy
+  FROM big GROUP BY 1, 2 HAVING count(*) >= 2
+),
+uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(l) AS tok FROM lists) GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM uni)
+SELECT w1, w2, n_xy, u1.n AS n_x, u2.n AS n_y,
+       CAST(n_xy * n_total AS BIGINT) / CAST(u1.n * u2.n AS BIGINT) AS lift
+FROM nxy
+JOIN uni u1 ON w1 = u1.tok
+JOIN uni u2 ON w2 = u2.tok, tot
+"""
+
+
 def _q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VariantType: a nested JSON document parsed with
     parse_json into the binary variant encoding, then typed path
@@ -6794,6 +6832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4: never driver-checked --------------------------
         "variant_extract": _q_variant_extract,
         "observe_metrics": _q_observe_metrics,
+        "collocations": _q_collocations,
         "tpch_q2": _q_tpch_q2,
         "tpch_q8": _q_tpch_q8,
         "tpch_q9": _q_tpch_q9,
@@ -7157,6 +7196,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q1": _TPCH_Q1_SQL,
         "variant_extract": _VARIANT_EXTRACT_SQL,
         "observe_metrics": _OBSERVE_METRICS_SQL,
+        "collocations": _COLLOCATIONS_SQL,
         "tpch_q2": _TPCH_Q2_SQL,
         "tpch_q8": _TPCH_Q8_SQL,
         "tpch_q9": _TPCH_Q9_SQL,

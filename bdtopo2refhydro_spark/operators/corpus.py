@@ -816,3 +816,51 @@ def skipgrams(docs: DataFrame, *, window: int = 2,
         "center", F.col("tok").alias("context"))
     return pairs.groupBy("center", "context").agg(
         F.count("*").alias("n_pairs"))
+
+
+def collocations(docs: DataFrame, *, min_count: int = 2,
+                 text_col: str = "text") -> DataFrame:
+    """Collocation (phrase) mining by lift: adjacent bigram counts with
+    per-word marginals and lift = P(xy)/(P(x)·P(y)) = n_xy·N/(n_x·n_y)
+    — the phrase-detection prep stage (word2vec phrases / tokenizer
+    merge seeding). Lift is the log-free monotone equivalent of PMI, so
+    every value is one double division of two exact BIGINT products and
+    the result is bit-replayable across engines.
+
+    Scale shape: bigrams come from the token ARRAY zipped with itself
+    shifted (a transform over each doc — ZERO joins to form pairs);
+    one map-side-combinable groupBy each for bigrams and unigrams; the
+    unigram table is vocab-sized so both marginal lookups broadcast,
+    and the corpus total rides a 1-row broadcast. Nothing but
+    (word, word, count) rows ever shuffles.
+
+    Docs with <2 tokens are guarded out of the bigram transform: Spark's
+    sequence(2, n) DESCENDS for n<2 and ANSI element_at throws on index
+    0, so the naive spelling crashes on single-token spam."""
+    toks = F.expr(
+        f"filter(split(trim(lower({text_col})), '\\\\s+'), t -> t != '')")
+    arr = docs.select(toks.alias("l"))
+    big = (
+        arr.filter(F.expr("size(l) >= 2"))
+        .select(F.explode(F.expr(
+            "transform(sequence(2, size(l)), i -> struct("
+            "element_at(l, i - 1) AS w1, element_at(l, i) AS w2))"))
+            .alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2").agg(F.count("*").alias("n_xy"))
+        .filter(F.col("n_xy") >= min_count)
+    )
+    uni = (arr.select(F.explode("l").alias("tok"))
+               .groupBy("tok").agg(F.count("*").alias("n")))
+    tot = uni.agg(F.sum("n").alias("n_total"))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("n").alias("n_x"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("n").alias("n_y"))
+    return (
+        big.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", "n_xy", "n_x", "n_y",
+            ((F.col("n_xy") * F.col("n_total"))
+             / (F.col("n_x") * F.col("n_y"))).alias("lift"))
+    )

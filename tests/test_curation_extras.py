@@ -457,3 +457,21 @@ def test_cms_sketches_merge_cellwise(spark):
         for k, v in d.items():
             merged[k] = merged.get(k, 0) + v
     assert merged == cu
+
+
+def test_collocations_lift_and_single_token_guard(spark):
+    """Known tiny corpus: lift = n_xy*N/(n_x*n_y) exactly; a single-token
+    document must not crash the bigram transform (Spark's sequence(2, n)
+    descends for n < 2 and ANSI element_at throws on index 0)."""
+    from bdtopo2refhydro_spark.operators.corpus import collocations
+
+    docs = spark.createDataFrame(
+        [(1, "new york new york"), (2, "spam"), (3, "new york city")],
+        "doc_id long, text string")
+    out = {(r["w1"], r["w2"]): r for r in
+           collocations(docs, min_count=2).collect()}
+    assert set(out) == {("new", "york")}
+    r = out[("new", "york")]
+    # N=8 tokens, n_xy=3, n_x=n_y=3 -> lift = 24/9
+    assert (r["n_xy"], r["n_x"], r["n_y"]) == (3, 3, 3)
+    assert r["lift"] == 24 / 9
