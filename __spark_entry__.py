@@ -6388,6 +6388,47 @@ GROUP BY CUBE (event_type, wd)
 """
 
 
+def _q_lr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear classifier inference (text.py:linear_classifier_score):
+    hashing-trick features (md5 → 1024 buckets) gathered against a
+    broadcast integer weight table, summed per doc — integer logits, so
+    the oracle replays the model bit-for-bit. The weight table is
+    generated deterministically (w = (b·2654435761) % 2001 − 1000)."""
+    from bdtopo2refhydro_spark.operators import text as T
+
+    weights = spark.range(1024).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") * F.lit(2654435761)) % 2001 - 1000).alias("w"))
+    return T.linear_classifier_score(
+        _docs(spark, sf_dir), weights, n_buckets=1024)
+
+
+_LR_SCORE_SQL = """
+WITH w AS (
+  SELECT CAST(i AS BIGINT) AS bucket,
+         CAST((i * 2654435761) % 2001 - 1000 AS BIGINT) AS w
+  FROM (SELECT unnest(range(1024)) AS i)
+),
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+                                                  '\\s+'),
+                            t -> t != '')) AS tok
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 1024 AS bucket
+  FROM toks
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(w) AS BIGINT) AS logit_num,
+       CAST(sum(w) AS BIGINT) > 0 AS label
+FROM feat JOIN w USING (bucket)
+GROUP BY doc_id
+"""
+
+
 def _q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining by lift (corpus.py:collocations): adjacent
     bigram counts + unigram marginals, lift = n_xy·N/(n_x·n_y) — the
@@ -6833,6 +6874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_extract": _q_variant_extract,
         "observe_metrics": _q_observe_metrics,
         "collocations": _q_collocations,
+        "lr_score": _q_lr_score,
         "tpch_q2": _q_tpch_q2,
         "tpch_q8": _q_tpch_q8,
         "tpch_q9": _q_tpch_q9,
@@ -7197,6 +7239,7 @@ def oracle_sql() -> dict[str, str]:
         "variant_extract": _VARIANT_EXTRACT_SQL,
         "observe_metrics": _OBSERVE_METRICS_SQL,
         "collocations": _COLLOCATIONS_SQL,
+        "lr_score": _LR_SCORE_SQL,
         "tpch_q2": _TPCH_Q2_SQL,
         "tpch_q8": _TPCH_Q8_SQL,
         "tpch_q9": _TPCH_Q9_SQL,

@@ -1009,3 +1009,42 @@ def arrow_token_stats(docs: DataFrame, text_col: str = "text",
 
     return docs.select(id_col, text_col).mapInArrow(
         _stats, f"{id_col} long, n_tokens long, n_chars_norm long")
+
+
+def linear_classifier_score(docs: DataFrame, weights: DataFrame, *,
+                            n_buckets: int = 1024,
+                            text_col: str = "text") -> DataFrame:
+    """fastText-style linear classifier INFERENCE at corpus scale: the
+    hashing-trick featurizer (token -> md5 -> bucket) joined against a
+    broadcast weight table, summed per document. This is the shape of
+    every learned quality/toxicity gate over a 100 TB crawl — the model
+    is a vocab-hashed weight vector, scoring is feature-gather + sum.
+
+    Emits the INTEGER logit numerator (weights are integers, so the sum
+    is exact and engine-replayable) plus the n_tokens normalizer and the
+    sign label; callers needing the calibrated probability divide and
+    sigmoid at the edge — floats never enter the shuffle.
+
+    Scale shape: explode tokens (map-side), hash to n_buckets, ONE
+    broadcast hash join against the weight table (model size is
+    O(n_buckets), independent of corpus size), one map-side-combinable
+    groupBy(doc_id). Docs with zero tokens have no features and are
+    absent from the output, like an empty-input model call."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"filter(split(trim(lower({text_col})), '\\\\s+'), "
+            "t -> t != '')")).alias("tok"))
+    feat = toks.select(
+        "doc_id",
+        F.expr(
+            "pmod(cast(conv(substr(md5(tok), 1, 15), 16, 10) as bigint), "
+            f"{int(n_buckets)})").alias("bucket"))
+    return (
+        feat.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"),
+             F.sum("w").alias("logit_num"))
+        .select("doc_id", "n_tokens", "logit_num",
+                (F.col("logit_num") > 0).alias("label"))
+    )
