@@ -6429,6 +6429,419 @@ GROUP BY doc_id
 """
 
 
+def _q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round weighted label propagation (linkgraph.py:
+    label_propagation_int) over the derived host link graph — the
+    community-detection counterpart of host_rank/hits. Every value is a
+    label string chosen by (max incident weight, min label), so the
+    3-round unrolled DuckDB CTE replays it exactly."""
+    from bdtopo2refhydro_spark.operators import linkgraph as LG
+
+    return LG.label_propagation_int(_host_edges(spark, sf_dir), rounds=3)
+
+
+def _label_prop_sql(rounds: int = 3) -> str:
+    """Unrolled-rounds replay of label_propagation_int: each round is a
+    neighbour-label weight sum + a (weight DESC, label ASC) top-1."""
+    ctes = [
+        f"WITH {_HOST_EDGES_D}",
+        "u AS (SELECT a, b, CAST(SUM(w) AS BIGINT) AS w FROM ("
+        "SELECT src AS a, dst AS b, weight AS w FROM e "
+        "UNION ALL SELECT dst, src, weight FROM e) GROUP BY 1, 2)",
+        "n AS (SELECT DISTINCT a AS node FROM u)",
+        "l0 AS (SELECT node, node AS label FROM n)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"c{i} AS (SELECT u.a AS node, l.label,"
+            f" CAST(SUM(u.w) AS BIGINT) AS lw"
+            f" FROM u JOIN l{i - 1} l ON l.node = u.b GROUP BY 1, 2)")
+        ctes.append(
+            f"l{i} AS (SELECT node, label FROM (SELECT node, label,"
+            f" row_number() OVER (PARTITION BY node"
+            f" ORDER BY lw DESC, label ASC) AS rn"
+            f" FROM c{i}) WHERE rn = 1)")
+    return ",\n".join(ctes) + f"\nSELECT node, label FROM l{rounds}"
+
+
+def _q_pearson_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation (dq.py:pearson_pairs) over integer-
+    derived lineitem measures — every moment an exact BIGINT from ONE
+    scan, the final r a fixed dag of exact-double ops, so the oracle is
+    bit-identical (a streaming co-moment implementation would not be).
+    floor(x+0.5) on BOTH sides (Spark cast truncates, DuckDB rounds)."""
+    from bdtopo2refhydro_spark.operators import dq as DQ
+
+    lf = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ints = lf.select(
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+        .alias("qty"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+        .alias("disc"),
+        F.floor(F.col("l_tax") * 100 + F.lit(0.5)).cast("long")
+        .alias("tax"))
+    return DQ.pearson_pairs(ints, ["qty", "disc", "tax"])
+
+
+def _pearson_sql() -> str:
+    cols = ["qty", "disc", "tax"]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    moments = ["CAST(count(*) AS BIGINT) AS n"]
+    for c in cols:
+        moments.append(f"CAST(sum({c}) AS BIGINT) AS s_{c}")
+        moments.append(f"CAST(sum({c} * {c}) AS BIGINT) AS ss_{c}")
+    for a, b in pairs:
+        moments.append(f"CAST(sum({a} * {b}) AS BIGINT) AS sp_{a}_{b}")
+    arms = []
+    for a, b in pairs:
+        arms.append(
+            f"SELECT '{a}' AS x_name, '{b}' AS y_name, n,"
+            f" CAST(n * sp_{a}_{b} - s_{a} * s_{b} AS DOUBLE)"
+            f" / (sqrt(CAST(n * ss_{a} - s_{a} * s_{a} AS DOUBLE))"
+            f" * sqrt(CAST(n * ss_{b} - s_{b} * s_{b} AS DOUBLE))) AS r"
+            f" FROM s")
+    return (
+        "WITH v AS (SELECT"
+        " CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,"
+        " CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc,"
+        " CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tax"
+        " FROM lineitem),\ns AS (SELECT " + ", ".join(moments)
+        + " FROM v)\n" + "\nUNION ALL\n".join(arms)
+    )
+
+
+_DICT_PHRASES = ["spark", "join", "window", "merge slow", "batch batch",
+                 "hash join"]
+
+
+def _q_dict_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gazetteer/blocklist phrase tagging (text.py:dictionary_match):
+    unigrams + shifted-zip bigrams formed map-side, one broadcast join
+    against the phrase table, per-(doc, phrase) hit counts."""
+    from bdtopo2refhydro_spark.operators import text as T
+
+    return T.dictionary_match(_docs(spark, sf_dir), _DICT_PHRASES)
+
+
+_DICT_MATCH_SQL = """
+WITH lists AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     t -> t != '') AS l
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(l) AS g FROM lists
+  UNION ALL
+  SELECT doc_id, l[CAST(i - 1 AS INT)] || ' ' || l[CAST(i AS INT)] AS g
+  FROM lists, UNNEST(range(2, len(l) + 1)) t(i)
+),
+dict AS (SELECT unnest([{phrases}]) AS phrase)
+SELECT doc_id, phrase, CAST(count(*) AS BIGINT) AS n_hits
+FROM grams JOIN dict ON g = phrase
+GROUP BY 1, 2
+""".format(phrases=", ".join(f"'{p}'" for p in _DICT_PHRASES))
+
+
+def _q_cogroup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas (temporal.py:cogroup_user_profile):
+    full-outer per-user merge of event activity and order spend through
+    the groupBy().cogroup() API, bucketed 64 ways so the Arrow boundary
+    sees big groups. Integer counts/cents → exact oracle."""
+    from bdtopo2refhydro_spark.operators.temporal import (
+        cogroup_user_profile,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return cogroup_user_profile(ev, od, buckets=64)
+
+
+_COGROUP_PROFILE_SQL = """
+WITH ea AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_clicks
+  FROM events GROUP BY user_id
+),
+oa AS (
+  SELECT o_custkey AS user_id, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS spend_cents
+  FROM orders GROUP BY 1
+)
+SELECT COALESCE(ea.user_id, oa.user_id) AS user_id,
+       COALESCE(n_events, 0) AS n_events,
+       COALESCE(n_clicks, 0) AS n_clicks,
+       COALESCE(n_orders, 0) AS n_orders,
+       COALESCE(spend_cents, 0) AS spend_cents
+FROM ea FULL OUTER JOIN oa ON ea.user_id = oa.user_id
+"""
+
+
+def _q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window aggregation: per-user sliding 300-second sum
+    and count over event time (value-based frame, not row-based — peers
+    at the same timestamp share one frame in both engines). Integer
+    epoch seconds and cents → exact."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select(
+        "user_id", "event_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+        .alias("ep"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        .alias("c"))
+    w = (Window.partitionBy("user_id").orderBy("ep")
+         .rangeBetween(-300, 0))
+    return base.select(
+        "user_id", "event_id", "ep",
+        F.sum("c").over(w).cast("bigint").alias("win_cents"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("win_n"))
+
+
+_RANGE_FRAME_SQL = """
+WITH b AS (
+  SELECT user_id, event_id,
+         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ep,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+)
+SELECT user_id, event_id, ep,
+       CAST(sum(c) OVER w AS BIGINT) AS win_cents,
+       CAST(count(*) OVER w AS BIGINT) AS win_n
+FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ep
+                    RANGE BETWEEN 300 PRECEDING AND CURRENT ROW)
+"""
+
+
+def _q_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational melt: DataFrame.unpivot (ids → (attr, val) long form)
+    then a per-attribute integer rollup — the Spark-native equivalent
+    of pandas melt, vs DuckDB's UNPIVOT. Attribute names come from the
+    engine itself, so the oracle also pins the melt's naming contract."""
+    lf = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    m = lf.unpivot(["l_orderkey"], ["l_partkey", "l_suppkey"],
+                   "attr", "val")
+    return (
+        m.groupBy("attr")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+             F.sum("val").cast("bigint").alias("total"),
+             F.min("val").cast("bigint").alias("mn"),
+             F.max("val").cast("bigint").alias("mx"))
+    )
+
+
+_UNPIVOT_MELT_SQL = """
+WITH m AS (
+  UNPIVOT (SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem)
+  ON l_partkey, l_suppkey INTO NAME attr VALUE val
+)
+SELECT attr, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(val) AS BIGINT) AS total,
+       CAST(min(val) AS BIGINT) AS mn,
+       CAST(max(val) AS BIGINT) AS mx
+FROM m GROUP BY attr
+"""
+
+
+def _q_stream_pyseq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python DataSource STREAMING reader (sources/pyds_stream.py):
+    a SimpleDataSourceStreamReader emitting a deterministic sequence in
+    50-row micro-batches, fully drained through a memory sink via
+    processAllAvailable (python streaming sources don't support
+    Trigger.AvailableNow — it silently truncates to one batch; pinned
+    by test). Completes the Python DataSource family (batch reader
+    warc_scan, batch writer jsonl_shards). 120 rows over 3
+    micro-batches; the oracle regenerates the sequence with range()."""
+    from bdtopo2refhydro_spark.sources.pyds_stream import drain_seq_stream
+
+    return drain_seq_stream(spark, n_total=120, batch_size=50)
+
+
+_STREAM_PYSEQ_SQL = """
+SELECT CAST(i AS BIGINT) AS seq_id,
+       CAST((i * 2654435761) % 1000003 AS BIGINT) AS val
+FROM (SELECT unnest(range(120)) AS i)
+"""
+
+
+def _q_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic surface: try_add / try_multiply / try_divide
+    return NULL exactly where strict ANSI mode (on, Spark 4) would
+    THROW — overflow and division by zero. The oracle replays the
+    NULL pattern with CASE arms; sum_div stays exact because every
+    quotient is a multiple of 0.5 far below 2^52 (float sums of exact
+    halves round nowhere, any order)."""
+    lf = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    b = lf.select(
+        F.col("l_orderkey").alias("k"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        .alias("c"),
+        (F.col("l_orderkey") % 3).alias("m"))
+    t = b.select(
+        F.try_add(F.lit(9223372036854775807), F.col("k") % 2).alias("ta"),
+        F.try_multiply(F.lit(4611686018427387904),
+                       (F.col("k") % 2) + 1).alias("tm"),
+        F.try_divide(F.col("c"), F.col("m")).alias("td"))
+    return t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count("ta").cast("bigint").alias("n_add_ok"),
+        F.count("tm").cast("bigint").alias("n_mul_ok"),
+        F.count("td").cast("bigint").alias("n_div_ok"),
+        F.sum("td").alias("sum_div"))
+
+
+_TRY_ARITH_SQL = """
+WITH b AS (
+  SELECT l_orderkey AS k,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c,
+         l_orderkey % 3 AS m
+  FROM lineitem
+),
+t AS (
+  SELECT CASE WHEN k % 2 = 0 THEN 9223372036854775807 END AS ta,
+         CASE WHEN k % 2 = 0 THEN 4611686018427387904 END AS tm,
+         c / NULLIF(m, 0) AS td
+  FROM b
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(count(ta) AS BIGINT) AS n_add_ok,
+       CAST(count(tm) AS BIGINT) AS n_mul_ok,
+       CAST(count(td) AS BIGINT) AS n_div_ok,
+       sum(td) AS sum_div
+FROM t
+"""
+
+
+def _q_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 native XML: from_xml with an explicit struct schema over
+    a synthesized per-event XML envelope (the xml sibling of
+    json_extract/variant_extract). Aggregates are all-BIGINT; the
+    oracle reads the original columns the envelope was built from, so
+    the parse must invert the build exactly."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    xml = F.concat(
+        F.lit("<e><id>"), F.col("event_id").cast("string"),
+        F.lit("</id><u>"), F.col("user_id").cast("string"),
+        F.lit("</u><t>"), F.col("event_type"), F.lit("</t></e>"))
+    p = F.from_xml(xml, "id BIGINT, u BIGINT, t STRING")
+    return (
+        ev.select(p.alias("p"))
+        .groupBy(F.col("p.t").alias("t"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+             F.sum("p.id").cast("bigint").alias("sum_id"),
+             F.sum("p.u").cast("bigint").alias("sum_u"))
+    )
+
+
+_XML_EXTRACT_SQL = """
+SELECT event_type AS t, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(event_id) AS BIGINT) AS sum_id,
+       CAST(sum(user_id) AS BIGINT) AS sum_u
+FROM events GROUP BY 1
+"""
+
+
+def _q_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as a first-class surface —
+    transform/filter/aggregate/zip_with/reverse composed in one
+    whole-stage-codegen projection (zero shuffles before the final
+    values, no UDFs): per-doc token count, aggregate() total length,
+    filtered long-token count, and a zip_with(reverse) palindromic-
+    position count. All integers; the oracle replays with DuckDB list
+    lambdas."""
+    docs = _docs(spark, sf_dir)
+    toks = F.expr(
+        "filter(split(trim(lower(text)), '\\\\s+'), t -> t != '')")
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").cast("bigint").alias("n_toks"),
+            F.expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))")
+            .alias("sum_len"),
+            F.expr("size(filter(toks, t -> length(t) >= 5))")
+            .cast("bigint").alias("n_long"),
+            F.expr(
+                "aggregate(zip_with(toks, reverse(toks), (a, b) -> "
+                "CASE WHEN a = b THEN 1L ELSE 0L END), 0L, "
+                "(acc, x) -> acc + x)").alias("pal_pos"))
+    )
+
+
+_HOF_FUNCS_SQL = """
+WITH lists AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     t -> t != '') AS l
+  FROM documents
+)
+SELECT doc_id, CAST(len(l) AS BIGINT) AS n_toks,
+       CAST(COALESCE(list_sum(list_transform(l, t -> length(t))), 0)
+            AS BIGINT) AS sum_len,
+       CAST(len(list_filter(l, t -> length(t) >= 5)) AS BIGINT)
+         AS n_long,
+       CAST(COALESCE(list_sum(list_transform(range(1, len(l) + 1),
+             i -> CASE WHEN l[CAST(i AS INT)] =
+                            l[CAST(len(l) - i + 1 AS INT)]
+                  THEN 1 ELSE 0 END)), 0) AS BIGINT) AS pal_pos
+FROM lists
+"""
+
+
+def _q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase event joins the most
+    recent click by the same user at-or-before it (temporal.py:
+    asof_join — union + one window, no nested-loop join), then a
+    7-day attribution gate. Integer-µs end-to-end; unattributed
+    purchases keep -1 (NULL longs corrupt via Arrow, CLAUDE.md)."""
+    from bdtopo2refhydro_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("ep_us"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ep_us")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ep_us",
+                F.col("ep_us").alias("click_us"))
+        .distinct())  # value IS the ts, so per-(key, ts) unique
+    joined = asof_join(purchases, clicks, "user_id", "ep_us",
+                       "click_us", default=-1)
+    week_us = 7 * 24 * 3600 * 1_000_000
+    return joined.select(
+        "event_id", "user_id", "ep_us", "click_us",
+        ((F.col("click_us") >= 0)
+         & (F.col("ep_us") - F.col("click_us") <= week_us))
+        .alias("attributed"))
+
+
+_ATTRIBUTION_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ep_us
+  FROM events
+)
+SELECT p.event_id, p.user_id, p.ep_us,
+       COALESCE((SELECT max(c.ep_us) FROM ev c
+                 WHERE c.user_id = p.user_id
+                   AND c.event_type = 'click'
+                   AND c.ep_us <= p.ep_us), -1) AS click_us,
+       COALESCE((SELECT max(c.ep_us) FROM ev c
+                 WHERE c.user_id = p.user_id
+                   AND c.event_type = 'click'
+                   AND c.ep_us <= p.ep_us), -1) >= 0
+       AND p.ep_us - COALESCE((SELECT max(c.ep_us) FROM ev c
+                               WHERE c.user_id = p.user_id
+                                 AND c.event_type = 'click'
+                                 AND c.ep_us <= p.ep_us), -1)
+           <= 604800000000 AS attributed
+FROM ev p WHERE p.event_type = 'purchase'
+"""
+
+
 def _q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining by lift (corpus.py:collocations): adjacent
     bigram counts + unigram marginals, lift = n_xy·N/(n_x·n_y) — the
@@ -6871,6 +7284,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ALL entries.
     return {
         # -- new in round 4: never driver-checked --------------------------
+        "stream_pyseq": _q_stream_pyseq,
+        "try_arith": _q_try_arith,
+        "xml_extract": _q_xml_extract,
+        "hof_funcs": _q_hof_funcs,
+        "attribution": _q_attribution,
+        "label_prop": _q_label_prop,
+        "pearson_corr": _q_pearson_corr,
+        "dict_match": _q_dict_match,
+        "cogroup_profile": _q_cogroup_profile,
+        "range_frame": _q_range_frame,
+        "unpivot_melt": _q_unpivot_melt,
         "variant_extract": _q_variant_extract,
         "observe_metrics": _q_observe_metrics,
         "collocations": _q_collocations,
@@ -6913,19 +7337,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fix_connectivity": _q_fix_connectivity,
         "width_network": _q_width_network,
         # -- new in round 3 ------------------------------------------------
-        "strahler_binary": _q_strahler_binary,
         "exact_substr": _q_exact_substr,
-        "cocitation": _q_cocitation,
-        "cms_topk": _q_cms_topk,
-        "group_split": _q_group_split,
-        "fuzzy_join": _q_fuzzy_join,
-        "tpch_q4": _q_tpch_q4,
         "image_png": _q_image_png,
-        "tpch_q5": _q_tpch_q5,
-        "crawl_frontier": _q_crawl_frontier,
-        "stream_dedup_wm": _q_stream_dedup_wm,
-        "snapshot_diff": _q_snapshot_diff,
-        "scd2": _q_scd2,
         "refresh_pipeline": _q_refresh_pipeline,
         "knn_join": _q_knn_join,
         "tile_compact": _q_tile_compact,
@@ -7004,6 +7417,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4 rotation: sql_api/tpch_q18/anchor_agg (r3-green, families
         # still in-window via tpch_q1..q19 / cocitation+host_rank+kcore)
         # moved past the edge to admit the three ex-rows-only fixpoints
+        # r4 rotation #4: tpch_q5 (TPC-H keeps 15+ shapes in-window),
+        # crawl_frontier (link-graph family keeps hits + the new
+        # label_prop in-window), stream_dedup_wm (streaming keeps the
+        # new stream_pyseq source in-window; the Spark-4 watermark
+        # subtleties stay pytest-pinned), snapshot_diff/scd2 (CDC
+        # machinery unchanged since r3, plan-pinned in
+        # test_plan_shapes) — all r3-driver-green, rotated to admit
+        # stream_pyseq/try_arith/xml_extract/hof_funcs/attribution
+        "tpch_q5": _q_tpch_q5,
+        "crawl_frontier": _q_crawl_frontier,
+        "stream_dedup_wm": _q_stream_dedup_wm,
+        "snapshot_diff": _q_snapshot_diff,
+        "scd2": _q_scd2,
+        # r4 rotation #3: strahler_binary (its protected fixpoint,
+        # strahler_order, is now EXACT and in-window itself), cocitation
+        # (link-graph family keeps hits/host_rank-successor label_prop
+        # in-window), cms_topk (sketch family property-tested; kmv/bloom
+        # machinery unchanged), group_split (cluster_split runs the
+        # harder cluster-keyed split in-window), fuzzy_join and tpch_q4
+        # (join family widely in-window via tpch_q2..q22) — all r3-
+        # driver-green, rotated to admit label_prop/pearson_corr/
+        # dict_match/cogroup_profile/range_frame/unpivot_melt
+        "strahler_binary": _q_strahler_binary,
+        "cocitation": _q_cocitation,
+        "cms_topk": _q_cms_topk,
+        "group_split": _q_group_split,
+        "fuzzy_join": _q_fuzzy_join,
+        "tpch_q4": _q_tpch_q4,
         "sql_api": _q_sql_api,
         "tpch_q18": _q_tpch_q18,
         "anchor_agg": _q_anchor_agg,
@@ -7122,6 +7563,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "stream_pyseq": _STREAM_PYSEQ_SQL,
+        "try_arith": _TRY_ARITH_SQL,
+        "xml_extract": _XML_EXTRACT_SQL,
+        "hof_funcs": _HOF_FUNCS_SQL,
+        "attribution": _ATTRIBUTION_SQL,
+        "label_prop": _label_prop_sql(3),
+        "pearson_corr": _pearson_sql(),
+        "dict_match": _DICT_MATCH_SQL,
+        "cogroup_profile": _COGROUP_PROFILE_SQL,
+        "range_frame": _RANGE_FRAME_SQL,
+        "unpivot_melt": _UNPIVOT_MELT_SQL,
         "reference_network": _REFNET_SQL,
         "corr_insert": _CORR_INSERT_SQL,
         "corr_delete": _CORR_DELETE_SQL,

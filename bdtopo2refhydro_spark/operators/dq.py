@@ -123,3 +123,50 @@ def drift_check(events: DataFrame, *, time_col: str = "ts",
                 F.coalesce("prev_n", F.lit(0)).alias("prev_n"),
                 "change_pct", "drifted")
     )
+
+
+def pearson_pairs(df: DataFrame, cols: list[str],
+                  pairs: list[tuple[str, str]] | None = None) -> DataFrame:
+    """Pairwise Pearson correlation from exact integer sums, one pass.
+
+    ``cols`` must be integer-valued columns (callers derive cents /
+    counts first): every accumulated moment (n, Σx, Σx², Σxy) is then
+    an exact BIGINT, so the final r = (nΣxy − ΣxΣy) /
+    (√(nΣx²−ΣxΣx)·√(nΣy²−ΣyΣy)) is a fixed dag of exact-double ops —
+    bit-identical across engines (unlike streaming Welford/co-moment
+    updates, whose value depends on row order). One aggregate computes
+    every moment; the per-pair rows are exploded from that single row,
+    so the input is scanned exactly once regardless of pair count —
+    the 100 TB-friendly shape for a correlation matrix.
+    Returns (x_name, y_name, n, r).
+    """
+    if pairs is None:
+        pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c)).cast("bigint").alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).cast("bigint")
+                    .alias(f"ss_{c}"))
+    for a, b in pairs:
+        aggs.append(F.sum(F.col(a) * F.col(b)).cast("bigint")
+                    .alias(f"sp_{a}_{b}"))
+    g = df.agg(*aggs)
+    n = F.col("n")
+
+    def _r(a: str, b: str) -> Column:
+        num = (n * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}"))
+        da = F.sqrt((n * F.col(f"ss_{a}")
+                     - F.col(f"s_{a}") * F.col(f"s_{a}")).cast("double"))
+        db = F.sqrt((n * F.col(f"ss_{b}")
+                     - F.col(f"s_{b}") * F.col(f"s_{b}")).cast("double"))
+        return num.cast("double") / (da * db)
+
+    structs = [
+        F.struct(F.lit(a).alias("x_name"), F.lit(b).alias("y_name"),
+                 _r(a, b).alias("r"))
+        for a, b in pairs
+    ]
+    return (
+        g.select("n", F.explode(F.array(*structs)).alias("p"))
+        .select("p.x_name", "p.y_name", "n", "p.r")
+    )

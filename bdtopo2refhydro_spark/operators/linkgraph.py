@@ -408,3 +408,55 @@ def sample_neighbors(edges: DataFrame, *, fanout: int = 3, hops: int = 2,
             "seed", F.lit(hop).cast("long").alias("hop"), "node")
         out = layer if out is None else out.unionByName(layer)
     return out
+
+
+def label_propagation_int(
+    edges: DataFrame,
+    *,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Synchronous weighted label propagation (community detection).
+
+    The bounded-round community counterpart of ``page_rank_int``: every
+    node starts labelled with itself; each round it adopts the label
+    carrying the largest total incident edge weight among its
+    neighbours, ties broken by the lexicographically smallest label.
+    Deterministic (no RNG, no float scores) and exactly replayable as
+    an unrolled SQL chain, like the other fixed-round graph analytics
+    here. Reference parity: the round structure mirrors the reference's
+    iterative connectivity passes (``fix_network_connectivity.py``)
+    re-expressed as label spread instead of admission.
+
+    Scale: each round is one equi-join of the (|nodes|-sized) label
+    table against the static bidirectional edge table plus one
+    (node, label) aggregation and one per-node top-1 window — the same
+    shuffle budget as a PageRank round. ``rounds`` is a small constant,
+    and the edge side's lineage is cut once so round plans stay linear.
+    Returns (node, label).
+    """
+    src, dst, w = F.col(src_col), F.col(dst_col), F.col(weight_col)
+    und = (
+        edges.select(src.alias("a"), dst.alias("b"), w.alias("w"))
+        .unionByName(edges.select(dst.alias("a"), src.alias("b"),
+                                  w.alias("w")))
+        .groupBy("a", "b")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = und.select(F.col("a").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    top = Window.partitionBy("node").orderBy(
+        F.col("lw").desc(), F.col("label").asc())
+    for _ in range(rounds):
+        labels = (
+            und.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy(F.col("a").alias("node"), "label")
+            .agg(F.sum("w").alias("lw"))
+            .withColumn("rn", F.row_number().over(top))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels

@@ -220,3 +220,52 @@ def event_features(events: DataFrame, *, user_col: str = "user_id",
         .withColumn("n_prev_24h",
                     (F.count("*").over(wr) - 1).cast("bigint"))
     )
+
+
+def cogroup_user_profile(events: DataFrame, orders: DataFrame, *,
+                         buckets: int = 64) -> DataFrame:
+    """Cogrouped applyInPandas: merge two fact tables into one per-user
+    profile (events activity × order spend) with full-outer semantics.
+
+    Exercises the third grouped-pandas API (groupBy().cogroup() — the
+    other two, applyInPandas and applyInPandasWithState, are covered by
+    agg_segments / stream_dedup_state). Both sides are bucketed by
+    ``user mod buckets`` so the Arrow boundary sees ``buckets`` big
+    groups instead of one tiny group per user (~5 ms/group overhead —
+    CLAUDE.md applyInPandas note); the per-user merge loops INSIDE the
+    pandas function. Spend is integer cents so the result is exact.
+    Returns (user_id, n_events, n_clicks, n_orders, spend_cents) for
+    every user appearing on either side.
+    """
+    import pandas as pd
+
+    ev = events.select(
+        (F.col("user_id") % buckets).alias("bucket"),
+        "user_id",
+        F.col("event_type").eqNullSafe("click").cast("long")
+        .alias("is_click"))
+    od = orders.select(
+        (F.col("o_custkey") % buckets).alias("bucket"),
+        F.col("o_custkey").alias("user_id"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        .alias("cents"))
+
+    def merge(ev_pdf: pd.DataFrame, od_pdf: pd.DataFrame) -> pd.DataFrame:
+        ea = (ev_pdf.groupby("user_id", as_index=False)
+              .agg(n_events=("user_id", "size"),
+                   n_clicks=("is_click", "sum")))
+        oa = (od_pdf.groupby("user_id", as_index=False)
+              .agg(n_orders=("user_id", "size"),
+                   spend_cents=("cents", "sum")))
+        m = ea.merge(oa, on="user_id", how="outer")
+        for c in ("n_events", "n_clicks", "n_orders", "spend_cents"):
+            m[c] = m[c].fillna(0).astype("int64")
+        return m[["user_id", "n_events", "n_clicks", "n_orders",
+                  "spend_cents"]]
+
+    return (
+        ev.groupBy("bucket").cogroup(od.groupBy("bucket"))
+        .applyInPandas(merge, "user_id bigint, n_events bigint, "
+                              "n_clicks bigint, n_orders bigint, "
+                              "spend_cents bigint")
+    )

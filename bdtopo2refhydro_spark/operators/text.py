@@ -1048,3 +1048,38 @@ def linear_classifier_score(docs: DataFrame, weights: DataFrame, *,
         .select("doc_id", "n_tokens", "logit_num",
                 (F.col("logit_num") > 0).alias("label"))
     )
+
+
+def dictionary_match(docs, phrases, text_col="text", id_col="doc_id"):
+    """Entity/phrase dictionary tagging: count occurrences of each
+    dictionary phrase (unigram or adjacent bigram) per document.
+
+    The gazetteer/blocklist matcher of a curation pipeline (PII term
+    lists, domain lexicons, benchmark-contamination phrases): the
+    dictionary is tiny next to the corpus, so it BROADCASTS and the
+    corpus never shuffles text — grams are formed map-side from the
+    token array (unigrams + a shifted self-zip for bigrams, the
+    collocations trick), the equi-join against the broadcast phrase
+    table drops every non-dictionary gram immediately, and only
+    (doc_id, phrase) pairs reach the one aggregation shuffle.
+    Returns (doc_id, phrase, n_hits), absent pairs omitted.
+    """
+    from pyspark.sql import functions as F
+
+    spark = docs.sparkSession
+    toks = F.expr(
+        f"filter(split(trim(lower({text_col})), '\\\\s+'), t -> t != '')")
+    grams = F.expr(
+        "concat(toks, CASE WHEN size(toks) >= 2 THEN "
+        "zip_with(slice(toks, 1, size(toks) - 1), "
+        "slice(toks, 2, size(toks) - 1), (a, b) -> concat(a, ' ', b)) "
+        "ELSE array() END)")
+    dict_df = spark.createDataFrame([(p,) for p in phrases],
+                                    "phrase string")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+        .select("doc_id", F.explode(grams).alias("g"))
+        .join(F.broadcast(dict_df), F.col("g") == F.col("phrase"))
+        .groupBy("doc_id", "phrase")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )

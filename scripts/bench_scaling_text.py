@@ -150,10 +150,15 @@ def main() -> None:
         )
         time.sleep(10)  # let the 32-core prep's thermal state settle
     ceilings = calibrate()
-    results: dict[int, dict] = {}
-    for cpus in LEVELS:
-        attempts = []
-        for _ in range(ATTEMPTS):
+    # Interleaved rounds: each round runs EVERY level back-to-back
+    # (2 then 8), so a monotone box-clock drift (CLAUDE.md: 2x within
+    # hours) biases both levels of a round equally instead of hitting
+    # whichever level happens to run last. The headline is the MEDIAN
+    # of per-round efficiencies — robust to one slow round — rather
+    # than a ratio of medians taken hours apart.
+    raw: dict[int, list[dict]] = {c: [] for c in LEVELS}
+    for _ in range(ATTEMPTS):
+        for cpus in LEVELS:
             time.sleep(5)
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--run",
@@ -162,18 +167,25 @@ def main() -> None:
             )
             line = [l for l in out.stdout.splitlines()
                     if l.startswith("{")][-1]
-            attempts.append(json.loads(line))
-            print(attempts[-1])
-        attempts.sort(key=lambda r: r["wall_sec"])
-        med = attempts[len(attempts) // 2]
+            raw[cpus].append(json.loads(line))
+            print(raw[cpus][-1])
+    results: dict[int, dict] = {}
+    for cpus in LEVELS:
+        attempts = sorted(raw[cpus], key=lambda r: r["wall_sec"])
+        med = dict(attempts[len(attempts) // 2])
         med["walls_all"] = [a["wall_sec"] for a in attempts]
         results[cpus] = med
-    checks = {r["checksum"] for r in results.values()}
+    checks = {r["checksum"] for lvl in raw.values() for r in lvl}
     assert len(checks) == 1, f"results differ across levels: {checks}"
     pair_rows = []
+    round_effs: dict[tuple[int, int], list[float]] = {}
     for a, b in PAIRS:
-        tp_a, tp_b = results[a]["docs_per_sec"], results[b]["docs_per_sec"]
-        eff = (tp_b / tp_a) / (b / a)
+        effs = sorted(
+            (rb["docs_per_sec"] / ra["docs_per_sec"]) / (b / a)
+            for ra, rb in zip(raw[a], raw[b])
+        )
+        round_effs[(a, b)] = effs
+        eff = effs[len(effs) // 2]
         pair_rows.append((a, b, eff, ceilings[(a, b)]))
     ha, hb, heff, hceil = max(pair_rows, key=lambda r: r[2])
     level_tbl = "\n".join(
@@ -182,7 +194,8 @@ def main() -> None:
         for c in LEVELS
     )
     pair_tbl = "\n".join(
-        f"| {a} → {b} | {eff:.3f} | {ceil:.3f} | {eff / ceil:.3f} |"
+        f"| {a} → {b} | {eff:.3f} | {ceil:.3f} | {eff / ceil:.3f} "
+        f"| {[round(e, 3) for e in round_effs[(a, b)]]} |"
         for a, b, eff, ceil in pair_rows
     )
     md = f"""# BENCH — text-curation scaling efficiency (N vs 4N)
@@ -192,7 +205,9 @@ explode/count (map-side combined) + integer length/repetition gates +
 per-source rollup — over {results[LEVELS[0]]['docs']:,} synthetic documents
 (~10% exact duplicates, ~9% single-token spam the gate drops). Identical
 input ({N_PARTS}-partition decomposition, {N_PARTS} shuffle partitions),
-median of {ATTEMPTS} fresh-JVM runs per level; the all-integer result
+{ATTEMPTS} interleaved rounds (each round runs N then 4N back-to-back,
+so clock drift biases both levels equally); headline = median of
+per-round efficiencies. The all-integer result
 checksum is asserted identical across every run and level. Companion to
 BENCH/BASELINE.md (spatial/graph workload) — same discipline, second
 workload family.
@@ -201,11 +216,12 @@ workload family.
 |---|---|---|---|
 {level_tbl}
 
-| pair N → 4N | engine efficiency | machine ceiling* | engine/ceiling |
-|---|---|---|---|
+| pair N → 4N | engine efficiency | machine ceiling* | engine/ceiling | per-round effs |
+|---|---|---|---|---|
 {pair_tbl}
 
 **Headline: N={ha} → 4N={hb}, scaling efficiency = {heff:.3f}**
+(median of per-round interleaved efficiencies)
 (target ≥ 0.8; machine ceiling for this pair {hceil:.3f},
 engine/ceiling = {heff / hceil:.3f}).
 

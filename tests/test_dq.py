@@ -50,3 +50,40 @@ def test_check_unique_counts_extra_copies(spark):
 
     [ok] = check_unique(df, ["k", "p"]).collect()
     assert ok.passed is True and ok.n_violations == 0
+
+
+# ---------------------------------------------------------------------------
+# pearson_pairs
+# ---------------------------------------------------------------------------
+
+def test_pearson_pairs_matches_numpy(spark):
+    import numpy as np
+
+    xs = [1, 2, 3, 4, 5, 6, 7, 9]
+    ys = [2, 1, 4, 3, 7, 5, 9, 8]
+    zs = [5, 5, 4, 4, 3, 3, 2, 1]
+    df = spark.createDataFrame(
+        list(zip(xs, ys, zs)), "x long, y long, z long")
+    from bdtopo2refhydro_spark.operators.dq import pearson_pairs
+
+    got = {(r["x_name"], r["y_name"]): r
+           for r in pearson_pairs(df, ["x", "y", "z"]).collect()}
+    assert set(got) == {("x", "y"), ("x", "z"), ("y", "z")}
+    for (a, b), row in got.items():
+        vals = {"x": xs, "y": ys, "z": zs}
+        want = np.corrcoef(vals[a], vals[b])[0, 1]
+        assert row["n"] == len(xs)
+        assert abs(row["r"] - want) < 1e-12
+
+
+def test_pearson_pairs_exact_extremes(spark):
+    from bdtopo2refhydro_spark.operators.dq import pearson_pairs
+
+    df = spark.createDataFrame(
+        [(i, 3 * i + 7, -2 * i) for i in range(1, 9)],
+        "x long, y long, z long")
+    got = {(r["x_name"], r["y_name"]): r["r"]
+           for r in pearson_pairs(df, ["x", "y", "z"]).collect()}
+    assert got[("x", "y")] == 1.0
+    assert got[("x", "z")] == -1.0
+    assert got[("y", "z")] == -1.0

@@ -253,3 +253,50 @@ def test_kcore_ignores_self_loops_and_parallel_edges(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.node: r.degree for r in kcore_peel(df, k=2, rounds=2).collect()}
     assert got == {0: 2, 1: 2, 2: 2}
+
+
+# ---------------------------------------------------------------------------
+# label_propagation_int
+# ---------------------------------------------------------------------------
+
+def _py_label_prop(edges, rounds=3):
+    und = {}
+    for s, d, w in edges:
+        und[(s, d)] = und.get((s, d), 0) + w
+        und[(d, s)] = und.get((d, s), 0) + w
+    nodes = {a for a, _ in und}
+    lab = {n: n for n in nodes}
+    for _ in range(rounds):
+        nxt = {}
+        for n in nodes:
+            score = {}
+            for (a, b), w in und.items():
+                if a == n:
+                    score[lab[b]] = score.get(lab[b], 0) + w
+            # max weight, tie -> lexicographically smallest label
+            nxt[n] = min(score, key=lambda c: (-score[c], c))
+        lab = nxt
+    return lab
+
+
+@pytest.mark.parametrize("rounds", [1, 2, 3])
+def test_label_prop_matches_python_replay(spark, rounds):
+    # two triangles joined by one weak bridge -> two communities
+    edges = [("a", "b", 3), ("b", "c", 3), ("c", "a", 3),
+             ("x", "y", 3), ("y", "z", 3), ("z", "x", 3),
+             ("c", "x", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, weight long")
+    got = {r["node"]: r["label"]
+           for r in LG.label_propagation_int(df, rounds=rounds).collect()}
+    assert got == _py_label_prop(edges, rounds)
+
+
+def test_label_prop_parallel_edges_merge_weights(spark):
+    # duplicate directed edges must merge into one undirected weight
+    edges = [("a", "b", 1), ("b", "a", 1), ("a", "c", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, weight long")
+    got = {r["node"]: r["label"]
+           for r in LG.label_propagation_int(df, rounds=1).collect()}
+    # a's neighbours: b with weight 2, c with weight 1 -> adopts 'b'
+    assert got["a"] == "b"
+    assert got["b"] == "a" and got["c"] == "a"

@@ -332,3 +332,56 @@ def test_foreach_batch_upsert_and_idempotent_replay(spark, tmp_path):
     apply_fn(replay, 99)
     got3 = {(r.url, r.v) for r in spark.read.parquet(data).collect()}
     assert got3 == {("a", 777), ("b", 9), ("c", 2)}
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource streaming reader (sources/pyds_stream.py)
+# ---------------------------------------------------------------------------
+
+def test_pyds_seq_stream_drains_exact_sequence(spark):
+    from bdtopo2refhydro_spark.sources.pyds_stream import (
+        SEQ_MOD, SEQ_MULT, drain_seq_stream,
+    )
+
+    out = drain_seq_stream(spark, n_total=120, batch_size=50,
+                           query_name="pyseq_test_sink")
+    rows = sorted((r["seq_id"], r["val"]) for r in out.collect())
+    assert rows == [(i, (i * SEQ_MULT) % SEQ_MOD) for i in range(120)]
+
+
+def test_pyds_seq_stream_offset_slice_replay():
+    # readBetweenOffsets must regenerate exactly the committed slice —
+    # the recovery contract, checked directly on the reader.
+    from bdtopo2refhydro_spark.sources.pyds_stream import _SeqReader
+
+    r = _SeqReader({"n_total": "10", "batch_size": "4"})
+    assert r.initialOffset() == {"pos": 0}
+    rows1, off1 = r.read({"pos": 0})
+    assert off1 == {"pos": 4} and len(list(rows1)) == 4
+    rows_replay = list(r.readBetweenOffsets({"pos": 0}, {"pos": 4}))
+    rows2, off2 = r.read({"pos": 8})
+    assert off2 == {"pos": 10} and len(list(rows2)) == 2
+    assert [i for i, _ in rows_replay] == [0, 1, 2, 3]
+
+
+def test_pyds_seq_stream_available_now_truncates_to_one_batch(spark):
+    # Spark 4 subtlety (pinned): python streaming sources do not
+    # implement Trigger.AvailableNow — Spark logs a warning and falls
+    # back to SINGLE-batch execution, so an availableNow drain silently
+    # yields only the first read() (50 of 120 rows). drain_seq_stream
+    # must therefore use processAllAvailable, never availableNow.
+    from bdtopo2refhydro_spark.sources.pyds_stream import (
+        SeqStreamDataSource,
+    )
+
+    for q in spark.streams.active:
+        if q.name == "pyseq_an_sink":
+            q.stop()
+    spark.catalog.dropTempView("pyseq_an_sink")
+    spark.dataSource.register(SeqStreamDataSource)
+    df = (spark.readStream.format("seqstream")
+          .option("n_total", 120).option("batch_size", 50).load())
+    q = (df.writeStream.format("memory").queryName("pyseq_an_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert spark.table("pyseq_an_sink").count() == 50

@@ -491,3 +491,28 @@ def test_contrastive_triplets_deterministic_shape(spark):
                  docs, k_neg=2, buckets=4,
                  bucket_expr="doc_id % 4").collect()}
     assert again == trip
+
+
+# ---------------------------------------------------------------------------
+# cogroup_user_profile
+# ---------------------------------------------------------------------------
+
+def test_cogroup_user_profile_full_outer_merge(spark):
+    from bdtopo2refhydro_spark.operators.temporal import cogroup_user_profile
+
+    events = spark.createDataFrame(
+        [(1, "click"), (1, "view"), (1, "click"), (2, "view"),
+         (70, "click")],   # 70: events only; same bucket class as 6
+        "user_id long, event_type string")
+    orders = spark.createDataFrame(
+        [(1, 10.00), (1, 2.505), (3, 99.99)],  # 3: orders only
+        "o_custkey long, o_totalprice double")
+    got = {r["user_id"]: r for r in
+           cogroup_user_profile(events, orders, buckets=64).collect()}
+    assert set(got) == {1, 2, 3, 70}
+    assert (got[1]["n_events"], got[1]["n_clicks"]) == (3, 2)
+    # cents are floor(x*100 + 0.5): 1000 + 251
+    assert (got[1]["n_orders"], got[1]["spend_cents"]) == (2, 1251)
+    assert (got[2]["n_orders"], got[2]["spend_cents"]) == (0, 0)
+    assert (got[3]["n_events"], got[3]["n_orders"]) == (0, 1)
+    assert (got[70]["n_events"], got[70]["n_orders"]) == (1, 0)

@@ -753,3 +753,41 @@ def test_incremental_dedup_never_drops_new_vs_new(spark):
     # intra-snapshot duplicates are NOT this operator's job (self-dedup
     # handles them) — both copies survive the cross-snapshot pass
     assert all(r["keep"] for r in out)
+
+
+# ---------------------------------------------------------------------------
+# dictionary_match
+# ---------------------------------------------------------------------------
+
+def test_dictionary_match_counts_unigrams_and_bigrams(spark):
+    from bdtopo2refhydro_spark.operators.text import dictionary_match
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Spark join  spark HASH JOIN"),   # case + multi-space
+            (2, "join"),                           # single token, no bigram
+            (3, ""),                                # empty -> no rows
+            (4, "merge slow merge slow"),           # overlapping bigrams
+        ],
+        "doc_id long, text string")
+    got = {(r["doc_id"], r["phrase"]): r["n_hits"]
+           for r in dictionary_match(
+               docs, ["spark", "join", "hash join", "merge slow",
+                      "slow merge"]).collect()}
+    assert got == {
+        (1, "spark"): 2,
+        (1, "join"): 2,
+        (1, "hash join"): 1,
+        (2, "join"): 1,
+        (4, "merge slow"): 2,
+        (4, "slow merge"): 1,
+    }
+
+
+def test_dictionary_match_broadcasts_the_dictionary(spark):
+    from bdtopo2refhydro_spark.operators.text import dictionary_match
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    plan = (dictionary_match(docs, ["a"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
