@@ -6842,6 +6842,286 @@ FROM ev p WHERE p.event_type = 'purchase'
 """
 
 
+_BM25_TERMS = ["spark", "join", "window"]
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-shaped relevance ranking, log-free: for each query term the
+    top-5 docs by score = idf_ratio · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
+    with k1=1.2, b=0.75 and idf_ratio = (N−df+0.5)/(df+0.5) — the same
+    monotone-in-idf substitution collocations uses for PMI, so no
+    transcendental (ln) whose libm could differ between engines. Every
+    input (tf, df, dl, N, Σdl) is an exact integer; the score is a
+    fixed dag of exact-double ops → bit-identical. Ties break by
+    doc_id. Scale: tf table is one token explode + groupBy; df/avgdl
+    broadcast; top-k is one per-term window over candidate docs only."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            "filter(split(trim(lower(text)), '\\\\s+'), t -> t != '')"))
+        .alias("tok"))
+    lens = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"))
+    terms = spark.createDataFrame([(t,) for t in _BM25_TERMS],
+                                  "term string")
+    tf = (toks.join(F.broadcast(terms), F.col("tok") == F.col("term"))
+          .groupBy("term", "doc_id")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
+    df_t = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"))
+    n, sum_dl = F.col("n_docs"), F.col("sum_dl")
+    avgdl = sum_dl.cast("double") / n.cast("double")
+    idf = ((n.cast("double") - F.col("df").cast("double") + F.lit(0.5))
+           / (F.col("df").cast("double") + F.lit(0.5)))
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    score = idf * (tfd * F.lit(2.2)
+                   / (tfd + F.lit(1.2)
+                      * (F.lit(0.25) + F.lit(0.75) * dld / avgdl)))
+    w = Window.partitionBy("term").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        tf.join(lens, "doc_id")
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("term", "doc_id", "tf", "dl", score.alias("score"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("term", "doc_id", "tf", "dl", "score",
+                F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+_BM25_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+                                                  '\\s+'),
+                            t -> t != '')) AS tok
+  FROM documents
+),
+lens AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS sum_dl
+  FROM lens
+),
+tf AS (
+  SELECT tok AS term, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE tok IN ({terms}) GROUP BY 1, 2
+),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.term, tf.doc_id, tf.tf, lens.dl,
+         ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+          / (CAST(df AS DOUBLE) + 0.5))
+         * (CAST(tf AS DOUBLE) * 2.2
+            / (CAST(tf AS DOUBLE) + 1.2
+               * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                  / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+           AS score
+  FROM tf JOIN lens USING (doc_id) JOIN dft USING (term), stats
+)
+SELECT term, doc_id, tf, dl, score, CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY term
+                                   ORDER BY score DESC, doc_id ASC) AS rk
+      FROM scored)
+WHERE rk <= 5
+""".format(terms=", ".join(f"'{t}'" for t in _BM25_TERMS))
+
+
+def _q_chi_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency cells for lang × source independence:
+    per-cell observed count, expected = row·col/n, and contribution
+    (O−E)²/E — emitted PER CELL, never float-summed, so every value is
+    a fixed dag of exact-integer-fed double ops (a χ² total would
+    depend on float summation order). The grid is tiny (|lang|·|src|);
+    marginals broadcast back onto it."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o"))
+    rows = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("row_tot"))
+    colsm = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("col_tot"))
+    tot = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    e = ((F.col("row_tot") * F.col("col_tot")).cast("double")
+         / F.col("n").cast("double"))
+    od = F.col("o").cast("double")
+    return (
+        cells.join(F.broadcast(rows), "lang")
+        .join(F.broadcast(colsm), "source")
+        .crossJoin(F.broadcast(tot))
+        .select("lang", "source", "o", e.alias("e"),
+                ((od - e) * (od - e) / e).alias("contrib"))
+    )
+
+
+_CHI_CELLS_SQL = """
+WITH cells AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY 1, 2
+),
+r AS (SELECT lang, CAST(count(*) AS BIGINT) AS row_tot
+      FROM documents GROUP BY 1),
+c AS (SELECT source, CAST(count(*) AS BIGINT) AS col_tot
+      FROM documents GROUP BY 1),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+SELECT lang, source, o,
+       CAST(row_tot * col_tot AS DOUBLE) / CAST(n AS DOUBLE) AS e,
+       (CAST(o AS DOUBLE)
+        - CAST(row_tot * col_tot AS DOUBLE) / CAST(n AS DOUBLE))
+       * (CAST(o AS DOUBLE)
+          - CAST(row_tot * col_tot AS DOUBLE) / CAST(n AS DOUBLE))
+       / (CAST(row_tot * col_tot AS DOUBLE) / CAST(n AS DOUBLE))
+         AS contrib
+FROM cells JOIN r USING (lang) JOIN c USING (source), t
+"""
+
+
+def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user event
+    sequences: lead() over (ts, event_id) within each user, then a
+    (from, to) rollup — the session-behavior model a funnel/anomaly
+    stage consumes. One window + one small aggregation, all integers."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(
+        F.expr("unix_micros(cast(ts as timestamp))"), F.col("event_id"))
+    seq = ev.select(
+        "user_id", F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"))
+    return (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+_EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id)
+           AS to_type
+  FROM events
+)
+SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def _q_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered per-user event paths: collect_list(struct(ts, id, type))
+    + array_sort + transform + slice + concat_ws — the collection-
+    aggregation surface (the struct sort key makes the path
+    deterministic; pandas/shuffle order never leaks in). Path is the
+    first 5 event types joined with '>'."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    item = F.struct(
+        F.expr("unix_micros(cast(ts as timestamp))").alias("ep"),
+        F.col("event_id").alias("eid"),
+        F.col("event_type").alias("ty"))
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+             F.array_sort(F.collect_list(item)).alias("seq"))
+        .select(
+            "user_id", "n_events",
+            F.concat_ws(
+                ">",
+                F.expr("transform(slice(seq, 1, 5), s -> s.ty)"))
+            .alias("path"))
+    )
+
+
+_USER_PATHS_SQL = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       array_to_string(
+         (list(event_type ORDER BY epoch_us(ts), event_id))[1:5], '>')
+         AS path
+FROM events GROUP BY user_id
+"""
+
+
+def _q_rank_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank and cume_dist over a UNIQUE ordering (cents,
+    orderkey): both are exact-integer ratios — (rank−1)/(n−1) and
+    rank/n — so the doubles match bit-for-bit. Completes the ranking-
+    window family (rank/dense_rank/ntile live in rank_funcs)."""
+    from pyspark.sql import Window
+
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = od.select(
+        "o_orderkey", "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        .alias("cents"))
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "cents", "o_orderkey")
+    return base.select(
+        "o_orderkey", "o_orderpriority", "cents",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"))
+
+
+_RANK_RATIOS_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),
+                      o_orderkey)
+"""
+
+
+def _q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType round-trip: per-user event-type counts built into a map
+    (map_from_entries ∘ collect_list), probed with element_at, sized
+    with map_keys — then flattened back to columns so the oracle
+    compares values, not engine-internal map order (maps are unordered
+    in BOTH engines; only order-free reads are comparable)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    m = (per_type.groupBy("user_id")
+         .agg(F.map_from_entries(
+             F.collect_list(F.struct("event_type", "cnt"))).alias("m")))
+    return m.select(
+        "user_id",
+        F.size(F.map_keys(F.col("m"))).cast("bigint").alias("n_types"),
+        F.coalesce(F.element_at(F.col("m"), F.lit("click")), F.lit(0))
+        .cast("bigint").alias("cnt_click"),
+        F.coalesce(F.element_at(F.col("m"), F.lit("purchase")),
+                   F.lit(0)).cast("bigint").alias("cnt_purchase"))
+
+
+_MAP_FUNCS_SQL = """
+WITH per_type AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(COALESCE(sum(CASE WHEN event_type = 'click'
+                              THEN cnt END), 0) AS BIGINT) AS cnt_click,
+       CAST(COALESCE(sum(CASE WHEN event_type = 'purchase'
+                              THEN cnt END), 0) AS BIGINT)
+         AS cnt_purchase
+FROM per_type GROUP BY user_id
+"""
+
+
 def _q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining by lift (corpus.py:collocations): adjacent
     bigram counts + unigram marginals, lift = n_xy·N/(n_x·n_y) — the
@@ -7284,6 +7564,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ALL entries.
     return {
         # -- new in round 4: never driver-checked --------------------------
+        "bm25_topk": _q_bm25_topk,
+        "chi_cells": _q_chi_cells,
+        "event_transitions": _q_event_transitions,
+        "user_paths": _q_user_paths,
+        "rank_ratios": _q_rank_ratios,
+        "map_funcs": _q_map_funcs,
         "stream_pyseq": _q_stream_pyseq,
         "try_arith": _q_try_arith,
         "xml_extract": _q_xml_extract,
@@ -7316,19 +7602,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never driver-checked before round 3 ---------------------------
         "tpch_q1": _q_tpch_q1,
         "warc_scan": _q_warc_scan,
-        "pivot_counts": _q_pivot_counts,
         "json_extract": _q_json_extract,
-        "tpch_q14": _q_tpch_q14,
-        "tpch_q10": _q_tpch_q10,
         "bitext_pairs": _q_bitext_pairs,
         "simplify_dp": _q_simplify_dp,
         "distinct_counts": _q_distinct_counts,
-        "tpch_q19": _q_tpch_q19,
         "rank_funcs": _q_rank_funcs,
         "udtf_kv": _q_udtf_kv,
         "arrow_stats": _q_arrow_stats,
-        "tpch_q12": _q_tpch_q12,
-        "cube_counts": _q_cube_counts,
         # -- green in r01 only, fell outside the r02 window ----------------
         # -- round 4: the three ex-rows-only fixpoints, now EXACT via
         # bounded-depth unrolled oracles (VERDICT r3 #2) — in-window so
@@ -7417,6 +7697,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4 rotation: sql_api/tpch_q18/anchor_agg (r3-green, families
         # still in-window via tpch_q1..q19 / cocitation+host_rank+kcore)
         # moved past the edge to admit the three ex-rows-only fixpoints
+        # r4 rotation #5: tpch_q10/q12/q14/q19 (TPC-H keeps 12+ shapes
+        # in-window via q1/q2/q7/q8/q9/q11/q13/q15/q16/q17/q20/q21/q22),
+        # pivot_counts and cube_counts (grouping-analytics machinery
+        # r3-green and unchanged; the new rank_ratios/map_funcs keep the
+        # window/collection families gated) — all r3-driver-green,
+        # rotated to admit bm25_topk/chi_cells/event_transitions/
+        # user_paths/rank_ratios/map_funcs
+        "tpch_q14": _q_tpch_q14,
+        "tpch_q10": _q_tpch_q10,
+        "tpch_q19": _q_tpch_q19,
+        "tpch_q12": _q_tpch_q12,
+        "pivot_counts": _q_pivot_counts,
+        "cube_counts": _q_cube_counts,
         # r4 rotation #4: tpch_q5 (TPC-H keeps 15+ shapes in-window),
         # crawl_frontier (link-graph family keeps hits + the new
         # label_prop in-window), stream_dedup_wm (streaming keeps the
@@ -7563,6 +7856,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bm25_topk": _BM25_SQL,
+        "chi_cells": _CHI_CELLS_SQL,
+        "event_transitions": _EVENT_TRANSITIONS_SQL,
+        "user_paths": _USER_PATHS_SQL,
+        "rank_ratios": _RANK_RATIOS_SQL,
+        "map_funcs": _MAP_FUNCS_SQL,
         "stream_pyseq": _STREAM_PYSEQ_SQL,
         "try_arith": _TRY_ARITH_SQL,
         "xml_extract": _XML_EXTRACT_SQL,
