@@ -7122,6 +7122,197 @@ FROM per_type GROUP BY user_id
 """
 
 
+def _q_kn_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney continuation counts (text.py:kn_continuation_counts):
+    per-token distinct left/right context counts + unigram count — the
+    integer preprocessing KN smoothing consumes. Bigrams form map-side
+    (shifted self-zip); one distinct over bigram TYPES feeds both
+    context counts."""
+    from bdtopo2refhydro_spark.operators import text as T
+
+    return T.kn_continuation_counts(_docs(spark, sf_dir))
+
+
+_KN_COUNTS_SQL = """
+WITH lists AS (
+  SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     t -> t != '') AS l
+  FROM documents
+),
+uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n_uni
+  FROM (SELECT unnest(l) AS tok FROM lists) GROUP BY 1
+),
+types AS (
+  SELECT DISTINCT l[CAST(i - 1 AS INT)] AS w1, l[CAST(i AS INT)] AS w2
+  FROM lists, UNNEST(range(2, len(l) + 1)) t(i)
+),
+lc AS (SELECT w2 AS tok, CAST(count(*) AS BIGINT) AS n_left_ctx
+       FROM types GROUP BY 1),
+rc AS (SELECT w1 AS tok, CAST(count(*) AS BIGINT) AS n_right_ctx
+       FROM types GROUP BY 1)
+SELECT uni.tok, uni.n_uni,
+       CAST(COALESCE(lc.n_left_ctx, 0) AS BIGINT) AS n_left_ctx,
+       CAST(COALESCE(rc.n_right_ctx, 0) AS BIGINT) AS n_right_ctx
+FROM uni
+LEFT JOIN lc ON uni.tok = lc.tok
+LEFT JOIN rc ON uni.tok = rc.tok
+"""
+
+
+def _q_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct friends-of-friends counts (linkgraph.py:two_hop_counts):
+    wedge join on the middle node + distinct + anti-join against direct
+    edges — the link-expansion primitive, never a cartesian. The host
+    graph is too dense for distance-exactly-2 pairs to exist, so the
+    edge set is a doc-derived ring+chord graph on 64 nodes (i→i+1,
+    i→i+5 mod 64 — every residue occurs at every sf, so the graph is
+    identical across scales and 2-hop sets are non-trivial)."""
+    from bdtopo2refhydro_spark.operators import linkgraph as LG
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = (F.col("doc_id") % 64).cast("bigint")
+    ring = docs.select(
+        F.concat(F.lit("n"), i.cast("string")).alias("src"),
+        F.concat(F.lit("n"), ((i + 1) % 64).cast("string")).alias("dst"))
+    chord = docs.select(
+        F.concat(F.lit("n"), i.cast("string")).alias("src"),
+        F.concat(F.lit("n"), ((i + 5) % 64).cast("string")).alias("dst"))
+    return LG.two_hop_counts(ring.unionByName(chord).distinct())
+
+
+_TWO_HOP_SQL = """
+WITH e AS (
+  SELECT DISTINCT 'n' || CAST(doc_id % 64 AS VARCHAR) AS src,
+         'n' || CAST((doc_id % 64 + 1) % 64 AS VARCHAR) AS dst
+  FROM documents
+  UNION
+  SELECT DISTINCT 'n' || CAST(doc_id % 64 AS VARCHAR),
+         'n' || CAST((doc_id % 64 + 5) % 64 AS VARCHAR)
+  FROM documents
+),
+u AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM e
+    UNION ALL SELECT dst, src FROM e)
+),
+pairs AS (
+  SELECT DISTINCT u1.a AS x, u2.b AS y
+  FROM u u1 JOIN u u2 ON u1.b = u2.a
+  WHERE u1.a != u2.b
+),
+two AS (
+  SELECT x, y FROM pairs
+  WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.a = pairs.x
+                    AND u.b = pairs.y)
+)
+SELECT x AS node, CAST(count(*) AS BIGINT) AS n_two_hop
+FROM two GROUP BY 1
+"""
+
+
+def _q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition with parse_url (HOST / PATH / QUERY-param
+    extraction — the Hive-compatible web-scale URL surface under
+    url_dedup/url_rules' normalizers). URLs are synthesized from fixture
+    columns, so the oracle derives each part from the originals and the
+    parse must invert the build."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?q="), F.col("lang"),
+        F.lit("&r="), (F.col("doc_id") % 7).cast("string"))
+    return docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("q")).alias("q_param"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("r")).cast("bigint")
+        .alias("r_param"))
+
+
+_URL_PARSE_SQL = """
+SELECT doc_id,
+       source || '.example.com' AS host,
+       '/p/' || CAST(doc_id AS VARCHAR) AS path,
+       lang AS q_param,
+       CAST(doc_id % 7 AS BIGINT) AS r_param
+FROM documents
+"""
+
+
+def _q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest consecutive-active-day streak per user
+    — the classic islands idiom (distinct day − row_number() is
+    constant within an island), all integer epoch-days. One distinct +
+    one window + two aggregations."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    days = ev.select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+        .alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = (F.col("day")
+           - F.row_number().over(w).cast("bigint")).alias("grp")
+    islands = (days.select("user_id", "day", grp)
+               .groupBy("user_id", "grp")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("len")))
+    return islands.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_days"),
+        F.max("len").cast("bigint").alias("max_streak"))
+
+
+_STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+islands AS (
+  SELECT user_id,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+           AS grp
+  FROM days
+),
+lens AS (
+  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+  FROM islands GROUP BY 1, 2
+)
+SELECT user_id, CAST(sum(len) AS BIGINT) AS n_days,
+       CAST(max(len) AS BIGINT) AS max_streak
+FROM lens GROUP BY user_id
+"""
+
+
+def _q_pipe_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (|>): the same logical plan as a nested
+    SELECT, written as a linear pipeline — scan |> WHERE |> AGGREGATE
+    |> WHERE(having) — the pure-SQL sibling of sql_api. All integers."""
+    spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .createOrReplaceTempView("pipe_events")
+    return spark.sql("""
+        FROM pipe_events
+        |> WHERE event_type IN ('click', 'purchase')
+        |> AGGREGATE count(*) AS n,
+                     sum(event_id) AS sum_id
+           GROUP BY user_id, event_type
+        |> WHERE n > 1
+        |> SELECT user_id, event_type, n, sum_id
+    """)
+
+
+_PIPE_SQL_SQL = """
+SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(event_id) AS BIGINT) AS sum_id
+FROM events
+WHERE event_type IN ('click', 'purchase')
+GROUP BY user_id, event_type
+HAVING count(*) > 1
+"""
+
+
 def _q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining by lift (corpus.py:collocations): adjacent
     bigram counts + unigram marginals, lift = n_xy·N/(n_x·n_y) — the
@@ -7564,6 +7755,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ALL entries.
     return {
         # -- new in round 4: never driver-checked --------------------------
+        "kn_counts": _q_kn_counts,
+        "two_hop": _q_two_hop,
+        "url_parse": _q_url_parse,
+        "streaks": _q_streaks,
+        "pipe_sql": _q_pipe_sql,
         "bm25_topk": _q_bm25_topk,
         "chi_cells": _q_chi_cells,
         "event_transitions": _q_event_transitions,
@@ -7604,11 +7800,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_scan": _q_warc_scan,
         "json_extract": _q_json_extract,
         "bitext_pairs": _q_bitext_pairs,
-        "simplify_dp": _q_simplify_dp,
-        "distinct_counts": _q_distinct_counts,
-        "rank_funcs": _q_rank_funcs,
-        "udtf_kv": _q_udtf_kv,
-        "arrow_stats": _q_arrow_stats,
         # -- green in r01 only, fell outside the r02 window ----------------
         # -- round 4: the three ex-rows-only fixpoints, now EXACT via
         # bounded-depth unrolled oracles (VERDICT r3 #2) — in-window so
@@ -7697,6 +7888,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4 rotation: sql_api/tpch_q18/anchor_agg (r3-green, families
         # still in-window via tpch_q1..q19 / cocitation+host_rank+kcore)
         # moved past the edge to admit the three ex-rows-only fixpoints
+        # r4 rotation #6: simplify_dp (geometry family keeps
+        # width_network/exact width_tail machinery plus the fixpoints
+        # in-window; its 30-zigzag pytest vs a recursive reference
+        # stays), distinct_counts (Expand machinery also inside
+        # in-window cube/grouping entries' lineage, r3-green),
+        # rank_funcs (the new rank_ratios keeps ranking-window gates
+        # in-window), udtf_kv/arrow_stats (python-surface family keeps
+        # stream_pyseq + cogroup_profile in-window) — all r3-driver-
+        # green, rotated to admit kn_counts/two_hop/url_parse/streaks/
+        # pipe_sql
+        "simplify_dp": _q_simplify_dp,
+        "distinct_counts": _q_distinct_counts,
+        "rank_funcs": _q_rank_funcs,
+        "udtf_kv": _q_udtf_kv,
+        "arrow_stats": _q_arrow_stats,
         # r4 rotation #5: tpch_q10/q12/q14/q19 (TPC-H keeps 12+ shapes
         # in-window via q1/q2/q7/q8/q9/q11/q13/q15/q16/q17/q20/q21/q22),
         # pivot_counts and cube_counts (grouping-analytics machinery
@@ -7856,6 +8062,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "kn_counts": _KN_COUNTS_SQL,
+        "two_hop": _TWO_HOP_SQL,
+        "url_parse": _URL_PARSE_SQL,
+        "streaks": _STREAKS_SQL,
+        "pipe_sql": _PIPE_SQL_SQL,
         "bm25_topk": _BM25_SQL,
         "chi_cells": _CHI_CELLS_SQL,
         "event_transitions": _EVENT_TRANSITIONS_SQL,

@@ -864,3 +864,48 @@ def collocations(docs: DataFrame, *, min_count: int = 2,
             ((F.col("n_xy") * F.col("n_total"))
              / (F.col("n_x") * F.col("n_y"))).alias("lift"))
     )
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    *,
+    min_support: int = 2,
+) -> DataFrame:
+    """Market-basket co-occurrence: for every unordered item pair
+    (a < b) that appears together in at least ``min_support`` baskets,
+    the pair support plus each item's own basket count — the first
+    (pairwise) pass of A-priori / frequent-itemset mining, and the
+    co-occurrence statistic collocation/embedding pipelines consume.
+    All integers.
+
+    Shape: ONE distinct over (basket, item) — so duplicate items in a
+    basket count once — then a self-equi-join on the basket id with
+    a < b (pair fan-out is C(k,2) per basket, bounded by the basket
+    width, NOT the corpus — the same per-group bound as skipgrams),
+    then a map-side-combinable count. Item marginals broadcast back.
+    Never a cartesian.
+    """
+    items = df.select(
+        F.col(basket_col).alias("basket"),
+        F.col(item_col).alias("item")).distinct() \
+        .localCheckpoint(eager=False)
+    marg = items.groupBy(F.col("item")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_baskets"))
+    pairs = (
+        items.select("basket", F.col("item").alias("a"))
+        .join(items.select("basket", F.col("item").alias("b")), "basket")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    return (
+        pairs
+        .join(marg.select(F.col("item").alias("a"),
+                          F.col("n_baskets").alias("n_a")), "a")
+        .join(marg.select(F.col("item").alias("b"),
+                          F.col("n_baskets").alias("n_b")), "b")
+        .select("a", "b", "support", "n_a", "n_b")
+    )

@@ -460,3 +460,149 @@ def label_propagation_int(
             .select("node", "label")
         )
     return labels
+
+
+def two_hop_counts(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Distinct friends-of-friends counts over the undirected graph:
+    for every node, the number of distinct nodes at distance exactly 2
+    (reachable through a neighbour, not a neighbour itself, not self).
+
+    The classic link-expansion primitive (crawl frontier growth,
+    recommendation candidates). Shape: one wedge self-join on the
+    shared middle node (the triangle_counts fan-out bound applies on
+    power-law graphs), a distinct, and one anti-join against the
+    direct-edge set — never a cartesian. Returns (node, n_two_hop)
+    for nodes with at least one 2-hop neighbour.
+    """
+    src, dst = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.select(src.alias("a"), dst.alias("b"))
+        .unionByName(edges.select(dst.alias("a"), src.alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    pairs = (
+        und.select(F.col("a").alias("x"), F.col("b").alias("mid"))
+        .join(und.select(F.col("a").alias("mid"), F.col("b").alias("y")),
+              "mid")
+        .select("x", "y")
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+    )
+    two = pairs.join(
+        und.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        ["x", "y"], "left_anti")
+    return two.groupBy(F.col("x").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_two_hop"))
+
+
+def link_prediction(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    min_common: int = 1,
+) -> DataFrame:
+    """Common-neighbor link prediction over the undirected graph:
+    for every NON-adjacent pair (x < y) sharing >= ``min_common``
+    neighbours, emit the common-neighbour count plus the exact Jaccard
+    of the two neighbourhoods as an integer numerator/denominator pair
+    (jac_num = |N(x) ∩ N(y)|, jac_den = |N(x) ∪ N(y)| =
+    deg(x) + deg(y) − cn) — all-integer so an oracle replays it
+    bit-for-bit; callers divide at presentation time.
+
+    The candidate-recommendation primitive of crawl/feed pipelines.
+    Shape: ONE wedge self-join on the shared middle node (x < y halves
+    the pair space; on power-law graphs the triangle_counts fan-out
+    bound applies), a per-pair count, one broadcastable degree join per
+    side, and a left_anti against the direct-edge set. Never a
+    cartesian; text/payloads never enter the shuffle.
+    """
+    src, dst = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.select(src.alias("a"), dst.alias("b"))
+        .unionByName(edges.select(dst.alias("a"), src.alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg"))
+    cn = (
+        und.select(F.col("a").alias("x"), F.col("b").alias("mid"))
+        .join(und.select(F.col("a").alias("mid"), F.col("b").alias("y")),
+              "mid")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
+        .filter(F.col("cn") >= min_common)
+    )
+    non_adj = cn.join(
+        und.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        ["x", "y"], "left_anti")
+    return (
+        non_adj
+        .join(deg.select(F.col("node").alias("x"),
+                         F.col("deg").alias("deg_x")), "x")
+        .join(deg.select(F.col("node").alias("y"),
+                         F.col("deg").alias("deg_y")), "y")
+        .select(
+            "x", "y", "cn", "deg_x", "deg_y",
+            F.col("cn").alias("jac_num"),
+            (F.col("deg_x") + F.col("deg_y") - F.col("cn"))
+            .cast("bigint").alias("jac_den"),
+        )
+    )
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    sources: list[str],
+    *,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Bounded-round Bellman-Ford: integer-weighted shortest-path
+    distances from a source set over the DIRECTED edge list, relaxed
+    exactly ``rounds`` times (= exact distances for every node whose
+    shortest path uses <= rounds edges — the bounded-horizon contract,
+    same semantics family as kcore_peel / page_rank_int).
+
+    Integer weights + min() make every round exactly replayable by an
+    unrolled DuckDB CTE. Each round is ONE equi-join of the frontier
+    table against the static edge table on ``src`` plus a min-groupBy
+    on the destination — the textbook distributed relaxation; the edge
+    table never re-shuffles (join key is stable), and the dist table is
+    |nodes|-sized, typically broadcastable. localCheckpoint between
+    rounds stops Catalyst inlining the unrolled loop exponentially.
+    Returns (node, dist) for reached nodes only.
+    """
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .unionByName(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+    )
+    dist = nodes.filter(F.col("node").isin(sources)).select(
+        "node", F.lit(0).cast("bigint").alias("dist"))
+    e = edges.select(F.col(src_col).alias("u"),
+                     F.col(dst_col).alias("v"),
+                     F.col(weight_col).cast("bigint").alias("w"))
+    for _ in range(rounds):
+        relaxed = (
+            dist.join(e, dist["node"] == e["u"])
+            .select(F.col("v").alias("node"),
+                    (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").cast("bigint").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist

@@ -1083,3 +1083,77 @@ def dictionary_match(docs, phrases, text_col="text", id_col="doc_id"):
         .groupBy("doc_id", "phrase")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
     )
+
+
+def kn_continuation_counts(docs, text_col="text"):
+    """Kneser-Ney continuation counts — the LM-training preprocessing
+    that KN smoothing needs per token: how many DISTINCT left contexts
+    precede it (N1+(.w), the KN unigram numerator), how many distinct
+    right contexts follow it, and its raw unigram count.
+
+    All integers from one pass: adjacent bigrams form map-side from the
+    token array (the collocations shifted self-zip — zero joins), then
+    one (w1, w2)-distinct aggregation feeds both context counts.
+    Returns (tok, n_uni, n_left_ctx, n_right_ctx); tokens never seen in
+    any bigram (single-token docs) report 0 contexts via the left join.
+    """
+    from pyspark.sql import functions as F
+
+    toks_arr = F.expr(
+        f"filter(split(trim(lower({text_col})), '\\\\s+'), t -> t != '')")
+    lists = docs.select(toks_arr.alias("toks")).localCheckpoint(
+        eager=False)
+    uni = (lists.select(F.explode("toks").alias("tok"))
+           .groupBy("tok")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_uni")))
+    big = lists.select(F.explode(F.expr(
+        "CASE WHEN size(toks) >= 2 THEN zip_with("
+        "slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),"
+        " (a, b) -> named_struct('w1', a, 'w2', b)) "
+        "ELSE array() END")).alias("bg")).select("bg.w1", "bg.w2")
+    types = big.distinct().localCheckpoint(eager=False)
+    left_ctx = types.groupBy(F.col("w2").alias("tok")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_left_ctx"))
+    right_ctx = types.groupBy(F.col("w1").alias("tok")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_right_ctx"))
+    return (
+        uni.join(left_ctx, "tok", "left")
+        .join(right_ctx, "tok", "left")
+        .select("tok", "n_uni",
+                F.coalesce("n_left_ctx", F.lit(0)).cast("bigint")
+                .alias("n_left_ctx"),
+                F.coalesce("n_right_ctx", F.lit(0)).cast("bigint")
+                .alias("n_right_ctx"))
+    )
+
+
+def simpson_diversity(docs, text_col="text", id_col="doc_id"):
+    """Per-document lexical concentration via the Simpson / Hunter-
+    Gaston index — the integer-exact stand-in for token entropy in
+    quality gating (high concentration = repetitive/spammy text, the
+    same signal Gopher's entropy gate reads, but with NO logs or float
+    sums): simpson_num = Σ nᵢ·(nᵢ−1), simpson_den = n·(n−1), where nᵢ
+    are per-token counts. Callers divide at presentation time; docs
+    with n < 2 report den = 0.
+
+    One explode + one (doc, token) count + one per-doc rollup — all
+    map-side-combinable integer aggregations, text never shuffles
+    after the explode projection. Returns (id, n_tokens,
+    n_types, simpson_num, simpson_den).
+    """
+    from pyspark.sql import functions as F
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            f"filter(split(trim(lower({text_col})), '\\\\s+'),"
+            " t -> t != '')")).alias("tok"))
+    per_tok = toks.groupBy(id_col, "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"))
+    return per_tok.groupBy(id_col).agg(
+        F.sum("n_i").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.col("n_i") * (F.col("n_i") - 1)).cast("bigint")
+        .alias("simpson_num"),
+        (F.sum("n_i") * (F.sum("n_i") - 1)).cast("bigint")
+        .alias("simpson_den"))

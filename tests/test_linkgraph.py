@@ -300,3 +300,32 @@ def test_label_prop_parallel_edges_merge_weights(spark):
     # a's neighbours: b with weight 2, c with weight 1 -> adopts 'b'
     assert got["a"] == "b"
     assert got["b"] == "a" and got["c"] == "a"
+
+
+# ---------------------------------------------------------------------------
+# two_hop_counts
+# ---------------------------------------------------------------------------
+
+def test_two_hop_counts_path_graph(spark):
+    # path a-b-c-d-e: exact-distance-2 sets are {c}, {d}, {a,e}, {b}, {c}
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["n_two_hop"]
+           for r in LG.two_hop_counts(df).collect()}
+    assert got == {"a": 1, "b": 1, "c": 2, "d": 1, "e": 1}
+
+
+def test_two_hop_counts_triangle_has_none(spark):
+    # K3: every 2-hop candidate is already a direct neighbour
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string")
+    assert LG.two_hop_counts(df).count() == 0
+
+
+def test_two_hop_counts_direction_irrelevant(spark):
+    # reversed duplicate edges must not double-count
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c")], "src string, dst string")
+    got = {r["node"]: r["n_two_hop"]
+           for r in LG.two_hop_counts(df).collect()}
+    assert got == {"a": 1, "c": 1}

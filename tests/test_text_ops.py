@@ -791,3 +791,31 @@ def test_dictionary_match_broadcasts_the_dictionary(spark):
     plan = (dictionary_match(docs, ["a"])
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# kn_continuation_counts
+# ---------------------------------------------------------------------------
+
+def test_kn_continuation_counts_hand_fixture(spark):
+    from bdtopo2refhydro_spark.operators.text import kn_continuation_counts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a c"),      # bigram types: (a,b) (b,a) (a,c)
+            (2, "b a"),          # (b,a) again -> no new type
+            (3, "solo"),         # single token: unigram only
+            (4, ""),             # empty: nothing
+        ],
+        "doc_id long, text string")
+    got = {r["tok"]: (r["n_uni"], r["n_left_ctx"], r["n_right_ctx"])
+           for r in kn_continuation_counts(docs).collect()}
+    # a: 3 occurrences (2 in doc 1, 1 in doc 2); preceded by {b};
+    # followed by {b, c}
+    assert got["a"] == (3, 1, 2)
+    # b: 2 occurrences; preceded by {a}; followed by {a}
+    assert got["b"] == (2, 1, 1)
+    # c: 1 occurrence; preceded by {a}; followed by {}
+    assert got["c"] == (1, 1, 0)
+    assert got["solo"] == (1, 0, 0)
+    assert set(got) == {"a", "b", "c", "solo"}
