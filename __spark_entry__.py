@@ -7313,6 +7313,260 @@ HAVING count(*) > 1
 """
 
 
+def _link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The doc-derived ring+chord graph shared by two_hop: i→i+1 and
+    i→i+5 (mod 64) — identical across SFs, sparse enough that
+    non-adjacent common-neighbour pairs exist."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = (F.col("doc_id") % 64).cast("bigint")
+    ring = docs.select(
+        F.concat(F.lit("n"), i.cast("string")).alias("src"),
+        F.concat(F.lit("n"), ((i + 1) % 64).cast("string")).alias("dst"))
+    chord = docs.select(
+        F.concat(F.lit("n"), i.cast("string")).alias("src"),
+        F.concat(F.lit("n"), ((i + 5) % 64).cast("string")).alias("dst"))
+    return ring.unionByName(chord).distinct()
+
+
+_LINK_EDGES_CTE = """
+e AS (
+  SELECT DISTINCT 'n' || CAST(doc_id % 64 AS VARCHAR) AS src,
+         'n' || CAST((doc_id % 64 + 1) % 64 AS VARCHAR) AS dst
+  FROM documents
+  UNION
+  SELECT DISTINCT 'n' || CAST(doc_id % 64 AS VARCHAR),
+         'n' || CAST((doc_id % 64 + 5) % 64 AS VARCHAR)
+  FROM documents
+),
+u AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM e
+    UNION ALL SELECT dst, src FROM e)
+)"""
+
+
+def _q_link_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction (linkgraph.py:link_prediction):
+    for every non-adjacent pair sharing a neighbour, the
+    common-neighbour count + exact Jaccard as an integer num/den pair —
+    wedge join + degree joins + anti-join, never a cartesian. Runs on
+    the shared ring+chord graph (the host graph is too dense to have
+    non-adjacent pairs)."""
+    from bdtopo2refhydro_spark.operators import linkgraph as LG
+
+    return LG.link_prediction(_link_graph(spark, sf_dir))
+
+
+_LINK_PRED_SQL = f"""
+WITH {_LINK_EDGES_CTE},
+deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM u GROUP BY 1),
+cn AS (
+  SELECT u1.a AS x, u2.b AS y, CAST(count(*) AS BIGINT) AS cn
+  FROM u u1 JOIN u u2 ON u1.b = u2.a
+  WHERE u1.a < u2.b
+  GROUP BY 1, 2
+),
+non_adj AS (
+  SELECT x, y, cn FROM cn
+  WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.a = cn.x AND u.b = cn.y)
+)
+SELECT x, y, cn, dx.deg AS deg_x, dy.deg AS deg_y,
+       cn AS jac_num,
+       CAST(dx.deg + dy.deg - cn AS BIGINT) AS jac_den
+FROM non_adj
+JOIN deg dx ON dx.node = x
+JOIN deg dy ON dy.node = y
+"""
+
+
+def _q_sssp_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round Bellman-Ford (linkgraph.py:sssp_bounded): integer-
+    weighted shortest paths from n0, relaxed exactly 4 times — exact
+    for every node within a 4-edge horizon, replayed by the unrolled
+    DuckDB CTE. Weights derive from the node index so both engines
+    build the identical graph."""
+    from bdtopo2refhydro_spark.operators import linkgraph as LG
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = (F.col("doc_id") % 64).cast("bigint")
+    ring = docs.select(
+        F.concat(F.lit("n"), i.cast("string")).alias("src"),
+        F.concat(F.lit("n"), ((i + 1) % 64).cast("string")).alias("dst"),
+        ((i % 7) + 1).cast("bigint").alias("weight"))
+    chord = docs.select(
+        F.concat(F.lit("n"), i.cast("string")).alias("src"),
+        F.concat(F.lit("n"), ((i + 5) % 64).cast("string")).alias("dst"),
+        ((i % 11) + 3).cast("bigint").alias("weight"))
+    edges = ring.unionByName(chord).distinct()
+    return LG.sssp_bounded(edges, ["n0"], rounds=4)
+
+
+def _sssp_sql(rounds: int = 4) -> str:
+    ctes = ["""WITH we AS (
+  SELECT DISTINCT 'n' || CAST(doc_id % 64 AS VARCHAR) AS u,
+         'n' || CAST((doc_id % 64 + 1) % 64 AS VARCHAR) AS v,
+         CAST(doc_id % 64 % 7 + 1 AS BIGINT) AS w
+  FROM documents
+  UNION
+  SELECT DISTINCT 'n' || CAST(doc_id % 64 AS VARCHAR),
+         'n' || CAST((doc_id % 64 + 5) % 64 AS VARCHAR),
+         CAST(doc_id % 64 % 11 + 3 AS BIGINT)
+  FROM documents
+)""",
+            "d0 AS (SELECT 'n0' AS node, CAST(0 AS BIGINT) AS dist)"]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"d{i} AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist"
+            f" FROM (SELECT node, dist FROM d{i - 1}"
+            f" UNION ALL SELECT we.v, d.dist + we.w"
+            f" FROM d{i - 1} d JOIN we ON we.u = d.node) GROUP BY node)")
+    return ",\n".join(ctes) + f"\nSELECT node, dist FROM d{rounds}"
+
+
+def _q_simpson_div(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc lexical concentration (text.py:simpson_diversity): the
+    Simpson/Hunter-Gaston index as integer num/den — the log-free
+    entropy stand-in for repetitiveness gating (same substitution
+    family as bm25_topk's log-free idf and collocations' lift)."""
+    from bdtopo2refhydro_spark.operators import text as T
+
+    return T.simpson_diversity(_docs(spark, sf_dir))
+
+
+_SIMPSON_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+                                                  '\\s+'),
+                            t -> t != '')) AS tok
+  FROM documents
+),
+pt AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n_i
+  FROM toks GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(n_i) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(n_i * (n_i - 1)) AS BIGINT) AS simpson_num,
+       CAST(sum(n_i) * (sum(n_i) - 1) AS BIGINT) AS simpson_den
+FROM pt GROUP BY doc_id
+"""
+
+
+def _q_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence (corpus.py:cooccurrence_pairs): the
+    pairwise A-priori pass over order baskets — (basket, item) distinct,
+    self-equi-join on the basket with a < b (fan-out bounded by basket
+    width, not corpus size), support filter, marginals joined back."""
+    from bdtopo2refhydro_spark.operators import corpus as C
+
+    lf = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return C.cooccurrence_pairs(
+        lf, "l_orderkey", "l_partkey", min_support=2)
+
+
+_ITEMSET_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+),
+marg AS (SELECT item, CAST(count(*) AS BIGINT) AS n_baskets
+         FROM items GROUP BY 1),
+pairs AS (
+  SELECT i1.item AS a, i2.item AS b, CAST(count(*) AS BIGINT) AS support
+  FROM items i1 JOIN items i2 ON i1.basket = i2.basket
+  WHERE i1.item < i2.item
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)
+SELECT a, b, support, ma.n_baskets AS n_a, mb.n_baskets AS n_b
+FROM pairs
+JOIN marg ma ON ma.item = a
+JOIN marg mb ON mb.item = b
+"""
+
+
+_TRANSPOSE_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def _q_transpose_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.transpose (Spark 4): per-lang integer aggregates
+    flipped so each metric becomes a row and each lang a column —
+    the wide-stats presentation surface. The index column's sorted
+    values become the new column names; the oracle rebuilds the same
+    grid with scalar subqueries (lang domain is fixed across SFs)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("doc_id") % 1000).cast("bigint").alias("sum_id"))
+    return agg.transpose()
+
+
+def _transpose_sql() -> str:
+    rows = []
+    for metric in ["n_docs", "sum_id"]:
+        cells = ", ".join(
+            f"(SELECT {metric} FROM a WHERE lang = '{lg}') AS {lg}"
+            for lg in _TRANSPOSE_LANGS)
+        rows.append(f"SELECT '{metric}' AS key, {cells}")
+    return (
+        "WITH a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,"
+        " CAST(sum(doc_id % 1000) AS BIGINT) AS sum_id"
+        " FROM documents GROUP BY lang)\n"
+        + "\nUNION ALL\n".join(rows)
+    )
+
+
+def _q_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """listagg WITHIN GROUP (Spark 4): ordered string aggregation — the
+    per-group concatenation surface (DuckDB twin: string_agg with
+    ORDER BY). Distinct langs per source, ordered ASC, so both engines
+    produce the identical string."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.select("source", "lang").distinct() \
+        .createOrReplaceTempView("listagg_src")
+    return spark.sql("""
+        SELECT source,
+               listagg(lang, ',') WITHIN GROUP (ORDER BY lang) AS langs,
+               CAST(count(*) AS BIGINT) AS n_langs
+        FROM listagg_src GROUP BY source
+    """)
+
+
+_LISTAGG_SQL = """
+SELECT source, string_agg(lang, ',' ORDER BY lang) AS langs,
+       CAST(count(*) AS BIGINT) AS n_langs
+FROM (SELECT DISTINCT source, lang FROM documents)
+GROUP BY source
+"""
+
+
+def _q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting via the Spark 3.5+ bitmap functions
+    (bitmap_bit_position / bitmap_construct_agg / bitmap_count): the
+    documented bucketed-bitmap pattern — distinct users per event type
+    with NO count(distinct) Expand, just integer bit-set aggregation.
+    Oracle: plain COUNT(DISTINCT)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    buckets = (
+        ev.groupBy(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"))
+        .agg(F.expr(
+            "bitmap_count(bitmap_construct_agg("
+            "bitmap_bit_position(user_id)))").alias("cnt"))
+    )
+    return buckets.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("n_users"))
+
+
+_BITMAP_SQL = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 def _q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining by lift (corpus.py:collocations): adjacent
     bigram counts + unigram marginals, lift = n_xy·N/(n_x·n_y) — the
@@ -7755,6 +8009,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ALL entries.
     return {
         # -- new in round 4: never driver-checked --------------------------
+        "link_pred": _q_link_pred,
+        "sssp_rounds": _q_sssp_rounds,
+        "simpson_div": _q_simpson_div,
+        "itemset_pairs": _q_itemset_pairs,
+        "transpose_stats": _q_transpose_stats,
+        "listagg_langs": _q_listagg,
+        "bitmap_distinct": _q_bitmap_distinct,
         "kn_counts": _q_kn_counts,
         "two_hop": _q_two_hop,
         "url_parse": _q_url_parse,
@@ -7795,18 +8056,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16": _q_tpch_q16,
         "tpch_q7": _q_tpch_q7,
         "tpch_q21": _q_tpch_q21,
-        # -- never driver-checked before round 3 ---------------------------
-        "tpch_q1": _q_tpch_q1,
-        "warc_scan": _q_warc_scan,
-        "json_extract": _q_json_extract,
-        "bitext_pairs": _q_bitext_pairs,
-        # -- green in r01 only, fell outside the r02 window ----------------
         # -- round 4: the three ex-rows-only fixpoints, now EXACT via
         # bounded-depth unrolled oracles (VERDICT r3 #2) — in-window so
         # the driver value-checks them for the first time ------------------
         "strahler_order": _q_strahler,
         "fix_connectivity": _q_fix_connectivity,
         "width_network": _q_width_network,
+        # r4 rotation #7: tpch_q1/warc_scan/json_extract/bitext_pairs/
+        # exact_substr/image_png/refresh_pipeline — ALL r3-driver-green
+        # (CORRECTNESS_r03) — moved past the edge to admit link_pred/
+        # sssp_rounds/simpson_div/itemset_pairs/transpose_stats/
+        # listagg_langs/bitmap_distinct while keeping the three fixpoints
+        # in-window. Family gates that stay in-window: TPC-H via
+        # q2/q7/q8/q9/q11/q13/q15-q17/q20-q22; python DataSource via
+        # stream_pyseq; JSON/semi-structured via variant_extract +
+        # xml_extract; LSH/ANN via pq_adc + hits; dedup composites via
+        # cluster_split's lineage in curation/width pipelines. Every
+        # rotated entry stays oracle_check-verified each round and
+        # refresh_pipeline stays a bench headline.
+        "tpch_q1": _q_tpch_q1,
+        "warc_scan": _q_warc_scan,
+        "json_extract": _q_json_extract,
+        "bitext_pairs": _q_bitext_pairs,
+        # -- green in r01 only, fell outside the r02 window ----------------
         # -- new in round 3 ------------------------------------------------
         "exact_substr": _q_exact_substr,
         "image_png": _q_image_png,
@@ -8062,6 +8334,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "link_pred": _LINK_PRED_SQL,
+        "sssp_rounds": _sssp_sql(4),
+        "simpson_div": _SIMPSON_SQL,
+        "itemset_pairs": _ITEMSET_SQL,
+        "transpose_stats": _transpose_sql(),
+        "listagg_langs": _LISTAGG_SQL,
+        "bitmap_distinct": _BITMAP_SQL,
         "kn_counts": _KN_COUNTS_SQL,
         "two_hop": _TWO_HOP_SQL,
         "url_parse": _URL_PARSE_SQL,

@@ -475,3 +475,26 @@ def test_collocations_lift_and_single_token_guard(spark):
     # N=8 tokens, n_xy=3, n_x=n_y=3 -> lift = 24/9
     assert (r["n_xy"], r["n_x"], r["n_y"]) == (3, 3, 3)
     assert r["lift"] == 24 / 9
+
+
+# ---------------------------------------------------------------------------
+# cooccurrence_pairs
+# ---------------------------------------------------------------------------
+
+def test_cooccurrence_pairs_support_and_marginals(spark):
+    from bdtopo2refhydro_spark.operators.corpus import cooccurrence_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "x"), (1, "y"), (1, "z"),
+            (2, "x"), (2, "y"), (2, "y"),  # duplicate y counts once
+            (3, "x"), (3, "y"),
+            (4, "z"),
+        ],
+        "basket long, item string")
+    rows = cooccurrence_pairs(df, "basket", "item",
+                              min_support=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["a"], r["b"], r["support"], r["n_a"], r["n_b"]) == \
+        ("x", "y", 3, 3, 3)

@@ -329,3 +329,49 @@ def test_two_hop_counts_direction_irrelevant(spark):
     got = {r["node"]: r["n_two_hop"]
            for r in LG.two_hop_counts(df).collect()}
     assert got == {"a": 1, "c": 1}
+
+
+# ---------------------------------------------------------------------------
+# link_prediction
+# ---------------------------------------------------------------------------
+
+def test_link_prediction_square(spark):
+    # 4-cycle a-b-c-d-a: the two diagonals (a,c) and (b,d) each share
+    # BOTH off-diagonal nodes; every adjacent pair is excluded.
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+        "src string, dst string")
+    rows = {(r["x"], r["y"]): r for r in LG.link_prediction(df).collect()}
+    assert set(rows) == {("a", "c"), ("b", "d")}
+    for r in rows.values():
+        assert (r["cn"], r["deg_x"], r["deg_y"]) == (2, 2, 2)
+        assert (r["jac_num"], r["jac_den"]) == (2, 2)
+
+
+def test_link_prediction_path(spark):
+    # path a-b-c: only (a,c) via b; Jaccard 1/1 (N(a)={b}, N(c)={b}).
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string")
+    rows = LG.link_prediction(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["x"], r["y"], r["cn"], r["jac_num"], r["jac_den"]) == \
+        ("a", "c", 1, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# sssp_bounded
+# ---------------------------------------------------------------------------
+
+def test_sssp_bounded_relaxes_and_respects_horizon(spark):
+    # a->b (1), b->c (2), a->c (10), c->d (1): the 2-edge path to c
+    # beats the direct edge, but only once rounds >= 2.
+    df = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 2), ("a", "c", 10), ("c", "d", 1)],
+        "src string, dst string, weight long")
+    d3 = {r["node"]: r["dist"]
+          for r in LG.sssp_bounded(df, ["a"], rounds=3).collect()}
+    assert d3 == {"a": 0, "b": 1, "c": 3, "d": 4}
+    d1 = {r["node"]: r["dist"]
+          for r in LG.sssp_bounded(df, ["a"], rounds=1).collect()}
+    assert d1 == {"a": 0, "b": 1, "c": 10}

@@ -819,3 +819,24 @@ def test_kn_continuation_counts_hand_fixture(spark):
     assert got["c"] == (1, 1, 0)
     assert got["solo"] == (1, 0, 0)
     assert set(got) == {"a", "b", "c", "solo"}
+
+
+# ---------------------------------------------------------------------------
+# simpson_diversity
+# ---------------------------------------------------------------------------
+
+def test_simpson_diversity_hand_fixture(spark):
+    from bdtopo2refhydro_spark.operators.text import simpson_diversity
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a b"),    # n=3, types=2, num=2*1=2, den=3*2=6
+            (2, "x"),        # n=1, types=1, num=0, den=0
+            (3, "c c c c"),  # n=4, types=1, num=12, den=12 (pure rep)
+            (4, ""),         # no tokens -> no row
+        ],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["n_types"], r["simpson_num"],
+                         r["simpson_den"])
+           for r in simpson_diversity(docs).collect()}
+    assert got == {1: (3, 2, 2, 6), 2: (1, 1, 0, 0), 3: (4, 1, 12, 12)}
