@@ -469,3 +469,66 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_bitmap_distinct_has_no_expand(spark, entry):
+    """The bucketed-bitmap distinct count replaces count(distinct)'s
+    Expand (row duplication per distinct-agg) with plain integer
+    bit-set aggregation: no Expand node anywhere, and no join."""
+    plan = _plan(entry.queries()["bitmap_distinct"](spark, SF))
+    assert "Expand" not in plan
+    assert "Join" not in plan
+
+
+def test_sql_udf_inlines_into_codegen(spark, entry):
+    """The SQL scalar UDF body must inline into the plan — zero Python
+    boundary (no BatchEvalPython / ArrowEvalPython), the CASE visible
+    to whole-stage codegen."""
+    plan = _plan(entry.queries()["sql_udf"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # the UDF body is gone — its CASE expression sits in a Project
+    # (AQE shows isFinalPlan=false pre-execution, so assert on the
+    # inlined expression rather than the codegen span)
+    assert "CASE WHEN" in plan and "event_tier" in plan
+    # and column pruning still reached the scan through the UDF
+    assert "ReadSchema: struct<event_id:bigint>" in plan
+
+
+def test_nullsafe_join_is_hash_join_not_nested_loop(spark, entry):
+    """Null-safe equality is a valid hash key: the plan must be a hash
+    or sort-merge join, never the nested-loop a non-equi predicate
+    would force."""
+    plan = _plan(entry.queries()["nullsafe_join"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan)
+
+
+def test_lateral_topk_is_decorrelated(spark, entry):
+    """Spark must decorrelate the LATERAL subquery into a join — no
+    per-row re-execution (which would surface as a nested loop over
+    the full table)."""
+    plan = _plan(entry.queries()["lateral_topk"](spark, SF))
+    assert "CartesianProduct" not in plan
+    # decorrelation yields an equi-join on the correlation key
+    assert ("SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+            or "ShuffledHashJoin" in plan)
+
+
+def test_itemset_pairs_joins_on_basket_only(spark, entry):
+    """The A-priori pair pass must self-join on the basket id (fan-out
+    bounded by basket width) — never a cartesian over items."""
+    plan = _plan(entry.queries()["itemset_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_link_pred_wedge_is_equi_join(spark, entry):
+    """Link prediction's candidate generation is the wedge equi-join on
+    the shared middle node plus broadcastable degree joins — no
+    cartesian anywhere."""
+    plan = _plan(entry.queries()["link_pred"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
