@@ -7720,6 +7720,139 @@ LATERAL (
 """
 
 
+def _q_arrow_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped applyInArrow (temporal.py:arrow_group_rollup): per-user
+    rollup computed inside pyarrow — columnar end-to-end, bucketed 64
+    ways so the Arrow boundary sees big batches. All integers."""
+    from bdtopo2refhydro_spark.operators.temporal import (
+        arrow_group_rollup,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return arrow_group_rollup(ev, buckets=64)
+
+
+_ARROW_GROUP_SQL = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(event_id % 1000) AS BIGINT) AS sum_id
+FROM events GROUP BY user_id
+"""
+
+
+def _q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF: a custom UDAF through the Arrow
+    batch path (SQL_GROUPED_AGG_PANDAS_UDF) — the user-defined-
+    aggregation surface. Integer series sum → exact."""
+    from pyspark.sql.functions import PandasUDFType
+
+    # explicit functionType: under `from __future__ import annotations`
+    # the hint-based dispatch can't resolve the stringified pd.Series
+    @F.pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def idsum2(v):
+        return int(v.sum() * 2 + len(v))
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.select("event_type",
+                      (F.col("event_id") % 1000).alias("idm"))
+            .groupBy("event_type")
+            .agg(idsum2("idm").alias("agg_val")))
+
+
+_PANDAS_UDAF_SQL = """
+SELECT event_type,
+       CAST(sum(event_id % 1000) * 2 + count(*) AS BIGINT) AS agg_val
+FROM events GROUP BY event_type
+"""
+
+
+def _q_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 BEGIN…END): a multi-statement procedural
+    block — DECLARE a variable, assign it from a scalar subquery over
+    the fixture, use it as a data-dependent gate. The oracle replays
+    the same logic as one nested query."""
+    spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .createOrReplaceTempView("script_events")
+    return spark.sql("""
+        BEGIN
+          DECLARE thr BIGINT DEFAULT 0;
+          SET thr = (SELECT max(user_id) FROM script_events) / 2;
+          SELECT CASE WHEN user_id <= thr THEN 'low' ELSE 'high' END
+                   AS band,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(event_id % 100) AS BIGINT) AS sum_id
+          FROM script_events GROUP BY 1;
+        END
+    """)
+
+
+_SQL_SCRIPT_SQL = """
+WITH t AS (SELECT max(user_id) // 2 AS thr FROM events)
+SELECT CASE WHEN user_id <= t.thr THEN 'low' ELSE 'high' END AS band,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(event_id % 100) AS BIGINT) AS sum_id
+FROM events, t GROUP BY 1
+"""
+
+
+def _q_param_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL + session variables + EXECUTE IMMEDIATE
+    (Spark 4): the injection-safe query surface — a named parameter
+    marker (:lo), a DECLAREd session variable consumed by EXECUTE
+    IMMEDIATE with a positional USING binding. Constants inline in the
+    oracle."""
+    spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .createOrReplaceTempView("param_events")
+    spark.sql("DECLARE OR REPLACE VARIABLE param_hi BIGINT DEFAULT 0")
+    spark.sql("SET VAR param_hi = 7")
+    return spark.sql(
+        """EXECUTE IMMEDIATE
+             'SELECT event_type, CAST(count(*) AS BIGINT) AS n
+              FROM param_events
+              WHERE user_id % 10 BETWEEN :lo AND param_hi
+              GROUP BY event_type'
+           USING 2 AS lo""")
+
+
+_PARAM_SQL_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n
+FROM events WHERE user_id % 10 BETWEEN 2 AND 7
+GROUP BY event_type
+"""
+
+
+def _q_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill / last-observation-carried-forward
+    (temporal.py:forward_fill): a sparse per-user measure (only
+    purchase events carry an amount) gap-filled by last(...,
+    ignorenulls=True) over one window — zero joins. Integer amounts;
+    event_id is the unique order key so both engines sort
+    identically."""
+    from bdtopo2refhydro_spark.operators.temporal import forward_fill
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sparse = ev.select(
+        "user_id", "event_id",
+        F.when(F.col("event_type") == "purchase",
+               (F.col("event_id") % 500).cast("bigint"))
+        .alias("amount"))
+    return forward_fill(sparse, "amount",
+                        key_col="user_id", order_col="event_id")
+
+
+_IGNORE_NULLS_SQL = """
+SELECT user_id, event_id,
+       CASE WHEN event_type = 'purchase'
+            THEN CAST(event_id % 500 AS BIGINT) END AS amount,
+       last_value(CASE WHEN event_type = 'purchase'
+                       THEN CAST(event_id % 500 AS BIGINT) END
+                  IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS amount_filled
+FROM events
+"""
+
+
 def _q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining by lift (corpus.py:collocations): adjacent
     bigram counts + unigram marginals, lift = n_xy·N/(n_x·n_y) — the
@@ -8162,6 +8295,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ALL entries.
     return {
         # -- new in round 4: never driver-checked --------------------------
+        "arrow_group_agg": _q_arrow_group_agg,
+        "pandas_udaf": _q_pandas_udaf,
+        "sql_script": _q_sql_script,
+        "param_sql": _q_param_sql,
+        "ignore_nulls": _q_ignore_nulls,
         "recursive_cte": _q_recursive_cte,
         "sql_udf": _q_sql_udf,
         "nullsafe_join": _q_nullsafe_join,
@@ -8199,11 +8337,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "observe_metrics": _q_observe_metrics,
         "collocations": _q_collocations,
         "lr_score": _q_lr_score,
-        "tpch_q2": _q_tpch_q2,
-        "tpch_q8": _q_tpch_q8,
-        "tpch_q9": _q_tpch_q9,
-        "tpch_q11": _q_tpch_q11,
-        "tpch_q20": _q_tpch_q20,
         "tpch_q17": _q_tpch_q17,
         "tpch_q22": _q_tpch_q22,
         "hits": _q_hits,
@@ -8221,6 +8354,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (plus q1 and q4/q5/q10/q12/q14/q19 driver-green in r03), and
         # every rotated shape stays oracle_check-exact each round at
         # sf0.001/0.01 (and sf1 in the 10x sweep).
+        # r4 rotation #9: tpch_q2/q8/q9/q11/q20 (the generated-partsupp
+        # batch) also past the edge to admit arrow_group_agg/
+        # pandas_udaf/sql_script/param_sql/ignore_nulls — TPC-H keeps
+        # q7/q17/q22 in-window; all five stay oracle_check-exact at
+        # sf0.001/0.01 AND sf1.
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q9": _q_tpch_q9,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q20": _q_tpch_q20,
         "tpch_q13": _q_tpch_q13,
         "tpch_q15": _q_tpch_q15,
         "tpch_q16": _q_tpch_q16,
@@ -8497,6 +8640,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "arrow_group_agg": _ARROW_GROUP_SQL,
+        "pandas_udaf": _PANDAS_UDAF_SQL,
+        "sql_script": _SQL_SCRIPT_SQL,
+        "param_sql": _PARAM_SQL_SQL,
+        "ignore_nulls": _IGNORE_NULLS_SQL,
         "recursive_cte": _RECURSIVE_CTE_SQL,
         "sql_udf": _SQL_UDF_SQL,
         "nullsafe_join": _NULLSAFE_SQL,

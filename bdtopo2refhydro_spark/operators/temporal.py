@@ -269,3 +269,56 @@ def cogroup_user_profile(events: DataFrame, orders: DataFrame, *,
                               "n_clicks bigint, n_orders bigint, "
                               "spend_cents bigint")
     )
+
+
+def forward_fill(df: DataFrame, value_col: str, *,
+                 key_col: str, order_col: str) -> DataFrame:
+    """Forward-fill (last-observation-carried-forward): replace NULLs in
+    ``value_col`` with the most recent non-NULL value within the key's
+    ordered history — the classic sparse-timeline gap-fill (sensor
+    readings, last-seen prices, session attributes).
+
+    One window, zero joins: ``last(value, ignorenulls=True)`` over
+    ROWS UNBOUNDED PRECEDING..CURRENT — a single sort-within-partition
+    per key, so the plan is one Exchange + one Window and the big table
+    never self-joins (the naive as-of spelling would). Adds
+    ``<value_col>_filled``; rows before the first observation stay NULL.
+    """
+    w = (Window.partitionBy(key_col).orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return df.withColumn(
+        f"{value_col}_filled",
+        F.last(F.col(value_col), ignorenulls=True).over(w))
+
+
+def arrow_group_rollup(events: DataFrame, *, buckets: int = 64) -> DataFrame:
+    """Grouped applyInArrow (Spark 4): per-user integer rollup computed
+    INSIDE Arrow — the fourth grouped API next to applyInPandas /
+    cogroup / applyInPandasWithState, with zero pandas materialization
+    (columnar end-to-end).
+
+    Same bucketing discipline as cogroup_user_profile: groups are
+    ``user mod buckets`` so the Arrow boundary sees ``buckets`` big
+    batches, and the per-user group_by runs inside pyarrow. All
+    integers. Returns (user_id, n_events, sum_id).
+    """
+    import pyarrow as pa
+
+    ev = events.select(
+        (F.col("user_id") % buckets).alias("bucket"),
+        "user_id",
+        (F.col("event_id") % 1000).cast("long").alias("idm"))
+
+    def rollup(t: pa.Table) -> pa.Table:
+        g = t.group_by("user_id").aggregate(
+            [("idm", "count"), ("idm", "sum")])
+        return pa.table({
+            "user_id": g.column("user_id"),
+            "n_events": g.column("idm_count").cast(pa.int64()),
+            "sum_id": g.column("idm_sum").cast(pa.int64()),
+        })
+
+    return (ev.groupBy("bucket")
+            .applyInArrow(rollup,
+                          "user_id bigint, n_events bigint, "
+                          "sum_id bigint"))

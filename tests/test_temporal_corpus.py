@@ -516,3 +516,41 @@ def test_cogroup_user_profile_full_outer_merge(spark):
     assert (got[2]["n_orders"], got[2]["spend_cents"]) == (0, 0)
     assert (got[3]["n_events"], got[3]["n_orders"]) == (0, 1)
     assert (got[70]["n_events"], got[70]["n_orders"]) == (1, 0)
+
+
+def test_forward_fill_carries_last_observation(spark):
+    from bdtopo2refhydro_spark.operators.temporal import forward_fill
+
+    df = spark.createDataFrame(
+        [
+            ("u1", 1, None), ("u1", 2, 10), ("u1", 3, None),
+            ("u1", 4, 20), ("u1", 5, None),
+            ("u2", 1, None),  # never observed -> stays NULL
+        ],
+        "k string, t long, v long")
+    got = {(r["k"], r["t"]): r["v_filled"]
+           for r in forward_fill(df, "v", key_col="k",
+                                 order_col="t").collect()}
+    assert got == {("u1", 1): None, ("u1", 2): 10, ("u1", 3): 10,
+                   ("u1", 4): 20, ("u1", 5): 20, ("u2", 1): None}
+
+
+def test_arrow_group_rollup_matches_groupby(spark):
+    from pyspark.sql import functions as F
+
+    from bdtopo2refhydro_spark.operators.temporal import (
+        arrow_group_rollup,
+    )
+
+    ev = spark.createDataFrame(
+        [(u, u * 1000 + i, "click") for u in range(5)
+         for i in range(u + 1)],
+        "user_id long, event_id long, event_type string")
+    got = {r["user_id"]: (r["n_events"], r["sum_id"])
+           for r in arrow_group_rollup(ev, buckets=4).collect()}
+    exp = {r["user_id"]: (r["n"], r["s"])
+           for r in ev.groupBy("user_id").agg(
+               F.count(F.lit(1)).cast("bigint").alias("n"),
+               F.sum(F.col("event_id") % 1000).cast("bigint")
+               .alias("s")).collect()}
+    assert got == exp
