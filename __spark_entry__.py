@@ -7853,6 +7853,123 @@ FROM events
 """
 
 
+def _q_deg_assort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-assortativity moments (linkgraph.py:
+    degree_assortativity_moments): the five exact BIGINT sums Newman's
+    r is a closed-form function of, over the derived host graph —
+    mergeable across shards, bit-replayable."""
+    from bdtopo2refhydro_spark.operators import linkgraph as LG
+
+    return LG.degree_assortativity_moments(_host_edges(spark, sf_dir))
+
+
+_DEG_ASSORT_SQL = f"""
+WITH {_HOST_EDGES_D},
+u AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM e
+    UNION ALL SELECT dst, src FROM e)
+),
+deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM u GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS m,
+       CAST(sum(dj.deg) AS BIGINT) AS s_j,
+       CAST(sum(dj.deg * dk.deg) AS BIGINT) AS s_jk,
+       CAST(sum(dj.deg * dj.deg) AS BIGINT) AS s_j2
+FROM u
+JOIN deg dj ON dj.node = u.a
+JOIN deg dk ON dk.node = u.b
+"""
+
+
+def _q_stopword_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source high-DF token gate (text.py:stopword_gate): the
+    boilerplate-removal primitive — tokens appearing in >40% of a
+    source's docs, integer df·100 > pct·n_docs comparison."""
+    from bdtopo2refhydro_spark.operators import text as T
+
+    return T.stopword_gate(_docs(spark, sf_dir), pct=40)
+
+
+_STOPWORD_GATE_SQL = """
+WITH per_doc AS (
+  SELECT DISTINCT source, doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+                                                  '\\s+'),
+                            t -> t != '')) AS tok
+  FROM documents
+),
+df_tab AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS df
+  FROM per_doc GROUP BY 1, 2
+),
+nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+       FROM documents GROUP BY 1)
+SELECT df_tab.source, tok, df, n_docs
+FROM df_tab JOIN nd ON df_tab.source = nd.source
+WHERE df * 100 > 40 * n_docs
+"""
+
+
+def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment dedup (text.py:containment_pairs):
+    |A∩B|/|A| > 60% ordered pairs — the sub-document-duplication
+    measure resemblance misses. Engine shuffles 64-bit shingle hashes;
+    the oracle counts the raw 3-gram strings (identical counts absent a
+    64-bit collision, impossible at fixture scale)."""
+    from bdtopo2refhydro_spark.operators import text as T
+
+    return T.containment_pairs(_docs(spark, sf_dir), n=3, pct=60)
+
+
+_CONTAINMENT_SQL = """
+WITH lists AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     t -> t != '') AS l
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id AS doc,
+         l[CAST(i AS INT)] || ' ' || l[CAST(i + 1 AS INT)] || ' '
+           || l[CAST(i + 2 AS INT)] AS g
+  FROM lists, UNNEST(range(1, len(l) - 1)) t(i)
+),
+sizes AS (SELECT doc, CAST(count(*) AS BIGINT) AS sz
+          FROM grams GROUP BY 1),
+inter AS (
+  SELECT g1.doc AS a, g2.doc AS b, CAST(count(*) AS BIGINT) AS inter
+  FROM grams g1 JOIN grams g2 ON g1.g = g2.g
+  WHERE g1.doc != g2.doc
+  GROUP BY 1, 2
+)
+SELECT a, b, inter, sizes.sz AS size_a
+FROM inter JOIN sizes ON sizes.doc = a
+WHERE inter * 100 > 60 * sizes.sz
+"""
+
+
+def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV codec round-trip (to_csv → from_csv with explicit schema):
+    the inline-CSV ingest surface (sidecar feeds, header-free logs).
+    The oracle is the original columns — the round-trip must be the
+    identity on integers and delimiter-free strings."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    line = F.to_csv(F.struct(
+        F.col("event_id"), F.col("user_id"), F.col("event_type")))
+    parsed = F.from_csv(
+        line, "event_id bigint, user_id bigint, event_type string")
+    return ev.select(parsed.alias("p")).select(
+        F.col("p.event_id").alias("event_id"),
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.event_type").alias("event_type"))
+
+
+_CSV_ROUNDTRIP_SQL = """
+SELECT event_id, user_id, event_type FROM events
+"""
+
+
 def _q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining by lift (corpus.py:collocations): adjacent
     bigram counts + unigram marginals, lift = n_xy·N/(n_x·n_y) — the
@@ -8295,6 +8412,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ALL entries.
     return {
         # -- new in round 4: never driver-checked --------------------------
+        "deg_assort": _q_deg_assort,
+        "stopword_gate": _q_stopword_gate,
+        "containment": _q_containment,
+        "csv_roundtrip": _q_csv_roundtrip,
         "arrow_group_agg": _q_arrow_group_agg,
         "pandas_udaf": _q_pandas_udaf,
         "sql_script": _q_sql_script,
@@ -8334,20 +8455,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_frame": _q_range_frame,
         "unpivot_melt": _q_unpivot_melt,
         "variant_extract": _q_variant_extract,
-        "observe_metrics": _q_observe_metrics,
         "collocations": _q_collocations,
-        "lr_score": _q_lr_score,
         "tpch_q17": _q_tpch_q17,
-        "tpch_q22": _q_tpch_q22,
         "hits": _q_hits,
         "pq_adc": _q_pq_adc,
-        "tpch_q7": _q_tpch_q7,
         # -- round 4: the three ex-rows-only fixpoints, now EXACT via
         # bounded-depth unrolled oracles (VERDICT r3 #2) — in-window so
         # the driver value-checks them for the first time ------------------
         "strahler_order": _q_strahler,
         "fix_connectivity": _q_fix_connectivity,
         "width_network": _q_width_network,
+        # r4 rotation #10: tpch_q7/q22 (q17 keeps TPC-H in-window),
+        # observe_metrics (Observation API pytest-pinned over a noop
+        # write) and lr_score (broadcast-weights inference; linear-
+        # algebra machinery shares pq_adc's in-window gates) moved past
+        # the edge to admit deg_assort/stopword_gate/containment/
+        # csv_roundtrip; all four stay oracle_check-exact at
+        # sf0.001/0.01 and sf1.
+        "observe_metrics": _q_observe_metrics,
+        "lr_score": _q_lr_score,
+        "tpch_q22": _q_tpch_q22,
+        "tpch_q7": _q_tpch_q7,
         # r4 rotation #8: tpch_q13/q15/q16/q21 moved just past the edge
         # to admit recursive_cte/sql_udf/nullsafe_join/lateral_topk —
         # the TPC-H family keeps q2/q7/q8/q9/q11/q17/q20/q22 in-window
@@ -8640,6 +8768,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "deg_assort": _DEG_ASSORT_SQL,
+        "stopword_gate": _STOPWORD_GATE_SQL,
+        "containment": _CONTAINMENT_SQL,
+        "csv_roundtrip": _CSV_ROUNDTRIP_SQL,
         "arrow_group_agg": _ARROW_GROUP_SQL,
         "pandas_udaf": _PANDAS_UDAF_SQL,
         "sql_script": _SQL_SCRIPT_SQL,

@@ -606,3 +606,42 @@ def sssp_bounded(
             .localCheckpoint(eager=False)
         )
     return dist
+
+
+def degree_assortativity_moments(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Degree-assortativity moments of the undirected graph — the five
+    exact BIGINT sums Newman's r is a closed-form function of: over
+    every edge endpoint-pair (j, k) = (deg(u), deg(v)) counted in both
+    directions, m = pair count, s_j = Σj, s_jk = Σj·k, s_j2 = Σj²
+    (symmetric, so Σk mirrors Σj). r = (m·s_jk − s_j²) /
+    (m·s_j2 − s_j²) at presentation time; keeping the moments integer
+    makes the result bit-replayable and MERGEABLE across shards.
+
+    Shape: one degree table (|V|-sized, broadcastable) joined onto each
+    edge endpoint, then ONE full aggregate — no quadratic step.
+    """
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(edges.select(F.col(dst_col).alias("a"),
+                                  F.col(src_col).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg"))
+    pairs = (
+        und.join(deg.select(F.col("node").alias("a"),
+                            F.col("deg").alias("j")), "a")
+        .join(deg.select(F.col("node").alias("b"),
+                         F.col("deg").alias("k")), "b")
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("j").cast("bigint").alias("s_j"),
+        F.sum(F.col("j") * F.col("k")).cast("bigint").alias("s_jk"),
+        F.sum(F.col("j") * F.col("j")).cast("bigint").alias("s_j2"))

@@ -1157,3 +1157,82 @@ def simpson_diversity(docs, text_col="text", id_col="doc_id"):
         .alias("simpson_num"),
         (F.sum("n_i") * (F.sum("n_i") - 1)).cast("bigint")
         .alias("simpson_den"))
+
+
+def stopword_gate(docs, *, pct: int = 40, text_col="text",
+                  id_col="doc_id", source_col="source"):
+    """Per-source high-document-frequency token gate — the
+    boilerplate-removal primitive (CCNet/RefinedWeb drop lines/tokens
+    that recur across most of a host's pages; this fixture is token-
+    structured, so the unit is the token): a token is boilerplate
+    WITHIN its source when it appears in more than ``pct`` percent of
+    that source's docs. Returns per-source gated tokens with their
+    document frequency — all-integer (df·100 > pct·n_docs, no float
+    ratio).
+
+    Shape: one (source, token) distinct-per-doc count + one per-source
+    doc count (broadcastable) — text leaves the plan at the explode.
+    """
+    from pyspark.sql import functions as F
+
+    per_doc = docs.select(
+        F.col(source_col).alias("source"), F.col(id_col),
+        F.explode(F.expr(
+            f"filter(split(trim(lower({text_col})), '\\\\s+'),"
+            " t -> t != '')")).alias("tok")).distinct()
+    df_tab = per_doc.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"))
+    n_docs = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return (
+        df_tab.join(F.broadcast(n_docs), "source")
+        .filter(F.col("df") * 100 > F.lit(pct) * F.col("n_docs"))
+        .select("source", "tok", "df", "n_docs")
+    )
+
+
+def containment_pairs(docs, *, n: int = 3, pct: int = 60,
+                      text_col="text", id_col="doc_id"):
+    """Asymmetric n-gram CONTAINMENT dedup: |A∩B| / |A| — the
+    sub-document-duplication measure (a page quoting most of another
+    scores high containment even when resemblance/Jaccard is low
+    because |B| >> |A|). Emits ordered pairs (a contained-in b) whose
+    containment exceeds ``pct`` percent, with the exact integer
+    num/den.
+
+    Shape: distinct (doc, shingle-hash) — hashes only, never text —
+    then candidate pairs via the shared-shingle equi-join (inverted-
+    index style, fan-out bounded by shingle df), intersection = count
+    per pair, set sizes broadcast back. The integer gate inter·100 >
+    pct·size_a keeps it float-free.
+    """
+    from pyspark.sql import functions as F
+
+    # CASE guard, not greatest(): Spark sequence(1, 0) DESCENDS to
+    # [1, 0] instead of returning empty (CLAUDE.md sequence trap)
+    toks = (f"filter(split(trim(lower({text_col})), '\\\\s+'),"
+            " t -> t != '')")
+    grams = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.expr(
+            f"CASE WHEN size({toks}) >= {n} THEN "
+            f"transform(sequence(1, size({toks}) - {n} + 1), i -> "
+            f"xxhash64(concat_ws(' ', slice({toks}, i, {n})))) "
+            f"ELSE array() END")).alias("g")
+    ).distinct().localCheckpoint(eager=False)
+    sizes = grams.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz"))
+    inter = (
+        grams.select(F.col("doc").alias("a"), "g")
+        .join(grams.select(F.col("doc").alias("b"), "g"), "g")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    return (
+        inter
+        .join(sizes.select(F.col("doc").alias("a"),
+                           F.col("sz").alias("size_a")), "a")
+        .filter(F.col("inter") * 100 > F.lit(pct) * F.col("size_a"))
+        .select("a", "b", "inter", "size_a")
+    )

@@ -375,3 +375,18 @@ def test_sssp_bounded_relaxes_and_respects_horizon(spark):
     d1 = {r["node"]: r["dist"]
           for r in LG.sssp_bounded(df, ["a"], rounds=1).collect()}
     assert d1 == {"a": 0, "b": 1, "c": 10}
+
+
+# ---------------------------------------------------------------------------
+# degree_assortativity_moments
+# ---------------------------------------------------------------------------
+
+def test_degree_assortativity_moments_star_vs_path(spark):
+    # star a-{b,c,d}: every directed endpoint pair is (3,1) or (1,3):
+    # m=6, s_j = 3*3 + 3*1 = 12, s_jk = 6*3 = 18, s_j2 = 3*9+3*1 = 30.
+    star = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d")], "src string, dst string")
+    r = LG.degree_assortativity_moments(star).collect()[0]
+    assert (r["m"], r["s_j"], r["s_jk"], r["s_j2"]) == (6, 12, 18, 30)
+    # Newman r for a star is -1: (m*s_jk - s_j^2)/(m*s_j2 - s_j^2)
+    assert (6 * 18 - 144) == -(6 * 30 - 144)

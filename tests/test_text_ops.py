@@ -840,3 +840,41 @@ def test_simpson_diversity_hand_fixture(spark):
                          r["simpson_den"])
            for r in simpson_diversity(docs).collect()}
     assert got == {1: (3, 2, 2, 6), 2: (1, 1, 0, 0), 3: (4, 1, 12, 12)}
+
+
+# ---------------------------------------------------------------------------
+# stopword_gate / containment_pairs
+# ---------------------------------------------------------------------------
+
+def test_stopword_gate_per_source_df(spark):
+    from bdtopo2refhydro_spark.operators.text import stopword_gate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", "the cat"), (2, "s1", "the dog"),
+            (3, "s1", "a bird"),
+            (4, "s2", "the fish"),  # 'the' in 1/1 of s2 docs
+        ],
+        "doc_id long, source string, text string")
+    got = {(r["source"], r["tok"]): (r["df"], r["n_docs"])
+           for r in stopword_gate(docs, pct=50).collect()}
+    # s1: 'the' df=2/3 docs -> 200 > 150 passes; all others df=1 fail
+    assert got == {("s1", "the"): (2, 3), ("s2", "the"): (1, 1),
+                   ("s2", "fish"): (1, 1)}
+
+
+def test_containment_pairs_asymmetric(spark):
+    from bdtopo2refhydro_spark.operators.text import containment_pairs
+
+    # doc 1 is fully contained in doc 2 (which is much longer), so
+    # (1 in 2) passes the 60% gate while (2 in 1) fails.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),  # 2 trigrams: abc, bcd
+            (2, "a b c d e f g h i j"),  # 8 trigrams, first 2 shared
+            (3, "z z z z"),
+        ],
+        "doc_id long, text string")
+    rows = {(r["a"], r["b"]): (r["inter"], r["size_a"])
+            for r in containment_pairs(docs, n=3, pct=60).collect()}
+    assert rows == {(1, 2): (2, 2)}
