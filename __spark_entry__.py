@@ -8401,6 +8401,357 @@ WHERE n_regionkey <= 2
 """
 
 
+def _q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval coalescing (temporal.py:merge_intervals):
+    overlapping [s,e] spans per user merged into maximal segments, then
+    a per-user rollup (segment count + covered length). ONE Exchange —
+    both windows and the groupBy hash on user_id. All-integer spans
+    derived from event_id so both engines agree bitwise."""
+    from bdtopo2refhydro_spark.operators.temporal import merge_intervals
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    iv = ev.select(
+        "user_id",
+        ((F.col("event_id") % 211) * 7).cast("long").alias("s"),
+        ((F.col("event_id") % 211) * 7 + 20
+         + (F.col("event_id") % 31)).cast("long").alias("e"))
+    m = merge_intervals(iv, key_col="user_id", start_col="s", end_col="e")
+    return (m.groupBy("user_id")
+            .agg(F.count("*").cast("long").alias("n_segs"),
+                 F.sum(F.col("seg_end") - F.col("seg_start"))
+                 .cast("long").alias("covered")))
+
+
+_INTERVAL_MERGE_SQL = """
+WITH iv AS (
+  SELECT user_id,
+         CAST((event_id % 211) * 7 AS BIGINT) AS s,
+         CAST((event_id % 211) * 7 + 20 + (event_id % 31) AS BIGINT) AS e
+  FROM events
+),
+w AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS pmax
+  FROM iv
+),
+g AS (
+  SELECT user_id, s, e,
+         sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS seg_id
+  FROM w
+),
+m AS (
+  SELECT user_id, seg_id, min(s) AS seg_s, max(e) AS seg_e
+  FROM g GROUP BY 1, 2
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(sum(seg_e - seg_s) AS BIGINT) AS covered
+FROM m GROUP BY 1
+"""
+
+
+def _q_cohort_ret(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention triangle (temporal.py:cohort_retention): users
+    bucketed by first-active week x active week, distinct-user counts.
+    Weeks are integer-µs arithmetic (unix_micros on a TIMESTAMP cast —
+    the sessionize precedent for NTZ fixtures), so both engines bucket
+    identically."""
+    from bdtopo2refhydro_spark.operators.temporal import cohort_retention
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per = ev.select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 604800000000")
+        .alias("week"))
+    return cohort_retention(per, user_col="user_id", period_col="week")
+
+
+_COHORT_RET_SQL = """
+WITH per AS (
+  SELECT DISTINCT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week
+  FROM events
+),
+c AS (
+  SELECT user_id, week,
+         min(week) OVER (PARTITION BY user_id) AS cohort
+  FROM per
+)
+SELECT CAST(cohort AS BIGINT) AS cohort, CAST(week AS BIGINT) AS period,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM c GROUP BY 1, 2
+"""
+
+
+def _q_roll_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling anomaly gate in exact integer arithmetic
+    (dq.py:rolling_outliers): (n·x − s)² > t²·(n·s2 − s²) over a
+    trailing 8-row window — denominators cleared, zero floats. Planted
+    spikes (+400 every 97th event) over a %7 baseline; t²=5 because a
+    lone spike's own window variance caps the ratio at 7."""
+    from bdtopo2refhydro_spark.operators.dq import rolling_outliers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    v = (F.col("event_id") % 7
+         + F.when(F.col("event_id") % 97 == 0, 400).otherwise(0))
+    return rolling_outliers(
+        ev.select("user_id", "event_id", v.alias("v")),
+        key_col="user_id", order_col="event_id", value_col="v",
+        window=8, t_sq=5)
+
+
+_ROLL_ANOMALY_SQL = """
+WITH base AS (
+  SELECT user_id, event_id,
+         CAST(event_id % 7 + CASE WHEN event_id % 97 = 0
+                                  THEN 400 ELSE 0 END AS BIGINT) AS x
+  FROM events
+),
+w AS (
+  SELECT user_id, event_id, x,
+         CAST(count(*) OVER win AS BIGINT) AS n_w,
+         CAST(sum(x) OVER win AS BIGINT) AS s,
+         CAST(sum(x * x) OVER win AS BIGINT) AS s2
+  FROM base
+  WINDOW win AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, x,
+       CAST((n_w*x - s) * (n_w*x - s) AS BIGINT) AS lhs,
+       CAST(5 * (n_w*s2 - s*s) AS BIGINT) AS rhs
+FROM w
+WHERE n_w = 8
+  AND (n_w*x - s) * (n_w*x - s) > 5 * (n_w*s2 - s*s)
+"""
+
+
+_CIDR_RULES = [
+    ("10.0.0.0", 8, "deny"), ("10.1.0.0", 16, "allow"),
+    ("192.168.0.0", 16, "deny"), ("172.16.0.0", 12, "allow"),
+    ("4.0.0.0", 6, "throttle"), ("0.0.0.0", 0, "default"),
+]
+
+
+def _q_cidr_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-prefix CIDR policy match (corpus.py:cidr_match): IPs
+    synthesized from event_id (pure integer arithmetic), matched
+    against a broadcast rule table via per-prefix-length shifted-key
+    equi-joins — never a range join. Rolled up per policy; sum of the
+    matched uint32 IPs fingerprints the assignment exactly."""
+    from bdtopo2refhydro_spark.operators.corpus import cidr_match
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    logs = ev.select(
+        "event_id",
+        F.concat_ws(
+            ".",
+            (F.col("event_id") % 223 + 1).cast("string"),
+            (F.expr("event_id div 7") % 256).cast("string"),
+            (F.expr("event_id div 11") % 256).cast("string"),
+            (F.expr("event_id div 13") % 256).cast("string")).alias("ip"))
+    rules = spark.createDataFrame(
+        _CIDR_RULES, "cidr_ip string, prefix_len int, policy string")
+    matched = cidr_match(logs, rules)
+    return (matched.groupBy("policy")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("ip_int").cast("long").alias("sum_ip")))
+
+
+_CIDR_MATCH_SQL = f"""
+WITH logs AS (
+  SELECT event_id,
+         CAST(event_id % 223 + 1 AS BIGINT) * 16777216
+         + CAST((event_id // 7) % 256 AS BIGINT) * 65536
+         + CAST((event_id // 11) % 256 AS BIGINT) * 256
+         + CAST((event_id // 13) % 256 AS BIGINT) AS ip_int
+  FROM events
+),
+rules(cidr_ip, prefix_len, policy) AS (VALUES
+  {", ".join(f"('{ip}', {ln}, '{pol}')" for ip, ln, pol in _CIDR_RULES)}),
+rk AS (
+  SELECT prefix_len,
+         CASE WHEN prefix_len > 0 THEN
+           (CAST(string_split(cidr_ip, '.')[1] AS BIGINT) * 16777216
+            + CAST(string_split(cidr_ip, '.')[2] AS BIGINT) * 65536
+            + CAST(string_split(cidr_ip, '.')[3] AS BIGINT) * 256
+            + CAST(string_split(cidr_ip, '.')[4] AS BIGINT))
+           >> (32 - prefix_len)
+         ELSE 0 END AS rule_key, policy
+  FROM rules
+),
+cand AS (
+  SELECT l.event_id, l.ip_int, r.prefix_len, r.policy
+  FROM logs l JOIN rk r
+    ON (CASE WHEN r.prefix_len > 0
+             THEN l.ip_int >> (32 - r.prefix_len)
+             ELSE 0 END) = r.rule_key
+),
+best AS (
+  SELECT event_id, ip_int,
+         arg_max(policy, prefix_len) AS policy
+  FROM cand GROUP BY 1, 2
+)
+SELECT policy, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(ip_int) AS BIGINT) AS sum_ip
+FROM best GROUP BY 1
+"""
+
+
+_MIX_WEIGHTS = [("en", 1), ("fr", 3), ("de", 5), ("es", 2), ("zh", 4)]
+
+
+def _q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixture plan (corpus.py:mixture_plan): per-lang
+    available chars x target weights -> integer allocations and epoch
+    counts via SQL `div` (never float floor), so the mixing plan
+    replays bitwise on any engine."""
+    from bdtopo2refhydro_spark.operators.corpus import mixture_plan
+
+    docs = _docs(spark, sf_dir)
+    units = docs.groupBy("lang").agg(
+        F.sum("n_chars").cast("long").alias("units"))
+    w = spark.createDataFrame(_MIX_WEIGHTS, "lang string, weight int")
+    return mixture_plan(units, w, group_col="lang")
+
+
+_MIXTURE_PLAN_SQL = f"""
+WITH units AS (
+  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS units
+  FROM documents GROUP BY 1
+),
+w(lang, weight) AS (VALUES
+  {", ".join(f"('{lg}', {wt})" for lg, wt in _MIX_WEIGHTS)}),
+t AS (SELECT CAST(sum(units) AS BIGINT) AS total_units FROM units),
+sw AS (SELECT CAST(sum(weight) AS BIGINT) AS sum_w FROM w)
+SELECT u.lang, units, CAST(weight AS BIGINT) AS weight,
+       CAST((CAST(weight AS BIGINT) * total_units * 2) // sum_w
+            AS BIGINT) AS alloc,
+       CAST((((CAST(weight AS BIGINT) * total_units * 2) // sum_w)
+             + units - 1) // units AS BIGINT) AS epochs
+FROM units u JOIN w ON u.lang = w.lang, t, sw
+"""
+
+
+_LEV_VOCAB = ["colum", "windoe", "ordre", "jion", "streem",
+              "filtre", "hashes", "quary"]
+
+
+def _q_lev_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded edit-distance gazetteer match on the JVM's built-in
+    threshold levenshtein (corpus.py:nearest_vocab_lev): distinct 4-7
+    char tokens x a broadcast misspelling vocab, dist <= 2. The
+    threshold variant short-circuits the DP — the scale path for tight
+    gates (FastSS/fuzzy_join covers big vocabularies)."""
+    from bdtopo2refhydro_spark.operators.corpus import nearest_vocab_lev
+
+    docs = _docs(spark, sf_dir)
+    toks = (docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        .alias("tok"))
+        .where((F.length("tok") >= 4) & (F.length("tok") <= 7))
+        .distinct())
+    vocab = spark.createDataFrame([(t,) for t in _LEV_VOCAB],
+                                  "term string")
+    return nearest_vocab_lev(toks, vocab, max_dist=2)
+
+
+_LEV_GATE_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT tok FROM (
+    SELECT unnest(list_filter(
+             regexp_split_to_array(trim(lower(text)), '\\s+'),
+             t -> t != '')) AS tok
+    FROM documents)
+  WHERE length(tok) BETWEEN 4 AND 7
+),
+v(term) AS (VALUES {", ".join(f"('{t}')" for t in _LEV_VOCAB)})
+SELECT tok, term, CAST(levenshtein(tok, term) AS INT) AS dist
+FROM toks, v
+WHERE levenshtein(tok, term) <= 2
+"""
+
+
+def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset algebra surface: INTERSECT ALL / EXCEPT ALL
+    (df.intersectAll / df.exceptAll) between two sources' token
+    multisets — Spark plans both as a single hash aggregate computing
+    per-row multiplicities (no self-join). Rolled up per token with a
+    >=2 gate to keep the result enumerable."""
+    docs = _docs(spark, sf_dir)
+
+    def toks(src):
+        return (docs.where(F.col("source") == src)
+                .select(F.explode(
+                    F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+                    .alias("tok"))
+                .where(F.col("tok") != ""))
+
+    a, b = toks("src0"), toks("src1")
+    inter = a.intersectAll(b).withColumn("op", F.lit("intersect_all"))
+    exc = a.exceptAll(b).withColumn("op", F.lit("except_all"))
+    return (inter.unionByName(exc)
+            .groupBy("op", "tok")
+            .agg(F.count("*").cast("long").alias("n"))
+            .where(F.col("n") >= 2))
+
+
+_SET_OPS_SQL = """
+WITH ta AS (
+  SELECT unnest(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\\s+'),
+           t -> t != '')) AS tok
+  FROM documents WHERE source = 'src0'
+),
+tb AS (
+  SELECT unnest(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\\s+'),
+           t -> t != '')) AS tok
+  FROM documents WHERE source = 'src1'
+),
+u AS (
+  SELECT 'intersect_all' AS op, tok
+  FROM (SELECT tok FROM ta INTERSECT ALL SELECT tok FROM tb)
+  UNION ALL
+  SELECT 'except_all' AS op, tok
+  FROM (SELECT tok FROM ta EXCEPT ALL SELECT tok FROM tb)
+)
+SELECT op, tok, CAST(count(*) AS BIGINT) AS n
+FROM u GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+def _q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS + grouping() flags: the multi-granularity rollup
+    surface (cube/rollup's general form — cube_counts/rollup_counts
+    pin the other two). One Expand + one aggregate; grouping() flags
+    disambiguate NULL-valued group keys, cast INT on both sides."""
+    _docs(spark, sf_dir).createOrReplaceTempView("gs_docs")
+    return spark.sql("""
+        SELECT source, lang,
+               CAST(grouping(source) AS INT) AS g_src,
+               CAST(grouping(lang) AS INT) AS g_lang,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM gs_docs
+        GROUP BY GROUPING SETS ((source, lang), (source), ())
+    """)
+
+
+_GROUPING_SETS_SQL = """
+SELECT source, lang,
+       CAST(GROUPING(source) AS INT) AS g_src,
+       CAST(GROUPING(lang) AS INT) AS g_lang,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS chars
+FROM documents
+GROUP BY GROUPING SETS ((source, lang), (source), ())
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -8412,6 +8763,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ALL entries.
     return {
         # -- new in round 4: never driver-checked --------------------------
+        # batch 21 (r4 continuation session 2): sweep-line interval
+        # merge, cohort retention, integer rolling anomaly, CIDR
+        # longest-prefix, mixture plan, threshold-levenshtein gate,
+        # INTERSECT/EXCEPT ALL, GROUPING SETS — all exact.
+        "interval_merge": _q_interval_merge,
+        "cohort_ret": _q_cohort_ret,
+        "roll_anomaly": _q_roll_anomaly,
+        "cidr_match": _q_cidr_match,
+        "mixture_plan": _q_mixture_plan,
+        "lev_gate": _q_lev_gate,
+        "set_ops": _q_set_ops,
+        "grouping_sets": _q_grouping_sets,
         "deg_assort": _q_deg_assort,
         "stopword_gate": _q_stopword_gate,
         "containment": _q_containment,
@@ -8768,6 +9131,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "interval_merge": _INTERVAL_MERGE_SQL,
+        "cohort_ret": _COHORT_RET_SQL,
+        "roll_anomaly": _ROLL_ANOMALY_SQL,
+        "cidr_match": _CIDR_MATCH_SQL,
+        "mixture_plan": _MIXTURE_PLAN_SQL,
+        "lev_gate": _LEV_GATE_SQL,
+        "set_ops": _SET_OPS_SQL,
+        "grouping_sets": _GROUPING_SETS_SQL,
         "deg_assort": _DEG_ASSORT_SQL,
         "stopword_gate": _STOPWORD_GATE_SQL,
         "containment": _CONTAINMENT_SQL,

@@ -909,3 +909,121 @@ def cooccurrence_pairs(
                           F.col("n_baskets").alias("n_b")), "b")
         .select("a", "b", "support", "n_a", "n_b")
     )
+
+
+def parse_ipv4(col) -> "F.Column":
+    """Dotted-quad IPv4 string -> uint32 as BIGINT, pure JVM codegen
+    (split + casts + shifts) — no UDF, so the parse stays inside
+    whole-stage codegen at crawl scale."""
+    o = F.split(col, r"\.")
+    return (
+        F.shiftleft(F.element_at(o, 1).cast("long"), 24)
+        + F.shiftleft(F.element_at(o, 2).cast("long"), 16)
+        + F.shiftleft(F.element_at(o, 3).cast("long"), 8)
+        + F.element_at(o, 4).cast("long")
+    ).alias("ip_int")
+
+
+def cidr_match(logs: DataFrame, rules: DataFrame, *,
+               ip_col: str = "ip", row_key: str = "event_id") -> DataFrame:
+    """Longest-prefix CIDR policy match — the IP-level analogue of the
+    robots-rules join (apply_url_rules): each log row gets the policy of
+    the most specific matching CIDR block.
+
+    Scale shape: prefix lengths present in the rule set (a handful) are
+    collected once; every log row emits one candidate key per distinct
+    length (ip >> (32-len)) and equi-joins the BROADCAST rule table on
+    (len, shifted-prefix) — never a range or cross join. The longest
+    match wins via max_by over the row key, so ties are impossible
+    (two distinct same-length prefixes cannot both match one IP).
+
+    ``rules``: (cidr_ip string, prefix_len int, policy string). Rows
+    with no matching rule are dropped (ship a 0-length catch-all for
+    default-policy semantics). Adds (policy, match_len) per log row.
+    """
+    # the shift amount varies per row, so the shifts go through SQL
+    # expr() — the python F.shiftright binding only takes int literals
+    rules_k = (rules.withColumn("_pfx_ip", parse_ipv4(F.col("cidr_ip")))
+               .select(
+                   F.col("prefix_len").cast("int").alias("prefix_len"),
+                   F.expr("CASE WHEN prefix_len > 0 THEN "
+                          "shiftright(_pfx_ip, 32 - prefix_len) "
+                          "ELSE 0 END").cast("long").alias("rule_key"),
+                   "policy"))
+    lens = [int(r[0]) for r in
+            rules.select("prefix_len").distinct().collect()]
+    with_ip = logs.withColumn("_ip_int", parse_ipv4(F.col(ip_col)))
+    cand = with_ip.select(
+        "*",
+        F.explode(F.array(*[F.lit(n) for n in sorted(lens)]))
+        .alias("prefix_len"))
+    cand = cand.withColumn(
+        "cand_key",
+        F.expr("CASE WHEN prefix_len > 0 THEN "
+               "shiftright(_ip_int, 32 - prefix_len) "
+               "ELSE 0 END").cast("long"))
+    joined = cand.join(
+        F.broadcast(rules_k),
+        on=[cand.prefix_len == rules_k.prefix_len,
+            cand.cand_key == rules_k.rule_key],
+        how="inner").select(with_ip["*"], rules_k.prefix_len, "policy")
+    return (joined.groupBy(row_key)
+            .agg(F.max_by(F.struct(F.col("prefix_len").alias("match_len"),
+                                   "policy"),
+                          "prefix_len").alias("_m"),
+                 F.first(F.col("_ip_int")).alias("ip_int"))
+            .select(row_key, "ip_int", "_m.match_len", "_m.policy"))
+
+
+def mixture_plan(units_per_group: DataFrame, weights: DataFrame, *,
+                 group_col: str = "source",
+                 oversample_num: int = 2) -> DataFrame:
+    """Training-data mixture plan in exact integer arithmetic: given
+    available units (tokens/chars) per group and target mixture
+    weights, compute each group's allocation and the epoch count
+    (ceil-divide) needed to fill it — the standard data-mixing step
+    (cf. The Pile / DoReMi-style fixed-weight mixtures) with zero
+    floats so the plan replays bitwise.
+
+    alloc_g = weight_g * total_units * oversample_num // sum_weights
+    epochs_g = ceil(alloc_g / units_g)  (integer (a + u - 1) // u)
+
+    Tiny inputs (one row per group): broadcast joins, one global sum.
+    """
+    totals = units_per_group.agg(
+        F.sum("units").cast("long").alias("total_units"))
+    wsum = weights.agg(F.sum("weight").cast("long").alias("sum_w"))
+    j = (units_per_group.join(F.broadcast(weights), group_col)
+         .crossJoin(F.broadcast(totals)).crossJoin(F.broadcast(wsum)))
+    # `div`, not `/` + floor: SQL integer division stays BIGINT end to
+    # end (float floor loses exactness past 2^53 at real corpus sizes).
+    j = j.withColumn(
+        "alloc",
+        F.expr(f"(weight * total_units * {int(oversample_num)}) "
+               "div sum_w").cast("long"))
+    return j.select(
+        group_col,
+        F.col("units").cast("long").alias("units"),
+        F.col("weight").cast("long").alias("weight"),
+        "alloc",
+        F.expr("(alloc + units - 1) div units")
+        .cast("long").alias("epochs"))
+
+
+def nearest_vocab_lev(tokens: DataFrame, vocab: DataFrame, *,
+                      max_dist: int = 2) -> DataFrame:
+    """Bounded edit-distance vocabulary match on the JVM's built-in
+    ``levenshtein(l, r, threshold)`` (Spark 4): the threshold variant
+    short-circuits the DP once the bound is exceeded (returns -1), so
+    the common no-match case costs O(max_dist * len) instead of
+    O(len^2) — the right primitive when the gate is tight.
+
+    ``tokens``(tok) x broadcast ``vocab``(term): candidate generation is
+    a broadcast nested loop over a SMALL vocab (gazetteer-scale; for
+    vocabularies beyond broadcast size use fuzzy_join_ed1's FastSS
+    deletion-variant index instead). Returns (tok, term, dist<=max_dist).
+    """
+    lev = F.levenshtein(F.col("tok"), F.col("term"), int(max_dist))
+    return (tokens.crossJoin(F.broadcast(vocab))
+            .withColumn("dist", lev.cast("int"))
+            .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist)))

@@ -170,3 +170,41 @@ def pearson_pairs(df: DataFrame, cols: list[str],
         g.select("n", F.explode(F.array(*structs)).alias("p"))
         .select("p.x_name", "p.y_name", "n", "p.r")
     )
+
+
+def rolling_outliers(df: DataFrame, *, key_col: str, order_col: str,
+                     value_col: str, window: int = 8,
+                     t_sq: int = 9) -> DataFrame:
+    """Rolling z-score anomaly flags in EXACT integer arithmetic: flag
+    a point whose squared deviation from its trailing-window mean
+    exceeds ``t_sq`` times the window variance — the standard
+    streaming-telemetry outlier gate, made bit-replayable by clearing
+    denominators instead of dividing.
+
+    |x - s/n|^2 > t^2 * (s2/n - s^2/n^2)  multiplied through by n^2:
+        (n*x - s)^2  >  t_sq * (n*s2 - s^2)
+    with s = rolling sum, s2 = rolling sum of squares, n = rolling
+    count — all BIGINT, so Spark and any replay engine agree bitwise
+    (no float variance). One Exchange (hash on key) + one Window; only
+    full windows are eligible. Returns the flagged rows with the two
+    integer diagnostics (lhs, rhs).
+    """
+    w = (Window.partitionBy(key_col).orderBy(order_col)
+         .rowsBetween(-(window - 1), Window.currentRow))
+    x = F.col(value_col).cast("long")
+    stats = df.select(
+        key_col, order_col, x.alias("x"),
+        F.count("*").over(w).alias("n_w"),
+        F.sum(x).over(w).alias("s"),
+        F.sum(x * x).over(w).alias("s2"))
+    # NOT `** 2`: Column.__pow__ lowers to pow() which returns DOUBLE —
+    # an explicit self-multiply keeps the whole predicate in BIGINT.
+    dev = F.col("n_w") * F.col("x") - F.col("s")
+    lhs = dev * dev
+    rhs = F.lit(t_sq) * (F.col("n_w") * F.col("s2")
+                         - F.col("s") * F.col("s"))
+    return (stats.where(F.col("n_w") == window)
+            .withColumn("lhs", lhs.cast("long"))
+            .withColumn("rhs", rhs.cast("long"))
+            .where(F.col("lhs") > F.col("rhs"))
+            .drop("n_w", "s", "s2"))

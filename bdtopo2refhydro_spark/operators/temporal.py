@@ -322,3 +322,66 @@ def arrow_group_rollup(events: DataFrame, *, buckets: int = 64) -> DataFrame:
             .applyInArrow(rollup,
                           "user_id bigint, n_events bigint, "
                           "sum_id bigint"))
+
+
+def merge_intervals(df: DataFrame, *, key_col: str, start_col: str,
+                    end_col: str) -> DataFrame:
+    """Merge overlapping/touching intervals per key (the classic sweep
+    line): coalesce [s,e] intervals that overlap a previously seen one
+    into maximal segments — session stitching, IP-range coalescing,
+    covered-airtime computation.
+
+    Distributed shape: sort within key by (start, end), flag a NEW
+    segment when start exceeds the running max of all previous ends
+    (``max(end) OVER ... 1 PRECEDING``), number segments with a running
+    sum of the flags, then groupBy (key, seg_id). ONE Exchange total:
+    the two windows and the final groupBy all hash on ``key_col`` (a
+    HashPartitioning on key satisfies the (key, seg_id) clustering —
+    subset rule), so the big table shuffles once and never self-joins
+    (the naive spelling is an O(N^2) interval self-join).
+
+    Tie-safety: rows tied on (start, end) are byte-identical for the
+    sweep, so the result is order-deterministic. Returns
+    (key, seg_start, seg_end), one row per merged segment.
+    """
+    w_prev = (Window.partitionBy(key_col).orderBy(start_col, end_col)
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy(key_col).orderBy(start_col, end_col)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    flagged = df.withColumn(
+        "_new_seg",
+        F.when(F.col(start_col)
+               > F.max(end_col).over(w_prev), 1)
+        .when(F.max(end_col).over(w_prev).isNull(), 1)
+        .otherwise(0))
+    numbered = flagged.withColumn("_seg_id",
+                                  F.sum("_new_seg").over(w_run))
+    return (numbered.groupBy(key_col, "_seg_id")
+            .agg(F.min(start_col).alias("seg_start"),
+                 F.max(end_col).alias("seg_end"))
+            .drop("_seg_id"))
+
+
+def cohort_retention(df: DataFrame, *, user_col: str,
+                     period_col: str) -> DataFrame:
+    """Cohort-retention matrix: assign each user to the cohort of their
+    FIRST active period, then count distinct users per (cohort, period)
+    — the standard retention triangle over any integer period column.
+
+    Distributed shape: pre-repartition on the user, so the
+    (user, period) distinct, the per-user min() window, and nothing
+    else shuffle the big table — the only further Exchange is the final
+    tiny (cohort, period) rollup (HashPartitioning(user) satisfies the
+    (user, period) clustering — subset rule). Returns
+    (cohort, period, n_users), all BIGINT.
+    """
+    per = (df.select(user_col, period_col)
+           .repartition(F.col(user_col))
+           .groupBy(user_col, period_col).agg(F.lit(1).alias("_one")))
+    w = Window.partitionBy(user_col)
+    cohorted = per.withColumn("cohort",
+                              F.min(period_col).over(w))
+    return (cohorted.groupBy("cohort", F.col(period_col).alias("period"))
+            .agg(F.count("*").cast("long").alias("n_users"))
+            .select(F.col("cohort").cast("long"),
+                    F.col("period").cast("long"), "n_users"))

@@ -1,0 +1,138 @@
+"""Semantics tests for the batch-21 operators: sweep-line interval
+merging, cohort retention, integer rolling anomalies, CIDR
+longest-prefix match, mixture planning, threshold-levenshtein gate.
+
+Each operator also has an exact DuckDB oracle entry in
+__spark_entry__.py; these tests pin the hand-checkable corner cases the
+fixture can't isolate (touching intervals, tie rules, ceil division,
+threshold short-circuit).
+"""
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- intervals
+
+def _iv(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, s bigint, e bigint")
+
+
+def test_merge_intervals_chains_and_touching(spark):
+    """Overlap chains merge transitively; TOUCHING intervals (s == prev
+    max end) merge too (new segment only when s strictly exceeds the
+    running max); disjoint spans stay separate; a contained interval
+    never splits its container."""
+    from bdtopo2refhydro_spark.operators.temporal import merge_intervals
+
+    rows = [
+        (1, 0, 10), (1, 5, 20), (1, 20, 30),   # chain + touching -> [0,30]
+        (1, 40, 50),                            # disjoint
+        (2, 0, 100), (2, 10, 20),               # contained
+        (2, 150, 160),
+    ]
+    out = merge_intervals(_iv(spark, rows), key_col="k",
+                          start_col="s", end_col="e")
+    got = {(r.k, r.seg_start, r.seg_end) for r in out.collect()}
+    assert got == {(1, 0, 30), (1, 40, 50), (2, 0, 100), (2, 150, 160)}
+
+
+def test_merge_intervals_out_of_order_input(spark):
+    """The sweep sorts inside the window — input order is irrelevant."""
+    from bdtopo2refhydro_spark.operators.temporal import merge_intervals
+
+    rows = [(1, 50, 60), (1, 0, 10), (1, 55, 70), (1, 8, 52)]
+    out = merge_intervals(_iv(spark, rows), key_col="k",
+                          start_col="s", end_col="e")
+    got = {(r.seg_start, r.seg_end) for r in out.collect()}
+    assert got == {(0, 70)}
+
+
+# ------------------------------------------------------------------ cohorts
+
+def test_cohort_retention_counts_and_cohort_assignment(spark):
+    from bdtopo2refhydro_spark.operators.temporal import cohort_retention
+
+    rows = [
+        # user 1 joins week 0, active weeks 0,1,2; user 2 joins week 1
+        (1, 0), (1, 0), (1, 1), (1, 2),
+        (2, 1), (2, 2),
+        (3, 0), (3, 2),
+    ]
+    df = spark.createDataFrame(rows, "u bigint, wk bigint")
+    out = cohort_retention(df, user_col="u", period_col="wk")
+    got = {(r.cohort, r.period): r.n_users for r in out.collect()}
+    assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 2, (1, 1): 1, (1, 2): 1}
+
+
+# ---------------------------------------------------------------- anomalies
+
+def test_rolling_outliers_flat_baseline_spike_ratio_is_seven(spark):
+    """A lone spike over a constant baseline yields exactly
+    lhs = 7 * (n*s2 - s^2) (closed form: both sides reduce to
+    multiples of (M-c)^2) — so t_sq=5 flags it and t_sq=9 does not.
+    Earlier rows (partial windows) are never eligible."""
+    from bdtopo2refhydro_spark.operators.dq import rolling_outliers
+
+    rows = [(1, i, 3) for i in range(10)] + [(1, 10, 100)]
+    df = spark.createDataFrame(rows, "k bigint, t bigint, v bigint")
+    flag5 = rolling_outliers(df, key_col="k", order_col="t",
+                             value_col="v", window=8, t_sq=5).collect()
+    assert [(r.t, r.x) for r in flag5] == [(10, 100)]
+    r = flag5[0]
+    assert r.lhs == 7 * (r.rhs // 5)  # ratio exactly 7
+    flag9 = rolling_outliers(df, key_col="k", order_col="t",
+                             value_col="v", window=8, t_sq=9).collect()
+    assert flag9 == []
+
+
+# --------------------------------------------------------------------- CIDR
+
+def test_cidr_match_longest_prefix_wins(spark):
+    from bdtopo2refhydro_spark.operators.corpus import cidr_match
+
+    logs = spark.createDataFrame(
+        [(1, "10.1.2.3"), (2, "10.9.9.9"), (3, "8.8.8.8")],
+        "event_id bigint, ip string")
+    rules = spark.createDataFrame(
+        [("10.0.0.0", 8, "deny"), ("10.1.0.0", 16, "allow"),
+         ("0.0.0.0", 0, "default")],
+        "cidr_ip string, prefix_len int, policy string")
+    out = {r.event_id: (r.policy, r.match_len)
+           for r in cidr_match(logs, rules).collect()}
+    assert out == {1: ("allow", 16),   # /16 beats /8
+                   2: ("deny", 8),
+                   3: ("default", 0)}  # catch-all
+    # ip_int round-trips the dotted quad
+    ips = {r.event_id: r.ip_int for r in cidr_match(logs, rules).collect()}
+    assert ips[3] == (8 << 24) + (8 << 16) + (8 << 8) + 8
+
+
+# ------------------------------------------------------------------ mixture
+
+def test_mixture_plan_integer_alloc_and_ceil_epochs(spark):
+    from bdtopo2refhydro_spark.operators.corpus import mixture_plan
+
+    units = spark.createDataFrame([("a", 100), ("b", 1000)],
+                                  "g string, units bigint")
+    w = spark.createDataFrame([("a", 3), ("b", 1)], "g string, weight int")
+    out = {r.g: r for r in
+           mixture_plan(units, w, group_col="g",
+                        oversample_num=1).collect()}
+    # total=1100, sum_w=4: alloc_a = 3*1100//4 = 825, epochs = ceil(825/100)=9
+    assert (out["a"].alloc, out["a"].epochs) == (825, 9)
+    # alloc_b = 1100//4 = 275, epochs = ceil(275/1000) = 1
+    assert (out["b"].alloc, out["b"].epochs) == (275, 1)
+
+
+# -------------------------------------------------------------- levenshtein
+
+def test_nearest_vocab_lev_threshold_excludes_far_pairs(spark):
+    from bdtopo2refhydro_spark.operators.corpus import nearest_vocab_lev
+
+    toks = spark.createDataFrame(
+        [("window",), ("widow",), ("doors",)], "tok string")
+    vocab = spark.createDataFrame([("windoe",)], "term string")
+    out = {(r.tok, r.dist)
+           for r in nearest_vocab_lev(toks, vocab, max_dist=2).collect()}
+    # windoe->window: 1 edit; windoe->widow: 2; doors is 5 edits -> gated
+    assert out == {("window", 1), ("widow", 2)}

@@ -532,3 +532,57 @@ def test_link_pred_wedge_is_equi_join(spark, entry):
     plan = _plan(entry.queries()["link_pred"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_merge_single_exchange(spark, entry):
+    """merge_intervals: both windows and the per-user rollup hash on
+    user_id (HashPartitioning subset rule), so the WHOLE sweep is ONE
+    Exchange — the naive spelling is an O(N^2) interval self-join."""
+    plan = _plan(entry.queries()["interval_merge"](spark, SF))
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan
+
+
+def test_cohort_retention_two_exchanges_no_join(spark, entry):
+    """cohort_retention: repartition(user) feeds the (user, period)
+    dedup AND the per-user min window shuffle-free; only the tiny
+    (cohort, period) rollup re-shuffles. No join anywhere (the naive
+    spelling joins first-period back onto the activity table)."""
+    plan = _plan(entry.queries()["cohort_ret"](spark, SF))
+    assert plan.count("Exchange") == 2, plan
+    assert "Join" not in plan
+
+
+def test_rolling_outliers_one_exchange_one_window(spark, entry):
+    """rolling_outliers: one hash on the key + one Window computing all
+    three rolling stats in a single pass; the anomaly predicate stays
+    in whole-stage codegen (all-BIGINT, no pow/floats)."""
+    plan = _plan(entry.queries()["roll_anomaly"](spark, SF))
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Window") == 1, plan
+
+
+def test_cidr_match_broadcasts_rules_no_range_join(spark, entry):
+    """cidr_match: per-prefix-length shifted keys make the CIDR match a
+    broadcast EQUI-join — a range/cartesian join over rules would die
+    at crawl scale."""
+    plan = _plan(entry.queries()["cidr_match"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_set_ops_lower_to_aggregates_not_joins(spark, entry):
+    """INTERSECT ALL / EXCEPT ALL lower to replicate-and-count hash
+    aggregates (plus Generate for the replay) — no join of the two
+    token streams."""
+    plan = _plan(entry.queries()["set_ops"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_grouping_sets_is_one_expand(spark, entry):
+    """GROUPING SETS plans as ONE Expand feeding one aggregate — not
+    one scan per grouping set."""
+    plan = _plan(entry.queries()["grouping_sets"](spark, SF))
+    assert plan.count("Expand") == 1, plan
