@@ -8752,6 +8752,171 @@ GROUP BY GROUPING SETS ((source, lang), (source), ())
 """
 
 
+def _q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup via average-hash over REAL decoded bytes
+    (multimodal.py:perceptual_ahash): two-tone split PPMs synthesized
+    from doc_id are byte-decoded (header walk + raw RGB), gray'd
+    ((r+g+b)//3), 8x8 nearest-neighbor sampled, and mean-thresholded
+    with the denominator cleared (cell·64 > Σcells) — all integer, so
+    the 64-bit hash is bit-replayable. The oracle replays the fixture's
+    closed form: bright bits exactly at sampled columns ≥ the split
+    (multimodal.py:synth_ppm_split_bytes). n_same = perceptual-dup
+    cluster size over the hash."""
+    from bdtopo2refhydro_spark.operators.multimodal import (
+        perceptual_ahash,
+        ppm_split_payload_udf,
+    )
+
+    from pyspark.sql import Window
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        ppm_split_payload_udf()("doc_id").alias("payload"))
+    hashed = perceptual_ahash(media, payload_col="payload")
+    w = Window.partitionBy("hash_hi", "hash_lo")
+    return hashed.withColumn("n_same",
+                             F.count("*").over(w).cast("long"))
+
+
+_IMAGE_PHASH_SQL = f"""
+WITH p AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url,
+         8 + doc_id % 9 AS w, 8 + doc_id % 5 AS h,
+         1 + (5 * doc_id) % (7 + doc_id % 9) AS s
+  FROM documents
+),
+b AS (
+  SELECT url, w, h,
+         ({" + ".join(
+             f"CASE WHEN ({j} * w) // 8 >= s THEN {1 << j} ELSE 0 END"
+             for j in range(8))}) AS colmask
+  FROM p
+)
+SELECT url, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(CAST(colmask AS BIGINT) * 16843009 AS BIGINT) AS hash_hi,
+       CAST(CAST(colmask AS BIGINT) * 16843009 AS BIGINT) AS hash_lo,
+       CAST(count(*) OVER (PARTITION BY colmask) AS BIGINT) AS n_same
+FROM b
+"""
+
+
+def _q_time_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled activity series (temporal.py:gap_fill_counts): per
+    user, a sequence()+explode week spine from first to last active
+    week left-joined onto observed counts, zeros on gaps. Weeks are
+    integer-µs arithmetic (the sessionize/cohort_ret NTZ precedent)."""
+    from bdtopo2refhydro_spark.operators.temporal import gap_fill_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per = ev.select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 604800000000")
+        .alias("wk"))
+    return gap_fill_counts(per, key_col="user_id", period_col="wk")
+
+
+_TIME_SPINE_SQL = """
+WITH act AS (
+  SELECT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS wk,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, min(wk) AS wmin, max(wk) AS wmax FROM act GROUP BY 1
+),
+spine AS (
+  SELECT user_id, unnest(range(wmin, wmax + 1)) AS wk FROM bounds
+)
+SELECT s.user_id, CAST(s.wk AS BIGINT) AS wk,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n
+FROM spine s LEFT JOIN act a USING (user_id, wk)
+"""
+
+
+def _q_explode_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator variants: posexplode_outer — ordinal positions AND
+    null-row preservation for empty arrays (every 5th doc's token array
+    is emptied) in one Generate. The oracle emulates ordinality with a
+    range(len) unnest + element pick, plus a UNION ALL of the empties
+    (DuckDB 1.0 lacks WITH ORDINALITY)."""
+    docs = _docs(spark, sf_dir)
+    arr = F.slice(
+        F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                 lambda t: t != ""), 1, 3)
+    d = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.array().cast("array<string>"))
+        .otherwise(arr).alias("arr"))
+    return d.select(
+        "doc_id",
+        F.posexplode_outer("arr").alias("pos", "tok")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
+
+
+_EXPLODE_POS_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN CAST([] AS VARCHAR[])
+              ELSE list_slice(list_filter(
+                     regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     t -> t != ''), 1, 3) END AS arr
+  FROM documents
+),
+e AS (
+  SELECT doc_id, arr, unnest(range(len(arr))) AS pos
+  FROM d WHERE len(arr) > 0
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, arr[pos + 1] AS tok FROM e
+UNION ALL
+SELECT doc_id, NULL, NULL FROM d WHERE len(arr) = 0
+"""
+
+
+def _q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-function surface: trunc/last_day/add_months (month
+    clamp semantics probed identical: Jan 31 + 1 month = Feb 29 in
+    BOTH engines)/dayofweek/quarter/datediff over a derived date axis.
+    Dates emitted as strings (the tpch_q3 datetime64-unit precedent);
+    dow replayed in the oracle by pure epoch-day arithmetic
+    ((days + 4) % 7 + 1 — no dialect trap)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dt = F.date_add(F.lit("2024-01-01").cast("date"),
+                    ((F.col("event_id") * 37) % 400).cast("int"))
+    d = ev.select("event_id", dt.alias("dt"))
+    return d.select(
+        "event_id",
+        F.col("dt").cast("string").alias("d"),
+        F.trunc("dt", "month").cast("string").alias("month_start"),
+        F.last_day("dt").cast("string").alias("month_end"),
+        F.add_months("dt", 2).cast("string").alias("plus2m"),
+        F.dayofweek("dt").cast("int").alias("dow"),
+        F.quarter("dt").cast("int").alias("q"),
+        F.datediff("dt", F.lit("2024-01-01").cast("date"))
+        .cast("int").alias("off_days"))
+
+
+_DATE_FUNCS_SQL = """
+WITH d AS (
+  SELECT event_id,
+         CAST(DATE '2024-01-01'
+              + INTERVAL ((event_id * 37) % 400) DAY AS DATE) AS dt
+  FROM events
+)
+SELECT event_id, CAST(dt AS VARCHAR) AS d,
+       CAST(CAST(date_trunc('month', dt) AS DATE) AS VARCHAR)
+         AS month_start,
+       CAST(last_day(dt) AS VARCHAR) AS month_end,
+       CAST(CAST(dt + INTERVAL 2 MONTH AS DATE) AS VARCHAR) AS plus2m,
+       CAST(((date_diff('day', DATE '1970-01-01', dt) + 4) % 7) + 1
+            AS INT) AS dow,
+       CAST(quarter(dt) AS INT) AS q,
+       CAST(date_diff('day', DATE '2024-01-01', dt) AS INT) AS off_days
+FROM d
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -8767,6 +8932,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # merge, cohort retention, integer rolling anomaly, CIDR
         # longest-prefix, mixture plan, threshold-levenshtein gate,
         # INTERSECT/EXCEPT ALL, GROUPING SETS — all exact.
+        # batch 22: real-decode perceptual image hash, time-spine gap
+        # fill, posexplode_outer, calendar functions — all exact.
+        "image_phash": _q_image_phash,
+        "time_spine": _q_time_spine,
+        "explode_pos": _q_explode_pos,
+        "date_funcs": _q_date_funcs,
         "interval_merge": _q_interval_merge,
         "cohort_ret": _q_cohort_ret,
         "roll_anomaly": _q_roll_anomaly,
@@ -9131,6 +9302,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "image_phash": _IMAGE_PHASH_SQL,
+        "time_spine": _TIME_SPINE_SQL,
+        "explode_pos": _EXPLODE_POS_SQL,
+        "date_funcs": _DATE_FUNCS_SQL,
         "interval_merge": _INTERVAL_MERGE_SQL,
         "cohort_ret": _COHORT_RET_SQL,
         "roll_anomaly": _ROLL_ANOMALY_SQL,

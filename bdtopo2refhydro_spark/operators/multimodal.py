@@ -546,3 +546,117 @@ def resize_images(media: DataFrame, out_w: int, out_h: int,
     return media.select("url", payload_col).mapInPandas(
         _resize, RESIZED_SCHEMA
     )
+
+
+def _ppm_pixels(payload: bytes) -> np.ndarray:
+    """Binary-PPM (P6) decode to the raw (H, W, 3) uint8 pixel array —
+    same header walk as _decode_ppm (comment skipping per the netpbm
+    spec) but returning pixels, for operators that need spatial
+    structure (perceptual hashing, resampling) rather than channel
+    moments."""
+    pos = 2
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"16-bit PPM unsupported (maxval={maxval})")
+    px = np.frombuffer(payload, dtype=np.uint8,
+                       count=width * height * 3, offset=pos)
+    return px.reshape(height, width, 3)
+
+
+def ahash64(gray: np.ndarray) -> int:
+    """64-bit average hash of a (H, W) integer gray image, EXACT
+    integer arithmetic end to end: nearest-neighbor downsample to 8x8
+    at indices floor(i*H/8), floor(j*W/8), then bit(i,j) = 1 iff
+    cell*64 > sum(cells) — the mean comparison with the denominator
+    cleared, so the hash is bit-replayable on any engine (no float
+    mean). Bit index is i*8 + j, LSB first."""
+    h, w = gray.shape
+    ys = (np.arange(8, dtype=np.int64) * h) // 8
+    xs = (np.arange(8, dtype=np.int64) * w) // 8
+    cells = gray[np.ix_(ys, xs)].astype(np.int64)
+    bits = (cells * 64 > cells.sum()).astype(np.uint64).ravel()
+    return int((bits << np.arange(64, dtype=np.uint64)).sum())
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("hash_hi", T.LongType()),
+        T.StructField("hash_lo", T.LongType()),
+    ]
+)
+
+
+def perceptual_ahash(media: DataFrame,
+                     payload_col: str = "payload") -> DataFrame:
+    """Perceptual average-hash over REAL decoded image bytes: the
+    near-duplicate-image primitive of a multimodal curation pipeline.
+    Gray = (r+g+b)//3 per pixel (integer), 8x8 nearest-neighbor
+    downsample, mean-threshold bits (ahash64). The 64-bit hash ships
+    as two uint32 halves (hash_hi, hash_lo) so BIGINT stays unsigned-
+    clean in every engine.
+
+    Scale shape: mapInPandas decode (payload bytes never shuffle — the
+    output is 20 bytes/image); downstream exact-dup grouping or banded
+    Hamming joins (cf. simhash_pairs' 4x16 Manku bands) operate on the
+    hash columns only."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for url, payload in zip(pdf["url"], pdf[payload_col]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                if b[:2] != b"P6":
+                    raise ValueError("perceptual_ahash: PPM-only path")
+                px = _ppm_pixels(b)
+                gray = px.astype(np.int64).sum(axis=2) // 3
+                hv = ahash64(gray)
+                out.append({"url": url,
+                            "width": int(px.shape[1]),
+                            "height": int(px.shape[0]),
+                            "hash_hi": int(hv >> 32),
+                            "hash_lo": int(hv & 0xFFFFFFFF)})
+            yield pd.DataFrame(
+                out, columns=[f.name for f in PHASH_SCHEMA.fields])
+
+    return media.select("url", payload_col).mapInPandas(
+        _hash, PHASH_SCHEMA)
+
+
+def synth_ppm_split_bytes(doc_id: int) -> bytes:
+    """Two-tone vertical-split PPM fixture: (8 + id%9) x (8 + id%5),
+    first s = 1 + (5·id)%(w−1) columns gray 40, the rest gray 200 (all
+    channels equal). The 8x8 aHash of such an image is closed-form in
+    doc_id — bright bits exactly at sampled columns floor(j·w/8) >= s,
+    repeated down all 8 rows (and 0 when no sampled column is bright:
+    all-equal cells never exceed their own mean) — so the SQL oracle
+    replays the genuine byte-level decode + hash (see _q_image_phash)."""
+    w, h = 8 + doc_id % 9, 8 + doc_id % 5
+    s = 1 + (5 * doc_id) % (w - 1)
+    row = bytes((40, 40, 40)) * s + bytes((200, 200, 200)) * (w - s)
+    return f"P6\n{w} {h}\n255\n".encode() + row * h
+
+
+def ppm_split_payload_udf():
+    """binary pandas UDF: doc_id -> synth_ppm_split_bytes(doc_id)."""
+    @F.pandas_udf("binary")
+    def _mk(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_ppm_split_bytes(int(i)))
+    return _mk

@@ -385,3 +385,30 @@ def cohort_retention(df: DataFrame, *, user_col: str,
             .agg(F.count("*").cast("long").alias("n_users"))
             .select(F.col("cohort").cast("long"),
                     F.col("period").cast("long"), "n_users"))
+
+
+def gap_fill_counts(df: DataFrame, *, key_col: str,
+                    period_col: str) -> DataFrame:
+    """Gap-filled per-key activity series: densify each key's period
+    axis from its first to its last active period (the "time spine")
+    and left-join the observed counts, zero-filling gaps — the step
+    every calendar rollup / retention curve needs before charting or
+    windowing, since missing periods silently skew moving averages.
+
+    Scale shape: counts and bounds are two aggregates on the same key
+    hash; the spine is sequence()+explode over [min, max] per key (row
+    growth bounded by the span, not the data), and the final join is on
+    (key, period). No global calendar table, no cross join. Returns
+    (key, period, n) with n = 0 on gaps.
+    """
+    act = (df.groupBy(key_col, period_col)
+           .agg(F.count("*").cast("long").alias("n")))
+    bounds = act.groupBy(key_col).agg(
+        F.min(period_col).alias("_pmin"), F.max(period_col).alias("_pmax"))
+    spine = bounds.select(
+        key_col,
+        F.explode(F.sequence("_pmin", "_pmax")).alias(period_col))
+    return (spine.join(act, [key_col, period_col], "left")
+            .select(key_col,
+                    F.col(period_col).cast("long").alias(period_col),
+                    F.coalesce("n", F.lit(0)).cast("long").alias("n")))

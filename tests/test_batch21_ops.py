@@ -136,3 +136,77 @@ def test_nearest_vocab_lev_threshold_excludes_far_pairs(spark):
            for r in nearest_vocab_lev(toks, vocab, max_dist=2).collect()}
     # windoe->window: 1 edit; windoe->widow: 2; doors is 5 edits -> gated
     assert out == {("window", 1), ("widow", 2)}
+
+
+# ------------------------------------------------------------------- gapfill
+
+def test_gap_fill_counts_zero_fills_interior_gaps_only(spark):
+    """Spine spans [min, max] PER KEY (no global calendar): interior
+    gaps zero-fill, nothing extends past a key's own bounds."""
+    from bdtopo2refhydro_spark.operators.temporal import gap_fill_counts
+
+    rows = [(1, 10), (1, 10), (1, 13), (2, 5)]
+    df = spark.createDataFrame(rows, "k bigint, p bigint")
+    out = {(r.k, r.p): r.n
+           for r in gap_fill_counts(df, key_col="k",
+                                    period_col="p").collect()}
+    assert out == {(1, 10): 2, (1, 11): 0, (1, 12): 0, (1, 13): 1,
+                   (2, 5): 1}
+
+
+# --------------------------------------------------------------- perceptual
+
+def test_ahash64_matches_naive_reference_and_degenerate_zero():
+    """ahash64 == a naive per-bit reference on random-ish integer
+    images (including non-multiple-of-8 dims), and a constant image
+    hashes to 0 (no cell exceeds its own mean)."""
+    import numpy as np
+
+    from bdtopo2refhydro_spark.operators.multimodal import ahash64
+
+    def naive(gray):
+        h, w = gray.shape
+        cells = [[int(gray[(i * h) // 8, (j * w) // 8])
+                  for j in range(8)] for i in range(8)]
+        total = sum(sum(r) for r in cells)
+        out = 0
+        for i in range(8):
+            for j in range(8):
+                if cells[i][j] * 64 > total:
+                    out |= 1 << (i * 8 + j)
+        return out
+
+    rng = np.arange(13 * 17, dtype=np.int64) * 997 % 256
+    img = rng.reshape(13, 17)
+    assert ahash64(img) == naive(img)
+    img2 = (np.arange(8 * 8, dtype=np.int64) * 31 % 256).reshape(8, 8)
+    assert ahash64(img2) == naive(img2)
+    assert ahash64(np.full((10, 10), 77, dtype=np.int64)) == 0
+
+
+def test_ppm_pixels_parses_comments_and_shape():
+    from bdtopo2refhydro_spark.operators.multimodal import _ppm_pixels
+
+    payload = (b"P6\n# a comment line\n3 2\n255\n"
+               + bytes(range(18)))
+    px = _ppm_pixels(payload)
+    assert px.shape == (2, 3, 3)
+    assert px[0, 0, 0] == 0 and px[1, 2, 2] == 17
+
+
+def test_perceptual_ahash_identical_images_collide(spark):
+    """Two byte-identical images get the same hash; a structurally
+    different image (split moved) gets a different one."""
+    from bdtopo2refhydro_spark.operators.multimodal import (
+        perceptual_ahash,
+        synth_ppm_split_bytes,
+    )
+
+    rows = [("a", synth_ppm_split_bytes(1)),
+            ("b", synth_ppm_split_bytes(1)),
+            ("c", synth_ppm_split_bytes(2))]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    out = {r.url: (r.hash_hi, r.hash_lo)
+           for r in perceptual_ahash(df).collect()}
+    assert out["a"] == out["b"]
+    assert out["a"] != out["c"]

@@ -586,3 +586,29 @@ def test_grouping_sets_is_one_expand(spark, entry):
     one scan per grouping set."""
     plan = _plan(entry.queries()["grouping_sets"](spark, SF))
     assert plan.count("Expand") == 1, plan
+
+
+def test_image_phash_shuffles_hashes_not_payloads(spark, entry):
+    """perceptual_ahash: the only hash-partitioned Exchange is the
+    dup-count window over (hash_hi, hash_lo) — 20-byte rows. Image
+    payload bytes never cross a hash shuffle."""
+    plan = _plan(entry.queries()["image_phash"](spark, SF))
+    assert "MapInPandas" in plan
+    assert plan.count("hashpartitioning") == 1, plan
+
+
+def test_date_funcs_is_pure_projection(spark, entry):
+    """Calendar functions are whole-stage-codegen projections: ZERO
+    exchanges, zero UDFs."""
+    plan = _plan(entry.queries()["date_funcs"](spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan
+
+
+def test_time_spine_joins_on_key_and_period(spark, entry):
+    """Spine densification is explode + equi-join — never a calendar
+    cross join."""
+    plan = _plan(entry.queries()["time_spine"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan  # sequence+explode spine
