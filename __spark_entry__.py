@@ -8917,6 +8917,164 @@ FROM d
 """
 
 
+def _q_stream_pysink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom python STREAMING sink (Spark 4 DataSourceStreamWriter —
+    sources/jsonl_sink.py:JsonlStreamWriter): events stream through a
+    per-micro-batch two-phase commit (task temps → driver rename +
+    _COMMITS batch log; replayed batchIds are committed no-ops), then
+    the JSONL shards are read back — the round trip proves no drops,
+    no dups, no torn batches. Completes the python DataSource family:
+    batch reader (warc_scan), batch writer (jsonl_shards pytest),
+    stream reader (stream_pyseq), stream writer (this)."""
+    import os
+    import shutil
+
+    from bdtopo2refhydro_spark.streaming.ingest import stream_to_jsonl_sink
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/spark_graft_pysink_{base}"
+    ckpt = f"/tmp/spark_graft_pysink_ckpt_{base}"
+    for d in (out, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    stream_to_jsonl_sink(spark, path, schema, out, ckpt,
+                         select_cols=["event_id", "event_type"])
+    return (spark.read.schema("event_id bigint, event_type string")
+            .json(out, pathGlobFilter="*.jsonl")
+            .select("event_id", "event_type"))
+
+
+_STREAM_PYSINK_SQL = """
+SELECT event_id, event_type FROM events
+"""
+
+
+def _q_pandas_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas UDAF evaluated OVER A WINDOW FRAME (the third pandas-UDF
+    evaluation mode next to grouped-agg and grouped-map): a trailing
+    4-row integer sum per user computed inside Arrow batches. All
+    BIGINT, so the window result replays exactly in plain SQL."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import PandasUDFType
+
+    # explicit functionType (the pandas_udaf precedent): under
+    # `from __future__ import annotations` hint dispatch can't resolve
+    @F.pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def roll_sum(v):
+        return int(v.sum())
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = (Window.partitionBy("user_id").orderBy("event_id")
+         .rowsBetween(-3, Window.currentRow))
+    x = (F.col("event_id") % 100).cast("long")
+    return ev.select(
+        "user_id", "event_id",
+        roll_sum(x).over(w).alias("roll4"))
+
+
+_PANDAS_WINDOW_SQL = """
+SELECT user_id, event_id,
+       CAST(sum(event_id % 100)
+              OVER (PARTITION BY user_id ORDER BY event_id
+                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS roll4
+FROM events
+"""
+
+
+def _q_dyn_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite: a partitioned table is rewritten
+    for ONLY the partitions present in the incoming frame
+    (partitionOverwriteMode=dynamic as a WRITE OPTION, not a global
+    conf) — the idempotent daily-recompute primitive; static mode
+    would wipe the untouched partitions. The read-back must show
+    'purchase' rows doubled and every other partition intact."""
+    import os
+    import shutil
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    d = f"/tmp/spark_graft_dynow_{base}"
+    shutil.rmtree(d, ignore_errors=True)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type",
+        (F.col("event_id") % 1000).cast("long").alias("amount"))
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(d)
+    patch = (ev.where(F.col("event_type") == "purchase")
+             .withColumn("amount", F.col("amount") * 2))
+    (patch.write.partitionBy("event_type")
+     .option("partitionOverwriteMode", "dynamic")
+     .mode("overwrite").parquet(d))
+    back = spark.read.parquet(d)
+    return back.select("event_id", "user_id", "event_type", "amount")
+
+
+_DYN_OVERWRITE_SQL = """
+SELECT event_id, user_id, event_type,
+       CAST(CASE WHEN event_type = 'purchase'
+                 THEN (event_id % 1000) * 2
+                 ELSE event_id % 1000 END AS BIGINT) AS amount
+FROM events
+"""
+
+
+def _q_hist_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram in exact integer arithmetic: bin =
+    (v − min)·16 div (max − min + 1) — the profiling/EDA primitive with
+    the division kept integral so bin edges replay bitwise. Global
+    min/max broadcast; one groupBy on the bin id."""
+    docs = _docs(spark, sf_dir)
+    bounds = docs.agg(F.min("n_chars").alias("vmin"),
+                      F.max("n_chars").alias("vmax"))
+    return (docs.crossJoin(F.broadcast(bounds))
+            .withColumn(
+                "bin",
+                F.expr("(n_chars - vmin) * 16 div (vmax - vmin + 1)")
+                .cast("long"))
+            .groupBy("bin")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.min("n_chars").cast("long").alias("lo"),
+                 F.max("n_chars").cast("long").alias("hi")))
+
+
+_HIST_BINS_SQL = """
+WITH b AS (SELECT min(n_chars) AS vmin, max(n_chars) AS vmax
+           FROM documents)
+SELECT CAST((n_chars - vmin) * 16 // (vmax - vmin + 1) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(n_chars) AS BIGINT) AS lo,
+       CAST(max(n_chars) AS BIGINT) AS hi
+FROM documents, b GROUP BY 1
+"""
+
+
+def _q_dedup_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup audit/provenance table (text.py:dedup_lineage): one row
+    per REMOVED duplicate with its keeper and cluster size — the
+    record a curation pipeline ships alongside exact_dedup's
+    survivors. Keyed on a 40-char-prefix digest (prefix-duplication
+    audit; the fixture has no FULL-text dups but 24 prefix dups at
+    sf0.01). Digests-only shuffle."""
+    return TX.dedup_lineage(
+        _docs(spark, sf_dir),
+        key=F.md5(F.substring("text", 1, 40).cast("binary")))
+
+
+_DEDUP_LINEAGE_SQL = """
+WITH d AS (
+  SELECT doc_id, md5(substr(text, 1, 40)) AS text_hash FROM documents
+),
+k AS (
+  SELECT text_hash, min(doc_id) AS keep_id,
+         CAST(count(*) AS BIGINT) AS n_copies
+  FROM d GROUP BY 1
+)
+SELECT d.doc_id, k.keep_id, k.n_copies
+FROM d JOIN k USING (text_hash)
+WHERE d.doc_id != k.keep_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -8932,6 +9090,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # merge, cohort retention, integer rolling anomaly, CIDR
         # longest-prefix, mixture plan, threshold-levenshtein gate,
         # INTERSECT/EXCEPT ALL, GROUPING SETS — all exact.
+        # batch 23: python streaming SINK (exactly-once batch log),
+        # pandas UDAF over a window frame, dynamic partition
+        # overwrite, integer histogram, dedup lineage audit — exact.
+        "stream_pysink": _q_stream_pysink,
+        "pandas_window": _q_pandas_window,
+        "dyn_overwrite": _q_dyn_overwrite,
+        "hist_bins": _q_hist_bins,
+        "dedup_lineage": _q_dedup_lineage,
         # batch 22: real-decode perceptual image hash, time-spine gap
         # fill, posexplode_outer, calendar functions — all exact.
         "image_phash": _q_image_phash,
@@ -9302,6 +9468,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "stream_pysink": _STREAM_PYSINK_SQL,
+        "pandas_window": _PANDAS_WINDOW_SQL,
+        "dyn_overwrite": _DYN_OVERWRITE_SQL,
+        "hist_bins": _HIST_BINS_SQL,
+        "dedup_lineage": _DEDUP_LINEAGE_SQL,
         "image_phash": _IMAGE_PHASH_SQL,
         "time_spine": _TIME_SPINE_SQL,
         "explode_pos": _EXPLODE_POS_SQL,

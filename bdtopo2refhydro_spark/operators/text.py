@@ -107,6 +107,24 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def dedup_lineage(docs: DataFrame, key: "F.Column | None" = None) -> DataFrame:
+    """Dedup AUDIT table: one row per REMOVED duplicate with the keeper
+    it collapsed into — the provenance record a curation pipeline ships
+    alongside exact_dedup's survivors (who absorbed what, and how many
+    copies). ``key`` picks the collapse key (default: full-text md5;
+    pass e.g. a prefix digest for prefix-duplication audits). Same
+    16-byte-digest shuffle discipline: a min-window over the digest,
+    text bytes never shuffle."""
+    if key is None:
+        key = F.md5(F.col("text").cast("binary"))
+    d = docs.select("doc_id", key.alias("text_hash"))
+    w = Window.partitionBy("text_hash")
+    return (d.withColumn("keep_id", F.min("doc_id").over(w))
+            .withColumn("n_copies", F.count("*").over(w).cast("long"))
+            .where(F.col("doc_id") != F.col("keep_id"))
+            .select("doc_id", "keep_id", "n_copies"))
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
     toks = F.expr(tokens_expr())
     return docs.select(

@@ -29,6 +29,7 @@ import json
 import os
 
 MANIFEST = "_SUCCESS"
+COMMIT_LOG = "_COMMITS"
 
 
 def _lazy_datasource():
@@ -96,6 +97,79 @@ def _lazy_datasource():
                 except FileNotFoundError:
                     pass
 
+    from pyspark.sql.datasource import DataSourceStreamWriter
+
+    class JsonlStreamWriter(DataSourceStreamWriter):
+        """Streaming flavor (DataSourceStreamWriter): every micro-batch
+        runs the same two-phase protocol — tasks write uuid temp files,
+        the driver's commit(messages, batchId) renames them to
+        ``part-b<batch>-<pid>.jsonl`` and APPENDS a line to the
+        ``_COMMITS`` batch log. Exactly-once on replay: a batchId
+        already present in the log is a committed no-op (its temps are
+        swept, nothing renamed twice) — the jsonl analogue of the
+        foreachBatch upsert's idempotence contract
+        (streaming/ingest.py:stream_upsert_foreach_batch)."""
+
+        def __init__(self, options, schema):
+            self._dir = options.get("path")
+            if not self._dir:
+                raise ValueError("jsonl_stream sink requires a path")
+            self._fields = schema.fieldNames()
+
+        def write(self, iterator):
+            import uuid
+
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx is not None else 0
+            os.makedirs(self._dir, exist_ok=True)
+            tmp = f".epoch-{pid:05d}.{uuid.uuid4().hex}.inprogress"
+            rows = 0
+            with open(os.path.join(self._dir, tmp), "w") as fh:
+                for row in iterator:
+                    fh.write(json.dumps(
+                        dict(zip(self._fields, row)), default=str,
+                        sort_keys=True))
+                    fh.write("\n")
+                    rows += 1
+                fh.flush()
+                os.fsync(fh.fileno())
+            return _ShardCommit(tmp, f"{pid:05d}", rows)
+
+        def _committed(self) -> set[int]:
+            log = os.path.join(self._dir, COMMIT_LOG)
+            if not os.path.exists(log):
+                return set()
+            with open(log) as fh:
+                return {json.loads(line)["batch_id"] for line in fh
+                        if line.strip()}
+
+        def commit(self, messages, batchId):
+            os.makedirs(self._dir, exist_ok=True)
+            if batchId in self._committed():
+                self.abort(messages, batchId)  # replayed batch: sweep
+                return
+            shards = []
+            for m in messages:
+                final = f"part-b{batchId:05d}-{m.final_name}.jsonl"
+                os.replace(os.path.join(self._dir, m.tmp_name),
+                           os.path.join(self._dir, final))
+                shards.append({"shard": final, "rows": m.rows})
+            with open(os.path.join(self._dir, COMMIT_LOG), "a") as fh:
+                fh.write(json.dumps({"batch_id": batchId,
+                                     "shards": shards}))
+                fh.write("\n")
+                fh.flush()
+                os.fsync(fh.fileno())
+
+        def abort(self, messages, batchId):
+            for m in messages:
+                try:
+                    os.remove(os.path.join(self._dir, m.tmp_name))
+                except FileNotFoundError:
+                    pass
+
     class JsonlSinkDataSource(DataSource):
         """df.write.format("jsonl_shards").save(dir) — module docstring."""
 
@@ -105,6 +179,9 @@ def _lazy_datasource():
 
         def writer(self, schema, overwrite: bool):
             return JsonlWriter(self.options, schema, overwrite)
+
+        def streamWriter(self, schema, overwrite: bool):
+            return JsonlStreamWriter(self.options, schema)
 
     return JsonlSinkDataSource
 

@@ -183,3 +183,33 @@ def stream_upsert_foreach_batch(spark: SparkSession, source_path: str,
     )
     q.awaitTermination()
     return _apply  # exposed so tests can drive batch replay directly
+
+
+def stream_to_jsonl_sink(spark: SparkSession, path: str, schema,
+                         out_dir: str, checkpoint_dir: str,
+                         select_cols: list[str] | None = None) -> None:
+    """readStream a parquet path → the custom python jsonl_shards sink
+    (sources/jsonl_sink.py JsonlStreamWriter) with an availableNow
+    drain. The sink's per-batch two-phase commit (+ _COMMITS batch log)
+    makes replays exactly-once; the JVM file source supports
+    availableNow, so the drain is complete (the python-SOURCE
+    availableNow caveat does not apply to sinks)."""
+    import os
+
+    from bdtopo2refhydro_spark.sources.jsonl_sink import register_jsonl_sink
+
+    if not register_jsonl_sink(spark):
+        raise RuntimeError("python DataSource API unavailable")
+    reader = spark.readStream.schema(schema)
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    src: DataFrame = reader.parquet(path)
+    if select_cols:
+        src = src.select(*select_cols)
+    q = (src.writeStream.format("jsonl_shards")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

@@ -210,3 +210,15 @@ def test_perceptual_ahash_identical_images_collide(spark):
            for r in perceptual_ahash(df).collect()}
     assert out["a"] == out["b"]
     assert out["a"] != out["c"]
+
+
+# ------------------------------------------------------------ dedup lineage
+
+def test_dedup_lineage_maps_every_removed_row_to_its_keeper(spark):
+    from bdtopo2refhydro_spark.operators.text import dedup_lineage
+
+    rows = [(1, "aaa"), (2, "aaa"), (3, "aaa"), (4, "bbb"), (5, "ccc")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {(r.doc_id, r.keep_id, r.n_copies)
+           for r in dedup_lineage(df).collect()}
+    assert out == {(2, 1, 3), (3, 1, 3)}  # uniques emit nothing

@@ -612,3 +612,21 @@ def test_time_spine_joins_on_key_and_period(spark, entry):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Generate" in plan  # sequence+explode spine
+
+
+def test_hist_bins_broadcasts_bounds(spark, entry):
+    """The global min/max is a 1-row broadcast onto the scan — never a
+    shuffle of the data against its own bounds."""
+    plan = _plan(entry.queries()["hist_bins"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("hashpartitioning") == 1, plan  # the bin groupBy
+
+
+def test_dedup_lineage_shuffles_digests_not_text(spark, entry):
+    """The lineage window hashes 16-byte digests; the text column is
+    pruned before the Exchange."""
+    plan = _plan(entry.queries()["dedup_lineage"](spark, SF))
+    assert plan.count("hashpartitioning") == 1, plan
+    ex = plan[plan.index("Exchange hashpartitioning"):]
+    assert "text_hash" in ex[:200]
