@@ -9075,6 +9075,152 @@ WHERE d.doc_id != k.keep_id
 """
 
 
+def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style deterministic walk corpus (linkgraph.py:
+    random_walks): 3 hops from every host, next node = out-neighbor
+    minimizing the md5 rank of (step, cur, next), ties by neighbor —
+    zero RNG state, so walks replay bitwise and the oracle unrolls
+    every step. The walks→skipgrams→embeddings training-data path."""
+    from bdtopo2refhydro_spark.operators import linkgraph as LG
+
+    return LG.random_walks(_host_edges(spark, sf_dir), steps=3)
+
+
+def _random_walks_sql(steps: int = 3) -> str:
+    rnk = ("CAST(('0x' || substr(md5('{step}' || chr(31) || cur "
+           "|| chr(31) || d), 1, 15)) AS BIGINT) % 2147483647")
+    ctes = [
+        f"WITH {_HOST_EDGES_D}",
+        "eu AS (SELECT DISTINCT src AS s, dst AS d FROM e)",
+        "w0 AS (SELECT DISTINCT s AS start, s AS cur FROM eu)",
+    ]
+    for i in range(1, steps + 1):
+        r = rnk.format(step=i)
+        ctes.append(
+            f"s{i} AS (SELECT start, d, row_number() OVER ("
+            f"PARTITION BY start ORDER BY {r}, d) AS rk "
+            f"FROM w{i - 1} JOIN eu ON eu.s = w{i - 1}.cur)")
+        ctes.append(f"c{i} AS (SELECT start, d AS node FROM s{i} "
+                    f"WHERE rk = 1)")
+        ctes.append(f"w{i} AS (SELECT start, node AS cur FROM c{i})")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT start, CAST({i} AS BIGINT) AS step, node FROM c{i}"
+        for i in range(1, steps + 1))
+    return ",\n".join(ctes) + "\n" + sel
+
+
+def _q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame audio energy over REAL decoded PCM (multimodal.py:
+    audio_frame_energy): 1024-sample frames scored by Σ sample² in
+    exact int64 — the VAD/silence-trim primitive. The constant-
+    amplitude synth WAVs make every frame's energy closed-form in
+    doc_id, so the oracle replays the genuine RIFF chunk walk."""
+    from bdtopo2refhydro_spark.operators.multimodal import (
+        audio_frame_energy,
+        wav_payload_udf,
+    )
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        wav_payload_udf()("doc_id").alias("payload"))
+    return audio_frame_energy(media, frame=1024, payload_col="payload")
+
+
+_AUDIO_FRAMES_SQL = """
+WITH p AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url,
+         ((CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 16
+                           WHEN 2 THEN 32 ELSE 48 END) * 1000) AS rate,
+         100 + 50 * (doc_id % 7) AS dur_ms,
+         (doc_id * 31) % 32768 AS amp
+  FROM documents
+),
+n AS (
+  SELECT url, rate * dur_ms // 1000 AS n_samp, amp FROM p
+),
+f AS (
+  SELECT url, n_samp, amp,
+         unnest(range((n_samp + 1023) // 1024)) AS frame_idx
+  FROM n
+)
+SELECT url, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(CASE WHEN (frame_idx + 1) * 1024 <= n_samp THEN 1024
+                 ELSE n_samp - frame_idx * 1024 END AS BIGINT)
+         AS n_samples,
+       CAST((CASE WHEN (frame_idx + 1) * 1024 <= n_samp THEN 1024
+                  ELSE n_samp - frame_idx * 1024 END)
+            * amp * amp AS BIGINT) AS energy
+FROM f
+"""
+
+
+def _q_neg_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec-style NEGATIVE sampling, deterministic: for each
+    (doc, position) center token, k=2 negatives drawn by an md5 rank
+    mod |vocab| — no RNG state, so the sample replays bitwise (the
+    random_walks discipline applied to token space). Vocab indexed by
+    global token order (row_number), broadcast-joined back by index."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                    lambda t: t != "")
+    centers = (docs.select("doc_id",
+                           F.posexplode(F.slice(toks, 1, 5))
+                           .alias("pos", "center")))
+    vocab = (docs.select(F.explode(toks).alias("tok")).distinct()
+             .withColumn("idx",
+                         F.row_number().over(
+                             Window.orderBy("tok")).cast("long")))
+    vsize = vocab.count()
+    ks = centers.select(
+        "doc_id", "pos", "center",
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("k"))
+    ks = ks.withColumn(
+        "idx",
+        F.expr(
+            "pmod(cast(conv(substr(md5(concat(cast(doc_id as string), "
+            "chr(31), cast(pos as string), chr(31), cast(k as string))), "
+            f"1, 15), 16, 10) as bigint), {vsize}) + 1"))
+    return (ks.join(F.broadcast(vocab), "idx")
+            .select("doc_id", F.col("pos").cast("long").alias("pos"),
+                    "center", F.col("k").cast("int").alias("k"),
+                    F.col("tok").alias("neg")))
+
+
+_NEG_SAMPLES_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(
+           regexp_split_to_array(trim(lower(text)), '\\s+'),
+           t -> t != '') AS arr
+  FROM documents
+),
+centers AS (
+  SELECT doc_id, arr, unnest(range(least(len(arr), 5))) AS pos
+  FROM toks WHERE len(arr) > 0
+),
+c AS (SELECT doc_id, pos, arr[pos + 1] AS center FROM centers),
+vocab AS (
+  SELECT tok, row_number() OVER (ORDER BY tok) AS idx FROM (
+    SELECT DISTINCT unnest(list_filter(
+      regexp_split_to_array(trim(lower(text)), '\\s+'),
+      t -> t != '')) AS tok FROM documents)
+),
+v AS (SELECT CAST(count(*) AS BIGINT) AS vsize FROM vocab),
+ks AS (
+  SELECT doc_id, pos, center, k,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31)
+                || CAST(pos AS VARCHAR) || chr(31)
+                || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT)
+           % vsize + 1 AS idx
+  FROM c, (SELECT unnest([1, 2]) AS k), v
+)
+SELECT ks.doc_id, CAST(ks.pos AS BIGINT) AS pos, ks.center,
+       CAST(ks.k AS INT) AS k, vocab.tok AS neg
+FROM ks JOIN vocab USING (idx)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -9090,6 +9236,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # merge, cohort retention, integer rolling anomaly, CIDR
         # longest-prefix, mixture plan, threshold-levenshtein gate,
         # INTERSECT/EXCEPT ALL, GROUPING SETS — all exact.
+        # batch 24: deterministic DeepWalk corpus, per-frame audio
+        # energy over real PCM decode, word2vec negative sampling.
+        "random_walks": _q_random_walks,
+        "audio_frames": _q_audio_frames,
+        "neg_samples": _q_neg_samples,
         # batch 23: python streaming SINK (exactly-once batch log),
         # pandas UDAF over a window frame, dynamic partition
         # overwrite, integer histogram, dedup lineage audit — exact.
@@ -9468,6 +9619,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "random_walks": _random_walks_sql(3),
+        "audio_frames": _AUDIO_FRAMES_SQL,
+        "neg_samples": _NEG_SAMPLES_SQL,
         "stream_pysink": _STREAM_PYSINK_SQL,
         "pandas_window": _PANDAS_WINDOW_SQL,
         "dyn_overwrite": _DYN_OVERWRITE_SQL,

@@ -645,3 +645,48 @@ def degree_assortativity_moments(
         F.sum("j").cast("bigint").alias("s_j"),
         F.sum(F.col("j") * F.col("k")).cast("bigint").alias("s_jk"),
         F.sum(F.col("j") * F.col("j")).cast("bigint").alias("s_j2"))
+
+
+def random_walks(edges: DataFrame, *, steps: int = 3,
+                 src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """DeepWalk-style walk corpus with DETERMINISTIC pseudo-random
+    steps: from every node, walk ``steps`` hops where the next node is
+    the out-neighbor minimizing an md5-derived rank of (step, current,
+    neighbor) — the graph-embedding training-data generator (walks →
+    skip-grams → embeddings), made replayable: no RNG state, so a rerun
+    or a resumed job emits bit-identical walks and a SQL oracle can
+    replay every step (cf. sample_neighbors' hash-rank discipline).
+
+    Ties broken by (rank, neighbor), so determinism never rests on an
+    md5-prefix non-collision. Dead-end walks simply stop (no
+    self-loop padding).
+
+    Scale shape: one walk per start node, each step ONE equi-join of
+    the (start, cur) frontier — |nodes| rows, never degree-driven —
+    against the distinct edge table plus one per-start row_number.
+    Returns (start, step, node), step 1..steps.
+    """
+    e = (edges.select(F.col(src_col).alias("s"),
+                      F.col(dst_col).alias("d"))
+         .distinct().localCheckpoint(eager=False))
+    walk = (e.select(F.col("s").alias("start")).distinct()
+            .withColumn("cur", F.col("start")))
+    outs = []
+    for step in range(1, steps + 1):
+        j = walk.join(e, walk.cur == e.s).withColumn(
+            "rnk",
+            F.expr(
+                f"pmod(cast(conv(substr(md5(concat('{step}', chr(31), "
+                "cur, chr(31), d)), 1, 15), 16, 10) as bigint), "
+                "2147483647)"))
+        w = Window.partitionBy("start").orderBy("rnk", "d")
+        chosen = (j.withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") == 1)
+                  .select("start", F.lit(step).cast("long").alias("step"),
+                          F.col("d").alias("node")))
+        outs.append(chosen)
+        walk = chosen.select("start", F.col("node").alias("cur"))
+    out = outs[0]
+    for df in outs[1:]:
+        out = out.unionByName(df)
+    return out

@@ -254,16 +254,16 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def _decode_wav(payload: bytes) -> tuple[int, int, float]:
-    """REAL decode of a RIFF/WAVE container with 16-bit PCM samples: walks
-    the chunk list (fmt / data, skipping unknown chunks like LIST), then
-    duration from frame count and loudness as the mean absolute sample
-    amplitude over the power-of-two full scale 32768 (float64 accumulate —
-    exact for the scale of int16 sums, so SQL-replayable)."""
+def _wav_pcm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """RIFF/WAVE chunk walk to the raw 16-bit PCM samples: fmt / data
+    chunks, unknown chunks (LIST, …) skipped, word-aligned advance —
+    the shared parse under _decode_wav (summary features) and
+    audio_frame_energy (per-frame analysis). Returns
+    (rate, channels, int16 sample array)."""
     if payload[8:12] != b"WAVE":
         raise ValueError("RIFF but not WAVE")
     pos, rate, channels, bits = 12, None, None, None
-    frames, samples = 0, None
+    samples = None
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
         size = int.from_bytes(payload[pos + 4:pos + 8], "little")
@@ -279,10 +279,20 @@ def _decode_wav(payload: bytes) -> tuple[int, int, float]:
                 raise ValueError(f"{bits}-bit PCM unsupported")
             samples = np.frombuffer(body, dtype="<i2",
                                     count=size // 2)
-            frames = size // (2 * channels)
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if rate is None or samples is None:
         raise ValueError("missing fmt/data chunk")
+    return rate, channels, samples
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, float]:
+    """REAL decode of a RIFF/WAVE container with 16-bit PCM samples
+    (_wav_pcm chunk walk), then duration from frame count and loudness
+    as the mean absolute sample amplitude over the power-of-two full
+    scale 32768 (float64 accumulate — exact for the scale of int16
+    sums, so SQL-replayable)."""
+    rate, channels, samples = _wav_pcm(payload)
+    frames = samples.size // channels
     duration_ms = frames * 1000 // rate
     loudness = float(
         np.abs(samples.astype(np.float64)).mean() / 32768.0
@@ -660,3 +670,47 @@ def ppm_split_payload_udf():
     def _mk(ids: pd.Series) -> pd.Series:
         return ids.map(lambda i: synth_ppm_split_bytes(int(i)))
     return _mk
+
+
+AUDIO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+
+def audio_frame_energy(media: DataFrame, *, frame: int = 1024,
+                       payload_col: str = "payload") -> DataFrame:
+    """Per-frame audio energy over REAL decoded PCM (_wav_pcm): the
+    speech/VAD/silence-trim primitive — fixed-size sample frames, each
+    scored by Σ sample² in EXACT int64 (≤ 2^45 per 1024-frame, no float
+    accumulation), so segment gates replay bitwise on any engine.
+
+    Scale shape: mapInPandas decode, output rows are 4 integers per
+    frame — audio bytes never shuffle. A row-expanding operator like
+    sample_video_frames; frame count is ceil(n/frame)."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for url, payload in zip(pdf["url"], pdf[payload_col]):
+                if payload is None:
+                    continue
+                _, _, samples = _wav_pcm(bytes(payload))
+                s64 = samples.astype(np.int64)
+                for i in range(0, max(len(s64), 1), frame):
+                    chunk = s64[i:i + frame]
+                    out.append({
+                        "url": url,
+                        "frame_idx": i // frame,
+                        "n_samples": int(chunk.size),
+                        "energy": int((chunk * chunk).sum()),
+                    })
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AUDIO_FRAMES_SCHEMA.fields])
+
+    return media.select("url", payload_col).mapInPandas(
+        _frames, AUDIO_FRAMES_SCHEMA)

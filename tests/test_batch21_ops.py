@@ -222,3 +222,58 @@ def test_dedup_lineage_maps_every_removed_row_to_its_keeper(spark):
     out = {(r.doc_id, r.keep_id, r.n_copies)
            for r in dedup_lineage(df).collect()}
     assert out == {(2, 1, 3), (3, 1, 3)}  # uniques emit nothing
+
+
+# ---------------------------------------------------------------- walks
+
+def test_random_walks_follow_edges_one_step_per_start(spark):
+    """Walk continuity: exactly one node per (start, step); every
+    transition is a real edge; a forced chain walks deterministically
+    a->b->c; dead ends stop the walk early."""
+    from bdtopo2refhydro_spark.operators.linkgraph import random_walks
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")],  # y is a dead end
+        "src string, dst string")
+    out = random_walks(edges, steps=3).collect()
+    rows = {(r.start, r.step): r.node for r in out}
+    assert rows[("a", 1)] == "b" and rows[("a", 2)] == "c"
+    assert ("a", 3) not in rows          # c is a dead end
+    assert rows[("x", 1)] == "y" and ("x", 2) not in rows
+    assert len(rows) == len(out)         # one node per (start, step)
+
+
+def test_random_walks_are_deterministic_across_runs(spark):
+    from bdtopo2refhydro_spark.operators.linkgraph import random_walks
+
+    edges = spark.createDataFrame(
+        [("h", f"n{i}") for i in range(6)] + [(f"n{i}", "h")
+                                              for i in range(6)],
+        "src string, dst string")
+    a = sorted(map(tuple, random_walks(edges, steps=2).collect()))
+    b = sorted(map(tuple, random_walks(edges, steps=2).collect()))
+    assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------- audio
+
+def test_audio_frame_energy_full_and_tail_frames(spark):
+    """Constant-amplitude synth WAV: every full frame's energy is
+    1024*amp^2, the tail frame (n % 1024) * amp^2, frame count is
+    ceil(n/1024)."""
+    from bdtopo2refhydro_spark.operators.multimodal import (
+        audio_frame_energy,
+        synth_wav_bytes,
+    )
+
+    doc_id = 5  # rate 16 kHz, dur 350 ms -> 5600 samples, amp 155
+    df = spark.createDataFrame([("u", synth_wav_bytes(doc_id))],
+                               "url string, payload binary")
+    out = sorted((r.frame_idx, r.n_samples, r.energy)
+                 for r in audio_frame_energy(df).collect())
+    amp = (doc_id * 31) % 32768
+    n = 16000 * 350 // 1000
+    assert len(out) == (n + 1023) // 1024 == 6
+    for idx, ns, en in out[:-1]:
+        assert ns == 1024 and en == 1024 * amp * amp
+    assert out[-1] == (5, n - 5 * 1024, (n - 5 * 1024) * amp * amp)

@@ -630,3 +630,19 @@ def test_dedup_lineage_shuffles_digests_not_text(spark, entry):
     assert plan.count("hashpartitioning") == 1, plan
     ex = plan[plan.index("Exchange hashpartitioning"):]
     assert "text_hash" in ex[:200]
+
+
+def test_random_walks_equi_joins_only(spark, entry):
+    """Every walk step is an equi-join of the |nodes|-row frontier
+    against the distinct edge table — no cartesian, no nested loop."""
+    plan = _plan(entry.queries()["random_walks"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_neg_samples_broadcasts_vocab(spark, entry):
+    """Negative-index resolution is a broadcast hash join against the
+    vocab index — the corpus never shuffles on the sample index."""
+    plan = _plan(entry.queries()["neg_samples"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
