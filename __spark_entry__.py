@@ -9221,6 +9221,83 @@ FROM ks JOIN vocab USING (idx)
 """
 
 
+def _q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTF-8-as-Latin-1 mojibake repair (text.py:fix_mojibake), the
+    most common crawl encoding defect: the fixture plants real
+    non-ASCII ('e' → 'é'), mangles it THROUGH the actual codec pair
+    (encode UTF-8 → decode Latin-1, pure JVM), and the repair must
+    byte-invert it. was_mangled flags rows the repair changed."""
+    docs = _docs(spark, sf_dir)
+    orig = F.regexp_replace(F.col("text"), "e", "é")
+    moji = F.decode(F.encode(orig, "UTF-8"), "ISO-8859-1")
+    d = docs.select("doc_id", moji.alias("text"))
+    out = TX.fix_mojibake(d, col="text", out_col="fixed")
+    return out.select(
+        "doc_id", "fixed",
+        (F.col("fixed") != F.col("text")).alias("was_mangled"))
+
+
+_FIX_MOJIBAKE_SQL = """
+SELECT doc_id, replace(text, 'e', chr(233)) AS fixed,
+       contains(text, 'e') AS was_mangled
+FROM documents
+"""
+
+
+def _q_html_unescape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML entity unescape (text.py:unescape_html_entities — stdlib
+    full entity table through an Arrow pandas UDF): the fixture
+    escapes every doc JVM-side ('&' → '&amp;' first, then ' ' →
+    '&#32;'), and unescape must be the exact inverse — so the oracle
+    is the ORIGINAL text, making the python and JVM string stacks
+    verify each other."""
+    docs = _docs(spark, sf_dir)
+    esc = F.regexp_replace(
+        F.regexp_replace(F.col("text"), "&", "&amp;"), " ", "&#32;")
+    d = docs.select("doc_id", esc.alias("text"))
+    return (TX.unescape_html_entities(d, col="text",
+                                      out_col="unescaped")
+            .select("doc_id", "unescaped"))
+
+
+_HTML_UNESCAPE_SQL = """
+SELECT doc_id, text AS unescaped FROM documents
+"""
+
+
+_ETYPE_IDX = ("CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1 "
+              "WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 "
+              "ELSE 4 END")
+
+
+def _q_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count over a sliding window WITHOUT collect_set: the
+    small event-type universe packs into a bitmap (1 << type_idx),
+    bit_or over the trailing 8 rows, bit_count pops the answer — an
+    O(1)-state windowed COUNT(DISTINCT) (which neither engine supports
+    natively as a window aggregate)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = (Window.partitionBy("user_id").orderBy("event_id")
+         .rowsBetween(-7, Window.currentRow))
+    # variable shift amount → SQL expr (python shiftleft takes int only)
+    bit = F.expr(f"cast(shiftleft(1, {_ETYPE_IDX}) as bigint)")
+    return ev.select(
+        "user_id", "event_id",
+        F.bit_count(F.bit_or(bit).over(w)).cast("int").alias("nd"))
+
+
+_WINDOW_DISTINCT_SQL = f"""
+SELECT user_id, event_id,
+       CAST(bit_count(CAST(bit_or(1 << ({_ETYPE_IDX})) OVER
+         (PARTITION BY user_id ORDER BY event_id
+          ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS BIGINT)) AS INT)
+         AS nd
+FROM events
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -9236,6 +9313,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # merge, cohort retention, integer rolling anomaly, CIDR
         # longest-prefix, mixture plan, threshold-levenshtein gate,
         # INTERSECT/EXCEPT ALL, GROUPING SETS — all exact.
+        # batch 25: codec-pair mojibake repair, stdlib HTML entity
+        # unescape (inverse-pair oracle), bitmap windowed distinct.
+        "fix_mojibake": _q_fix_mojibake,
+        "html_unescape": _q_html_unescape,
+        "window_distinct": _q_window_distinct,
         # batch 24: deterministic DeepWalk corpus, per-frame audio
         # energy over real PCM decode, word2vec negative sampling.
         "random_walks": _q_random_walks,
@@ -9619,6 +9701,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "fix_mojibake": _FIX_MOJIBAKE_SQL,
+        "html_unescape": _HTML_UNESCAPE_SQL,
+        "window_distinct": _WINDOW_DISTINCT_SQL,
         "random_walks": _random_walks_sql(3),
         "audio_frames": _AUDIO_FRAMES_SQL,
         "neg_samples": _NEG_SAMPLES_SQL,

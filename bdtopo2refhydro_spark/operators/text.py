@@ -1254,3 +1254,33 @@ def containment_pairs(docs, *, n: int = 3, pct: int = 60,
         .filter(F.col("inter") * 100 > F.lit(pct) * F.col("size_a"))
         .select("a", "b", "inter", "size_a")
     )
+
+
+def fix_mojibake(docs: DataFrame, col: str = "text",
+                 out_col: str = "fixed") -> DataFrame:
+    """Repair UTF-8-as-Latin-1 mojibake ("Ã©" → "é"), the single most
+    common crawl encoding defect: re-encode the mangled string as
+    Latin-1 bytes and decode them as UTF-8 — the exact inverse of the
+    corruption. Pure JVM codegen (encode/decode), no python in the hot
+    path; rows whose repair differs from the input are the ones that
+    were actually mangled."""
+    repaired = F.decode(F.encode(F.col(col), "ISO-8859-1"), "UTF-8")
+    return docs.withColumn(out_col, repaired)
+
+
+def unescape_html_entities(docs: DataFrame, col: str = "text",
+                           out_col: str = "unescaped") -> DataFrame:
+    """HTML entity unescape via the stdlib's full entity table
+    (html.unescape — named + decimal + hex entities), Arrow-batched:
+    the crawl-text normalization JVM string functions can't express
+    (numeric entities need parse-and-chr). Python is the right tool
+    here and the batch path keeps it off the row-at-a-time cliff."""
+    import html
+
+    import pandas as pd
+
+    @F.pandas_udf("string")
+    def _unescape(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: html.unescape(t) if t is not None else None)
+
+    return docs.withColumn(out_col, _unescape(F.col(col)))

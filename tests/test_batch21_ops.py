@@ -277,3 +277,35 @@ def test_audio_frame_energy_full_and_tail_frames(spark):
     for idx, ns, en in out[:-1]:
         assert ns == 1024 and en == 1024 * amp * amp
     assert out[-1] == (5, n - 5 * 1024, (n - 5 * 1024) * amp * amp)
+
+
+# ------------------------------------------------------------ text cleanup
+
+def test_fix_mojibake_inverts_the_codec_pair(spark):
+    """Round-trip through the REAL codecs: utf8-bytes-read-as-latin1
+    mangles 'é' to 'Ã©'; the repair restores the original exactly and
+    leaves pure-ASCII rows unchanged."""
+    from bdtopo2refhydro_spark.operators.text import fix_mojibake
+
+    orig = "café résumé"
+    mangled = orig.encode("utf-8").decode("latin-1")
+    assert mangled != orig and "Ã" in mangled
+    df = spark.createDataFrame([(1, mangled), (2, "plain ascii")],
+                               "doc_id bigint, text string")
+    out = {r.doc_id: r.fixed for r in fix_mojibake(df).collect()}
+    assert out[1] == orig
+    assert out[2] == "plain ascii"
+
+
+def test_unescape_html_entities_named_decimal_hex(spark):
+    from bdtopo2refhydro_spark.operators.text import (
+        unescape_html_entities,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a &amp; b &lt;x&gt; &#233; &#x41; &nbsp;end")],
+        "doc_id bigint, text string")
+    out = unescape_html_entities(df).collect()[0].unescaped
+    # \xa0: &nbsp; is NON-BREAKING space — explicit escape, not an
+    # invisible literal
+    assert out == "a & b <x> é A \xa0end"
