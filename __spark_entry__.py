@@ -9298,6 +9298,66 @@ FROM events
 """
 
 
+_WP_VOCAB = (
+    [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    + ["##" + chr(c) for c in range(ord("a"), ord("z") + 1)]
+    + ["sc", "##an", "wind", "##ow", "col", "##umn", "fil", "##ter",
+       "jo", "##in", "me", "##rge", "qu", "##ery", "gr", "##oup",
+       "ha", "##sh", "batch", "str", "##eam", "##ast", "sl", "fa",
+       "##ort", "valu", "##e", "tab", "##le", "##ine"]
+)
+
+
+def _q_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece greedy longest-match-first tokenization
+    (text.py:wordpiece_encode — the BERT-family algorithm, distinct
+    from bpe_encode's merge replay): distinct [a-z]{1,12} words split
+    against a 82-piece vocab (full single-char coverage → no [UNK]
+    path), pieces exploded with ordinals. The oracle unrolls the
+    greedy loop: 12 steps, each an arg_max(piece, len) join at the
+    current position."""
+    docs = _docs(spark, sf_dir)
+    words = (docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        .alias("word"))
+        .where(F.col("word").rlike("^[a-z]{1,12}$"))
+        .distinct())
+    enc = TX.wordpiece_encode(words, _WP_VOCAB)
+    return enc.select(
+        "word", F.posexplode("pieces").alias("k", "piece")
+    ).select("word", F.col("k").cast("long").alias("k"), "piece")
+
+
+def _wordpiece_sql(steps: int = 12) -> str:
+    rows = ", ".join(
+        f"('{p}', '{p[2:]}', 1)" if p.startswith("##")
+        else f"('{p}', '{p}', 0)" for p in _WP_VOCAB)
+    ctes = [
+        """WITH words AS (
+  SELECT DISTINCT tok AS word FROM (
+    SELECT unnest(list_filter(
+      regexp_split_to_array(trim(lower(text)), '\\s+'),
+      t -> t != '')) AS tok FROM documents)
+  WHERE regexp_matches(tok, '^[a-z]{1,12}$')
+)""",
+        f"v(piece, norm, cont) AS (VALUES {rows})",
+        "s0 AS (SELECT word, 1 AS pos FROM words)",
+    ]
+    outs = []
+    for i in range(1, steps + 1):
+        ctes.append(
+            f"m{i} AS (SELECT word, pos, arg_max(piece, length(norm)) "
+            f"AS piece, max(length(norm)) AS plen FROM s{i - 1} JOIN v "
+            f"ON substr(word, pos, length(norm)) = norm "
+            f"AND ((pos = 1) = (cont = 0)) GROUP BY word, pos)")
+        ctes.append(
+            f"s{i} AS (SELECT word, pos + plen AS pos FROM m{i} "
+            f"WHERE pos + plen <= length(word))")
+        outs.append(
+            f"SELECT word, CAST({i - 1} AS BIGINT) AS k, piece FROM m{i}")
+    return ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(outs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -9313,6 +9373,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # merge, cohort retention, integer rolling anomaly, CIDR
         # longest-prefix, mixture plan, threshold-levenshtein gate,
         # INTERSECT/EXCEPT ALL, GROUPING SETS — all exact.
+        # batch 26: WordPiece greedy longest-match tokenizer (unrolled
+        # greedy-step oracle).
+        "wordpiece": _q_wordpiece,
         # batch 25: codec-pair mojibake repair, stdlib HTML entity
         # unescape (inverse-pair oracle), bitmap windowed distinct.
         "fix_mojibake": _q_fix_mojibake,
@@ -9701,6 +9764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "wordpiece": _wordpiece_sql(12),
         "fix_mojibake": _FIX_MOJIBAKE_SQL,
         "html_unescape": _HTML_UNESCAPE_SQL,
         "window_distinct": _WINDOW_DISTINCT_SQL,

@@ -1256,6 +1256,50 @@ def containment_pairs(docs, *, n: int = 3, pct: int = 60,
     )
 
 
+def wordpiece_encode(words: DataFrame, vocab: list[str],
+                     word_col: str = "word") -> DataFrame:
+    """WordPiece tokenization: GREEDY LONGEST-MATCH-FIRST subword split
+    (the BERT-family tokenizer — a different algorithm from BPE's merge
+    replay in bpe_encode): at each position take the longest vocab
+    piece matching the remaining word, continuation pieces carry the
+    '##' prefix; a word with any unmatched position collapses to
+    [UNK].
+
+    Same scale discipline as bpe_encode: tokenize the DISTINCT-WORD
+    table, never the corpus — encoding joins back by word. The vocab
+    broadcasts inside the Arrow UDF closure (python set lookups, one
+    pass per word). Returns (word, pieces array<string>).
+    """
+    import pandas as pd
+
+    vset = set(vocab)
+    maxlen = max(len(v[2:]) if v.startswith("##") else len(v)
+                 for v in vocab)
+
+    @F.pandas_udf("array<string>")
+    def _enc(s: pd.Series) -> pd.Series:
+        def enc(w):
+            pieces, pos = [], 0
+            while pos < len(w):
+                hit = None
+                for ln in range(min(maxlen, len(w) - pos), 0, -1):
+                    cand = w[pos:pos + ln]
+                    if pos > 0:
+                        cand = "##" + cand
+                    if cand in vset:
+                        hit = (cand, ln)
+                        break
+                if hit is None:
+                    return ["[UNK]"]
+                pieces.append(hit[0])
+                pos += hit[1]
+            return pieces
+
+        return s.map(enc)
+
+    return words.select(word_col, _enc(F.col(word_col)).alias("pieces"))
+
+
 def fix_mojibake(docs: DataFrame, col: str = "text",
                  out_col: str = "fixed") -> DataFrame:
     """Repair UTF-8-as-Latin-1 mojibake ("Ã©" → "é"), the single most

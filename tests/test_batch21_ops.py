@@ -309,3 +309,22 @@ def test_unescape_html_entities_named_decimal_hex(spark):
     # \xa0: &nbsp; is NON-BREAKING space — explicit escape, not an
     # invisible literal
     assert out == "a & b <x> é A \xa0end"
+
+
+# ---------------------------------------------------------------- wordpiece
+
+def test_wordpiece_greedy_longest_match_and_unk(spark):
+    """Greedy semantics pinned by hand: longest FIRST match wins at
+    every position; continuation pieces carry ##; a word with any
+    unmatched position collapses to [UNK] (BERT behavior)."""
+    from bdtopo2refhydro_spark.operators.text import wordpiece_encode
+
+    vocab = ["a", "b", "c", "##a", "##b", "##c", "ab", "##bc", "abc"]
+    words = spark.createDataFrame(
+        [("abc",), ("abca",), ("ba",), ("a9",)], "word string")
+    out = {r.word: r.pieces
+           for r in wordpiece_encode(words, vocab).collect()}
+    assert out["abc"] == ["abc"]            # whole-word beats ab+##c
+    assert out["abca"] == ["abc", "##a"]    # greedy first, then cont
+    assert out["ba"] == ["b", "##a"]
+    assert out["a9"] == ["[UNK]"]           # 9 not in vocab
