@@ -9358,6 +9358,145 @@ def _wordpiece_sql(steps: int = 12) -> str:
     return ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(outs)
 
 
+def _q_graph_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GNN message-passing forward pass (linkgraph.py:
+    neighborhood_sum): 2 rounds of h(v) += Σ h(u) over in-edges on the
+    host graph, integer features (host ordinal + 1) — the aggregation
+    layer of a GCN step, bit-replayable because sum-aggregation is
+    order-independent in BIGINT."""
+    from bdtopo2refhydro_spark.operators import linkgraph as LG
+
+    e = _host_edges(spark, sf_dir)
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select("dst")).distinct()
+             .withColumn("feat",
+                         F.expr("cast(substr(node, 4) as bigint) + 1")))
+    return LG.neighborhood_sum(nodes, e, rounds=2)
+
+
+_GRAPH_AGG_SQL = f"""
+WITH {_HOST_EDGES_D},
+n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+h0 AS (SELECT node, CAST(substr(node, 4) AS BIGINT) + 1 AS feat FROM n),
+m1 AS (SELECT e.dst AS node, CAST(sum(h.feat) AS BIGINT) AS msg
+       FROM h0 h JOIN e ON h.node = e.src GROUP BY 1),
+h1 AS (SELECT h0.node, CAST(h0.feat + COALESCE(m1.msg, 0) AS BIGINT)
+              AS feat
+       FROM h0 LEFT JOIN m1 ON h0.node = m1.node),
+m2 AS (SELECT e.dst AS node, CAST(sum(h.feat) AS BIGINT) AS msg
+       FROM h1 h JOIN e ON h.node = e.src GROUP BY 1)
+SELECT h1.node, CAST(h1.feat + COALESCE(m2.msg, 0) AS BIGINT) AS feat
+FROM h1 LEFT JOIN m2 ON h1.node = m2.node
+"""
+
+
+def _q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CDC materialization (cdc.py:apply_cdc): an I/U/D change
+    log (derived from events; seq = the log offset) applied onto the
+    documents snapshot — last change per key wins, 'D' deletes,
+    upserts replace n_chars, untouched keys pass through with their
+    source intact. One groupBy on the changes + one full-outer join;
+    the big snapshot is never windowed."""
+    from bdtopo2refhydro_spark.operators.cdc import apply_cdc
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars", "source")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    changes = ev.select(
+        (F.col("event_id") % 700).cast("long").alias("doc_id"),
+        F.expr("CASE (event_id div 700) % 3 WHEN 0 THEN 'U' "
+               "WHEN 1 THEN 'D' ELSE 'I' END").alias("op"),
+        (F.col("event_id") % 997).cast("long").alias("n_chars"),
+        F.col("event_id").alias("seq"))
+    return apply_cdc(docs, changes, key_col="doc_id",
+                     seq_col="seq", op_col="op", val_cols=["n_chars"])
+
+
+_CDC_APPLY_SQL = """
+WITH ch AS (
+  SELECT CAST(event_id % 700 AS BIGINT) AS doc_id,
+         CASE (event_id // 700) % 3 WHEN 0 THEN 'U'
+              WHEN 1 THEN 'D' ELSE 'I' END AS op,
+         CAST(event_id % 997 AS BIGINT) AS n_chars,
+         event_id AS seq
+  FROM events
+),
+last AS (
+  SELECT doc_id, arg_max(op, seq) AS op,
+         arg_max(n_chars, seq) AS n_chars
+  FROM ch GROUP BY 1
+)
+SELECT doc_id,
+       CAST(CASE WHEN last.op IS NULL THEN d.n_chars
+                 ELSE last.n_chars END AS BIGINT) AS n_chars,
+       d.source
+FROM documents d FULL OUTER JOIN last USING (doc_id)
+WHERE last.op IS NULL OR last.op != 'D'
+"""
+
+
+def _q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cavnar-Trenkle trained language identification: per-lang
+    char-trigram PROFILES (top-8 by count, (count desc, trigram) tie
+    order) built from the corpus, then each doc classified by how many
+    of its distinct trigrams hit each profile — arg-max with (score
+    desc, lang) tie order. All integer counts; trigram extraction is
+    sequence()+explode, pure JVM codegen."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    tri = (docs.select(
+        "doc_id", "lang",
+        F.explode(F.expr(
+            "transform(sequence(1, greatest(length(lower(text)) - 2, 0)),"
+            " i -> substr(lower(text), i, 3))")).alias("tri")))
+    counts = tri.groupBy("lang", "tri").agg(F.count("*").alias("cnt"))
+    wp = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.col("tri"))
+    profile = (counts.withColumn("rk", F.row_number().over(wp))
+               .where(F.col("rk") <= 8).select("lang", "tri"))
+    doc_tris = tri.select("doc_id", "tri").distinct()
+    scores = (doc_tris.join(
+        F.broadcast(profile.withColumnRenamed("lang", "cand")), "tri")
+        .groupBy("doc_id", "cand")
+        .agg(F.count("*").cast("long").alias("score")))
+    wd = Window.partitionBy("doc_id").orderBy(F.desc("score"),
+                                              F.col("cand"))
+    return (scores.withColumn("rk", F.row_number().over(wd))
+            .where(F.col("rk") == 1)
+            .select("doc_id", F.col("cand").alias("pred_lang"), "score"))
+
+
+_LANG_PROFILE_SQL = """
+WITH tri AS (
+  SELECT doc_id, lang,
+         substr(lower(text), i, 3) AS tri
+  FROM documents,
+       unnest(range(1, greatest(length(lower(text)) - 2, 0) + 1))
+         AS t(i)
+),
+counts AS (
+  SELECT lang, tri, count(*) AS cnt FROM tri GROUP BY 1, 2
+),
+profile AS (
+  SELECT lang, tri FROM (
+    SELECT lang, tri,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY cnt DESC, tri) AS rk
+    FROM counts) WHERE rk <= 8
+),
+doc_tris AS (SELECT DISTINCT doc_id, tri FROM tri),
+scores AS (
+  SELECT d.doc_id, p.lang AS cand, CAST(count(*) AS BIGINT) AS score
+  FROM doc_tris d JOIN profile p USING (tri)
+  GROUP BY 1, 2
+)
+SELECT doc_id, cand AS pred_lang, score FROM (
+  SELECT doc_id, cand, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cand) AS rk
+  FROM scores) WHERE rk = 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -9373,6 +9512,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # merge, cohort retention, integer rolling anomaly, CIDR
         # longest-prefix, mixture plan, threshold-levenshtein gate,
         # INTERSECT/EXCEPT ALL, GROUPING SETS — all exact.
+        # batch 27: GNN message passing, batch CDC apply, trained
+        # Cavnar-Trenkle language profiles.
+        "graph_agg": _q_graph_agg,
+        "cdc_apply": _q_cdc_apply,
+        "lang_profile": _q_lang_profile,
         # batch 26: WordPiece greedy longest-match tokenizer (unrolled
         # greedy-step oracle).
         "wordpiece": _q_wordpiece,
@@ -9764,6 +9908,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "graph_agg": _GRAPH_AGG_SQL,
+        "cdc_apply": _CDC_APPLY_SQL,
+        "lang_profile": _LANG_PROFILE_SQL,
         "wordpiece": _wordpiece_sql(12),
         "fix_mojibake": _FIX_MOJIBAKE_SQL,
         "html_unescape": _HTML_UNESCAPE_SQL,

@@ -85,3 +85,41 @@ def scd2_build(events: DataFrame, key_col: str, ts_col: str,
         .alias("valid_to_us"),
         F.lead(ts_col).over(w).isNull().alias("is_current"),
     )
+
+
+def apply_cdc(base: DataFrame, changes: DataFrame, *, key_col: str,
+              seq_col: str = "seq", op_col: str = "op",
+              val_cols: list[str] | None = None) -> DataFrame:
+    """Apply a CDC change batch (I/U/D rows with a sequence number)
+    onto a base snapshot — the batch-side materialization step of a
+    replication pipeline (the streaming sibling is
+    stream_upsert_foreach_batch). LAST change per key wins by
+    ``seq_col`` (max_by over a struct; seq is the log offset, so ties
+    cannot happen); a winning 'D' removes the key, 'I'/'U' upsert the
+    value columns, untouched base keys pass through unchanged.
+
+    Scale shape: one groupBy on the CHANGE keys (the small side), one
+    full-outer equi-join against base — never a window over the big
+    snapshot. Returns the new snapshot with base's column set.
+    """
+    val_cols = val_cols or [c for c in changes.columns
+                            if c not in (key_col, seq_col, op_col)]
+    last = (changes.groupBy(key_col)
+            .agg(F.max_by(F.struct(op_col, *val_cols), F.col(seq_col))
+                 .alias("_c"))
+            .select(key_col,
+                    F.col(f"_c.{op_col}").alias("_op"),
+                    *[F.col(f"_c.{c}").alias(f"_new_{c}")
+                      for c in val_cols]))
+    j = base.join(last, key_col, "full_outer")
+    no_change = F.col("_op").isNull()
+    sel = [F.col(key_col)]
+    for c in base.columns:
+        if c == key_col:
+            continue
+        if c in val_cols:
+            sel.append(F.when(no_change, F.col(c))
+                       .otherwise(F.col(f"_new_{c}")).alias(c))
+        else:
+            sel.append(F.col(c))
+    return j.where(no_change | (F.col("_op") != "D")).select(*sel)

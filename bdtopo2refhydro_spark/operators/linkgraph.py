@@ -690,3 +690,33 @@ def random_walks(edges: DataFrame, *, steps: int = 3,
     for df in outs[1:]:
         out = out.unionByName(df)
     return out
+
+
+def neighborhood_sum(nodes: DataFrame, edges: DataFrame, *,
+                     rounds: int = 2, feat_col: str = "feat",
+                     node_col: str = "node", src_col: str = "src",
+                     dst_col: str = "dst") -> DataFrame:
+    """GNN message-passing forward pass with integer features: each
+    round h(v) ← h(v) + Σ h(u) over in-edges (u→v) — the aggregation
+    layer of a GCN/GraphSAGE step, kept in exact BIGINT so a
+    distributed run, a resume, and a SQL replay all agree bitwise
+    (sum-aggregation is the order-independent choice; mean needs a
+    division that would leave the integers).
+
+    Scale shape per round: ONE equi-join of the feature table against
+    the edge list (shuffles two BIGINTs per edge) + one groupBy on dst
+    with map-side partial sums — the PageRank shuffle budget with
+    feature semantics. Returns (node, feat) after ``rounds`` rounds.
+    """
+    h = nodes.select(F.col(node_col).alias("node"),
+                     F.col(feat_col).cast("long").alias("feat"))
+    e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+    for _ in range(rounds):
+        msgs = (h.join(e, h.node == e.s)
+                .groupBy(F.col("d").alias("node"))
+                .agg(F.sum("feat").alias("msg")))
+        h = (h.join(msgs, "node", "left")
+             .select("node",
+                     (F.col("feat") + F.coalesce("msg", F.lit(0)))
+                     .cast("long").alias("feat")))
+    return h

@@ -328,3 +328,40 @@ def test_wordpiece_greedy_longest_match_and_unk(spark):
     assert out["abca"] == ["abc", "##a"]    # greedy first, then cont
     assert out["ba"] == ["b", "##a"]
     assert out["a9"] == ["[UNK]"]           # 9 not in vocab
+
+
+# --------------------------------------------------------------------- CDC
+
+def test_apply_cdc_last_wins_delete_insert_passthrough(spark):
+    from bdtopo2refhydro_spark.operators.cdc import apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")],
+        "k bigint, v bigint, tag string")
+    ch = spark.createDataFrame(
+        [(2, 99, "U", 5), (2, 77, "U", 9),   # last wins: 77
+         (3, 0, "D", 3),                     # delete
+         (4, 44, "I", 7),                    # insert new key
+         (5, 55, "I", 1), (5, 0, "D", 2)],   # insert then delete: gone
+        "k bigint, v bigint, op string, seq bigint")
+    out = sorted((r.k, r.v, r.tag)
+                 for r in apply_cdc(base, ch, key_col="k", seq_col="seq",
+                                    op_col="op", val_cols=["v"]).collect())
+    assert out == [(1, 10, "a"), (2, 77, "b"), (4, 44, None)]
+
+
+# --------------------------------------------------------------- GNN layer
+
+def test_neighborhood_sum_two_rounds_hand_graph(spark):
+    """Path a->b->c with feats 1,2,4: round 1 gives (1, 3, 6);
+    round 2 gives (1, 4, 9) — messages use the PREVIOUS round's
+    features (h1(b)=3 flows to c: 6+3=9)."""
+    from bdtopo2refhydro_spark.operators.linkgraph import neighborhood_sum
+
+    nodes = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 4)], "node string, feat bigint")
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string")
+    out = {r.node: r.feat
+           for r in neighborhood_sum(nodes, edges, rounds=2).collect()}
+    assert out == {"a": 1, "b": 4, "c": 9}

@@ -646,3 +646,19 @@ def test_neg_samples_broadcasts_vocab(spark, entry):
     plan = _plan(entry.queries()["neg_samples"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cdc_apply_never_windows_the_snapshot(spark, entry):
+    """apply_cdc reduces the CHANGES with a groupBy and joins once —
+    the big base snapshot gets no Window and no cartesian."""
+    plan = _plan(entry.queries()["cdc_apply"](spark, SF))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lang_profile_broadcasts_the_profiles(spark, entry):
+    """The 40-row profile table broadcasts onto the doc-trigram stream;
+    scoring is an equi-join on the trigram."""
+    plan = _plan(entry.queries()["lang_profile"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
