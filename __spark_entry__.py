@@ -9497,6 +9497,34 @@ SELECT doc_id, cand AS pred_lang, score FROM (
 """
 
 
+def _q_stream_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful streaming (streaming/stateful.py:
+    stream_dedup_then_window — Spark 4 multi-stateful-operator
+    pipeline): dropDuplicatesWithinWatermark feeding an event-time
+    window aggregation in ONE query, two state stores. Dedup keys
+    include the minute-quantized event time so first-wins is
+    order-free → the batch SQL twin is exact."""
+    from bdtopo2refhydro_spark.streaming.stateful import (
+        stream_dedup_then_window,
+    )
+
+    return stream_dedup_then_window(
+        spark, f"{sf_dir}/events.parquet",
+        key_col="user_id", query_name="stream_chain_docs")
+
+
+_STREAM_CHAIN_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         date_trunc('minute', CAST(ts AS TIMESTAMP)) AS tsm
+  FROM events
+)
+SELECT CAST(date_trunc('hour', tsm) AS VARCHAR) AS w_start,
+       user_id, CAST(count(*) AS BIGINT) AS n
+FROM d GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -9512,6 +9540,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # merge, cohort retention, integer rolling anomaly, CIDR
         # longest-prefix, mixture plan, threshold-levenshtein gate,
         # INTERSECT/EXCEPT ALL, GROUPING SETS — all exact.
+        # batch 28: chained stateful streaming (dedup state + window
+        # state in one query).
+        "stream_chain": _q_stream_chain,
         # batch 27: GNN message passing, batch CDC apply, trained
         # Cavnar-Trenkle language profiles.
         "graph_agg": _q_graph_agg,
@@ -9908,6 +9939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "stream_chain": _STREAM_CHAIN_SQL,
         "graph_agg": _GRAPH_AGG_SQL,
         "cdc_apply": _CDC_APPLY_SQL,
         "lang_profile": _LANG_PROFILE_SQL,

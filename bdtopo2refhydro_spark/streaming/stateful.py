@@ -314,3 +314,36 @@ def stream_running_counts_tws(spark: SparkSession, path: str,
         _Count(), outputStructType="key long, n long",
         outputMode="Update", timeMode="None")
     return _drain_to_memory(out, query_name, "update")
+
+
+def stream_dedup_then_window(spark: SparkSession, path: str, *,
+                             key_col: str = "user_id",
+                             time_col: str = "ts",
+                             delay: str = "2 hours",
+                             window: str = "1 hour",
+                             query_name: str = "stream_chain",
+                             files_per_trigger: int | None = None
+                             ) -> DataFrame:
+    """CHAINED stateful streaming operators in one query (Spark 4):
+    dropDuplicatesWithinWatermark → event-time windowed aggregation —
+    two state stores in a single micro-batch pipeline (dedup state
+    keyed on (key, minute), window state on (window, key)), the shape
+    a real ingest topology has (dedup at the door, rollup behind it).
+
+    Determinism for the exact oracle: the dedup key includes the
+    MINUTE-quantized event time, so every duplicate of a key carries an
+    identical event time — whichever arrival wins, the surviving row's
+    window assignment is the same. Complete output mode (the probed
+    availableNow-drainable mode for this chain; append holds back
+    windows newer than the final watermark)."""
+    schema = spark.read.parquet(path).schema
+    src = _stream_reader(spark, path, schema, files_per_trigger)
+    tsm = F.date_trunc("minute", F.col(time_col).cast("timestamp"))
+    deduped = (src.withColumn("tsm", tsm)
+               .withWatermark("tsm", delay)
+               .dropDuplicatesWithinWatermark([key_col, "tsm"]))
+    agg = (deduped.groupBy(F.window("tsm", window).alias("w"), key_col)
+           .agg(F.count("*").alias("n"))
+           .select(F.col("w.start").cast("string").alias("w_start"),
+                   key_col, F.col("n").cast("long").alias("n")))
+    return _drain_to_memory(agg, query_name, "complete")

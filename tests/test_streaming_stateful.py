@@ -385,3 +385,36 @@ def test_pyds_seq_stream_available_now_truncates_to_one_batch(spark):
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
     assert spark.table("pyseq_an_sink").count() == 50
+
+
+def test_chained_dedup_window_dedups_across_micro_batches(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1) carrying the SAME
+    (user, minute) row: the chained dedup state suppresses the replay
+    in batch 2, so the downstream window count stays 1 — the
+    cross-batch two-state-store behavior a within-batch distinct
+    cannot give."""
+    import pyspark.sql.functions as F
+
+    from bdtopo2refhydro_spark.streaming.stateful import (
+        stream_dedup_then_window,
+    )
+
+    rows = [(1, "2024-01-01 10:00:30"), (1, "2024-01-01 10:05:10"),
+            (2, "2024-01-01 11:00:00")]
+    df = spark.createDataFrame(rows, "user_id bigint, t string").select(
+        "user_id", F.col("t").cast("timestamp_ntz").alias("ts"))
+    src = tmp_path / "src"
+    df.coalesce(1).write.parquet(str(src / "a"))
+    # batch 2 replays user 1 @ 10:00 (same minute) + adds a new minute
+    rows2 = [(1, "2024-01-01 10:00:55"), (1, "2024-01-01 10:20:00")]
+    df2 = spark.createDataFrame(rows2, "user_id bigint, t string").select(
+        "user_id", F.col("t").cast("timestamp_ntz").alias("ts"))
+    df2.coalesce(1).write.parquet(str(src / "b"))
+
+    out = stream_dedup_then_window(
+        spark, f"{src}/*/", query_name="chain_xbatch",
+        files_per_trigger=1)
+    got = {(r.w_start, r.user_id): r.n for r in out.collect()}
+    # user 1, hour 10: minutes {10:00, 10:05, 10:20} -> 3 (NOT 4)
+    assert got == {("2024-01-01 10:00:00", 1): 3,
+                   ("2024-01-01 11:00:00", 2): 1}
