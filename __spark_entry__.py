@@ -9525,6 +9525,126 @@ FROM d GROUP BY 1, 2
 """
 
 
+def _q_posting_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-encoded posting lists: the index-compression transform on
+    inverted_index's sorted postings — delta[0]=p[0], delta[i]=p[i]−
+    p[i−1], pure higher-order-function codegen (transform with the
+    0-based index; element_at guarded against ANSI's index-0 throw).
+    Gap lists are what varint/PforDelta codecs consume at serving
+    time."""
+    from bdtopo2refhydro_spark.operators.corpus import inverted_index
+
+    idx = inverted_index(_docs(spark, sf_dir), min_df=3)
+    return idx.select(
+        "token", F.col("df").cast("long").alias("df"),
+        F.expr("transform(postings, (x, i) -> "
+               "IF(i = 0, x, x - element_at(postings, i)))")
+        .alias("deltas"))
+
+
+_POSTING_DELTAS_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(
+           regexp_split_to_array(lower(trim(text)), '\\s+'),
+           t -> t != ''))) AS token
+  FROM documents
+),
+idx AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df,
+         list_sort(list(doc_id)) AS postings
+  FROM tok GROUP BY token HAVING count(*) >= 3
+)
+SELECT token, df,
+       list_transform(postings,
+                      (x, i) -> x - coalesce(postings[i - 1], 0))
+         AS deltas
+FROM idx
+"""
+
+
+def _q_file_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden file-metadata columns (_metadata.file_path): per-input-
+    file row counts and id sums — the lineage/debugging surface of the
+    file sources. The sf fixtures are single files, so the oracle pins
+    the constant basename (DuckDB's read_parquet(filename=true) twin
+    was verified out-of-band; the driver views hide the path)."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (df.select(
+        F.element_at(F.split(F.expr("_metadata.file_path"), "/"), -1)
+        .alias("fname"), "doc_id")
+        .groupBy("fname")
+        .agg(F.count("*").cast("long").alias("n"),
+             F.sum("doc_id").cast("long").alias("sum_id")))
+
+
+_FILE_META_SQL = """
+SELECT 'documents.parquet' AS fname,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS sum_id
+FROM documents
+"""
+
+
+def _q_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic UDTF (text.py:register_first_tokens_udtf — the
+    Spark 4 analyze() API): output schema tok_1..tok_3 COMPUTED at
+    plan time from the constant k argument, evaluated through a
+    LATERAL join; short docs NULL-pad."""
+    TX.register_first_tokens_udtf(spark)
+    _docs(spark, sf_dir).createOrReplaceTempView("udtfa_docs")
+    return spark.sql(
+        "SELECT doc_id, t.tok_1, t.tok_2, t.tok_3 "
+        "FROM udtfa_docs, LATERAL first_tokens(trim(lower(text)), 3) t")
+
+
+_UDTF_ANALYZE_SQL = """
+WITH arr AS (
+  SELECT doc_id, list_filter(
+           regexp_split_to_array(trim(lower(text)), '\\s+'),
+           t -> t != '') AS a
+  FROM documents
+)
+SELECT doc_id, a[1] AS tok_1, a[2] AS tok_2, a[3] AS tok_3 FROM arr
+"""
+
+
+def _q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-source rollup (corpus.py:winsorize_sums): clip
+    n_chars to the exact discrete per-source [p10, p90] (the
+    group_quantiles ceil(q·n) rank rule) and report raw vs clipped
+    sums — the outlier-robust statistic, all BIGINT."""
+    from bdtopo2refhydro_spark.operators.corpus import winsorize_sums
+
+    return winsorize_sums(_docs(spark, sf_dir), "n_chars",
+                          group_col="source", id_col="doc_id")
+
+
+_WINSORIZE_SQL = """
+WITH ranked AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+),
+bounds AS (
+  SELECT source, CAST(max(n) AS BIGINT) AS n,
+         CAST(max(CASE WHEN rn = (n * 10 + 99) // 100
+                       THEN n_chars END) AS BIGINT) AS lo,
+         CAST(max(CASE WHEN rn = (n * 90 + 99) // 100
+                       THEN n_chars END) AS BIGINT) AS hi
+  FROM ranked GROUP BY source
+)
+SELECT d.source, b.n, b.lo, b.hi,
+       CAST(sum(d.n_chars) AS BIGINT) AS sum_raw,
+       CAST(sum(least(greatest(d.n_chars, b.lo), b.hi)) AS BIGINT)
+         AS sum_clipped
+FROM documents d JOIN bounds b USING (source)
+GROUP BY 1, 2, 3, 4
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -9540,6 +9660,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # merge, cohort retention, integer rolling anomaly, CIDR
         # longest-prefix, mixture plan, threshold-levenshtein gate,
         # INTERSECT/EXCEPT ALL, GROUPING SETS — all exact.
+        # batch 29: delta-coded postings, _metadata columns, analyze()
+        # UDTF, winsorized rollup.
+        "posting_deltas": _q_posting_deltas,
+        "file_meta": _q_file_meta,
+        "udtf_analyze": _q_udtf_analyze,
+        "winsorize": _q_winsorize,
         # batch 28: chained stateful streaming (dedup state + window
         # state in one query).
         "stream_chain": _q_stream_chain,
@@ -9939,6 +10065,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "posting_deltas": _POSTING_DELTAS_SQL,
+        "file_meta": _FILE_META_SQL,
+        "udtf_analyze": _UDTF_ANALYZE_SQL,
+        "winsorize": _WINSORIZE_SQL,
         "stream_chain": _STREAM_CHAIN_SQL,
         "graph_agg": _GRAPH_AGG_SQL,
         "cdc_apply": _CDC_APPLY_SQL,

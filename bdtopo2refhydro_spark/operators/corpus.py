@@ -1027,3 +1027,39 @@ def nearest_vocab_lev(tokens: DataFrame, vocab: DataFrame, *,
     return (tokens.crossJoin(F.broadcast(vocab))
             .withColumn("dist", lev.cast("int"))
             .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist)))
+
+
+def winsorize_sums(df: DataFrame, value_col: str, *,
+                   group_col: str = "source", id_col: str = "doc_id",
+                   lo_pct: int = 10, hi_pct: int = 90) -> DataFrame:
+    """Winsorized per-group rollup: clip an integer column to its
+    exact DISCRETE per-group [p_lo, p_hi] (the group_quantiles rank
+    rule — value at rank ceil(q·n) under (value, id) order, no
+    interpolation) and report the clipped sum next to the raw one —
+    the outlier-robust statistic gates calibrate against.
+
+    One shuffle on the group key for the rank pass; the tiny per-group
+    bounds broadcast back for the clip. All BIGINT."""
+    w = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    wg = Window.partitionBy(group_col)
+    ranked = (df.select(group_col, value_col, id_col)
+              .withColumn("rn", F.row_number().over(w))
+              .withColumn("n", F.count("*").over(wg)))
+
+    def at(pct: int):
+        idx = F.expr(f"(n * {pct} + 99) div 100")
+        return F.max(F.when(F.col("rn") == idx, F.col(value_col)))
+
+    bounds = ranked.groupBy(group_col).agg(
+        F.max("n").cast("long").alias("n"),
+        at(lo_pct).cast("long").alias("lo"),
+        at(hi_pct).cast("long").alias("hi"))
+    v = F.col(value_col)
+    clipped = F.least(F.greatest(v, F.col("lo")), F.col("hi"))
+    return (df.select(group_col, value_col)
+            .join(F.broadcast(bounds), group_col)
+            .groupBy(group_col)
+            .agg(F.max("n").alias("n"), F.max("lo").alias("lo"),
+                 F.max("hi").alias("hi"),
+                 F.sum(v).cast("long").alias("sum_raw"),
+                 F.sum(clipped).cast("long").alias("sum_clipped")))

@@ -1256,6 +1256,34 @@ def containment_pairs(docs, *, n: int = 3, pct: int = 60,
     )
 
 
+def register_first_tokens_udtf(spark) -> None:
+    """Polymorphic python UDTF (Spark 4 analyze() API): the output
+    SCHEMA is computed at plan time from the constant ``k`` argument —
+    tok_1..tok_k columns — the dynamic-schema table-function surface
+    (static-schema UDTFs: make_kv_parse_udtf). eval pads short docs
+    with NULLs; python str.split() == the engine's \\s+ tokenization."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class FirstTokens:
+        @staticmethod
+        def analyze(text: AnalyzeArgument,
+                    k: AnalyzeArgument) -> AnalyzeResult:
+            n = int(k.value)
+            schema = StructType()
+            for i in range(n):
+                schema = schema.add(f"tok_{i + 1}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text, k):
+            toks = [t for t in (text or "").split() if t]
+            yield tuple(toks[i] if i < len(toks) else None
+                        for i in range(int(k)))
+
+    spark.udtf.register("first_tokens", udtf(FirstTokens))
+
+
 def wordpiece_encode(words: DataFrame, vocab: list[str],
                      word_col: str = "word") -> DataFrame:
     """WordPiece tokenization: GREEDY LONGEST-MATCH-FIRST subword split

@@ -365,3 +365,39 @@ def test_neighborhood_sum_two_rounds_hand_graph(spark):
     out = {r.node: r.feat
            for r in neighborhood_sum(nodes, edges, rounds=2).collect()}
     assert out == {"a": 1, "b": 4, "c": 9}
+
+
+# --------------------------------------------------------------- winsorize
+
+def test_winsorize_sums_clips_at_discrete_ranks(spark):
+    """10 values 1..10 in one group: p10 = value at rank ceil(10*10/100)
+    = rank 1 -> 1; p90 = rank 9 -> 9; clipped sum replaces the 10 with
+    a 9."""
+    from bdtopo2refhydro_spark.operators.corpus import winsorize_sums
+
+    df = spark.createDataFrame([("g", i, i) for i in range(1, 11)],
+                               "source string, n_chars bigint, doc_id bigint")
+    r = winsorize_sums(df, "n_chars").collect()[0]
+    assert (r.n, r.lo, r.hi) == (10, 1, 9)
+    assert r.sum_raw == 55 and r.sum_clipped == 54
+
+
+# ---------------------------------------------------------- posting deltas
+
+def test_posting_deltas_prefix_sum_restores_postings(spark):
+    from bdtopo2refhydro_spark.operators.corpus import inverted_index
+
+    docs = spark.createDataFrame(
+        [(3, "x y"), (7, "x"), (20, "x z")], "doc_id bigint, text string")
+    idx = inverted_index(docs, min_df=1)
+    from pyspark.sql import functions as FF
+    out = idx.select("token", FF.expr(
+        "transform(postings, (x, i) -> "
+        "IF(i = 0, x, x - element_at(postings, i)))").alias("d"),
+        "postings").collect()
+    for r in out:
+        acc, restored = 0, []
+        for d in r.d:
+            acc += d
+            restored.append(acc)
+        assert restored == r.postings
