@@ -9645,6 +9645,204 @@ GROUP BY 1, 2, 3, 4
 """
 
 
+# -- batch 30: geohash encode, public-suffix eTLD+1, crosstab, Arrow
+# scalar UDF, statestore reader, mergeSchema evolution ----------------
+
+# exact-dyadic-free but IEEE-identical synthetic lon/lat: the SAME
+# expression tree evaluates in both engines, so the doubles (and hence
+# every geohash bit) agree bit-for-bit
+_GH_LON = "CAST(doc_id % 3600 AS DOUBLE) / 10.0 - 180.0"
+_GH_LAT = "CAST((doc_id * 7) % 1800 AS DOUBLE) / 10.0 - 90.0"
+
+
+def _q_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base-32 geohash cell encoding (functions/cells.py:geohash_expr)
+    at 6 and 8 chars — the textual H3/S2-family cell id, pinned against
+    the canonical geohash.org example in tests/test_cells.py. Pure
+    codegen: one floor per axis + integer bit shuffle, no UDF."""
+    from bdtopo2refhydro_spark.functions.cells import geohash_expr
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(_GH_LON).alias("lon"), F.expr(_GH_LAT).alias("lat"))
+    return d.select(
+        "doc_id",
+        F.expr(geohash_expr("lon", "lat", 6)).alias("gh6"),
+        F.expr(geohash_expr("lon", "lat", 8)).alias("gh8"))
+
+
+def _geohash_sql() -> str:
+    from bdtopo2refhydro_spark.functions.cells import geohash_expr
+
+    return f"""
+WITH pts AS (
+  SELECT doc_id, {_GH_LON} AS lon, {_GH_LAT} AS lat FROM documents
+)
+SELECT doc_id,
+       {geohash_expr("lon", "lat", 6, dialect="duckdb")} AS gh6,
+       {geohash_expr("lon", "lat", 8, dialect="duckdb")} AS gh8
+FROM pts
+"""
+
+
+_PSL = ["com", "org", "net", "uk", "co.uk", "ac.uk", "io",
+        "github.io", "fr", "gouv.fr"]
+# host fixture: doc_id%11=0 rows are BARE suffixes (no registrable
+# label → NULL); tails rotate over two-level suffixes so the k=2 match
+# must beat the k=1 ('uk' ⊂ 'co.uk') one; 'xyz' is not on the list
+_HOST = ("CASE WHEN doc_id % 11 = 0 THEN 'co.uk' ELSE concat("
+         "CASE WHEN doc_id % 3 = 0 THEN 'www' "
+         "ELSE concat('m', CAST(doc_id % 7 AS STRING)) END, '.', "
+         "'s', CAST(doc_id % 5 AS STRING), '.', "
+         "element_at(array('com','co.uk','github.io','ac.uk','xyz'), "
+         "CAST(doc_id % 5 AS INT) + 1)) END")
+_HOSTD = ("CASE WHEN doc_id % 11 = 0 THEN 'co.uk' ELSE "
+          "CASE WHEN doc_id % 3 = 0 THEN 'www' "
+          "ELSE 'm' || CAST(doc_id % 7 AS VARCHAR) END || '.' || "
+          "'s' || CAST(doc_id % 5 AS VARCHAR) || '.' || "
+          "(['com','co.uk','github.io','ac.uk','xyz'])"
+          "[CAST(doc_id % 5 AS INT) + 1] END")
+
+
+def _q_tld_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain (eTLD+1) extraction by longest public-suffix
+    match (operators/corpus.py:registered_domain): the key every
+    domain-cap / leakage-split / robots scope decision hangs on.
+    Suffix list compiled to JVM literal sets — zero shuffle, zero UDF;
+    unmatched hosts and bare suffixes yield NULL."""
+    from bdtopo2refhydro_spark.operators.corpus import registered_domain
+
+    hosts = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_HOST).alias("host"))
+    sfx = spark.createDataFrame([(s,) for s in _PSL], "suffix string")
+    return registered_domain(hosts, sfx, "host").select(
+        "doc_id", "host", "registered", "suffix_len")
+
+
+def _tld_split_sql() -> str:
+    inlist = ", ".join(f"'{s}'" for s in _PSL)
+    return f"""
+WITH hosts AS (
+  SELECT doc_id, {_HOSTD} AS host FROM documents
+),
+labs AS (
+  SELECT doc_id, host, string_split(host, '.') AS l,
+         len(string_split(host, '.')) AS n
+  FROM hosts
+),
+cand AS (
+  SELECT doc_id, host, l, n,
+         array_to_string(l[n - 2:n], '.') AS c3,
+         array_to_string(l[n - 1:n], '.') AS c2,
+         l[n] AS c1
+  FROM labs
+),
+reg AS (
+  SELECT doc_id, host,
+         CASE WHEN host IN ({inlist}) THEN NULL
+              WHEN n > 3 AND c3 IN ({inlist}) THEN l[n - 3] || '.' || c3
+              WHEN n > 2 AND c2 IN ({inlist}) THEN l[n - 2] || '.' || c2
+              WHEN n > 1 AND c1 IN ({inlist}) THEN l[n - 1] || '.' || c1
+              END AS registered
+  FROM cand
+)
+SELECT doc_id, host, registered,
+       CAST(len(string_split(registered, '.')) - 1 AS INT) AS suffix_len
+FROM reg
+"""
+
+
+def _q_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.stat.crosstab — the contingency-table convenience surface
+    (source × lang counts, exact). The fixture domains are stable
+    across SFs (5 langs), so the pivoted schema is deterministic."""
+    return _docs(spark, sf_dir).stat.crosstab("source", "lang")
+
+
+_CROSSTAB_SQL = """
+SELECT source AS source_lang,
+       CAST(count(*) FILTER (lang = 'de') AS BIGINT) AS de,
+       CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS en,
+       CAST(count(*) FILTER (lang = 'es') AS BIGINT) AS es,
+       CAST(count(*) FILTER (lang = 'fr') AS BIGINT) AS fr,
+       CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS zh
+FROM documents GROUP BY source
+"""
+
+
+def _q_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (F.udf(useArrow=True) — the
+    Spark 4 fast path for row-level Python: Arrow batch transfer
+    without the pandas_udf signature). Counts lowercase vowels; the
+    oracle counts them via regexp deletion — two independent
+    implementations of the same integer."""
+    @F.udf("long", useArrow=True)
+    def n_vowels(s: str) -> int:
+        return sum(s.count(c) for c in "aeiou") if s is not None else None
+
+    return (_docs(spark, sf_dir)
+            .select("doc_id", F.lower(F.col("text")).alias("lt"))
+            .select("doc_id", n_vowels("lt").alias("n_vowels")))
+
+
+_ARROW_UDF_SQL = """
+SELECT doc_id,
+       CAST(length(lower(text)) -
+            length(regexp_replace(lower(text), '[aeiou]', '', 'g'))
+            AS BIGINT) AS n_vowels
+FROM documents
+"""
+
+
+def _q_state_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store DataSource read-back (spark.read.format(
+    'statestore') — Spark 4 state observability): run a streaming
+    dropDuplicates over events to a fresh checkpoint, then read the
+    dedup operator's committed state. The state key set IS the
+    distinct (user_id, event_type) set, so the surface is exactly
+    value-checkable."""
+    from bdtopo2refhydro_spark.streaming.stateful import (
+        dedup_state_snapshot,
+    )
+
+    return dedup_state_snapshot(
+        spark, f"{sf_dir}/events.parquet", ["user_id", "event_type"],
+        schema=("event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string"))
+
+
+_STATE_SOURCE_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+def _q_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read (mergeSchema): two parquet shards written
+    with DIFFERENT column sets (the long-lived-corpus reality — columns
+    arrive over time) are read as one table, NULL-padding each side.
+    The oracle reconstructs the union by parity."""
+    import os
+
+    base = f"/tmp/se_{os.path.basename(os.path.normpath(sf_dir))}"
+    d = _docs(spark, sf_dir)
+    (d.filter("doc_id % 2 = 0").select("doc_id", "lang")
+     .write.mode("overwrite").parquet(f"{base}/a"))
+    (d.filter("doc_id % 2 = 1").select("doc_id", "source", "n_chars")
+     .write.mode("overwrite").parquet(f"{base}/b"))
+    merged = (spark.read.option("mergeSchema", "true")
+              .parquet(f"{base}/a", f"{base}/b"))
+    return merged.select("doc_id", "lang", "source", "n_chars")
+
+
+_SCHEMA_EVOLVE_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN lang END AS lang,
+       CASE WHEN doc_id % 2 = 1 THEN source END AS source,
+       CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -9656,6 +9854,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ALL entries.
     return {
         # -- new in round 4: never driver-checked --------------------------
+        # batch 30: geohash cells, eTLD+1 longest-suffix, crosstab,
+        # Arrow scalar UDF, statestore reader, mergeSchema evolution.
+        "geohash": _q_geohash,
+        "tld_split": _q_tld_split,
+        "crosstab": _q_crosstab,
+        "arrow_udf": _q_arrow_udf,
+        "state_source": _q_state_source,
+        "schema_evolve": _q_schema_evolve,
+        # the three ex-rows-only fixpoints (VERDICT r3 #2) — re-pinned
+        # to the front so the r4 driver gate value-checks their new
+        # EXACT unrolled oracles (session batches had pushed them to
+        # positions 85-87):
+        "strahler_order": _q_strahler,
+        "fix_connectivity": _q_fix_connectivity,
+        "width_network": _q_width_network,
         # batch 21 (r4 continuation session 2): sweep-line interval
         # merge, cohort retention, integer rolling anomaly, CIDR
         # longest-prefix, mixture plan, threshold-levenshtein gate,
@@ -9756,12 +9969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17": _q_tpch_q17,
         "hits": _q_hits,
         "pq_adc": _q_pq_adc,
-        # -- round 4: the three ex-rows-only fixpoints, now EXACT via
-        # bounded-depth unrolled oracles (VERDICT r3 #2) — in-window so
-        # the driver value-checks them for the first time ------------------
-        "strahler_order": _q_strahler,
-        "fix_connectivity": _q_fix_connectivity,
-        "width_network": _q_width_network,
+        # (strahler_order / fix_connectivity / width_network moved to
+        # the batch-30 block above to stay inside the driver window)
         # r4 rotation #10: tpch_q7/q22 (q17 keeps TPC-H in-window),
         # observe_metrics (Observation API pytest-pinned over a noop
         # write) and lr_score (broadcast-weights inference; linear-
@@ -10065,6 +10274,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "geohash": _geohash_sql(),
+        "tld_split": _tld_split_sql(),
+        "crosstab": _CROSSTAB_SQL,
+        "arrow_udf": _ARROW_UDF_SQL,
+        "state_source": _STATE_SOURCE_SQL,
+        "schema_evolve": _SCHEMA_EVOLVE_SQL,
         "posting_deltas": _POSTING_DELTAS_SQL,
         "file_meta": _FILE_META_SQL,
         "udtf_analyze": _UDTF_ANALYZE_SQL,

@@ -104,3 +104,63 @@ def zorder_key_expr(ix_col: str, iy_col: str, bits: int = 26) -> str:
         terms.append(f"(shiftleft(shiftright({ix_col}, {b}) & 1, {2 * b}))")
         terms.append(f"(shiftleft(shiftright({iy_col}, {b}) & 1, {2 * b + 1}))")
     return "(" + " + ".join(terms) + ")"
+
+
+GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_expr(lon_col: str, lat_col: str, precision: int = 6,
+                 dialect: str = "spark") -> str:
+    """SQL expression computing the standard base-32 geohash of
+    (``lon_col``, ``lat_col``) DOUBLE columns at ``precision`` chars —
+    the textual cell encoding of the H3/S2 family (bit-interleaved
+    lon/lat, lon first, MSB first, 5 bits per character).
+
+    The whole computation is one expression of IEEE double arithmetic
+    (one add, one divide, one multiply, one floor per axis) followed by
+    pure integer bit shuffling, written token-identically for the
+    ``spark`` and ``duckdb`` dialects — so geohash assignments are
+    value-oracle-checkable across engines (same discipline as
+    ``zorder_key_expr``). Inputs must satisfy -180 ≤ lon ≤ 180,
+    -90 ≤ lat ≤ 90; the edge values clamp to the top cell.
+
+    Parity with the published algorithm (geohash.org): pinned in
+    tests/test_cells.py against the canonical (57.64911, 10.40744) →
+    ``u4pruy`` example.
+    """
+    if not 1 <= precision <= 12:
+        raise ValueError("precision must be in [1, 12]")
+    nbits = 5 * precision
+    lon_bits = (nbits + 1) // 2  # lon leads on odd totals
+    lat_bits = nbits // 2
+
+    def _axis(col: str, lo: float, span: float, bits: int) -> str:
+        scaled = (f"CAST(floor(({col} + {lo:.1f}) / {span:.1f} * "
+                  f"{1 << bits}.0) AS BIGINT)")
+        # exact top edge (lon=180 / lat=90) lands one past the last cell
+        return f"least({scaled}, {(1 << bits) - 1})"
+
+    lon_i = _axis(lon_col, 180.0, 360.0, lon_bits)
+    lat_i = _axis(lat_col, 90.0, 180.0, lat_bits)
+
+    def _bit(src: str, shift: int) -> str:
+        if dialect == "spark":
+            return f"(shiftright({src}, {shift}) & 1)"
+        return f"(({src}) >> {shift} & 1)"
+
+    chars = []
+    for k in range(precision):
+        terms = []
+        for j in range(5 * k, 5 * k + 5):
+            if j % 2 == 0:  # even global bit positions come from lon
+                b = _bit("__ghx", lon_bits - 1 - j // 2)
+            else:
+                b = _bit("__ghy", lat_bits - 1 - (j - 1) // 2)
+            terms.append(f"({b} << {5 * k + 4 - j})" if dialect == "duckdb"
+                         else f"shiftleft({b}, {5 * k + 4 - j})")
+        val = "(" + " + ".join(terms) + ")"
+        chars.append(f"substring('{GEOHASH_BASE32}', {val} + 1, 1)")
+    body = "concat(" + ", ".join(chars) + ")"
+    # bind the axis indices once via a scalar subquery-free inline: both
+    # dialects lack LET in expressions, so textually substitute
+    return body.replace("__ghx", lon_i).replace("__ghy", lat_i)

@@ -1063,3 +1063,47 @@ def winsorize_sums(df: DataFrame, value_col: str, *,
                  F.max("hi").alias("hi"),
                  F.sum(v).cast("long").alias("sum_raw"),
                  F.sum(clipped).cast("long").alias("sum_clipped")))
+
+
+def registered_domain(df: DataFrame, suffixes: DataFrame,
+                      host_col: str = "host",
+                      max_suffix_labels: int = 3) -> DataFrame:
+    """Registered-domain extraction by LONGEST public-suffix match —
+    the eTLD+1 rule every per-site crawl policy (domain caps, robots
+    scoping, leakage-safe splits) keys on. ``suffixes`` is the
+    public-suffix list as one ``suffix`` column ('com', 'co.uk', …).
+
+    For each host the last 1..``max_suffix_labels`` label-suffixes are
+    generated JVM-side (slice + array_join — no explode, no Python),
+    each candidate column is left-joined against the BROADCAST suffix
+    table, and the longest hit wins: ``registered = <label before the
+    suffix> + '.' + <suffix>``. Hosts matching no suffix (or equal to a
+    bare suffix) yield NULL — the caller's quarantine bucket.
+
+    Scale: the suffix list is ~10k rows in the wild (the real PSL) —
+    a classic broadcast dim; the corpus side never shuffles.
+    """
+    labels = F.split(F.col(host_col), r"\.")
+    n = F.size(labels)
+    out = df.withColumn("__labs", labels).withColumn("__n", n)
+    sfx = [r[0] for r in suffixes.select("suffix").collect()]
+    bset = set(sfx)
+    # candidate suffix of k labels, matched without a join: the suffix
+    # table is collected once on the driver (it IS broadcast-sized) and
+    # compiled into an isin() literal set per k — pure codegen.
+    reg = F.lit(None).cast("string")
+    for k in range(1, max_suffix_labels + 1):
+        cand = F.array_join(F.slice(F.col("__labs"), -k, k), ".")
+        lab = F.element_at(F.col("__labs"), -(k + 1))
+        hit = (F.col("__n") > k) & cand.isin(*bset)
+        # later (longer) k overrides earlier: evaluate ascending and
+        # let the longest match win via coalesce-in-reverse
+        reg = F.when(hit, F.concat_ws(".", lab, cand)).otherwise(reg)
+    # PSL rule: a host that IS a public suffix has no registrable part
+    reg = F.when(F.col(host_col).isin(*bset),
+                 F.lit(None).cast("string")).otherwise(reg)
+    return (out.withColumn("registered", reg)
+            .withColumn("suffix_len",
+                        F.when(reg.isNull(), F.lit(None).cast("int"))
+                        .otherwise(F.size(F.split(reg, r"\.")) - 1))
+            .drop("__labs", "__n"))

@@ -347,3 +347,31 @@ def stream_dedup_then_window(spark: SparkSession, path: str, *,
            .select(F.col("w.start").cast("string").alias("w_start"),
                    key_col, F.col("n").cast("long").alias("n")))
     return _drain_to_memory(agg, query_name, "complete")
+
+
+def dedup_state_snapshot(spark: SparkSession, path: str,
+                         keys: list[str], schema) -> DataFrame:
+    """Run a streaming dropDuplicates over ``path`` to a FRESH
+    checkpoint, then read the operator's state store back through the
+    Spark 4 ``statestore`` DataSource — the observability surface for
+    stateful pipelines (state-size audits, dedup-key forensics,
+    offline state repair all start from this read).
+
+    Returns one row per state key (exactly the distinct key set of the
+    input — which is what makes the surface value-oracle-checkable).
+    The checkpoint lives under a mkdtemp dir: the read is of a REAL
+    committed HDFSStateStore layout, not a mock, and a rerun never
+    reuses stale state.
+    """
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="state_src_")
+    src = _stream_reader(spark, path, schema)
+    q = (src.select(*keys).dropDuplicates(keys)
+         .writeStream.format("noop")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(*[F.col(f"key.{k}").alias(k) for k in keys])

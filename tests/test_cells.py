@@ -103,3 +103,37 @@ def test_subdivided_cover_superset_of_touched_cells(spark):
         total_bbox += bbox_counts[i]
     # the whole point: far fewer candidate cells than the bbox cover
     assert total_cover < total_bbox / 3
+
+
+def test_geohash_canonical_example(spark):
+    """geohash_expr matches the published geohash.org reference value
+    for (57.64911N, 10.40744E) -> u4pruydqqvj at several precisions,
+    in BOTH dialects."""
+    import duckdb
+
+    from bdtopo2refhydro_spark.functions.cells import geohash_expr
+
+    for prec in (1, 4, 6, 11):
+        want = "u4pruydqqvj"[:prec]
+        got_s = spark.sql(
+            "SELECT " + geohash_expr("lon", "lat", prec) + " AS g FROM "
+            "(SELECT CAST(10.40744 AS DOUBLE) lon, "
+            "CAST(57.64911 AS DOUBLE) lat)").first()["g"]
+        got_d = duckdb.sql(
+            "SELECT " + geohash_expr("lon", "lat", prec, dialect="duckdb")
+            + " AS g FROM (SELECT 10.40744::DOUBLE lon, "
+            "57.64911::DOUBLE lat)").fetchone()[0]
+        assert got_s == want == got_d, (prec, got_s, got_d)
+
+
+def test_geohash_edges_clamp(spark):
+    """lon=180 / lat=90 clamp into the top cell instead of overflowing
+    the bit budget; the antipode corner is all-zero bits ('0'*p)."""
+    from bdtopo2refhydro_spark.functions.cells import geohash_expr
+
+    rows = spark.sql(
+        "SELECT " + geohash_expr("lon", "lat", 4) + " AS g FROM VALUES "
+        "(CAST(180.0 AS DOUBLE), CAST(90.0 AS DOUBLE)), "
+        "(CAST(-180.0 AS DOUBLE), CAST(-90.0 AS DOUBLE)) AS t(lon, lat)"
+    ).collect()
+    assert rows[0]["g"] == "zzzz" and rows[1]["g"] == "0000"

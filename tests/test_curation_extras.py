@@ -498,3 +498,26 @@ def test_cooccurrence_pairs_support_and_marginals(spark):
     r = rows[0]
     assert (r["a"], r["b"], r["support"], r["n_a"], r["n_b"]) == \
         ("x", "y", 3, 3, 3)
+
+
+def test_registered_domain_longest_suffix_wins(spark):
+    """eTLD+1: 'co.uk' must beat 'uk'; bare suffixes and unlisted TLDs
+    yield NULL; the registrable label is the one just before the
+    matched suffix."""
+    from bdtopo2refhydro_spark.operators.corpus import registered_domain
+
+    hosts = spark.createDataFrame(
+        [(1, "a.b.co.uk"), (2, "x.com"), (3, "co.uk"), (4, "a.b.xyz"),
+         (5, "deep.sub.site.github.io"), (6, "uk")],
+        "id long, host string")
+    sfx = spark.createDataFrame(
+        [("com",), ("uk",), ("co.uk",), ("github.io",), ("io",)],
+        "suffix string")
+    got = {r["id"]: (r["registered"], r["suffix_len"])
+           for r in registered_domain(hosts, sfx).collect()}
+    assert got[1] == ("b.co.uk", 2)          # co.uk beats uk
+    assert got[2] == ("x.com", 1)
+    assert got[3] == (None, None)            # bare suffix
+    assert got[4] == (None, None)            # unlisted TLD
+    assert got[5] == ("site.github.io", 2)   # github.io beats io
+    assert got[6] == (None, None)
