@@ -89,6 +89,45 @@ def build_warc_bytes(records) -> bytes:
     return bytes(out)
 
 
+def parse_warc_gz(buf: bytes):
+    """Yield records from a MEMBER-GZIPPED WARC stream — Common Crawl's
+    actual on-disk format: each record is its own gzip member, and the
+    members are concatenated, so a reader can seek to any member
+    boundary and stream from there (the property range-fetch pipelines
+    rely on). Decompresses member-by-member via zlib's unused_data
+    hand-off; each member must contain exactly one record."""
+    import zlib
+
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        if buf[pos:pos + 2] != b"\x1f\x8b":
+            raise ValueError(f"expected gzip member magic at byte {pos}")
+        z = zlib.decompressobj(wbits=31)
+        body = z.decompress(buf[pos:])
+        if not z.eof:
+            raise ValueError(f"truncated gzip member at byte {pos}")
+        recs = list(parse_warc(body))
+        if len(recs) != 1:
+            raise ValueError(
+                f"gzip member at byte {pos} holds {len(recs)} records "
+                "(member-gzipped WARC requires exactly one)")
+        yield recs[0]
+        consumed = len(buf) - pos - len(z.unused_data)
+        pos += consumed
+
+
+def build_warc_gz_bytes(records) -> bytes:
+    """Writer twin of parse_warc_gz: one gzip member per record,
+    mtime pinned to 0 so fixture bytes are deterministic."""
+    import gzip
+
+    out = bytearray()
+    for rec in records:
+        out += gzip.compress(build_warc_bytes([rec]), mtime=0)
+    return bytes(out)
+
+
 def _lazy_datasource():
     # pyspark.sql.datasource import is deferred so the module imports on
     # environments without the Python DataSource API (Spark < 4)
@@ -114,17 +153,20 @@ def _lazy_datasource():
 
             p = self._path
             if os.path.isdir(p):
-                files = sorted(glob.glob(os.path.join(p, "*.warc")))
+                files = sorted(glob.glob(os.path.join(p, "*.warc"))
+                               + glob.glob(os.path.join(p, "*.warc.gz")))
             else:
                 files = [p]
             if not files:
-                raise ValueError(f"no .warc files under {p}")
+                raise ValueError(f"no .warc[.gz] files under {p}")
             return [_WarcPartition(f) for f in files]
 
         def read(self, partition):
             with open(partition.path, "rb") as fh:
                 buf = fh.read()
-            for rec in parse_warc(buf):
+            parse = (parse_warc_gz if partition.path.endswith(".gz")
+                     else parse_warc)
+            for rec in parse(buf):
                 yield (rec["uri"], rec["date"], len(rec["payload"]),
                        rec["payload"])
 
