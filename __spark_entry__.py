@@ -9932,6 +9932,50 @@ FROM documents
 """
 
 
+def _q_image_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode path #5 (multimodal.py:_decode_tiff): valid
+    grayscale baseline TIFFs synthesized from doc_id in BOTH byte
+    orders (II even ids / MM odd), RowsPerStrip=2 so taller images
+    exercise multi-strip assembly and the external-array placement
+    rule. The oracle replays size/mean closed-form: n_bytes = header 8
+    + w·h data + IFD 114 + 8·n_strips when the strip arrays spill
+    external (n_strips ≥ 2)."""
+    from bdtopo2refhydro_spark.operators.multimodal import (
+        extract_image_features,
+        tiff_payload_udf,
+    )
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        tiff_payload_udf()("doc_id").alias("payload"),
+    )
+    out = extract_image_features(media, payload_col="payload")
+    return out.select(
+        "url", "media_type", "n_bytes", "width", "height",
+        F.element_at("features", 1).cast("double").alias("mean_gray"),
+        F.element_at("features", 4).cast("double").alias("max_gray"),
+    )
+
+
+_IMAGE_TIFF_SQL = """
+WITH p AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url,
+         3 + doc_id % 6 AS w, 2 + doc_id % 5 AS h,
+         (doc_id * 5) % 256 AS g,
+         (2 + doc_id % 5 + 1) // 2 AS n_strips
+  FROM documents
+)
+SELECT url, 'image/tiff' AS media_type,
+       CAST(8 + w * h + 114
+            + CASE WHEN n_strips >= 2 THEN 8 * n_strips ELSE 0 END
+            AS BIGINT) AS n_bytes,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(g AS DOUBLE) / 256.0 AS mean_gray,
+       CAST(g AS DOUBLE) / 256.0 AS max_gray
+FROM p
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -9947,6 +9991,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Arrow scalar UDF, statestore reader, mergeSchema evolution.
         # batch 31: crawl-native containers — member-gzipped WARC
         # (Common Crawl's real layout) + ZIP central-directory listing.
+        # batch 32: real TIFF decode (5th byte-level image format,
+        # both endians, multi-strip).
+        "image_tiff": _q_image_tiff,
         "warc_gz": _q_warc_gz,
         "zip_scan": _q_zip_scan,
         "geohash": _q_geohash,
@@ -10367,6 +10414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "image_tiff": _IMAGE_TIFF_SQL,
         "warc_gz": _WARC_SCAN_SQL,  # same closed-form records
         "zip_scan": _ZIP_SCAN_SQL,
         "geohash": _geohash_sql(),

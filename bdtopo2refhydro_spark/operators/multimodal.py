@@ -179,6 +179,57 @@ def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, feats
 
 
+def _decode_tiff(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL decode of an uncompressed 8-bit grayscale baseline TIFF
+    (decoder #5): endian sniff ('II'/'MM' both supported), IFD entry
+    walk (TIFF 6.0 §2), strip assembly via StripOffsets/StripByteCounts
+    — including the spec's inline-vs-external value placement rule
+    (count·size ≤ 4 bytes lives IN the entry; larger arrays live at an
+    offset). Features mirror the RGB paths with the gray value
+    replicated across channels."""
+    if payload[:4] == b"II*\x00":
+        bo = "little"
+    elif payload[:4] == b"MM\x00*":
+        bo = "big"
+    else:
+        raise ValueError("not a TIFF")
+
+    def rd(off: int, n: int) -> int:
+        return int.from_bytes(payload[off:off + n], bo)
+
+    _TYPE_SIZE = {3: 2, 4: 4}  # SHORT, LONG
+    ifd = rd(4, 4)
+    n_entries = rd(ifd, 2)
+    tags: dict[int, list[int]] = {}
+    for e in range(n_entries):
+        off = ifd + 2 + 12 * e
+        tag, typ, cnt = rd(off, 2), rd(off + 2, 2), rd(off + 4, 4)
+        if typ not in _TYPE_SIZE:
+            continue  # RATIONAL resolution tags etc. — not needed
+        sz = _TYPE_SIZE[typ]
+        src = off + 8 if cnt * sz <= 4 else rd(off + 8, 4)
+        tags[tag] = [rd(src + i * sz, sz) for i in range(cnt)]
+
+    for req in (256, 257, 273, 279):
+        if req not in tags:
+            raise ValueError(f"TIFF missing required tag {req}")
+    w, h = tags[256][0], tags[257][0]
+    if tags.get(258, [8])[0] != 8 or tags.get(259, [1])[0] != 1:
+        raise ValueError("only 8-bit uncompressed baseline TIFF")
+    if tags.get(277, [1])[0] != 1:
+        raise ValueError("only single-sample (grayscale) TIFF")
+    data = b"".join(payload[o:o + c]
+                    for o, c in zip(tags[273], tags[279]))
+    if len(data) != w * h:
+        raise ValueError("TIFF strip size mismatch")
+    px = np.frombuffer(data, dtype=np.uint8)
+    feats = np.zeros(8, dtype=np.float32)
+    feats[:3] = px.mean(dtype=np.float64) / 256.0
+    feats[3] = px.max() / 256.0
+    feats[4] = px.min() / 256.0
+    return w, h, feats
+
+
 def _decode_image_stub(payload: bytes) -> tuple[int, int, np.ndarray]:
     """STUB: deterministic fake decode (no PIL/libjpeg in this container).
     A real deployment replaces this body with
@@ -213,6 +264,9 @@ def extract_image_features(media: DataFrame, payload_col: str = "html",
                 elif b[:8] == _PNG_SIG:
                     w, h, f = _decode_png(b)
                     mt = "image/png"
+                elif b[:4] in (b"II*\x00", b"MM\x00*"):
+                    w, h, f = _decode_tiff(b)
+                    mt = "image/tiff"
                 else:
                     w, h, f = _decode_image_stub(b)
                     mt = "image/stub"
@@ -465,6 +519,73 @@ def synth_png_bytes(doc_id: int) -> bytes:
     ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes((8, 2, 0, 0, 0))
     return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
             + chunk(b"IEND", b""))
+
+
+def synth_tiff_bytes(doc_id: int) -> bytes:
+    """Deterministic VALID grayscale TIFF fixture: (3 + id%6)×(2 + id%5)
+    pixels, constant gray (5·id)%256, RowsPerStrip=2 (so taller images
+    split into MULTIPLE strips and the external StripOffsets/ByteCounts
+    array path is exercised), endianness by id parity ('II' even, 'MM'
+    odd). Constant pixels make the mean closed-form in doc_id."""
+    w, h = 3 + doc_id % 6, 2 + doc_id % 5
+    g = (doc_id * 5) % 256
+    bo = "little" if doc_id % 2 == 0 else "big"
+    rows_per_strip = 2
+    n_strips = (h + rows_per_strip - 1) // rows_per_strip
+    strips = []
+    r = 0
+    while r < h:
+        rows = min(rows_per_strip, h - r)
+        strips.append(bytes([g]) * (w * rows))
+        r += rows
+
+    # layout: 8-byte header | strip data | IFD | external arrays
+    data_off = 8
+    offs, pos = [], data_off
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    ifd_off = pos
+    n_entries = 9
+    arrays_off = ifd_off + 2 + 12 * n_entries + 4
+
+    def i2(v: int) -> bytes:
+        return v.to_bytes(2, bo)
+
+    def i4(v: int) -> bytes:
+        return v.to_bytes(4, bo)
+
+    ext = bytearray()
+
+    def entry(tag: int, typ: int, values: list[int]) -> bytes:
+        nonlocal ext
+        size = {3: 2, 4: 4}[typ]
+        enc = b"".join(v.to_bytes(size, bo) for v in values)
+        if len(enc) <= 4:
+            return i2(tag) + i2(typ) + i4(len(values)) + enc.ljust(4, b"\x00")
+        off = arrays_off + len(ext)
+        ext += enc
+        return i2(tag) + i2(typ) + i4(len(values)) + i4(off)
+
+    entries = (
+        entry(256, 3, [w]) + entry(257, 3, [h]) + entry(258, 3, [8])
+        + entry(259, 3, [1]) + entry(262, 3, [1])
+        + entry(273, 4, offs) + entry(277, 3, [1])
+        + entry(278, 3, [rows_per_strip])
+        + entry(279, 4, [len(s) for s in strips])
+    )
+    assert len(strips) == n_strips
+    hdr = (b"II*\x00" if bo == "little" else b"MM\x00*") + i4(ifd_off)
+    ifd = i2(n_entries) + entries + i4(0)
+    return hdr + b"".join(strips) + ifd + bytes(ext)
+
+
+def tiff_payload_udf():
+    """binary pandas UDF: doc_id -> synth_tiff_bytes(doc_id)."""
+    @F.pandas_udf("binary")
+    def _mk(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_tiff_bytes(int(i)))
+    return _mk
 
 
 def png_payload_udf():

@@ -177,3 +177,76 @@ def test_synth_png_closed_forms(doc_id):
     assert len(p) == 68 + h * (1 + 3 * w)
     assert feats[0] == (doc_id % 256) / 256.0
     assert feats[1] == (doc_id * 7 % 256) / 256.0
+
+
+def _encode_tiff_gray(px: np.ndarray, bo: str, rows_per_strip: int) -> bytes:
+    """Independent reference TIFF writer for arbitrary pixel data (the
+    synth writer only emits constant-color fixtures)."""
+    h, w = px.shape
+    strips = [px[r:r + rows_per_strip].tobytes()
+              for r in range(0, h, rows_per_strip)]
+    data_off = 8
+    offs, pos = [], data_off
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    ifd_off = pos
+    n_entries = 9
+    arrays_off = ifd_off + 2 + 12 * n_entries + 4
+    ext = bytearray()
+
+    def ent(tag, typ, values):
+        size = {3: 2, 4: 4}[typ]
+        enc = b"".join(v.to_bytes(size, bo) for v in values)
+        if len(enc) <= 4:
+            return (tag.to_bytes(2, bo) + typ.to_bytes(2, bo)
+                    + len(values).to_bytes(4, bo) + enc.ljust(4, b"\x00"))
+        off = arrays_off + len(ext)
+        ext.extend(enc)
+        return (tag.to_bytes(2, bo) + typ.to_bytes(2, bo)
+                + len(values).to_bytes(4, bo) + off.to_bytes(4, bo))
+
+    entries = (ent(256, 3, [w]) + ent(257, 3, [h]) + ent(258, 3, [8])
+               + ent(259, 3, [1]) + ent(262, 3, [1]) + ent(273, 4, offs)
+               + ent(277, 3, [1]) + ent(278, 3, [rows_per_strip])
+               + ent(279, 4, [len(s) for s in strips]))
+    hdr = (b"II*\x00" if bo == "little" else b"MM\x00*") \
+        + ifd_off.to_bytes(4, bo)
+    return (hdr + b"".join(strips)
+            + n_entries.to_bytes(2, bo) + entries + (0).to_bytes(4, bo)
+            + bytes(ext))
+
+
+@settings(max_examples=150, deadline=None)
+@given(w=st.integers(1, 20), h=st.integers(1, 20),
+       rps=st.integers(1, 21), big=st.booleans(),
+       seed=st.integers(0, 2**31 - 1))
+def test_tiff_decode_matches_numpy_reference(w, h, rps, big, seed):
+    """_decode_tiff reconstructs arbitrary gray pixels under every
+    strip split and BOTH endiannesses."""
+    from bdtopo2refhydro_spark.operators.multimodal import _decode_tiff
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    buf = _encode_tiff_gray(px, "big" if big else "little", rps)
+    got_w, got_h, feats = _decode_tiff(buf)
+    assert (got_w, got_h) == (w, h)
+    assert abs(feats[0] - px.mean(dtype=np.float64) / 256.0) < 1e-6
+    assert feats[3] == px.max() / 256.0
+    assert feats[4] == px.min() / 256.0
+
+
+def test_tiff_malformed_raises():
+    import pytest
+
+    from bdtopo2refhydro_spark.operators.multimodal import (
+        _decode_tiff,
+        synth_tiff_bytes,
+    )
+
+    with pytest.raises(ValueError, match="not a TIFF"):
+        _decode_tiff(b"XXYY" + b"\x00" * 32)
+    buf = bytearray(synth_tiff_bytes(7))
+    buf[-1] ^= 0  # no-op; now truncate a strip instead
+    with pytest.raises(ValueError):
+        _decode_tiff(bytes(buf[:12]))
