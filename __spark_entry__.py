@@ -9976,6 +9976,111 @@ FROM p
 """
 
 
+def _q_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG-1 Layer III frame-header walk (multimodal.py:
+    parse_mp3_frames): sync scan, bitrate/samplerate TABLE lookups,
+    frame length = 144·bitrate/samplerate + padding — the container
+    metadata an audio curation pass reads WITHOUT decoding audio.
+    Fixtures are VBR (bitrate switches per frame), both legal
+    samplerates that keep per-frame duration integral."""
+    from bdtopo2refhydro_spark.operators.multimodal import (
+        mp3_frame_stats,
+        mp3_payload_udf,
+    )
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        mp3_payload_udf()("doc_id").alias("payload"),
+    )
+    return mp3_frame_stats(media)
+
+
+_MP3_FRAMES_SQL = """
+WITH frames AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 48000 ELSE 32000 END AS sr,
+         unnest(generate_series(0, 2 + doc_id % 5)) AS j
+  FROM documents
+),
+per AS (
+  SELECT doc_id, sr,
+         144 * ([64, 96, 128])[(doc_id + j) % 3 + 1] * 1000 // sr
+           + (doc_id + j) % 2 AS flen
+  FROM frames
+)
+SELECT CAST(doc_id AS VARCHAR) AS url,
+       CAST(count(*) AS INT) AS n_frames,
+       CAST(sum(flen) AS BIGINT) AS total_bytes,
+       CAST(count(*) * 1152 AS BIGINT) AS total_samples,
+       CAST(count(*) * 1152 * 1000 // max(sr) AS BIGINT) AS duration_ms
+FROM per GROUP BY doc_id
+"""
+
+
+# DBSCAN fixture: 20 planted 7x7 clumps on a 100-spaced grid (eps=10
+# keeps every intra-clump pair adjacent, clumps 94 apart) + isolated
+# noise for doc_id%23=0 — all integer arithmetic
+_DB_X = ("CASE WHEN doc_id % 23 = 0 THEN 5000 + (doc_id * 31) % 3000 "
+         "ELSE 100 * ((doc_id % 20) % 5) + (doc_id * 13) % 7 END")
+_DB_Y_S = ("CASE WHEN doc_id % 23 = 0 THEN 9000 + (doc_id * 29) % 3000 "
+           "ELSE 100 * ((doc_id % 20) div 5) + (doc_id * 17) % 7 END")
+_DB_Y_D = ("CASE WHEN doc_id % 23 = 0 THEN 9000 + (doc_id * 29) % 3000 "
+           "ELSE 100 * ((doc_id % 20) // 5) + (doc_id * 17) % 7 END")
+
+
+def _q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed DBSCAN (spatial.py:dbscan_grid): ε-neighborhood
+    as a 9-cell-block equi-join (no all-pairs stage), core test
+    |N_ε| ≥ min_pts, clusters = O(log n) connected components over
+    core-core edges, borders attach to min neighboring core label,
+    noise → NULL. The oracle replays it with an 8-round unrolled
+    min-label CTE (the planted clumps are complete graphs → 1 round
+    converges; 8 covers any accidental noise chain)."""
+    from bdtopo2refhydro_spark.operators.spatial import dbscan_grid
+
+    pts = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        F.expr(_DB_X).cast("double").alias("x"),
+        F.expr(_DB_Y_S).cast("double").alias("y"))
+    return dbscan_grid(pts, eps=10.0, min_pts=4)
+
+
+def _dbscan_sql(rounds: int = 8) -> str:
+    ctes = [f"""pts AS (
+  SELECT doc_id AS id,
+         CAST({_DB_X} AS DOUBLE) AS x, CAST({_DB_Y_D} AS DOUBLE) AS y,
+         CAST(floor(({_DB_X}) / 10.0) AS BIGINT) AS cx,
+         CAST(floor(({_DB_Y_D}) / 10.0) AS BIGINT) AS cy
+  FROM documents
+)""", """nbr AS (
+  SELECT a.id, b.id AS nid FROM pts a JOIN pts b
+  ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+ AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+ AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 100.0
+)""", """core AS (
+  SELECT id FROM nbr GROUP BY id HAVING count(*) >= 4
+)""", """ce AS (
+  SELECT n.id, n.nid FROM nbr n
+  JOIN core c1 ON n.id = c1.id JOIN core c2 ON n.nid = c2.id
+)""", "l0 AS (SELECT id, id AS l FROM core)"]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"l{i} AS (SELECT ce.id, MIN(p.l) AS l FROM ce "
+            f"JOIN l{i - 1} p ON p.id = ce.nid GROUP BY ce.id)")
+    return f"""
+WITH {", ".join(ctes)},
+attach AS (
+  SELECT n.id, MIN(p.l) AS cluster
+  FROM nbr n JOIN l{rounds} p ON p.id = n.nid GROUP BY n.id
+)
+SELECT pts.id,
+       (core.id IS NOT NULL) AS is_core,
+       attach.cluster
+FROM pts LEFT JOIN attach ON attach.id = pts.id
+LEFT JOIN core ON core.id = pts.id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -9991,6 +10096,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Arrow scalar UDF, statestore reader, mergeSchema evolution.
         # batch 31: crawl-native containers — member-gzipped WARC
         # (Common Crawl's real layout) + ZIP central-directory listing.
+        # batch 33: MP3 frame-header walk (container metadata without
+        # audio decode) + grid-bucketed DBSCAN over planted clumps.
+        "mp3_frames": _q_mp3_frames,
+        "dbscan": _q_dbscan,
         # batch 32: real TIFF decode (5th byte-level image format,
         # both endians, multi-strip).
         "image_tiff": _q_image_tiff,
@@ -10414,6 +10523,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "mp3_frames": _MP3_FRAMES_SQL,
+        "dbscan": _dbscan_sql(),
         "image_tiff": _IMAGE_TIFF_SQL,
         "warc_gz": _WARC_SCAN_SQL,  # same closed-form records
         "zip_scan": _ZIP_SCAN_SQL,

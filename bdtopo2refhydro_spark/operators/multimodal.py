@@ -835,3 +835,94 @@ def audio_frame_energy(media: DataFrame, *, frame: int = 1024,
 
     return media.select("url", payload_col).mapInPandas(
         _frames, AUDIO_FRAMES_SCHEMA)
+
+
+# MPEG-1 Layer III bitrate table (kbps), index 1..14; 0=free, 15=bad
+_MP3_BITRATES = (None, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                 160, 192, 224, 256, 320, None)
+_MP3_RATES = (44100, 48000, 32000, None)
+
+
+def parse_mp3_frames(payload: bytes) -> tuple[int, int, int, int]:
+    """Walk MPEG-1 Layer III frame headers (ISO 11172-3): 11-bit sync,
+    version/layer bits, bitrate + samplerate table lookups, frame
+    length = 144·bitrate/samplerate + padding. Returns (n_frames,
+    total_bytes, total_samples, duration_ms) — the container-level
+    metadata an audio curation pass extracts WITHOUT decoding audio
+    (1152 samples per L3 frame). VBR streams (per-frame bitrate
+    switches) are handled by re-reading the tables each frame.
+    Malformed sync/indices/truncation raise."""
+    pos, n = 0, len(payload)
+    n_frames = total = 0
+    sr_seen = None
+    while pos < n:
+        if pos + 4 > n:
+            raise ValueError(f"truncated MP3 header at byte {pos}")
+        b1, b2, b3 = payload[pos], payload[pos + 1], payload[pos + 2]
+        if b1 != 0xFF or (b2 & 0xE0) != 0xE0:
+            raise ValueError(f"lost MP3 sync at byte {pos}")
+        if (b2 >> 3) & 0x3 != 0x3 or (b2 >> 1) & 0x3 != 0x1:
+            raise ValueError("only MPEG-1 Layer III")
+        br = _MP3_BITRATES[b3 >> 4]
+        sr = _MP3_RATES[(b3 >> 2) & 0x3]
+        if br is None or sr is None:
+            raise ValueError(f"bad bitrate/samplerate index at {pos}")
+        if sr_seen is None:
+            sr_seen = sr
+        elif sr != sr_seen:
+            raise ValueError("samplerate switch mid-stream")
+        pad = (b3 >> 1) & 0x1
+        flen = 144 * br * 1000 // sr + pad
+        if pos + flen > n:
+            raise ValueError(f"truncated MP3 frame at byte {pos}")
+        pos += flen
+        n_frames += 1
+        total += flen
+    dur_ms = n_frames * 1152 * 1000 // sr_seen if sr_seen else 0
+    return n_frames, total, n_frames * 1152, dur_ms
+
+
+def synth_mp3_bytes(doc_id: int) -> bytes:
+    """Deterministic VALID MPEG-1 L3 frame stream: 3 + id%5 frames,
+    VBR (bitrate index cycles 5/7/9 → 64/96/128 kbps by (id+i)%3),
+    samplerate 48 kHz (even id) / 32 kHz (odd) so per-frame duration
+    is integral (24/36 ms), padding bit (id+i)%2."""
+    sr_idx = 1 if doc_id % 2 == 0 else 2
+    sr = _MP3_RATES[sr_idx]
+    out = bytearray()
+    for i in range(3 + doc_id % 5):
+        br_idx = (5, 7, 9)[(doc_id + i) % 3]
+        pad = (doc_id + i) % 2
+        flen = 144 * _MP3_BITRATES[br_idx] * 1000 // sr + pad
+        hdr = bytes((0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2) | (pad << 1),
+                     0x00))
+        out += hdr + bytes(flen - 4)
+    return bytes(out)
+
+
+def mp3_frame_stats(media: DataFrame,
+                    payload_col: str = "payload") -> DataFrame:
+    """mapInPandas kernel: (url, mp3 binary) → container metadata row
+    per stream via the real frame walk."""
+    schema = ("url string, n_frames int, total_bytes bigint, "
+              "total_samples bigint, duration_ms bigint")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, payload in zip(pdf["url"], pdf[payload_col]):
+                nf, tb, ts, dm = parse_mp3_frames(bytes(payload))
+                rows.append((url, nf, tb, ts, dm))
+            yield pd.DataFrame(rows, columns=[
+                "url", "n_frames", "total_bytes", "total_samples",
+                "duration_ms"])
+
+    return media.select("url", payload_col).mapInPandas(gen, schema)
+
+
+def mp3_payload_udf():
+    """binary pandas UDF: doc_id -> synth_mp3_bytes(doc_id)."""
+    @F.pandas_udf("binary")
+    def _mk(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_mp3_bytes(int(i)))
+    return _mk

@@ -452,3 +452,80 @@ def salted_repartition_by_cell(df: DataFrame, key: str = "url",
     rp = (out.repartition(num_partitions, "_salt_key") if num_partitions
           else out.repartition("_salt_key"))
     return rp.drop("_bb", "_salt_key")
+
+
+def dbscan_grid(points: DataFrame, eps: float, min_pts: int,
+                id_col: str = "id", x_col: str = "x",
+                y_col: str = "y") -> DataFrame:
+    """Grid-bucketed DBSCAN (Ester et al. 1996), Spark-shaped: the
+    ε-neighborhood join runs as an equi-join on grid cells of size ε
+    (a point's neighbors can only live in its 3×3 cell block), so no
+    all-pairs stage exists anywhere — the same candidate-generation
+    discipline as the kNN/LSH operators.
+
+      1. cell(p) = (⌊x/ε⌋, ⌊y/ε⌋); LEFT side explodes its 9-cell block,
+         RIGHT side keys by home cell → candidate pairs, refined by the
+         exact squared distance (≤ ε², closed ball).
+      2. core(p) ⇔ |N_ε(p)| ≥ min_pts (self included, per the paper).
+      3. clusters = connected components (graph.py's O(log n)
+         hash-to-min) over CORE-CORE neighbor edges.
+      4. border points join ANY neighboring core's cluster — made
+         deterministic by taking the MIN cluster label; noise → NULL.
+
+    Returns (id, is_core, cluster) with cluster = min point id of the
+    cluster's cores. Skew note: a dense cell floods its bucket — the
+    explode side salts naturally across the 9 offsets, and AQE's skew
+    split handles the rest (same posture as pip_join)."""
+    from .graph import connected_components
+
+    p = points.select(
+        F.col(id_col).alias("id"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+        F.floor(F.col(x_col) / eps).cast("long").alias("cx"),
+        F.floor(F.col(y_col) / eps).cast("long").alias("cy"),
+    ).localCheckpoint(eager=False)
+
+    offsets = F.expr(
+        "explode(array(" + ", ".join(
+            f"struct({dx}L as dx, {dy}L as dy)"
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)) + "))")
+    left = p.select("id", "x", "y", "cx", "cy",
+                    offsets.alias("o")).select(
+        "id", "x", "y",
+        (F.col("cx") + F.col("o.dx")).alias("jx"),
+        (F.col("cy") + F.col("o.dy")).alias("jy"))
+    right = p.select(F.col("id").alias("nid"), F.col("x").alias("nx"),
+                     F.col("y").alias("ny"), F.col("cx").alias("jx"),
+                     F.col("cy").alias("jy"))
+    d2 = ((F.col("x") - F.col("nx")) ** 2
+          + (F.col("y") - F.col("ny")) ** 2)
+    nbrs = (left.join(right, ["jx", "jy"])
+            .filter(d2 <= F.lit(eps * eps))
+            .select("id", "nid"))  # includes the self pair
+
+    deg = nbrs.groupBy("id").agg(F.count("*").alias("n_nbrs"))
+    cores = deg.filter(F.col("n_nbrs") >= min_pts).select("id")
+    cores = cores.localCheckpoint(eager=False)
+
+    core_edges = (nbrs
+                  .join(cores, "id")
+                  .join(cores.withColumnRenamed("id", "nid"), "nid")
+                  .select(F.col("id").alias("node"),
+                          F.col("nid").alias("nbr")))
+    cc = connected_components(core_edges)  # (node, l) over cores
+
+    core_lab = cc.select(F.col("node").alias("id"),
+                         F.col("l").alias("cluster"))
+    # border: min cluster among neighboring cores (core rows keep their
+    # own component label — a core is its own neighbor so the join
+    # covers them too, and min over the full component set equals l)
+    attach = (nbrs.join(core_lab.withColumnRenamed("id", "nid"), "nid")
+              .groupBy("id").agg(F.min("cluster").alias("cluster")))
+    is_core = cores.withColumn("is_core", F.lit(True))
+    return (p.select("id")
+            .join(attach, "id", "left")
+            .join(is_core, "id", "left")
+            .select("id",
+                    F.coalesce("is_core", F.lit(False)).alias("is_core"),
+                    "cluster"))

@@ -250,3 +250,28 @@ def test_tiff_malformed_raises():
     buf[-1] ^= 0  # no-op; now truncate a strip instead
     with pytest.raises(ValueError):
         _decode_tiff(bytes(buf[:12]))
+
+
+def test_mp3_parser_malformed_raises():
+    import pytest
+
+    from bdtopo2refhydro_spark.operators.multimodal import (
+        parse_mp3_frames,
+        synth_mp3_bytes,
+    )
+
+    buf = synth_mp3_bytes(5)
+    with pytest.raises(ValueError, match="lost MP3 sync"):
+        parse_mp3_frames(b"\x00" + buf)
+    with pytest.raises(ValueError, match="truncated MP3 frame"):
+        parse_mp3_frames(buf[:-10])
+    # free-format bitrate index (0) is rejected
+    bad = bytearray(buf)
+    bad[2] = (0 << 4) | (bad[2] & 0x0F)
+    with pytest.raises(ValueError, match="bad bitrate"):
+        parse_mp3_frames(bytes(bad))
+    # MPEG-2 version bits rejected
+    bad2 = bytearray(buf)
+    bad2[1] = 0xF3  # version 10 (MPEG-2), layer III
+    with pytest.raises(ValueError, match="only MPEG-1"):
+        parse_mp3_frames(bytes(bad2))

@@ -662,3 +662,11 @@ def test_lang_profile_broadcasts_the_profiles(spark, entry):
     plan = _plan(entry.queries()["lang_profile"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dbscan_neighbor_join_is_equi_join(spark, entry):
+    """DBSCAN's ε-neighborhood join must be the 9-cell-block EQUI-join
+    — never a nested-loop distance join."""
+    plan = _plan(entry.queries()["dbscan"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

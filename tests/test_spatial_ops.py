@@ -271,3 +271,25 @@ def test_compact_cover_dedups_input(spark):
     got = sorted((r.level, r.cell)
                  for r in compact_cover(cov, levels=1).collect())
     assert got == [(0, 0), (0, 1), (0, dim)]
+
+
+def test_dbscan_grid_chain_cluster_border_and_noise(spark):
+    """Golden DBSCAN: a chain of points spaced 9 apart (eps=10,
+    min_pts=3) — every interior point is core, the chain is ONE
+    cluster (exercises multi-round CC, not a complete graph), the
+    endpoints are core too (self + 1 nbr + ... wait: ends have 2
+    neighbors incl self = 2 < 3? no: self + one inner = 2) — ends are
+    BORDER, attached to the chain's cluster; a far point is noise."""
+    from bdtopo2refhydro_spark.operators.spatial import dbscan_grid
+
+    # chain at y=0: x = 0, 9, 18, ..., 72 (9 points); noise at (500, 500)
+    pts = [(i, float(9 * i), 0.0) for i in range(9)] + [(99, 500.0, 500.0)]
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    out = {r["id"]: (r["is_core"], r["cluster"])
+           for r in dbscan_grid(df, eps=10.0, min_pts=3).collect()}
+    # interior points: self + 2 nbrs = 3 -> core; ends: self + 1 = 2 -> border
+    for i in range(1, 8):
+        assert out[i] == (True, 1), (i, out[i])  # min core id = 1
+    assert out[0] == (False, 1)
+    assert out[8] == (False, 1)
+    assert out[99] == (False, None)
