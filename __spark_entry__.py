@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bdtopo2refhydro_spark.functions import udfs as U
@@ -10081,6 +10081,268 @@ LEFT JOIN core ON core.id = pts.id
 """
 
 
+# ---- batch 34: exact experiment stats + SQL function surfaces --------
+
+# planted treatment effect: variant 0 carries an extra %13 term, so
+# every event_type cell has a genuinely nonzero t statistic
+_WT_V = ("event_id % 83 + CASE WHEN user_id % 2 = 0 "
+         "THEN event_id % 13 ELSE 0 END")
+
+
+def _q_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t per experiment cell (dq.py:welch_t_stats) — integer
+    (n, Σx, Σx²) aggregation, then a FIXED IEEE op sequence for mean /
+    variance / t / Welch–Satterthwaite df, so the doubles are
+    bit-replayable (no float is ever aggregated). One shuffle."""
+    from bdtopo2refhydro_spark.operators.dq import welch_t_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select(
+        "event_type",
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+        F.expr(_WT_V).cast("long").alias("v"))
+    return welch_t_stats(base, group_col="event_type",
+                         variant_col="variant", value_col="v")
+
+
+_WELCH_T_SQL = f"""
+WITH base AS (
+  SELECT event_type, CAST(user_id % 2 AS INT) AS variant,
+         CAST({_WT_V} AS BIGINT) AS v
+  FROM events
+),
+per AS (
+  SELECT event_type, variant, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS s2
+  FROM base GROUP BY event_type, variant
+),
+piv AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN variant = 0 THEN s END) AS BIGINT) AS sa,
+         CAST(sum(CASE WHEN variant = 0 THEN s2 END) AS BIGINT) AS s2a,
+         CAST(sum(CASE WHEN variant <> 0 THEN n END) AS BIGINT) AS nb,
+         CAST(sum(CASE WHEN variant <> 0 THEN s END) AS BIGINT) AS sb,
+         CAST(sum(CASE WHEN variant <> 0 THEN s2 END) AS BIGINT) AS s2b
+  FROM per GROUP BY event_type
+),
+m AS (
+  SELECT *, CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+         CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+         CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb
+  FROM piv WHERE na >= 2 AND nb >= 2
+),
+v AS (
+  SELECT *,
+         (CAST(s2a AS DOUBLE) - CAST(sa AS DOUBLE) * ma)
+           / (nad - 1.0) AS va,
+         (CAST(s2b AS DOUBLE) - CAST(sb AS DOUBLE) * mb)
+           / (nbd - 1.0) AS vb
+  FROM m
+),
+q AS (
+  SELECT *, va / nad AS qa, vb / nbd AS qb, (va / nad) + (vb / nbd)
+         AS se2
+  FROM v
+)
+SELECT event_type, na, nb, ma AS mean_a, mb AS mean_b,
+       (ma - mb) / sqrt(se2) AS t_stat,
+       (se2 * se2) / (((qa * qa) / (nad - 1.0))
+                      + ((qb * qb) / (nbd - 1.0))) AS welch_df
+FROM q
+"""
+
+
+def _q_ewma_half(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact EWMA (alpha = 1/2) per user (dq.py:ewma_half): integer
+    power-of-two coefficient window sum, ONE final division by 2^(t-1)
+    — bit-exact IEEE, dodging 'EWMA is order-dependent float'."""
+    from bdtopo2refhydro_spark.operators.dq import ewma_half
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select("user_id", "event_id",
+                     (F.col("event_id") % 1000).cast("long").alias("v"))
+    return ewma_half(base, key_col="user_id", order_col="event_id",
+                     value_col="v")
+
+
+_EWMA_HALF_SQL = """
+WITH base AS (
+  SELECT user_id, event_id, CAST(event_id % 1000 AS BIGINT) AS x,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+           AS rn
+  FROM events
+),
+lim AS (SELECT * FROM base WHERE rn <= 24),
+num AS (
+  SELECT user_id, event_id, x, CAST(rn AS INT) AS rn,
+         CAST(sum(CASE WHEN rn = 1 THEN x
+                       ELSE (CAST(1 AS BIGINT) << (rn - 2)) * x END)
+              OVER (PARTITION BY user_id ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS num
+  FROM lim
+)
+SELECT user_id, event_id, x, rn,
+       CAST(num AS DOUBLE)
+         / CAST((CAST(1 AS BIGINT) << (rn - 1)) AS DOUBLE) AS ewma
+FROM num
+"""
+
+
+def _q_luhn_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 luhn_check over synthesized 12-digit account strings —
+    checksum validation at ingest (PII/card-number heuristics in a
+    crawl cleaner). Oracle re-implements Luhn as an explicit
+    double-every-second-digit CASE sum: two independent mod-10
+    implementations of the same integer predicate."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    acct = F.lpad(
+        ((F.col("event_id") * 37 + 11) % F.lit(10**12)).cast("string"),
+        12, "0")
+    return (ev.select("event_id", acct.alias("acct"))
+            .select("event_id", "acct",
+                    F.expr("luhn_check(acct)").alias("is_valid")))
+
+
+def _luhn_sql() -> str:
+    # positions from LEFT whose digit is doubled for length 12:
+    # every 2nd from the right excluding the check digit -> 11,9,7,5,3,1
+    terms = []
+    for k in range(1, 13):
+        d = f"CAST(substr(acct, {k}, 1) AS INT)"
+        if (12 - k) % 2 == 1:  # doubled
+            terms.append(f"(CASE WHEN 2 * {d} > 9 THEN 2 * {d} - 9 "
+                         f"ELSE 2 * {d} END)")
+        else:
+            terms.append(d)
+    total = " + ".join(terms)
+    return f"""
+WITH base AS (
+  SELECT event_id,
+         lpad(CAST((event_id * 37 + 11) % 1000000000000 AS VARCHAR),
+              12, '0') AS acct
+  FROM events
+)
+SELECT event_id, acct, ({total}) % 10 = 0 AS is_valid
+FROM base
+"""
+
+
+def _q_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate surface: bit_and / bit_or / bit_xor + summed
+    popcount per language — the permission-mask / feature-flag rollup
+    idiom. All-integer, partial-aggregated map-side, one shuffle of
+    |langs| rows."""
+    d = _docs(spark, sf_dir).select(
+        "lang",
+        ((F.col("doc_id") * 2654435761) % F.lit(1 << 31))
+        .cast("long").alias("m"))
+    return d.groupBy("lang").agg(
+        F.expr("bit_and(m)").cast("long").alias("mask_and"),
+        F.expr("bit_or(m)").cast("long").alias("mask_or"),
+        F.expr("bit_xor(m)").cast("long").alias("mask_xor"),
+        F.sum(F.bit_count("m")).cast("long").alias("popcount"))
+
+
+_BIT_OPS_SQL = """
+WITH base AS (
+  SELECT lang,
+         CAST((doc_id * 2654435761) % 2147483648 AS BIGINT) AS m
+  FROM documents
+)
+SELECT lang, CAST(bit_and(m) AS BIGINT) AS mask_and,
+       CAST(bit_or(m) AS BIGINT) AS mask_or,
+       CAST(bit_xor(m) AS BIGINT) AS mask_xor,
+       CAST(sum(bit_count(m)) AS BIGINT) AS popcount
+FROM base GROUP BY lang
+"""
+
+
+def _q_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_count / regexp_instr / regexp_extract(_all) /
+    regexp_replace showcase over digit-salted text, in the shared
+    Java-regex ∩ RE2 dialect. The oracle derives regexp_instr as
+    1 + length of the non-digit prefix — an independent formulation
+    of the same position."""
+    txt = F.concat(
+        F.col("text"), F.lit(" "),
+        (F.col("doc_id") * 7919).cast("string"), F.lit("x"),
+        (F.col("doc_id") % 97).cast("string"))
+    d = _docs(spark, sf_dir).select("doc_id", txt.alias("t"))
+    return d.select(
+        "doc_id",
+        F.expr("regexp_count(t, '[a-z]+')").alias("n_words"),
+        F.expr("regexp_count(t, '[0-9]+')").alias("n_nums"),
+        F.regexp_extract("t", "[0-9]+", 0).alias("first_num"),
+        F.expr("regexp_instr(t, '[0-9]+')").alias("num_pos"),
+        F.length(F.regexp_replace("t", "[aeiou]", ""))
+        .alias("novowel_len"),
+        F.array_join(F.expr("regexp_extract_all(t, '[0-9]+', 0)"), ",")
+        .alias("nums"))
+
+
+_REGEXP_FUNCS_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         text || ' ' || CAST(doc_id * 7919 AS VARCHAR) || 'x'
+              || CAST(doc_id % 97 AS VARCHAR) AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[a-z]+')) AS INT) AS n_words,
+       CAST(len(regexp_extract_all(t, '[0-9]+')) AS INT) AS n_nums,
+       regexp_extract(t, '[0-9]+', 0) AS first_num,
+       CAST(length(regexp_extract(t, '^[^0-9]*', 0)) + 1 AS INT)
+         AS num_pos,
+       CAST(length(regexp_replace(t, '[aeiou]', '', 'g')) AS INT)
+         AS novowel_len,
+       array_to_string(regexp_extract_all(t, '[0-9]+'), ',') AS nums
+FROM base
+"""
+
+
+def _q_window_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / nth_value / defaulted lag+lead in
+    one pass — the remaining ranking-window surface (rank/dense_rank/
+    ntile live in rank_funcs). percent_rank and cume_dist are single
+    IEEE divisions of small integers → bit-exact across engines."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select("user_id", "event_id",
+                     (F.col("event_id") % 1000).cast("int").alias("v"))
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding,
+                       Window.unboundedFollowing)
+    return base.select(
+        "user_id", "event_id", "v",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("v", 2).over(wf).alias("second_v"),
+        F.lag("v", 2, -1).over(w).alias("lag2"),
+        F.lead("v", 3, -7).over(w).alias("lead3"))
+
+
+_WINDOW_PCT_SQL = """
+WITH base AS (
+  SELECT user_id, event_id, CAST(event_id % 1000 AS INT) AS v
+  FROM events
+)
+SELECT user_id, event_id, v,
+       percent_rank() OVER (PARTITION BY user_id ORDER BY event_id)
+         AS pct_rank,
+       cume_dist() OVER (PARTITION BY user_id ORDER BY event_id)
+         AS cume,
+       nth_value(v, 2) OVER (PARTITION BY user_id ORDER BY event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS second_v,
+       lag(v, 2, -1) OVER (PARTITION BY user_id ORDER BY event_id)
+         AS lag2,
+       lead(v, 3, -7) OVER (PARTITION BY user_id ORDER BY event_id)
+         AS lead3
+FROM base
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -10098,6 +10360,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (Common Crawl's real layout) + ZIP central-directory listing.
         # batch 33: MP3 frame-header walk (container metadata without
         # audio decode) + grid-bucketed DBSCAN over planted clumps.
+        # batch 34: bit-exact experiment stats (Welch t, EWMA-1/2) and
+        # the remaining SQL function surfaces (luhn_check, bitwise
+        # aggs, regexp family, percent_rank/cume_dist/nth_value).
+        "welch_t": _q_welch_t,
+        "ewma_half": _q_ewma_half,
+        "luhn_ids": _q_luhn_ids,
+        "bit_ops": _q_bit_ops,
+        "regexp_funcs": _q_regexp_funcs,
+        "window_pct": _q_window_pct,
         "mp3_frames": _q_mp3_frames,
         "dbscan": _q_dbscan,
         # batch 32: real TIFF decode (5th byte-level image format,
@@ -10525,6 +10796,12 @@ def oracle_sql() -> dict[str, str]:
     return {
         "mp3_frames": _MP3_FRAMES_SQL,
         "dbscan": _dbscan_sql(),
+        "welch_t": _WELCH_T_SQL,
+        "ewma_half": _EWMA_HALF_SQL,
+        "luhn_ids": _luhn_sql(),
+        "bit_ops": _BIT_OPS_SQL,
+        "regexp_funcs": _REGEXP_FUNCS_SQL,
+        "window_pct": _WINDOW_PCT_SQL,
         "image_tiff": _IMAGE_TIFF_SQL,
         "warc_gz": _WARC_SCAN_SQL,  # same closed-form records
         "zip_scan": _ZIP_SCAN_SQL,

@@ -208,3 +208,89 @@ def rolling_outliers(df: DataFrame, *, key_col: str, order_col: str,
             .withColumn("rhs", rhs.cast("long"))
             .where(F.col("lhs") > F.col("rhs"))
             .drop("n_w", "s", "s2"))
+
+
+def welch_t_stats(df: DataFrame, *, group_col: str, variant_col: str,
+                  value_col: str) -> DataFrame:
+    """Welch's two-sample t statistic per experiment group — the A/B
+    readout every growth/quality experiment on a crawl pipeline ends
+    with. One distributed aggregation computes integer (n, Σx, Σx²)
+    per (group, variant); the t statistic and Welch–Satterthwaite
+    degrees of freedom are then derived on those exact integers with a
+    FIXED sequence of IEEE-754 ops, so any engine that mirrors the
+    expression tree reproduces the doubles bit-for-bit (each +,-,*,/,
+    sqrt on identical operands is deterministic; only float
+    *aggregation order* is not — and no float is ever aggregated).
+
+    Exactly one shuffle (hash on (group, variant)); the pivot to
+    variant-a/variant-b columns is a width-2 groupBy on `group_col`,
+    partial-aggregated map-side. Scale: output is |groups| rows —
+    millions of experiment cells stream through one Exchange.
+    """
+    x = F.col(value_col).cast("long")
+    per = (df.groupBy(group_col, variant_col)
+           .agg(F.count("*").alias("n"),
+                F.sum(x).alias("s"),
+                F.sum(x * x).alias("s2")))
+    a = F.col(variant_col) == 0
+    piv = (per.groupBy(group_col)
+           .agg(F.sum(F.when(a, F.col("n"))).alias("na"),
+                F.sum(F.when(a, F.col("s"))).alias("sa"),
+                F.sum(F.when(a, F.col("s2"))).alias("s2a"),
+                F.sum(F.when(~a, F.col("n"))).alias("nb"),
+                F.sum(F.when(~a, F.col("s"))).alias("sb"),
+                F.sum(F.when(~a, F.col("s2"))).alias("s2b")))
+    # fixed IEEE op order; mirrored textually by the SQL oracle
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    ma = F.col("sa") / na
+    mb = F.col("sb") / nb
+    va = (F.col("s2a") - F.col("sa") * ma) / (na - F.lit(1.0))
+    vb = (F.col("s2b") - F.col("sb") * mb) / (nb - F.lit(1.0))
+    qa = va / na
+    qb = vb / nb
+    se2 = qa + qb
+    t = (ma - mb) / F.sqrt(se2)
+    dof = (se2 * se2) / (qa * qa / (na - F.lit(1.0))
+                         + qb * qb / (nb - F.lit(1.0)))
+    return (piv.where(F.col("na") >= 2).where(F.col("nb") >= 2)
+            .select(group_col,
+                    F.col("na").cast("long").alias("na"),
+                    F.col("nb").cast("long").alias("nb"),
+                    ma.alias("mean_a"), mb.alias("mean_b"),
+                    t.alias("t_stat"), dof.alias("welch_df")))
+
+
+def ewma_half(df: DataFrame, *, key_col: str, order_col: str,
+              value_col: str, max_n: int = 24) -> DataFrame:
+    """Exponentially weighted moving average with alpha = 1/2, exact.
+
+    s_1 = x_1;  s_t = (s_{t-1} + x_t) / 2.  Closed form:
+        s_t = (x_1 + Σ_{i=2..t} 2^{i-2} · x_i) / 2^{t-1}
+    The numerator is an INTEGER window sum (coefficients are powers of
+    two via shiftleft — no float accumulates), and the final step is
+    one division by a power of two: exact in IEEE-754 whenever the
+    numerator < 2^53. With values < 2^20 and max_n = 24 the numerator
+    is ≤ 2^(20+22+5) < 2^53, so the result is bit-replayable on any
+    engine — the usual "EWMA is order-dependent float" objection is
+    engineered away.
+
+    One Exchange (hash on key) + one Window; rows past ``max_n`` per
+    key are dropped to keep the integer bound (callers smoothing long
+    series should re-anchor per window — at crawl scale EWMA is only
+    ever consumed over bounded trailing windows anyway).
+    """
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    x = F.col(value_col).cast("long")
+    rn = F.row_number().over(w)
+    base = (df.select(key_col, order_col, x.alias("x"))
+            .withColumn("rn", rn).where(F.col("rn") <= max_n))
+    # F.shiftleft's numBits must be a python int — go through the SQL
+    # function, which accepts a column expression for the shift amount
+    coef = F.when(F.col("rn") == 1, F.lit(1).cast("long")).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), rn - 2)"))
+    cum = Window.partitionBy(key_col).orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    num = F.sum(coef * F.col("x")).over(cum)
+    ewma = num.cast("double") / F.pow(F.lit(2.0), F.col("rn") - 1)
+    return base.select(key_col, order_col, "x", "rn",
+                       ewma.alias("ewma"))

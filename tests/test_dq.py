@@ -87,3 +87,68 @@ def test_pearson_pairs_exact_extremes(spark):
     assert got[("x", "y")] == 1.0
     assert got[("x", "z")] == -1.0
     assert got[("y", "z")] == -1.0
+
+
+def test_welch_t_matches_reference_formula(spark):
+    """welch_t_stats == the textbook Welch computation done in python
+    floats on the same integer sums (and the sign of the planted
+    effect comes out right)."""
+    import math
+
+    rows = []
+    for g in ("a", "b"):
+        for i in range(40):
+            v = i % 7 + (3 if (g == "a" and i % 2 == 0) else 0)
+            rows.append((g, i % 2, v))
+    df = spark.createDataFrame(rows, "grp string, variant int, v long")
+    from bdtopo2refhydro_spark.operators.dq import welch_t_stats
+
+    got = {r["grp"]: r for r in welch_t_stats(
+        df, group_col="grp", variant_col="variant",
+        value_col="v").collect()}
+    for g in ("a", "b"):
+        xa = [v for gg, var, v in rows if gg == g and var == 0]
+        xb = [v for gg, var, v in rows if gg == g and var == 1]
+        na, nb = float(len(xa)), float(len(xb))
+        ma, mb = sum(xa) / na, sum(xb) / nb
+        va = (sum(x * x for x in xa) - sum(xa) * ma) / (na - 1.0)
+        vb = (sum(x * x for x in xb) - sum(xb) * mb) / (nb - 1.0)
+        se2 = va / na + vb / nb
+        want_t = (ma - mb) / math.sqrt(se2)
+        r = got[g]
+        assert r["na"] == 20 and r["nb"] == 20
+        assert abs(r["t_stat"] - want_t) < 1e-12
+        assert abs(r["welch_df"]
+                   - se2 * se2 / ((va / na) ** 2 / (na - 1.0)
+                                  + (vb / nb) ** 2 / (nb - 1.0))) < 1e-9
+    # planted +3 on variant 0 of group a only
+    assert got["a"]["t_stat"] > 2.0
+    assert abs(got["b"]["t_stat"]) < 1.0
+
+
+def test_ewma_half_equals_direct_recursion(spark):
+    """The closed-form power-of-two formulation equals the direct
+    s_t = (s_{t-1} + x_t)/2 recursion BIT-exactly (both are exact
+    rationals with power-of-two denominators below 2^53)."""
+    xs = [913, 4, 777, 1000, 1, 0, 512, 255, 999, 3, 18, 731]
+    rows = [(1, i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k int, i int, v long")
+    from bdtopo2refhydro_spark.operators.dq import ewma_half
+
+    got = [r["ewma"] for r in ewma_half(
+        df, key_col="k", order_col="i",
+        value_col="v").orderBy("i").collect()]
+    s = None
+    for i, x in enumerate(xs):
+        s = float(x) if s is None else (s + x) / 2.0
+        assert got[i] == s, (i, got[i], s)
+
+
+def test_ewma_half_caps_rows_per_key(spark):
+    rows = [(7, i, i) for i in range(40)]
+    df = spark.createDataFrame(rows, "k int, i int, v long")
+    from bdtopo2refhydro_spark.operators.dq import ewma_half
+
+    out = ewma_half(df, key_col="k", order_col="i", value_col="v",
+                    max_n=24).collect()
+    assert len(out) == 24
