@@ -10343,6 +10343,154 @@ FROM base
 """
 
 
+# ---- batch 35: remaining IO source surfaces + HLL sketches ----------
+
+
+def _q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write → read round-trip (Spark's second built-in columnar
+    format; zlib-compressed, predicate-pushdown-capable like parquet).
+    The oracle is the same rollup computed from the parquet source —
+    the codec must be the identity on longs and strings."""
+    import os
+    import shutil
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    d = f"/tmp/spark_graft_orc_{base}"
+    shutil.rmtree(d, ignore_errors=True)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type",
+        (F.col("event_id") % 997).cast("long").alias("amount"))
+    ev.write.mode("overwrite").orc(d)
+    back = spark.read.orc(d)
+    return (back.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("amount").cast("long").alias("total")))
+
+
+_ORC_ROUNDTRIP_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(event_id % 997) AS BIGINT) AS total
+FROM events GROUP BY event_type
+"""
+
+
+def _q_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.read.format('binaryFile') — the opaque-blob ingest path
+    for image/audio payloads (SURVEY multimodal plumbing): one row per
+    file with path/length/content. 64 deterministic blobs are written,
+    read back, and fingerprinted with md5; the oracle synthesizes the
+    identical bytes per doc_id and must agree on length + digest."""
+    import os
+    import shutil
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    d = f"/tmp/spark_graft_blobs_{base}"
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    for i in range(64):
+        with open(os.path.join(d, f"blob_{i:04d}.bin"), "wb") as f:
+            f.write(f"blob-{i}:".encode() + b"x" * (i % 17))
+    files = spark.read.format("binaryFile").load(d)
+    return files.select(
+        F.regexp_extract(F.col("path"), r"blob_(\d+)\.bin", 1)
+        .cast("long").alias("blob_id"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.md5(F.col("content")).alias("digest"))
+
+
+_BINARY_FILES_SQL = """
+WITH ids AS (SELECT DISTINCT doc_id AS i FROM documents
+             WHERE doc_id BETWEEN 0 AND 63),
+blobs AS (
+  SELECT i, 'blob-' || CAST(i AS VARCHAR) || ':'
+           || repeat('x', CAST(i % 17 AS INT)) AS payload
+  FROM ids
+)
+SELECT i AS blob_id, CAST(length(payload) AS BIGINT) AS n_bytes,
+       md5(payload) AS digest
+FROM blobs
+"""
+
+
+def _q_ignore_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ignoreCorruptFiles: a scan over a directory holding one valid
+    parquet part AND one garbage file with a .parquet name must
+    return exactly the valid rows instead of failing the job — the
+    crawl-segment reality where a truncated upload lands next to good
+    data. The oracle is the valid half computed from the source."""
+    import os
+    import shutil
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    d = f"/tmp/spark_graft_corrupt_{base}"
+    shutil.rmtree(d, ignore_errors=True)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id")
+    ev.coalesce(1).write.mode("overwrite").parquet(d)
+    with open(os.path.join(d, "part-junk.parquet"), "wb") as f:
+        f.write(b"PAR1 this is not a parquet footer" * 10)
+    back = (spark.read.option("ignoreCorruptFiles", "true")
+            .parquet(d))
+    return back.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("event_id").cast("long").alias("sum_id"),
+        F.sum("user_id").cast("long").alias("sum_user"))
+
+
+_IGNORE_CORRUPT_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(event_id) AS BIGINT) AS sum_id,
+       CAST(sum(user_id) AS BIGINT) AS sum_user
+FROM events
+"""
+
+
+def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache DataSketches HLL via hll_sketch_agg / hll_union_agg —
+    the mergeable distinct-count sketch (completing the sketch family
+    next to KMV/CMS/Bloom). Per-lang sketches are UNIONED to a global
+    estimate — the two-level rollup a 100 TB corpus needs (partial
+    sketches merge map-side; raw ids never re-shuffle). The driver
+    gate pins the 2%-accuracy CONTRACT: the oracle recomputes exact
+    distinct counts and asserts |est/exact - 1| <= 0.02 as a boolean
+    both engines must agree is TRUE."""
+    d = _docs(spark, sf_dir).select(
+        "lang", (F.col("doc_id") * 7 % 1000003).alias("uid"))
+    per = (d.groupBy("lang")
+           .agg(F.expr("hll_sketch_agg(uid, 14)").alias("sk"),
+                F.count_distinct(F.col("uid")).alias("n_exact")))
+    per_l = per.select(
+        "lang", F.col("n_exact").cast("long").alias("n_exact"),
+        (F.abs(F.expr("hll_sketch_estimate(sk)")
+               / F.col("n_exact") - 1.0) <= 0.02).alias("est_ok"))
+    glob = (per.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk, true))")
+        .alias("est_all"))
+        .crossJoin(d.agg(F.count_distinct("uid").alias("nd_all")))
+        .select(F.lit("__all__").alias("lang"),
+                F.col("nd_all").cast("long").alias("n_exact"),
+                (F.abs(F.col("est_all") / F.col("nd_all") - 1.0)
+                 <= 0.02).alias("est_ok")))
+    return per_l.unionByName(glob)
+
+
+_HLL_DISTINCT_SQL = """
+WITH base AS (
+  SELECT lang, (doc_id * 7) % 1000003 AS uid FROM documents
+),
+per AS (
+  SELECT lang, CAST(count(DISTINCT uid) AS BIGINT) AS n_exact,
+         TRUE AS est_ok
+  FROM base GROUP BY lang
+)
+SELECT * FROM per
+UNION ALL
+SELECT '__all__' AS lang, CAST(count(DISTINCT uid) AS BIGINT)
+       AS n_exact, TRUE AS est_ok
+FROM base
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -10363,6 +10511,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 34: bit-exact experiment stats (Welch t, EWMA-1/2) and
         # the remaining SQL function surfaces (luhn_check, bitwise
         # aggs, regexp family, percent_rank/cume_dist/nth_value).
+        # batch 35: second columnar codec (ORC), binaryFile blob
+        # ingest, corrupt-file-tolerant scans, DataSketches HLL with
+        # a 2%-accuracy contract pinned as an exact boolean.
+        "orc_roundtrip": _q_orc_roundtrip,
+        "binary_files": _q_binary_files,
+        "ignore_corrupt": _q_ignore_corrupt,
+        "hll_distinct": _q_hll_distinct,
         "welch_t": _q_welch_t,
         "ewma_half": _q_ewma_half,
         "luhn_ids": _q_luhn_ids,
@@ -10796,6 +10951,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         "mp3_frames": _MP3_FRAMES_SQL,
         "dbscan": _dbscan_sql(),
+        "orc_roundtrip": _ORC_ROUNDTRIP_SQL,
+        "binary_files": _BINARY_FILES_SQL,
+        "ignore_corrupt": _IGNORE_CORRUPT_SQL,
+        "hll_distinct": _HLL_DISTINCT_SQL,
         "welch_t": _WELCH_T_SQL,
         "ewma_half": _EWMA_HALF_SQL,
         "luhn_ids": _luhn_sql(),
