@@ -10343,6 +10343,144 @@ FROM base
 """
 
 
+# ---- batch 36: tree betweenness, RAKE keywords, suffix stemming -----
+
+
+def _q_tree_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT edge betweenness on the hydro forest
+    (orders.py:tree_edge_betweenness): s·(n−s) closed form from two
+    O(log)-round passes (subtree_counts + connected_components) — no
+    all-pairs path walk anywhere. All-integer; the oracle recomputes s
+    via a descend walk and n via per-root tree sizes."""
+    from bdtopo2refhydro_spark.operators.orders import (
+        tree_edge_betweenness)
+
+    return tree_edge_betweenness(_forest_edges(spark, sf_dir))
+
+
+_TREE_BET_SQL = f"""
+WITH RECURSIVE e AS ({_FOREST_D}),
+down(anchor, node) AS (
+  SELECT url, nodea FROM e
+  UNION ALL
+  SELECT d.anchor, f.nodea FROM e f JOIN down d ON f.nodeb = d.node
+),
+sub AS (
+  SELECT anchor AS url, CAST(count(*) AS BIGINT) AS s
+  FROM down GROUP BY anchor
+),
+up(url, node) AS (
+  SELECT url, nodeb FROM e
+  UNION ALL
+  SELECT u.url, f.nodeb FROM e f JOIN up u ON f.nodea = u.node
+),
+roots AS (
+  SELECT url, node AS root FROM up u
+  WHERE NOT EXISTS (SELECT 1 FROM e f WHERE f.nodea = u.node)
+),
+tsize AS (
+  SELECT root, CAST(count(*) AS BIGINT) AS n_edges
+  FROM roots GROUP BY root
+)
+SELECT e.url, sub.s AS sub_nodes,
+       CAST(tsize.n_edges + 1 AS BIGINT) AS n_nodes,
+       CAST(sub.s * (tsize.n_edges + 1 - sub.s) AS BIGINT)
+         AS betweenness
+FROM e
+JOIN sub ON sub.url = e.url
+JOIN roots ON roots.url = e.url
+JOIN tsize ON tsize.root = roots.root
+"""
+
+
+_RAKE_STOPS = ["the", "a", "of", "and"]
+
+
+def _q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level RAKE keyword extraction (text.py:rake_scores):
+    stopword-delimited phrases, deg(w) = Σ phrase lengths containing
+    w, score = deg/freq — integers until one final IEEE division."""
+    from bdtopo2refhydro_spark.operators.text import rake_scores
+
+    return rake_scores(_docs(spark, sf_dir), _RAKE_STOPS, min_freq=2)
+
+
+def _rake_sql() -> str:
+    stops = ", ".join(f"'{s}'" for s in _RAKE_STOPS)
+    return f"""
+WITH lists AS (
+  SELECT doc_id AS d,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     t -> t != '') AS l
+  FROM documents
+),
+toks AS (
+  SELECT d, CAST(i AS INT) AS pos, l[CAST(i AS INT)] AS tok
+  FROM lists, UNNEST(range(1, len(l) + 1)) t(i)
+),
+ph AS (
+  SELECT d, pos, tok, tok IN ({stops}) AS is_stop,
+         sum(CASE WHEN tok IN ({stops}) THEN 1 ELSE 0 END)
+           OVER (PARTITION BY d ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS pid
+  FROM toks
+),
+content AS (SELECT d, pid, tok FROM ph WHERE NOT is_stop),
+plen AS (
+  SELECT d, pid, CAST(count(*) AS BIGINT) AS plen
+  FROM content GROUP BY d, pid
+),
+words AS (
+  SELECT c.tok, p.plen FROM content c
+  JOIN plen p ON p.d = c.d AND p.pid = c.pid
+),
+agg AS (
+  SELECT tok AS token, CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(plen) AS BIGINT) AS deg
+  FROM words GROUP BY tok
+)
+SELECT token, freq, deg, CAST(deg AS DOUBLE) / freq AS score
+FROM agg WHERE freq >= 2
+"""
+
+
+# plural-suffix salt so the stemmer has something to do: constant tail
+# + one doc-varying plural
+_STEM_SALT_S = ("concat(text, ' tables queries classes stories glass "
+                "bus mass ', element_at(array('runs','cities','passes',"
+                "'glass','bus'), CAST(doc_id % 5 AS INT) + 1))")
+_STEM_SALT_D = ("text || ' tables queries classes stories glass bus "
+                "mass ' || (['runs','cities','passes','glass','bus'])"
+                "[CAST(doc_id % 5 AS INT) + 1]")
+
+
+def _q_stem_s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-rule plural stemming (text.py:stem_expr, Porter step 1a)
+    + stemmed vocabulary counts — one shared SQL expression text
+    parses in BOTH engines, so the rule set cannot drift."""
+    from bdtopo2refhydro_spark.operators.text import stemmed_top_tokens
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_STEM_SALT_S).alias("text"))
+    return stemmed_top_tokens(d, min_count=2)
+
+
+def _stem_s_sql() -> str:
+    from bdtopo2refhydro_spark.operators.text import stem_expr
+
+    return f"""
+WITH lists AS (
+  SELECT list_filter(regexp_split_to_array(trim(lower({_STEM_SALT_D})),
+                                           '\\s+'), t -> t != '') AS l
+  FROM documents
+),
+toks AS (SELECT unnest(l) AS tok FROM lists)
+SELECT {stem_expr("tok")} AS stem, CAST(count(*) AS BIGINT) AS n
+FROM toks GROUP BY stem HAVING count(*) >= 2
+"""
+
+
 # ---- batch 35: remaining IO source surfaces + HLL sketches ----------
 
 
@@ -10514,6 +10652,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 35: second columnar codec (ORC), binaryFile blob
         # ingest, corrupt-file-tolerant scans, DataSketches HLL with
         # a 2%-accuracy contract pinned as an exact boolean.
+        # batch 36: exact tree edge betweenness (closed form over two
+        # O(log) passes), corpus-level RAKE, suffix-rule stemming.
+        "tree_bet": _q_tree_betweenness,
+        "rake_keywords": _q_rake_keywords,
+        "stem_s": _q_stem_s,
         "orc_roundtrip": _q_orc_roundtrip,
         "binary_files": _q_binary_files,
         "ignore_corrupt": _q_ignore_corrupt,
@@ -10951,6 +11094,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "mp3_frames": _MP3_FRAMES_SQL,
         "dbscan": _dbscan_sql(),
+        "tree_bet": _TREE_BET_SQL,
+        "rake_keywords": _rake_sql(),
+        "stem_s": _stem_s_sql(),
         "orc_roundtrip": _ORC_ROUNDTRIP_SQL,
         "binary_files": _BINARY_FILES_SQL,
         "ignore_corrupt": _IGNORE_CORRUPT_SQL,

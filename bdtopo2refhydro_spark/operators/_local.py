@@ -268,3 +268,24 @@ def local_hack(e: DataFrame, key: str) -> DataFrame:
         return pd.DataFrame(rows, columns=[key, "HACK"])
 
     return _one_group(e, _run, f"{key} string, HACK int")
+
+
+def local_subtree(e: DataFrame, key: str) -> DataFrame:
+    """Subtree edge count in one task: s(e) = 1 + sum(s of upstream
+    edges at NODEA) — all-integer, so there is nothing float to match.
+    Input cols: key, NODEA, NODEB."""
+
+    def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = list(pdf[key])
+        na = list(pdf["NODEA"].astype("int64"))
+        nb = list(pdf["NODEB"].astype("int64"))
+        order, upstream = _topo(keys, na, nb)
+        s: dict[int, int] = {}
+        for i in order:
+            s[i] = 1 + sum(s[j] for j in upstream[i])
+        # cycle members keep the round-0 init (1), like the distributed
+        # fixpoint at max_iter
+        rows = [(keys[i], s.get(i, 1)) for i in range(len(keys))]
+        return pd.DataFrame(rows, columns=[key, "SUB"])
+
+    return _one_group(e, _run, f"{key} string, SUB long")

@@ -1356,3 +1356,74 @@ def unescape_html_entities(docs: DataFrame, col: str = "text",
         return s.map(lambda t: html.unescape(t) if t is not None else None)
 
     return docs.withColumn(out_col, _unescape(F.col(col)))
+
+
+def rake_scores(docs: DataFrame, stopwords: list[str],
+                text_col: str = "text", id_col: str = "doc_id",
+                min_freq: int = 1) -> DataFrame:
+    """Corpus-level RAKE keyword scores (Rose et al. 2010): phrases are
+    maximal stopword-free token runs; a word's degree is the summed
+    length of every phrase it occurs in (its within-phrase
+    co-occurrence count, self included) and its score deg/freq rewards
+    words that live in long content phrases. Everything is integer
+    until ONE final IEEE division, so scores replay bit-exactly.
+
+    Plan: tokens posexplode → per-doc running stopword count assigns
+    phrase ids (one Window keyed by doc — docs are small, partitions
+    are many) → phrase lengths by (doc, phrase) groupBy → token rollup.
+    Two narrow shuffles (doc, then token); no UDF, no driver loop —
+    at crawl scale both keys are high-cardinality and AQE handles the
+    hot-token tail."""
+    from pyspark.sql import Window
+
+    toks = (docs.select(
+        F.col(id_col).alias("_d"),
+        F.posexplode(F.expr(tokens_expr(text_col)))
+        .alias("_pos", "_tok"))
+        .where(F.col("_tok") != ""))
+    is_stop = F.col("_tok").isin(stopwords)
+    w = Window.partitionBy("_d").orderBy("_pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    ph = (toks.withColumn("_pid", F.sum(is_stop.cast("int")).over(w))
+          .where(~is_stop))
+    plen = (ph.groupBy("_d", "_pid")
+            .agg(F.count("*").alias("_plen"),
+                 F.collect_list("_tok").alias("_words")))
+    words = plen.select(
+        "_plen", F.explode("_words").alias("token"))
+    out = (words.groupBy("token")
+           .agg(F.count("*").cast("long").alias("freq"),
+                F.sum("_plen").cast("long").alias("deg")))
+    return (out.where(F.col("freq") >= min_freq)
+            .select("token", "freq", "deg",
+                    (F.col("deg").cast("double") / F.col("freq"))
+                    .alias("score")))
+
+
+def stem_expr(tok: str) -> str:
+    """Suffix-rule plural stemmer (Porter step 1a) as a dialect-shared
+    SQL expression: sses→ss, ies→i, ss unchanged, trailing s dropped.
+    The same text parses in Spark SQL and DuckDB — one definition,
+    two engines, no drift."""
+    return (f"CASE WHEN {tok} LIKE '%sses' "
+            f"THEN substr({tok}, 1, length({tok}) - 2) "
+            f"WHEN {tok} LIKE '%ies' "
+            f"THEN substr({tok}, 1, length({tok}) - 2) "
+            f"WHEN {tok} LIKE '%ss' THEN {tok} "
+            f"WHEN {tok} LIKE '%s' "
+            f"THEN substr({tok}, 1, length({tok}) - 1) "
+            f"ELSE {tok} END")
+
+
+def stemmed_top_tokens(docs: DataFrame, text_col: str = "text",
+                       min_count: int = 1) -> DataFrame:
+    """Token frequencies after suffix-rule stemming — vocabulary
+    compaction for index/feature builds. Pure codegen: explode +
+    CASE + one groupBy."""
+    toks = (docs.select(
+        F.explode(F.expr(tokens_expr(text_col))).alias("tok"))
+        .where(F.col("tok") != ""))
+    return (toks.select(F.expr(stem_expr("tok")).alias("stem"))
+            .groupBy("stem")
+            .agg(F.count("*").cast("long").alias("n"))
+            .where(F.col("n") >= min_count))

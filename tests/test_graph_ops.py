@@ -461,3 +461,46 @@ def test_auto_strategy_follows_chain_fraction(spark):
         O._SMALL_GRAPH_ROWS = old
     assert ul_c == {r.url: r.UL for r in upstream_length(chainy).collect()}
     assert ul_s == {r.url: r.UL for r in upstream_length(star).collect()}
+
+
+def test_subtree_counts_and_tree_betweenness_golden(spark):
+    """Hand-computed tree:        0
+                                 / \
+                                1   2
+                               / \    \
+                              3   4    5
+                              |
+                              6
+    Edges are child->parent, one per child node. n = 7 nodes.
+    subtree edge counts: e1=4 (1,3,4,6), e2=2 (2,5), e3=2, e4=1,
+    e5=1, e6=1. betweenness(e) = s*(7-s)."""
+    edges = [("e1", 1, 0), ("e2", 2, 0), ("e3", 3, 1), ("e4", 4, 1),
+             ("e5", 5, 2), ("e6", 6, 3)]
+    df = spark.createDataFrame(edges, "url string, NODEA long, NODEB long")
+    from bdtopo2refhydro_spark.operators.orders import (
+        subtree_counts, tree_edge_betweenness)
+
+    sub = {r["url"]: r["SUB"] for r in subtree_counts(df).collect()}
+    assert sub == {"e1": 4, "e2": 2, "e3": 2, "e4": 1, "e5": 1, "e6": 1}
+
+    got = {r["url"]: (r["sub_nodes"], r["n_nodes"], r["betweenness"])
+           for r in tree_edge_betweenness(df).collect()}
+    for u, s in sub.items():
+        assert got[u] == (s, 7, s * (7 - s))
+
+
+def test_subtree_counts_rounds_equals_local(spark):
+    """The distributed bounded-round fixpoint == the single-task
+    topological pass, on a forest with two components and a chain."""
+    edges = ([("c%d" % i, i, i - 1) for i in range(1, 9)]  # chain 0..8
+             + [("t1", 101, 100), ("t2", 102, 100), ("t3", 103, 101)])
+    df = spark.createDataFrame(edges, "url string, NODEA long, NODEB long")
+    from bdtopo2refhydro_spark.operators.orders import subtree_counts
+
+    local = {r["url"]: r["SUB"]
+             for r in subtree_counts(df, algorithm="auto").collect()}
+    rounds = {r["url"]: r["SUB"]
+              for r in subtree_counts(df, algorithm="rounds").collect()}
+    assert local == rounds
+    assert local["c1"] == 8 and local["c8"] == 1
+    assert local["t1"] == 2 and local["t2"] == 1 and local["t3"] == 1

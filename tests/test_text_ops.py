@@ -878,3 +878,36 @@ def test_containment_pairs_asymmetric(spark):
     rows = {(r["a"], r["b"]): (r["inter"], r["size_a"])
             for r in containment_pairs(docs, n=3, pct=60).collect()}
     assert rows == {(1, 2): (2, 2)}
+
+
+def test_rake_scores_hand_computed(spark):
+    """'deep learning of the deep model' style fixture: phrases split
+    at stopwords; deg sums phrase lengths per occurrence."""
+    docs = spark.createDataFrame(
+        [(1, "deep learning of deep models"),
+         (2, "the deep net")],
+        "doc_id long, text string")
+    from bdtopo2refhydro_spark.operators.text import rake_scores
+
+    got = {r["token"]: r for r in rake_scores(
+        docs, ["of", "the"]).collect()}
+    # doc1 phrases: [deep learning] len2, [deep models] len2
+    # doc2 phrases: [deep net] len2
+    assert got["deep"]["freq"] == 3 and got["deep"]["deg"] == 6
+    assert got["learning"]["freq"] == 1 and got["learning"]["deg"] == 2
+    assert got["net"]["deg"] == 2
+    assert got["deep"]["score"] == 2.0
+    assert "of" not in got and "the" not in got
+
+
+def test_stem_expr_rules(spark):
+    from bdtopo2refhydro_spark.operators.text import stem_expr
+
+    rows = spark.sql(
+        "SELECT " + ", ".join(
+            f"{stem_expr(repr(w))} AS s{i}"
+            for i, w in enumerate(
+                ["classes", "queries", "glass", "runs", "bus",
+                 "cities", "mass", "table"]))).first()
+    assert list(rows) == ["class", "queri", "glass", "run", "bu",
+                          "citi", "mass", "table"]
