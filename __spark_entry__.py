@@ -10343,6 +10343,86 @@ FROM base
 """
 
 
+# ---- batch 37: distributed MST (Borůvka) -----------------------------
+
+# MST fixture: the hydro forest with DISTINCT integer weights, plus
+# edge-disjoint planted triangles — extra edge X(d) between siblings
+# (d, d+1) for even d % 6 == 0 closes the triangle {T(d), T(d+1), X(d)}
+# over their shared parent d//2. Cycle property: the strictly heaviest
+# edge of each (edge-disjoint) triangle is exactly what the MST drops →
+# a closed-form oracle for a REAL general-graph Borůvka run.
+_MST_W_T = f"CAST((1 + {_H} % 1000) * 1000000 + doc_id AS BIGINT)"
+
+
+def _h_of(expr: str) -> str:
+    """The shared LCG hash on an arbitrary integer expression (both
+    dialects)."""
+    return f"( (({expr}) * 1103515245 + 12345) % 2147483648 )"
+
+
+def _q_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest via distributed Borůvka
+    (graph.py:boruvka_mst): O(log n) hook-and-contract rounds, each a
+    per-component min(struct) + a component-graph CC relabel. Spark
+    has no MST primitive; Kruskal/Prim are inherently sequential —
+    Borůvka is the join-parallel formulation that survives 100 TB."""
+    from bdtopo2refhydro_spark.operators.graph import boruvka_mst
+
+    d = _docs(spark, sf_dir)
+    tree = (d.select(
+        F.concat(F.lit("T"), F.col("doc_id")).alias("eid"),
+        F.col("doc_id").alias("u"),
+        F.expr("doc_id div 2").alias("v"),
+        F.expr(_MST_W_T).alias("w"))
+        .where(F.expr(f"doc_id >= 1 AND {_H} % 17 != 0")))
+    sib = d.select(F.col("doc_id").alias("_sib"))
+    extra = (d.join(sib, F.col("_sib") == F.col("doc_id") + 1)
+             .where(F.expr(
+                 f"doc_id >= 2 AND doc_id % 6 = 0 AND {_H} % 17 != 0 "
+                 f"AND {_h_of('doc_id + 1')} % 17 != 0"))
+             .select(
+                 F.concat(F.lit("X"), F.col("doc_id")).alias("eid"),
+                 F.col("doc_id").alias("u"),
+                 (F.col("doc_id") + 1).alias("v"),
+                 F.expr(f"CAST((1 + {_H} % 997) * 1000000 + 500000 "
+                        f"+ doc_id AS BIGINT)").alias("w")))
+    return boruvka_mst(tree.unionByName(extra))
+
+
+def _mst_sql() -> str:
+    w_t = f"CAST((1 + {_HD} % 1000) * 1000000 + doc_id AS BIGINT)"
+    ha = _h_of("a.doc_id")
+    hb = _h_of("a.doc_id + 1")
+    return f"""
+WITH tree AS (
+  SELECT 'T' || CAST(doc_id AS VARCHAR) AS eid, doc_id AS u,
+         doc_id // 2 AS v, {w_t} AS w
+  FROM documents WHERE doc_id >= 1 AND {_HD} % 17 != 0
+),
+extra AS (
+  SELECT 'X' || CAST(a.doc_id AS VARCHAR) AS eid, a.doc_id AS u,
+         a.doc_id + 1 AS v,
+         CAST((1 + {ha} % 997) * 1000000 + 500000 + a.doc_id
+              AS BIGINT) AS w
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id >= 2 AND a.doc_id % 6 = 0
+    AND {ha} % 17 != 0 AND {hb} % 17 != 0
+),
+alle AS (SELECT * FROM tree UNION ALL SELECT * FROM extra),
+dropped AS (
+  SELECT CASE
+           WHEN t1.w >= t2.w AND t1.w >= x.w THEN t1.eid
+           WHEN t2.w >= t1.w AND t2.w >= x.w THEN t2.eid
+           ELSE x.eid END AS eid
+  FROM extra x
+  JOIN tree t1 ON t1.u = x.u
+  JOIN tree t2 ON t2.u = x.v
+)
+SELECT eid, u, v, w FROM alle
+WHERE eid NOT IN (SELECT eid FROM dropped)
+"""
+
+
 # ---- batch 36: tree betweenness, RAKE keywords, suffix stemming -----
 
 
@@ -10654,6 +10734,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # a 2%-accuracy contract pinned as an exact boolean.
         # batch 36: exact tree edge betweenness (closed form over two
         # O(log) passes), corpus-level RAKE, suffix-rule stemming.
+        # batch 37: distributed Borůvka MST — closed-form oracle on
+        # edge-disjoint planted triangles (cycle property).
+        "mst_boruvka": _q_mst_boruvka,
         "tree_bet": _q_tree_betweenness,
         "rake_keywords": _q_rake_keywords,
         "stem_s": _q_stem_s,
@@ -11094,6 +11177,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "mp3_frames": _MP3_FRAMES_SQL,
         "dbscan": _dbscan_sql(),
+        "mst_boruvka": _mst_sql(),
         "tree_bet": _TREE_BET_SQL,
         "rake_keywords": _rake_sql(),
         "stem_s": _stem_s_sql(),

@@ -449,3 +449,85 @@ def fix_network_connectivity(full_edges: DataFrame, subset_keys: DataFrame,
         kept_keys = slots.checkpoint(kept_keys.union(touching).distinct(),
                                      "kept")
     return kept_keys
+
+
+def boruvka_mst(edges: DataFrame, *, eid: str = "eid", src: str = "u",
+                dst: str = "v", weight: str = "w",
+                max_rounds: int = 64,
+                metrics: TraversalMetrics | None = None) -> DataFrame:
+    """Minimum spanning forest by Borůvka's algorithm — the classic
+    O(log n)-round DISTRIBUTED MST (each round every component hooks
+    its minimum-weight outgoing edge, components at least halve), the
+    shape Spark has no built-in for. Kruskal/Prim need a sequential
+    union-find / heap; Borůvka is all joins + aggregations:
+
+      per round: 1 label join on each endpoint → cross-component
+      filter → per-component min(struct(w, eid)) (partial agg
+      map-side) → the chosen edges form a component-level merge graph
+      (|components| nodes, halving) on which connected_components
+      relabels — O(log) inner rounds on an exponentially shrinking
+      graph, so total work per round is dominated by the edge relabel.
+
+    Ties are broken by (w, eid) lexicographic min, so the forest is
+    deterministic even with duplicate weights (and UNIQUE when weights
+    are distinct — the oracle fixtures use distinct weights).
+    Returns the chosen edges (eid, u, v, w).
+    """
+    from ._ckpt import CheckpointSlots
+
+    slots = CheckpointSlots()
+    e = (edges.select(F.col(eid).alias("eid"),
+                      F.col(src).alias("u"), F.col(dst).alias("v"),
+                      F.col(weight).alias("w"))
+         .localCheckpoint(eager=False))
+    lab = slots.checkpoint(
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct().withColumn("l", F.col("node")),
+        "lab")
+    chosen = None
+    for i in range(max_rounds):
+        lu = lab.select(F.col("node").alias("u"), F.col("l").alias("lu"))
+        lv = lab.select(F.col("node").alias("v"), F.col("l").alias("lv"))
+        cross = (e.join(lu, "u").join(lv, "v")
+                 .where(F.col("lu") != F.col("lv")))
+        # each component hooks its min incident cross edge; one edge
+        # may be hooked from both sides -> distinct eid
+        inc = (cross.select(F.col("lu").alias("c"), "w", "eid",
+                            "u", "v", "lu", "lv")
+               .union(cross.select(F.col("lv").alias("c"), "w", "eid",
+                                   "u", "v", "lu", "lv")))
+        sel = (inc.groupBy("c")
+               .agg(F.min(F.struct("w", "eid", "u", "v",
+                                   "lu", "lv")).alias("m"))
+               .select("m.eid", "m.u", "m.v", "m.w",
+                       "m.lu", "m.lv")
+               .dropDuplicates(["eid"]))
+        sel = slots.checkpoint(sel, "sel")
+        n_sel = sel.count()
+        if metrics is not None:
+            metrics.add(op="boruvka_mst", round=i, hooked=n_sel)
+        if n_sel == 0:
+            break
+        picked = sel.select("eid", "u", "v", "w")
+        chosen = (picked if chosen is None
+                  else chosen.union(picked))
+        chosen = slots.checkpoint(chosen, "chosen")
+        chosen.count()
+        # relabel on the COMPONENT graph (halving), not the node graph
+        comp_adj = (sel.select(F.col("lu").alias("node"),
+                               F.col("lv").alias("nbr"))
+                    .union(sel.select(F.col("lv").alias("node"),
+                                      F.col("lu").alias("nbr"))))
+        comp_cc = (connected_components(comp_adj, metrics=metrics)
+                   .select(F.col("node").alias("_old"),
+                           F.col("l").alias("_new")))
+        lab = slots.checkpoint(
+            lab.join(comp_cc, lab["l"] == comp_cc["_old"], "left")
+            .select("node",
+                    F.coalesce("_new", "l").alias("l")),
+            "lab")
+        lab.count()
+    if chosen is None:
+        return e.select("eid", "u", "v", "w").limit(0)
+    return chosen

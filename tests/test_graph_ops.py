@@ -504,3 +504,38 @@ def test_subtree_counts_rounds_equals_local(spark):
     assert local == rounds
     assert local["c1"] == 8 and local["c8"] == 1
     assert local["t1"] == 2 and local["t2"] == 1 and local["t3"] == 1
+
+
+def test_boruvka_equals_kruskal_on_pseudorandom_graph(spark):
+    """boruvka_mst == a sequential Kruskal union-find reference on a
+    deterministic LCG multigraph (distinct weights -> unique MST)."""
+    edges = []
+    x = 7
+    for i in range(90):
+        x = (x * 1103515245 + 12345) % 2147483648
+        u = x % 40
+        v = (x // 40) % 40
+        if u == v:
+            v = (v + 1) % 40
+        edges.append((f"e{i:03d}", u, v, i * 1000 + (x % 997)))
+
+    parent = list(range(40))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    want = set()
+    for eid, u, v, w in sorted(edges, key=lambda t: t[3]):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            want.add(eid)
+
+    from bdtopo2refhydro_spark.operators.graph import boruvka_mst
+
+    df = spark.createDataFrame(edges, "eid string, u long, v long, w long")
+    got = {r["eid"] for r in boruvka_mst(df).collect()}
+    assert got == want
