@@ -10343,6 +10343,125 @@ FROM base
 """
 
 
+# ---- batch 38: array/binary function surfaces + percentile contract --
+
+
+def _q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (union/intersect/except/concat/slice/
+    position/contains) — normalized through sort_array so the two
+    engines' (both legal) element orders cannot fake a diff."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr("array(doc_id % 7, doc_id % 5, doc_id % 3)").alias("a"),
+        F.expr("array(doc_id % 5, doc_id % 4)").alias("b"))
+    return d.select(
+        "doc_id",
+        F.array_join(F.sort_array(F.array_union("a", "b")), ",")
+        .alias("un"),
+        F.array_join(F.sort_array(F.array_intersect("a", "b")), ",")
+        .alias("inter"),
+        F.array_join(F.sort_array(F.array_except("a", "b")), ",")
+        .alias("exc"),
+        F.array_join(F.slice(F.sort_array(F.concat("a", "b")), 2, 2),
+                     ",").alias("mid2"),
+        F.array_position("a", F.col("doc_id") % 5).cast("long")
+        .alias("pos5"),
+        F.array_contains("a", F.lit(2)).alias("has2"))
+
+
+_ARRAY_FUNCS_SQL = """
+WITH base AS (
+  SELECT doc_id, [doc_id % 7, doc_id % 5, doc_id % 3] AS a,
+         [doc_id % 5, doc_id % 4] AS b
+  FROM documents
+)
+SELECT doc_id,
+       array_to_string(list_sort(list_distinct(list_concat(a, b))), ',')
+         AS un,
+       array_to_string(list_sort(list_distinct(
+         list_filter(a, x -> list_contains(b, x)))), ',') AS inter,
+       coalesce(array_to_string(list_sort(list_distinct(
+         list_filter(a, x -> NOT list_contains(b, x)))), ','), '')
+         AS exc,
+       array_to_string(list_sort(list_concat(a, b))[2:3], ',') AS mid2,
+       CAST(coalesce(list_position(a, doc_id % 5), 0) AS BIGINT)
+         AS pos5,
+       list_contains(a, 2) AS has2
+FROM base
+"""
+
+
+def _q_bin_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary/encoding function surface: base64 round-trip, hex of a
+    bigint, base-16 conv, and mask() — the PII-display primitive,
+    whose oracle is three independent regexp class replacements."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("k"), F.col("doc_id")).alias("p"),
+        F.concat(F.upper(F.expr("substring(text, 1, 3)")),
+                 F.expr("substring(text, 4, 5)"),
+                 F.col("doc_id").cast("string")).alias("m"))
+    return d.select(
+        "doc_id",
+        F.base64(F.col("p").cast("binary")).alias("b64"),
+        F.expr("string(unbase64(base64(cast(p AS binary))))")
+        .alias("rt"),
+        F.hex((F.col("doc_id") * 2654435761)).alias("hx"),
+        F.conv(F.col("doc_id").cast("string"), 10, 16).alias("cv"),
+        F.expr("mask(m)").alias("masked"))
+
+
+_BIN_FUNCS_SQL = """
+WITH base AS (
+  SELECT doc_id, 'k' || CAST(doc_id AS VARCHAR) AS p,
+         upper(substr(text, 1, 3)) || substr(text, 4, 5)
+           || CAST(doc_id AS VARCHAR) AS m
+  FROM documents
+)
+SELECT doc_id,
+       base64(encode(p)) AS b64,
+       p AS rt,
+       hex(doc_id * 2654435761) AS hx,
+       upper(to_hex(doc_id)) AS cv,
+       regexp_replace(regexp_replace(regexp_replace(m,
+         '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+         AS masked
+FROM base
+"""
+
+
+def _q_pctl_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile with the accuracy CONTRACT pinned (like
+    hll_distinct): at accuracy=100000 the GK sketch's rank error is
+    < n/100000 < 1 at test scale, so the estimate must land within 2
+    of the exact discrete quantile (values are dense integers). The
+    oracle recomputes exact quantiles and asserts the bound as a
+    boolean both engines agree is TRUE."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", (F.col("event_id") % 1009).cast("long").alias("v"))
+    ap = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("approx_percentile(v, 0.5, 100000)").alias("a50"),
+        F.expr("approx_percentile(v, 0.9, 100000)").alias("a90"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)")
+        .alias("e50"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY v)")
+        .alias("e90"))
+    return ap.select(
+        "event_type", "n",
+        (F.abs(F.col("a50") - F.col("e50")) <= 2).alias("ok50"),
+        (F.abs(F.col("a90") - F.col("e90")) <= 2).alias("ok90"))
+
+
+_PCTL_CONTRACT_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       TRUE AS ok50, TRUE AS ok90
+FROM (SELECT event_type, CAST(event_id % 1009 AS BIGINT) AS v
+      FROM events) t
+GROUP BY event_type
+"""
+
+
 # ---- batch 37: distributed MST (Borůvka) -----------------------------
 
 # MST fixture: the hydro forest with DISTINCT integer weights, plus
@@ -10736,6 +10855,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # O(log) passes), corpus-level RAKE, suffix-rule stemming.
         # batch 37: distributed Borůvka MST — closed-form oracle on
         # edge-disjoint planted triangles (cycle property).
+        # batch 38: array set algebra, binary/encoding functions,
+        # approx_percentile accuracy contract.
+        "array_funcs": _q_array_funcs,
+        "bin_funcs": _q_bin_funcs,
+        "pctl_contract": _q_pctl_contract,
         "mst_boruvka": _q_mst_boruvka,
         "tree_bet": _q_tree_betweenness,
         "rake_keywords": _q_rake_keywords,
@@ -11177,6 +11301,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "mp3_frames": _MP3_FRAMES_SQL,
         "dbscan": _dbscan_sql(),
+        "array_funcs": _ARRAY_FUNCS_SQL,
+        "bin_funcs": _BIN_FUNCS_SQL,
+        "pctl_contract": _PCTL_CONTRACT_SQL,
         "mst_boruvka": _mst_sql(),
         "tree_bet": _TREE_BET_SQL,
         "rake_keywords": _rake_sql(),
