@@ -10343,6 +10343,53 @@ FROM base
 """
 
 
+# ---- batch 39: redirect-loop detection (pointer doubling) ------------
+
+
+def _q_redirect_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cycle detection over a URL-redirect functional graph
+    (graph.py:functional_graph_cycles): ⌈log₂ n⌉ successor-map
+    squarings land every node's 2^K-ancestor ON its cycle; cycles are
+    then labeled by one CC pass. The oracle re-derives on_cycle as
+    self-reachability and cycle_id as the min on-cycle node reachable
+    — a completely different (walk-based) formulation."""
+    from bdtopo2refhydro_spark.operators.graph import (
+        functional_graph_cycles)
+
+    d = _docs(spark, sf_dir)
+    n = d.count()
+    f = d.select(F.col("doc_id").alias("node"),
+                 F.expr(f"{_H} % {n}").cast("long").alias("nxt"))
+    return functional_graph_cycles(f)
+
+
+_REDIRECT_LOOPS_SQL = f"""
+WITH RECURSIVE f AS (
+  SELECT doc_id AS node,
+         CAST({_HD} % (SELECT count(*) FROM documents) AS BIGINT)
+           AS nxt
+  FROM documents
+),
+reach(anchor, node) AS (
+  SELECT node, nxt FROM f
+  UNION
+  SELECT r.anchor, f2.nxt FROM reach r JOIN f f2 ON f2.node = r.node
+),
+oncyc AS (
+  SELECT DISTINCT r.anchor AS node FROM reach r WHERE r.node = r.anchor
+),
+cyc_min AS (
+  SELECT r.anchor AS node, CAST(min(r.node) AS BIGINT) AS cycle_id
+  FROM reach r JOIN oncyc o ON o.node = r.node
+  GROUP BY r.anchor
+)
+SELECT f.node, o.node IS NOT NULL AS on_cycle, c.cycle_id
+FROM f
+LEFT JOIN oncyc o ON o.node = f.node
+JOIN cyc_min c ON c.node = f.node
+"""
+
+
 # ---- batch 38: array/binary function surfaces + percentile contract --
 
 
@@ -10857,6 +10904,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # edge-disjoint planted triangles (cycle property).
         # batch 38: array set algebra, binary/encoding functions,
         # approx_percentile accuracy contract.
+        # batch 39: redirect-loop detection — pointer-doubling
+        # functional-graph cycles vs a self-reachability walk oracle.
+        "redirect_loops": _q_redirect_loops,
         "array_funcs": _q_array_funcs,
         "bin_funcs": _q_bin_funcs,
         "pctl_contract": _q_pctl_contract,
@@ -11301,6 +11351,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "mp3_frames": _MP3_FRAMES_SQL,
         "dbscan": _dbscan_sql(),
+        "redirect_loops": _REDIRECT_LOOPS_SQL,
         "array_funcs": _ARRAY_FUNCS_SQL,
         "bin_funcs": _BIN_FUNCS_SQL,
         "pctl_contract": _PCTL_CONTRACT_SQL,

@@ -531,3 +531,59 @@ def boruvka_mst(edges: DataFrame, *, eid: str = "eid", src: str = "u",
     if chosen is None:
         return e.select("eid", "u", "v", "w").limit(0)
     return chosen
+
+
+def functional_graph_cycles(f: DataFrame, *, node: str = "node",
+                            nxt: str = "nxt",
+                            metrics: TraversalMetrics | None = None
+                            ) -> DataFrame:
+    """Cycle detection on a FUNCTIONAL graph (every node has exactly
+    one out-edge — URL redirect maps, symlink chains, parent pointers)
+    by pointer doubling: after K squarings of the successor map,
+    A(v) = f^(2^K)(v) with 2^K ≥ n is guaranteed to sit ON v's cycle
+    (every rho walk is absorbed within n steps, and cycles map onto
+    themselves). So:
+
+      on_cycle  = v ∈ image(A)   (A restricted to a cycle is a
+                                  rotation → surjective onto it)
+      cycle_id  = min node id of A(v)'s cycle, via
+                  connected_components over the on-cycle successor
+                  edges (disjoint cycles → the CC label IS the min)
+
+    K = ⌈log₂ n⌉ self-joins of an n-row map — O(log n) shuffles, no
+    driver-side iteration over data. The sequential alternatives
+    (Floyd/Brent per chain) don't distribute. Returns
+    (node, on_cycle, cycle_id).
+    """
+    from ._ckpt import CheckpointSlots
+
+    slots = CheckpointSlots()
+    m = f.select(F.col(node).alias("v"), F.col(nxt).alias("a"))
+    m = slots.checkpoint(m, "anc")
+    n = m.count()
+    k = max(1, (n - 1).bit_length())
+    for i in range(k):
+        hop = m.select(F.col("v").alias("a"), F.col("a").alias("a2"))
+        m = slots.checkpoint(
+            m.join(hop, "a").select("v", F.col("a2").alias("a")),
+            "anc")
+        m.count()
+        if metrics is not None:
+            metrics.add(op="functional_cycles", doubling=i)
+    anchors = m  # (v, a) with a on v's cycle
+    cyc_nodes = anchors.select(F.col("a").alias("cn")).distinct()
+    cyc_edges = (f.select(F.col(node).alias("cn"), F.col(nxt).alias("cm"))
+                 .join(cyc_nodes, "cn", "left_semi"))
+    adj = (cyc_edges.select(F.col("cn").alias("node"),
+                            F.col("cm").alias("nbr"))
+           .union(cyc_edges.select(F.col("cm").alias("node"),
+                                   F.col("cn").alias("nbr"))))
+    cc = connected_components(adj, metrics=metrics)
+    lab = cc.select(F.col("node").alias("a"), F.col("l").alias("cycle_id"))
+    out = (anchors.join(lab, "a")
+           .join(cyc_nodes.withColumnRenamed("cn", "v")
+                 .withColumn("_onc", F.lit(True)), "v", "left")
+           .select(F.col("v").alias(node),
+                   F.coalesce("_onc", F.lit(False)).alias("on_cycle"),
+                   "cycle_id"))
+    return out

@@ -539,3 +539,21 @@ def test_boruvka_equals_kruskal_on_pseudorandom_graph(spark):
     df = spark.createDataFrame(edges, "eid string, u long, v long, w long")
     got = {r["eid"] for r in boruvka_mst(df).collect()}
     assert got == want
+
+
+def test_functional_cycles_rho_golden(spark):
+    """Hand-built rho: tail 10->11->12 into 3-cycle {12,13,14}; plus a
+    self-loop {5} with tail 4->5; plus a 2-cycle {20,21}."""
+    f = [(10, 11), (11, 12), (12, 13), (13, 14), (14, 12),
+         (4, 5), (5, 5), (20, 21), (21, 20)]
+    df = spark.createDataFrame(f, "node long, nxt long")
+    from bdtopo2refhydro_spark.operators.graph import (
+        functional_graph_cycles)
+
+    got = {r["node"]: (r["on_cycle"], r["cycle_id"])
+           for r in functional_graph_cycles(df).collect()}
+    assert got == {
+        10: (False, 12), 11: (False, 12), 12: (True, 12),
+        13: (True, 12), 14: (True, 12),
+        4: (False, 5), 5: (True, 5),
+        20: (True, 20), 21: (True, 20)}
