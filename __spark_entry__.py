@@ -10343,6 +10343,78 @@ FROM base
 """
 
 
+# ---- batch 40: exact decision-stump training --------------------------
+
+# planted signal on f7 with %31 label noise (XOR via !=)
+_STUMP_Y = "CASE WHEN (doc_id % 7 >= 4) != (doc_id % 31 = 0) " \
+           "THEN 1 ELSE 0 END"
+
+
+def _q_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump TRAINING (ml.py:decision_stump): every
+    (feature, threshold) Gini-scored as an exact integer rational —
+    training that replays bitwise, the weak learner a quality-gate
+    booster is made of. is_best picks the planted f7 split."""
+    from bdtopo2refhydro_spark.operators.ml import decision_stump
+
+    d = _docs(spark, sf_dir).select(
+        F.expr("CAST(doc_id % 7 AS BIGINT)").alias("f7"),
+        F.expr("CAST(doc_id % 5 AS BIGINT)").alias("f5"),
+        F.expr("CAST(n_chars % 4 AS BIGINT)").alias("fc"),
+        F.expr(_STUMP_Y).alias("y"))
+    return decision_stump(d, ["f7", "f5", "fc"])
+
+
+_STUMP_SQL = f"""
+WITH base AS (
+  SELECT CAST(doc_id % 7 AS BIGINT) AS f7,
+         CAST(doc_id % 5 AS BIGINT) AS f5,
+         CAST(n_chars % 4 AS BIGINT) AS fc,
+         CAST({_STUMP_Y} AS BIGINT) AS y
+  FROM documents
+),
+stacked AS (
+  SELECT 'f7' AS feature, f7 AS v, y FROM base
+  UNION ALL SELECT 'f5', f5, y FROM base
+  UNION ALL SELECT 'fc', fc, y FROM base
+),
+per_v AS (
+  SELECT feature, v, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS pos
+  FROM stacked GROUP BY feature, v
+),
+cum AS (
+  SELECT feature, v AS threshold,
+         CAST(sum(n) OVER (PARTITION BY feature ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS n_l,
+         CAST(sum(pos) OVER (PARTITION BY feature ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS pos_l,
+         CAST(sum(n) OVER (PARTITION BY feature) AS BIGINT) AS n_t,
+         CAST(sum(pos) OVER (PARTITION BY feature) AS BIGINT) AS pos_t
+  FROM per_v
+),
+scored AS (
+  SELECT feature, threshold, n_l, n_t - n_l AS n_r,
+         CAST((pos_l * pos_l + (n_l - pos_l) * (n_l - pos_l))
+                * (n_t - n_l)
+              + ((pos_t - pos_l) * (pos_t - pos_l)
+                 + ((n_t - n_l) - (pos_t - pos_l))
+                   * ((n_t - n_l) - (pos_t - pos_l))) * n_l
+              AS BIGINT) AS num,
+         CAST(n_l * (n_t - n_l) AS BIGINT) AS den
+  FROM cum WHERE n_t - n_l > 0
+)
+SELECT feature, threshold, n_l, n_r, num, den,
+       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS score,
+       row_number() OVER (ORDER BY CAST(num AS DOUBLE)
+                          / CAST(den AS DOUBLE) DESC,
+                          feature, threshold) = 1 AS is_best
+FROM scored
+"""
+
+
 # ---- batch 39: redirect-loop detection (pointer doubling) ------------
 
 
@@ -10906,6 +10978,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # approx_percentile accuracy contract.
         # batch 39: redirect-loop detection — pointer-doubling
         # functional-graph cycles vs a self-reachability walk oracle.
+        # batch 40: decision-stump training, exact integer Gini.
+        "stump_train": _q_stump_train,
         "redirect_loops": _q_redirect_loops,
         "array_funcs": _q_array_funcs,
         "bin_funcs": _q_bin_funcs,
@@ -11351,6 +11425,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "mp3_frames": _MP3_FRAMES_SQL,
         "dbscan": _dbscan_sql(),
+        "stump_train": _STUMP_SQL,
         "redirect_loops": _REDIRECT_LOOPS_SQL,
         "array_funcs": _ARRAY_FUNCS_SQL,
         "bin_funcs": _BIN_FUNCS_SQL,
