@@ -670,3 +670,47 @@ def test_dbscan_neighbor_join_is_equi_join(spark, entry):
     plan = _plan(entry.queries()["dbscan"](spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_welch_t_partial_aggregates_map_side(spark, entry):
+    """The integer (n, Σx, Σx²) pass must partial-aggregate before the
+    shuffle and never join or nested-loop."""
+    plan = _plan(entry.queries()["welch_t"](spark, SF))
+    assert "partial_" in plan  # map-side combine present
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+
+
+def test_rake_keywords_no_join_operators(spark, entry):
+    """RAKE lowers to explode + one per-doc Window + aggregations —
+    phrase assembly must not introduce a join."""
+    plan = _plan(entry.queries()["rake_keywords"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_decision_stump_shuffles_distinct_values_not_rows(spark, entry):
+    """The stacked-feature groupBy must partial-aggregate map-side (the
+    shuffle carries distinct (feature, value) pairs), and candidate
+    scoring must not join."""
+    plan = _plan(entry.queries()["stump_train"](spark, SF))
+    assert "partial_count" in plan or "partial_" in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # stack() generator stayed JVM-side
+    assert "Window" in plan
+
+
+def test_mst_round_join_is_equi_join(spark, entry):
+    """One Borůvka hook round: label joins are hash equi-joins, never
+    nested loops (checked on the materialized first-round selection
+    inside the full run's returned plan)."""
+    plan = _plan(entry.queries()["mst_boruvka"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tree_betweenness_integer_only_no_cartesian(spark, entry):
+    plan = _plan(entry.queries()["tree_bet"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
