@@ -10343,6 +10343,71 @@ FROM base
 """
 
 
+# ---- batch 41: strongly connected components (coloring) --------------
+
+
+def _q_scc_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed SCC (graph.py:strongly_connected_components):
+    trim → forward max-color → backward intra-class flag, repeated —
+    the directed-reachability partition undirected CC can NOT answer.
+    The oracle derives scc_id independently as min over the
+    mutual-reachability set (pairwise walk closure)."""
+    from bdtopo2refhydro_spark.operators.graph import (
+        strongly_connected_components)
+
+    d = _docs(spark, sf_dir)
+    n = d.count()
+    a = d.select(F.col("doc_id").alias("src"),
+                 ((F.col("doc_id") * 7 + 3) % n).cast("long")
+                 .alias("dst"))
+    b = (d.where("doc_id % 3 = 0 AND doc_id >= 1")
+         .select(F.col("doc_id").alias("src"),
+                 F.expr("doc_id div 2").cast("long").alias("dst")))
+    c = (d.where("doc_id % 11 = 0 AND doc_id >= 1")
+         .select(F.expr("doc_id div 2").cast("long").alias("src"),
+                 F.col("doc_id").alias("dst")))
+    return strongly_connected_components(
+        a.unionByName(b).unionByName(c))
+
+
+# NB the DuckDB trap (CLAUDE.md): a non-recursive CTE with a top-level
+# UNION inside WITH RECURSIVE silently loses dedup — wrap in
+# SELECT DISTINCT over UNION ALL.
+_SCC_SQL = """
+WITH RECURSIVE g AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT doc_id AS u,
+           CAST((doc_id * 7 + 3) % (SELECT count(*) FROM documents)
+                AS BIGINT) AS v
+    FROM documents
+    UNION ALL
+    SELECT doc_id, CAST(doc_id // 2 AS BIGINT) FROM documents
+    WHERE doc_id % 3 = 0 AND doc_id >= 1
+    UNION ALL
+    SELECT CAST(doc_id // 2 AS BIGINT), doc_id FROM documents
+    WHERE doc_id % 11 = 0 AND doc_id >= 1
+  ) raw
+),
+reach(a, b) AS (
+  SELECT u, v FROM g
+  UNION
+  SELECT r.a, g2.v FROM reach r JOIN g g2 ON g2.u = r.b
+),
+mutual AS (
+  SELECT r1.a AS node, min(r1.b) AS mn
+  FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+  GROUP BY r1.a
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT u AS node FROM g UNION ALL SELECT v FROM g) t
+)
+SELECT n.node,
+       CAST(coalesce(least(n.node, m.mn), n.node) AS BIGINT) AS scc_id
+FROM nodes n LEFT JOIN mutual m ON m.node = n.node
+"""
+
+
 # ---- batch 40: exact decision-stump training --------------------------
 
 # planted signal on f7 with %31 label noise (XOR via !=)
@@ -10979,6 +11044,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 39: redirect-loop detection — pointer-doubling
         # functional-graph cycles vs a self-reachability walk oracle.
         # batch 40: decision-stump training, exact integer Gini.
+        # batch 41: distributed SCC by coloring — directed
+        # reachability partition, mutual-reach walk oracle.
+        "scc_coloring": _q_scc_coloring,
         "stump_train": _q_stump_train,
         "redirect_loops": _q_redirect_loops,
         "array_funcs": _q_array_funcs,
@@ -11425,6 +11493,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "mp3_frames": _MP3_FRAMES_SQL,
         "dbscan": _dbscan_sql(),
+        "scc_coloring": _SCC_SQL,
         "stump_train": _STUMP_SQL,
         "redirect_loops": _REDIRECT_LOOPS_SQL,
         "array_funcs": _ARRAY_FUNCS_SQL,

@@ -587,3 +587,140 @@ def functional_graph_cycles(f: DataFrame, *, node: str = "node",
                    F.coalesce("_onc", F.lit(False)).alias("on_cycle"),
                    "cycle_id"))
     return out
+
+
+def strongly_connected_components(edges: DataFrame, *,
+                                  src: str = "src", dst: str = "dst",
+                                  max_outer: int = 30,
+                                  max_rounds: int = 200,
+                                  metrics: TraversalMetrics | None = None
+                                  ) -> DataFrame:
+    """SCC on a directed graph by the distributed COLORING algorithm
+    (Orzan; Slota et al.) — undirected CC answers the wrong question
+    for directed reachability (CLAUDE.md pins this), and Tarjan/
+    Kosaraju are sequential DFS. Per outer iteration:
+
+      1. TRIM: peel nodes with no in- or no out-edges in the remaining
+         subgraph (each is a singleton SCC) until stable;
+      2. COLOR: propagate max node id FORWARD to fixpoint —
+         color(v) = max id that reaches v; color classes partition the
+         remaining nodes and every SCC lies inside one class;
+      3. BACKWARD FLAG: from each class root r (color(r) = r),
+         propagate a flag BACKWARD over intra-class edges; the flagged
+         members of class r are exactly SCC(r) — at minimum the
+         globally-max id's SCC resolves every iteration;
+      4. remove resolved nodes and repeat.
+
+    Every step is joins + aggregations with CheckpointSlots lineage
+    control; no DFS, no driver-side graph. scc_id = min node id of the
+    component (matching the mutual-reachability oracle). Returns
+    (node, scc_id).
+    """
+    from ._ckpt import CheckpointSlots
+
+    slots = CheckpointSlots()
+    e = slots.checkpoint(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct(), "e")
+    remaining = slots.checkpoint(
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node"))).distinct(), "rem")
+    assigned = None
+
+    def _acc(base, new):
+        out = new if base is None else base.union(new)
+        out = slots.checkpoint(out, "assigned")
+        out.count()
+        return out
+
+    for outer in range(max_outer):
+        n_rem = remaining.count()
+        if n_rem == 0:
+            break
+        # ---- 1. trim loop: no-in or no-out nodes are singleton SCCs
+        while True:
+            has_out = e.select(F.col("u").alias("node")).distinct()
+            has_in = e.select(F.col("v").alias("node")).distinct()
+            core = slots.checkpoint(
+                remaining.join(has_out, "node", "left_semi")
+                .join(has_in, "node", "left_semi"), "core")
+            n_core = core.count()
+            if n_core == n_rem:
+                break
+            trimmed = remaining.join(core, "node", "left_anti") \
+                .select("node", F.col("node").alias("scc_id"))
+            assigned = _acc(assigned, trimmed)
+            remaining = core
+            e = slots.checkpoint(
+                e.join(core.withColumnRenamed("node", "u"), "u",
+                       "left_semi")
+                .join(core.withColumnRenamed("node", "v"), "v",
+                      "left_semi"), "e")
+            n_rem = n_core
+            if metrics is not None:
+                metrics.add(op="scc", outer=outer, trimmed_to=n_core)
+        if n_rem == 0:
+            break
+        # ---- 2. forward max-color propagation to fixpoint
+        col = slots.checkpoint(
+            remaining.select("node", F.col("node").alias("c")), "col")
+
+        def _sig(df):
+            return df.select(
+                F.expr("bit_xor(xxhash64(node, c))").alias("h")).first()["h"]
+
+        sig = _sig(col)
+        with loop_profile(e, n_rem):
+            for i in range(max_rounds):
+                inc = (e.join(col.withColumnRenamed("node", "u"), "u")
+                       .select(F.col("v").alias("node"), "c"))
+                new_col = slots.checkpoint(
+                    col.select("node", "c").union(inc)
+                    .groupBy("node").agg(F.max("c").alias("c")), "col")
+                new_sig = _sig(new_col)
+                col = new_col
+                if metrics is not None:
+                    metrics.add(op="scc", outer=outer, color_round=i)
+                if new_sig == sig:
+                    break
+                sig = new_sig
+        # ---- 3. backward flag within color classes
+        cu = col.select(F.col("node").alias("u"), F.col("c").alias("_cu"))
+        cv = col.select(F.col("node").alias("v"), F.col("c").alias("_cv"))
+        e_c = slots.checkpoint(
+            e.join(cu, "u").join(cv, "v")
+            .where(F.col("_cu") == F.col("_cv"))
+            .select("u", "v", F.col("_cu").alias("c")), "ec")
+        e_c.count()
+        flags = slots.checkpoint(
+            col.where(F.col("c") == F.col("node")).select("node", "c"),
+            "flags")
+        n_f = flags.count()
+        with loop_profile(e_c, n_rem):
+            for i in range(max_rounds):
+                step = (e_c.join(flags.withColumnRenamed("node", "v")
+                                 .select("v"), "v", "left_semi")
+                        .select(F.col("u").alias("node"), "c"))
+                new_flags = slots.checkpoint(
+                    flags.union(step).distinct(), "flags")
+                n_new = new_flags.count()
+                flags = new_flags
+                if metrics is not None:
+                    metrics.add(op="scc", outer=outer, flag_round=i,
+                                flagged=n_new)
+                if n_new == n_f:
+                    break
+                n_f = n_new
+        scc_min = flags.groupBy("c").agg(F.min("node").alias("scc_id"))
+        members = (flags.join(scc_min, "c")
+                   .select("node", "scc_id"))
+        assigned = _acc(assigned, members)
+        remaining = slots.checkpoint(
+            remaining.join(flags.select("node"), "node", "left_anti"),
+            "rem")
+        e = slots.checkpoint(
+            e.join(remaining.withColumnRenamed("node", "u"), "u",
+                   "left_semi")
+            .join(remaining.withColumnRenamed("node", "v"), "v",
+                  "left_semi"), "e")
+    return assigned

@@ -557,3 +557,77 @@ def test_functional_cycles_rho_golden(spark):
         13: (True, 12), 14: (True, 12),
         4: (False, 5), 5: (True, 5),
         20: (True, 20), 21: (True, 20)}
+
+
+def test_scc_coloring_hand_graph(spark):
+    """Two cycles bridged by a DAG path + self-loop + pure sink."""
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4), (5, 6),
+             (6, 7), (7, 7), (9, 9), (9, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    from bdtopo2refhydro_spark.operators.graph import (
+        strongly_connected_components)
+
+    got = {r["node"]: r["scc_id"]
+           for r in strongly_connected_components(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 7, 9: 9}
+
+
+def test_scc_matches_python_reference_on_lcg_digraph(spark):
+    """SCC == a sequential Tarjan on a pseudo-random functional-ish
+    digraph (every node one out-edge + extra back edges)."""
+    import sys
+
+    n = 60
+    edges = set()
+    for d in range(n):
+        edges.add((d, (d * 7 + 3) % n))
+        if d % 3 == 0 and d >= 1:
+            edges.add((d, d // 2))
+        if d % 11 == 0 and d >= 1:
+            edges.add((d // 2, d))
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+
+    sys.setrecursionlimit(10000)
+    index = {}
+    low = {}
+    stack, onstk = [], set()
+    counter = [0]
+    comp = {}
+
+    def strong(v):
+        index[v] = low[v] = counter[0]
+        counter[0] += 1
+        stack.append(v)
+        onstk.add(v)
+        for w in adj.get(v, ()):
+            if w not in index:
+                strong(w)
+                low[v] = min(low[v], low[w])
+            elif w in onstk:
+                low[v] = min(low[v], index[w])
+        if low[v] == index[v]:
+            members = []
+            while True:
+                w = stack.pop()
+                onstk.discard(w)
+                members.append(w)
+                if w == v:
+                    break
+            m = min(members)
+            for w in members:
+                comp[w] = m
+
+    nodes = {u for u, _ in edges} | {v for _, v in edges}
+    for v in sorted(nodes):
+        if v not in index:
+            strong(v)
+
+    from bdtopo2refhydro_spark.operators.graph import (
+        strongly_connected_components)
+
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = {r["node"]: r["scc_id"]
+           for r in strongly_connected_components(df).collect()}
+    assert got == comp
