@@ -10343,6 +10343,46 @@ FROM base
 """
 
 
+# ---- batch 42: prefix-filtering set-similarity join (PPJoin) ---------
+
+
+def _q_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard ≥ 0.7 join via PREFIX FILTERING
+    (text.py:prefix_filter_pairs) — the third, EXACT candidate scheme
+    next to MinHash-LSH and SimHash bands (no false negatives, so the
+    output is the complete τ-join). Integer cross-multiplied gate;
+    the oracle is the brute token-equi-join τ-join."""
+    from bdtopo2refhydro_spark.operators.text import prefix_filter_pairs
+
+    return prefix_filter_pairs(_docs(spark, sf_dir))
+
+
+_PREFIX_JOIN_SQL = """
+WITH toks AS (
+  SELECT DISTINCT d, tok FROM (
+    SELECT doc_id AS d,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+             AS tok
+    FROM documents) q
+  WHERE tok != ''
+),
+sizes AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY d),
+inter AS (
+  SELECT a.d AS id_a, b.d AS id_b, CAST(count(*) AS BIGINT) AS inter
+  FROM toks a JOIN toks b ON b.tok = a.tok AND b.d > a.d
+  GROUP BY a.d, b.d
+)
+SELECT id_a, id_b, inter,
+       CAST(na.n + nb.n - inter AS BIGINT) AS uni,
+       CAST(inter AS DOUBLE)
+         / CAST(na.n + nb.n - inter AS DOUBLE) AS jac
+FROM inter
+JOIN sizes na ON na.d = id_a
+JOIN sizes nb ON nb.d = id_b
+WHERE inter * 10 >= 7 * (na.n + nb.n - inter)
+"""
+
+
 # ---- batch 41: strongly connected components (coloring) --------------
 
 
@@ -11046,6 +11086,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 40: decision-stump training, exact integer Gini.
         # batch 41: distributed SCC by coloring — directed
         # reachability partition, mutual-reach walk oracle.
+        # batch 42: prefix-filtering τ-join (exact candidate scheme).
+        "prefix_join": _q_prefix_join,
         "scc_coloring": _q_scc_coloring,
         "stump_train": _q_stump_train,
         "redirect_loops": _q_redirect_loops,
@@ -11493,6 +11535,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "mp3_frames": _MP3_FRAMES_SQL,
         "dbscan": _dbscan_sql(),
+        "prefix_join": _PREFIX_JOIN_SQL,
         "scc_coloring": _SCC_SQL,
         "stump_train": _STUMP_SQL,
         "redirect_loops": _REDIRECT_LOOPS_SQL,

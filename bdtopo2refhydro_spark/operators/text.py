@@ -1427,3 +1427,67 @@ def stemmed_top_tokens(docs: DataFrame, text_col: str = "text",
             .groupBy("stem")
             .agg(F.count("*").cast("long").alias("n"))
             .where(F.col("n") >= min_count))
+
+
+def prefix_filter_pairs(docs: DataFrame, *, tau_num: int = 7,
+                        tau_den: int = 10, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Set-similarity join by PREFIX FILTERING (PPJoin family,
+    Xiao et al. 2011): pairs with token-set Jaccard ≥ τ. Each doc
+    keeps only its ⌊(1−τ)·|T|⌋+1 globally-RAREST tokens as join keys —
+    any pair above the threshold must share one (pigeonhole), so
+    candidate generation is an equi-join on rare tokens instead of an
+    all-pairs scan, and the fan-out per token is bounded by that
+    token's document frequency (rare by construction).
+
+    A third, independent candidate scheme next to MinHash-LSH banding
+    (probabilistic) and SimHash bands (bitwise): prefix filtering is
+    EXACT — no false negatives — so the operator's output is the full
+    τ-join, verifiable against a brute token-join oracle. The
+    threshold gate is integer cross-multiplication
+    (inter·den ≥ num·union); jac is one final IEEE division.
+
+    The global token ranking is a vocabulary-sized sort (tokens ≪
+    corpus at crawl scale) broadcast back onto the postings.
+    """
+    from pyspark.sql import Window
+
+    toks = (docs.select(
+        F.col(id_col).alias("d"),
+        F.explode(F.array_distinct(F.expr(tokens_expr(text_col))))
+        .alias("tok"))
+        .where(F.col("tok") != ""))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("_df"))
+    w_rank = Window.orderBy("_df", "tok")
+    ranked = vocab.withColumn("_rk", F.row_number().over(w_rank)) \
+        .select("tok", "_rk")
+    tr = toks.join(F.broadcast(ranked), "tok")
+    sizes = tr.groupBy("d").agg(F.count("*").alias("_n"))
+    w_doc = Window.partitionBy("d").orderBy("_rk")
+    pref = (tr.withColumn("_pos", F.row_number().over(w_doc))
+            .join(sizes, "d")
+            .where(F.col("_pos")
+                   <= F.floor(F.col("_n") * (tau_den - tau_num)
+                              / tau_den) + 1)
+            .select("d", "tok"))
+    cand = (pref.alias("a").join(pref.alias("b"), "tok")
+            .where(F.col("a.d") < F.col("b.d"))
+            .select(F.col("a.d").alias("id_a"),
+                    F.col("b.d").alias("id_b"))
+            .distinct())
+    ta = toks.select(F.col("d").alias("id_a"), "tok")
+    tb = toks.select(F.col("d").alias("id_b"), "tok")
+    inter = (cand.join(ta, "id_a").join(tb, ["id_b", "tok"])
+             .groupBy("id_a", "id_b")
+             .agg(F.count("*").alias("inter")))
+    na = sizes.select(F.col("d").alias("id_a"), F.col("_n").alias("na"))
+    nb = sizes.select(F.col("d").alias("id_b"), F.col("_n").alias("nb"))
+    out = (inter.join(na, "id_a").join(nb, "id_b")
+           .select("id_a", "id_b",
+                   F.col("inter").cast("long").alias("inter"),
+                   (F.col("na") + F.col("nb") - F.col("inter"))
+                   .cast("long").alias("uni")))
+    return (out.where(F.col("inter") * tau_den
+                      >= F.lit(tau_num) * F.col("uni"))
+            .withColumn("jac", F.col("inter").cast("double")
+                        / F.col("uni").cast("double")))

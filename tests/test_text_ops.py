@@ -911,3 +911,36 @@ def test_stem_expr_rules(spark):
                  "cities", "mass", "table"]))).first()
     assert list(rows) == ["class", "queri", "glass", "run", "bu",
                           "citi", "mass", "table"]
+
+
+def test_prefix_filter_pairs_complete_and_exact(spark):
+    """Prefix filtering must be COMPLETE (no false negatives): compare
+    against a brute-force python tau-join on constructed token sets."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),
+         (2, "alpha beta gamma delta"),          # exact dup of 1
+         (3, "alpha beta gamma delta epsilon"),  # J=4/5 vs 1,2
+         (4, "zeta eta theta"),
+         (5, "zeta eta theta iota kappa"),       # J=3/5 vs 4 (below)
+         (6, "solo words here only")],
+        "doc_id long, text string")
+    from bdtopo2refhydro_spark.operators.text import prefix_filter_pairs
+
+    got = {(r["id_a"], r["id_b"]): (r["inter"], r["uni"])
+           for r in prefix_filter_pairs(docs).collect()}
+    sets = {1: {"alpha", "beta", "gamma", "delta"},
+            2: {"alpha", "beta", "gamma", "delta"},
+            3: {"alpha", "beta", "gamma", "delta", "epsilon"},
+            4: {"zeta", "eta", "theta"},
+            5: {"zeta", "eta", "theta", "iota", "kappa"},
+            6: {"solo", "words", "here", "only"}}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                i = len(sets[a] & sets[b])
+                u = len(sets[a] | sets[b])
+                if i * 10 >= 7 * u:
+                    want[(a, b)] = (i, u)
+    assert got == want
+    assert (1, 2) in got and (1, 3) in got and (4, 5) not in got
