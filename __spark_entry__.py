@@ -10343,6 +10343,118 @@ FROM base
 """
 
 
+# ---- batch 43: k-truss peel + clustering coefficient ------------------
+
+
+def _kt_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle-rich 120-node host graph: endpoints mix LOW bits
+    (doc_id % 120) with HIGH bits (doc_id // …) so edges at a node
+    genuinely vary — a partner that is a pure function of h1 yields a
+    functional (triangle-free) graph, which defeated the first
+    fixture. 936 edges; the 4-truss peel runs 936→480→364→316."""
+    d = _docs(spark, sf_dir)
+    raw = (d.select(
+        (F.col("doc_id") % 120).alias("h1"),
+        F.expr("((doc_id div 120) * 13 + (doc_id div 7)) % 120")
+        .alias("h2"))
+        .unionByName(d.select(
+            (F.col("doc_id") % 120).alias("h1"),
+            F.expr("((doc_id div 3) + 17 * (doc_id div 90)) % 120")
+            .alias("h2")))
+        .where("h1 != h2"))
+    return (raw.select(F.least("h1", "h2").alias("a"),
+                       F.greatest("h1", "h2").alias("b"))
+            .distinct())
+
+
+_KT_EDGES_D = """
+  SELECT DISTINCT least(h1, h2) AS a, greatest(h1, h2) AS b
+  FROM (SELECT doc_id % 120 AS h1,
+               ((doc_id // 120) * 13 + (doc_id // 7)) % 120 AS h2
+        FROM documents
+        UNION ALL
+        SELECT doc_id % 120,
+               ((doc_id // 3) + 17 * (doc_id // 90)) % 120
+        FROM documents) r
+  WHERE h1 <> h2
+"""
+
+
+def _q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round 4-truss peel (linkgraph.py:ktruss): drop edges in
+    < 2 triangles of the surviving graph, 3 rounds, then recount —
+    the edge-level community core next to kcore. Oracle is the fully
+    unrolled round schedule."""
+    from bdtopo2refhydro_spark.operators.linkgraph import ktruss
+
+    return ktruss(_kt_pairs(spark, sf_dir), k=4, rounds=3)
+
+
+def _ktruss_sql(k: int = 4, rounds: int = 3) -> str:
+    # MATERIALIZED everywhere: DuckDB inlines CTEs by default, and the
+    # unrolled chain re-expands the parquet-view scan until the process
+    # runs out of file handles (CLAUDE.md lesson from the width oracle)
+    ctes = [f"e0 AS MATERIALIZED ({_KT_EDGES_D})"]
+    for r in range(rounds + 1):
+        tri = "trif" if r == rounds else f"tri{r}"
+        sup = "supf" if r == rounds else f"sup{r}"
+        ctes.append(f"""{tri} AS MATERIALIZED (
+  SELECT p1.a AS x, p1.b AS y, p2.b AS z
+  FROM e{r} p1 JOIN e{r} p2 ON p2.a = p1.b
+  JOIN e{r} p3 ON p3.a = p1.a AND p3.b = p2.b)""")
+        ctes.append(f"""{sup} AS MATERIALIZED (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS s FROM (
+    SELECT x AS a, y AS b FROM {tri}
+    UNION ALL SELECT x, z FROM {tri}
+    UNION ALL SELECT y, z FROM {tri}) t GROUP BY a, b)""")
+        if r < rounds:
+            ctes.append(f"""e{r + 1} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{r} e
+  LEFT JOIN sup{r} s ON s.a = e.a AND s.b = e.b
+  WHERE coalesce(s.s, 0) >= {k - 2})""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT e.a, e.b, CAST(coalesce(s.s, 0) AS BIGINT) AS support
+FROM e{rounds} e LEFT JOIN supf s ON s.a = e.a AND s.b = e.b""")
+
+
+def _q_clust_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (linkgraph.py:
+    clustering_coefficient): integer triangle counts over the
+    degree-oriented enumeration, C(deg,2) denominator, ONE IEEE
+    division — exact."""
+    from bdtopo2refhydro_spark.operators.linkgraph import (
+        clustering_coefficient)
+
+    return clustering_coefficient(_kt_pairs(spark, sf_dir))
+
+
+_CLUST_COEF_SQL = f"""
+WITH p AS ({_KT_EDGES_D}),
+tri AS (
+  SELECT p1.a AS x, p1.b AS y, p2.b AS z
+  FROM p p1 JOIN p p2 ON p2.a = p1.b
+  JOIN p p3 ON p3.a = p1.a AND p3.b = p2.b
+),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+),
+tricnt AS (SELECT node, CAST(count(*) AS BIGINT) AS tri_cnt
+           FROM corners GROUP BY node),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM p UNION ALL SELECT b FROM p) t
+  GROUP BY node
+)
+SELECT d.node, d.deg, CAST(coalesce(t.tri_cnt, 0) AS BIGINT) AS tri_cnt,
+       CAST(coalesce(t.tri_cnt, 0) * 2 AS DOUBLE)
+         / CAST(d.deg * (d.deg - 1) AS DOUBLE) AS coef
+FROM deg d LEFT JOIN tricnt t ON t.node = d.node
+WHERE d.deg >= 2
+"""
+
+
 # ---- batch 42: prefix-filtering set-similarity join (PPJoin) ---------
 
 
@@ -11087,6 +11199,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 41: distributed SCC by coloring — directed
         # reachability partition, mutual-reach walk oracle.
         # batch 42: prefix-filtering τ-join (exact candidate scheme).
+        # batch 43: k-truss edge peel + clustering coefficient.
+        "ktruss": _q_ktruss,
+        "clust_coef": _q_clust_coef,
         "prefix_join": _q_prefix_join,
         "scc_coloring": _q_scc_coloring,
         "stump_train": _q_stump_train,
@@ -11535,6 +11650,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "mp3_frames": _MP3_FRAMES_SQL,
         "dbscan": _dbscan_sql(),
+        "ktruss": _ktruss_sql(),
+        "clust_coef": _CLUST_COEF_SQL,
         "prefix_join": _PREFIX_JOIN_SQL,
         "scc_coloring": _SCC_SQL,
         "stump_train": _STUMP_SQL,

@@ -720,3 +720,76 @@ def neighborhood_sum(nodes: DataFrame, edges: DataFrame, *,
                      (F.col("feat") + F.coalesce("msg", F.lit(0)))
                      .cast("long").alias("feat")))
     return h
+
+
+def _canonical_triangles(pairs: DataFrame, a_col: str = "a",
+                         b_col: str = "b") -> DataFrame:
+    """Each triangle x<y<z of the canonical (a<b) edge set exactly
+    once, via the 3-join p1(x,y) ⋈ p2(y,z) ⋈ p3(x,z). Wedge fan-out is
+    per-mid-node quadratic on hubs — triangle_counts' degree-oriented
+    enumeration is the hub-safe variant; this canonical form keeps the
+    EDGE identities the truss peel needs."""
+    p = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    p1 = p.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    p2 = p.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    p3 = p.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    return p1.join(p2, "y").join(p3, ["x", "z"]).select("x", "y", "z")
+
+
+def _edge_support(e: DataFrame) -> DataFrame:
+    """Per-canonical-edge triangle support (a, b, support ≥ 1)."""
+    tri = _canonical_triangles(e)
+    edges3 = tri.select(F.explode(F.array(
+        F.struct(F.col("x").alias("a"), F.col("y").alias("b")),
+        F.struct(F.col("x").alias("a"), F.col("z").alias("b")),
+        F.struct(F.col("y").alias("a"), F.col("z").alias("b"))))
+        .alias("e")).select("e.a", "e.b")
+    return edges3.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("support"))
+
+
+def ktruss(pairs: DataFrame, k: int = 4, rounds: int = 3,
+           a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """Bounded-round k-TRUSS peel — the edge-level sibling of
+    kcore_peel and the standard community/link-farm core extractor:
+    each round drops every edge in fewer than k−2 triangles of the
+    surviving graph, then recounts. Rounds are a fixed constant (the
+    kcore_peel / page_rank_int convention) so a non-recursive oracle
+    can replay the exact schedule. Returns the surviving edges with
+    their FINAL recomputed support (a, b, support).
+    """
+    e = (pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+         .distinct().localCheckpoint(eager=False))
+    for _ in range(rounds):
+        sup = _edge_support(e)
+        e = (e.join(sup, ["a", "b"], "left")
+             .where(F.coalesce("support", F.lit(0)) >= k - 2)
+             .select("a", "b")
+             .localCheckpoint(eager=False))
+    sup = _edge_support(e)
+    return (e.join(sup, ["a", "b"], "left")
+            .select("a", "b",
+                    F.coalesce("support", F.lit(0).cast("long"))
+                    .alias("support")))
+
+
+def clustering_coefficient(pairs: DataFrame, a_col: str = "a",
+                           b_col: str = "b") -> DataFrame:
+    """Local clustering coefficient per node: triangles_at(v) /
+    C(deg v, 2) — the link-graph 'how cliquish is this neighborhood'
+    signal. Integer triangle counts (triangle_counts' degree-oriented
+    enumeration) and ONE final IEEE division → bit-replayable.
+    Nodes with deg < 2 are excluded (undefined coefficient)."""
+    tri = triangle_counts(pairs, a_col=a_col, b_col=b_col)
+    deg = (pairs.select(F.col(a_col).alias("node"))
+           .unionByName(pairs.select(F.col(b_col).alias("node")))
+           .groupBy("node").agg(F.count("*").cast("long").alias("deg")))
+    return (deg.where(F.col("deg") >= 2)
+            .join(tri, "node", "left")
+            .select("node", "deg",
+                    F.coalesce("tri_cnt", F.lit(0).cast("long"))
+                    .alias("tri_cnt"))
+            .withColumn("coef",
+                        (F.col("tri_cnt") * 2).cast("double")
+                        / (F.col("deg") * (F.col("deg") - 1))
+                        .cast("double")))

@@ -390,3 +390,37 @@ def test_degree_assortativity_moments_star_vs_path(spark):
     assert (r["m"], r["s_j"], r["s_jk"], r["s_j2"]) == (6, 12, 18, 30)
     # Newman r for a star is -1: (m*s_jk - s_j^2)/(m*s_j2 - s_j^2)
     assert (6 * 18 - 144) == -(6 * 30 - 144)
+
+
+def test_ktruss_hand_graph(spark):
+    """K4 {1,2,3,4} + a pendant triangle {4,5,6} + a tail 6-7: in a
+    4-truss (support >= 2), the K4 survives, the pendant triangle
+    (support 1 per edge) and the tail peel away."""
+    import itertools
+
+    k4 = list(itertools.combinations([1, 2, 3, 4], 2))
+    extra = [(4, 5), (4, 6), (5, 6), (6, 7)]
+    df = spark.createDataFrame(k4 + extra, "a long, b long")
+    from bdtopo2refhydro_spark.operators.linkgraph import ktruss
+
+    out = {(r["a"], r["b"]): r["support"]
+           for r in ktruss(df, k=4, rounds=3).collect()}
+    assert set(out) == set(k4)
+    assert all(s == 2 for s in out.values())
+
+
+def test_clustering_coefficient_hand_graph(spark):
+    """Triangle {1,2,3} + star edges 1-4, 1-5: node 1 has deg 4 and
+    1 triangle -> coef 2/12; nodes 2,3 have deg 2, 1 triangle -> 1.0;
+    nodes 4,5 deg 1 excluded."""
+    edges = [(1, 2), (1, 3), (2, 3), (1, 4), (1, 5)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    from bdtopo2refhydro_spark.operators.linkgraph import (
+        clustering_coefficient)
+
+    got = {r["node"]: (r["deg"], r["tri_cnt"], r["coef"])
+           for r in clustering_coefficient(df).collect()}
+    assert got[1] == (4, 1, 2 / 12)
+    assert got[2] == (2, 1, 1.0)
+    assert got[3] == (2, 1, 1.0)
+    assert 4 not in got and 5 not in got
