@@ -463,10 +463,13 @@ def boruvka_mst(edges: DataFrame, *, eid: str = "eid", src: str = "u",
 
       per round: 1 label join on each endpoint → cross-component
       filter → per-component min(struct(w, eid)) (partial agg
-      map-side) → the chosen edges form a component-level merge graph
-      (|components| nodes, halving) on which connected_components
-      relabels — O(log) inner rounds on an exponentially shrinking
-      graph, so total work per round is dominated by the edge relabel.
+      map-side) → the chosen edges form a HOOK FOREST over component
+      labels (functional: one parent pointer per hooked component;
+      mutual pairs broken to the smaller label) that pointer jumping
+      resolves in O(log depth) rounds of |components|-row self-joins —
+      far cheaper than generic CC on the merge graph, and shrinking
+      geometrically. Total work per round is dominated by the edge
+      relabel join.
 
     Ties are broken by (w, eid) lexicographic min, so the forest is
     deterministic even with duplicate weights (and UNIQUE when weights
@@ -497,35 +500,62 @@ def boruvka_mst(edges: DataFrame, *, eid: str = "eid", src: str = "u",
                             "u", "v", "lu", "lv")
                .union(cross.select(F.col("lv").alias("c"), "w", "eid",
                                    "u", "v", "lu", "lv")))
-        sel = (inc.groupBy("c")
-               .agg(F.min(F.struct("w", "eid", "u", "v",
-                                   "lu", "lv")).alias("m"))
-               .select("m.eid", "m.u", "m.v", "m.w",
-                       "m.lu", "m.lv")
-               .dropDuplicates(["eid"]))
-        sel = slots.checkpoint(sel, "sel")
-        n_sel = sel.count()
+        per_c = slots.checkpoint(
+            inc.groupBy("c")
+            .agg(F.min(F.struct("w", "eid", "u", "v",
+                                "lu", "lv")).alias("m")),
+            "perc")
+        n_sel = per_c.count()
         if metrics is not None:
             metrics.add(op="boruvka_mst", round=i, hooked=n_sel)
         if n_sel == 0:
             break
-        picked = sel.select("eid", "u", "v", "w")
+        picked = (per_c.select("m.eid", "m.u", "m.v", "m.w")
+                  .dropDuplicates(["eid"]))
         chosen = (picked if chosen is None
                   else chosen.union(picked))
         chosen = slots.checkpoint(chosen, "chosen")
         chosen.count()
-        # relabel on the COMPONENT graph (halving), not the node graph
-        comp_adj = (sel.select(F.col("lu").alias("node"),
-                               F.col("lv").alias("nbr"))
-                    .union(sel.select(F.col("lv").alias("node"),
-                                      F.col("lu").alias("nbr"))))
-        comp_cc = (connected_components(comp_adj, metrics=metrics)
-                   .select(F.col("node").alias("_old"),
-                           F.col("l").alias("_new")))
+        # relabel via the hook forest: each hooked component's parent
+        # pointer is the other endpoint's label of its chosen edge;
+        # mutual pairs (c and p hooked the same edge) break to the
+        # smaller label, rooting every hook tree, and pointer jumping
+        # resolves roots in O(log depth) self-joins of component rows
+        par = per_c.select(
+            "c",
+            F.when(F.col("m.lu") == F.col("c"), F.col("m.lv"))
+            .otherwise(F.col("m.lu")).alias("p"))
+        pp = par.select(F.col("c").alias("p"), F.col("p").alias("_gp"))
+        ptr = slots.checkpoint(
+            par.join(pp, "p", "left")
+            .select("c",
+                    F.when(F.col("_gp") == F.col("c"),
+                           F.least("c", "p"))
+                    .otherwise(F.col("p")).alias("p")),
+            "ptr")
+        # signature convergence (never touch the superseded slot frame
+        # after re-checkpointing — its blocks are freed, CLAUDE.md)
+        def _psig(df):
+            return df.select(
+                F.expr("bit_xor(xxhash64(c, p))").alias("h")).first()["h"]
+
+        psig = _psig(ptr)
+        for _ in range(max_rounds):
+            nxt = ptr.select(F.col("c").alias("p"),
+                             F.col("p").alias("_np"))
+            ptr = slots.checkpoint(
+                ptr.join(nxt, "p", "left")
+                .select("c", F.coalesce("_np", "p").alias("p")),
+                "ptr")
+            new_psig = _psig(ptr)
+            if new_psig == psig:
+                break
+            psig = new_psig
         lab = slots.checkpoint(
-            lab.join(comp_cc, lab["l"] == comp_cc["_old"], "left")
-            .select("node",
-                    F.coalesce("_new", "l").alias("l")),
+            lab.join(ptr.select(F.col("c").alias("_old"),
+                                F.col("p").alias("_new")),
+                     lab["l"] == F.col("_old"), "left")
+            .select("node", F.coalesce("_new", "l").alias("l")),
             "lab")
         lab.count()
     if chosen is None:
