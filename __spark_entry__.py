@@ -10343,6 +10343,53 @@ FROM base
 """
 
 
+# ---- batch 44: positional phrase search --------------------------------
+
+_PHRASES = [("p_the_fast", 0, "the", 2), ("p_the_fast", 1, "fast", 2),
+            ("p_b3", 0, "batch", 3), ("p_b3", 1, "batch", 3),
+            ("p_b3", 2, "batch", 3),
+            ("p_md", 0, "merge", 2), ("p_md", 1, "data", 2)]
+
+
+def _q_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search (corpus.py:phrase_search): one
+    postings⋈phrase equi-join re-anchored to implied starts, matched
+    by count(DISTINCT k) = phrase length. 'batch batch batch' pins the
+    repeated-token alignment logic."""
+    from bdtopo2refhydro_spark.operators.corpus import phrase_search
+
+    phrases = spark.createDataFrame(
+        _PHRASES, "phrase_id string, k int, tok string, plen int")
+    return phrase_search(_docs(spark, sf_dir), phrases)
+
+
+def _phrase_query_sql() -> str:
+    vals = ", ".join(f"('{p}', {k}, '{t}', {n})"
+                     for p, k, t, n in _PHRASES)
+    return f"""
+WITH phr(phrase_id, k, tok, plen) AS (VALUES {vals}),
+lists AS (
+  SELECT doc_id AS d,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     t -> t != '') AS l
+  FROM documents
+),
+toks AS (
+  SELECT d, CAST(i - 1 AS INT) AS pos, l[CAST(i AS INT)] AS tok
+  FROM lists, UNNEST(range(1, len(l) + 1)) t(i)
+),
+m AS (
+  SELECT p.phrase_id, t.d, t.pos - p.k AS start, p.k, p.plen
+  FROM toks t JOIN phr p ON p.tok = t.tok
+  WHERE t.pos - p.k >= 0
+)
+SELECT phrase_id, d AS doc_id, CAST(start AS BIGINT) AS start
+FROM m
+GROUP BY phrase_id, d, start, plen
+HAVING count(DISTINCT k) = plen
+"""
+
+
 # ---- batch 43: k-truss peel + clustering coefficient ------------------
 
 
@@ -11200,6 +11247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reachability partition, mutual-reach walk oracle.
         # batch 42: prefix-filtering τ-join (exact candidate scheme).
         # batch 43: k-truss edge peel + clustering coefficient.
+        # batch 44: positional phrase search over the inverted index.
+        "phrase_query": _q_phrase_query,
         "ktruss": _q_ktruss,
         "clust_coef": _q_clust_coef,
         "prefix_join": _q_prefix_join,
@@ -11650,6 +11699,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "mp3_frames": _MP3_FRAMES_SQL,
         "dbscan": _dbscan_sql(),
+        "phrase_query": _phrase_query_sql(),
         "ktruss": _ktruss_sql(),
         "clust_coef": _CLUST_COEF_SQL,
         "prefix_join": _PREFIX_JOIN_SQL,

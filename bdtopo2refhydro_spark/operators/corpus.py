@@ -1107,3 +1107,42 @@ def registered_domain(df: DataFrame, suffixes: DataFrame,
                         F.when(reg.isNull(), F.lit(None).cast("int"))
                         .otherwise(F.size(F.split(reg, r"\.")) - 1))
             .drop("__labs", "__n"))
+
+
+def phrase_search(docs: DataFrame, phrases: DataFrame,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Positional phrase query over the inverted index — the search
+    primitive `inv_index`'s sorted postings exist for: find every
+    occurrence of each multi-token phrase. A phrase of length L
+    anchored at start s matches iff token k of the phrase sits at
+    position s+k for ALL k — so ONE equi-join of postings against the
+    (broadcast) phrase tokens, re-anchoring each hit to its implied
+    start (pos − k), then a groupBy counting DISTINCT k per
+    (phrase, doc, start) equal to L. count(DISTINCT k), not count(*):
+    a phrase with a repeated token ('batch batch batch') would
+    otherwise double-count one aligned position.
+
+    Postings shuffle once on token (the join key); phrase tables are
+    tiny. No self-join of the corpus, no per-row Python. Returns
+    (phrase_id, doc_id, start).
+
+    phrases: (phrase_id, k, tok, plen) with k 0-based.
+    """
+    from .text import tokens_expr
+
+    toks = (docs.select(
+        F.col(id_col).alias("_d"),
+        F.posexplode(F.expr(tokens_expr(text_col)))
+        .alias("_pos", "tok"))
+        .where(F.col("tok") != ""))
+    m = (toks.join(F.broadcast(phrases), "tok")
+         .select("phrase_id", "_d",
+                 (F.col("_pos") - F.col("k")).alias("start"),
+                 "k", "plen")
+         .where(F.col("start") >= 0))
+    return (m.groupBy("phrase_id", "_d", "start", "plen")
+            .agg(F.count_distinct(F.col("k")).alias("_nk"))
+            .where(F.col("_nk") == F.col("plen"))
+            .select("phrase_id", F.col("_d").alias("doc_id"),
+                    F.col("start").cast("long").alias("start")))

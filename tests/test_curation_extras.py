@@ -521,3 +521,23 @@ def test_registered_domain_longest_suffix_wins(spark):
     assert got[4] == (None, None)            # unlisted TLD
     assert got[5] == ("site.github.io", 2)   # github.io beats io
     assert got[6] == (None, None)
+
+
+def test_phrase_search_repeated_token_alignment(spark):
+    """'b b b' must match only true 3-runs (count DISTINCT k, not
+    count(*)); overlapping occurrences all reported."""
+    docs = spark.createDataFrame(
+        [(1, "a b b b b c"),   # 'b b b' at starts 1 and 2
+         (2, "b c b c b"),     # no 3-run
+         (3, "x y b b b")],    # one at start 2
+        "doc_id long, text string")
+    phrases = spark.createDataFrame(
+        [("p3", 0, "b", 3), ("p3", 1, "b", 3), ("p3", 2, "b", 3),
+         ("bc", 0, "b", 2), ("bc", 1, "c", 2)],
+        "phrase_id string, k int, tok string, plen int")
+    from bdtopo2refhydro_spark.operators.corpus import phrase_search
+
+    got = {(r["phrase_id"], r["doc_id"], r["start"])
+           for r in phrase_search(docs, phrases).collect()}
+    assert got == {("p3", 1, 1), ("p3", 1, 2), ("p3", 3, 2),
+                   ("bc", 1, 4), ("bc", 2, 0), ("bc", 2, 2)}
