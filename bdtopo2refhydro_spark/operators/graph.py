@@ -526,27 +526,36 @@ def boruvka_mst(edges: DataFrame, *, eid: str = "eid", src: str = "u",
             F.when(F.col("m.lu") == F.col("c"), F.col("m.lv"))
             .otherwise(F.col("m.lu")).alias("p"))
         pp = par.select(F.col("c").alias("p"), F.col("p").alias("_gp"))
-        ptr = slots.checkpoint(
-            par.join(pp, "p", "left")
-            .select("c",
-                    F.when(F.col("_gp") == F.col("c"),
-                           F.least("c", "p"))
-                    .otherwise(F.col("p")).alias("p")),
-            "ptr")
-        # signature convergence (never touch the superseded slot frame
-        # after re-checkpointing — its blocks are freed, CLAUDE.md)
+        # SELF-join rounds must NOT chain localCheckpoints: Spark 4's
+        # localCheckpoint preserves the child's size estimate, and a
+        # self-join SQUARES it — ~25 rounds in, the BigInteger stats
+        # product overflows and PLANNING throws (measured; see
+        # PLANS.md). cache()+count() instead: the materialized
+        # InMemoryRelation reports its MEASURED size, so estimates
+        # stay flat; lineage depth is bounded by the round count and
+        # roots at the checkpointed per_c.
+        ptr = (par.join(pp, "p", "left")
+               .select("c",
+                       F.when(F.col("_gp") == F.col("c"),
+                              F.least("c", "p"))
+                       .otherwise(F.col("p")).alias("p"))
+               .cache())
+        ptr.count()
+
         def _psig(df):
             return df.select(
                 F.expr("bit_xor(xxhash64(c, p))").alias("h")).first()["h"]
 
         psig = _psig(ptr)
+        jumped = [ptr]
         for _ in range(max_rounds):
             nxt = ptr.select(F.col("c").alias("p"),
                              F.col("p").alias("_np"))
-            ptr = slots.checkpoint(
-                ptr.join(nxt, "p", "left")
-                .select("c", F.coalesce("_np", "p").alias("p")),
-                "ptr")
+            ptr = (ptr.join(nxt, "p", "left")
+                   .select("c", F.coalesce("_np", "p").alias("p"))
+                   .cache())
+            ptr.count()
+            jumped.append(ptr)
             new_psig = _psig(ptr)
             if new_psig == psig:
                 break
@@ -558,6 +567,8 @@ def boruvka_mst(edges: DataFrame, *, eid: str = "eid", src: str = "u",
             .select("node", F.coalesce("_new", "l").alias("l")),
             "lab")
         lab.count()
+        for j in jumped:
+            j.unpersist()
     if chosen is None:
         return e.select("eid", "u", "v", "w").limit(0)
     return chosen
@@ -592,12 +603,17 @@ def functional_graph_cycles(f: DataFrame, *, node: str = "node",
     m = slots.checkpoint(m, "anc")
     n = m.count()
     k = max(1, (n - 1).bit_length())
+    # doubling is a SELF-join per round — cache()+count() rounds, not
+    # chained localCheckpoints, or the preserved size estimates square
+    # each round and overflow BigInteger during planning (same fix as
+    # boruvka_mst's jump loop; measured, see PLANS.md)
+    doubled = []
     for i in range(k):
         hop = m.select(F.col("v").alias("a"), F.col("a").alias("a2"))
-        m = slots.checkpoint(
-            m.join(hop, "a").select("v", F.col("a2").alias("a")),
-            "anc")
+        m = (m.join(hop, "a").select("v", F.col("a2").alias("a"))
+             .cache())
         m.count()
+        doubled.append(m)
         if metrics is not None:
             metrics.add(op="functional_cycles", doubling=i)
     anchors = m  # (v, a) with a on v's cycle
@@ -616,6 +632,10 @@ def functional_graph_cycles(f: DataFrame, *, node: str = "node",
            .select(F.col("v").alias(node),
                    F.coalesce("_onc", F.lit(False)).alias("on_cycle"),
                    "cycle_id"))
+    # free intermediate doubling caches; the final anchors cache backs
+    # `out` and recomputes (if evicted) from the checkpointed base map
+    for d in doubled[:-1]:
+        d.unpersist()
     return out
 
 
