@@ -10343,6 +10343,58 @@ FROM base
 """
 
 
+# ---- batch 45: schema-mismatch union + JSON encode round-trip ---------
+
+
+def _q_union_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName(allowMissingColumns=True) — the schema-drift merge
+    every multi-vintage corpus hits: absent columns null-pad instead
+    of failing. The oracle spells the padding out as explicit NULLs."""
+    d = _docs(spark, sf_dir)
+    old = d.where("doc_id % 2 = 0").select(
+        "doc_id", "lang", F.col("n_chars").alias("len_v1"))
+    new = d.where("doc_id % 2 = 1").select(
+        "doc_id", "lang", F.col("n_chars").alias("len_v2"),
+        F.lit("crawl2").alias("vintage"))
+    return old.unionByName(new, allowMissingColumns=True)
+
+
+_UNION_MISSING_SQL = """
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS len_v1,
+       CAST(NULL AS BIGINT) AS len_v2, CAST(NULL AS VARCHAR) AS vintage
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, lang, NULL, CAST(n_chars AS BIGINT), 'crawl2'
+FROM documents WHERE doc_id % 2 = 1
+"""
+
+
+def _q_to_json_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_json → from_json round-trip (the inverse pair of
+    json_extract's parse path): serialization must be the identity on
+    (long, string) structs, and the wire format itself is pinned —
+    Spark's to_json emits fields in struct order with no whitespace,
+    which the oracle reconstructs by string concat."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    j = F.to_json(F.struct("doc_id", "lang", "n_chars"))
+    parsed = F.from_json(
+        j, "doc_id bigint, lang string, n_chars bigint")
+    return d.select(
+        "doc_id", j.alias("js"),
+        parsed["lang"].alias("lang_rt"),
+        parsed["n_chars"].alias("n_chars_rt"))
+
+
+_TO_JSON_RT_SQL = """
+SELECT doc_id,
+       '{"doc_id":' || CAST(doc_id AS VARCHAR)
+         || ',"lang":"' || lang || '","n_chars":'
+         || CAST(n_chars AS VARCHAR) || '}' AS js,
+       lang AS lang_rt, CAST(n_chars AS BIGINT) AS n_chars_rt
+FROM documents
+"""
+
+
 # ---- batch 44: positional phrase search --------------------------------
 
 _PHRASES = [("p_the_fast", 0, "the", 2), ("p_the_fast", 1, "fast", 2),
@@ -11248,6 +11300,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 42: prefix-filtering τ-join (exact candidate scheme).
         # batch 43: k-truss edge peel + clustering coefficient.
         # batch 44: positional phrase search over the inverted index.
+        # batch 45: schema-drift union + to_json wire-format pin.
+        "union_missing": _q_union_missing,
+        "to_json_rt": _q_to_json_rt,
         "phrase_query": _q_phrase_query,
         "ktruss": _q_ktruss,
         "clust_coef": _q_clust_coef,
@@ -11699,6 +11754,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "mp3_frames": _MP3_FRAMES_SQL,
         "dbscan": _dbscan_sql(),
+        "union_missing": _UNION_MISSING_SQL,
+        "to_json_rt": _TO_JSON_RT_SQL,
         "phrase_query": _phrase_query_sql(),
         "ktruss": _ktruss_sql(),
         "clust_coef": _CLUST_COEF_SQL,
