@@ -526,20 +526,19 @@ def boruvka_mst(edges: DataFrame, *, eid: str = "eid", src: str = "u",
             F.when(F.col("m.lu") == F.col("c"), F.col("m.lv"))
             .otherwise(F.col("m.lu")).alias("p"))
         pp = par.select(F.col("c").alias("p"), F.col("p").alias("_gp"))
-        # SELF-join rounds must NOT chain localCheckpoints: Spark 4's
-        # localCheckpoint preserves the child's size estimate, and a
-        # self-join SQUARES it — ~25 rounds in, the BigInteger stats
-        # product overflows and PLANNING throws (measured; see
-        # PLANS.md). cache()+count() instead: the materialized
-        # InMemoryRelation reports its MEASURED size, so estimates
-        # stay flat; lineage depth is bounded by the round count and
-        # roots at the checkpointed per_c.
-        ptr = (par.join(pp, "p", "left")
-               .select("c",
-                       F.when(F.col("_gp") == F.col("c"),
-                              F.least("c", "p"))
-                       .otherwise(F.col("p")).alias("p"))
-               .cache())
+        # SELF-join rounds need BOTH layers (PLANS.md, measured twice):
+        # slot-checkpoint truncates the plan tree (which doubles per
+        # self-join round and hits the 2 GB plan-string wall) and a
+        # cache on top resets size estimates to MEASURED bytes (which
+        # chained localCheckpoints preserve and the self-join SQUARES
+        # into a BigInteger stats overflow ~25 rounds in).
+        ptr = slots.checkpoint(
+            par.join(pp, "p", "left")
+            .select("c",
+                    F.when(F.col("_gp") == F.col("c"),
+                           F.least("c", "p"))
+                    .otherwise(F.col("p")).alias("p")),
+            "ptr").cache()
         ptr.count()
 
         def _psig(df):
@@ -547,15 +546,17 @@ def boruvka_mst(edges: DataFrame, *, eid: str = "eid", src: str = "u",
                 F.expr("bit_xor(xxhash64(c, p))").alias("h")).first()["h"]
 
         psig = _psig(ptr)
-        jumped = [ptr]
+        prev_cache = ptr
         for _ in range(max_rounds):
             nxt = ptr.select(F.col("c").alias("p"),
                              F.col("p").alias("_np"))
-            ptr = (ptr.join(nxt, "p", "left")
-                   .select("c", F.coalesce("_np", "p").alias("p"))
-                   .cache())
+            ptr = slots.checkpoint(
+                ptr.join(nxt, "p", "left")
+                .select("c", F.coalesce("_np", "p").alias("p")),
+                "ptr").cache()
             ptr.count()
-            jumped.append(ptr)
+            prev_cache.unpersist()
+            prev_cache = ptr
             new_psig = _psig(ptr)
             if new_psig == psig:
                 break
@@ -567,8 +568,7 @@ def boruvka_mst(edges: DataFrame, *, eid: str = "eid", src: str = "u",
             .select("node", F.coalesce("_new", "l").alias("l")),
             "lab")
         lab.count()
-        for j in jumped:
-            j.unpersist()
+        prev_cache.unpersist()
     if chosen is None:
         return e.select("eid", "u", "v", "w").limit(0)
     return chosen
@@ -603,17 +603,24 @@ def functional_graph_cycles(f: DataFrame, *, node: str = "node",
     m = slots.checkpoint(m, "anc")
     n = m.count()
     k = max(1, (n - 1).bit_length())
-    # doubling is a SELF-join per round — cache()+count() rounds, not
-    # chained localCheckpoints, or the preserved size estimates square
-    # each round and overflow BigInteger during planning (same fix as
-    # boruvka_mst's jump loop; measured, see PLANS.md)
-    doubled = []
+    # SELF-join rounds need BOTH layers (PLANS.md, measured twice):
+    # localCheckpoint alone preserves size estimates, which a self-join
+    # SQUARES until Catalyst's BigInteger stats overflow (~25 rounds);
+    # cache alone keeps full lineage, whose plan TREE doubles per round
+    # (each join holds two copies of its child) until the plan string
+    # hits 2 GB. So: slot-checkpoint (plan → leaf) + cache on top
+    # (measured stats reset), unpersisting the superseded cache once
+    # the next round is materialized.
+    prev_cache = None
     for i in range(k):
         hop = m.select(F.col("v").alias("a"), F.col("a").alias("a2"))
-        m = (m.join(hop, "a").select("v", F.col("a2").alias("a"))
-             .cache())
+        m = slots.checkpoint(
+            m.join(hop, "a").select("v", F.col("a2").alias("a")),
+            "anc").cache()
         m.count()
-        doubled.append(m)
+        if prev_cache is not None:
+            prev_cache.unpersist()
+        prev_cache = m
         if metrics is not None:
             metrics.add(op="functional_cycles", doubling=i)
     anchors = m  # (v, a) with a on v's cycle
@@ -632,10 +639,6 @@ def functional_graph_cycles(f: DataFrame, *, node: str = "node",
            .select(F.col("v").alias(node),
                    F.coalesce("_onc", F.lit(False)).alias("on_cycle"),
                    "cycle_id"))
-    # free intermediate doubling caches; the final anchors cache backs
-    # `out` and recomputes (if evicted) from the checkpointed base map
-    for d in doubled[:-1]:
-        d.unpersist()
     return out
 
 
@@ -774,3 +777,66 @@ def strongly_connected_components(edges: DataFrame, *,
             .join(remaining.withColumnRenamed("node", "v"), "v",
                   "left_semi"), "e")
     return assigned
+
+
+def greedy_matching(edges: DataFrame, *, eid: str = "eid",
+                    src: str = "u", dst: str = "v", weight: str = "w",
+                    rounds: int = 12,
+                    metrics: TraversalMetrics | None = None
+                    ) -> DataFrame:
+    """Maximal matching by parallel greedy local minima — the
+    symmetry-breaking round pattern (Israeli–Itai / Luby family): each
+    round, an edge joins the matching iff its (w, eid) is the minimum
+    among ALL alive edges touching either endpoint (itself included);
+    matched endpoints and their incident edges then drop out. With a
+    total order on (w, eid) this computes EXACTLY the sequential
+    greedy-by-weight matching — but in parallel rounds (O(log n)
+    expected on random weights), each round two aggregations and two
+    semi-joins, no driver-side edge list.
+
+    ``rounds`` is a FIXED count (kcore_peel convention) so a
+    non-recursive oracle replays the exact schedule; at scale run
+    enough rounds for convergence (alive hits zero and further rounds
+    are no-ops). Returns the matched edges (eid, u, v, w).
+    """
+    alive = (edges.select(F.col(eid).alias("eid"),
+                          F.col(src).alias("u"), F.col(dst).alias("v"),
+                          F.col(weight).alias("w"))
+             .localCheckpoint(eager=False))
+    matched = None
+    for i in range(rounds):
+        inc = (alive.select(F.col("u").alias("n"), "w", "eid")
+               .union(alive.select(F.col("v").alias("n"), "w", "eid")))
+        nmin = (inc.groupBy("n")
+                .agg(F.min(F.struct("w", "eid")).alias("m"))
+                .select("n", F.col("m.w").alias("_mw"),
+                        F.col("m.eid").alias("_me")))
+        mu = nmin.select(F.col("n").alias("u"),
+                         F.col("_mw").alias("_wu"),
+                         F.col("_me").alias("_eu"))
+        mv = nmin.select(F.col("n").alias("v"),
+                         F.col("_mw").alias("_wv"),
+                         F.col("_me").alias("_ev"))
+        hit = (alive.join(mu, "u").join(mv, "v")
+               .where((F.col("_eu") == F.col("eid"))
+                      & (F.col("_ev") == F.col("eid")))
+               .select("eid", "u", "v", "w")
+               .localCheckpoint(eager=False))
+        n_hit = hit.count()
+        if metrics is not None:
+            metrics.add(op="greedy_matching", round=i, matched=n_hit)
+        if n_hit == 0:
+            break
+        matched = hit if matched is None else matched.union(hit)
+        matched = matched.localCheckpoint(eager=False)
+        used = (hit.select(F.col("u").alias("n"))
+                .union(hit.select(F.col("v").alias("n"))).distinct())
+        alive = (alive
+                 .join(used.withColumnRenamed("n", "u"), "u",
+                       "left_anti")
+                 .join(used.withColumnRenamed("n", "v"), "v",
+                       "left_anti")
+                 .localCheckpoint(eager=False))
+    if matched is None:
+        return alive.select("eid", "u", "v", "w").limit(0)
+    return matched
