@@ -10343,6 +10343,76 @@ FROM base
 """
 
 
+# ---- batch 46: parallel greedy maximal matching ------------------------
+
+
+def _q_max_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal matching by parallel greedy local minima
+    (graph.py:greedy_matching) — Israeli–Itai-style symmetry breaking;
+    with a total (w, eid) order it equals sequential greedy-by-weight.
+    Runs the MST fixture graph; the oracle unrolls the exact 12-round
+    schedule."""
+    from bdtopo2refhydro_spark.operators.graph import greedy_matching
+
+    d = _docs(spark, sf_dir)
+    tree = (d.select(
+        F.concat(F.lit("T"), F.col("doc_id")).alias("eid"),
+        F.col("doc_id").alias("u"),
+        F.expr("doc_id div 2").alias("v"),
+        F.expr(_MST_W_T).alias("w"))
+        .where(F.expr(f"doc_id >= 1 AND {_H} % 17 != 0")))
+    sib = d.select(F.col("doc_id").alias("_sib"))
+    extra = (d.join(sib, F.col("_sib") == F.col("doc_id") + 1)
+             .where(F.expr(
+                 f"doc_id >= 2 AND doc_id % 6 = 0 AND {_H} % 17 != 0 "
+                 f"AND {_h_of('doc_id + 1')} % 17 != 0"))
+             .select(
+                 F.concat(F.lit("X"), F.col("doc_id")).alias("eid"),
+                 F.col("doc_id").alias("u"),
+                 (F.col("doc_id") + 1).alias("v"),
+                 F.expr(f"CAST((1 + {_H} % 997) * 1000000 + 500000 "
+                        f"+ doc_id AS BIGINT)").alias("w")))
+    return greedy_matching(tree.unionByName(extra), rounds=12)
+
+
+def _max_matching_sql(rounds: int = 12) -> str:
+    w_t = f"CAST((1 + {_HD} % 1000) * 1000000 + doc_id AS BIGINT)"
+    ha = _h_of("a.doc_id")
+    hb = _h_of("a.doc_id + 1")
+    base = f"""
+  SELECT 'T' || CAST(doc_id AS VARCHAR) AS eid, doc_id AS u,
+         doc_id // 2 AS v, {w_t} AS w
+  FROM documents WHERE doc_id >= 1 AND {_HD} % 17 != 0
+  UNION ALL
+  SELECT 'X' || CAST(a.doc_id AS VARCHAR), a.doc_id, a.doc_id + 1,
+         CAST((1 + {ha} % 997) * 1000000 + 500000 + a.doc_id AS BIGINT)
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id >= 2 AND a.doc_id % 6 = 0
+    AND {ha} % 17 != 0 AND {hb} % 17 != 0
+"""
+    ctes = [f"alive0 AS MATERIALIZED ({base})"]
+    for r in range(rounds):
+        # distinct weights: min(w) identifies the min (w, eid) edge
+        ctes.append(f"""nmin{r} AS MATERIALIZED (
+  SELECT n, min(w) AS mw FROM (
+    SELECT u AS n, w FROM alive{r}
+    UNION ALL SELECT v, w FROM alive{r}) t GROUP BY n)""")
+        ctes.append(f"""hit{r} AS MATERIALIZED (
+  SELECT a.eid, a.u, a.v, a.w FROM alive{r} a
+  JOIN nmin{r} x ON x.n = a.u AND x.mw = a.w
+  JOIN nmin{r} y ON y.n = a.v AND y.mw = a.w)""")
+        ctes.append(f"""used{r} AS MATERIALIZED (
+  SELECT DISTINCT n FROM (
+    SELECT u AS n FROM hit{r} UNION ALL SELECT v FROM hit{r}) t)""")
+        ctes.append(f"""alive{r + 1} AS MATERIALIZED (
+  SELECT * FROM alive{r}
+  WHERE u NOT IN (SELECT n FROM used{r})
+    AND v NOT IN (SELECT n FROM used{r}))""")
+    hits = " UNION ALL ".join(
+        f"SELECT eid, u, v, w FROM hit{r}" for r in range(rounds))
+    return "WITH " + ",\n".join(ctes) + f"\n{hits}"
+
+
 # ---- batch 45: schema-mismatch union + JSON encode round-trip ---------
 
 
@@ -11301,6 +11371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 43: k-truss edge peel + clustering coefficient.
         # batch 44: positional phrase search over the inverted index.
         # batch 45: schema-drift union + to_json wire-format pin.
+        # batch 46: parallel greedy maximal matching.
+        "max_matching": _q_max_matching,
         "union_missing": _q_union_missing,
         "to_json_rt": _q_to_json_rt,
         "phrase_query": _q_phrase_query,
@@ -11754,6 +11826,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "mp3_frames": _MP3_FRAMES_SQL,
         "dbscan": _dbscan_sql(),
+        "max_matching": _max_matching_sql(),
         "union_missing": _UNION_MISSING_SQL,
         "to_json_rt": _TO_JSON_RT_SQL,
         "phrase_query": _phrase_query_sql(),

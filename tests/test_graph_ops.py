@@ -631,3 +631,39 @@ def test_scc_matches_python_reference_on_lcg_digraph(spark):
     got = {r["node"]: r["scc_id"]
            for r in strongly_connected_components(df).collect()}
     assert got == comp
+
+
+def test_greedy_matching_equals_sequential_greedy(spark):
+    """Parallel local-minima rounds == sequential greedy by weight
+    (unique weights) on an LCG multigraph, and the result is maximal."""
+    edges = []
+    x = 3
+    for i in range(80):
+        x = (x * 1103515245 + 12345) % 2147483648
+        u = x % 30
+        v = (x // 30) % 30
+        if u == v:
+            v = (v + 1) % 30
+        edges.append((f"e{i:03d}", u, v, i * 1000 + (x % 997)))
+
+    used = set()
+    want = set()
+    for eid, u, v, w in sorted(edges, key=lambda t: t[3]):
+        if u not in used and v not in used:
+            used.add(u)
+            used.add(v)
+            want.add(eid)
+
+    from bdtopo2refhydro_spark.operators.graph import greedy_matching
+
+    df = spark.createDataFrame(edges, "eid string, u long, v long, w long")
+    got = {r["eid"] for r in greedy_matching(df, rounds=30).collect()}
+    assert got == want
+    # maximality: every remaining edge touches a matched node
+    matched_nodes = set()
+    by_id = {e[0]: e for e in edges}
+    for eid in got:
+        _, u, v, _ = by_id[eid]
+        matched_nodes |= {u, v}
+    for eid, u, v, w in edges:
+        assert u in matched_nodes or v in matched_nodes
