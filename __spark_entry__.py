@@ -10343,6 +10343,88 @@ FROM base
 """
 
 
+# ---- batch 47: Luby MIS + time-respecting reachability -----------------
+
+
+def _q_mis_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal independent set by Luby-style local-minimum rounds
+    (graph.py:luby_mis) on the 120-node host graph — the node-level
+    symmetry-breaking sibling of max_matching. Oracle unrolls the
+    exact 12-round schedule."""
+    from bdtopo2refhydro_spark.operators.graph import luby_mis
+
+    p = _kt_pairs(spark, sf_dir)
+    return luby_mis(p, src="a", dst="b", rounds=12)
+
+
+def _mis_sql(rounds: int = 12) -> str:
+    ctes = [f"p AS MATERIALIZED ({_KT_EDGES_D})",
+            """sym AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM p UNION ALL SELECT b, a FROM p)""",
+            """alive0 AS MATERIALIZED (
+  SELECT DISTINCT u AS node FROM sym)"""]
+    for r in range(rounds):
+        ctes.append(f"""nbrmin{r} AS MATERIALIZED (
+  SELECT s.u, min(s.v) AS mn FROM sym s
+  JOIN alive{r} a1 ON a1.node = s.u
+  JOIN alive{r} a2 ON a2.node = s.v
+  GROUP BY s.u)""")
+        ctes.append(f"""win{r} AS MATERIALIZED (
+  SELECT a.node, CAST({r} AS INT) AS mis_round FROM alive{r} a
+  LEFT JOIN nbrmin{r} m ON m.u = a.node
+  WHERE m.mn IS NULL OR a.node < m.mn)""")
+        ctes.append(f"""blocked{r} AS MATERIALIZED (
+  SELECT DISTINCT s.v AS node FROM sym s
+  JOIN win{r} w ON w.node = s.u)""")
+        ctes.append(f"""alive{r + 1} AS MATERIALIZED (
+  SELECT node FROM alive{r}
+  WHERE node NOT IN (SELECT node FROM win{r})
+    AND node NOT IN (SELECT node FROM blocked{r}))""")
+    wins = " UNION ALL ".join(
+        f"SELECT node, mis_round FROM win{r}" for r in range(rounds))
+    return "WITH " + ",\n".join(ctes) + f"\n{wins}"
+
+
+def _q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting reachability (graph.py:temporal_reachability):
+    min arrival over paths with NON-DECREASING edge timestamps —
+    static reachability overcounts crawl revisit / cascade questions.
+    Keeping only the per-node min arrival is sound (earlier arrivals
+    dominate); the oracle's exhaustive (node, arrival) walk agrees."""
+    from bdtopo2refhydro_spark.operators.graph import (
+        temporal_reachability)
+
+    d = _docs(spark, sf_dir)
+    e = d.select(
+        (F.col("doc_id") % 97).cast("long").alias("u"),
+        F.expr("((doc_id div 97) * 5 + (doc_id div 3)) % 97")
+        .cast("long").alias("v"),
+        F.expr(f"{_H} % 1000").cast("long").alias("t")).where("u != v")
+    src = spark.createDataFrame([(i,) for i in range(5)], "node long")
+    return temporal_reachability(e, src)
+
+
+_TEMPORAL_REACH_SQL = f"""
+WITH RECURSIVE e AS (
+  SELECT CAST(doc_id % 97 AS BIGINT) AS u,
+         CAST(((doc_id // 97) * 5 + (doc_id // 3)) % 97 AS BIGINT)
+           AS v,
+         CAST({_HD} % 1000 AS BIGINT) AS t
+  FROM documents
+  WHERE doc_id % 97 <> ((doc_id // 97) * 5 + (doc_id // 3)) % 97
+),
+walk(node, arrival) AS (
+  SELECT CAST(s.node AS BIGINT), CAST(0 AS BIGINT)
+  FROM (VALUES (0), (1), (2), (3), (4)) s(node)
+  UNION
+  SELECT f.v, f.t FROM walk w
+  JOIN e f ON f.u = w.node AND f.t >= w.arrival
+)
+SELECT node, CAST(min(arrival) AS BIGINT) AS arrival
+FROM walk GROUP BY node
+"""
+
+
 # ---- batch 46: parallel greedy maximal matching ------------------------
 
 
@@ -11372,6 +11454,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 44: positional phrase search over the inverted index.
         # batch 45: schema-drift union + to_json wire-format pin.
         # batch 46: parallel greedy maximal matching.
+        # batch 47: Luby MIS + time-respecting reachability.
+        "mis_luby": _q_mis_luby,
+        "temporal_reach": _q_temporal_reach,
         "max_matching": _q_max_matching,
         "union_missing": _q_union_missing,
         "to_json_rt": _q_to_json_rt,
@@ -11826,6 +11911,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "mp3_frames": _MP3_FRAMES_SQL,
         "dbscan": _dbscan_sql(),
+        "mis_luby": _mis_sql(),
+        "temporal_reach": _TEMPORAL_REACH_SQL,
         "max_matching": _max_matching_sql(),
         "union_missing": _UNION_MISSING_SQL,
         "to_json_rt": _TO_JSON_RT_SQL,

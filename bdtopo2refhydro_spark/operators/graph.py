@@ -840,3 +840,103 @@ def greedy_matching(edges: DataFrame, *, eid: str = "eid",
     if matched is None:
         return alive.select("eid", "u", "v", "w").limit(0)
     return matched
+
+
+def luby_mis(edges: DataFrame, *, src: str = "u", dst: str = "v",
+             rounds: int = 12,
+             metrics: TraversalMetrics | None = None) -> DataFrame:
+    """Maximal independent set by Luby-style local minima — the node
+    sibling of greedy_matching: each round, an alive node joins the
+    MIS iff its id is smaller than every alive neighbor's; MIS nodes'
+    neighbors then drop out. With ids as the (total-order) priority
+    this equals the sequential greedy MIS in id order, computed in
+    parallel rounds. Fixed ``rounds`` (kcore convention) for oracle
+    replay; isolated nodes join in round 0. Returns (node, mis_round).
+    """
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .where(F.col("u") != F.col("v"))
+         .localCheckpoint(eager=False))
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    alive = (sym.select(F.col("u").alias("node")).distinct()
+             .localCheckpoint(eager=False))
+    adj = sym.localCheckpoint(eager=False)
+    out = None
+    for i in range(rounds):
+        nbr_min = (adj.join(alive.withColumnRenamed("node", "u"), "u",
+                            "left_semi")
+                   .join(alive.withColumnRenamed("node", "v"), "v",
+                         "left_semi")
+                   .groupBy("u").agg(F.min("v").alias("_mn")))
+        winners = (alive.join(nbr_min.withColumnRenamed("u", "node"),
+                              "node", "left")
+                   .where(F.col("_mn").isNull()
+                          | (F.col("node") < F.col("_mn")))
+                   .select("node",
+                           F.lit(i).cast("int").alias("mis_round"))
+                   .localCheckpoint(eager=False))
+        n_w = winners.count()
+        if metrics is not None:
+            metrics.add(op="luby_mis", round=i, winners=n_w)
+        if n_w == 0:
+            break
+        out = winners if out is None else out.union(winners)
+        out = out.localCheckpoint(eager=False)
+        blocked = (adj.join(winners.withColumnRenamed("node", "u")
+                            .select("u"), "u", "left_semi")
+                   .select(F.col("v").alias("node")).distinct())
+        alive = (alive
+                 .join(winners.select("node"), "node", "left_anti")
+                 .join(blocked, "node", "left_anti")
+                 .localCheckpoint(eager=False))
+    return out
+
+
+def temporal_reachability(edges: DataFrame, sources: DataFrame, *,
+                          src: str = "u", dst: str = "v",
+                          time_col: str = "t", max_rounds: int = 64,
+                          metrics: TraversalMetrics | None = None
+                          ) -> DataFrame:
+    """Time-respecting reachability: node v is reached at time
+    arrival(v) = the minimum over paths whose edge timestamps are
+    NON-DECREASING (a crawl revisit chain, an infection trace, a
+    citation cascade — static reachability overcounts because it
+    ignores that you cannot take yesterday's edge after today's).
+    Bounded-round label correction on (node, arrival): each round
+    relaxes edges usable from the current arrival (t ≥ arrival(u)),
+    keeps the min arrival per node. Joins against the FIXED edge
+    frame (linear stats growth — checkpoint-only rounds are safe
+    here). Returns (node, arrival); sources arrive at 0.
+    """
+    from ._ckpt import CheckpointSlots
+
+    slots = CheckpointSlots()
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"),
+                      F.col(time_col).cast("long").alias("t"))
+         .localCheckpoint(eager=False))
+    arr = slots.checkpoint(
+        sources.select(F.col("node"),
+                       F.lit(0).cast("long").alias("arrival")),
+        "arr")
+
+    def _sig(df):
+        return df.select(
+            F.expr("bit_xor(xxhash64(node, arrival))")
+            .alias("h")).first()["h"]
+
+    sig = _sig(arr)
+    for i in range(max_rounds):
+        relax = (e.join(arr.withColumnRenamed("node", "u"), "u")
+                 .where(F.col("t") >= F.col("arrival"))
+                 .select(F.col("v").alias("node"),
+                         F.col("t").alias("arrival")))
+        arr = slots.checkpoint(
+            arr.union(relax).groupBy("node")
+            .agg(F.min("arrival").alias("arrival")),
+            "arr")
+        new_sig = _sig(arr)
+        if metrics is not None:
+            metrics.add(op="temporal_reach", round=i)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    return arr

@@ -667,3 +667,49 @@ def test_greedy_matching_equals_sequential_greedy(spark):
         matched_nodes |= {u, v}
     for eid, u, v, w in edges:
         assert u in matched_nodes or v in matched_nodes
+
+
+def test_luby_mis_equals_sequential_greedy(spark):
+    """Local-minimum rounds == sequential greedy MIS in id order, and
+    the set is independent + maximal."""
+    edges = []
+    x = 11
+    for i in range(70):
+        x = (x * 1103515245 + 12345) % 2147483648
+        u, v = x % 25, (x // 25) % 25
+        if u != v:
+            edges.append((u, v))
+    adj = {}
+    nodes = set()
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+        nodes |= {u, v}
+    mis = set()
+    for v in sorted(nodes):
+        if not (adj[v] & mis):
+            mis.add(v)
+
+    from bdtopo2refhydro_spark.operators.graph import luby_mis
+
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r["node"] for r in luby_mis(df, rounds=20).collect()}
+    assert got == mis
+    for v in got:
+        assert not (adj[v] & got)          # independent
+    for v in nodes - got:
+        assert adj[v] & got                # maximal
+
+
+def test_temporal_reachability_respects_time(spark):
+    """1 -t3-> 2 -t1-> 3: node 3 is NOT time-reachable through 2
+    (t1 < t3), but 1 -t5-> 3 direct works; arrival keeps the min."""
+    edges = [(1, 2, 3), (2, 3, 1), (1, 3, 5), (3, 4, 6), (9, 1, 0)]
+    df = spark.createDataFrame(edges, "u long, v long, t long")
+    src = spark.createDataFrame([(1,)], "node long")
+    from bdtopo2refhydro_spark.operators.graph import (
+        temporal_reachability)
+
+    got = {r["node"]: r["arrival"]
+           for r in temporal_reachability(df, src).collect()}
+    assert got == {1: 0, 2: 3, 3: 5, 4: 6}
