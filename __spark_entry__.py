@@ -11415,6 +11415,191 @@ FROM base
 """
 
 
+# ---- batch 48: computational geometry (operators/geometry.py) -----------
+
+
+def _q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-level convex hull (geometry.py:convex_hull) on a
+    strictly-convex-position fixture: per group, 30 integer parabola
+    points (t, t^2), t in -15..14 — any 3 points on a parabola are
+    affinely independent, so ALL 30 are hull vertices — plus interior
+    points (t, t^2 + 20) proven strictly inside (t^2+20 < 210-t on
+    t in -14..13, never on a hull-edge line since 20 = -(t-a)(t-a-1)
+    has no integer solution). The oracle runs the GENERIC extreme-point
+    test (exists q: every r strictly left of pq); hull_pos closed form
+    = x + 15 (the CCW lower chain is the parabola in x order)."""
+    from bdtopo2refhydro_spark.operators.geometry import convex_hull
+
+    d = _docs(spark, sf_dir)
+    m = "(doc_id % 240)"
+    k = f"({m} div 4)"
+    t = (f"(case when {k} < 30 then {k} - 15 "
+         f"else (({k} - 30) % 28) - 14 end)")
+    pts = d.select(
+        F.expr(f"{m} % 4").cast("long").alias("g"),
+        F.expr(t).cast("long").alias("x"),
+        F.expr(f"case when {k} < 30 then {t} * {t} "
+               f"else {t} * {t} + 20 end").cast("long").alias("y"))
+    return convex_hull(pts, "g", "x", "y")
+
+
+_CONVEX_HULL_SQL = """
+WITH mm AS (SELECT DISTINCT doc_id % 240 AS m FROM documents),
+pts AS MATERIALIZED (
+  SELECT DISTINCT (m % 4) AS g,
+    CASE WHEN m // 4 < 30 THEN m // 4 - 15
+         ELSE ((m // 4 - 30) % 28) - 14 END AS x,
+    CASE WHEN m // 4 < 30 THEN (m // 4 - 15) * (m // 4 - 15)
+         ELSE (((m // 4 - 30) % 28) - 14) * (((m // 4 - 30) % 28) - 14)
+              + 20 END AS y
+  FROM mm)
+SELECT CAST(p.g AS BIGINT) AS g, CAST(p.x AS BIGINT) AS x,
+       CAST(p.y AS BIGINT) AS y, CAST(p.x + 15 AS BIGINT) AS hull_pos
+FROM pts p
+WHERE EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.g = p.g AND (q.x <> p.x OR q.y <> p.y)
+    AND NOT EXISTS (
+      SELECT 1 FROM pts r
+      WHERE r.g = p.g AND (r.x <> p.x OR r.y <> p.y)
+        AND (r.x <> q.x OR r.y <> q.y)
+        AND (q.x - p.x) * (r.y - p.y)
+            - (q.y - p.y) * (r.x - p.x) <= 0))
+"""
+
+
+def _q_closest_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-certified exact closest pair (geometry.py:closest_pair):
+    3x3 neighbor-cell candidates, certificate d2 <= cell^2, resolution
+    escalation for sparse groups. Fixture plants one pair at distance
+    5 per group (id 99 = id 0 shifted by (3,4)); the oracle is the
+    brute all-pairs min with the same (d2, a, b) tie order."""
+    from bdtopo2refhydro_spark.operators.geometry import closest_pair
+
+    d = _docs(spark, sf_dir)
+    m = "(doc_id % 400)"
+    g, k = f"({m} % 4)", f"({m} div 4)"
+    x = (f"(case when {k} = 99 then ({g} * 131) % 100000 + 3 "
+         f"else ({k} * 9973 + {g} * 131) % 100000 end)")
+    y = (f"(case when {k} = 99 then ({g} * 271) % 100000 + 4 "
+         f"else ({k} * 6007 + {g} * 271) % 100000 end)")
+    pts = d.select(
+        F.expr(g).cast("long").alias("g"),
+        F.expr(k).cast("long").alias("id"),
+        F.expr(x).cast("long").alias("x"),
+        F.expr(y).cast("long").alias("y"))
+    return closest_pair(pts, cell=1024)
+
+
+_CLOSEST_PAIR_SQL = """
+WITH mm AS (SELECT DISTINCT doc_id % 400 AS m FROM documents),
+pts AS MATERIALIZED (
+  SELECT (m % 4) AS g, (m // 4) AS id,
+    CASE WHEN m // 4 = 99 THEN ((m % 4) * 131) % 100000 + 3
+         ELSE ((m // 4) * 9973 + (m % 4) * 131) % 100000 END AS x,
+    CASE WHEN m // 4 = 99 THEN ((m % 4) * 271) % 100000 + 4
+         ELSE ((m // 4) * 6007 + (m % 4) * 271) % 100000 END AS y
+  FROM mm),
+pairs AS (
+  SELECT p.g,
+         (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) AS d2,
+         p.id AS a, q.id AS b
+  FROM pts p JOIN pts q ON q.g = p.g AND p.id < q.id)
+SELECT CAST(g AS BIGINT) AS g, CAST(d2 AS BIGINT) AS d2,
+       CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+FROM pairs
+QUALIFY row_number() OVER (PARTITION BY g ORDER BY d2, a, b) = 1
+"""
+
+
+def _q_seg_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Properly-crossing segment pairs (geometry.py:
+    segment_intersections): bbox-cover cell join for candidates,
+    responsibility-cell dedup (no DISTINCT), integer orientation signs.
+    Oracle = brute all-pairs with the identical predicate."""
+    from bdtopo2refhydro_spark.operators.geometry import (
+        segment_intersections)
+
+    d = _docs(spark, sf_dir)
+    m = "(doc_id % 300)"
+    dx = (f"(case when {m} % 17 = 8 and ({m} div 17) % 17 = 8 "
+          f"then 1 else {m} % 17 - 8 end)")
+    dy = f"(({m} div 17) % 17 - 8)"
+    segs = d.select(
+        F.expr(m).cast("long").alias("sid"),
+        F.expr(f"({m} * 461) % 2000").cast("long").alias("x0"),
+        F.expr(f"({m} * 547) % 2000").cast("long").alias("y0"),
+        F.expr(f"({m} * 461) % 2000 + 20 * {dx}").cast("long").alias("x1"),
+        F.expr(f"({m} * 547) % 2000 + 20 * {dy}").cast("long").alias("y1"),
+    ).distinct()
+    return segment_intersections(segs, cell=128)
+
+
+_SEG_INTERSECT_SQL = """
+WITH mm AS (SELECT DISTINCT doc_id % 300 AS m FROM documents),
+segs AS MATERIALIZED (
+  SELECT m AS sid, (m * 461) % 2000 AS x0, (m * 547) % 2000 AS y0,
+    (m * 461) % 2000 + 20 * (CASE WHEN m % 17 = 8 AND (m // 17) % 17 = 8
+                             THEN 1 ELSE m % 17 - 8 END) AS x1,
+    (m * 547) % 2000 + 20 * ((m // 17) % 17 - 8) AS y1
+  FROM mm)
+SELECT CAST(a.sid AS BIGINT) AS a, CAST(b.sid AS BIGINT) AS b
+FROM segs a JOIN segs b ON a.sid < b.sid
+WHERE sign((a.x1 - a.x0) * (b.y0 - a.y0) - (a.y1 - a.y0) * (b.x0 - a.x0))
+    * sign((a.x1 - a.x0) * (b.y1 - a.y0) - (a.y1 - a.y0) * (b.x1 - a.x0))
+    < 0
+  AND sign((b.x1 - b.x0) * (a.y0 - b.y0) - (b.y1 - b.y0) * (a.x0 - b.x0))
+    * sign((b.x1 - b.x0) * (a.y1 - b.y0) - (b.y1 - b.y0) * (a.x1 - b.x0))
+    < 0
+"""
+
+
+def _q_rect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rectangle overlap join (geometry.py:rect_overlap_join):
+    bbox-cover cell equi-join, closed-interval overlap, each pair
+    emitted once from the intersection's min-corner responsibility
+    cell. Oracle = brute theta join."""
+    from bdtopo2refhydro_spark.operators.geometry import rect_overlap_join
+
+    d = _docs(spark, sf_dir)
+    m, n = "(doc_id % 200)", "(doc_id % 150)"
+    a = d.select(
+        F.expr(m).cast("long").alias("aid"),
+        F.expr(f"({m} * 337) % 1500").cast("long").alias("ax0"),
+        F.expr(f"({m} * 613) % 1500").cast("long").alias("ay0"),
+        F.expr(f"({m} * 337) % 1500 + {m} % 50 + 1").cast("long")
+        .alias("ax1"),
+        F.expr(f"({m} * 613) % 1500 + ({m} div 50) % 50 + 1").cast("long")
+        .alias("ay1")).distinct()
+    b = d.select(
+        F.expr(n).cast("long").alias("bid"),
+        F.expr(f"({n} * 449) % 1500").cast("long").alias("bx0"),
+        F.expr(f"({n} * 733) % 1500").cast("long").alias("by0"),
+        F.expr(f"({n} * 449) % 1500 + {n} % 60 + 1").cast("long")
+        .alias("bx1"),
+        F.expr(f"({n} * 733) % 1500 + ({n} div 5) % 60 + 1").cast("long")
+        .alias("by1")).distinct()
+    return rect_overlap_join(a, b, cell=256)
+
+
+_RECT_JOIN_SQL = """
+WITH ma AS (SELECT DISTINCT doc_id % 200 AS m FROM documents),
+mb AS (SELECT DISTINCT doc_id % 150 AS n FROM documents),
+a AS MATERIALIZED (
+  SELECT m AS aid, (m * 337) % 1500 AS ax0, (m * 613) % 1500 AS ay0,
+    (m * 337) % 1500 + m % 50 + 1 AS ax1,
+    (m * 613) % 1500 + (m // 50) % 50 + 1 AS ay1 FROM ma),
+b AS MATERIALIZED (
+  SELECT n AS bid, (n * 449) % 1500 AS bx0, (n * 733) % 1500 AS by0,
+    (n * 449) % 1500 + n % 60 + 1 AS bx1,
+    (n * 733) % 1500 + (n // 5) % 60 + 1 AS by1 FROM mb)
+SELECT CAST(a.aid AS BIGINT) AS aid, CAST(b.bid AS BIGINT) AS bid
+FROM a JOIN b
+  ON a.ax0 <= b.bx1 AND b.bx0 <= a.ax1
+ AND a.ay0 <= b.by1 AND b.by0 <= a.ay1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -11455,6 +11640,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 45: schema-drift union + to_json wire-format pin.
         # batch 46: parallel greedy maximal matching.
         # batch 47: Luby MIS + time-respecting reachability.
+        # batch 48: computational geometry — two-level convex hull,
+        # grid-certified closest pair, segment-crossing and rectangle
+        # overlap pair joins (responsibility-cell dedup, no DISTINCT).
+        "convex_hull": _q_convex_hull,
+        "closest_pair": _q_closest_pair,
+        "seg_intersect": _q_seg_intersect,
+        "rect_join": _q_rect_join,
         "mis_luby": _q_mis_luby,
         "temporal_reach": _q_temporal_reach,
         "max_matching": _q_max_matching,
@@ -11909,6 +12101,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "convex_hull": _CONVEX_HULL_SQL,
+        "closest_pair": _CLOSEST_PAIR_SQL,
+        "seg_intersect": _SEG_INTERSECT_SQL,
+        "rect_join": _RECT_JOIN_SQL,
         "mp3_frames": _MP3_FRAMES_SQL,
         "dbscan": _dbscan_sql(),
         "mis_luby": _mis_sql(),
