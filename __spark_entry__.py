@@ -11600,6 +11600,147 @@ FROM a JOIN b
 """
 
 
+# ---- batch 49: integer-exact ML training (operators/ml.py) --------------
+
+
+def _q_linreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS (ml.py:linreg_groups): BIGINT moment sums, slope
+    and intercept each ONE IEEE division of exact integers — bitwise
+    identical to the oracle's mirrored formula."""
+    from bdtopo2refhydro_spark.operators.ml import linreg_groups
+
+    d = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 800).alias("m")).distinct()
+    pts = d.selectExpr(
+        "cast(m % 8 as long) as g",
+        "cast(m div 8 as long) as x",
+        "cast(3 * (m div 8) + ((m div 8) * (m div 8)) % 7"
+        " + m % 8 as long) as y")
+    return linreg_groups(pts)
+
+
+_LINREG_SQL = """
+WITH mm AS (SELECT DISTINCT doc_id % 800 AS m FROM documents),
+pts AS MATERIALIZED (
+  SELECT (m % 8) AS g, (m // 8) AS x,
+         3 * (m // 8) + ((m // 8) * (m // 8)) % 7 + (m % 8) AS y
+  FROM mm),
+agg AS (
+  SELECT g, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM pts GROUP BY g)
+SELECT CAST(g AS BIGINT) AS g, CAST(n AS BIGINT) AS n,
+  CAST(n * sxy - sx * sy AS DOUBLE)
+    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+  CAST(sy * (n * sxx - sx * sx) - sx * (n * sxy - sx * sy) AS DOUBLE)
+    / CAST(n * (n * sxx - sx * sx) AS DOUBLE) AS intercept
+FROM agg
+"""
+
+
+def _q_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch perceptron (ml.py:batch_perceptron), 3 integer rounds on a
+    margin-labeled plane; the oracle unrolls the identical round
+    schedule as chained 1-row CTEs."""
+    from bdtopo2refhydro_spark.operators.ml import batch_perceptron
+
+    d = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 500).alias("m")).distinct()
+    pts = d.selectExpr(
+        "cast((m * 37) % 21 - 10 as long) as x1",
+        "cast((m * 53) % 21 - 10 as long) as x2",
+        "cast(case when 2 * ((m * 37) % 21 - 10) - ((m * 53) % 21 - 10)"
+        " + 1 > 0 then 1 else -1 end as long) as y")
+    return batch_perceptron(pts, ["x1", "x2"], rounds=3)
+
+
+def _perceptron_sql(rounds: int = 3) -> str:
+    ctes = ["""mm AS (SELECT DISTINCT doc_id % 500 AS m FROM documents)""",
+            """pts AS MATERIALIZED (
+  SELECT (m * 37) % 21 - 10 AS x1, (m * 53) % 21 - 10 AS x2,
+         CASE WHEN 2 * ((m * 37) % 21 - 10) - ((m * 53) % 21 - 10) + 1 > 0
+              THEN 1 ELSE -1 END AS y
+  FROM mm)""",
+            "wa0 AS (SELECT 0 AS a, 0 AS b, 0 AS c)"]
+    for r in range(rounds):
+        ctes.append(f"""u{r} AS (
+  SELECT coalesce(sum(y), 0) AS d0, coalesce(sum(y * x1), 0) AS d1,
+         coalesce(sum(y * x2), 0) AS d2
+  FROM pts, wa{r} WHERE y * (a + b * x1 + c * x2) <= 0)""")
+        ctes.append(f"""wa{r + 1} AS (
+  SELECT a + d0 AS a, b + d1 AS b, c + d2 AS c FROM wa{r}, u{r})""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(a AS BIGINT) AS w0, CAST(b AS BIGINT) AS w1,
+       CAST(c AS BIGINT) AS w2,
+       (SELECT CAST(count(*) AS BIGINT) FROM pts, wa{rounds}
+        WHERE y * (a + b * x1 + c * x2) <= 0) AS n_mis
+FROM wa{rounds}""")
+
+
+def _q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary naive Bayes trained+served in one plan
+    (ml.py:nb_train_predict): Laplace-smoothed argmax decided by the
+    cross-multiplied INTEGER comparison (decimal38 / HUGEINT on the two
+    sides) — zero float likelihoods, exact pred and count products."""
+    from bdtopo2refhydro_spark.operators.ml import nb_train_predict
+
+    d = _docs(spark, sf_dir)
+    train = (d.select((F.col("doc_id") % 60).alias("m")).distinct()
+             .selectExpr(
+        "cast(m % 2 as long) as label",
+        "explode(array(cast((m * 3) % 10 as long),"
+        " cast((m * 7 + 1) % 10 as long),"
+        " cast((m * 11 + 2) % 10 as long),"
+        " cast((m * 17 + 3) % 10 as long))) as token"))
+    probes = (d.select((F.col("doc_id") % 16).alias("p")).distinct()
+              .selectExpr(
+        "cast(p as long) as pid",
+        "array(cast(p % 10 as long), cast((p + 3) % 10 as long),"
+        " cast((p + 6) % 10 as long), cast((p + 9) % 10 as long)) as toks"))
+    return nb_train_predict(train, probes, vocab_size=10)
+
+
+_NB_SQL = """
+WITH mm AS (SELECT DISTINCT doc_id % 60 AS m FROM documents),
+tr AS MATERIALIZED (
+  SELECT m % 2 AS label, (m * 3) % 10 AS token FROM mm
+  UNION ALL SELECT m % 2, (m * 7 + 1) % 10 FROM mm
+  UNION ALL SELECT m % 2, (m * 11 + 2) % 10 FROM mm
+  UNION ALL SELECT m % 2, (m * 17 + 3) % 10 FROM mm),
+counts AS (
+  SELECT token AS t,
+         sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS c0
+  FROM tr GROUP BY token),
+tot AS (
+  SELECT sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS n0
+  FROM tr),
+pp AS (SELECT DISTINCT doc_id % 16 AS p FROM documents),
+ptok AS (
+  SELECT p AS pid, p % 10 AS t FROM pp
+  UNION ALL SELECT p, (p + 3) % 10 FROM pp
+  UNION ALL SELECT p, (p + 6) % 10 FROM pp
+  UNION ALL SELECT p, (p + 9) % 10 FROM pp),
+per AS (
+  SELECT pid,
+         CAST(product(coalesce(c.c1, 0) + 1) AS BIGINT) AS p1,
+         CAST(product(coalesce(c.c0, 0) + 1) AS BIGINT) AS p0
+  FROM ptok LEFT JOIN counts c ON c.t = ptok.t
+  GROUP BY pid)
+SELECT CAST(pid AS BIGINT) AS pid, p1, p0,
+  CAST(CASE WHEN
+    CAST(n1 AS HUGEINT) * CAST(p1 AS HUGEINT)
+      * CAST((n0 + 10) AS HUGEINT) * CAST((n0 + 10) AS HUGEINT)
+      * CAST((n0 + 10) AS HUGEINT) * CAST((n0 + 10) AS HUGEINT)
+    > CAST(n0 AS HUGEINT) * CAST(p0 AS HUGEINT)
+      * CAST((n1 + 10) AS HUGEINT) * CAST((n1 + 10) AS HUGEINT)
+      * CAST((n1 + 10) AS HUGEINT) * CAST((n1 + 10) AS HUGEINT)
+    THEN 1 ELSE 0 END AS BIGINT) AS pred
+FROM per, tot
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -11643,6 +11784,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 48: computational geometry — two-level convex hull,
         # grid-certified closest pair, segment-crossing and rectangle
         # overlap pair joins (responsibility-cell dedup, no DISTINCT).
+        # batch 49: integer-exact ML training — grouped OLS, batch
+        # perceptron rounds, naive Bayes with cross-multiplied argmax.
+        "linreg_fit": _q_linreg_fit,
+        "perceptron": _q_perceptron,
+        "nb_classify": _q_nb_classify,
         "convex_hull": _q_convex_hull,
         "closest_pair": _q_closest_pair,
         "seg_intersect": _q_seg_intersect,
@@ -12101,6 +12247,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "linreg_fit": _LINREG_SQL,
+        "perceptron": _perceptron_sql(),
+        "nb_classify": _NB_SQL,
         "convex_hull": _CONVEX_HULL_SQL,
         "closest_pair": _CLOSEST_PAIR_SQL,
         "seg_intersect": _SEG_INTERSECT_SQL,
