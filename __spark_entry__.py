@@ -11600,6 +11600,123 @@ FROM a JOIN b
 """
 
 
+# ---- batch 50: tree centralities (operators/orders.py) ------------------
+
+
+def _q_tree_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-nodes closeness sums on the hydro forest WITHOUT an
+    all-pairs walk (orders.py:tree_closeness): S(root) = Σ SUB(e) and
+    the rerooting identity S(child) = S(parent) + n − 2·SUB. The
+    oracle mirrors both identities with a top-down recursive walk
+    (DuckDB 1.0 handles downward recursions; n and S carry in the
+    tuple)."""
+    from bdtopo2refhydro_spark.operators.orders import tree_closeness
+
+    return tree_closeness(_forest_edges(spark, sf_dir)).select(
+        F.col("node").cast("long").alias("node"), "closeness_sum")
+
+
+_TREE_CLOSE_SQL = f"""
+WITH RECURSIVE e AS ({_FOREST_D}),
+down(anchor, node) AS (
+  SELECT url, nodea FROM e
+  UNION ALL
+  SELECT d.anchor, f.nodea FROM e f JOIN down d ON f.nodeb = d.node
+),
+sub AS (
+  SELECT anchor AS url, CAST(count(*) AS BIGINT) AS s
+  FROM down GROUP BY anchor
+),
+up(url, node) AS (
+  SELECT url, nodeb FROM e
+  UNION ALL
+  SELECT u.url, f.nodeb FROM e f JOIN up u ON f.nodea = u.node
+),
+roots AS (
+  SELECT url, node AS root FROM up u
+  WHERE NOT EXISTS (SELECT 1 FROM e f WHERE f.nodea = u.node)
+),
+tinfo AS (
+  SELECT r.root, CAST(count(*) + 1 AS BIGINT) AS n,
+         CAST(sum(s.s) AS BIGINT) AS s_root
+  FROM roots r JOIN sub s ON s.url = r.url
+  GROUP BY r.root
+),
+walk(node, s, n) AS (
+  SELECT root, s_root, n FROM tinfo
+  UNION ALL
+  SELECT f.nodea, w.s + w.n - 2 * sb.s, w.n
+  FROM e f JOIN walk w ON f.nodeb = w.node
+  JOIN sub sb ON sb.url = f.url
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(s AS BIGINT) AS closeness_sum
+FROM walk
+"""
+
+
+def _q_tree_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-tree diameter (orders.py:tree_diameter): bottom-up
+    heights + tie-safe top-2 child contributions, max over nodes. The
+    oracle computes heights by an all-origins descend walk and the
+    same top-2 combine."""
+    from bdtopo2refhydro_spark.operators.orders import tree_diameter
+
+    return tree_diameter(_forest_edges(spark, sf_dir)).select(
+        F.col("root").cast("long").alias("root"), "diameter")
+
+
+_TREE_DIAM_SQL = f"""
+WITH RECURSIVE e AS ({_FOREST_D}),
+nodes AS (
+  SELECT DISTINCT nodea AS node FROM e
+  UNION SELECT DISTINCT nodeb FROM e
+),
+hwalk(origin, node, d) AS (
+  SELECT node, node, 0 FROM nodes
+  UNION ALL
+  SELECT w.origin, f.nodea, w.d + 1
+  FROM e f JOIN hwalk w ON f.nodeb = w.node
+),
+h AS (SELECT origin AS node, max(d) AS hh FROM hwalk GROUP BY origin),
+contrib AS (
+  SELECT f.nodeb AS node, 1 + h.hh AS c
+  FROM e f JOIN h ON h.node = f.nodea
+),
+t1 AS (SELECT node, max(c) AS t1 FROM contrib GROUP BY node),
+t2 AS (
+  SELECT c.node, t1.t1,
+         sum(CASE WHEN c.c = t1.t1 THEN 1 ELSE 0 END) AS nmax,
+         max(CASE WHEN c.c < t1.t1 THEN c.c END) AS below
+  FROM contrib c JOIN t1 ON t1.node = c.node
+  GROUP BY c.node, t1.t1
+),
+thr AS (
+  SELECT n.node,
+         coalesce(t2.t1 + CASE WHEN t2.nmax >= 2 THEN t2.t1
+                               ELSE coalesce(t2.below, 0) END, 0) AS thr
+  FROM nodes n LEFT JOIN t2 ON t2.node = n.node
+),
+up(url, node) AS (
+  SELECT url, nodeb FROM e
+  UNION ALL
+  SELECT u.url, f.nodeb FROM e f JOIN up u ON f.nodea = u.node
+),
+eroot AS (
+  SELECT url, node AS root FROM up u
+  WHERE NOT EXISTS (SELECT 1 FROM e f WHERE f.nodea = u.node)
+),
+nroot AS (
+  SELECT f.nodea AS node, r.root FROM e f JOIN eroot r ON r.url = f.url
+  UNION
+  SELECT DISTINCT root, root FROM eroot
+)
+SELECT CAST(nr.root AS BIGINT) AS root,
+       CAST(max(thr.thr) AS BIGINT) AS diameter
+FROM thr JOIN nroot nr ON nr.node = thr.node
+GROUP BY nr.root
+"""
+
+
 # ---- batch 49: integer-exact ML training (operators/ml.py) --------------
 
 
@@ -11786,6 +11903,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # overlap pair joins (responsibility-cell dedup, no DISTINCT).
         # batch 49: integer-exact ML training — grouped OLS, batch
         # perceptron rounds, naive Bayes with cross-multiplied argmax.
+        # batch 50: tree centralities — rerooted closeness sums and
+        # per-tree diameter, both closed-form (no all-pairs walks).
+        "tree_close": _q_tree_closeness,
+        "tree_diam": _q_tree_diameter,
         "linreg_fit": _q_linreg_fit,
         "perceptron": _q_perceptron,
         "nb_classify": _q_nb_classify,
@@ -12247,6 +12368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "tree_close": _TREE_CLOSE_SQL,
+        "tree_diam": _TREE_DIAM_SQL,
         "linreg_fit": _LINREG_SQL,
         "perceptron": _perceptron_sql(),
         "nb_classify": _NB_SQL,

@@ -839,3 +839,138 @@ def tree_edge_betweenness(edges_nodes: DataFrame, key: str = "url",
                     (F.col("_n_edges") + 1).cast("long").alias("n_nodes"),
                     (F.col("SUB") * (F.col("_n_edges") + 1 - F.col("SUB")))
                     .cast("long").alias("betweenness")))
+
+
+def tree_closeness(edges_nodes: DataFrame, key: str = "url",
+                   max_iter: int = 500,
+                   metrics: TraversalMetrics | None = None) -> DataFrame:
+    """EXACT closeness sums S(v) = Σ_u dist(v, u) for every node of a
+    forest, without any all-pairs walk: the classic rerooting identity
+
+        S(root)  = Σ_edges SUB(e)      (sum of subtree sizes = Σ depths)
+        S(child) = S(parent) + n − 2·SUB(child's edge)
+
+    turns all-pairs distances into subtree_counts (O(junction-depth)
+    rounds) + one top-down propagation. All-integer → bit-exact.
+    Rounds join the FIXED edge frame against a linearly-growing known
+    frontier, so checkpoints alone suffice (no stats squaring).
+    Returns (node, closeness_sum)."""
+    from ._ckpt import CheckpointSlots
+    from .graph import connected_components
+
+    e = (edges_nodes.select(key, "NODEA", "NODEB")
+         .localCheckpoint(eager=False))
+    es = (e.join(subtree_counts(e, key, metrics=metrics), key)
+          .select("NODEA", "NODEB", "SUB")
+          .localCheckpoint(eager=False))
+    adj = (e.select(F.col("NODEA").alias("node"),
+                    F.col("NODEB").alias("nbr"))
+           .union(e.select(F.col("NODEB").alias("node"),
+                           F.col("NODEA").alias("nbr"))))
+    comp = connected_components(adj, metrics=metrics)  # (node, l)
+    info = (es.join(comp.withColumnRenamed("node", "NODEA"), "NODEA")
+            .groupBy("l")
+            .agg((F.count("*") + 1).cast("long").alias("_n"),
+                 F.sum("SUB").cast("long").alias("_s_root")))
+    roots = (e.select(F.col("NODEB").alias("node")).distinct()
+             .join(e.select(F.col("NODEA").alias("node")).distinct(),
+                   "node", "left_anti"))
+    slots = CheckpointSlots()
+    s = slots.checkpoint(
+        roots.join(comp, "node").join(info, "l")
+        .select("node", "l", F.col("_s_root").alias("S"), "_n"), "cl")
+    for i in range(max_iter):
+        frontier = (es.join(
+            s.select(F.col("node").alias("NODEB"),
+                     F.col("S").alias("_ps"), "l", "_n"), "NODEB")
+            .select(F.col("NODEA").alias("node"), "l",
+                    (F.col("_ps") + F.col("_n") - 2 * F.col("SUB"))
+                    .alias("S"), "_n")
+            .join(s.select("node"), "node", "left_anti"))
+        frontier = slots.checkpoint(frontier, "fr")
+        if metrics is not None:
+            metrics.add(op="tree_closeness", round=i)
+        if not frontier.take(1):
+            break
+        s = slots.checkpoint(s.unionByName(frontier), "cl")
+    return s.select("node", F.col("S").cast("long")
+                    .alias("closeness_sum"))
+
+
+def tree_diameter(edges_nodes: DataFrame, key: str = "url",
+                  max_iter: int = 500,
+                  metrics: TraversalMetrics | None = None) -> DataFrame:
+    """EXACT per-tree diameter (longest path, edge count) of a forest:
+    bottom-up heights H(v) = max(1 + H(child)) (bounded-round fixpoint,
+    same discipline as subtree_counts), then the through-path at v is
+    the sum of the TOP-2 child contributions (1 + H(c)) — so diameter
+    = max over v, no path enumeration. Tie-safe top-2: if the max
+    contribution occurs twice, second = first. Returns
+    (root, diameter) with the tree's root as its id."""
+    from ._ckpt import CheckpointSlots
+
+    e = (edges_nodes.select(key, "NODEA", "NODEB")
+         .localCheckpoint(eager=False))
+    nodes = (e.select(F.col("NODEA").alias("node"))
+             .union(e.select(F.col("NODEB").alias("node"))).distinct()
+             .localCheckpoint(eager=False))
+    slots = CheckpointSlots()
+    h = slots.checkpoint(
+        nodes.select("node", F.lit(0).cast("long").alias("H")), "h")
+
+    def _sig(df: DataFrame):
+        return df.select(
+            F.expr("bit_xor(xxhash64(node, H))").alias("x")).first()["x"]
+
+    sig = _sig(h)
+    for i in range(max_iter):
+        up = (e.join(h.withColumnRenamed("node", "NODEA"), "NODEA")
+              .groupBy("NODEB").agg((F.max("H") + 1).alias("_hc"))
+              .withColumnRenamed("NODEB", "node"))
+        new_h = slots.checkpoint(
+            nodes.join(up, "node", "left")
+            .select("node", F.coalesce("_hc", F.lit(0)).cast("long")
+                    .alias("H")), "h")
+        new_sig = _sig(new_h)
+        if metrics is not None:
+            metrics.add(op="tree_diameter", round=i)
+        h = new_h
+        if new_sig == sig:
+            break
+        sig = new_sig
+    contrib = (e.join(h.withColumnRenamed("node", "NODEA"), "NODEA")
+               .select(F.col("NODEB").alias("node"),
+                       (F.col("H") + 1).alias("c")))
+    # top-2 without a window: max, count at max, max strictly below max
+    agg = contrib.groupBy("node").agg(F.max("c").alias("t1"))
+    t2 = (contrib.join(agg, "node")
+          .groupBy("node", "t1")
+          .agg(F.sum(F.when(F.col("c") == F.col("t1"), 1).otherwise(0))
+               .alias("_nmax"),
+               F.max(F.when(F.col("c") < F.col("t1"), F.col("c")))
+               .alias("_below")))
+    through = t2.select(
+        "node",
+        (F.col("t1") + F.when(F.col("_nmax") >= 2, F.col("t1"))
+         .otherwise(F.coalesce("_below", F.lit(0)))).alias("thr"))
+    # root id per node: propagate like tree_closeness but we only need
+    # per-tree max, and every node's root is found by joining the
+    # (child-edge → parent chain); reuse connected_components + the
+    # root table to map components to roots.
+    from .graph import connected_components
+
+    adj = (e.select(F.col("NODEA").alias("node"),
+                    F.col("NODEB").alias("nbr"))
+           .union(e.select(F.col("NODEB").alias("node"),
+                           F.col("NODEA").alias("nbr"))))
+    comp = connected_components(adj, metrics=metrics)
+    roots = (e.select(F.col("NODEB").alias("node")).distinct()
+             .join(e.select(F.col("NODEA").alias("node")).distinct(),
+                   "node", "left_anti"))
+    root_of = (roots.join(comp, "node")
+               .select(F.col("l"), F.col("node").alias("root")))
+    per_node = (nodes.join(through, "node", "left")
+                .select("node", F.coalesce("thr", F.lit(0)).alias("thr")))
+    return (per_node.join(comp, "node").join(root_of, "l")
+            .groupBy("root")
+            .agg(F.max("thr").cast("long").alias("diameter")))
