@@ -11600,6 +11600,112 @@ FROM a JOIN b
 """
 
 
+# ---- batch 51: unigram-LM segmentation + weighted median -----------------
+
+_UNI_VOCAB = {"a": 2, "b": 2, "c": 2, "aa": 5, "ab": 5, "ba": 5, "ca": 5,
+              "aba": 9, "bab": 9, "abc": 9, "abab": 13}
+
+_UNI_WORD = ("substring(concat("
+             "char(97 + m % 3), char(97 + (m div 3) % 3), "
+             "char(97 + (m div 9) % 3), char(97 + (m div 27) % 3), "
+             "char(97 + (m div 81) % 3), char(97 + (m div 243) % 3), "
+             "char(97 + (m div 729) % 3), char(97 + (m div 2187) % 3)"
+             "), 1, 4 + m % 5)")
+_UNI_WORD_D = (
+    "substr("
+    "chr(CAST(97 + m % 3 AS INTEGER)) || "
+    "chr(CAST(97 + (m // 3) % 3 AS INTEGER)) || "
+    "chr(CAST(97 + (m // 9) % 3 AS INTEGER)) || "
+    "chr(CAST(97 + (m // 27) % 3 AS INTEGER)) || "
+    "chr(CAST(97 + (m // 81) % 3 AS INTEGER)) || "
+    "chr(CAST(97 + (m // 243) % 3 AS INTEGER)) || "
+    "chr(CAST(97 + (m // 729) % 3 AS INTEGER)) || "
+    "chr(CAST(97 + (m // 2187) % 3 AS INTEGER)), "
+    "1, 4 + m % 5)")
+
+
+def _q_unigram_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM Viterbi segmentation scoring (text.py:
+    unigram_segment) — third tokenizer family (vs BPE merge replay and
+    WordPiece greedy match): max-SUM DP with integer piece scores,
+    returning the unique best score plus the tie count per distinct
+    word. Oracle unrolls the DP position chain (b0..b8) with
+    argmax-preserving count joins."""
+    from bdtopo2refhydro_spark.operators.text import unigram_segment
+
+    words = (_docs(spark, sf_dir)
+             .select((F.col("doc_id") % 200).alias("m")).distinct()
+             .selectExpr(f"{_UNI_WORD} as word").distinct())
+    return unigram_segment(words, _UNI_VOCAB)
+
+
+def _unigram_sql(vocab=None, l_max: int = 8) -> str:
+    vocab = vocab or _UNI_VOCAB
+    maxlen = max(len(p) for p in vocab)
+    vrows = ", ".join(f"('{p}', {s})" for p, s in vocab.items())
+    ctes = [
+        "mm AS (SELECT DISTINCT doc_id % 200 AS m FROM documents)",
+        f"words AS MATERIALIZED (SELECT DISTINCT {_UNI_WORD_D} AS word"
+        " FROM mm)",
+        f"voc(piece, score) AS (SELECT * FROM (VALUES {vrows})"
+        " v(piece, score))",
+        "b0 AS MATERIALIZED (SELECT word, 0 AS best,"
+        " CAST(1 AS BIGINT) AS cnt FROM words)",
+    ]
+    for i in range(1, l_max + 1):
+        arms = []
+        for j in range(max(0, i - maxlen), i):
+            arms.append(
+                f"SELECT b.word, b.best + v.score AS s, b.cnt AS c\n"
+                f"  FROM b{j} b JOIN voc v"
+                f" ON v.piece = substr(b.word, {j + 1}, {i - j})\n"
+                f"  WHERE length(b.word) >= {i}")
+        ctes.append(f"cand{i} AS MATERIALIZED (\n"
+                    + "\n  UNION ALL\n".join(arms) + ")")
+        ctes.append(f"m{i} AS MATERIALIZED (SELECT word, max(s) AS best"
+                    f" FROM cand{i} GROUP BY word)")
+        ctes.append(
+            f"b{i} AS MATERIALIZED (\n"
+            f"  SELECT c.word, m.best, sum(c.c) AS cnt\n"
+            f"  FROM cand{i} c JOIN m{i} m"
+            f" ON m.word = c.word AND c.s = m.best\n"
+            f"  GROUP BY c.word, m.best)")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT word, CAST(best AS BIGINT) AS best_score,"
+        f" CAST(cnt AS BIGINT) AS n_best FROM b{i}"
+        f" WHERE length(word) = {i}" for i in range(1, l_max + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+def _q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lower weighted median (corpus.py:weighted_median): pure
+    integer rank arithmetic, weights pre-collapsed per (group, value)
+    so duplicate values are order-free."""
+    from bdtopo2refhydro_spark.operators.corpus import weighted_median
+
+    base = _docs(spark, sf_dir).selectExpr(
+        "cast(doc_id % 6 as long) as g",
+        "cast((doc_id * doc_id) % 97 as long) as v",
+        "cast(1 + doc_id % 9 as long) as wgt")
+    return weighted_median(base, "v", "wgt", group_col="g")
+
+
+_WMEDIAN_SQL = """
+WITH base AS (
+  SELECT doc_id % 6 AS g, (doc_id * doc_id) % 97 AS v,
+         1 + doc_id % 9 AS w0
+  FROM documents),
+per_v AS (SELECT g, v, sum(w0) AS wv FROM base GROUP BY g, v),
+cum AS (
+  SELECT g, v, sum(wv) OVER (PARTITION BY g ORDER BY v) AS cw,
+         sum(wv) OVER (PARTITION BY g) AS tw
+  FROM per_v)
+SELECT CAST(g AS BIGINT) AS g, CAST(min(v) AS BIGINT) AS wmedian,
+       CAST(min(tw) AS BIGINT) AS total_w
+FROM cum WHERE 2 * cw >= tw GROUP BY g
+"""
+
+
 # ---- batch 50: tree centralities (operators/orders.py) ------------------
 
 
@@ -11905,6 +12011,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # perceptron rounds, naive Bayes with cross-multiplied argmax.
         # batch 50: tree centralities — rerooted closeness sums and
         # per-tree diameter, both closed-form (no all-pairs walks).
+        # batch 51: unigram-LM Viterbi segmentation (3rd tokenizer
+        # family) + exact weighted median.
+        "unigram_seg": _q_unigram_seg,
+        "weighted_median": _q_weighted_median,
         "tree_close": _q_tree_closeness,
         "tree_diam": _q_tree_diameter,
         "linreg_fit": _q_linreg_fit,
@@ -12368,6 +12478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "unigram_seg": _unigram_sql(),
+        "weighted_median": _WMEDIAN_SQL,
         "tree_close": _TREE_CLOSE_SQL,
         "tree_diam": _TREE_DIAM_SQL,
         "linreg_fit": _LINREG_SQL,

@@ -1146,3 +1146,27 @@ def phrase_search(docs: DataFrame, phrases: DataFrame,
             .where(F.col("_nk") == F.col("plen"))
             .select("phrase_id", F.col("_d").alias("doc_id"),
                     F.col("start").cast("long").alias("start")))
+
+
+def weighted_median(df: DataFrame, value_col: str, weight_col: str, *,
+                    group_col: str = "g") -> DataFrame:
+    """Exact lower weighted median per group: the smallest value v with
+    2·cumweight(v) >= totalweight — pure integer rank arithmetic (no
+    division, no interpolation), deterministic under duplicate values
+    because weights collapse per (group, value) BEFORE the cumulative
+    window. One shuffle on the group key; the per-value pre-aggregation
+    is map-side combined, so the window sees |distinct values| rows,
+    not |rows| — the same discipline as group_quantiles. Returns
+    (group, wmedian, total_w)."""
+    per_v = (df.groupBy(F.col(group_col).alias("g"),
+                        F.col(value_col).cast("long").alias("v"))
+             .agg(F.sum(F.col(weight_col).cast("long")).alias("wv")))
+    w = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    wg = Window.partitionBy("g")
+    cum = (per_v.withColumn("cw", F.sum("wv").over(w))
+           .withColumn("tw", F.sum("wv").over(wg)))
+    return (cum.where(2 * F.col("cw") >= F.col("tw"))
+            .groupBy("g")
+            .agg(F.min("v").cast("long").alias("wmedian"),
+                 F.min("tw").cast("long").alias("total_w")))

@@ -1328,6 +1328,56 @@ def wordpiece_encode(words: DataFrame, vocab: list[str],
     return words.select(word_col, _enc(F.col(word_col)).alias("pieces"))
 
 
+def unigram_segment(words: DataFrame, vocab: dict[str, int],
+                    word_col: str = "word") -> DataFrame:
+    """Unigram-LM (SentencePiece-family) segmentation scoring — the
+    THIRD tokenizer family next to bpe_encode's merge replay and
+    wordpiece_encode's greedy longest-match: Viterbi max-SUM over all
+    segmentations with integer piece scores. Returns, per distinct
+    word, ``best_score`` (the optimal segmentation's score — unique
+    even when multiple segmentations achieve it) and ``n_best`` (how
+    many segmentations achieve it, the tie count — both exact
+    integers, no float log-probs anywhere).
+
+    Same scale discipline as the other tokenizers: runs on the
+    DISTINCT-WORD table with the vocab in the Arrow UDF closure; the
+    corpus joins results back by word. Unsegmentable words (no
+    single-char coverage) return NULL/0."""
+    import pandas as pd
+
+    maxlen = max(len(p) for p in vocab)
+
+    @F.pandas_udf("struct<best_score: long, n_best: long>")
+    def _seg(s: pd.Series) -> pd.DataFrame:
+        bests, cnts = [], []
+        for w in s:
+            L = len(w)
+            best = [None] * (L + 1)
+            cnt = [0] * (L + 1)
+            best[0], cnt[0] = 0, 1
+            for i in range(1, L + 1):
+                b, c = None, 0
+                for j in range(max(0, i - maxlen), i):
+                    if best[j] is None:
+                        continue
+                    sc = vocab.get(w[j:i])
+                    if sc is None:
+                        continue
+                    t = best[j] + sc
+                    if b is None or t > b:
+                        b, c = t, cnt[j]
+                    elif t == b:
+                        c += cnt[j]
+                best[i], cnt[i] = b, c
+            bests.append(best[L])
+            cnts.append(cnt[L])
+        return pd.DataFrame({"best_score": bests, "n_best": cnts})
+
+    return words.select(
+        word_col, _seg(F.col(word_col)).alias("_r")
+    ).select(word_col, "_r.best_score", "_r.n_best")
+
+
 def fix_mojibake(docs: DataFrame, col: str = "text",
                  out_col: str = "fixed") -> DataFrame:
     """Repair UTF-8-as-Latin-1 mojibake ("Ã©" → "é"), the single most
