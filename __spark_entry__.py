@@ -11600,6 +11600,60 @@ FROM a JOIN b
 """
 
 
+# ---- batch 52: REAL GIF decoder (multimodal.py) --------------------------
+
+
+def _q_image_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF87a decode path (multimodal.py:_decode_gif): palette
+    read, sub-block assembly, FULL LZW decompression (variable-width
+    LSB-first codes, CLEAR/EOI, KwKwK). Fixture pixels VARY
+    ((id+i) % 4 over a 4-gray palette) so the LZW walk is load-bearing;
+    the oracle replays byte length (width schedule 3/4/5 by code
+    index), per-class pixel counts, and the exact two-division
+    float32-rounded channel mean."""
+    from bdtopo2refhydro_spark.operators.multimodal import (
+        extract_image_features, gif_payload_udf)
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        gif_payload_udf()("doc_id").alias("payload"))
+    out = extract_image_features(media, payload_col="payload")
+    return out.select(
+        "url", "media_type", "n_bytes", "width", "height",
+        F.element_at("features", 1).cast("double").alias("mean_gray"),
+        F.element_at("features", 4).cast("double").alias("max_gray"))
+
+
+_IMAGE_GIF_SQL = """
+WITH p AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url, doc_id AS d,
+         2 + doc_id % 4 AS w, 2 + doc_id % 3 AS h,
+         (2 + doc_id % 4) * (2 + doc_id % 3) AS wh
+  FROM documents),
+s AS (
+  SELECT url, w, h, wh,
+      ((wh - ((0 - d) % 4 + 4) % 4 + 3) // 4) * ((5 * d) % 256)
+    + ((wh - ((1 - d) % 4 + 4) % 4 + 3) // 4) * ((5 * d + 40) % 256)
+    + ((wh - ((2 - d) % 4 + 4) % 4 + 3) // 4) * ((5 * d + 80) % 256)
+    + ((wh - ((3 - d) % 4 + 4) % 4 + 3) // 4) * ((5 * d + 120) % 256)
+      AS gsum,
+    GREATEST((5 * d) % 256, (5 * d + 40) % 256, (5 * d + 80) % 256,
+             (5 * d + 120) % 256) AS gmax
+  FROM p)
+SELECT url, 'image/gif' AS media_type,
+  CAST(39 + (3 * LEAST(wh + 2, 4)
+             + 4 * GREATEST(LEAST(wh + 2, 12) - 4, 0)
+             + 5 * GREATEST(wh + 2 - 12, 0) + 7) // 8 AS BIGINT)
+    AS n_bytes,
+  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+  CAST(CAST((CAST(gsum AS DOUBLE) / CAST(wh AS DOUBLE)) / 256.0
+            AS FLOAT) AS DOUBLE) AS mean_gray,
+  CAST(CAST(CAST(gmax AS DOUBLE) / 256.0 AS FLOAT) AS DOUBLE)
+    AS max_gray
+FROM s
+"""
+
+
 # ---- batch 51: unigram-LM segmentation + weighted median -----------------
 
 _UNI_VOCAB = {"a": 2, "b": 2, "c": 2, "aa": 5, "ab": 5, "ba": 5, "ca": 5,
@@ -12013,6 +12067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-tree diameter, both closed-form (no all-pairs walks).
         # batch 51: unigram-LM Viterbi segmentation (3rd tokenizer
         # family) + exact weighted median.
+        # batch 52: REAL GIF87a decoder (full LZW) — decoder family #6.
+        "image_gif": _q_image_gif,
         "unigram_seg": _q_unigram_seg,
         "weighted_median": _q_weighted_median,
         "tree_close": _q_tree_closeness,
@@ -12478,6 +12534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "image_gif": _IMAGE_GIF_SQL,
         "unigram_seg": _unigram_sql(),
         "weighted_median": _WMEDIAN_SQL,
         "tree_close": _TREE_CLOSE_SQL,

@@ -230,6 +230,97 @@ def _decode_tiff(payload: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, feats
 
 
+def _lzw_decode_gif(data: bytes, min_code: int) -> list[int]:
+    """REAL GIF-variant LZW decode: LSB-first variable-width codes,
+    CLEAR/EOI handling, dictionary growth with the deferred width bump
+    (width++ when the next free slot reaches 2^width, capped at 12),
+    including the KwKwK case (code == next free slot)."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out: list[int] = []
+    acc = nbits = pos = 0
+
+    def reset():
+        return ({i: [i] for i in range(clear)}, clear + 2, min_code + 1)
+
+    table, nxt, width = reset()
+    prev: list[int] | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated (no EOI)")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table, nxt, width = reset()
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if code in table:
+            entry = table[code]
+        elif code == nxt and prev is not None:
+            entry = prev + [prev[0]]  # KwKwK
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out.extend(entry)
+        if prev is not None and nxt < 4096:
+            table[nxt] = prev + [entry[0]]
+            nxt += 1
+            if nxt == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def _decode_gif(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL decode of a GIF87a/89a with a global color table and one
+    non-interlaced image: logical-screen descriptor, palette read,
+    extension-block skip, data sub-block assembly, then the full LZW
+    decompression (_lzw_decode_gif). Features match the RGB decoders
+    (palette-mapped channel means /256, max, min)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w = int.from_bytes(payload[6:8], "little")
+    h = int.from_bytes(payload[8:10], "little")
+    packed = payload[10]
+    if not packed & 0x80:
+        raise ValueError("GIF without global color table")
+    n_colors = 1 << ((packed & 0x07) + 1)
+    pos = 13
+    palette = np.frombuffer(
+        payload[pos:pos + 3 * n_colors], dtype=np.uint8).reshape(-1, 3)
+    pos += 3 * n_colors
+    while payload[pos] == 0x21:  # extension: label then sub-blocks
+        pos += 2
+        while payload[pos] != 0:
+            pos += 1 + payload[pos]
+        pos += 1
+    if payload[pos] != 0x2C:
+        raise ValueError("expected image descriptor")
+    iw = int.from_bytes(payload[pos + 5:pos + 7], "little")
+    ih = int.from_bytes(payload[pos + 7:pos + 9], "little")
+    if payload[pos + 9] & 0xC0:
+        raise ValueError("local color tables / interlace unsupported")
+    min_code = payload[pos + 10]
+    pos += 11
+    data = bytearray()
+    while (ln := payload[pos]) != 0:
+        data += payload[pos + 1:pos + 1 + ln]
+        pos += 1 + ln
+    idx = _lzw_decode_gif(bytes(data), min_code)
+    if len(idx) != iw * ih:
+        raise ValueError("GIF pixel count mismatch")
+    px = palette[np.asarray(idx, dtype=np.int64)]
+    feats = np.zeros(8, dtype=np.float32)
+    feats[:3] = px.mean(axis=0, dtype=np.float64) / 256.0
+    feats[3] = px.max() / 256.0
+    feats[4] = px.min() / 256.0
+    return w, h, feats
+
+
 def _decode_image_stub(payload: bytes) -> tuple[int, int, np.ndarray]:
     """STUB: deterministic fake decode (no PIL/libjpeg in this container).
     A real deployment replaces this body with
@@ -267,6 +358,9 @@ def extract_image_features(media: DataFrame, payload_col: str = "html",
                 elif b[:4] in (b"II*\x00", b"MM\x00*"):
                     w, h, f = _decode_tiff(b)
                     mt = "image/tiff"
+                elif b[:6] in (b"GIF87a", b"GIF89a"):
+                    w, h, f = _decode_gif(b)
+                    mt = "image/gif"
                 else:
                     w, h, f = _decode_image_stub(b)
                     mt = "image/stub"
@@ -578,6 +672,64 @@ def synth_tiff_bytes(doc_id: int) -> bytes:
     hdr = (b"II*\x00" if bo == "little" else b"MM\x00*") + i4(ifd_off)
     ifd = i2(n_entries) + entries + i4(0)
     return hdr + b"".join(strips) + ifd + bytes(ext)
+
+
+def synth_gif_bytes(doc_id: int) -> bytes:
+    """Deterministic VALID GIF87a fixture: (2 + id%4)×(2 + id%3)
+    pixels over a 4-gray global palette g_j = (5·id + 40·j) % 256,
+    pixel(i) = (id + i) % 4 — varying indices so the LZW path is
+    genuinely exercised. The encoder emits [CLEAR, literals…, EOI]
+    with the SAME width-growth rule the decoder applies, so the
+    byte length is closed-form in doc_id (widths 3/4/5 by code index:
+    ≤3 / ≤11 / ≤27)."""
+    w, h = 2 + doc_id % 4, 2 + doc_id % 3
+    pal = b"".join(bytes([(5 * doc_id + 40 * j) % 256]) * 3
+                   for j in range(4))
+    pixels = [(doc_id + i) % 4 for i in range(w * h)]
+    min_code, clear, eoi = 2, 4, 5
+    acc = nbits = 0
+    out = bytearray()
+    width, nxt = min_code + 1, clear + 2
+    prev_seen = False
+
+    def emit(code: int, cw: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear, width)
+    for p in pixels:
+        emit(p, width)
+        if prev_seen:
+            nxt += 1
+            if nxt == (1 << width) and width < 12:
+                width += 1
+        prev_seen = True
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    hdr = (b"GIF87a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+           + bytes([0x81, 0, 0]))
+    desc = (b"\x2c" + (0).to_bytes(2, "little") + (0).to_bytes(2, "little")
+            + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00")
+    blocks = bytearray()
+    for i in range(0, len(out), 255):
+        chunk = out[i:i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    return (hdr + pal + desc + bytes([min_code]) + bytes(blocks)
+            + b"\x00" + b"\x3b")
+
+
+def gif_payload_udf():
+    """binary pandas UDF: doc_id -> synth_gif_bytes(doc_id)."""
+    @F.pandas_udf("binary")
+    def _mk(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_gif_bytes(int(i)))
+    return _mk
 
 
 def tiff_payload_udf():
