@@ -11600,6 +11600,83 @@ FROM a JOIN b
 """
 
 
+# ---- batch 53: Hilbert locality key + DAG longest-path levels ------------
+
+
+def _q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert curve index (functions/cells.py:hilbert_steps) — the
+    locality key whose consecutive cells are always edge-adjacent
+    (tighter range scans than Morton's power-of-two jumps). The
+    per-level quadrant rotation chain is generated ONCE in
+    dialect-neutral SQL and drives BOTH engines; continuity/bijection
+    is property-tested on the full 32×32 grid in pytest."""
+    from bdtopo2refhydro_spark.functions.cells import hilbert_steps
+
+    cur = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "cast((doc_id * 37) % 256 as long) as x",
+        "cast((doc_id * 91) % 256 as long) as y").selectExpr(
+        "doc_id", "x", "y", "x as hx", "y as hy",
+        "cast(0 as long) as hd")
+    for xe, ye, de in hilbert_steps(8):
+        cur = cur.selectExpr("doc_id", "x", "y", f"{xe} as hx",
+                             f"{ye} as hy", f"{de} as hd")
+    return cur.selectExpr("doc_id", "x", "y", "cast(hd as long) as hkey")
+
+
+def _hilbert_sql() -> str:
+    from bdtopo2refhydro_spark.functions.cells import hilbert_steps
+
+    ctes = ["""h0 AS (
+  SELECT doc_id, (doc_id * 37) % 256 AS x, (doc_id * 91) % 256 AS y,
+         (doc_id * 37) % 256 AS hx, (doc_id * 91) % 256 AS hy, 0 AS hd
+  FROM documents)"""]
+    for i, (xe, ye, de) in enumerate(hilbert_steps(8)):
+        ctes.append(f"""h{i + 1} AS (
+  SELECT doc_id, x, y, {xe} AS hx, {ye} AS hy, {de} AS hd
+  FROM h{i})""")
+    return ("WITH " + ",\n".join(ctes)
+            + "\nSELECT CAST(doc_id AS BIGINT) AS doc_id,"
+              " CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,"
+              " CAST(hd AS BIGINT) AS hkey FROM h8")
+
+
+def _q_topo_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAG longest-path levels (graph.py:dag_levels): bounded-round
+    max fixpoint (one tiny join per round) — path ENUMERATION on this
+    +7/+13 step DAG would be exponential; the oracle's UNION-dedup'd
+    recursive walk stays polynomial because it carries only distinct
+    (node, depth) pairs."""
+    from bdtopo2refhydro_spark.operators.graph import dag_levels
+
+    mm = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 150).alias("m")).distinct()
+    e = (mm.filter("m + 7 < 150")
+         .selectExpr("cast(m as long) as u", "cast(m + 7 as long) as v")
+         .unionByName(
+             mm.filter("m % 3 = 0 and m + 13 < 150")
+             .selectExpr("cast(m as long) as u",
+                         "cast(m + 13 as long) as v")))
+    return dag_levels(e)
+
+
+_TOPO_LEVELS_SQL = """
+WITH RECURSIVE mm AS (SELECT DISTINCT doc_id % 150 AS m FROM documents),
+e AS MATERIALIZED (
+  SELECT m AS u, m + 7 AS v FROM mm WHERE m + 7 < 150
+  UNION ALL
+  SELECT m, m + 13 FROM mm WHERE m % 3 = 0 AND m + 13 < 150),
+nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+walk(node, d) AS (
+  SELECT node, 0 FROM nodes
+  UNION
+  SELECT f.v, w.d + 1 FROM e f JOIN walk w ON f.u = w.node
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(max(d) AS BIGINT) AS level
+FROM walk GROUP BY node
+"""
+
+
 # ---- batch 52: REAL GIF decoder (multimodal.py) --------------------------
 
 
@@ -12068,6 +12145,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 51: unigram-LM Viterbi segmentation (3rd tokenizer
         # family) + exact weighted median.
         # batch 52: REAL GIF87a decoder (full LZW) — decoder family #6.
+        # batch 53: Hilbert locality key (dialect-neutral rotation
+        # chain) + DAG longest-path levels.
+        "hilbert_key": _q_hilbert_key,
+        "topo_levels": _q_topo_levels,
         "image_gif": _q_image_gif,
         "unigram_seg": _q_unigram_seg,
         "weighted_median": _q_weighted_median,
@@ -12534,6 +12615,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "hilbert_key": _hilbert_sql(),
+        "topo_levels": _TOPO_LEVELS_SQL,
         "image_gif": _IMAGE_GIF_SQL,
         "unigram_seg": _unigram_sql(),
         "weighted_median": _WMEDIAN_SQL,

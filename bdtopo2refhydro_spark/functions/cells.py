@@ -106,6 +106,42 @@ def zorder_key_expr(ix_col: str, iy_col: str, bits: int = 26) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def hilbert_steps(bits: int, x: str = "hx", y: str = "hy",
+                  d: str = "hd") -> list[tuple[str, str, str]]:
+    """Per-level SQL step expressions for the Hilbert curve index of a
+    2^bits × 2^bits grid — the locality key whose consecutive cells are
+    always EDGE-adjacent (Morton/Z-order jumps across the plane at
+    power-of-two boundaries; Hilbert never does, so range scans touch
+    tighter spatial neighborhoods for the same key interval).
+
+    Returns one (x_expr, y_expr, d_expr) triple per level; callers
+    chain them (Spark: selectExpr chain; DuckDB: CTE chain). The
+    expressions are DIALECT-NEUTRAL on purpose: only CASE, &, +, −, ×
+    — no '^' (exponent in DuckDB) and no 'div' (Spark-only) — so the
+    exact same strings drive both engines. Quadrant math per level s:
+    rx = (x&s)>0, ry = (y&s)>0, d += s²·((3rx) XOR ry) with the XOR
+    replaced by its arithmetic form 3rx + ry − 2·rx·ry, then the
+    sub-square is masked and (reflect + transpose)-rotated when ry=0.
+    """
+    steps = []
+    for level in range(bits):
+        s = 1 << (bits - 1 - level)
+        rx = f"(CASE WHEN ({x} & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN ({y} & {s}) > 0 THEN 1 ELSE 0 END)"
+        xm = f"({x} & {s - 1})"
+        ym = f"({y} & {s - 1})"
+        d_expr = (f"({d} + {s * s} * "
+                  f"(3 * {rx} + {ry} - 2 * {rx} * {ry}))")
+        x_expr = (f"(CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 "
+                  f"THEN {s - 1} - {ym} ELSE {ym} END) "
+                  f"ELSE {xm} END)")
+        y_expr = (f"(CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 "
+                  f"THEN {s - 1} - {xm} ELSE {xm} END) "
+                  f"ELSE {ym} END)")
+        steps.append((x_expr, y_expr, d_expr))
+    return steps
+
+
 GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
 

@@ -940,3 +940,48 @@ def temporal_reachability(edges: DataFrame, sources: DataFrame, *,
             break
         sig = new_sig
     return arr
+
+
+def dag_levels(edges: DataFrame, *, src: str = "u", dst: str = "v",
+               max_iter: int = 500) -> DataFrame:
+    """Longest-path level per node of a DAG (topological depth):
+    level(v) = 0 for sources, else 1 + max(level(pred)). Bounded-round
+    max fixpoint against the FIXED edge frame (rounds = longest path
+    length; linear growth, checkpoint-safe) with a bit_xor signature
+    for convergence — the scheduling/stratification primitive
+    (crawl-frontier waves, dependency batches). Path ENUMERATION would
+    be exponential; the per-node max is one tiny join per round.
+    Returns (node, level), all-integer."""
+    from pyspark.sql import functions as F
+
+    from ._ckpt import CheckpointSlots
+
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")) \
+        .localCheckpoint(eager=False)
+    nodes = (e.select(F.col("s").alias("node"))
+             .union(e.select(F.col("t").alias("node"))).distinct()
+             .localCheckpoint(eager=False))
+    slots = CheckpointSlots()
+    lv = slots.checkpoint(
+        nodes.select("node", F.lit(0).cast("long").alias("level")), "lv")
+
+    def _sig(df):
+        return df.select(F.expr(
+            "bit_xor(xxhash64(node, level))").alias("x")).first()["x"]
+
+    sig = _sig(lv)
+    for _ in range(max_iter):
+        up = (e.join(lv.withColumnRenamed("node", "s"), "s")
+              .groupBy("t").agg((F.max("level") + 1).alias("_lp"))
+              .withColumnRenamed("t", "node"))
+        new_lv = slots.checkpoint(
+            nodes.join(up, "node", "left")
+            .select("node",
+                    F.greatest(F.coalesce("_lp", F.lit(0)), F.lit(0))
+                    .cast("long").alias("level")), "lv")
+        new_sig = _sig(new_lv)
+        lv = new_lv
+        if new_sig == sig:
+            break
+        sig = new_sig
+    return lv
