@@ -11600,6 +11600,144 @@ FROM a JOIN b
 """
 
 
+# ---- batch 54: crawl infra — robots.txt, SURT keys, NA surface -----------
+
+
+def _q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL robots.txt parsing (corpus.py:parse_robots): line split +
+    directive surgery + RFC 9309 grouping — consecutive User-agent
+    lines share ONE group (exercised when h%4=0 adds a second UA line),
+    rules bind to every agent of their group, unknown directives
+    (Crawl-delay) and blank lines drop. Oracle mirrors the windows and
+    the group-id running sum."""
+    from bdtopo2refhydro_spark.operators.corpus import parse_robots
+
+    hosts = (_docs(spark, sf_dir)
+             .select((F.col("doc_id") % 40).alias("h")).distinct())
+    robots = hosts.select(
+        F.expr("concat('h', cast(h as string), '.example.com')")
+        .alias("host"),
+        F.expr(
+            "concat("
+            "'User-agent: *', char(10), "
+            "'Disallow: /p', cast(h % 5 as string), '/', char(10), "
+            "case when h % 2 = 0 then concat('Allow: /p', "
+            "cast(h % 5 as string), '/pub/', char(10)) else '' end, "
+            "'User-agent: bot', cast(h % 3 as string), char(10), "
+            "case when h % 4 = 0 then concat('User-agent: bot9', "
+            "char(10)) else '' end, "
+            "'Disallow: ', case when h % 2 = 0 then '/' "
+            "else '/tmp/' end, char(10), "
+            "'Crawl-delay: 5')").alias("robots_txt"))
+    return parse_robots(robots)
+
+
+_ROBOTS_SQL = """
+WITH hosts AS (SELECT DISTINCT doc_id % 40 AS h FROM documents),
+r AS (
+  SELECT 'h' || CAST(h AS VARCHAR) || '.example.com' AS host,
+    'User-agent: *' || chr(10) ||
+    'Disallow: /p' || CAST(h % 5 AS VARCHAR) || '/' || chr(10) ||
+    CASE WHEN h % 2 = 0 THEN 'Allow: /p' || CAST(h % 5 AS VARCHAR)
+         || '/pub/' || chr(10) ELSE '' END ||
+    'User-agent: bot' || CAST(h % 3 AS VARCHAR) || chr(10) ||
+    CASE WHEN h % 4 = 0 THEN 'User-agent: bot9' || chr(10)
+         ELSE '' END ||
+    'Disallow: ' || CASE WHEN h % 2 = 0 THEN '/' ELSE '/tmp/' END
+    || chr(10) || 'Crawl-delay: 5' AS txt
+  FROM hosts),
+lines AS (
+  SELECT host, CAST(i - 1 AS INT) AS line_no, l[CAST(i AS INT)] AS line
+  FROM (SELECT host, string_split(txt, chr(10)) AS l FROM r),
+       UNNEST(range(1, len(l) + 1)) t(i)),
+parsed AS (
+  SELECT host, line_no,
+         lower(trim(split_part(line, ':', 1))) AS directive,
+         trim(substr(line, strpos(line, ':') + 1)) AS value
+  FROM lines WHERE strpos(line, ':') > 0),
+lagged AS (
+  SELECT host, line_no, directive, value,
+         (directive = 'user-agent') AS is_ua,
+         coalesce(lag(directive = 'user-agent')
+           OVER (PARTITION BY host ORDER BY line_no), FALSE) AS prev_ua
+  FROM parsed),
+grouped AS (
+  SELECT host, line_no, directive, value, is_ua,
+         sum(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+           OVER (PARTITION BY host ORDER BY line_no) AS grp
+  FROM lagged),
+agents AS (
+  SELECT host, grp, value AS agent FROM grouped WHERE is_ua),
+rules AS (
+  SELECT host, grp, directive AS rule, value AS path, line_no
+  FROM grouped WHERE directive IN ('allow', 'disallow'))
+SELECT a.host, a.agent, ru.rule, ru.path,
+       CAST(ru.line_no AS BIGINT) AS line_no
+FROM agents a JOIN rules ru ON ru.host = a.host AND ru.grp = a.grp
+"""
+
+
+def _q_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT canonical keys (Sort-friendly URI Reordering Transform, the
+    CDX-index key format): host components reversed and comma-joined +
+    ')' + path — groups every capture of a host subtree under one sort
+    range. Pure JVM string/array ops; per-key capture rollup."""
+    d = _docs(spark, sf_dir)
+    u = d.select("doc_id", F.expr(_CLEANURL).alias("url"))
+    rest = F.expr("substring_index(url, '://', -1)")
+    host = F.substring_index(rest, "/", 1)
+    path = F.expr("substr(substring_index(url, '://', -1), "
+                  "instr(substring_index(url, '://', -1), '/'))")
+    surt = F.concat(
+        F.array_join(F.reverse(F.split(host, "[.]")), ","),
+        F.lit(")"), path)
+    return (u.select(surt.alias("surt"))
+            .groupBy("surt")
+            .agg(F.count("*").cast("long").alias("n_captures")))
+
+
+_SURT_SQL = f"""
+WITH u AS (SELECT doc_id, {_CLEANURLD} AS url FROM documents),
+parts AS (
+  SELECT doc_id,
+         split_part(url, '://', 2) AS rest
+  FROM u),
+hp AS (
+  SELECT doc_id, split_part(rest, '/', 1) AS host,
+         substr(rest, strpos(rest, '/')) AS path
+  FROM parts)
+SELECT array_to_string(list_reverse(string_split(host, '.')), ',')
+       || ')' || path AS surt,
+       CAST(count(*) AS BIGINT) AS n_captures
+FROM hp GROUP BY 1
+"""
+
+
+def _q_na_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrameNaFunctions surface (na.fill / na.replace / na.drop)
+    over injected nulls — the missing-data API pinned end to end."""
+    base = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "case when doc_id % 5 = 0 then cast(null as long) "
+        "else cast(doc_id % 100 as long) end as v1",
+        "case when doc_id % 7 = 0 then cast(null as string) "
+        "else concat('t', cast(doc_id % 10 as string)) end as s")
+    out = (base.na.fill({"v1": -1})
+           .na.replace("t3", "T3", subset=["s"])
+           .na.drop(subset=["s"]))
+    return out.select("doc_id", "v1", "s")
+
+
+_NA_FUNCS_SQL = """
+SELECT doc_id,
+  CAST(CASE WHEN doc_id % 5 = 0 THEN -1
+            ELSE doc_id % 100 END AS BIGINT) AS v1,
+  CASE WHEN doc_id % 10 = 3 THEN 'T3'
+       ELSE 't' || CAST(doc_id % 10 AS VARCHAR) END AS s
+FROM documents WHERE doc_id % 7 != 0
+"""
+
+
 # ---- batch 53: Hilbert locality key + DAG longest-path levels ------------
 
 
@@ -12147,6 +12285,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 52: REAL GIF87a decoder (full LZW) — decoder family #6.
         # batch 53: Hilbert locality key (dialect-neutral rotation
         # chain) + DAG longest-path levels.
+        # batch 54: crawl infra — RFC 9309 robots.txt parse, SURT/CDX
+        # canonical keys, DataFrameNaFunctions surface.
+        "robots_parse": _q_robots_parse,
+        "surt_keys": _q_surt_keys,
+        "na_funcs": _q_na_funcs,
         "hilbert_key": _q_hilbert_key,
         "topo_levels": _q_topo_levels,
         "image_gif": _q_image_gif,
@@ -12615,6 +12758,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "robots_parse": _ROBOTS_SQL,
+        "surt_keys": _SURT_SQL,
+        "na_funcs": _NA_FUNCS_SQL,
         "hilbert_key": _hilbert_sql(),
         "topo_levels": _TOPO_LEVELS_SQL,
         "image_gif": _IMAGE_GIF_SQL,

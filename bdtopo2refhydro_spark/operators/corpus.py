@@ -1170,3 +1170,45 @@ def weighted_median(df: DataFrame, value_col: str, weight_col: str, *,
             .groupBy("g")
             .agg(F.min("v").cast("long").alias("wmedian"),
                  F.min("tw").cast("long").alias("total_w")))
+
+
+def parse_robots(robots: DataFrame, host_col: str = "host",
+                 text_col: str = "robots_txt") -> DataFrame:
+    """REAL robots.txt parsing (RFC 9309 grouping rules): lines split
+    and position-tagged, ``directive: value`` surgery, then the spec's
+    group semantics — CONSECUTIVE User-agent lines open one shared
+    group (a UA line starts a new group only when the previous line is
+    not itself a UA line), and every Allow/Disallow rule applies to all
+    agents of its group. Pure JVM string ops + two windows over (host,
+    line) — no python; the agents × rules expansion joins within the
+    tiny per-group key. Returns (host, agent, rule, path, line_no) —
+    the rule table url_rules-style longest-prefix policies consume."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("line_no", "line"))
+    parsed = lines.select(
+        "host", "line_no",
+        F.lower(F.trim(F.substring_index("line", ":", 1)))
+        .alias("directive"),
+        F.trim(F.expr(
+            "substr(line, instr(line, ':') + 1)")).alias("value"),
+    ).filter(F.expr("instr(line, ':') > 0"))
+    w = Window.partitionBy("host").orderBy("line_no")
+    grouped = parsed.withColumn(
+        "_is_ua", (F.col("directive") == "user-agent")
+    ).withColumn(
+        "_new_grp",
+        (F.col("_is_ua")
+         & ~F.coalesce(F.lag("_is_ua").over(w), F.lit(False)))
+        .cast("int")
+    ).withColumn("grp", F.sum("_new_grp").over(w))
+    agents = (grouped.filter("_is_ua")
+              .select("host", "grp", F.col("value").alias("agent")))
+    rules = (grouped
+             .filter(F.col("directive").isin("allow", "disallow"))
+             .select("host", "grp", F.col("directive").alias("rule"),
+                     F.col("value").alias("path"), "line_no"))
+    return (agents.join(rules, ["host", "grp"])
+            .select("host", "agent", "rule", "path",
+                    F.col("line_no").cast("long").alias("line_no")))
