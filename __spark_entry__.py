@@ -11600,6 +11600,94 @@ FROM a JOIN b
 """
 
 
+# ---- batch 55: bipartiteness + distributed 2-SAT -------------------------
+
+
+def _q_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-component bipartiteness via the DOUBLED-GRAPH CC trick
+    (graph.py:bipartite_check) — no BFS layering, no coloring-conflict
+    loop: one extra O(log n) CC pass; odd cycles are exactly what merge
+    a node's two sides. Fixture: 20 rings of length 3..7 (+ a chord
+    for c%7=0 that forces a triangle); closed-form truth:
+    bipartite ⟺ even length AND no chord."""
+    from bdtopo2refhydro_spark.operators.graph import bipartite_check
+
+    mm = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 140).alias("m")).distinct()
+    ring = (mm.selectExpr("m % 20 as c", "m div 20 as i")
+            .where("i < 3 + c % 5")
+            .selectExpr(
+        "cast(c * 100 + i as long) as u",
+        "cast(c * 100 + (i + 1) % (3 + c % 5) as long) as v"))
+    chord = (mm.selectExpr("m % 20 as c").distinct()
+             .where("c % 7 = 0")
+             .selectExpr("cast(c * 100 as long) as u",
+                         "cast(c * 100 + 2 as long) as v"))
+    return bipartite_check(ring.unionByName(chord))
+
+
+_BIPARTITE_SQL = """
+WITH cls AS (SELECT DISTINCT (doc_id % 140) % 20 AS c FROM documents)
+SELECT CAST(c * 100 AS BIGINT) AS l,
+       CAST(3 + c % 5 AS BIGINT) AS n_nodes,
+       (3 + c % 5) % 2 = 0 AND c % 7 != 0 AS is_bipartite
+FROM cls
+"""
+
+
+def _q_two_sat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed 2-SAT (graph.py:two_sat): clause (l1 ∨ l2) →
+    implications ¬l1→l2, ¬l2→l1; Aspvall–Plass–Tarjan — satisfiable
+    iff no variable shares an SCC with its negation — over the
+    engine's distributed coloring SCC, all 8 instances namespaced into
+    ONE graph pass. Oracle: brute-force all 2^10 assignments per
+    instance with bit tests."""
+    from bdtopo2refhydro_spark.operators.graph import two_sat
+
+    mm = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 240).alias("m")).distinct()
+    cl = mm.selectExpr(
+        "cast(m % 8 as long) as inst",
+        "cast(((m div 8) * 3 + m % 8) % 10 as long) as v1",
+        "cast((m div 8 + m % 8) % 2 as long) as s1",
+        "cast(((m div 8) * 7 + 1 + m % 8) % 10 as long) as v2",
+        "cast((m div 16 + m % 8) % 2 as long) as s2")
+    # plant a contradiction in instance 7: (x0)(¬x0) -> UNSAT
+    force = spark.createDataFrame(
+        [(7, 0, 0, 0, 0), (7, 0, 1, 0, 1)],
+        "inst long, v1 long, s1 long, v2 long, s2 long")
+    return two_sat(cl.unionByName(force))
+
+
+_TWO_SAT_SQL = """
+WITH mm AS (SELECT DISTINCT doc_id % 240 AS m FROM documents),
+cl AS MATERIALIZED (
+  SELECT m % 8 AS i,
+         ((m // 8) * 3 + m % 8) % 10 AS va,
+         (m // 8 + m % 8) % 2 AS sa,
+         ((m // 8) * 7 + 1 + m % 8) % 10 AS vb,
+         (m // 16 + m % 8) % 2 AS sb
+  FROM mm
+  UNION ALL SELECT 7, 0, 0, 0, 0
+  UNION ALL SELECT 7, 0, 1, 0, 1),
+insts AS (SELECT DISTINCT i FROM cl),
+assigns AS (
+  SELECT insts.i AS i, CAST(t.n AS BIGINT) AS asg
+  FROM insts, UNNEST(range(0, 1024)) t(n)),
+ok AS (
+  SELECT a.i, a.asg
+  FROM assigns a JOIN cl ON cl.i = a.i
+  GROUP BY a.i, a.asg
+  HAVING min(CASE WHEN ((a.asg >> va) & 1) != sa
+                    OR ((a.asg >> vb) & 1) != sb
+             THEN 1 ELSE 0 END) = 1),
+sat AS (SELECT i, TRUE AS s FROM ok GROUP BY i)
+SELECT CAST(insts.i AS BIGINT) AS inst,
+       coalesce(sat.s, FALSE) AS satisfiable
+FROM insts LEFT JOIN sat ON sat.i = insts.i
+"""
+
+
 # ---- batch 54: crawl infra — robots.txt, SURT keys, NA surface -----------
 
 
@@ -12287,6 +12375,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # chain) + DAG longest-path levels.
         # batch 54: crawl infra — RFC 9309 robots.txt parse, SURT/CDX
         # canonical keys, DataFrameNaFunctions surface.
+        # batch 55: doubled-graph bipartiteness + APT 2-SAT over the
+        # distributed SCC.
+        "bipartite": _q_bipartite,
+        "two_sat": _q_two_sat,
         "robots_parse": _q_robots_parse,
         "surt_keys": _q_surt_keys,
         "na_funcs": _q_na_funcs,
@@ -12758,6 +12850,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bipartite": _BIPARTITE_SQL,
+        "two_sat": _TWO_SAT_SQL,
         "robots_parse": _ROBOTS_SQL,
         "surt_keys": _SURT_SQL,
         "na_funcs": _NA_FUNCS_SQL,

@@ -691,18 +691,27 @@ def strongly_connected_components(edges: DataFrame, *,
         if n_rem == 0:
             break
         # ---- 1. trim loop: no-in or no-out nodes are singleton SCCs
+        # Alternate core slots: checkpointing round k's core into the
+        # SAME slot would free round k-1's blocks while `remaining`
+        # still points at them and the anti-join below still reads them
+        # (a freed LogicalRDD cannot recompute — bit us on a fixture
+        # needing 2+ trim rounds). Release the superseded core only
+        # AFTER the trimmed batch is materialized.
+        trim_flip = 0
         while True:
             has_out = e.select(F.col("u").alias("node")).distinct()
             has_in = e.select(F.col("v").alias("node")).distinct()
             core = slots.checkpoint(
                 remaining.join(has_out, "node", "left_semi")
-                .join(has_in, "node", "left_semi"), "core")
+                .join(has_in, "node", "left_semi"), f"core{trim_flip}")
             n_core = core.count()
             if n_core == n_rem:
                 break
             trimmed = remaining.join(core, "node", "left_anti") \
                 .select("node", F.col("node").alias("scc_id"))
             assigned = _acc(assigned, trimmed)
+            slots.release(f"core{1 - trim_flip}")
+            trim_flip = 1 - trim_flip
             remaining = core
             e = slots.checkpoint(
                 e.join(core.withColumnRenamed("node", "u"), "u",
@@ -985,3 +994,90 @@ def dag_levels(edges: DataFrame, *, src: str = "u", dst: str = "v",
             break
         sig = new_sig
     return lv
+
+
+def bipartite_check(edges: DataFrame, *, src: str = "u",
+                    dst: str = "v") -> DataFrame:
+    """Per-component bipartiteness by the DOUBLED-GRAPH trick: in G'
+    with nodes (v, side) and edges (u,0)-(v,1) and (u,1)-(v,0), a
+    component of G is bipartite iff (v,0) and (v,1) land in DIFFERENT
+    G' components — odd cycles are exactly what merges them. One extra
+    CC run (O(log n) hash-to-min) instead of any BFS layering or
+    coloring conflict loop; encodes side in the id as 2v / 2v+1.
+    Returns (l, n_nodes, is_bipartite) with l = min node id of the
+    component."""
+    e = edges.select(F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v")) \
+        .localCheckpoint(eager=False)
+    adj = (e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+           .union(e.select(F.col("v").alias("node"),
+                           F.col("u").alias("nbr"))))
+    comp = connected_components(adj)  # (node, l)
+    d_adj = (e.select((F.col("u") * 2).alias("node"),
+                      (F.col("v") * 2 + 1).alias("nbr"))
+             .union(e.select((F.col("u") * 2 + 1).alias("node"),
+                             (F.col("v") * 2).alias("nbr")))
+             .union(e.select((F.col("v") * 2 + 1).alias("node"),
+                             (F.col("u") * 2).alias("nbr")))
+             .union(e.select((F.col("v") * 2).alias("node"),
+                             (F.col("u") * 2 + 1).alias("nbr"))))
+    dcomp = connected_components(d_adj)  # (node, l) on doubled ids
+    merged = (dcomp.select((F.col("node") / 2).cast("long").alias("n0"),
+                           F.col("l").alias("dl"),
+                           (F.col("node") % 2).alias("side"))
+              .groupBy("n0")
+              .agg(F.count_distinct("dl").alias("_ndl")))
+    # a node whose two sides share one doubled-component sits on an
+    # odd closed walk -> its whole component is non-bipartite
+    flag = (comp.join(merged.withColumnRenamed("n0", "node"), "node")
+            .groupBy("l")
+            .agg(F.count("*").cast("long").alias("n_nodes"),
+                 (F.min(F.col("_ndl")) == 2).alias("is_bipartite")))
+    return flag
+
+
+def two_sat(clauses: DataFrame, *, inst: str = "inst",
+            cols=("v1", "s1", "v2", "s2")) -> DataFrame:
+    """Distributed 2-SAT over many instances at once: each clause
+    (l1 OR l2) contributes implications ¬l1→l2 and ¬l2→l1 on the
+    per-instance implication graph (literal node id = inst·2V + 2v +
+    sign); an instance is satisfiable iff NO variable shares an SCC
+    with its negation (Aspvall–Plass–Tarjan), and the SCC pass is the
+    engine's distributed coloring SCC — thousands of instances solve
+    in ONE graph pass because instance ids namespace the nodes.
+    cols = (var1, negated1, var2, negated2) with negated ∈ {0,1}
+    meaning the literal is ¬x. Returns (inst, satisfiable)."""
+    v1, s1, v2, s2 = cols
+    c = clauses.select(
+        F.col(inst).cast("long").alias("i"),
+        F.col(v1).cast("long").alias("a"),
+        F.col(s1).cast("long").alias("sa"),
+        F.col(v2).cast("long").alias("b"),
+        F.col(s2).cast("long").alias("sb"))
+    nvars = c.agg(F.max(F.greatest("a", "b"))).first()[0] + 1
+
+    def lit(var, sign):
+        return F.col("i") * (2 * nvars) + F.col(var) * 2 + sign
+
+    def neg(var, sign_col):
+        return (F.col("i") * (2 * nvars) + F.col(var) * 2
+                + (1 - F.col(sign_col)))
+
+    imp = (c.select(neg("a", "sa").alias("src"),
+                    lit("b", F.col("sb")).alias("dst"))
+           .union(c.select(neg("b", "sb").alias("src"),
+                           lit("a", F.col("sa")).alias("dst"))))
+    scc = strongly_connected_components(imp)  # (node, scc_id)
+    pos = scc.select((F.col("node") / 2).cast("long").alias("pv"),
+                     (F.col("node") % 2).alias("side"), "scc_id")
+    confl = (pos.groupBy("pv", "scc_id")
+             .agg(F.count_distinct("side").alias("_k"))
+             .filter(F.col("_k") == 2)
+             .select((F.col("pv") / nvars).cast("long").alias("i"))
+             .distinct()
+             .withColumn("_bad", F.lit(True)))
+    insts = c.select("i").distinct()
+    return (insts.join(confl, "i", "left")
+            .select(F.col("i").alias("inst"),
+                    F.coalesce(~F.col("_bad"), F.lit(True))
+                    .alias("satisfiable")))
