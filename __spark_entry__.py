@@ -11600,6 +11600,56 @@ FROM a JOIN b
 """
 
 
+# ---- batch 56: batch LCA via binary lifting ------------------------------
+
+
+def _q_lca_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch lowest-common-ancestor on the hydro forest
+    (orders.py:lca_queries): binary-lifting ancestor tables built in
+    O(log depth) pointer-doubling joins; ALL queries lift together in
+    the same 2·log rounds — no per-query walk. Cross-tree pairs and
+    absent endpoints drop on both sides. Oracle: root-path walks per
+    endpoint, LCA = common node minimizing the step sum."""
+    from bdtopo2refhydro_spark.operators.orders import lca_queries
+
+    qq = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 120).alias("q")).distinct()
+    qs = qq.selectExpr("cast(q as long) as qid",
+                       "cast((q * 7 + 1) % 500 as long) as u",
+                       "cast((q * 11 + 3) % 500 as long) as w")
+    return lca_queries(_forest_edges(spark, sf_dir), qs)
+
+
+_LCA_SQL = f"""
+WITH RECURSIVE e AS ({_FOREST_D}),
+nodes AS (
+  SELECT DISTINCT nodea AS node FROM e
+  UNION SELECT DISTINCT nodeb FROM e),
+qq AS (SELECT DISTINCT doc_id % 120 AS q FROM documents),
+qs AS (
+  SELECT q, (q * 7 + 1) % 500 AS u, (q * 11 + 3) % 500 AS w FROM qq),
+qv AS (
+  SELECT qs.* FROM qs
+  JOIN nodes nu ON nu.node = qs.u
+  JOIN nodes nw ON nw.node = qs.w),
+pu(q, node, s) AS (
+  SELECT q, u, 0 FROM qv
+  UNION ALL
+  SELECT p.q, f.nodeb, p.s + 1 FROM pu p JOIN e f ON f.nodea = p.node),
+pw(q, node, s) AS (
+  SELECT q, w, 0 FROM qv
+  UNION ALL
+  SELECT p.q, f.nodeb, p.s + 1 FROM pw p JOIN e f ON f.nodea = p.node),
+common AS (
+  SELECT pu.q, pu.node, pu.s + pw.s AS dist
+  FROM pu JOIN pw ON pw.q = pu.q AND pw.node = pu.node)
+SELECT CAST(q AS BIGINT) AS qid, CAST(node AS BIGINT) AS lca,
+       CAST(dist AS BIGINT) AS dist
+FROM common
+QUALIFY row_number() OVER (PARTITION BY q ORDER BY dist, node) = 1
+"""
+
+
 # ---- batch 55: bipartiteness + distributed 2-SAT -------------------------
 
 
@@ -12377,6 +12427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # canonical keys, DataFrameNaFunctions surface.
         # batch 55: doubled-graph bipartiteness + APT 2-SAT over the
         # distributed SCC.
+        # batch 56: batch LCA via binary lifting.
+        "lca_batch": _q_lca_batch,
         "bipartite": _q_bipartite,
         "two_sat": _q_two_sat,
         "robots_parse": _q_robots_parse,
@@ -12850,6 +12902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "lca_batch": _LCA_SQL,
         "bipartite": _BIPARTITE_SQL,
         "two_sat": _TWO_SAT_SQL,
         "robots_parse": _ROBOTS_SQL,

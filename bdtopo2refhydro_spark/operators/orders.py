@@ -974,3 +974,134 @@ def tree_diameter(edges_nodes: DataFrame, key: str = "url",
     return (per_node.join(comp, "node").join(root_of, "l")
             .groupBy("root")
             .agg(F.max("thr").cast("long").alias("diameter")))
+
+
+def lca_queries(edges_nodes: DataFrame, queries: DataFrame,
+                key: str = "url", qid: str = "qid",
+                u_col: str = "u", w_col: str = "w",
+                max_log: int = 12) -> DataFrame:
+    """Batch lowest-common-ancestor on a forest by BINARY LIFTING —
+    the classic O(log depth) construction, Spark-shaped: ancestor
+    table A_k(v) = 2^k-th ancestor built by k self-joins of the
+    previous level (pointer doubling), then every query resolves with
+    2·max_log rounds of small broadcast-scale joins (lift the deeper
+    endpoint by the depth difference's bits, then descend both
+    endpoints on the highest differing levels; LCA = parent after the
+    descent). No per-query walks — a million queries lift together in
+    the same joins. Cross-tree pairs drop (no LCA). Returns
+    (qid, lca, dist) with dist the path length u→w through the LCA.
+
+    Edges are child→parent (NODEA flows to NODEB), one parent per
+    child. All-integer → bit-exact."""
+    from ._ckpt import CheckpointSlots
+    from pyspark.sql import functions as F
+
+    slots = CheckpointSlots()
+    par = slots.checkpoint(
+        edges_nodes.select(F.col("NODEA").cast("long").alias("v"),
+                           F.col("NODEB").cast("long").alias("a")), "a0")
+    nodes = (par.select(F.col("v").alias("node"))
+             .union(par.select(F.col("a").alias("node"))).distinct()
+             .localCheckpoint(eager=False))
+
+    # depth via bounded top-down rounds (roots depth 0)
+    roots = nodes.join(par.select(F.col("v").alias("node")),
+                       "node", "left_anti")
+    depth = slots.checkpoint(
+        roots.select("node", F.lit(0).cast("long").alias("d")), "dep")
+    for _ in range(1 << max_log):
+        frontier = (par.join(depth.select(F.col("node").alias("a"),
+                                          F.col("d").alias("_pd")), "a")
+                    .select(F.col("v").alias("node"),
+                            (F.col("_pd") + 1).alias("d"))
+                    .join(depth.select("node"), "node", "left_anti"))
+        frontier = slots.checkpoint(frontier, "fr")
+        if not frontier.take(1):
+            break
+        depth = slots.checkpoint(depth.unionByName(frontier), "dep")
+
+    # binary-lifting tables A_k, k = 0..max_log-1
+    anc = [par]
+    for k in range(1, max_log):
+        prev = anc[-1]
+        nxt = slots.checkpoint(
+            prev.join(prev.select(F.col("v").alias("a"),
+                                  F.col("a").alias("_a2")), "a")
+            .select("v", F.col("_a2").alias("a")), f"anc{k}")
+        if not nxt.take(1):
+            anc.append(nxt)
+            break
+        anc.append(nxt)
+
+    q = (queries.select(F.col(qid).cast("long").alias("q"),
+                        F.col(u_col).cast("long").alias("u"),
+                        F.col(w_col).cast("long").alias("w"))
+         .join(depth.select(F.col("node").alias("u"),
+                            F.col("d").alias("du")), "u")
+         .join(depth.select(F.col("node").alias("w"),
+                            F.col("d").alias("dw")), "w"))
+    # normalize: x = deeper endpoint, y = shallower
+    st = q.select(
+        "q",
+        F.when(F.col("du") >= F.col("dw"), F.col("u"))
+        .otherwise(F.col("w")).alias("x"),
+        F.when(F.col("du") >= F.col("dw"), F.col("w"))
+        .otherwise(F.col("u")).alias("y"),
+        F.greatest("du", "dw").alias("dx"), F.least("du", "dw").alias("dy"),
+        (F.col("du") + F.col("dw")).alias("dsum"))
+    st = slots.checkpoint(st, "st")
+    # lift x by (dx - dy), bit by bit
+    for k in range(len(anc) - 1, -1, -1):
+        bit = 1 << k
+        lifted = (st.join(anc[k].select(F.col("v").alias("x"),
+                                        F.col("a").alias("_ax")),
+                          "x", "left")
+                  .select("q",
+                          F.when((F.col("dx") - F.col("dy"))
+                                 .bitwiseAND(bit) != 0, F.col("_ax"))
+                          .otherwise(F.col("x")).alias("x"),
+                          "y",
+                          F.when((F.col("dx") - F.col("dy"))
+                                 .bitwiseAND(bit) != 0,
+                                 F.col("dx") - bit)
+                          .otherwise(F.col("dx")).alias("dx"),
+                          "dy", "dsum"))
+        st = slots.checkpoint(lifted, "st")
+    # equal depths now; same node -> LCA found
+    done = st.filter(F.col("x") == F.col("y")).select(
+        "q", F.col("x").alias("lca"),
+        (F.col("dsum") - 2 * F.col("dy")).alias("dist"))
+    done = slots.checkpoint(done, "done0")
+    rest = st.filter(F.col("x") != F.col("y"))
+    # descend: on levels where ancestors differ, jump both
+    for k in range(len(anc) - 1, -1, -1):
+        stepped = (rest.join(anc[k].select(F.col("v").alias("x"),
+                                           F.col("a").alias("_ax")),
+                             "x", "left")
+                   .join(anc[k].select(F.col("v").alias("y"),
+                                       F.col("a").alias("_ay")),
+                         "y", "left"))
+        jump = (F.col("_ax").isNotNull() & F.col("_ay").isNotNull()
+                & (F.col("_ax") != F.col("_ay")))
+        rest = slots.checkpoint(
+            stepped.select(
+                "q",
+                F.when(jump, F.col("_ax")).otherwise(F.col("x"))
+                .alias("x"),
+                F.when(jump, F.col("_ay")).otherwise(F.col("y"))
+                .alias("y"),
+                (F.col("dy") - F.when(jump, F.lit(1 << k))
+                 .otherwise(0)).alias("dy"), "dsum"),
+            f"rest{k % 2}")
+    # LCA = shared parent of x and y (cross-tree pairs have none)
+    fin = (rest.join(par.select(F.col("v").alias("x"),
+                                F.col("a").alias("_px")), "x")
+           .join(par.select(F.col("v").alias("y"),
+                            F.col("a").alias("_py")), "y")
+           .filter(F.col("_px") == F.col("_py"))
+           .select("q", F.col("_px").alias("lca"),
+                   (F.col("dsum") - 2 * (F.col("dy") - 1)).alias("dist")))
+    return (done.unionByName(fin)
+            .select(F.col("q").alias("qid"),
+                    F.col("lca").cast("long").alias("lca"),
+                    F.col("dist").cast("long").alias("dist")))
