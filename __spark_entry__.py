@@ -11600,6 +11600,111 @@ FROM a JOIN b
 """
 
 
+# ---- batch 57: skyline, Haar DWT, Misra–Gries heavy hitters --------------
+
+
+def _q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D Pareto frontier per group (corpus.py:pareto_skyline):
+    per-(g,x) min-y pre-aggregation then ONE running-min window pass —
+    no pair joins. Oracle uses the generic NOT-EXISTS dominance
+    definition, so the window formulation is verified against the
+    mathematical spec, not itself."""
+    from bdtopo2refhydro_spark.operators.corpus import pareto_skyline
+
+    pts = _docs(spark, sf_dir).selectExpr(
+        "cast(doc_id % 4 as long) as g",
+        "cast((doc_id * 17) % 200 as long) as x",
+        "cast((doc_id * 23) % 200 as long) as y")
+    return pareto_skyline(pts, "x", "y")
+
+
+_SKYLINE_SQL = """
+WITH pts AS (
+  SELECT doc_id % 4 AS g, (doc_id * 17) % 200 AS x,
+         (doc_id * 23) % 200 AS y
+  FROM documents),
+per_x AS (SELECT g, x, min(y) AS y FROM pts GROUP BY g, x)
+SELECT CAST(p.g AS BIGINT) AS g, CAST(p.x AS BIGINT) AS x,
+       CAST(p.y AS BIGINT) AS y
+FROM per_x p
+WHERE NOT EXISTS (
+  SELECT 1 FROM per_x q
+  WHERE q.g = p.g AND q.x <= p.x AND q.y <= p.y
+    AND (q.x < p.x OR q.y < p.y))
+"""
+
+
+def _q_haar_dwt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unnormalized Haar wavelet transform (temporal.py:haar_dwt):
+    3 pairwise-aggregation rounds, each halving the series — the
+    transform's O(n) laid onto shrinking shuffles; all-integer."""
+    from bdtopo2refhydro_spark.operators.temporal import haar_dwt
+
+    mm = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 256).alias("m")).distinct()
+    series = mm.selectExpr(
+        "cast(m % 4 as long) as g", "cast(m div 4 as long) as t",
+        "cast((m * m * 7) % 101 as long) as v")
+    return haar_dwt(series, levels=3)
+
+
+_HAAR_SQL = """
+WITH mm AS (SELECT DISTINCT doc_id % 256 AS m FROM documents),
+s0 AS (
+  SELECT m % 4 AS g, m // 4 AS t, (m * m * 7) % 101 AS v FROM mm),
+l0 AS (
+  SELECT g, t // 2 AS idx,
+         sum(CASE WHEN t % 2 = 0 THEN v ELSE 0 END) AS a,
+         sum(CASE WHEN t % 2 = 1 THEN v ELSE 0 END) AS b
+  FROM s0 GROUP BY g, t // 2),
+s1 AS (SELECT g, idx AS t, a + b AS v FROM l0),
+l1 AS (
+  SELECT g, t // 2 AS idx,
+         sum(CASE WHEN t % 2 = 0 THEN v ELSE 0 END) AS a,
+         sum(CASE WHEN t % 2 = 1 THEN v ELSE 0 END) AS b
+  FROM s1 GROUP BY g, t // 2),
+s2 AS (SELECT g, idx AS t, a + b AS v FROM l1),
+l2 AS (
+  SELECT g, t // 2 AS idx,
+         sum(CASE WHEN t % 2 = 0 THEN v ELSE 0 END) AS a,
+         sum(CASE WHEN t % 2 = 1 THEN v ELSE 0 END) AS b
+  FROM s2 GROUP BY g, t // 2)
+SELECT CAST(g AS BIGINT) AS g, CAST(0 AS BIGINT) AS level,
+       CAST(idx AS BIGINT) AS idx, CAST(a - b AS BIGINT) AS coef FROM l0
+UNION ALL
+SELECT g, 1, idx, CAST(a - b AS BIGINT) FROM l1
+UNION ALL
+SELECT g, 2, idx, CAST(a - b AS BIGINT) FROM l2
+UNION ALL
+SELECT g, 3, idx, CAST(a + b AS BIGINT) FROM l2
+"""
+
+
+def _q_mg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters via two-pass Misra–Gries
+    (corpus.py:mg_heavy_hitters): per-partition k-counter summaries
+    (bounded shuffle) guarantee every true > n/k item survives as a
+    candidate; the exact recount makes the OUTPUT partition-order
+    independent. Oracle: plain GROUP BY with the same strict gate."""
+    from bdtopo2refhydro_spark.operators.corpus import mg_heavy_hitters
+
+    items = _docs(spark, sf_dir).selectExpr(
+        "concat('w', cast(case when doc_id % 2 = 0 then doc_id % 4 "
+        "else doc_id % 83 end as string)) as item")
+    return mg_heavy_hitters(items, "item", 10)
+
+
+_MG_SQL = """
+WITH items AS (
+  SELECT 'w' || CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 4
+                          ELSE doc_id % 83 END AS VARCHAR) AS item
+  FROM documents)
+SELECT item, CAST(count(*) AS BIGINT) AS cnt
+FROM items GROUP BY item
+HAVING count(*) * 10 > (SELECT count(*) FROM items)
+"""
+
+
 # ---- batch 56: batch LCA via binary lifting ------------------------------
 
 
@@ -12428,6 +12533,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 55: doubled-graph bipartiteness + APT 2-SAT over the
         # distributed SCC.
         # batch 56: batch LCA via binary lifting.
+        # batch 57: Pareto skyline, Haar DWT, Misra–Gries exact
+        # heavy hitters.
+        "skyline": _q_skyline,
+        "haar_dwt": _q_haar_dwt,
+        "mg_topk": _q_mg_topk,
         "lca_batch": _q_lca_batch,
         "bipartite": _q_bipartite,
         "two_sat": _q_two_sat,
@@ -12902,6 +13012,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "skyline": _SKYLINE_SQL,
+        "haar_dwt": _HAAR_SQL,
+        "mg_topk": _MG_SQL,
         "lca_batch": _LCA_SQL,
         "bipartite": _BIPARTITE_SQL,
         "two_sat": _TWO_SAT_SQL,

@@ -1212,3 +1212,64 @@ def parse_robots(robots: DataFrame, host_col: str = "host",
     return (agents.join(rules, ["host", "grp"])
             .select("host", "agent", "rule", "path",
                     F.col("line_no").cast("long").alias("line_no")))
+
+
+def pareto_skyline(df: DataFrame, x_col: str, y_col: str, *,
+                   group_col: str = "g") -> DataFrame:
+    """2D Pareto frontier per group, both axes MINIMIZED (the
+    quality-vs-cost selection frontier: no other point is ≤ in both
+    and < in one). Shape: pre-aggregate min(y) per (group, x) — the
+    window then sees |distinct x| rows, not |rows| — then ONE ordered
+    window pass: after sorting by x, a point is on the skyline iff its
+    y is strictly below every earlier y (running-min test; x ties
+    collapse in the pre-aggregation). Exact, no pair joins anywhere.
+    Returns (group, x, y) skyline points."""
+    per_x = (df.groupBy(F.col(group_col).alias("g"),
+                        F.col(x_col).cast("long").alias("x"))
+             .agg(F.min(F.col(y_col).cast("long")).alias("y")))
+    w = (Window.partitionBy("g").orderBy("x")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (per_x.withColumn("_pm", F.min("y").over(w))
+            .where(F.col("_pm").isNull() | (F.col("y") < F.col("_pm")))
+            .select("g", "x", "y"))
+
+
+def mg_heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
+    """EXACT heavy hitters (count > n/k) by the two-pass Misra–Gries
+    scheme: pass 1 runs the classic k-counter decrement summary PER
+    PARTITION (mapInPandas, bounded k entries out per partition — the
+    shuffle carries ≤ k·partitions rows, never the stream); merged MG
+    counts underestimate true counts by ≤ n/k TOTAL, so every true
+    heavy hitter survives as a candidate. Pass 2 recounts ONLY the
+    candidates exactly (broadcast semi-join) and applies the strict
+    n·threshold gate — so the OUTPUT is exact and partition-order
+    independent even though MG summaries themselves are not.
+    Returns (item, cnt) for items with cnt·k > n."""
+    import pandas as pd
+
+    def _mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf[col]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    for key in list(counters):
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            del counters[key]
+        yield pd.DataFrame({"item": list(counters),
+                            "c": list(counters.values())})
+
+    items = df.select(F.col(col).alias(col))
+    cand = (items.mapInPandas(_mg, f"item string, c long")
+            .groupBy("item").agg(F.sum("c").alias("_est"))
+            .select("item"))
+    n = items.count()
+    exact = (items.join(F.broadcast(cand),
+                        items[col] == cand["item"], "left_semi")
+             .groupBy(col).agg(F.count("*").cast("long").alias("cnt")))
+    return (exact.where(F.col("cnt") * k > F.lit(n))
+            .select(F.col(col).alias("item"), "cnt"))

@@ -412,3 +412,40 @@ def gap_fill_counts(df: DataFrame, *, key_col: str,
             .select(key_col,
                     F.col(period_col).cast("long").alias(period_col),
                     F.coalesce("n", F.lit(0)).cast("long").alias("n")))
+
+
+def haar_dwt(df: DataFrame, *, group_col: str = "g", t_col: str = "t",
+             v_col: str = "v", levels: int = 3) -> DataFrame:
+    """Unnormalized Haar wavelet transform per series: level ℓ detail
+    coefficients a−b and the final scaling (approximation) row a+b,
+    computed as ``levels`` rounds of pairwise groupBy aggregations —
+    each round HALVES the series (map-side combined; no window, no
+    sort), which is the transform's own O(n) work laid onto shuffles
+    of shrinking size. All-integer (unnormalized), so bit-exact.
+    Requires t dense 0..2^m−1 per group. Returns
+    (group, level, idx, coef) with level=ℓ for details and
+    level=``levels`` for the surviving approximations."""
+    cur = df.select(F.col(group_col).alias("g"),
+                    F.col(t_col).cast("long").alias("t"),
+                    F.col(v_col).cast("long").alias("v"))
+    outs = []
+    for lvl in range(levels):
+        agg = (cur.groupBy("g", F.expr("t div 2").alias("idx"))
+               .agg(F.sum(F.when(F.col("t") % 2 == 0, F.col("v"))
+                          .otherwise(0)).alias("a"),
+                    F.sum(F.when(F.col("t") % 2 == 1, F.col("v"))
+                          .otherwise(0)).alias("b")))
+        outs.append(agg.select(
+            "g", F.lit(lvl).cast("long").alias("level"),
+            F.col("idx").cast("long").alias("idx"),
+            (F.col("a") - F.col("b")).cast("long").alias("coef")))
+        cur = agg.select("g", F.col("idx").alias("t"),
+                         (F.col("a") + F.col("b")).alias("v"))
+    outs.append(cur.select(
+        "g", F.lit(levels).cast("long").alias("level"),
+        F.col("t").cast("long").alias("idx"),
+        F.col("v").cast("long").alias("coef")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
