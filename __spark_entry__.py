@@ -11600,6 +11600,83 @@ FROM a JOIN b
 """
 
 
+# ---- batch 58: polygon centroid + stream-stream semi join ----------------
+
+
+def _q_poly_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shoelace signed area + centroid over vertex ROWS
+    (spatial.py:polygon_centroid): consecutive pairs via the
+    (pid, (vid+1) mod n) equi-join — no collect_list ordering hazard;
+    BIGINT accumulators, centroid = ONE division of exact integers per
+    axis. Fixture: a convex CCW pentagon scaled + translated per pid."""
+    from bdtopo2refhydro_spark.operators.spatial import polygon_centroid
+
+    mm = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 200).alias("m")).distinct()
+    verts = mm.selectExpr(
+        "cast(m % 40 as long) as pid",
+        "cast(m div 40 as long) as vid",
+        "cast((case m div 40 when 0 then 0 when 1 then 4 when 2 then 5 "
+        "when 3 then 2 else -1 end) * (1 + (m % 40) % 3) "
+        "+ ((m % 40) * 37) % 1000 as long) as x",
+        "cast((case m div 40 when 0 then 0 when 1 then 1 when 2 then 4 "
+        "when 3 then 6 else 3 end) * (1 + (m % 40) % 3) "
+        "+ ((m % 40) * 53) % 1000 as long) as y")
+    return polygon_centroid(verts)
+
+
+_POLY_CENTROID_SQL = """
+WITH mm AS (SELECT DISTINCT doc_id % 200 AS m FROM documents),
+verts AS MATERIALIZED (
+  SELECT m % 40 AS p, m // 40 AS i,
+    (CASE m // 40 WHEN 0 THEN 0 WHEN 1 THEN 4 WHEN 2 THEN 5
+      WHEN 3 THEN 2 ELSE -1 END) * (1 + (m % 40) % 3)
+      + ((m % 40) * 37) % 1000 AS x,
+    (CASE m // 40 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 4
+      WHEN 3 THEN 6 ELSE 3 END) * (1 + (m % 40) % 3)
+      + ((m % 40) * 53) % 1000 AS y
+  FROM mm),
+n AS (SELECT p, count(*) AS nn FROM verts GROUP BY p),
+pairs AS (
+  SELECT a.p, a.x, a.y, b.x AS xn, b.y AS yn
+  FROM verts a JOIN n ON n.p = a.p
+  JOIN verts b ON b.p = a.p AND b.i = (a.i + 1) % n.nn),
+agg AS (
+  SELECT p, sum(x * yn - xn * y) AS a2,
+         sum((x + xn) * (x * yn - xn * y)) AS cxn,
+         sum((y + yn) * (x * yn - xn * y)) AS cyn
+  FROM pairs GROUP BY p)
+SELECT CAST(p AS BIGINT) AS pid, CAST(a2 AS BIGINT) AS a2,
+       CAST(cxn AS DOUBLE) / CAST(3 * a2 AS DOUBLE) AS cx,
+       CAST(cyn AS DOUBLE) / CAST(3 * a2 AS DOUBLE) AS cy
+FROM agg
+"""
+
+
+def _q_stream_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI interval join (streaming/stateful.py:
+    stream_interval_join how='left_semi'): a click emits once iff the
+    same user records a view within 6 hours — semi output carries only
+    left columns and each matched left row emits exactly once, so the
+    availableNow drain equals the batch EXISTS semi join."""
+    from bdtopo2refhydro_spark.streaming import stream_interval_join
+
+    return stream_interval_join(
+        spark, f"{sf_dir}/events.parquet", within="6 hours",
+        watermark="60 days", how="left_semi",
+        query_name="stream_semi_events")
+
+
+_STREAM_SEMI_SQL = """
+SELECT l.event_id AS left_id, l.user_id AS key, epoch_us(l.ts) AS l_us
+FROM events l
+WHERE l.event_type = 'click' AND EXISTS (
+  SELECT 1 FROM events r
+  WHERE r.user_id = l.user_id AND r.event_type = 'view'
+    AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR)
+"""
+
+
 # ---- batch 57: skyline, Haar DWT, Misra–Gries heavy hitters --------------
 
 
@@ -12535,6 +12612,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 56: batch LCA via binary lifting.
         # batch 57: Pareto skyline, Haar DWT, Misra–Gries exact
         # heavy hitters.
+        # batch 58: shoelace centroid + stream-stream LEFT SEMI join.
+        "poly_centroid": _q_poly_centroid,
+        "stream_semi": _q_stream_semi,
         "skyline": _q_skyline,
         "haar_dwt": _q_haar_dwt,
         "mg_topk": _q_mg_topk,
@@ -13012,6 +13092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "poly_centroid": _POLY_CENTROID_SQL,
+        "stream_semi": _STREAM_SEMI_SQL,
         "skyline": _SKYLINE_SQL,
         "haar_dwt": _HAAR_SQL,
         "mg_topk": _MG_SQL,

@@ -529,3 +529,42 @@ def dbscan_grid(points: DataFrame, eps: float, min_pts: int,
             .select("id",
                     F.coalesce("is_core", F.lit(False)).alias("is_core"),
                     "cluster"))
+
+
+def polygon_centroid(verts: DataFrame, *, pid: str = "pid",
+                     vid: str = "vid", x_col: str = "x",
+                     y_col: str = "y") -> DataFrame:
+    """Exact polygon signed area + centroid by the shoelace formula
+    over vertex ROWS: consecutive pairs come from an equi-join on
+    (pid, (vid+1) mod n) — one shuffle on the polygon key, no
+    collect_list ordering hazards. With integer coordinates the
+    accumulators are BIGINT-exact and the centroid is ONE IEEE
+    division of exact integers per axis:
+
+        2A  = Σ (x_i·y_{i+1} − x_{i+1}·y_i)
+        cx  = Σ (x_i + x_{i+1})·cross_i / (3·2A)     (cy analogous)
+
+    Returns (pid, a2, cx, cy) with a2 the doubled signed area
+    (positive = counter-clockwise ring)."""
+    v = verts.select(F.col(pid).alias("p"),
+                     F.col(vid).cast("long").alias("i"),
+                     F.col(x_col).cast("long").alias("x"),
+                     F.col(y_col).cast("long").alias("y"))
+    n = v.groupBy("p").agg(F.count("*").alias("_n"))
+    a = v.join(n, "p")
+    b = v.select(F.col("p").alias("p"), F.col("i").alias("_j"),
+                 F.col("x").alias("xn"), F.col("y").alias("yn"))
+    pairs = a.join(b, (a["p"] == b["p"])
+                   & (F.col("_j") == (F.col("i") + 1) % F.col("_n"))
+                   ).drop(b["p"])
+    cross = F.col("x") * F.col("yn") - F.col("xn") * F.col("y")
+    agg = pairs.groupBy("p").agg(
+        F.sum(cross).alias("a2"),
+        F.sum((F.col("x") + F.col("xn")) * cross).alias("_cxn"),
+        F.sum((F.col("y") + F.col("yn")) * cross).alias("_cyn"))
+    return agg.select(
+        F.col("p").alias("pid"), F.col("a2").cast("long").alias("a2"),
+        (F.col("_cxn").cast("double")
+         / (3 * F.col("a2")).cast("double")).alias("cx"),
+        (F.col("_cyn").cast("double")
+         / (3 * F.col("a2")).cast("double")).alias("cy"))

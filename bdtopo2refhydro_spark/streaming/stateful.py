@@ -182,10 +182,20 @@ def stream_interval_join(spark: SparkSession, path: str, *,
         F.expr(f"key = r_key AND r_ts >= l_ts "
                f"AND r_ts <= l_ts + INTERVAL {within}"),
         how,
-    ).select(
-        "left_id", "right_id", F.col("key"),
-        (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("delta_us"),
     )
+    if how == "left_semi":
+        # semi-join output carries ONLY left columns; each matched left
+        # row emits exactly once (eagerly, like inner), unmatched rows
+        # never emit — so an availableNow drain equals the batch
+        # EXISTS-semantics semi join.
+        joined = joined.select(
+            "left_id", F.col("key"), F.unix_micros("l_ts").alias("l_us"))
+    else:
+        joined = joined.select(
+            "left_id", "right_id", F.col("key"),
+            (F.unix_micros("r_ts") - F.unix_micros("l_ts"))
+            .alias("delta_us"),
+        )
     return _drain_to_memory(joined, query_name, "append")
 
 
