@@ -11600,6 +11600,100 @@ FROM a JOIN b
 """
 
 
+# ---- batch 59: shard routing — rendezvous + consistent-hash ring ---------
+
+
+def _q_hrw_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous hashing (corpus.py:hrw_assign) under 10 and 11
+    nodes, pinning THE property that makes HRW the shard router of
+    choice: adding a node moves ONLY the keys that land on the new
+    node (minimal_ok = inflow=0 for every pre-existing node).
+    Assignment is a zero-join projection; the oracle evaluates the
+    IDENTICAL dialect-neutral expression string."""
+    from bdtopo2refhydro_spark.operators.corpus import hrw_assign
+
+    keys = _docs(spark, sf_dir).select(F.col("doc_id").alias("k"))
+    a = hrw_assign(keys, 10).withColumnRenamed("node", "na")
+    b = hrw_assign(keys, 11).withColumnRenamed("node", "nb")
+    j = a.join(b, "k")
+    loads_a = j.groupBy(F.col("na").alias("node")).agg(
+        F.count("*").alias("load_a"))
+    per_b = j.groupBy(F.col("nb").alias("node")).agg(
+        F.count("*").alias("load_b"),
+        F.sum(F.when(F.col("na") != F.col("nb"), 1).otherwise(0))
+        .alias("inflow"))
+    nodes = spark.range(11).select(F.col("id").cast("long").alias("node"))
+    return (nodes.join(loads_a, "node", "left")
+            .join(per_b, "node", "left")
+            .select("node",
+                    F.coalesce("load_a", F.lit(0)).cast("long")
+                    .alias("load_a"),
+                    F.coalesce("load_b", F.lit(0)).cast("long")
+                    .alias("load_b"),
+                    F.coalesce("inflow", F.lit(0)).cast("long")
+                    .alias("inflow"),
+                    ((F.col("node") == 10)
+                     | (F.coalesce("inflow", F.lit(0)) == 0))
+                    .alias("minimal_ok")))
+
+
+def _hrw_sql() -> str:
+    from bdtopo2refhydro_spark.operators.corpus import hrw_expr_sql
+
+    return f"""
+WITH keys AS (SELECT doc_id AS k FROM documents),
+asg AS (
+  SELECT k, {hrw_expr_sql('k', 10)} AS na,
+         {hrw_expr_sql('k', 11)} AS nb
+  FROM keys),
+la AS (SELECT na AS node, count(*) AS load_a FROM asg GROUP BY na),
+pb AS (
+  SELECT nb AS node, count(*) AS load_b,
+         sum(CASE WHEN na != nb THEN 1 ELSE 0 END) AS inflow
+  FROM asg GROUP BY nb),
+nodes AS (SELECT CAST(t.n AS BIGINT) AS node
+          FROM UNNEST(range(0, 11)) t(n))
+SELECT nodes.node,
+       CAST(coalesce(la.load_a, 0) AS BIGINT) AS load_a,
+       CAST(coalesce(pb.load_b, 0) AS BIGINT) AS load_b,
+       CAST(coalesce(pb.inflow, 0) AS BIGINT) AS inflow,
+       (nodes.node = 10 OR coalesce(pb.inflow, 0) = 0) AS minimal_ok
+FROM nodes
+LEFT JOIN la ON la.node = nodes.node
+LEFT JOIN pb ON pb.node = nodes.node
+"""
+
+
+def _q_ring_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash ring with virtual nodes (corpus.py:ring_assign):
+    key → first vnode clockwise (wrapping); the 48-row vnode table
+    broadcasts and the winner is one map-side-combinable
+    min(struct(distance, vh, owner)) — no sort, no window."""
+    from bdtopo2refhydro_spark.operators.corpus import ring_assign
+
+    keys = _docs(spark, sf_dir).select(F.col("doc_id").alias("k"))
+    return ring_assign(keys, 6, vnodes=8)
+
+
+_RING_SQL = """
+WITH vn AS (
+  SELECT t.id // 8 AS owner,
+         ((t.id * 31 + 5) * 1103515245 + 12345) % 2147483648 AS vh
+  FROM UNNEST(range(0, 48)) t(id)),
+keys AS (
+  SELECT doc_id AS k,
+         ((doc_id) * 1103515245 + 12345) % 2147483648 AS kh
+  FROM documents),
+ranked AS (
+  SELECT k, owner,
+         (vh - kh + 2147483648) % 2147483648 AS d, vh
+  FROM keys, vn)
+SELECT CAST(k AS BIGINT) AS k, CAST(owner AS BIGINT) AS node
+FROM ranked
+QUALIFY row_number() OVER (PARTITION BY k ORDER BY d, vh, owner) = 1
+"""
+
+
 # ---- batch 58: polygon centroid + stream-stream semi join ----------------
 
 
@@ -12613,6 +12707,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 57: Pareto skyline, Haar DWT, Misra–Gries exact
         # heavy hitters.
         # batch 58: shoelace centroid + stream-stream LEFT SEMI join.
+        # batch 59: shard routing — HRW minimal-movement pin +
+        # consistent-hash ring with vnodes.
+        "hrw_shards": _q_hrw_shards,
+        "ring_hash": _q_ring_hash,
         "poly_centroid": _q_poly_centroid,
         "stream_semi": _q_stream_semi,
         "skyline": _q_skyline,
@@ -13092,6 +13190,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "hrw_shards": _hrw_sql(),
+        "ring_hash": _RING_SQL,
         "poly_centroid": _POLY_CENTROID_SQL,
         "stream_semi": _STREAM_SEMI_SQL,
         "skyline": _SKYLINE_SQL,

@@ -1273,3 +1273,74 @@ def mg_heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
              .groupBy(col).agg(F.count("*").cast("long").alias("cnt")))
     return (exact.where(F.col("cnt") * k > F.lit(n))
             .select(F.col(col).alias("item"), "cnt"))
+
+
+_LCG_M = 2147483648  # 2^31
+
+
+def _lcg_expr(x: str) -> str:
+    """Dialect-neutral 31-bit LCG mix (same string drives Spark and
+    DuckDB; products stay < 2^62 so ANSI never overflows)."""
+    return f"(({x}) * 1103515245 + 12345) % {_LCG_M}"
+
+
+def hrw_expr_sql(key_col: str, n_nodes: int) -> str:
+    """DIALECT-NEUTRAL rendezvous-hash assignment expression (the same
+    string drives Spark and DuckDB): the per-node scores unroll into a
+    greatest() tree over the LCG mix; combined rank score·n + (n−1−j)
+    makes the argmax prefer the LOWEST node id on score ties, decoded
+    by one modulus."""
+    kh = _lcg_expr(key_col)
+    # MULTIPLICATIVE key x node mixing — an affine (LCG-only) score
+    # makes inter-node score differences nearly key-independent (only
+    # mod wraparounds change the winner: measured 3 nodes absorbing
+    # 87% of keys). (kh+13)·nh_j mod 2^31 is non-affine per node, so
+    # winners vary per key; node hashes are python-time constants and
+    # the ANSI product stays < 2^63 (~4.6e18).
+    def nh(j: int) -> int:
+        return (j * 2654435761 % _LCG_M * 1103515245 + 12345) \
+            % _LCG_M + 17
+
+    scores = ", ".join(
+        f"(((({kh}) + 13) * {nh(j)}) % {_LCG_M}"
+        f" * {n_nodes} + {n_nodes - 1 - j})"
+        for j in range(n_nodes))
+    return (f"cast({n_nodes - 1} - (greatest({scores}) % {n_nodes})"
+            f" as bigint)")
+
+
+def hrw_assign(keys: DataFrame, n_nodes: int, *,
+               key_col: str = "k") -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing: key k routes to
+    argmax_j score(k, j). The node table never exists as data — the
+    scores unroll into a greatest() expression (hrw_expr_sql), so
+    assignment is ONE narrow projection: zero joins, zero shuffles —
+    the canonical shard-routing primitive whose minimal-movement
+    property the hrw_shards entry pins. Returns (k, node)."""
+    return keys.selectExpr(
+        f"{key_col} as k", f"{hrw_expr_sql(key_col, n_nodes)} as node")
+
+
+def ring_assign(keys: DataFrame, n_nodes: int, *, vnodes: int = 8,
+                key_col: str = "k") -> DataFrame:
+    """Consistent-hash RING with virtual nodes: each physical node owns
+    ``vnodes`` ring positions; a key routes to the first vnode at or
+    after its own hash (clockwise, wrapping). The vnode table is tiny
+    (n_nodes·vnodes rows) and BROADCASTS; per key the winner is
+    min(struct(clockwise_distance, vnode_hash)) — one broadcast join +
+    one map-side-combinable min, no sort, no window. Returns
+    (k, node)."""
+    spark = keys.sparkSession
+    vn = spark.range(n_nodes * vnodes).selectExpr(
+        "cast(id div {v} as long) as vnode_owner".format(v=vnodes),
+        f"cast({_lcg_expr('id * 31 + 5')} as long) as vh")
+    kh = F.expr(_lcg_expr(key_col)).cast("long")
+    joined = (keys.select(F.col(key_col).alias("k"), kh.alias("kh"))
+              .crossJoin(F.broadcast(vn)))
+    dist = (F.col("vh") - F.col("kh") + _LCG_M) % _LCG_M
+    best = (joined.groupBy("k")
+            .agg(F.min(F.struct(dist.alias("d"),
+                                F.col("vh").alias("vh"),
+                                F.col("vnode_owner").alias("o")))
+                 .alias("m")))
+    return best.select("k", F.col("m.o").cast("long").alias("node"))
