@@ -11600,6 +11600,68 @@ FROM a JOIN b
 """
 
 
+# ---- batch 60: densest subgraph by parallel peel -------------------------
+
+
+def _q_densest_sub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densest-subgraph 2(1+ε)-approx by the Bahmani–Kumar–
+    Vassilvitskii parallel peel (linkgraph.py:densest_subgraph_peel):
+    every round removes ALL nodes with deg·|V| ≤ 3·|E| at once
+    (integer test → O(log n) rounds guaranteed); best-density round
+    marked by argmax. Runs the kcore link-farm fixture — the planted
+    12-clique is what the peel should isolate."""
+    from bdtopo2refhydro_spark.operators.linkgraph import (
+        densest_subgraph_peel)
+
+    docs = _docs(spark, sf_dir)
+    random_part = docs.select(
+        (F.col("doc_id") % 120).alias("src"),
+        F.expr(f"({_H} div 7) % 120").alias("dst"))
+    clique = spark.range(12).alias("a").join(
+        spark.range(12).alias("b"), F.expr("a.id < b.id")).select(
+        F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+    return densest_subgraph_peel(
+        random_part.unionByName(clique), src="src", dst="dst",
+        max_rounds=20)
+
+
+def _densest_sql(rounds: int = 20) -> str:
+    ctes = [f"""raw AS (
+  SELECT doc_id % 120 AS src, ({_HD} // 7) % 120 AS dst FROM documents
+  UNION ALL
+  SELECT a.range, b.range FROM range(12) a JOIN range(12) b
+    ON a.range < b.range
+)""", """e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src != dst
+)"""]
+    for r in range(rounds):
+        ctes.append(f"""deg{r} AS MATERIALIZED (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM e{r} UNION ALL SELECT v FROM e{r})
+  GROUP BY node)""")
+        ctes.append(f"""agg{r} AS MATERIALIZED (
+  SELECT count(*) AS V, CAST(sum(d) / 2 AS BIGINT) AS E FROM deg{r})""")
+        ctes.append(f"""keep{r} AS MATERIALIZED (
+  SELECT node FROM deg{r}, agg{r} WHERE d * V > 3 * E)""")
+        ctes.append(f"""e{r + 1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{r} e
+  JOIN keep{r} ka ON ka.node = e.u
+  JOIN keep{r} kb ON kb.node = e.v)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, V AS n_nodes, E AS n_edges "
+        f"FROM agg{r} WHERE V > 0" for r in range(rounds))
+    return ("WITH " + ",\n".join(ctes) + f""",
+rounds AS ({unions})
+SELECT CAST(round AS BIGINT) AS round, CAST(n_nodes AS BIGINT)
+         AS n_nodes, CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_edges AS DOUBLE) / n_nodes AS density,
+       row_number() OVER (
+         ORDER BY CAST(n_edges AS DOUBLE) / n_nodes DESC, round) = 1
+         AS is_best
+FROM rounds""")
+
+
 # ---- batch 59: shard routing — rendezvous + consistent-hash ring ---------
 
 
@@ -12709,6 +12771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 58: shoelace centroid + stream-stream LEFT SEMI join.
         # batch 59: shard routing — HRW minimal-movement pin +
         # consistent-hash ring with vnodes.
+        # batch 60: densest subgraph by BKV parallel peel.
+        "densest_sub": _q_densest_sub,
         "hrw_shards": _q_hrw_shards,
         "ring_hash": _q_ring_hash,
         "poly_centroid": _q_poly_centroid,
@@ -13190,6 +13254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "densest_sub": _densest_sql(),
         "hrw_shards": _hrw_sql(),
         "ring_hash": _RING_SQL,
         "poly_centroid": _POLY_CENTROID_SQL,

@@ -793,3 +793,60 @@ def clustering_coefficient(pairs: DataFrame, a_col: str = "a",
                         (F.col("tri_cnt") * 2).cast("double")
                         / (F.col("deg") * (F.col("deg") - 1))
                         .cast("double")))
+
+
+def densest_subgraph_peel(edges: DataFrame, *, src: str = "u",
+                          dst: str = "v",
+                          max_rounds: int = 25) -> DataFrame:
+    """Charikar-density 2(1+ε)-approximation by the PARALLEL peel of
+    Bahmani–Kumar–Vassilvitskii (VLDB'12), ε = 1/2: each round removes
+    EVERY node with deg ≤ 3·|E|/|V| at once (integer cross-multiplied
+    test deg·|V| ≤ 3·|E| — no float thresholds), which guarantees
+    O(log n) rounds; the answer is the round prefix with the best
+    density |E|/|S|. Returns one row per round
+    (round, n_nodes, n_edges, density, is_best) — density is a single
+    IEEE division and is_best marks the argmax (earliest round on
+    ties), so the caller reads off the certified subgraph size.
+    """
+    from ._ckpt import CheckpointSlots
+    from pyspark.sql import Window
+
+    slots = CheckpointSlots()
+    spark = edges.sparkSession
+    e = slots.checkpoint(
+        edges.select(
+            F.least(F.col(src).cast("long"), F.col(dst).cast("long"))
+            .alias("u"),
+            F.greatest(F.col(src).cast("long"), F.col(dst).cast("long"))
+            .alias("v"))
+        .where(F.col("u") < F.col("v")).distinct(), "e")
+    stats = []
+    for r in range(max_rounds):
+        deg = (e.select(F.col("u").alias("node"))
+               .union(e.select(F.col("v").alias("node")))
+               .groupBy("node").agg(F.count("*").alias("d")))
+        deg = slots.checkpoint(deg, "deg")
+        agg = deg.agg(F.count("*").alias("V"),
+                      (F.sum("d") / 2).cast("long").alias("E")).first()
+        n_v, n_e = agg["V"], agg["E"]
+        if not n_v:
+            break
+        stats.append((r, int(n_v), int(n_e)))
+        rm = deg.where(F.col("d") * n_v <= 3 * n_e).select("node")
+        keep = deg.join(rm, "node", "left_anti").select("node")
+        e = slots.checkpoint(
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi"),
+            "e")
+        if not e.take(1):
+            break
+    rounds = spark.createDataFrame(
+        stats, "round long, n_nodes long, n_edges long")
+    w = Window.orderBy(
+        F.desc(F.col("n_edges").cast("double") / F.col("n_nodes")),
+        F.col("round"))
+    return (rounds
+            .withColumn("density", F.col("n_edges").cast("double")
+                        / F.col("n_nodes"))
+            .withColumn("is_best", F.row_number().over(w) == 1)
+            .select("round", "n_nodes", "n_edges", "density", "is_best"))
