@@ -53,6 +53,28 @@ _NATURED = _NATURE.replace(" div ", " // ")
 _PXD = _PX
 _PYD = _PY.replace(" div ", " // ")
 
+_UNI_VOCAB = {"a": 2, "b": 2, "c": 2, "aa": 5, "ab": 5, "ba": 5, "ca": 5,
+              "aba": 9, "bab": 9, "abc": 9, "abab": 13}
+
+_UNI_WORD = ("substring(concat("
+             "char(97 + m % 3), char(97 + (m div 3) % 3), "
+             "char(97 + (m div 9) % 3), char(97 + (m div 27) % 3), "
+             "char(97 + (m div 81) % 3), char(97 + (m div 243) % 3), "
+             "char(97 + (m div 729) % 3), char(97 + (m div 2187) % 3)"
+             "), 1, 4 + m % 5)")
+_UNI_WORD_D = (
+    "substr("
+    "chr(CAST(97 + m % 3 AS INTEGER)) || "
+    "chr(CAST(97 + (m // 3) % 3 AS INTEGER)) || "
+    "chr(CAST(97 + (m // 9) % 3 AS INTEGER)) || "
+    "chr(CAST(97 + (m // 27) % 3 AS INTEGER)) || "
+    "chr(CAST(97 + (m // 81) % 3 AS INTEGER)) || "
+    "chr(CAST(97 + (m // 243) % 3 AS INTEGER)) || "
+    "chr(CAST(97 + (m // 729) % 3 AS INTEGER)) || "
+    "chr(CAST(97 + (m // 2187) % 3 AS INTEGER)), "
+    "1, 4 + m % 5)")
+
+
 CELL = 1000.0
 DIM = 1 << 26  # functions/cells.py CELL_SHIFT
 
@@ -11600,6 +11622,119 @@ FROM a JOIN b
 """
 
 
+# ---- batch 61: agg surface #2, BWT, JSON path ----------------------------
+
+
+def _q_agg_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second aggregate-function surface: max_by/min_by (deterministic
+    — the ordering value doc_id is unique), count_if, bool_and/
+    bool_or, any_value over a per-group CONSTANT (the one case where
+    any_value is deterministic). DuckDB mirrors via arg_max/arg_min/
+    FILTER-free CASE sums."""
+    base = _docs(spark, sf_dir).selectExpr(
+        "cast(doc_id % 7 as long) as g", "doc_id",
+        "cast((doc_id * 13) % 97 as long) as val")
+    return base.groupBy("g").agg(
+        F.expr("max_by(val, doc_id)").cast("long").alias("last_val"),
+        F.expr("min_by(val, doc_id)").cast("long").alias("first_val"),
+        F.expr("count_if(val % 3 = 0)").cast("long").alias("n_div3"),
+        F.expr("bool_and(val % 2 = 0)").alias("all_even"),
+        F.expr("bool_or(val > 90)").alias("any_big"),
+        F.expr("any_value(g * 100)").cast("long").alias("tag"))
+
+
+_AGG_FUNCS2_SQL = """
+WITH base AS (
+  SELECT doc_id % 7 AS g, doc_id, (doc_id * 13) % 97 AS val
+  FROM documents)
+SELECT CAST(g AS BIGINT) AS g,
+  CAST(arg_max(val, doc_id) AS BIGINT) AS last_val,
+  CAST(arg_min(val, doc_id) AS BIGINT) AS first_val,
+  CAST(sum(CASE WHEN val % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_div3,
+  bool_and(val % 2 = 0) AS all_even,
+  bool_or(val > 90) AS any_big,
+  CAST(min(g * 100) AS BIGINT) AS tag
+FROM base GROUP BY g
+"""
+
+
+def _q_bwt_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows–Wheeler transform (text.py:bwt_encode) on the unigram
+    word fixture: sorted-rotation last column + primary index, sorted
+    in codepoint order on both sides (sentinel '|' > 'c'). The oracle
+    builds every rotation via UNNEST(range) circular substr and
+    ORDER BY-aggregates the last characters."""
+    from bdtopo2refhydro_spark.operators.text import bwt_encode
+
+    words = (_docs(spark, sf_dir)
+             .select((F.col("doc_id") % 200).alias("m")).distinct()
+             .selectExpr(f"{_UNI_WORD} as word").distinct())
+    return bwt_encode(words)
+
+
+_BWT_SQL = f"""
+WITH mm AS (SELECT DISTINCT doc_id % 200 AS m FROM documents),
+words AS MATERIALIZED (SELECT DISTINCT {_UNI_WORD_D} AS word FROM mm),
+wt AS (SELECT word, word || '|' AS t FROM words),
+rots AS (
+  SELECT word, t, CAST(i AS INT) AS i,
+         substr(t, CAST(i AS INT) + 1)
+           || substr(t, 1, CAST(i AS INT)) AS rot
+  FROM wt, UNNEST(range(0, len(t))) u(i)),
+agg AS (
+  SELECT word,
+         string_agg(substr(rot, len(rot), 1), '' ORDER BY rot) AS bwt
+  FROM rots GROUP BY word),
+prim AS (
+  SELECT r.word,
+         CAST(count(*) AS INT) AS primary
+  FROM rots r JOIN rots s
+    ON s.word = r.word AND s.rot < r.rot
+  WHERE r.rot = r.t
+  GROUP BY r.word)
+SELECT a.word, a.bwt,
+       CAST(coalesce(p.primary, 0) AS INT) AS "primary"
+FROM agg a LEFT JOIN prim p ON p.word = a.word
+"""
+
+
+def _q_json_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path surface (get_json_object + json_tuple) over documents
+    carrying a derived JSON payload; DuckDB mirrors with
+    json_extract_string (0-based array paths in both)."""
+    j = ("concat('{\"a\": ', cast(doc_id % 100 as string), "
+         "', \"b\": {\"c\": \"v', cast(doc_id % 7 as string), '\"}, "
+         "\"arr\": [', cast(doc_id as string), ',', "
+         "cast(doc_id + 1 as string), ']}')")
+    d = _docs(spark, sf_dir).selectExpr("doc_id", f"{j} as js")
+    return d.selectExpr(
+        "doc_id",
+        "get_json_object(js, '$.a') as a",
+        "get_json_object(js, '$.b.c') as c",
+        "get_json_object(js, '$.arr[1]') as arr1",
+        "json_tuple(js, 'a', 'b')").toDF(
+        "doc_id", "a", "c", "arr1", "ta", "tb").select(
+        "doc_id", "a", "c", "arr1", "ta")
+
+
+_JSON_PATH_SQL = """
+WITH d AS (
+  SELECT doc_id,
+    '{"a": ' || CAST(doc_id % 100 AS VARCHAR)
+    || ', "b": {"c": "v' || CAST(doc_id % 7 AS VARCHAR) || '"}, "arr": ['
+    || CAST(doc_id AS VARCHAR) || ',' || CAST(doc_id + 1 AS VARCHAR)
+    || ']}' AS js
+  FROM documents)
+SELECT doc_id,
+  json_extract_string(js, '$.a') AS a,
+  json_extract_string(js, '$.b.c') AS c,
+  json_extract_string(js, '$.arr[1]') AS arr1,
+  json_extract_string(js, '$.a') AS ta
+FROM d
+"""
+
+
 # ---- batch 60: densest subgraph by parallel peel -------------------------
 
 
@@ -12347,28 +12482,6 @@ FROM s
 
 # ---- batch 51: unigram-LM segmentation + weighted median -----------------
 
-_UNI_VOCAB = {"a": 2, "b": 2, "c": 2, "aa": 5, "ab": 5, "ba": 5, "ca": 5,
-              "aba": 9, "bab": 9, "abc": 9, "abab": 13}
-
-_UNI_WORD = ("substring(concat("
-             "char(97 + m % 3), char(97 + (m div 3) % 3), "
-             "char(97 + (m div 9) % 3), char(97 + (m div 27) % 3), "
-             "char(97 + (m div 81) % 3), char(97 + (m div 243) % 3), "
-             "char(97 + (m div 729) % 3), char(97 + (m div 2187) % 3)"
-             "), 1, 4 + m % 5)")
-_UNI_WORD_D = (
-    "substr("
-    "chr(CAST(97 + m % 3 AS INTEGER)) || "
-    "chr(CAST(97 + (m // 3) % 3 AS INTEGER)) || "
-    "chr(CAST(97 + (m // 9) % 3 AS INTEGER)) || "
-    "chr(CAST(97 + (m // 27) % 3 AS INTEGER)) || "
-    "chr(CAST(97 + (m // 81) % 3 AS INTEGER)) || "
-    "chr(CAST(97 + (m // 243) % 3 AS INTEGER)) || "
-    "chr(CAST(97 + (m // 729) % 3 AS INTEGER)) || "
-    "chr(CAST(97 + (m // 2187) % 3 AS INTEGER)), "
-    "1, 4 + m % 5)")
-
-
 def _q_unigram_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM Viterbi segmentation scoring (text.py:
     unigram_segment) — third tokenizer family (vs BPE merge replay and
@@ -12772,6 +12885,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 59: shard routing — HRW minimal-movement pin +
         # consistent-hash ring with vnodes.
         # batch 60: densest subgraph by BKV parallel peel.
+        # batch 61: aggregate surface #2 (max_by family), BWT,
+        # JSON path extraction.
+        "agg_funcs2": _q_agg_funcs2,
+        "bwt_encode": _q_bwt_encode,
+        "json_path": _q_json_path,
         "densest_sub": _q_densest_sub,
         "hrw_shards": _q_hrw_shards,
         "ring_hash": _q_ring_hash,
@@ -13254,6 +13372,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "agg_funcs2": _AGG_FUNCS2_SQL,
+        "bwt_encode": _BWT_SQL,
+        "json_path": _JSON_PATH_SQL,
         "densest_sub": _densest_sql(),
         "hrw_shards": _hrw_sql(),
         "ring_hash": _RING_SQL,

@@ -1378,6 +1378,32 @@ def unigram_segment(words: DataFrame, vocab: dict[str, int],
     ).select(word_col, "_r.best_score", "_r.n_best")
 
 
+def bwt_encode(words: DataFrame, word_col: str = "word",
+               sentinel: str = "|") -> DataFrame:
+    """Burrows–Wheeler transform per distinct word (the FM-index /
+    bzip2 building block): append the sentinel, sort all rotations
+    (codepoint order — matching SQL's binary collation), emit the last
+    column plus the primary index (the row holding the original
+    string). Runs on the DISTINCT-word table like the tokenizers; the
+    whole transform is a per-row Arrow UDF, no shuffle beyond the
+    dedup. Returns (word, bwt, primary)."""
+    import pandas as pd
+
+    @F.pandas_udf("struct<bwt: string, primary: int>")
+    def _bwt(s: pd.Series) -> pd.DataFrame:
+        outs, prims = [], []
+        for w in s:
+            t = w + sentinel
+            rots = sorted(t[i:] + t[:i] for i in range(len(t)))
+            outs.append("".join(r[-1] for r in rots))
+            prims.append(rots.index(t))
+        return pd.DataFrame({"bwt": outs, "primary": prims})
+
+    return words.select(
+        word_col, _bwt(F.col(word_col)).alias("_r")
+    ).select(word_col, "_r.bwt", "_r.primary")
+
+
 def fix_mojibake(docs: DataFrame, col: str = "text",
                  out_col: str = "fixed") -> DataFrame:
     """Repair UTF-8-as-Latin-1 mojibake ("Ã©" → "é"), the single most

@@ -17,6 +17,13 @@ def test_hrw_minimal_movement_and_balance(spark):
     assert max(loads.values()) < 3 * min(loads.values())  # no collapse
 
 
+def test_hrw_assign_plan_is_zero_shuffle(spark):
+    keys = spark.range(100).select(F.col("id").alias("k"))
+    plan = hrw_assign(keys, 10)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Exchange" not in plan and "Join" not in plan
+
+
 def test_ring_assign_covers_all_nodes_and_is_deterministic(spark):
     keys = spark.range(1500).select(F.col("id").alias("k"))
     got1 = {r["k"]: r["node"] for r in ring_assign(keys, 6).collect()}
