@@ -11622,6 +11622,95 @@ FROM a JOIN b
 """
 
 
+# ---- batch 62: storage codecs — front coding + Gorilla DoD ---------------
+
+# dialect-neutral LCP(url, prev) for bounded-length strings: count of
+# prefix lengths that match fully (monotone, so the sum IS the LCP)
+_LCP_EXPR = "(" + " + ".join(
+    f"(CASE WHEN substr(url, 1, {j}) = substr(prev, 1, {j}) "
+    f"THEN 1 ELSE 0 END)" for j in range(1, 49)) + ")"
+
+
+def _q_front_coding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Front coding (incremental/prefix encoding) of per-host sorted
+    URL runs — the posting/term-dictionary compression layout: each
+    url stores only (lcp, suffix) vs its predecessor. The LCP is a
+    dialect-neutral Σ-of-prefix-matches expression shared verbatim
+    with the oracle; one window per host partition, no UDFs."""
+    d = _docs(spark, sf_dir).select(
+        "source", F.expr(_CLEANURL).alias("url"))
+    w = Window.partitionBy("source").orderBy("url")
+    coded = (d.withColumn("prev", F.coalesce(F.lag("url").over(w),
+                                             F.lit("")))
+             .withColumn("lcp", F.expr(_LCP_EXPR).cast("long")))
+    return coded.select(
+        "url", "lcp",
+        F.expr("substr(url, cast(lcp as int) + 1)").alias("suffix"))
+
+
+_FRONT_CODING_SQL = f"""
+WITH d AS (SELECT source, {_CLEANURLD} AS url FROM documents),
+coded AS (
+  SELECT url,
+         coalesce(lag(url) OVER (PARTITION BY source ORDER BY url), '')
+           AS prev
+  FROM d),
+lcped AS (SELECT url, CAST({_LCP_EXPR} AS BIGINT) AS lcp FROM coded)
+SELECT url, lcp, substr(url, CAST(lcp AS INT) + 1) AS suffix
+FROM lcped
+"""
+
+
+def _q_gorilla_dod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla-style delta-of-delta timestamp encoding over per-user
+    event series (integer µs, (ts, event_id) total order) plus the
+    zigzag-varint byte cost per stored value — the TSDB compression
+    accounting that decides block sizes. All-integer."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    d = e.withColumn("delta", t - F.lag(t).over(w)) \
+         .withColumn("dod", F.col("delta") - F.lag("delta").over(w))
+    zz = F.when(F.col("dod") >= 0, 2 * F.col("dod")) \
+        .otherwise(-2 * F.col("dod") - 1)
+    nbytes = (F.when(zz < 128, 1).when(zz < 16384, 2)
+              .when(zz < 2097152, 3).when(zz < 268435456, 4)
+              .otherwise(5))
+    return d.select(
+        "event_id", "user_id", F.col("dod").cast("long").alias("dod"),
+        F.when(F.col("dod").isNull(), None).otherwise(nbytes)
+        .cast("long").alias("nbytes"))
+
+
+_GORILLA_SQL = """
+WITH s AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t
+  FROM events),
+d1 AS (
+  SELECT event_id, user_id, t,
+         t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+           AS delta
+  FROM s),
+d2 AS (
+  SELECT event_id, user_id,
+         delta - lag(delta)
+           OVER (PARTITION BY user_id ORDER BY t, event_id) AS dod
+  FROM d1)
+SELECT event_id, user_id, CAST(dod AS BIGINT) AS dod,
+  CAST(CASE WHEN dod IS NULL THEN NULL ELSE
+    CASE WHEN (CASE WHEN dod >= 0 THEN 2 * dod
+               ELSE -2 * dod - 1 END) < 128 THEN 1
+         WHEN (CASE WHEN dod >= 0 THEN 2 * dod
+               ELSE -2 * dod - 1 END) < 16384 THEN 2
+         WHEN (CASE WHEN dod >= 0 THEN 2 * dod
+               ELSE -2 * dod - 1 END) < 2097152 THEN 3
+         WHEN (CASE WHEN dod >= 0 THEN 2 * dod
+               ELSE -2 * dod - 1 END) < 268435456 THEN 4
+         ELSE 5 END END AS BIGINT) AS nbytes
+FROM d2
+"""
+
+
 # ---- batch 61: agg surface #2, BWT, JSON path ----------------------------
 
 
@@ -12887,6 +12976,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 60: densest subgraph by BKV parallel peel.
         # batch 61: aggregate surface #2 (max_by family), BWT,
         # JSON path extraction.
+        # batch 62: storage codecs — front coding, Gorilla DoD.
+        "front_coding": _q_front_coding,
+        "gorilla_dod": _q_gorilla_dod,
         "agg_funcs2": _q_agg_funcs2,
         "bwt_encode": _q_bwt_encode,
         "json_path": _q_json_path,
@@ -13372,6 +13464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "front_coding": _FRONT_CODING_SQL,
+        "gorilla_dod": _GORILLA_SQL,
         "agg_funcs2": _AGG_FUNCS2_SQL,
         "bwt_encode": _BWT_SQL,
         "json_path": _JSON_PATH_SQL,
