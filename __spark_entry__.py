@@ -11622,6 +11622,55 @@ FROM a JOIN b
 """
 
 
+# ---- batch 63: greedy max-coverage selection -----------------------------
+
+
+def _q_max_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy max-coverage (corpus.py:greedy_max_coverage), k=5 over
+    50 overlapping 6-item sets — the submodular data-selection
+    primitive ((1−1/e) guarantee); winner per round under the
+    (gain desc, sid asc) total order. Oracle unrolls the identical
+    5-round schedule with MATERIALIZED covered sets."""
+    from bdtopo2refhydro_spark.operators.corpus import greedy_max_coverage
+
+    mm = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 300).alias("m")).distinct()
+    sets = mm.selectExpr(
+        "cast(m % 50 as long) as sid",
+        "cast(((m % 50) * 3 + (m div 50) * 5 + (m % 50) * (m % 50) "
+        "* (m div 50)) % 40 as long) as item")
+    return greedy_max_coverage(sets, 5)
+
+
+def _max_cov_sql(k: int = 5) -> str:
+    ctes = ["mm AS (SELECT DISTINCT doc_id % 300 AS m FROM documents)",
+            """s AS MATERIALIZED (
+  SELECT DISTINCT m % 50 AS sid,
+    ((m % 50) * 3 + (m // 50) * 5
+      + (m % 50) * (m % 50) * (m // 50)) % 40 AS item
+  FROM mm)""",
+            "cov0(item) AS (SELECT CAST(NULL AS BIGINT) WHERE FALSE)"]
+    for r in range(k):
+        ctes.append(f"""rem{r} AS MATERIALIZED (
+  SELECT sid, item FROM s
+  WHERE item NOT IN (SELECT item FROM cov{r} WHERE item IS NOT NULL))""")
+        ctes.append(f"""best{r} AS MATERIALIZED (
+  SELECT sid, count(*) AS gain FROM rem{r} GROUP BY sid
+  HAVING count(*) > 0
+  QUALIFY row_number() OVER (ORDER BY count(*) DESC, sid) = 1)""")
+        ctes.append(f"""cov{r + 1} AS MATERIALIZED (
+  SELECT item FROM cov{r} WHERE item IS NOT NULL
+  UNION ALL
+  SELECT r.item FROM rem{r} r JOIN best{r} b ON b.sid = r.sid)""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, sid, gain FROM best{r}"
+        for r in range(k))
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT CAST(round AS BIGINT) AS round,"
+              f" CAST(sid AS BIGINT) AS sid,"
+              f" CAST(gain AS BIGINT) AS gain FROM ({finals})")
+
+
 # ---- batch 62: storage codecs — front coding + Gorilla DoD ---------------
 
 # dialect-neutral LCP(url, prev) for bounded-length strings: count of
@@ -12977,6 +13026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 61: aggregate surface #2 (max_by family), BWT,
         # JSON path extraction.
         # batch 62: storage codecs — front coding, Gorilla DoD.
+        # batch 63: greedy max-coverage selection.
+        "max_coverage": _q_max_coverage,
         "front_coding": _q_front_coding,
         "gorilla_dod": _q_gorilla_dod,
         "agg_funcs2": _q_agg_funcs2,
@@ -13464,6 +13515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "max_coverage": _max_cov_sql(),
         "front_coding": _FRONT_CODING_SQL,
         "gorilla_dod": _GORILLA_SQL,
         "agg_funcs2": _AGG_FUNCS2_SQL,

@@ -1344,3 +1344,40 @@ def ring_assign(keys: DataFrame, n_nodes: int, *, vnodes: int = 8,
                                 F.col("vnode_owner").alias("o")))
                  .alias("m")))
     return best.select("k", F.col("m.o").cast("long").alias("node"))
+
+
+def greedy_max_coverage(sets_df: DataFrame, k: int, *,
+                        set_col: str = "sid",
+                        item_col: str = "item") -> DataFrame:
+    """Greedy max-coverage selection (the classic (1−1/e) submodular
+    data-selection primitive — pick k sets covering the most items):
+    per round, marginal gains are ONE anti-join + count per set, the
+    winner is the (gain desc, sid asc) total-order argmax (a 1-row
+    collect — the same diagnostic-size driver decision as the kNN
+    certificates), and its items join the covered frame
+    (checkpointed). k rounds of set-scale work, never item^2.
+    Returns (round, sid, gain) — gain is the round's marginal
+    coverage, so Σ gain = total covered."""
+    from ._ckpt import CheckpointSlots
+
+    slots = CheckpointSlots()
+    spark = sets_df.sparkSession
+    s = slots.checkpoint(
+        sets_df.select(F.col(set_col).alias("sid"),
+                       F.col(item_col).alias("item")).distinct(), "s")
+    covered = None
+    picks = []
+    for r in range(k):
+        remaining = s if covered is None else \
+            s.join(covered, "item", "left_anti")
+        gains = remaining.groupBy("sid").agg(F.count("*").alias("gain"))
+        best = gains.orderBy(F.desc("gain"), F.asc("sid")).take(1)
+        if not best or best[0]["gain"] == 0:
+            break
+        sid, gain = best[0]["sid"], best[0]["gain"]
+        picks.append((r, int(sid), int(gain)))
+        new_cov = remaining.filter(F.col("sid") == sid).select("item")
+        covered = slots.checkpoint(
+            new_cov if covered is None
+            else covered.unionByName(new_cov), "cov")
+    return spark.createDataFrame(picks, "round long, sid long, gain long")
