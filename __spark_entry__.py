@@ -11622,6 +11622,72 @@ FROM a JOIN b
 """
 
 
+# ---- batch 64: FILTER aggs, lateral aliases, top-N plan ------------------
+
+
+def _q_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate FILTER clause surface (shared syntax in both
+    dialects): conditional counts/sums without CASE scaffolding."""
+    return _docs(spark, sf_dir).selectExpr(
+        "doc_id % 5 as g", "doc_id",
+        "(doc_id * 11) % 50 as v").groupBy("g").agg(
+        F.expr("count(*) FILTER (WHERE v > 25)").alias("n_big"),
+        F.expr("sum(v) FILTER (WHERE doc_id % 2 = 0)").alias("s_even"),
+        F.expr("max(v) FILTER (WHERE v % 3 = 0)").alias("m_div3"),
+    ).selectExpr("cast(g as bigint) g", "cast(n_big as bigint) n_big",
+                 "cast(s_even as bigint) s_even",
+                 "cast(m_div3 as bigint) m_div3")
+
+
+_FILTER_AGG_SQL = """
+WITH base AS (
+  SELECT doc_id % 5 AS g, doc_id, (doc_id * 11) % 50 AS v
+  FROM documents)
+SELECT CAST(g AS BIGINT) AS g,
+  CAST(count(*) FILTER (WHERE v > 25) AS BIGINT) AS n_big,
+  CAST(sum(v) FILTER (WHERE doc_id % 2 = 0) AS BIGINT) AS s_even,
+  CAST(max(v) FILTER (WHERE v % 3 = 0) AS BIGINT) AS m_div3
+FROM base GROUP BY g
+"""
+
+
+def _q_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column alias surface (Spark 4): SELECT expressions
+    referencing earlier aliases in the SAME select list — identical
+    syntax works in DuckDB."""
+    _docs(spark, sf_dir).createOrReplaceTempView("docs_la")
+    return spark.sql(
+        "SELECT doc_id, (doc_id * 7) % 100 AS base, "
+        "base * base AS sq, sq + base AS total "
+        "FROM docs_la")
+
+
+_LATERAL_ALIAS_SQL = """
+SELECT doc_id, (doc_id * 7) % 100 AS base,
+       base * base AS sq, sq + base AS total
+FROM documents
+"""
+
+
+def _q_topn_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N under a deterministic total order: Spark plans
+    orderBy+limit as TakeOrderedAndProject (per-partition partial
+    top-N + single merge — never a global sort; plan-pinned in
+    test_plan_shapes)."""
+    return (_docs(spark, sf_dir)
+            .selectExpr("doc_id", "(doc_id * 37) % 199 as v")
+            .orderBy(F.desc("v"), F.asc("doc_id"))
+            .limit(20)
+            .selectExpr("doc_id", "cast(v as bigint) v"))
+
+
+_TOPN_SQL = """
+SELECT doc_id, CAST((doc_id * 37) % 199 AS BIGINT) AS v
+FROM documents
+ORDER BY v DESC, doc_id LIMIT 20
+"""
+
+
 # ---- batch 63: greedy max-coverage selection -----------------------------
 
 
@@ -13027,6 +13093,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # JSON path extraction.
         # batch 62: storage codecs — front coding, Gorilla DoD.
         # batch 63: greedy max-coverage selection.
+        # batch 64: FILTER aggs, lateral column aliases, top-N plan.
+        "filter_agg": _q_filter_agg,
+        "lateral_alias": _q_lateral_alias,
+        "topn_limit": _q_topn_limit,
         "max_coverage": _q_max_coverage,
         "front_coding": _q_front_coding,
         "gorilla_dod": _q_gorilla_dod,
@@ -13515,6 +13585,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "filter_agg": _FILTER_AGG_SQL,
+        "lateral_alias": _LATERAL_ALIAS_SQL,
+        "topn_limit": _TOPN_SQL,
         "max_coverage": _max_cov_sql(),
         "front_coding": _FRONT_CODING_SQL,
         "gorilla_dod": _GORILLA_SQL,

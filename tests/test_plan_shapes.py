@@ -714,3 +714,11 @@ def test_tree_betweenness_integer_only_no_cartesian(spark, entry):
     plan = _plan(entry.queries()["tree_bet"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_topn_limit_plans_as_take_ordered(spark, entry):
+    """orderBy + limit must plan as TakeOrderedAndProject (per-partition
+    partial top-N + one merge), NEVER a global Sort+Exchange."""
+    plan = _plan(entry.queries()["topn_limit"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalLimit" not in plan
