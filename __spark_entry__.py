@@ -11622,6 +11622,85 @@ FROM a JOIN b
 """
 
 
+# ---- batch 65: A-priori triples + winnowing fingerprints -----------------
+
+
+def _q_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori frequent triples (corpus.py:apriori_triples): L1 prunes
+    baskets, L2 prunes triple candidates three ways before counting —
+    the level-wise candidate discipline that keeps the 3-way self-join
+    from exploding. Oracle = the same level pipeline in SQL."""
+    from bdtopo2refhydro_spark.operators.corpus import apriori_triples
+
+    mm = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 150).alias("m")).distinct()
+    offs = [0, 3, 12, 27, 48]
+    baskets = None
+    for o in offs:
+        part = mm.selectExpr("cast(m as long) as bid",
+                             f"cast((m + {o}) % 10 as long) as item")
+        baskets = part if baskets is None else baskets.unionByName(part)
+    return apriori_triples(baskets, minsup=25)
+
+
+_APRIORI_SQL = """
+WITH mm AS (SELECT DISTINCT doc_id % 150 AS m FROM documents),
+b AS MATERIALIZED (
+  SELECT DISTINCT m AS bid, (m + o) % 10 AS item
+  FROM mm, UNNEST([0, 3, 12, 27, 48]) t(o)),
+l1 AS (SELECT item FROM b GROUP BY item HAVING count(*) >= 25),
+bf AS MATERIALIZED (SELECT b.* FROM b JOIN l1 ON l1.item = b.item),
+p AS MATERIALIZED (
+  SELECT x.bid, x.item AS a, y.item AS b2
+  FROM bf x JOIN bf y ON y.bid = x.bid AND x.item < y.item),
+l2 AS MATERIALIZED (
+  SELECT a, b2 FROM p GROUP BY a, b2 HAVING count(*) >= 25),
+t AS (
+  SELECT p.bid, p.a, p.b2, z.item AS c3
+  FROM p JOIN bf z ON z.bid = p.bid AND p.b2 < z.item
+  WHERE EXISTS (SELECT 1 FROM l2 WHERE l2.a = p.a AND l2.b2 = p.b2)
+    AND EXISTS (SELECT 1 FROM l2 WHERE l2.a = p.a AND l2.b2 = z.item)
+    AND EXISTS (SELECT 1 FROM l2 WHERE l2.a = p.b2 AND l2.b2 = z.item))
+SELECT CAST(a AS BIGINT) AS a, CAST(b2 AS BIGINT) AS b,
+       CAST(c3 AS BIGINT) AS c, CAST(count(*) AS BIGINT) AS cnt
+FROM t GROUP BY a, b2, c3 HAVING count(*) >= 25
+"""
+
+
+def _q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (text.py:winnow_fingerprints,
+    the MOSS algorithm): per window of 4 hashes keep the min with the
+    RIGHTMOST tie — the (h, rightmost) argmin runs as ONE integer
+    window min over h·C − pos, decoded back; same arithmetic in the
+    oracle."""
+    from bdtopo2refhydro_spark.operators.text import winnow_fingerprints
+
+    grams = _docs(spark, sf_dir).selectExpr(
+        "cast(doc_id % 20 as long) as doc_id",
+        "cast(doc_id div 20 as long) as pos",
+        f"cast(1 + {_H} % 997 as long) as h")
+    return winnow_fingerprints(grams, window=4)
+
+
+_WINNOW_SQL = f"""
+WITH g AS (
+  SELECT doc_id % 20 AS doc, doc_id // 20 AS pos,
+         1 + {_HD} % 997 AS h
+  FROM documents),
+e AS (
+  SELECT doc, pos, h,
+         min(h * 1048576 - pos) OVER (
+           PARTITION BY doc ORDER BY pos
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS enc,
+         row_number() OVER (PARTITION BY doc ORDER BY pos) AS n
+  FROM g)
+SELECT DISTINCT CAST(doc AS BIGINT) AS doc_id,
+  CAST(((enc + 1048575) // 1048576) * 1048576 - enc AS BIGINT) AS pos,
+  CAST((enc + 1048575) // 1048576 AS BIGINT) AS h
+FROM e WHERE n >= 4
+"""
+
+
 # ---- batch 64: FILTER aggs, lateral aliases, top-N plan ------------------
 
 
@@ -13094,6 +13173,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 62: storage codecs — front coding, Gorilla DoD.
         # batch 63: greedy max-coverage selection.
         # batch 64: FILTER aggs, lateral column aliases, top-N plan.
+        # batch 65: A-priori frequent triples + MOSS winnowing.
+        "apriori_l3": _q_apriori,
+        "winnowing": _q_winnowing,
         "filter_agg": _q_filter_agg,
         "lateral_alias": _q_lateral_alias,
         "topn_limit": _q_topn_limit,
@@ -13585,6 +13667,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "apriori_l3": _APRIORI_SQL,
+        "winnowing": _WINNOW_SQL,
         "filter_agg": _FILTER_AGG_SQL,
         "lateral_alias": _LATERAL_ALIAS_SQL,
         "topn_limit": _TOPN_SQL,

@@ -1381,3 +1381,43 @@ def greedy_max_coverage(sets_df: DataFrame, k: int, *,
             new_cov if covered is None
             else covered.unionByName(new_cov), "cov")
     return spark.createDataFrame(picks, "round long, sid long, gain long")
+
+
+def apriori_triples(baskets: DataFrame, minsup: int, *,
+                    basket_col: str = "bid",
+                    item_col: str = "item") -> DataFrame:
+    """A-priori frequent-triple mining, the classic level-wise
+    candidate pruning: L1 (frequent items) prunes the baskets, L2
+    (frequent pairs) prunes triple candidates THREE ways — a triple is
+    only counted when (a,b), (a,c) and (b,c) are all frequent — so the
+    expensive 3-way basket self-join runs over L1-filtered items and
+    its output dies early on the L2 semi-joins. Counting is one
+    groupBy per level (map-side combined). Returns frequent triples
+    (a, b, c, cnt) with a < b < c."""
+    b = baskets.select(F.col(basket_col).alias("bid"),
+                       F.col(item_col).alias("item")).distinct() \
+        .localCheckpoint(eager=False)
+    l1 = (b.groupBy("item").agg(F.count("*").alias("c"))
+          .where(F.col("c") >= minsup).select("item"))
+    bf = b.join(F.broadcast(l1), "item").localCheckpoint(eager=False)
+    p = bf.select("bid", F.col("item").alias("a")) \
+        .join(bf.select("bid", F.col("item").alias("b2")), "bid") \
+        .where(F.col("a") < F.col("b2"))
+    l2 = (p.groupBy("a", "b2").agg(F.count("*").alias("c"))
+          .where(F.col("c") >= minsup).select("a", "b2")
+          .localCheckpoint(eager=False))
+    t = (p.join(bf.select("bid", F.col("item").alias("c3")), "bid")
+         .where(F.col("b2") < F.col("c3")))
+    t = (t.join(F.broadcast(l2), ["a", "b2"], "left_semi")
+         .join(F.broadcast(l2.select(F.col("a"),
+                                     F.col("b2").alias("c3"))),
+               ["a", "c3"], "left_semi")
+         .join(F.broadcast(l2.select(F.col("a").alias("b2"),
+                                     F.col("b2").alias("c3"))),
+               ["b2", "c3"], "left_semi"))
+    return (t.groupBy("a", "b2", "c3").agg(F.count("*").alias("cnt"))
+            .where(F.col("cnt") >= minsup)
+            .select(F.col("a").cast("long").alias("a"),
+                    F.col("b2").cast("long").alias("b"),
+                    F.col("c3").cast("long").alias("c"),
+                    F.col("cnt").cast("long").alias("cnt")))

@@ -1567,3 +1567,33 @@ def prefix_filter_pairs(docs: DataFrame, *, tau_num: int = 7,
                       >= F.lit(tau_num) * F.col("uni"))
             .withColumn("jac", F.col("inter").cast("double")
                         / F.col("uni").cast("double")))
+
+
+def winnow_fingerprints(grams: DataFrame, window: int = 4, *,
+                        doc_col: str = "doc_id", pos_col: str = "pos",
+                        hash_col: str = "h",
+                        pos_cap: int = 1 << 20) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer–Wilkerson–Aiken, the
+    MOSS algorithm): from every window of ``window`` consecutive k-gram
+    hashes keep the minimum, breaking ties toward the RIGHTMOST
+    position — the scheme whose guarantee (any shared run ≥ w+k−1
+    chars shares a fingerprint) makes it the plagiarism/near-dup
+    standard. The (min-hash, rightmost) argmin is ONE integer window
+    min over the encoding h·C − pos (C > any pos), decoded back —
+    no struct mins, so the same arithmetic runs in any SQL dialect.
+    Returns DISTINCT (doc_id, pos, h) selected fingerprints."""
+    w = (Window.partitionBy(doc_col).orderBy(pos_col)
+         .rowsBetween(-(window - 1), 0))
+    c = (F.col(hash_col) * pos_cap - F.col(pos_col))
+    enc = F.min(c).over(w)
+    full = (grams
+            .withColumn("_n", F.row_number().over(
+                Window.partitionBy(doc_col).orderBy(pos_col)))
+            .withColumn("_enc", enc)
+            .where(F.col("_n") >= window))
+    hw = F.expr(f"(_enc + {pos_cap} - 1) div {pos_cap}")
+    return (full.select(F.col(doc_col).alias("doc_id"),
+                        (hw * pos_cap - F.col("_enc")).cast("long")
+                        .alias("pos"),
+                        hw.cast("long").alias("h"))
+            .distinct())
