@@ -11622,6 +11622,85 @@ FROM a JOIN b
 """
 
 
+# ---- batch 66: MERGE emulation + interval stabbing -----------------------
+
+
+def _q_merge_emul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics without a lakehouse runtime
+    (relational.py:merge_apply): source deduped to the max-(ts,…) row
+    per key (mirroring the Iceberg path's source dedupe), then ONE
+    full-outer join + CASE projections — matched upserts update,
+    matched deletes remove, unmatched upserts insert, untouched
+    target rows pass through. The jar-free J10/J5+J7 equivalent."""
+    from bdtopo2refhydro_spark.operators.relational import merge_apply
+
+    d = _docs(spark, sf_dir)
+    target = (d.select((F.col("doc_id") % 100).alias("m")).distinct()
+              .selectExpr("cast(m as long) as k",
+                          "cast(m * 3 as long) as val",
+                          "cast(100 as long) as ts"))
+    source = (d.select((F.col("doc_id") % 90).alias("n")).distinct()
+              .selectExpr(
+        "cast((n * 2) % 120 as long) as k",
+        "cast(n * 7 as long) as val",
+        "cast(200 + n % 3 as long) as ts",
+        "case when n % 5 = 0 then 'delete' else 'upsert' end as op"))
+    return merge_apply(target, source)
+
+
+_MERGE_EMUL_SQL = """
+WITH tm AS (SELECT DISTINCT doc_id % 100 AS m FROM documents),
+t AS (SELECT m AS k, m * 3 AS val, 100 AS ts FROM tm),
+sn AS (SELECT DISTINCT doc_id % 90 AS n FROM documents),
+s0 AS (
+  SELECT (n * 2) % 120 AS k, n * 7 AS val, 200 + n % 3 AS ts,
+         CASE WHEN n % 5 = 0 THEN 'delete' ELSE 'upsert' END AS op
+  FROM sn),
+s1 AS (
+  SELECT k, val, ts, op FROM s0
+  QUALIFY row_number() OVER (
+    PARTITION BY k ORDER BY ts DESC, val DESC, op DESC) = 1)
+SELECT CAST(coalesce(t.k, s1.k) AS BIGINT) AS k,
+  CAST(CASE WHEN s1.op = 'upsert' THEN s1.val ELSE t.val END
+       AS BIGINT) AS val,
+  CAST(CASE WHEN s1.op = 'upsert' THEN s1.ts ELSE t.ts END
+       AS BIGINT) AS ts
+FROM t FULL OUTER JOIN s1 ON s1.k = t.k
+WHERE s1.op IS NULL OR s1.op = 'upsert'
+"""
+
+
+def _q_interval_stab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval stabbing counts (temporal.py:interval_stab_counts):
+    cell-bucketed equi-join, each candidate pair exactly once (points
+    have ONE home cell), zero-cover points kept. Oracle = brute
+    θ-join."""
+    from bdtopo2refhydro_spark.operators.temporal import (
+        interval_stab_counts)
+
+    d = _docs(spark, sf_dir)
+    iv = (d.select((F.col("doc_id") % 120).alias("i")).distinct()
+          .selectExpr("cast((i * 97) % 1000 as long) as s",
+                      "cast((i * 97) % 1000 + 1 + i % 50 as long) as e"))
+    pts = (d.select((F.col("doc_id") % 80).alias("q")).distinct()
+           .selectExpr("cast(q as long) as qid",
+                       "cast((q * 13) % 1000 as long) as p"))
+    return interval_stab_counts(iv, pts)
+
+
+_INTERVAL_STAB_SQL = """
+WITH ii AS (SELECT DISTINCT doc_id % 120 AS i FROM documents),
+iv AS (SELECT (i * 97) % 1000 AS s,
+              (i * 97) % 1000 + 1 + i % 50 AS e FROM ii),
+qq AS (SELECT DISTINCT doc_id % 80 AS q FROM documents),
+pts AS (SELECT q AS qid, (q * 13) % 1000 AS p FROM qq)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(p AS BIGINT) AS p,
+  CAST((SELECT count(*) FROM iv
+        WHERE iv.s <= pts.p AND pts.p <= iv.e) AS BIGINT) AS n_cover
+FROM pts
+"""
+
+
 # ---- batch 65: A-priori triples + winnowing fingerprints -----------------
 
 
@@ -13174,6 +13253,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 63: greedy max-coverage selection.
         # batch 64: FILTER aggs, lateral column aliases, top-N plan.
         # batch 65: A-priori frequent triples + MOSS winnowing.
+        # batch 66: MERGE emulation (jar-free J10) + interval stabbing.
+        "merge_emul": _q_merge_emul,
+        "interval_stab": _q_interval_stab,
         "apriori_l3": _q_apriori,
         "winnowing": _q_winnowing,
         "filter_agg": _q_filter_agg,
@@ -13667,6 +13749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "merge_emul": _MERGE_EMUL_SQL,
+        "interval_stab": _INTERVAL_STAB_SQL,
         "apriori_l3": _APRIORI_SQL,
         "winnowing": _WINNOW_SQL,
         "filter_agg": _FILTER_AGG_SQL,

@@ -175,3 +175,36 @@ def salted_join(skewed: DataFrame, other: DataFrame, key: str, *,
         "_salt",
         F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
     return left.join(right, [key, "_salt"], how).drop("_salt")
+
+
+def merge_apply(target: DataFrame, source: DataFrame, *,
+                key: str = "k", op_col: str = "op",
+                ts_col: str = "ts") -> DataFrame:
+    """MERGE INTO semantics as a pure DataFrame op (no lakehouse
+    runtime): matched+upsert updates, matched+delete removes,
+    not-matched+upsert inserts, untouched target rows pass through.
+    The source is first deduplicated per key to the max-(ts, value)
+    row — MERGE requires unique source keys, and doing it
+    deterministically here mirrors the Iceberg path's source-dedupe
+    (sources/io.py:merge_upsert). One full-outer join on the key; all
+    decisions are CASE projections, so the plan is join + project —
+    the same shape a lakehouse MERGE compiles to. Value columns are
+    every non-key/op column shared by both sides."""
+    val_cols = [c for c in target.columns if c != key]
+    rest = [c for c in source.columns if c not in (key, ts_col)]
+    src_one = (source
+               .groupBy(key)
+               .agg(F.max(F.struct(ts_col, *rest)).alias("_m"))
+               .select(key, *[F.col(f"_m.{c}").alias(c)
+                              for c in [ts_col] + rest]))
+    t = target.select(key, *[F.col(c).alias(f"_t_{c}")
+                             for c in val_cols])
+    s = src_one.select(key, F.col(op_col).alias("_op"),
+                       *[F.col(c).alias(f"_s_{c}") for c in val_cols])
+    j = t.join(s, key, "full_outer")
+    keep = (F.col("_op").isNull()  # target-only row
+            | (F.col("_op") == "upsert"))
+    out_cols = [
+        F.when(F.col("_op") == "upsert", F.col(f"_s_{c}"))
+        .otherwise(F.col(f"_t_{c}")).alias(c) for c in val_cols]
+    return j.where(keep).select(key, *out_cols)

@@ -449,3 +449,35 @@ def haar_dwt(df: DataFrame, *, group_col: str = "g", t_col: str = "t",
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def interval_stab_counts(intervals: DataFrame, points: DataFrame, *,
+                         s_col: str = "s", e_col: str = "e",
+                         qid_col: str = "qid", p_col: str = "p",
+                         cell: int = 64) -> DataFrame:
+    """Interval stabbing: for each query point, how many intervals
+    cover it. Cell-bucketed like range_count: intervals explode onto
+    the cells they span (JVM sequence explode), points key by their
+    single home cell, so the join is an equi-join on cells and each
+    (interval, point) candidate appears exactly once — no dedup, no
+    sweep-line sort. Zero-cover points survive via the left join.
+    Returns (qid, p, n_cover)."""
+    c = F.lit(int(cell))
+    ic = intervals.select(
+        F.col(s_col).cast("long").alias("s"),
+        F.col(e_col).cast("long").alias("e"),
+        F.explode(F.sequence(
+            F.floor(F.col(s_col) / c).cast("long"),
+            F.floor(F.col(e_col) / c).cast("long"))).alias("cell"))
+    pc = points.select(
+        F.col(qid_col).alias("qid"), F.col(p_col).cast("long").alias("p"),
+        F.floor(F.col(p_col) / c).cast("long").alias("cell"))
+    hits = (pc.join(ic, "cell")
+            .where((F.col("s") <= F.col("p")) & (F.col("p") <= F.col("e")))
+            .groupBy("qid", "p").agg(F.count("*").alias("n")))
+    return (points.select(F.col(qid_col).alias("qid"),
+                          F.col(p_col).cast("long").alias("p"))
+            .join(hits, ["qid", "p"], "left")
+            .select("qid", "p",
+                    F.coalesce("n", F.lit(0)).cast("long")
+                    .alias("n_cover")))
