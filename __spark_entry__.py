@@ -11622,6 +11622,92 @@ FROM a JOIN b
 """
 
 
+# ---- batch 67: forward as-of join + exact join cardinality ---------------
+
+
+def _q_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance (temporal.py:
+    asof_join_forward) — pandas merge_asof(direction='forward')
+    semantics via the zero-join union+window trick (descending-ts
+    running last, right-first at ties). Right deduped per (key, ts)
+    on both sides."""
+    from bdtopo2refhydro_spark.operators.temporal import asof_join_forward
+
+    d = _docs(spark, sf_dir)
+    left = (d.select((F.col("doc_id") % 200).alias("m")).distinct()
+            .selectExpr("cast(m as long) as lid",
+                        "cast(m % 10 as long) as k",
+                        "cast((m * 37) % 500 as long) as t"))
+    right = (d.select((F.col("doc_id") % 150).alias("n")).distinct()
+             .selectExpr("cast(n % 10 as long) as k",
+                         "cast((n * 53) % 500 as long) as t",
+                         "cast(n as long) as v")
+             .groupBy("k", "t").agg(F.min("v").alias("v")))
+    return asof_join_forward(left, right, "k", "t", "v",
+                             tolerance=100, out_col="nxt_v")
+
+
+_ASOF_FWD_SQL = """
+WITH lm AS (SELECT DISTINCT doc_id % 200 AS m FROM documents),
+l AS (SELECT m AS lid, m % 10 AS k, (m * 37) % 500 AS t FROM lm),
+rn AS (SELECT DISTINCT doc_id % 150 AS n FROM documents),
+r0 AS (SELECT n % 10 AS k, (n * 53) % 500 AS t, n AS v FROM rn),
+r AS (SELECT k, t, min(v) AS v FROM r0 GROUP BY k, t),
+cand AS (
+  SELECT l.lid, r.v, r.t AS rt
+  FROM l JOIN r ON r.k = l.k AND r.t >= l.t AND r.t - l.t <= 100
+  QUALIFY row_number() OVER (PARTITION BY l.lid ORDER BY r.t) = 1)
+SELECT CAST(l.lid AS BIGINT) AS lid, CAST(l.k AS BIGINT) AS k,
+       CAST(l.t AS BIGINT) AS t,
+       CAST(coalesce(c.v, -1) AS BIGINT) AS nxt_v
+FROM l LEFT JOIN cand c ON c.lid = l.lid
+"""
+
+
+def _q_join_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT join cardinality WITHOUT materializing the join — the
+    optimizer statistic Σ_k cntA(k)·cntB(k): two map-side-combined
+    groupBys + one join on distinct keys. The oracle literally COUNTS
+    the real joins (different computation path, same number), over the
+    SCALED lineitem/orders/part tables."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    def card(a, ka, b, kb, name):
+        ca = a.groupBy(F.col(ka).alias("key")).agg(
+            F.count("*").alias("ca"))
+        cb = b.groupBy(F.col(kb).alias("key")).agg(
+            F.count("*").alias("cb"))
+        return (ca.join(cb, "key")
+                .agg(F.sum(F.col("ca") * F.col("cb")).alias("n_pairs"),
+                     F.count("*").alias("n_shared_keys"))
+                .selectExpr(f"'{name}' as join_name",
+                            "cast(n_pairs as bigint) n_pairs",
+                            "cast(n_shared_keys as bigint)"
+                            " n_shared_keys"))
+
+    return card(li, "l_partkey", part, "p_partkey", "li_part") \
+        .unionByName(card(li, "l_orderkey", orders, "o_orderkey",
+                          "li_orders"))
+
+
+_JOIN_CARD_SQL = """
+SELECT 'li_part' AS join_name,
+  CAST((SELECT count(*) FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey) AS BIGINT) AS n_pairs,
+  CAST((SELECT count(DISTINCT l.l_partkey) FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey) AS BIGINT)
+    AS n_shared_keys
+UNION ALL
+SELECT 'li_orders',
+  CAST((SELECT count(*) FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey) AS BIGINT),
+  CAST((SELECT count(DISTINCT l.l_orderkey) FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey) AS BIGINT)
+"""
+
+
 # ---- batch 66: MERGE emulation + interval stabbing -----------------------
 
 
@@ -13254,6 +13340,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 64: FILTER aggs, lateral column aliases, top-N plan.
         # batch 65: A-priori frequent triples + MOSS winnowing.
         # batch 66: MERGE emulation (jar-free J10) + interval stabbing.
+        # batch 67: forward as-of join + exact join cardinality.
+        "asof_fwd": _q_asof_fwd,
+        "join_card": _q_join_card,
         "merge_emul": _q_merge_emul,
         "interval_stab": _q_interval_stab,
         "apriori_l3": _q_apriori,
@@ -13749,6 +13838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "asof_fwd": _ASOF_FWD_SQL,
+        "join_card": _JOIN_CARD_SQL,
         "merge_emul": _MERGE_EMUL_SQL,
         "interval_stab": _INTERVAL_STAB_SQL,
         "apriori_l3": _APRIORI_SQL,

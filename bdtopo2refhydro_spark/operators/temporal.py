@@ -481,3 +481,46 @@ def interval_stab_counts(intervals: DataFrame, points: DataFrame, *,
             .select("qid", "p",
                     F.coalesce("n", F.lit(0)).cast("long")
                     .alias("n_cover")))
+
+
+def asof_join_forward(left: DataFrame, right: DataFrame, key: str,
+                      ts: str, value_col: str, *,
+                      tolerance: int | None = None, default: int = -1,
+                      out_col: str | None = None) -> DataFrame:
+    """FORWARD as-of join: for every left row, the right ``value_col``
+    with the SMALLEST right ts >= left ts for the same key (inclusive
+    at ties), optionally only when the gap <= ``tolerance`` — the
+    pandas merge_asof(direction='forward') semantics, built with the
+    same zero-join union+window trick as the backward asof_join: one
+    hash shuffle on the key, a DESCENDING-ts running last(ignorenulls)
+    (right sorts before left at equal ts so ties match), never a range
+    join. right must be unique per (key, ts). Left rows with no
+    (in-tolerance) successor get ``default``."""
+    out_col = out_col or value_col
+    lhs = left.select(
+        F.col(key).alias("k"), F.col(ts).cast("long").alias("t"),
+        F.lit(1).alias("is_left"),
+        F.lit(None).cast("bigint").alias("v"),
+        F.lit(None).cast("bigint").alias("vt"),
+        F.struct(*left.columns).alias("row"))
+    rhs = right.select(
+        F.col(key).alias("k"), F.col(ts).cast("long").alias("t"),
+        F.lit(0).alias("is_left"),
+        F.col(value_col).cast("bigint").alias("v"),
+        F.col(ts).cast("long").alias("vt"),
+        F.lit(None).cast(
+            lhs.schema["row"].dataType.simpleString()).alias("row"))
+    w = (Window.partitionBy("k")
+         .orderBy(F.desc("t"), F.asc("is_left"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    picked = (lhs.unionByName(rhs)
+              .withColumn("_pv", F.last("v", ignorenulls=True).over(w))
+              .withColumn("_pt", F.last("vt", ignorenulls=True).over(w))
+              .where(F.col("is_left") == 1))
+    ok = F.col("_pv").isNotNull()
+    if tolerance is not None:
+        ok = ok & ((F.col("_pt") - F.col("t")) <= tolerance)
+    return picked.select(
+        "row.*",
+        F.when(ok, F.col("_pv")).otherwise(F.lit(default))
+        .cast("long").alias(out_col))
