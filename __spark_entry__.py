@@ -11622,6 +11622,55 @@ FROM a JOIN b
 """
 
 
+# ---- batch 68: digest functions + thresholded levenshtein ----------------
+
+
+def _q_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic digest surface: md5 + sha2-256 over derived
+    strings (DuckDB mirrors with md5/sha256) — the content-addressing
+    primitives behind exact_dedup's digests, surfaced directly."""
+    return _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "md5(concat('d', cast(doc_id as string))) as h_md5",
+        "sha2(concat('d', cast(doc_id as string)), 256) as h_sha256")
+
+
+_HASH_FUNCS_SQL = """
+SELECT doc_id,
+  md5('d' || CAST(doc_id AS VARCHAR)) AS h_md5,
+  sha256('d' || CAST(doc_id AS VARCHAR)) AS h_sha256
+FROM documents
+"""
+
+
+def _q_lev_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded levenshtein (Spark 4's 3-arg form returns −1 past
+    the bound — the early-exit band DP); oracle mirrors with a CASE
+    over DuckDB's unbounded levenshtein."""
+    d = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "concat('w', cast(doc_id % 37 as string), 'x') as a",
+        "concat('w', cast((doc_id * 7) % 37 as string), 'y') as b")
+    return d.selectExpr(
+        "doc_id", "a", "b",
+        "cast(levenshtein(a, b) as bigint) as d_full",
+        "cast(levenshtein(a, b, 2) as bigint) as d_capped")
+
+
+_LEV_THRESHOLD_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         'w' || CAST(doc_id % 37 AS VARCHAR) || 'x' AS a,
+         'w' || CAST((doc_id * 7) % 37 AS VARCHAR) || 'y' AS b
+  FROM documents)
+SELECT doc_id, a, b,
+  CAST(levenshtein(a, b) AS BIGINT) AS d_full,
+  CAST(CASE WHEN levenshtein(a, b) > 2 THEN -1
+            ELSE levenshtein(a, b) END AS BIGINT) AS d_capped
+FROM d
+"""
+
+
 # ---- batch 67: forward as-of join + exact join cardinality ---------------
 
 
@@ -13341,6 +13390,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 65: A-priori frequent triples + MOSS winnowing.
         # batch 66: MERGE emulation (jar-free J10) + interval stabbing.
         # batch 67: forward as-of join + exact join cardinality.
+        # batch 68: digest functions + thresholded levenshtein.
+        "hash_funcs": _q_hash_funcs,
+        "lev_threshold": _q_lev_threshold,
         "asof_fwd": _q_asof_fwd,
         "join_card": _q_join_card,
         "merge_emul": _q_merge_emul,
@@ -13838,6 +13890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "hash_funcs": _HASH_FUNCS_SQL,
+        "lev_threshold": _LEV_THRESHOLD_SQL,
         "asof_fwd": _ASOF_FWD_SQL,
         "join_card": _JOIN_CARD_SQL,
         "merge_emul": _MERGE_EMUL_SQL,
