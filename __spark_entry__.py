@@ -11622,6 +11622,35 @@ FROM a JOIN b
 """
 
 
+# ---- batch 69: python DataSource filter pushdown -------------------------
+
+
+def _q_pushdown_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python DataSource FILTER PUSHDOWN (Spark 4.1 pushFilters,
+    sources/pushdown.py): the reader accepts the id-range filters
+    BEFORE partition planning — 3 partitions get scheduled instead of
+    100 (pinned in pytest) — and returns the val filter for Spark to
+    re-apply. Exactness proves the contract both ways: an accepted-
+    but-unapplied filter would leak rows, an over-narrowed range would
+    drop them."""
+    from bdtopo2refhydro_spark.sources.pushdown import (
+        register_pdrange_source)
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register_pdrange_source(spark)
+    return (spark.read.format("pdrange").option("n", 10000)
+            .option("rows_per_part", 100).load()
+            .filter("id >= 1000 and id <= 1299 and val % 3 = 0"))
+
+
+_PUSHDOWN_SQL = """
+SELECT CAST(t.n AS BIGINT) AS id,
+       CAST((t.n * t.n) % 97 AS BIGINT) AS val
+FROM UNNEST(range(1000, 1300)) t(n)
+WHERE ((t.n * t.n) % 97) % 3 = 0
+"""
+
+
 # ---- batch 68: digest functions + thresholded levenshtein ----------------
 
 
@@ -13391,6 +13420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 66: MERGE emulation (jar-free J10) + interval stabbing.
         # batch 67: forward as-of join + exact join cardinality.
         # batch 68: digest functions + thresholded levenshtein.
+        # batch 69: python DataSource filter pushdown (Spark 4.1).
+        "pushdown_source": _q_pushdown_source,
         "hash_funcs": _q_hash_funcs,
         "lev_threshold": _q_lev_threshold,
         "asof_fwd": _q_asof_fwd,
@@ -13890,6 +13921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pushdown_source": _PUSHDOWN_SQL,
         "hash_funcs": _HASH_FUNCS_SQL,
         "lev_threshold": _LEV_THRESHOLD_SQL,
         "asof_fwd": _ASOF_FWD_SQL,
