@@ -11622,6 +11622,105 @@ FROM a JOIN b
 """
 
 
+# ---- batch 70: polygon convexity + distinct substrings -------------------
+
+_PC_BASES = {
+    0: [(0, 0), (4, 1), (5, 4), (2, 6), (-1, 3)],       # CCW pentagon
+    1: [(0, 0), (0, 6), (8, 6), (8, 0)],                 # CW quad
+    2: [(0, 0), (6, 0), (6, 2), (2, 2), (2, 5), (0, 5)],  # L (concave)
+}
+
+
+def _pc_case(axis: int) -> str:
+    """Dialect-neutral CASE over (t, j) → base coordinate."""
+    arms = []
+    for t, pts in _PC_BASES.items():
+        for j, pt in enumerate(pts):
+            arms.append(f"WHEN t = {t} AND j = {j} THEN {pt[axis]}")
+    return "CASE " + " ".join(arms) + " ELSE 0 END"
+
+
+def _q_poly_convex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convexity + orientation per ring (spatial.py:polygon_convexity):
+    consecutive-triple cross signs via two modular equi-joins; fixture
+    mixes a CCW pentagon (+1, convex), a CW quad (−1, convex) and an
+    L-shape (concave), scaled + translated per pid."""
+    from bdtopo2refhydro_spark.operators.spatial import polygon_convexity
+
+    mm = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 360).alias("m")).distinct()
+    base = mm.selectExpr("m % 60 as pid", "m div 60 as j",
+                         "(m % 60) % 3 as t")
+    base = base.where(
+        "(t = 0 and j < 5) or (t = 1 and j < 4) or t = 2")
+    verts = base.selectExpr(
+        "cast(pid as long) as pid", "cast(j as long) as vid",
+        f"cast(({_pc_case(0)}) * (1 + pid % 4)"
+        " + (pid * 41) % 500 as long) as x",
+        f"cast(({_pc_case(1)}) * (1 + pid % 4)"
+        " + (pid * 59) % 500 as long) as y")
+    return polygon_convexity(verts)
+
+
+def _poly_convex_sql() -> str:
+    return f"""
+WITH mm AS (SELECT DISTINCT doc_id % 360 AS m FROM documents),
+base AS (
+  SELECT m % 60 AS pid, m // 60 AS j, (m % 60) % 3 AS t FROM mm),
+verts AS MATERIALIZED (
+  SELECT pid, j AS i,
+    ({_pc_case(0)}) * (1 + pid % 4) + (pid * 41) % 500 AS x,
+    ({_pc_case(1)}) * (1 + pid % 4) + (pid * 59) % 500 AS y
+  FROM base
+  WHERE (t = 0 AND j < 5) OR (t = 1 AND j < 4) OR t = 2),
+n AS (SELECT pid, count(*) AS nn FROM verts GROUP BY pid),
+trip AS (
+  SELECT a.pid,
+         (b.x - a.x) * (c.y - b.y) - (b.y - a.y) * (c.x - b.x)
+           AS cross_v,
+         a.x * b.y - b.x * a.y AS shoe
+  FROM verts a JOIN n ON n.pid = a.pid
+  JOIN verts b ON b.pid = a.pid AND b.i = (a.i + 1) % n.nn
+  JOIN verts c ON c.pid = a.pid AND c.i = (a.i + 2) % n.nn),
+agg AS (
+  SELECT pid, max(sign(CAST(cross_v AS DOUBLE))) AS mx,
+         min(sign(CAST(cross_v AS DOUBLE))) AS mn,
+         sum(shoe) AS a2
+  FROM trip GROUP BY pid)
+SELECT CAST(pid AS BIGINT) AS pid,
+       NOT (mx > 0 AND mn < 0) AS is_convex,
+       CAST(sign(CAST(a2 AS DOUBLE)) AS BIGINT) AS orientation
+FROM agg
+"""
+
+
+def _q_distinct_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct substring counts (text.py:distinct_substring_counts)
+    on the unigram word fixture; oracle enumerates all (i, len) pairs
+    and counts DISTINCT substr."""
+    from bdtopo2refhydro_spark.operators.text import (
+        distinct_substring_counts)
+
+    words = (_docs(spark, sf_dir)
+             .select((F.col("doc_id") % 200).alias("m")).distinct()
+             .selectExpr(f"{_UNI_WORD} as word").distinct())
+    return distinct_substring_counts(words)
+
+
+_DISTINCT_SUBSTR_SQL = f"""
+WITH mm AS (SELECT DISTINCT doc_id % 200 AS m FROM documents),
+words AS MATERIALIZED (SELECT DISTINCT {_UNI_WORD_D} AS word FROM mm)
+SELECT word,
+  CAST(count(DISTINCT substr(word, CAST(a.i AS INT), CAST(b.j AS INT)))
+       AS BIGINT) AS n_distinct
+FROM words,
+     UNNEST(range(1, len(word) + 1)) a(i),
+     UNNEST(range(1, len(word) + 1)) b(j)
+WHERE a.i + b.j <= len(word) + 1
+GROUP BY word
+"""
+
+
 # ---- batch 69: python DataSource filter pushdown -------------------------
 
 
@@ -13421,6 +13520,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 67: forward as-of join + exact join cardinality.
         # batch 68: digest functions + thresholded levenshtein.
         # batch 69: python DataSource filter pushdown (Spark 4.1).
+        # batch 70: polygon convexity + distinct substrings.
+        "poly_convex": _q_poly_convex,
+        "distinct_substr": _q_distinct_substr,
         "pushdown_source": _q_pushdown_source,
         "hash_funcs": _q_hash_funcs,
         "lev_threshold": _q_lev_threshold,
@@ -13921,6 +14023,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "poly_convex": _poly_convex_sql(),
+        "distinct_substr": _DISTINCT_SUBSTR_SQL,
         "pushdown_source": _PUSHDOWN_SQL,
         "hash_funcs": _HASH_FUNCS_SQL,
         "lev_threshold": _LEV_THRESHOLD_SQL,

@@ -568,3 +568,42 @@ def polygon_centroid(verts: DataFrame, *, pid: str = "pid",
          / (3 * F.col("a2")).cast("double")).alias("cx"),
         (F.col("_cyn").cast("double")
          / (3 * F.col("a2")).cast("double")).alias("cy"))
+
+
+def polygon_convexity(verts: DataFrame, *, pid: str = "pid",
+                      vid: str = "vid", x_col: str = "x",
+                      y_col: str = "y") -> DataFrame:
+    """Convexity + orientation per polygon ring from vertex ROWS: the
+    consecutive-triple cross products (two modular equi-joins, the
+    same no-collect_list discipline as polygon_centroid) all share one
+    sign ⟺ convex; orientation = sign of the doubled shoelace area.
+    Integer-exact; collinear triples (cross = 0) don't break either
+    test. Returns (pid, is_convex, orientation)."""
+    v = verts.select(F.col(pid).alias("p"),
+                     F.col(vid).cast("long").alias("i"),
+                     F.col(x_col).cast("long").alias("x"),
+                     F.col(y_col).cast("long").alias("y"))
+    n = v.groupBy("p").agg(F.count("*").alias("_n"))
+    a = v.join(n, "p")
+    b = v.select(F.col("p").alias("p"), F.col("i").alias("_j"),
+                 F.col("x").alias("xb"), F.col("y").alias("yb"))
+    c = v.select(F.col("p").alias("p"), F.col("i").alias("_k"),
+                 F.col("x").alias("xc"), F.col("y").alias("yc"))
+    trip = (a.join(b, (a["p"] == b["p"])
+                   & (F.col("_j") == (F.col("i") + 1) % F.col("_n")))
+            .drop(b["p"])
+            .join(c, (a["p"] == c["p"])
+                  & (F.col("_k") == (F.col("i") + 2) % F.col("_n")))
+            .drop(c["p"]))
+    cross = ((F.col("xb") - F.col("x")) * (F.col("yc") - F.col("yb"))
+             - (F.col("yb") - F.col("y")) * (F.col("xc") - F.col("xb")))
+    shoe = F.col("x") * F.col("yb") - F.col("xb") * F.col("y")
+    agg = trip.groupBy("p").agg(
+        F.max(F.signum(cross.cast("double"))).alias("_mx"),
+        F.min(F.signum(cross.cast("double"))).alias("_mn"),
+        F.sum(shoe).alias("_a2"))
+    return agg.select(
+        F.col("p").alias("pid"),
+        (~((F.col("_mx") > 0) & (F.col("_mn") < 0))).alias("is_convex"),
+        F.signum(F.col("_a2").cast("double")).cast("long")
+        .alias("orientation"))

@@ -1404,6 +1404,27 @@ def bwt_encode(words: DataFrame, word_col: str = "word",
     ).select(word_col, "_r.bwt", "_r.primary")
 
 
+def distinct_substring_counts(words: DataFrame,
+                              word_col: str = "word") -> DataFrame:
+    """Distinct (non-empty) substring count per word — the
+    subword-richness statistic (n(n+1)/2 minus repeats; the quantity a
+    suffix automaton computes in linear time). Bounded word lengths
+    make the per-word set walk an Arrow UDF over the distinct-word
+    table. Returns (word, n_distinct)."""
+    import pandas as pd
+
+    @F.pandas_udf("long")
+    def _cnt(s: pd.Series) -> pd.Series:
+        def count(w):
+            L = len(w)
+            return len({w[i:j] for i in range(L)
+                        for j in range(i + 1, L + 1)})
+        return s.map(count)
+
+    return words.select(word_col, _cnt(F.col(word_col))
+                        .alias("n_distinct"))
+
+
 def fix_mojibake(docs: DataFrame, col: str = "text",
                  out_col: str = "fixed") -> DataFrame:
     """Repair UTF-8-as-Latin-1 mojibake ("Ã©" → "é"), the single most
