@@ -11622,6 +11622,106 @@ FROM a JOIN b
 """
 
 
+# ---- batch 71: shortest-path counts + record linkage ---------------------
+
+
+def _q_sp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS distances AND shortest-path counts σ_sv from node 0
+    (graph.py:shortest_path_counts) — the Brandes-betweenness
+    building block: counts ride the same bounded BFS rounds
+    (count(v) = Σ counts of dist−1 neighbors, order-free integers).
+    Oracle unrolls the identical rounds."""
+    from bdtopo2refhydro_spark.operators.graph import shortest_path_counts
+
+    mm = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 97).alias("m")).distinct()
+    e = (mm.selectExpr("cast(m as long) as u",
+                       "cast((m * 3 + 1) % 97 as long) as v")
+         .unionByName(mm.selectExpr(
+             "cast(m as long) as u", "cast((m * 7 + 2) % 97 as long) as v")))
+    return shortest_path_counts(e, source=0)
+
+
+def _sp_counts_sql(rounds: int = 10) -> str:
+    ctes = ["mm AS (SELECT DISTINCT doc_id % 97 AS m FROM documents)",
+            """e AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT m AS a, (m * 3 + 1) % 97 AS b FROM mm
+    UNION ALL SELECT m, (m * 7 + 2) % 97 FROM mm)
+  WHERE a != b)""",
+            """sym AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM e UNION ALL SELECT b, a FROM e))""",
+            "f0 AS (SELECT CAST(0 AS BIGINT) AS node,"
+            " CAST(0 AS BIGINT) AS dist, CAST(1 AS BIGINT) AS n_paths)",
+            "k0 AS (SELECT node FROM f0)"]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""f{r} AS MATERIALIZED (
+  SELECT s.b AS node, CAST({r} AS BIGINT) AS dist,
+         CAST(sum(f.n_paths) AS BIGINT) AS n_paths
+  FROM sym s JOIN f{r - 1} f ON f.node = s.a
+  WHERE s.b NOT IN (SELECT node FROM k{r - 1})
+  GROUP BY s.b)""")
+        ctes.append(f"""k{r} AS MATERIALIZED (
+  SELECT node FROM k{r - 1} UNION ALL SELECT node FROM f{r})""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT * FROM f{r}" for r in range(rounds + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+def _q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter-style record linkage with INTEGER log-odds
+    weights: blocking on host (the candidate generator — never
+    all-pairs), field-agreement vector → score = 6·name + 2·year_eq +
+    1·year_near, thresholds classify match/possible. The entity-
+    resolution shape with all-integer scoring."""
+    d = _docs(spark, sf_dir)
+    a = (d.select((F.col("doc_id") % 120).alias("m")).distinct()
+         .selectExpr("cast(m as long) as aid",
+                     "concat('n', cast(m % 40 as string)) as a_name",
+                     "concat('h', cast(m % 15 as string)) as host",
+                     "cast(2000 + m % 20 as long) as a_year"))
+    b = (d.select((F.col("doc_id") % 100).alias("n")).distinct()
+         .selectExpr("cast(n as long) as bid",
+                     "concat('n', cast((n * 3) % 40 as string)) as b_name",
+                     "concat('h', cast(n % 15 as string)) as host",
+                     "cast(2000 + (n * 7) % 20 as long) as b_year"))
+    j = a.join(b, "host")
+    score = (F.when(F.col("a_name") == F.col("b_name"), 6).otherwise(0)
+             + F.when(F.col("a_year") == F.col("b_year"), 2).otherwise(0)
+             + F.when((F.abs(F.col("a_year") - F.col("b_year")) <= 2)
+                      & (F.col("a_year") != F.col("b_year")), 1)
+             .otherwise(0))
+    out = j.select("aid", "bid", score.cast("long").alias("score"))
+    return (out.where(F.col("score") >= 2)
+            .withColumn("klass",
+                        F.when(F.col("score") >= 7, "match")
+                        .otherwise("possible")))
+
+
+_RECORD_LINKAGE_SQL = """
+WITH am AS (SELECT DISTINCT doc_id % 120 AS m FROM documents),
+a AS (SELECT m AS aid, 'n' || CAST(m % 40 AS VARCHAR) AS a_name,
+             'h' || CAST(m % 15 AS VARCHAR) AS host,
+             2000 + m % 20 AS a_year FROM am),
+bn AS (SELECT DISTINCT doc_id % 100 AS n FROM documents),
+b AS (SELECT n AS bid, 'n' || CAST((n * 3) % 40 AS VARCHAR) AS b_name,
+             'h' || CAST(n % 15 AS VARCHAR) AS host,
+             2000 + (n * 7) % 20 AS b_year FROM bn),
+s AS (
+  SELECT a.aid, b.bid,
+    (CASE WHEN a_name = b_name THEN 6 ELSE 0 END
+     + CASE WHEN a_year = b_year THEN 2 ELSE 0 END
+     + CASE WHEN abs(a_year - b_year) <= 2 AND a_year != b_year
+            THEN 1 ELSE 0 END) AS score
+  FROM a JOIN b ON b.host = a.host)
+SELECT CAST(aid AS BIGINT) AS aid, CAST(bid AS BIGINT) AS bid,
+       CAST(score AS BIGINT) AS score,
+       CASE WHEN score >= 7 THEN 'match' ELSE 'possible' END AS klass
+FROM s WHERE score >= 2
+"""
+
+
 # ---- batch 70: polygon convexity + distinct substrings -------------------
 
 _PC_BASES = {
@@ -13521,6 +13621,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 68: digest functions + thresholded levenshtein.
         # batch 69: python DataSource filter pushdown (Spark 4.1).
         # batch 70: polygon convexity + distinct substrings.
+        # batch 71: shortest-path counts (Brandes σ) + record linkage.
+        "sp_counts": _q_sp_counts,
+        "record_linkage": _q_record_linkage,
         "poly_convex": _q_poly_convex,
         "distinct_substr": _q_distinct_substr,
         "pushdown_source": _q_pushdown_source,
@@ -14023,6 +14126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "sp_counts": _sp_counts_sql(),
+        "record_linkage": _RECORD_LINKAGE_SQL,
         "poly_convex": _poly_convex_sql(),
         "distinct_substr": _DISTINCT_SUBSTR_SQL,
         "pushdown_source": _PUSHDOWN_SQL,

@@ -1081,3 +1081,47 @@ def two_sat(clauses: DataFrame, *, inst: str = "inst",
             .select(F.col("i").alias("inst"),
                     F.coalesce(~F.col("_bad"), F.lit(True))
                     .alias("satisfiable")))
+
+
+def shortest_path_counts(edges: DataFrame, source: int = 0, *,
+                         src: str = "u", dst: str = "v",
+                         max_iter: int = 100) -> DataFrame:
+    """BFS distances AND shortest-path counts from one source — the
+    σ_sv quantity Brandes betweenness is built on: per round, a
+    frontier node's count is the SUM of its distance-(d−1) neighbors'
+    counts (integer, order-free), so counting rides the same bounded
+    BFS rounds as reachability; joins hit the FIXED symmetric edge
+    frame (linear growth, checkpoint-safe). Returns
+    (node, dist, n_paths)."""
+    from pyspark.sql import functions as F
+
+    from ._ckpt import CheckpointSlots
+
+    slots = CheckpointSlots()
+    e = slots.checkpoint(
+        edges.select(F.col(src).cast("long").alias("a"),
+                     F.col(dst).cast("long").alias("b"))
+        .where(F.col("a") != F.col("b")).distinct(), "e")
+    sym = slots.checkpoint(
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct(), "sym")
+    spark = edges.sparkSession
+    frame = slots.checkpoint(
+        spark.createDataFrame([(int(source), 0, 1)],
+                              "node long, dist long, n_paths long"),
+        "fr")
+    frontier = frame
+    for r in range(1, max_iter + 1):
+        nxt = (sym.join(frontier.select(F.col("node").alias("a"),
+                                        "n_paths"), "a")
+               .groupBy(F.col("b").alias("node"))
+               .agg(F.sum("n_paths").alias("n_paths"))
+               .join(frame.select("node"), "node", "left_anti")
+               .select("node", F.lit(r).cast("long").alias("dist"),
+                       F.col("n_paths").cast("long")))
+        nxt = slots.checkpoint(nxt, "nxt")
+        if not nxt.take(1):
+            break
+        frame = slots.checkpoint(frame.unionByName(nxt), "fr")
+        frontier = nxt
+    return frame
