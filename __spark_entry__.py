@@ -11622,6 +11622,52 @@ FROM a JOIN b
 """
 
 
+# ---- batch 72: Euler tour via list ranking -------------------------------
+
+
+def _q_euler_tour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Euler tour by LIST RANKING (graph.py:euler_tour) — the PRAM
+    classic: local cyclic-successor rule + pointer-doubling
+    distance-to-end in O(log n) rounds (two-layer checkpoint+cache
+    self-join discipline). pos equals the recursive sorted-adjacency
+    DFS tour (pytest) and the oracle's sequential successor WALK —
+    three independent routes to the same circuit."""
+    from bdtopo2refhydro_spark.operators.graph import euler_tour
+
+    e = (_docs(spark, sf_dir)
+         .select((F.col("doc_id") % 300).alias("m")).distinct()
+         .where("m >= 1")
+         .selectExpr("cast(m as long) as u", "cast(m div 2 as long) as v"))
+    return euler_tour(e, root=0)
+
+
+_EULER_SQL = """
+WITH RECURSIVE mm AS (
+  SELECT DISTINCT doc_id % 300 AS m FROM documents WHERE doc_id % 300 >= 1),
+e AS MATERIALIZED (SELECT m AS u, m // 2 AS v FROM mm),
+sym AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT u, v FROM e UNION ALL SELECT v, u FROM e)),
+nbrs AS (
+  SELECT v, u, lead(u) OVER (PARTITION BY v ORDER BY u) AS nu,
+         min(u) OVER (PARTITION BY v) AS fu
+  FROM sym),
+succ AS MATERIALIZED (
+  SELECT u AS su, v AS sv, v AS tu, coalesce(nu, fu) AS tv FROM nbrs),
+startc AS (SELECT min(v) AS c FROM sym WHERE u = 0),
+walk(u, v, pos) AS (
+  SELECT 0, c, 0 FROM startc
+  UNION ALL
+  SELECT s.tu, s.tv, w.pos + 1
+  FROM walk w JOIN succ s ON s.su = w.u AND s.sv = w.v
+  WHERE NOT (s.tu = 0 AND s.tv = (SELECT c FROM startc))
+)
+SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+       CAST(pos AS BIGINT) AS pos
+FROM walk
+"""
+
+
 # ---- batch 71: shortest-path counts + record linkage ---------------------
 
 
@@ -13622,6 +13668,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 69: python DataSource filter pushdown (Spark 4.1).
         # batch 70: polygon convexity + distinct substrings.
         # batch 71: shortest-path counts (Brandes σ) + record linkage.
+        # batch 72: Euler tour via list ranking (pointer doubling).
+        "euler_tour": _q_euler_tour,
         "sp_counts": _q_sp_counts,
         "record_linkage": _q_record_linkage,
         "poly_convex": _q_poly_convex,
@@ -14126,6 +14174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "euler_tour": _EULER_SQL,
         "sp_counts": _sp_counts_sql(),
         "record_linkage": _RECORD_LINKAGE_SQL,
         "poly_convex": _poly_convex_sql(),

@@ -1125,3 +1125,78 @@ def shortest_path_counts(edges: DataFrame, source: int = 0, *,
         frame = slots.checkpoint(frame.unionByName(nxt), "fr")
         frontier = nxt
     return frame
+
+
+def euler_tour(edges: DataFrame, root: int = 0, *, src: str = "u",
+               dst: str = "v", max_doublings: int = 40) -> DataFrame:
+    """Euler tour of a tree by LIST RANKING — the classic PRAM
+    construction, Spark-shaped: (1) each directed edge (u→v) gets its
+    circuit successor (v → next neighbor of v after u in cyclic sorted
+    adjacency order) from one windowed self-join — a purely LOCAL
+    rule; (2) the circuit is cut before the start edge (root → min
+    child) and every edge's distance-to-end is computed by POINTER
+    DOUBLING (acc += acc[ptr]; ptr = ptr[ptr]) in O(log n) rounds —
+    the self-join-on-own-frame loop uses the two-layer
+    checkpoint+cache discipline (CLAUDE.md: stats-squaring AND
+    plan-tree doubling both bite otherwise); (3) pos = len−1−dist.
+    Returns (u, v, pos) for all 2(n−1) directed edges — enter/exit
+    times and subtree intervals read straight off it."""
+    from ._ckpt import CheckpointSlots
+
+    slots = CheckpointSlots()
+    e = slots.checkpoint(
+        edges.select(F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v")).distinct(), "e")
+    sym = slots.checkpoint(
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct(), "sym")
+    # successor: next neighbor of v after u, cyclic in sorted order
+    w_nxt = Window.partitionBy("v").orderBy("u")
+    nbr = sym.select(F.col("v"), F.col("u")) \
+        .withColumn("_nu", F.lead("u").over(w_nxt)) \
+        .withColumn("_first", F.first("u").over(
+            Window.partitionBy("v").orderBy("u")
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing)))
+    succ = nbr.select(
+        F.col("u").alias("su"), F.col("v").alias("sv"),
+        F.col("v").alias("nu"),
+        F.coalesce("_nu", "_first").alias("nv"))
+    # edge ids: eid(u,v) = u * 2^32 + v (node ids < 2^31)
+    def eid(a, b):
+        return (F.col(a) * F.lit(1 << 32) + F.col(b))
+
+    start = (sym.where(F.col("u") == root)
+             .agg(F.min("v").alias("m")).first()["m"])
+    start_id = root * (1 << 32) + int(start)
+    frame = succ.select(
+        eid("su", "sv").alias("edge"),
+        F.col("su").alias("u"), F.col("sv").alias("v"),
+        F.when(eid("nu", "nv") == start_id, F.lit(None))
+        .otherwise(eid("nu", "nv")).alias("ptr"),
+        F.when(eid("nu", "nv") == start_id, 0).otherwise(1)
+        .cast("long").alias("acc"))
+    frame = slots.checkpoint(frame, "fr0")
+    cached = frame.cache()
+    cached.count()
+    for i in range(max_doublings):
+        nxt = (cached.alias("a")
+               .join(cached.select(F.col("edge").alias("ptr"),
+                                   F.col("ptr").alias("p2"),
+                                   F.col("acc").alias("a2")).alias("b"),
+                     "ptr", "left")
+               .select("edge", "u", "v",
+                       F.col("p2").alias("ptr"),
+                       (F.col("acc") + F.coalesce("a2", F.lit(0)))
+                       .alias("acc")))
+        nxt = slots.checkpoint(nxt, f"fr{(i % 2) + 1}")
+        new_cached = nxt.cache()
+        n_live = new_cached.where(F.col("ptr").isNotNull()).count()
+        cached.unpersist()
+        cached = new_cached
+        if n_live == 0:
+            break
+    total = cached.count()
+    return cached.select(
+        "u", "v", (F.lit(total - 1) - F.col("acc")).cast("long")
+        .alias("pos"))
