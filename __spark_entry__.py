@@ -11622,6 +11622,75 @@ FROM a JOIN b
 """
 
 
+# ---- batch 73: ancestor queries via Euler intervals ----------------------
+
+
+def _q_euler_anc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE point of the Euler tour: subtree membership becomes an
+    interval test. enter(v)/exit(v) read off the tour orientation-free
+    (the FIRST traversal of an undirected edge is always downward, so
+    child = head of the min-pos direction), and a batch of ancestor
+    queries answers with one join + two comparisons — no per-level
+    lifting at all. The oracle answers the SAME queries by an actual
+    recursive parent WALK, so interval containment is verified against
+    ancestry itself, not against the tour."""
+    from bdtopo2refhydro_spark.operators.graph import euler_tour
+
+    e = (_docs(spark, sf_dir)
+         .select((F.col("doc_id") % 300).alias("m")).distinct()
+         .where("m >= 1")
+         .selectExpr("cast(m as long) as u", "cast(m div 2 as long) as v"))
+    tour = euler_tour(e, root=0)
+    und = tour.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"),
+        "pos", F.col("v").alias("head"))
+    iv = (und.groupBy("a", "b")
+          .agg(F.min(F.struct("pos", "head")).alias("_dn"),
+               F.max("pos").alias("exit"))
+          .select(F.col("_dn.head").alias("node"),
+                  F.col("_dn.pos").alias("enter"), "exit"))
+    qq = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 80).alias("q")).distinct()
+          .selectExpr(
+        "cast(q as long) as qid",
+        "cast(1 + (q * 7) % 299 as long) as node",
+        # even q: a PLANTED true ancestor (node div 2^(1+q%4), floored
+        # at 1); odd q: a pseudo-random pair (mostly false)
+        "cast(case when q % 2 = 0 then "
+        "greatest((1 + (q * 7) % 299) div shiftleft(1, 1 + q % 4), 1) "
+        "else 1 + (q * 11) % 299 end as long) as anc"))
+    ia = iv.select(F.col("node").alias("anc"),
+                   F.col("enter").alias("ea"), F.col("exit").alias("xa"))
+    iu = iv.select(F.col("node").alias("node"),
+                   F.col("enter").alias("eu"), F.col("exit").alias("xu"))
+    return (qq.join(ia, "anc").join(iu, "node")
+            .select("qid", "anc", "node",
+                    ((F.col("ea") <= F.col("eu"))
+                     & (F.col("xu") <= F.col("xa"))).alias("is_ancestor")))
+
+
+_EULER_ANC_SQL = """
+WITH RECURSIVE qq AS (
+  SELECT DISTINCT doc_id % 80 AS q FROM documents),
+qs AS (
+  SELECT q AS qid, 1 + (q * 7) % 299 AS node,
+         CASE WHEN q % 2 = 0 THEN
+           greatest((1 + (q * 7) % 299) // (1 << (1 + q % 4)), 1)
+         ELSE 1 + (q * 11) % 299 END AS anc
+  FROM qq),
+walk(qid, cur) AS (
+  SELECT qid, node FROM qs
+  UNION
+  SELECT qid, cur // 2 FROM walk WHERE cur >= 1
+)
+SELECT CAST(qs.qid AS BIGINT) AS qid, CAST(qs.anc AS BIGINT) AS anc,
+       CAST(qs.node AS BIGINT) AS node,
+       EXISTS (SELECT 1 FROM walk w
+               WHERE w.qid = qs.qid AND w.cur = qs.anc) AS is_ancestor
+FROM qs
+"""
+
+
 # ---- batch 72: Euler tour via list ranking -------------------------------
 
 
@@ -13669,6 +13738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 70: polygon convexity + distinct substrings.
         # batch 71: shortest-path counts (Brandes σ) + record linkage.
         # batch 72: Euler tour via list ranking (pointer doubling).
+        # batch 73: ancestor queries as Euler-interval containment.
+        "euler_anc": _q_euler_anc,
         "euler_tour": _q_euler_tour,
         "sp_counts": _q_sp_counts,
         "record_linkage": _q_record_linkage,
@@ -14174,6 +14245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "euler_anc": _EULER_ANC_SQL,
         "euler_tour": _EULER_SQL,
         "sp_counts": _sp_counts_sql(),
         "record_linkage": _RECORD_LINKAGE_SQL,
