@@ -11622,6 +11622,104 @@ FROM a JOIN b
 """
 
 
+# ---- batch 74: nucleus (top-p) selection + de Bruijn stats ---------------
+
+
+def _q_nucleus_sel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nucleus (top-p) selection per group: the smallest
+    (weight desc, item asc)-prefix whose cumulative weight reaches 90%
+    of the total, decided by the INTEGER cross-multiplied test
+    10·(cum − w) < 9·total (strictly includes the crossing item, no
+    float thresholds) — the data-selection analog of LLM top-p."""
+    base = (_docs(spark, sf_dir)
+            .select((F.col("doc_id") % 180).alias("m")).distinct()
+            .selectExpr("cast(m % 6 as long) as g",
+                        "cast(m div 6 as long) as item",
+                        "cast(1 + (m * m) % 50 as long) as w"))
+    win = (Window.partitionBy("g").orderBy(F.desc("w"), F.asc("item"))
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot = Window.partitionBy("g")
+    cum = (base.withColumn("cum", F.sum("w").over(win))
+           .withColumn("_t", F.sum("w").over(tot)))
+    return (cum.where(10 * (F.col("cum") - F.col("w")) < 9 * F.col("_t"))
+            .select("g", "item", "w", F.col("cum").cast("long")
+                    .alias("cum")))
+
+
+_NUCLEUS_SQL = """
+WITH mm AS (SELECT DISTINCT doc_id % 180 AS m FROM documents),
+base AS (
+  SELECT m % 6 AS g, m // 6 AS item, 1 + (m * m) % 50 AS w FROM mm),
+cum AS (
+  SELECT g, item, w,
+    sum(w) OVER (PARTITION BY g ORDER BY w DESC, item
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cum,
+    sum(w) OVER (PARTITION BY g) AS t
+  FROM base)
+SELECT CAST(g AS BIGINT) AS g, CAST(item AS BIGINT) AS item,
+       CAST(w AS BIGINT) AS w, CAST(cum AS BIGINT) AS cum
+FROM cum WHERE 10 * (cum - w) < 9 * t
+"""
+
+
+def _q_debruijn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """De Bruijn 2-mer graph over the word fixture (the assembly /
+    string-graph primitive): 3-mers contribute (prefix 2-mer →
+    suffix 2-mer) edges; per node the edge multiplicities, distinct
+    neighbor counts, and the unitig classification (linear ⟺ ≤1
+    distinct neighbor each side — where chain contraction would
+    compact)."""
+    words = (_docs(spark, sf_dir)
+             .select((F.col("doc_id") % 200).alias("m")).distinct()
+             .selectExpr(f"{_UNI_WORD} as word"))
+    edges = words.selectExpr(
+        "explode(transform(sequence(1, length(word) - 2), "
+        "i -> struct(substring(word, i, 2) as src, "
+        "substring(word, i + 1, 2) as dst))) as e").select("e.*")
+    outs = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("out_m"),
+        F.count_distinct("dst").alias("n_out"))
+    ins = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").alias("in_m"),
+        F.count_distinct("src").alias("n_in"))
+    return (outs.join(ins, "node", "full_outer")
+            .select("node",
+                    F.coalesce("in_m", F.lit(0)).cast("long")
+                    .alias("in_m"),
+                    F.coalesce("out_m", F.lit(0)).cast("long")
+                    .alias("out_m"),
+                    F.coalesce("n_in", F.lit(0)).cast("long")
+                    .alias("n_in"),
+                    F.coalesce("n_out", F.lit(0)).cast("long")
+                    .alias("n_out"),
+                    F.when((F.coalesce("n_in", F.lit(0)) <= 1)
+                           & (F.coalesce("n_out", F.lit(0)) <= 1),
+                           "linear").otherwise("branch").alias("klass")))
+
+
+_DEBRUIJN_SQL = f"""
+WITH mm AS (SELECT DISTINCT doc_id % 200 AS m FROM documents),
+words AS MATERIALIZED (SELECT {_UNI_WORD_D} AS word FROM mm),
+edges AS MATERIALIZED (
+  SELECT substr(word, CAST(i AS INT), 2) AS src,
+         substr(word, CAST(i AS INT) + 1, 2) AS dst
+  FROM words, UNNEST(range(1, len(word) - 1)) t(i)),
+outs AS (SELECT src AS node, count(*) AS out_m,
+                count(DISTINCT dst) AS n_out FROM edges GROUP BY src),
+ins AS (SELECT dst AS node, count(*) AS in_m,
+               count(DISTINCT src) AS n_in FROM edges GROUP BY dst)
+SELECT coalesce(outs.node, ins.node) AS node,
+  CAST(coalesce(in_m, 0) AS BIGINT) AS in_m,
+  CAST(coalesce(out_m, 0) AS BIGINT) AS out_m,
+  CAST(coalesce(n_in, 0) AS BIGINT) AS n_in,
+  CAST(coalesce(n_out, 0) AS BIGINT) AS n_out,
+  CASE WHEN coalesce(n_in, 0) <= 1 AND coalesce(n_out, 0) <= 1
+       THEN 'linear' ELSE 'branch' END AS klass
+FROM outs FULL OUTER JOIN ins ON ins.node = outs.node
+"""
+
+
 # ---- batch 73: ancestor queries via Euler intervals ----------------------
 
 
@@ -13739,6 +13837,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 71: shortest-path counts (Brandes σ) + record linkage.
         # batch 72: Euler tour via list ranking (pointer doubling).
         # batch 73: ancestor queries as Euler-interval containment.
+        # batch 74: nucleus top-p selection + de Bruijn graph stats.
+        "nucleus_sel": _q_nucleus_sel,
+        "debruijn": _q_debruijn,
         "euler_anc": _q_euler_anc,
         "euler_tour": _q_euler_tour,
         "sp_counts": _q_sp_counts,
@@ -14245,6 +14346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "nucleus_sel": _NUCLEUS_SQL,
+        "debruijn": _DEBRUIJN_SQL,
         "euler_anc": _EULER_ANC_SQL,
         "euler_tour": _EULER_SQL,
         "sp_counts": _sp_counts_sql(),
