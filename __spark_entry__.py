@@ -11622,6 +11622,70 @@ FROM a JOIN b
 """
 
 
+# ---- batch 75: suffix arrays + polynomial convolution --------------------
+
+
+def _q_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix array per word (text.py:suffix_array) — rank of each
+    suffix in sorted order; oracle computes rank(i) as the count of
+    strictly-smaller suffixes (an independent O(n²) definition,
+    exact because suffixes of one word are pairwise distinct)."""
+    from bdtopo2refhydro_spark.operators.text import suffix_array
+
+    words = (_docs(spark, sf_dir)
+             .select((F.col("doc_id") % 200).alias("m")).distinct()
+             .selectExpr(f"{_UNI_WORD} as word").distinct())
+    return suffix_array(words)
+
+
+_SUFFIX_ARRAY_SQL = f"""
+WITH mm AS (SELECT DISTINCT doc_id % 200 AS m FROM documents),
+words AS MATERIALIZED (SELECT DISTINCT {_UNI_WORD_D} AS word FROM mm),
+sufs AS MATERIALIZED (
+  SELECT word, CAST(i - 1 AS BIGINT) AS pos,
+         substr(word, CAST(i AS INT)) AS suf
+  FROM words, UNNEST(range(1, len(word) + 1)) t(i))
+SELECT a.word, a.pos,
+       CAST((SELECT count(*) FROM sufs b
+             WHERE b.word = a.word AND b.suf < a.suf) AS BIGINT) AS rank
+FROM sufs a
+"""
+
+
+def _q_poly_mult(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped polynomial convolution c_k = Σ a_i·b_{k−i} — the
+    signal/generating-function primitive as ONE index-arithmetic join
+    + groupBy; all-integer coefficients."""
+    mm = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 120).alias("m")).distinct()
+    a = mm.selectExpr("cast(m % 6 as long) as g",
+                      "cast(m div 6 as long) as i",
+                      "cast((m * 7) % 19 - 9 as long) as ca") \
+        .where("i < 11")
+    b = mm.selectExpr("cast(m % 6 as long) as g",
+                      "cast(m div 6 as long) as j",
+                      "cast((m * 5) % 17 - 8 as long) as cb") \
+        .where("j < 9")
+    return (a.join(b, "g")
+            .groupBy("g", (F.col("i") + F.col("j")).alias("k"))
+            .agg(F.sum(F.col("ca") * F.col("cb")).cast("long")
+                 .alias("ck"))
+            .select("g", F.col("k").cast("long").alias("k"), "ck"))
+
+
+_POLY_MULT_SQL = """
+WITH mm AS (SELECT DISTINCT doc_id % 120 AS m FROM documents),
+a AS (SELECT m % 6 AS g, m // 6 AS i, (m * 7) % 19 - 9 AS ca
+      FROM mm WHERE m // 6 < 11),
+b AS (SELECT m % 6 AS g, m // 6 AS j, (m * 5) % 17 - 8 AS cb
+      FROM mm WHERE m // 6 < 9)
+SELECT CAST(a.g AS BIGINT) AS g, CAST(i + j AS BIGINT) AS k,
+       CAST(sum(ca * cb) AS BIGINT) AS ck
+FROM a JOIN b ON b.g = a.g
+GROUP BY a.g, i + j
+"""
+
+
 # ---- batch 74: nucleus (top-p) selection + de Bruijn stats ---------------
 
 
@@ -13838,6 +13902,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 72: Euler tour via list ranking (pointer doubling).
         # batch 73: ancestor queries as Euler-interval containment.
         # batch 74: nucleus top-p selection + de Bruijn graph stats.
+        # batch 75: suffix arrays + polynomial convolution.
+        "suffix_array": _q_suffix_array,
+        "poly_mult": _q_poly_mult,
         "nucleus_sel": _q_nucleus_sel,
         "debruijn": _q_debruijn,
         "euler_anc": _q_euler_anc,
@@ -14346,6 +14413,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "suffix_array": _SUFFIX_ARRAY_SQL,
+        "poly_mult": _POLY_MULT_SQL,
         "nucleus_sel": _NUCLEUS_SQL,
         "debruijn": _DEBRUIJN_SQL,
         "euler_anc": _EULER_ANC_SQL,

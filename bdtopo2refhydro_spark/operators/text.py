@@ -1425,6 +1425,29 @@ def distinct_substring_counts(words: DataFrame,
                         .alias("n_distinct"))
 
 
+def suffix_array(words: DataFrame, word_col: str = "word") -> DataFrame:
+    """Suffix array per distinct word (the substring-search /
+    BWT-companion index): rank(i) = position of suffix w[i:] in the
+    sorted suffix order (codepoint order, matching SQL binary
+    collation). Bounded word lengths → per-word Arrow UDF on the
+    distinct-word table. Returns (word, pos, rank) exploded rows."""
+    import pandas as pd
+
+    @F.pandas_udf("array<struct<pos: long, rank: long>>")
+    def _sa(s: pd.Series) -> pd.Series:
+        def sa(w):
+            order = sorted(range(len(w)), key=lambda i: w[i:])
+            out = [None] * len(w)
+            for r, i in enumerate(order):
+                out[i] = {"pos": i, "rank": r}
+            return out
+        return s.map(sa)
+
+    return (words.select(word_col, F.explode(_sa(F.col(word_col)))
+                         .alias("_e"))
+            .select(word_col, "_e.pos", "_e.rank"))
+
+
 def fix_mojibake(docs: DataFrame, col: str = "text",
                  out_col: str = "fixed") -> DataFrame:
     """Repair UTF-8-as-Latin-1 mojibake ("Ã©" → "é"), the single most
