@@ -1200,3 +1200,161 @@ def euler_tour(edges: DataFrame, root: int = 0, *, src: str = "u",
     return cached.select(
         "u", "v", (F.lit(total - 1) - F.col("acc")).cast("long")
         .alias("pos"))
+
+
+def prefix_scan_xor(df: DataFrame, *, t: str = "t", val: str = "m",
+                    out: str = "p", num_partitions: int | None = None
+                    ) -> DataFrame:
+    """Distributed INCLUSIVE prefix-XOR over rows ordered by `t`
+    (values of `t` must be unique): range-repartition on t, running
+    bit_xor window WITHIN each range partition, then fold in the XOR
+    of all prior partitions' totals — the totals table is one row per
+    partition (collected once, broadcast back), so there is no global
+    single-partition window anywhere. The classic two-level scan,
+    Spark-shaped; scales to any row count because per-partition state
+    is a window over a sorted range and cross-partition state is
+    O(#partitions)."""
+    spark = df.sparkSession
+    k = num_partitions or spark.sparkContext.defaultParallelism
+    d = (df.repartitionByRange(k, F.col(t))
+         .withColumn("_pid", F.spark_partition_id())
+         .localCheckpoint(eager=False))
+    run = d.selectExpr(
+        "*",
+        f"bit_xor({val}) OVER (PARTITION BY _pid ORDER BY {t} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _run")
+    tots = {r["_pid"]: r["_t"]
+            for r in d.groupBy("_pid")
+            .agg(F.expr(f"bit_xor({val})").alias("_t")).collect()}
+    acc, offs = 0, []
+    for pid in sorted(tots):
+        offs.append((pid, acc))
+        acc ^= tots[pid] if tots[pid] is not None else 0
+    off_df = spark.createDataFrame(offs or [(0, 0)], "_pid int, _off long")
+    return (run.join(F.broadcast(off_df), "_pid", "left")
+            .withColumn(out, F.col("_run")
+                        .bitwiseXOR(F.coalesce("_off", F.lit(0))))
+            .drop("_pid", "_run", "_off"))
+
+
+def bridges(edges: DataFrame, *, src: str = "u", dst: str = "v"
+            ) -> DataFrame:
+    """Bridge edges of a CONNECTED undirected graph — all joins and
+    O(log n) rounds, no sequential DFS low-link pass anywhere (the
+    Tarjan-Vishkin certificate, XOR variant):
+
+    1. spanning tree = Borůvka forest over synthetic distinct weights
+       (deterministic; O(log n) hook rounds);
+    2. Euler tour of the tree (list ranking, O(log n) pointer
+       doublings) → subtree interval [enter(c), exit(c)] per
+       non-root node;
+    3. every NON-tree edge {x,y} XORs a 64-bit hash mark onto both
+       endpoints. S(c) = XOR of marks over subtree(c): an edge with
+       both endpoints inside cancels itself, both outside never
+       enters — S(c) aggregates exactly the edges with ONE endpoint
+       in subtree(c), i.e. the edges covering tree edge
+       (parent(c), c). That tree edge is a bridge iff S(c) == 0
+       (up to a ~2^-64 hash-collision, the standard randomized
+       certificate). Non-tree edges are never bridges (each closes a
+       cycle with the tree path).
+    4. subtree XORs for ALL nodes at once: S(c) = P(exit(c)) ^
+       P(enter(c)) ^ mark(c) where P is the inclusive prefix-XOR of
+       node marks in enter order — exit positions are probed by
+       injecting 0-mark rows into the SAME ordered stream, so one
+       `prefix_scan_xor` (two-level, no global window) answers every
+       subtree at once.
+
+    Returns every distinct undirected edge as (a, b, is_bridge) with
+    a < b. Node ids must lie in [0, 2^31) (euler_tour packs (u, v)
+    into one 64-bit edge id). Raises ValueError when the graph is
+    disconnected.
+
+    Reference semantics: connectivity-critical edges of the hydro
+    network graph (SURVEY.md §2 G-family; the repair candidates of
+    fix_network_connectivity are exactly edges whose removal split
+    the network — bridges in reverse)."""
+    e = (edges.select(
+            F.least(F.col(src).cast("long"),
+                    F.col(dst).cast("long")).alias("a"),
+            F.greatest(F.col(src).cast("long"),
+                       F.col(dst).cast("long")).alias("b"))
+         .where(F.col("a") != F.col("b")).distinct()
+         .localCheckpoint(eager=False))
+    ew = e.select(
+        (F.col("a") * F.lit(1 << 32) + F.col("b")).alias("eid"),
+        F.col("a").alias("u"), F.col("b").alias("v"),
+        (F.col("a") * F.lit(1 << 32) + F.col("b")).alias("w"))
+    tree = (boruvka_mst(ew)
+            .select(F.col("u").alias("a"), F.col("v").alias("b"))
+            .localCheckpoint(eager=False))
+    n_nodes = e.select("a").union(e.select(F.col("b").alias("a"))) \
+        .distinct().count()
+    n_tree = tree.count()
+    if n_tree != n_nodes - 1:
+        raise ValueError(
+            f"bridges() requires a connected graph: spanning forest has "
+            f"{n_tree} edges for {n_nodes} nodes")
+    root = int(e.agg(F.min("a")).first()[0])
+    tour = euler_tour(tree, root=root, src="a", dst="b")
+    und = tour.select(F.least("u", "v").alias("a"),
+                      F.greatest("u", "v").alias("b"),
+                      "pos", F.col("v").alias("head"))
+    # first traversal of an undirected tree edge is downward → its head
+    # is the child; child's interval = [enter, exit] of its edge pair
+    iv = (und.groupBy("a", "b")
+          .agg(F.min(F.struct("pos", "head")).alias("_dn"),
+               F.max("pos").alias("exit"))
+          .select("a", "b", F.col("_dn.head").alias("node"),
+                  F.col("_dn.pos").alias("enter"), "exit")
+          .localCheckpoint(eager=False))
+    nt = e.join(tree, ["a", "b"], "left_anti")
+    hmark = F.xxhash64(F.col("a"), F.col("b"), F.lit(1009))
+    marks = (nt.select(F.col("a").alias("node"), hmark.alias("m"))
+             .union(nt.select(F.col("b").alias("node"), hmark.alias("m")))
+             .groupBy("node").agg(F.expr("bit_xor(m)").alias("mark")))
+    ivm = (iv.join(marks, "node", "left")
+           .withColumn("mark", F.coalesce("mark", F.lit(0).cast("long"))))
+    # ordered event stream: enter rows carry the node's mark, exit rows
+    # probe with mark 0 (they read P without perturbing it); the root's
+    # enter sits at t=-1 (only needed when the root has a mark — a
+    # missing 0-mark row changes no prefix)
+    ev = (ivm.select("node", F.col("enter").alias("t"),
+                     F.col("mark").alias("m"))
+          .unionByName(ivm.select(
+              "node", F.col("exit").alias("t"),
+              F.lit(0).cast("long").alias("m")))
+          .unionByName(marks.where(F.col("node") == root).select(
+              "node", F.lit(-1).cast("long").alias("t"),
+              F.col("mark").alias("m"))))
+    scanned = prefix_scan_xor(ev, t="t", val="m", out="p")
+    s = (scanned.groupBy("node")
+         .agg(F.expr("bit_xor(p)").alias("pp"),
+              F.expr("bit_xor(m)").alias("mk"),
+              F.count(F.lit(1)).alias("nr"))
+         .where(F.col("nr") == 2)  # drop the root's lone enter row
+         .select("node",
+                 F.col("pp").bitwiseXOR(F.col("mk")).alias("s")))
+    flags = iv.join(s, "node").select(
+        "a", "b", (F.col("s") == 0).alias("is_bridge"))
+    return (e.join(flags, ["a", "b"], "left")
+            .select("a", "b",
+                    F.coalesce("is_bridge", F.lit(False))
+                    .alias("is_bridge")))
+
+
+def two_edge_components(edges: DataFrame, *, src: str = "u",
+                        dst: str = "v") -> DataFrame:
+    """2-edge-connected components: CC of the graph with its bridges
+    removed (`bridges` above), labels = min node id per component.
+    Nodes whose every incident edge is a bridge become singleton
+    components. Returns (node, comp)."""
+    br = bridges(edges, src=src, dst=dst).localCheckpoint(eager=False)
+    nb = br.where(~F.col("is_bridge"))
+    adj = (nb.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+           .union(nb.select(F.col("b").alias("node"),
+                            F.col("a").alias("nbr"))))
+    cc = connected_components(adj)
+    allnodes = (br.select(F.col("a").alias("node"))
+                .union(br.select(F.col("b").alias("node"))).distinct())
+    return (allnodes.join(cc, "node", "left")
+            .select("node", F.coalesce("l", F.col("node")).alias("comp")))
