@@ -13963,6 +13963,133 @@ ORDER BY an.node
 """
 
 
+def _q_tree_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AHU tree-isomorphism classes (graph.py:ahu_tree_classes):
+    bottom-up canonical codes — leaves '()', parents
+    '(' + sorted child codes + ')' — in height-many rounds of
+    groupBy + array_sort(collect_list) against a FIXED children
+    frame. The fixture plants six shapes per 8-node tree (path, star,
+    binary, PERMUTED path, PERMUTED binary, caterpillar): the two
+    permuted shapes relabel nodes with a bijection, so the engine
+    must prove path ≅ permuted-path and binary ≅ permuted-binary
+    purely structurally. Oracle = unrolled ready-parent rounds with
+    string_agg(ORDER BY) — binary string order on '('/')' is
+    dialect-identical."""
+    from bdtopo2refhydro_spark.operators.graph import ahu_tree_classes
+
+    tt = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 24).alias("t")).distinct())
+    ii = tt.select("t", F.explode(F.sequence(F.lit(1), F.lit(7)))
+                   .alias("i"))
+    ed = ii.selectExpr(
+        "t",
+        "case when t % 6 = 3 then (3 * i) % 8 "
+        "when t % 6 = 4 then (5 * i) % 8 else i end as ci",
+        "case t % 6 when 0 then i - 1 when 1 then 0 "
+        "when 2 then (i - 1) div 2 when 3 then (3 * (i - 1)) % 8 "
+        "when 4 then (5 * ((i - 1) div 2)) % 8 "
+        "else case when i < 4 then i - 1 else i - 4 end end as pi")
+    children = ed.selectExpr("cast(t as long) as tid",
+                             "cast(t * 100 + ci as long) as node",
+                             "cast(t * 100 + pi as long) as parent")
+    roots = tt.selectExpr("cast(t as long) as tid",
+                          "cast(t * 100 as long) as node",
+                          "cast(null as long) as parent")
+    nodes = roots.unionByName(children)
+    return ahu_tree_classes(nodes).orderBy("tid")
+
+
+def _ahu_iso_sql() -> str:
+    base = """
+WITH tt AS (SELECT DISTINCT doc_id % 24 AS t FROM documents),
+ii AS (SELECT t, g.i FROM tt CROSS JOIN generate_series(1, 7) g(i)),
+edges AS MATERIALIZED (
+  SELECT CAST(t AS BIGINT) AS tid,
+         CAST(t * 100 + (CASE WHEN t % 6 = 3 THEN (3 * i) % 8
+                              WHEN t % 6 = 4 THEN (5 * i) % 8
+                              ELSE i END) AS BIGINT) AS child,
+         CAST(t * 100 + (CASE t % 6 WHEN 0 THEN i - 1 WHEN 1 THEN 0
+                              WHEN 2 THEN (i - 1) // 2
+                              WHEN 3 THEN (3 * (i - 1)) % 8
+                              WHEN 4 THEN (5 * ((i - 1) // 2)) % 8
+                              ELSE CASE WHEN i < 4 THEN i - 1
+                                        ELSE i - 4 END END) AS BIGINT)
+           AS parent
+  FROM ii),
+kidn AS MATERIALIZED (
+  SELECT tid, parent AS node, count(*) AS n FROM edges
+  GROUP BY tid, parent),
+allnodes AS MATERIALIZED (
+  SELECT tid, node FROM (
+    SELECT CAST(t AS BIGINT) AS tid, CAST(t * 100 AS BIGINT) AS node
+    FROM tt
+    UNION ALL SELECT tid, child AS node FROM edges) s),
+l0 AS MATERIALIZED (
+  SELECT n.tid, n.node, '()' AS lab FROM allnodes n
+  WHERE NOT EXISTS (SELECT 1 FROM kidn k
+                    WHERE k.tid = n.tid AND k.node = n.node))"""
+    prev = "l0"
+    rounds = []
+    for r in range(1, 9):
+        rounds.append(f""",
+l{r} AS MATERIALIZED (
+  SELECT tid, node, lab FROM {prev}
+  UNION ALL
+  SELECT g.tid, g.node, g.lab FROM (
+    SELECT e.tid, e.parent AS node,
+           '(' || string_agg(l.lab, '' ORDER BY l.lab) || ')' AS lab,
+           count(*) AS ng
+    FROM edges e JOIN {prev} l
+      ON l.tid = e.tid AND l.node = e.child
+    GROUP BY e.tid, e.parent) g
+  JOIN kidn k ON k.tid = g.tid AND k.node = g.node AND k.n = g.ng
+  WHERE NOT EXISTS (SELECT 1 FROM {prev} p
+                    WHERE p.tid = g.tid AND p.node = g.node))""")
+        prev = f"l{r}"
+    tail = f"""
+SELECT CAST(tt.t AS BIGINT) AS tid, l.lab AS iso
+FROM tt JOIN {prev} l
+  ON l.tid = CAST(tt.t AS BIGINT) AND l.node = CAST(tt.t * 100 AS BIGINT)
+ORDER BY tid
+"""
+    return base + "".join(rounds) + tail
+
+
+def _q_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked sparse integer matmul (ml.py:blocked_matmul): cells →
+    block tiles → ONE equi-join on the inner block index → dense
+    numpy multiply per tile pair inside mapInPandas → cell-wise
+    partial-tile sum. All-integer values ≥ 1, so dropping zero cells
+    of the dense tile product is lossless and the result equals the
+    oracle's plain join-aggregate exactly."""
+    from bdtopo2refhydro_spark.operators.ml import blocked_matmul
+
+    da = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 120).alias("d")).distinct())
+    a = da.selectExpr("cast(d div 10 as long) as i",
+                      "cast(d % 10 as long) as k",
+                      "cast(1 + (d * 7) % 9 as long) as v")
+    db = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 80).alias("d")).distinct())
+    b = db.selectExpr("cast(d div 8 as long) as k",
+                      "cast(d % 8 as long) as j",
+                      "cast(1 + (d * 5) % 9 as long) as v")
+    return blocked_matmul(a, b, block=4).orderBy("i", "j")
+
+
+_MATMUL_SQL = """
+WITH da AS (SELECT DISTINCT doc_id % 120 AS d FROM documents),
+a AS (SELECT d // 10 AS i, d % 10 AS k, 1 + (d * 7) % 9 AS v FROM da),
+db AS (SELECT DISTINCT doc_id % 80 AS d FROM documents),
+b AS (SELECT d // 8 AS k, d % 8 AS j, 1 + (d * 5) % 9 AS v FROM db)
+SELECT CAST(a.i AS BIGINT) AS i, CAST(b.j AS BIGINT) AS j,
+       CAST(SUM(a.v * b.v) AS BIGINT) AS v
+FROM a JOIN b ON a.k = b.k
+GROUP BY a.i, b.j
+ORDER BY i, j
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -14045,6 +14172,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 77: AHU tree-isomorphism classes + blocked matmul.
+        "tree_iso": _q_tree_iso,
+        "block_matmul": _q_matmul,
         "bridges": _q_bridges,
         "two_ecc": _q_two_ecc,
         "suffix_array": _q_suffix_array,
@@ -14557,6 +14687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "tree_iso": _ahu_iso_sql(),
+        "block_matmul": _MATMUL_SQL,
         "bridges": _BRIDGES_SQL,
         "two_ecc": _TWO_ECC_SQL,
         "suffix_array": _SUFFIX_ARRAY_SQL,

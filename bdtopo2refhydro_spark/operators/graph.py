@@ -1358,3 +1358,60 @@ def two_edge_components(edges: DataFrame, *, src: str = "u",
                 .union(br.select(F.col("b").alias("node"))).distinct())
     return (allnodes.join(cc, "node", "left")
             .select("node", F.coalesce("l", F.col("node")).alias("comp")))
+
+
+def ahu_tree_classes(nodes: DataFrame, *, tid: str = "tid",
+                     node: str = "node", parent: str = "parent",
+                     max_height: int = 64) -> DataFrame:
+    """Tree isomorphism classes by the AHU canonical form, bottom-up:
+    leaves get the code '()', an inner node becomes ready once every
+    child is coded and gets '(' + concat(sorted child codes) + ')' —
+    two rooted trees are isomorphic iff their root codes are equal
+    (Aho-Hopcroft-Ullman). Rounds = tree height (join against the
+    FIXED children frame each round — linear plan growth, checkpoints
+    only); each round is one groupBy with array_sort(collect_list),
+    so child-order and node-id permutations cannot leak into the code.
+
+    `nodes` has one row per node: (tid, node, parent) with parent NULL
+    for the root. Node ids need only be unique within their tree.
+    Returns one row per tree: (tid, iso) where iso is the root's
+    canonical code string. Sorting of sibling codes is plain binary
+    string order on '('/')' — identical in any engine.
+    """
+    from ._ckpt import CheckpointSlots
+
+    slots = CheckpointSlots()
+    nd = nodes.select(F.col(tid).alias("tid"), F.col(node).alias("node"),
+                      F.col(parent).alias("parent")) \
+        .localCheckpoint(eager=False)
+    kids = nd.where(F.col("parent").isNotNull()) \
+        .groupBy("tid", F.col("parent").alias("node")) \
+        .agg(F.count(F.lit(1)).alias("n_kids")) \
+        .localCheckpoint(eager=False)
+    # leaves: nodes that are nobody's parent
+    lab = slots.checkpoint(
+        nd.join(kids, ["tid", "node"], "left_anti")
+        .select("tid", "node", F.lit("()").alias("lab")), "lab")
+    n_lab = lab.count()
+    for _ in range(max_height):
+        # ready parents: every child already labeled
+        got = (nd.where(F.col("parent").isNotNull())
+               .join(lab.select("tid", "node", "lab"), ["tid", "node"])
+               .groupBy("tid", F.col("parent").alias("node"))
+               .agg(F.count(F.lit(1)).alias("n_got"),
+                    F.concat(F.lit("("),
+                             F.concat_ws("", F.array_sort(
+                                 F.collect_list("lab"))),
+                             F.lit(")")).alias("newlab")))
+        new = (got.join(kids, ["tid", "node"])
+               .where(F.col("n_got") == F.col("n_kids"))
+               .join(lab, ["tid", "node"], "left_anti")
+               .select("tid", "node", F.col("newlab").alias("lab")))
+        lab = slots.checkpoint(lab.unionByName(new), "lab2")
+        m = lab.count()
+        if m == n_lab:
+            break
+        n_lab = m
+        lab = slots.checkpoint(lab, "lab")
+    roots = nd.where(F.col("parent").isNull()).select("tid", "node")
+    return roots.join(lab, ["tid", "node"]).select("tid", "lab").withColumnRenamed("lab", "iso")

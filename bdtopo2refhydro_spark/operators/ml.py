@@ -192,3 +192,69 @@ def nb_train_predict(train_tokens: DataFrame, probes: DataFrame,
                     F.col("p0").cast("long").alias("p0"),
                     F.when(s1 > s0, 1).otherwise(0)
                     .cast("long").alias("pred")))
+
+
+def blocked_matmul(a: DataFrame, b: DataFrame, *, block: int = 4
+                   ) -> DataFrame:
+    """Sparse integer matrix multiply C = A·B in BLOCK form — the
+    communication-optimal distributed matmul, not the naive cell
+    join: cells are grouped into block×block tiles, tile pairs
+    (A[bi,bk], B[bk,bj]) meet in ONE equi-join on the inner block
+    index, each pair is multiplied densely in numpy inside
+    mapInPandas (Arrow-batched, no per-cell Python), and partial
+    tiles sum cell-wise in a final groupBy. Shuffled bytes scale with
+    tiles, not with cell-pair matches — at 100 TB the tile size is
+    the knob that trades replication against partial-sum traffic.
+
+    `a` has columns (i, k, v); `b` has (k, j, v); values must be
+    non-negative integers (zero partial products are dropped, which
+    is lossless because nothing can cancel). Returns (i, j, v) with
+    v = Σ_k a[i,k]·b[k,j] over the joined support, exactly the SQL
+    join-aggregate."""
+    import pandas as pd
+
+    ab = (a.withColumn("bi", (F.col("i") / block).cast("long"))
+          .withColumn("bk", (F.col("k") / block).cast("long"))
+          .groupBy("bi", "bk")
+          .agg(F.collect_list(F.struct("i", "k", "v")).alias("ac")))
+    bb = (b.withColumn("bk", (F.col("k") / block).cast("long"))
+          .withColumn("bj", (F.col("j") / block).cast("long"))
+          .groupBy("bk", "bj")
+          .agg(F.collect_list(F.struct("k", "j", "v")).alias("bc")))
+    pairs = ab.join(bb, "bk").select("bi", "bj", "ac", "bc")
+
+    def mult(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out_i, out_j, out_v = [], [], []
+            for _, row in pdf.iterrows():
+                acells = row["ac"]
+                bcells = row["bc"]
+                ai = np.array([c["i"] for c in acells])
+                ak = np.array([c["k"] for c in acells])
+                av = np.array([c["v"] for c in acells])
+                bk_ = np.array([c["k"] for c in bcells])
+                bj_ = np.array([c["j"] for c in bcells])
+                bv = np.array([c["v"] for c in bcells])
+                i0, i1 = ai.min(), ai.max()
+                k0 = min(ak.min(), bk_.min())
+                k1 = max(ak.max(), bk_.max())
+                j0, j1 = bj_.min(), bj_.max()
+                A = np.zeros((i1 - i0 + 1, k1 - k0 + 1), dtype=np.int64)
+                B = np.zeros((k1 - k0 + 1, j1 - j0 + 1), dtype=np.int64)
+                A[ai - i0, ak - k0] = av
+                B[bk_ - k0, bj_ - j0] = bv
+                C = A @ B
+                nz = np.nonzero(C)
+                out_i.append(nz[0] + i0)
+                out_j.append(nz[1] + j0)
+                out_v.append(C[nz])
+            if out_i:
+                yield pd.DataFrame({
+                    "i": np.concatenate(out_i),
+                    "j": np.concatenate(out_j),
+                    "pv": np.concatenate(out_v)})
+
+    partial = pairs.mapInPandas(mult, "i long, j long, pv long")
+    return partial.groupBy("i", "j").agg(F.sum("pv").alias("v"))
