@@ -70,3 +70,18 @@ def test_mg_heavy_hitters_exact_any_partitioning(spark):
                for r in mg_heavy_hitters(df, "item", 8).collect()}
         assert got == expected, parts
     assert expected  # fixture actually has heavy hitters
+
+
+def test_kth_smallest_bisect_vs_sorted(spark):
+    import random
+
+    from bdtopo2refhydro_spark.operators.aggregate import \
+        kth_smallest_bisect
+
+    rng = random.Random(13)
+    vals = [rng.randrange(-500, 500) for _ in range(1000)] + [7] * 25
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    s = sorted(vals)
+    ks = [1, 2, 500, 777, len(vals)]
+    got = kth_smallest_bisect(df, "v", ks)
+    assert got == {k: s[k - 1] for k in ks}
