@@ -14185,6 +14185,88 @@ FROM pick WHERE pr = 1 ORDER BY qid
 """
 
 
+def _q_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soundex phonetic codes over the document vocabulary — engine
+    side is Spark's BUILT-IN soundex (JVM codegen, zero Python); the
+    oracle REIMPLEMENTS Spark's exact algorithm (the Commons-codec
+    variant: h/w are fully transparent — they neither emit nor reset,
+    so duplicates are suppressed ACROSS them, 'ashcraft' → A261, and
+    vowels reset the duplicate guard) as pure window SQL: map chars
+    through the US_ENGLISH table, drop the '7' (h/w) rows, lag() for
+    the previous effective code, keep the first 3 appended digits.
+    The fixture restricts to ^[a-z]+$ tokens so the non-alpha
+    passthrough branch never fires."""
+    toks = (_docs(spark, sf_dir)
+            .select(F.explode(F.split(F.lower("text"), r"\s+"))
+                    .alias("w"))
+            .where(F.col("w").rlike("^[a-z]+$"))
+            .distinct())
+    return toks.select("w", F.soundex("w").alias("sx")).orderBy("w")
+
+
+_SOUNDEX_SQL = r"""
+WITH lists AS (
+  SELECT regexp_split_to_array(lower(text), '\s+') AS l FROM documents),
+words AS (
+  SELECT DISTINCT t.tok AS w FROM lists, unnest(l) t(tok)
+  WHERE regexp_matches(t.tok, '^[a-z]+$')),
+chars AS (
+  -- DuckDB 1.0 can't lateral-join generate_series on a column: use a
+  -- fixed 1..64 series (tokens are far shorter) + a length guard
+  SELECT w, g.p, substr(w, CAST(g.p AS INTEGER), 1) AS ch
+  FROM words CROSS JOIN generate_series(1, 64) g(p)
+  WHERE g.p <= length(w)),
+coded AS (
+  SELECT w, p,
+         substr('01230127022455012623017202', ascii(ch) - 96, 1) AS code
+  FROM chars),
+filt AS (
+  SELECT w, p, code,
+         lag(code) OVER (PARTITION BY w ORDER BY p) AS prev
+  FROM coded WHERE code != '7'),
+app AS (
+  SELECT w, p, code,
+         row_number() OVER (PARTITION BY w ORDER BY p) AS rn
+  FROM filt
+  WHERE p > 1 AND code != '0' AND (prev IS NULL OR code != prev)),
+sx AS (
+  SELECT wo.w,
+         upper(substr(wo.w, 1, 1))
+           || coalesce(string_agg(a.code, '' ORDER BY a.p), '') AS s
+  FROM words wo LEFT JOIN app a ON a.w = wo.w AND a.rn <= 3
+  GROUP BY wo.w)
+SELECT w, substr(s || '000', 1, 4) AS sx FROM sx ORDER BY w
+"""
+
+
+def _q_group_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL SQL surface (Spark 4 supports the
+    DuckDB-originated shorthand): grouping keys inferred from the
+    non-aggregate select items, ordering over every output column —
+    the two dialects must infer the SAME key set or the hash
+    mismatches. All-integer aggregates."""
+    spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .createOrReplaceTempView("v_orders_ga")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               cast(sum(o_orderkey % 1000) AS bigint) AS s
+        FROM v_orders_ga
+        GROUP BY ALL
+        ORDER BY ALL
+    """)
+
+
+_GROUP_ALL_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n,
+       CAST(sum(o_orderkey % 1000) AS BIGINT) AS s
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -14267,6 +14349,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 79: Spark built-in soundex vs a from-scratch window-SQL
+        # replication of its exact algorithm + GROUP BY ALL surface.
+        "soundex": _q_soundex,
+        "group_all": _q_group_all,
         # batch 78: exact selection by value-domain bisection (zero
         # shuffle) + kNN majority-vote classifier.
         "kth_select": _q_kth_select,
@@ -14786,6 +14872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "soundex": _SOUNDEX_SQL,
+        "group_all": _GROUP_ALL_SQL,
         "kth_select": _KTH_SELECT_SQL,
         "knn_classify": _KNN_CLASSIFY_SQL,
         "tree_iso": _ahu_iso_sql(),
