@@ -13883,8 +13883,8 @@ def _q_two_ecc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # div-2 tree, every root-chain's values strictly decrease upward, so
 # lca(x, y) = max(walk(x) ∩ walk(y)) and "strictly below the lca on a
 # chain" is a plain value comparison — integer-exact in both engines.
-_BRIDGE_CORE = """
-WITH RECURSIVE base AS (
+# the edge-construction prologue alone (shared with jp_color's oracle)
+_BRIDGE_EDGES_CTE = """base AS (
   SELECT DISTINCT doc_id % 300 AS m FROM documents),
 tree AS MATERIALIZED (
   SELECT m AS u, m // 2 AS v FROM base WHERE m >= 1),
@@ -13904,7 +13904,9 @@ edges AS MATERIALIZED (
     SELECT u, v FROM tree
     UNION ALL SELECT u, v FROM backe
     UNION ALL SELECT u, v FROM crosse) s
-  WHERE u != v),
+  WHERE u != v)"""
+
+_BRIDGE_CORE = "WITH RECURSIVE " + _BRIDGE_EDGES_CTE + """,
 extra AS MATERIALIZED (
   SELECT e.a, e.b FROM edges e
   WHERE NOT EXISTS (SELECT 1 FROM tree t
@@ -14267,6 +14269,61 @@ ORDER BY ALL
 """
 
 
+def _q_jp_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jones-Plassmann greedy coloring (graph.py:jp_coloring):
+    deterministic Knuth-hash priorities packed into one comparable
+    BIGINT; each round every uncolored node whose higher-priority
+    neighbors are all colored takes the mex of their colors (JVM
+    higher-order function, no Python). The coloring is a pure
+    function of the priority order — the oracle replays the SAME
+    rounds unrolled (fixture's longest priority-increasing path is 7;
+    10 rounds unrolled), with mex as min over a generate_series
+    anti-probe."""
+    from bdtopo2refhydro_spark.operators.graph import jp_coloring
+
+    return (jp_coloring(_bridge_fixture_edges(spark, sf_dir))
+            .orderBy("node"))
+
+
+def _jp_sql(rounds: int = 10) -> str:
+    base = "WITH " + _BRIDGE_EDGES_CTE + """,
+sym AS MATERIALIZED (
+  SELECT node, nbr FROM (
+    SELECT a AS node, b AS nbr FROM edges
+    UNION ALL SELECT b AS node, a AS nbr FROM edges) s),
+higher AS MATERIALIZED (
+  SELECT node, nbr FROM sym
+  WHERE ((nbr * 2654435761) % 2147483648) * 2147483648 + nbr >
+        ((node * 2654435761) % 2147483648) * 2147483648 + node),
+allnodes AS MATERIALIZED (SELECT DISTINCT node FROM sym),
+c0 AS MATERIALIZED (
+  SELECT node, CAST(NULL AS BIGINT) AS color FROM allnodes WHERE FALSE)"""
+    prev = "c0"
+    parts = []
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+c{r} AS MATERIALIZED (
+  SELECT node, color FROM {prev}
+  UNION ALL
+  SELECT n.node,
+         (SELECT min(g.x) FROM generate_series(0, 512) g(x)
+          WHERE NOT EXISTS (
+            SELECT 1 FROM higher h JOIN {prev} c ON c.node = h.nbr
+            WHERE h.node = n.node AND c.color = g.x)) AS color
+  FROM allnodes n
+  WHERE NOT EXISTS (SELECT 1 FROM {prev} p WHERE p.node = n.node)
+    AND NOT EXISTS (
+      SELECT 1 FROM higher h
+      WHERE h.node = n.node
+        AND NOT EXISTS (SELECT 1 FROM {prev} c WHERE c.node = h.nbr)))""")
+        prev = f"c{r}"
+    tail = f"""
+SELECT CAST(node AS BIGINT) AS node, CAST(color AS BIGINT) AS color
+FROM {prev} ORDER BY node
+"""
+    return base + "".join(parts) + tail
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -14349,6 +14406,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 80: Jones-Plassmann greedy coloring (deterministic
+        # priority rounds; oracle replays the rounds unrolled).
+        "jp_color": _q_jp_color,
         # batch 79: Spark built-in soundex vs a from-scratch window-SQL
         # replication of its exact algorithm + GROUP BY ALL surface.
         "soundex": _q_soundex,
@@ -14872,6 +14932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "jp_color": _jp_sql(),
         "soundex": _SOUNDEX_SQL,
         "group_all": _GROUP_ALL_SQL,
         "kth_select": _KTH_SELECT_SQL,

@@ -1415,3 +1415,77 @@ def ahu_tree_classes(nodes: DataFrame, *, tid: str = "tid",
         lab = slots.checkpoint(lab, "lab")
     roots = nd.where(F.col("parent").isNull()).select("tid", "node")
     return roots.join(lab, ["tid", "node"]).select("tid", "lab").withColumnRenamed("lab", "iso")
+
+
+def jp_coloring(edges: DataFrame, *, src: str = "u", dst: str = "v",
+                max_rounds: int = 128) -> DataFrame:
+    """Greedy graph coloring by Jones-Plassmann — the distributed
+    answer to sequential greedy coloring: give every node a
+    deterministic priority (a Knuth multiplicative hash packed with
+    the node id into one comparable BIGINT, so it mirrors into any
+    SQL dialect); each round, every uncolored node whose
+    higher-priority neighbors are ALL colored takes the mex (smallest
+    absent color) of those neighbors' colors. Because lower-priority
+    neighbors always wait, the final coloring is a pure function of
+    the priority order — independent of round scheduling and
+    parallelism — and rounds = longest priority-increasing path =
+    O(log n) expected for hash priorities. Each round: one join
+    against the (static, checkpointed) higher-neighbor list, one
+    groupBy, one JVM higher-order-function mex — no Python.
+
+    Returns (node, color) with a proper coloring (no edge
+    monochromatic)."""
+    from ._ckpt import CheckpointSlots
+
+    slots = CheckpointSlots()
+    e = (edges.select(
+            F.least(F.col(src).cast("long"),
+                    F.col(dst).cast("long")).alias("a"),
+            F.greatest(F.col(src).cast("long"),
+                       F.col(dst).cast("long")).alias("b"))
+         .where(F.col("a") != F.col("b")).distinct())
+    sym = (e.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+           .union(e.select(F.col("b").alias("node"),
+                           F.col("a").alias("nbr"))))
+
+    def prio(c):
+        return ((F.col(c) * F.lit(2654435761)) % F.lit(1 << 31)) \
+            * F.lit(1 << 31) + F.col(c)
+
+    higher = (sym.where(prio("nbr") > prio("node"))
+              .select("node", "nbr").localCheckpoint(eager=False))
+    nh = (higher.groupBy("node")
+          .agg(F.count(F.lit(1)).alias("n_high"))
+          .localCheckpoint(eager=False))
+    nodes = sym.select("node").distinct().localCheckpoint(eager=False)
+    n_nodes = nodes.count()
+    colored = slots.checkpoint(
+        nodes.limit(0).withColumn("color", F.lit(0).cast("long")),
+        "col")
+    n_colored = 0
+    for _ in range(max_rounds):
+        got = (higher.join(colored.withColumnRenamed("node", "nbr"),
+                           "nbr")
+               .groupBy("node")
+               .agg(F.count(F.lit(1)).alias("n_got"),
+                    F.array_sort(F.collect_set("color")).alias("cols")))
+        ready = (nodes.join(colored, "node", "left_anti")
+                 .join(nh, "node", "left")
+                 .join(got, "node", "left")
+                 .where(F.coalesce("n_got", F.lit(0))
+                        == F.coalesce("n_high", F.lit(0))))
+        new = ready.select(
+            "node",
+            F.expr("coalesce(filter(sequence(0L, cast(size(coalesce("
+                   "cols, cast(array() as array<bigint>))) as long)), "
+                   "x -> NOT array_contains(coalesce(cols, cast(array()"
+                   " as array<bigint>)), x))[0], 0L)").alias("color"))
+        colored = slots.checkpoint(colored.unionByName(new), "col2")
+        m = colored.count()
+        if m == n_colored:
+            raise RuntimeError("jp_coloring made no progress")
+        n_colored = m
+        colored = slots.checkpoint(colored, "col")
+        if m == n_nodes:
+            break
+    return colored

@@ -126,3 +126,40 @@ def test_prefix_scan_xor_matches_serial(spark):
     for t, m in sorted(rows):
         acc ^= m
         assert got[t] == acc
+
+
+@pytest.mark.parametrize("seed", [4, 31])
+def test_jp_coloring_proper_and_matches_sequential_greedy(spark, seed):
+    """JP must equal sequential greedy processed in priority-DESC
+    order (same mex, same higher-priority visibility) AND be a proper
+    coloring."""
+    from bdtopo2refhydro_spark.operators.graph import jp_coloring
+
+    rng = random.Random(seed)
+    n = 60
+    edges = set()
+    for v in range(1, n):
+        p = rng.randrange(v)
+        edges.add((min(p, v), max(p, v)))
+    for _ in range(50):
+        a, b = rng.sample(range(n), 2)
+        edges.add((min(a, b), max(a, b)))
+    edges = sorted(edges)
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r["node"]: r["color"] for r in jp_coloring(df).collect()}
+
+    pr = lambda v: ((v * 2654435761) % (1 << 31)) * (1 << 31) + v
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for v in sorted(adj, key=pr, reverse=True):
+        used = {want[u] for u in adj[v] if u in want and pr(u) > pr(v)}
+        c = 0
+        while c in used:
+            c += 1
+        want[v] = c
+    assert got == want
+    for a, b in edges:
+        assert got[a] != got[b]
