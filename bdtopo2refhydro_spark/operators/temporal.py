@@ -524,3 +524,130 @@ def asof_join_forward(left: DataFrame, right: DataFrame, key: str,
         "row.*",
         F.when(ok, F.col("_pv")).otherwise(F.lit(default))
         .cast("long").alias(out_col))
+
+
+def greedy_interval_count(iv: DataFrame, *, g: str = "g", s: str = "s",
+                          e: str = "e", iid: str = "iid",
+                          max_doublings: int = 40) -> DataFrame:
+    """Greedy maximum non-overlapping interval selection per group —
+    the classic earliest-deadline-first schedule, WITHOUT a sequential
+    scan: the greedy chain is a functional graph, so
+
+    1. next(i) = the interval minimizing (e, iid) among those with
+       s >= e_i — computed for EVERY interval at once by the union
+       as-of trick: intervals enter a per-group stream twice (an
+       EVENT at t = s carrying pack(e, iid), a PROBE at t = e_i),
+       sorted by t DESC with events before probes at equal t, and a
+       running min window (partitioned by group — fully distributed,
+       no global window) hands each probe the best compatible
+       successor;
+    2. chain length to the end via POINTER DOUBLING over next()
+       (O(log chain) self-join rounds, two-layer checkpoint+cache);
+    3. the answer per group is the chain length at the greedy start,
+       argmin (e, s, iid).
+
+    Touching intervals (s_j == e_i) are compatible. e and iid must be
+    non-negative with e < 2^31, iid < 2^31 (packed into one BIGINT
+    for a single-column min). Returns (g, n_selected)."""
+    from ._ckpt import CheckpointSlots
+
+    slots = CheckpointSlots()
+    base = iv.select(F.col(g).alias("g"),
+                     F.col(s).cast("long").alias("s"),
+                     F.col(e).cast("long").alias("e"),
+                     F.col(iid).cast("long").alias("iid")) \
+        .localCheckpoint(eager=False)
+    pack = (F.col("e") * F.lit(1 << 31) + F.col("iid"))
+    ev = base.select("g", F.col("s").alias("t"),
+                     F.lit(0).alias("pr"), pack.alias("val"),
+                     F.lit(None).cast("long").alias("iid"))
+    probe = base.select("g", F.col("e").alias("t"),
+                        F.lit(1).alias("pr"),
+                        F.lit(None).cast("long").alias("val"),
+                        "iid")
+    w = Window.partitionBy("g").orderBy(F.desc("t"), F.asc("pr")) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    nxt = (ev.unionByName(probe)
+           .withColumn("best", F.min("val").over(w))
+           .where(F.col("pr") == 1)
+           .select("g", "iid",
+                   (F.col("best") % F.lit(1 << 31)).alias("nxt")))
+    # pointer doubling: acc = #selected from this interval onward
+    frame = slots.checkpoint(
+        base.select("g", "iid").join(nxt, ["g", "iid"], "left")
+        .select("g", "iid", F.col("nxt").alias("ptr"),
+                F.lit(1).cast("long").alias("acc")), "iv0")
+    cached = frame.cache()
+    cached.count()
+    for i in range(max_doublings):
+        nx = (cached.alias("a")
+              .join(cached.select(F.col("g").alias("g2"),
+                                  F.col("iid").alias("ptr"),
+                                  F.col("ptr").alias("p2"),
+                                  F.col("acc").alias("a2")).alias("b"),
+                    (F.col("a.g") == F.col("b.g2"))
+                    & (F.col("a.ptr") == F.col("b.ptr")), "left")
+              .select("a.g", "a.iid",
+                      F.col("b.p2").alias("ptr"),
+                      (F.col("a.acc") + F.coalesce("b.a2", F.lit(0)))
+                      .alias("acc")))
+        nx = slots.checkpoint(nx, f"iv{(i % 2) + 1}")
+        nc = nx.cache()
+        live = nc.where(F.col("ptr").isNotNull()).count()
+        cached.unpersist()
+        cached = nc
+        if live == 0:
+            break
+    start = base.groupBy("g").agg(
+        F.min(F.struct("e", "s", "iid")).alias("m")) \
+        .select("g", F.col("m.iid").alias("iid"))
+    return (start.join(cached, ["g", "iid"])
+            .select("g", F.col("acc").alias("n_selected")))
+
+
+def rmq_sparse_table(seq: DataFrame, queries: DataFrame, *,
+                     idx: str = "i", val: str = "v", qid: str = "qid",
+                     lo: str = "l", hi: str = "r") -> DataFrame:
+    """Batch range-minimum queries via a SPARSE TABLE built in
+    O(log n) distributed rounds: level k holds min over [i, i+2^k),
+    built from level k-1 by ONE shifted equi-join per round; a query
+    [l, r] is answered by the two overlapping power-of-two windows
+    min(M[k][l], M[k][r-2^k+1]) with k = floor(log2(r-l+1)) computed
+    integer-exactly as length(bin(len))-1 — no libm. Two broadcast-
+    friendly equi-joins answer the whole query batch.
+
+    seq: (i, v) with i = 0..n-1 dense; queries: (qid, l, r) with
+    0 <= l <= r < n. Returns (qid, mn)."""
+    n = seq.count()
+    kmax = max(0, n.bit_length() - 1)
+    level = seq.select(F.col(idx).cast("long").alias("i"),
+                       F.col(val).cast("long").alias("v")) \
+        .localCheckpoint(eager=False)
+    levels = {0: level}
+    for k in range(1, kmax + 1):
+        half = 1 << (k - 1)
+        prev = levels[k - 1]
+        nxt = (prev.alias("a")
+               .join(prev.select((F.col("i") - half).alias("i"),
+                                 F.col("v").alias("v2")).alias("b"),
+                     "i")
+               .select("i", F.least("v", "v2").alias("v"))
+               .localCheckpoint(eager=False))
+        levels[k] = nxt
+    qs = queries.select(
+        F.col(qid).alias("qid"), F.col(lo).cast("long").alias("l"),
+        F.col(hi).cast("long").alias("r")) \
+        .withColumn("k", F.expr("length(bin(r - l + 1)) - 1")
+                    .cast("int"))
+    out = None
+    for k in range(0, kmax + 1):
+        sub = qs.where(F.col("k") == k)
+        lv = levels[k]
+        res = (sub.join(lv.select(F.col("i").alias("l"),
+                                  F.col("v").alias("v1")), "l")
+               .join(lv.select(
+                   (F.col("i") + (1 << k) - 1).alias("r"),
+                   F.col("v").alias("v2")), "r")
+               .select("qid", F.least("v1", "v2").alias("mn")))
+        out = res if out is None else out.unionByName(res)
+    return out

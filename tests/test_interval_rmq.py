@@ -1,0 +1,50 @@
+"""Greedy interval scheduling (pointer doubling) + sparse-table RMQ
+(batch 86) vs python references."""
+import random
+
+import pytest
+
+from bdtopo2refhydro_spark.operators.temporal import (
+    greedy_interval_count, rmq_sparse_table)
+
+
+@pytest.mark.parametrize("seed", [2, 19])
+def test_greedy_interval_count_vs_sequential(spark, seed):
+    rng = random.Random(seed)
+    rows = []
+    want = {}
+    for g in range(6):
+        ivs = []
+        for i in range(rng.randrange(1, 30)):
+            s = rng.randrange(0, 200)
+            e = s + rng.randrange(1, 40)
+            ivs.append((s, e, g * 1000 + i))
+        rows += [(g, s, e, iid) for s, e, iid in ivs]
+        # sequential greedy: earliest end first, touching compatible
+        taken, last = 0, -1
+        for s, e, iid in sorted(ivs, key=lambda t: (t[1], t[0], t[2])):
+            if s >= last:
+                taken += 1
+                last = e
+        want[g] = taken
+    df = spark.createDataFrame(rows, "g long, s long, e long, iid long")
+    got = {r["g"]: r["n_selected"]
+           for r in greedy_interval_count(df).collect()}
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_rmq_sparse_table_vs_direct(spark, seed):
+    rng = random.Random(seed)
+    n = 120
+    vals = [rng.randrange(-1000, 1000) for _ in range(n)]
+    seq = spark.createDataFrame(list(enumerate(vals)), "i long, v long")
+    qs = []
+    for qid in range(50):
+        l = rng.randrange(n)
+        r = rng.randrange(l, n)
+        qs.append((qid, l, r))
+    qdf = spark.createDataFrame(qs, "qid long, l long, r long")
+    got = {r["qid"]: r["mn"]
+           for r in rmq_sparse_table(seq, qdf).collect()}
+    assert got == {qid: min(vals[l:r + 1]) for qid, l, r in qs}
