@@ -14404,6 +14404,90 @@ GROUP BY qs.qid ORDER BY qid
 """
 
 
+_AC_PATS = ["the", "he", "her", "data", "at", "ata", "ion", "on",
+            "an", "and"]
+
+
+def _q_aho_corasick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pattern OVERLAPPING substring counts by a broadcast
+    Aho-Corasick automaton (text.py:aho_corasick_counts): dictionary
+    built driver-side (goto trie + BFS fail links, suffix-output
+    union), one linear scan per document regardless of pattern count,
+    big side never shuffles. The pattern set nests ('at' ⊂ 'ata' ⊂
+    'data', 'he' ⊂ 'the'/'her', 'on' ⊂ 'ion', 'an' ⊂ 'and') so the
+    fail/output-link union is load-bearing, not decorative. Oracle:
+    brute-force position scan counting every window equal to a
+    pattern."""
+    from bdtopo2refhydro_spark.operators.text import aho_corasick_counts
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr("substr(text, 1, 200)").alias("text"))
+    return aho_corasick_counts(d, _AC_PATS).orderBy("doc_id")
+
+
+def _aho_sql() -> str:
+    vals = ", ".join(f"('{p}')" for p in _AC_PATS)
+    return f"""
+WITH pats AS (SELECT pat FROM (VALUES {vals}) p(pat)),
+d AS (SELECT doc_id, lower(substr(text, 1, 200)) AS t FROM documents),
+hits AS (
+  SELECT d.doc_id, p.pat
+  FROM d CROSS JOIN pats p CROSS JOIN generate_series(1, 200) g(i)
+  WHERE g.i + length(p.pat) - 1 <= length(d.t)
+    AND substr(d.t, CAST(g.i AS INTEGER), length(p.pat)) = p.pat),
+agg AS (SELECT doc_id, count(*) AS n_matches,
+               count(DISTINCT pat) AS n_pats
+        FROM hits GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_matches, 0) AS BIGINT) AS n_matches,
+       CAST(coalesce(a.n_pats, 0) AS BIGINT) AS n_pats
+FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def _q_merkle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle tree of the documents table (dq.py:merkle_levels):
+    leaf = md5(doc_id ':' n_chars) in doc_id order (two-level
+    dense_index, no global window), parents = md5(left || right)
+    built in O(log n) shifted-join rounds, lone trailing child =
+    md5(left || ''). Equal roots ⟺ identical snapshots; the oracle
+    rebuilds every level with guarded unrolled rounds."""
+    from bdtopo2refhydro_spark.operators.dq import merkle_levels
+
+    d = _docs(spark, sf_dir)
+    leaf = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                          F.col("n_chars").cast("string")))
+    return merkle_levels(d, leaf, "doc_id").orderBy("level", "idx")
+
+
+def _merkle_sql(rounds: int = 20) -> str:
+    base = """
+WITH l0 AS MATERIALIZED (
+  SELECT doc_id AS idx,
+         md5(CAST(doc_id AS VARCHAR) || ':'
+             || CAST(n_chars AS VARCHAR)) AS digest
+  FROM documents)"""
+    parts, prev = [], "l0"
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+l{r} AS MATERIALIZED (
+  SELECT a.idx // 2 AS idx,
+         md5(a.digest || coalesce(b.digest, '')) AS digest
+  FROM {prev} a LEFT JOIN {prev} b ON b.idx = a.idx + 1
+  WHERE a.idx % 2 = 0 AND (SELECT count(*) FROM {prev}) > 1)""")
+        prev = f"l{r}"
+    selects = ["SELECT CAST(0 AS BIGINT) AS level, CAST(idx AS BIGINT)"
+               " AS idx, digest FROM l0"]
+    for r in range(1, rounds + 1):
+        selects.append(f"SELECT CAST({r} AS BIGINT), CAST(idx AS "
+                       f"BIGINT), digest FROM l{r}")
+    tail = ("\nSELECT level, idx, digest FROM ("
+            + "\nUNION ALL ".join(selects)
+            + ") u ORDER BY level, idx\n")
+    return base + "".join(parts) + tail
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -14486,6 +14570,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 82: broadcast Aho-Corasick multi-pattern counts +
+        # Merkle tree levels (integrity/sync primitive).
+        "aho_corasick": _q_aho_corasick,
+        "merkle_tree": _q_merkle,
         # batch 81: greedy interval scheduling as pointer doubling +
         # sparse-table RMQ built in log shifted-join rounds.
         "interval_sched": _q_interval_sched,
@@ -15016,6 +15104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "aho_corasick": _aho_sql(),
+        "merkle_tree": _merkle_sql(),
         "interval_sched": _INTERVAL_SCHED_SQL,
         "rmq_sparse": _RMQ_SPARSE_SQL,
         "jp_color": _jp_sql(),

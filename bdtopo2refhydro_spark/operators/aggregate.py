@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -258,3 +258,34 @@ def kth_smallest_bisect(df, col: str, ks: list[int],
         return {k: lo for k, (lo, hi) in state.items()}
     finally:
         src.unpersist()
+
+
+def dense_index(df, order_col: str, *, out: str = "idx",
+                num_partitions: int | None = None):
+    """0-based dense row index in `order_col` order (values must be
+    unique) WITHOUT a single-partition global window: range-repartition
+    on the order column, per-partition row_number, then add each
+    partition's cumulative predecessor count (one ≤#partitions-row
+    collect, broadcast back). The distributed zipWithIndex, DataFrame-
+    shaped — same two-level discipline as graph.prefix_scan_xor."""
+    spark = df.sparkSession
+    k = num_partitions or spark.sparkContext.defaultParallelism
+    d = (df.repartitionByRange(k, F.col(order_col))
+         .withColumn("_pid", F.spark_partition_id())
+         .localCheckpoint(eager=False))
+    w = Window.partitionBy("_pid").orderBy(order_col)
+    counts = {r["_pid"]: r["c"] for r in
+              d.groupBy("_pid").agg(F.count(F.lit(1)).alias("c"))
+              .collect()}
+    acc, offs = 0, []
+    for pid in sorted(counts):
+        offs.append((pid, acc))
+        acc += counts[pid]
+    off_df = spark.createDataFrame(offs or [(0, 0)],
+                                   "_pid int, _off long")
+    return (d.withColumn("_rn", F.row_number().over(w) - 1)
+            .join(F.broadcast(off_df), "_pid", "left")
+            .withColumn(out, (F.col("_rn")
+                              + F.coalesce("_off", F.lit(0)))
+                        .cast("long"))
+            .drop("_pid", "_rn", "_off"))

@@ -294,3 +294,46 @@ def ewma_half(df: DataFrame, *, key_col: str, order_col: str,
     ewma = num.cast("double") / F.pow(F.lit(2.0), F.col("rn") - 1)
     return base.select(key_col, order_col, "x", "rn",
                        ewma.alias("ewma"))
+
+
+def merkle_levels(df: DataFrame, leaf_digest: Column,
+                  order_col: str, *, max_levels: int = 48) -> DataFrame:
+    """Merkle tree over a table — the integrity/sync primitive (two
+    snapshots with equal roots are provably identical; differing
+    subtree digests localize a diff without rescanning payloads):
+    leaves are per-row digests laid out in `order_col` order (indexed
+    by aggregate.dense_index — the two-level scan, no global window);
+    each upper level pairs children idx 2i / 2i+1 with one shifted
+    equi-join per round — digest = md5(left || right), a lone
+    trailing child hashing as md5(left || '') — so the build is
+    O(log n) rounds, each half the size. Returns every tree node as
+    (level, idx, digest); the root is the single row at the top
+    level."""
+    from .aggregate import dense_index
+
+    level = dense_index(
+        df.select(F.col(order_col).alias("_k"),
+                  leaf_digest.alias("digest")),
+        "_k", out="idx").select("idx", "digest")         .localCheckpoint(eager=False)
+    n = level.count()
+    out = level.withColumn("level", F.lit(0).cast("long"))
+    lvl = 0
+    while n > 1 and lvl < max_levels:
+        left = level.where(F.col("idx") % 2 == 0).select(
+            (F.col("idx") / 2).cast("long").alias("idx"),
+            F.col("digest").alias("dl"))
+        right = level.where(F.col("idx") % 2 == 1).select(
+            (F.col("idx") / 2).cast("long").alias("idx"),
+            F.col("digest").alias("dr"))
+        level = (left.join(right, "idx", "left")
+                 .select("idx",
+                         F.md5(F.concat(F.col("dl"),
+                                        F.coalesce(F.col("dr"),
+                                                   F.lit(""))))
+                         .alias("digest"))
+                 .localCheckpoint(eager=False))
+        lvl += 1
+        n = level.count()
+        out = out.unionByName(
+            level.withColumn("level", F.lit(lvl).cast("long")))
+    return out.select("level", "idx", "digest")

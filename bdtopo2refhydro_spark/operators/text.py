@@ -1641,3 +1641,73 @@ def winnow_fingerprints(grams: DataFrame, window: int = 4, *,
                         .alias("pos"),
                         hw.cast("long").alias("h"))
             .distinct())
+
+
+def aho_corasick_counts(docs: DataFrame, patterns: list[str], *,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Multi-pattern substring search by a BROADCAST Aho-Corasick
+    automaton: the pattern dictionary is tiny (a dimension table), so
+    the goto/fail/output automaton is built once driver-side and
+    ships inside the UDF closure — each document is then scanned in
+    ONE linear pass regardless of pattern count, counting every
+    (possibly overlapping) occurrence. This is the (b)-tier custom
+    operator shape: no built-in expresses overlapping multi-pattern
+    counts, so an Arrow-batched pandas UDF carries the automaton, and
+    the big side never shuffles at all — the plan is scan → project.
+
+    Returns (id_col, n_matches, n_pats): total occurrences and
+    distinct patterns matched, over lower(text)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # --- build automaton (classic AC: goto trie + BFS fail links) ---
+    goto: list[dict[str, int]] = [{}]
+    out_pats: list[set[int]] = [set()]
+    for pi, pat in enumerate(patterns):
+        s = 0
+        for ch in pat:
+            if ch not in goto[s]:
+                goto.append({})
+                out_pats.append(set())
+                goto[s][ch] = len(goto) - 1
+            s = goto[s][ch]
+        out_pats[s].add(pi)
+    from collections import deque
+    fail = [0] * len(goto)
+    dq = deque()
+    for ch, s in goto[0].items():
+        dq.append(s)
+    while dq:
+        u = dq.popleft()
+        for ch, v in goto[u].items():
+            dq.append(v)
+            f = fail[u]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            fail[v] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != v \
+                else 0
+            out_pats[v] |= out_pats[fail[v]]
+    n_out = [len(p) for p in out_pats]
+    pat_sets = [frozenset(p) for p in out_pats]
+
+    @pandas_udf("struct<n_matches: long, n_pats: long>")
+    def scan(texts: pd.Series) -> pd.DataFrame:
+        nm, np_ = [], []
+        for t in texts:
+            s, total, seen = 0, 0, set()
+            for ch in (t or ""):
+                while s and ch not in goto[s]:
+                    s = fail[s]
+                s = goto[s].get(ch, 0)
+                if n_out[s]:
+                    total += n_out[s]
+                    seen |= pat_sets[s]
+            nm.append(total)
+            np_.append(len(seen))
+        return pd.DataFrame({"n_matches": nm, "n_pats": np_})
+
+    res = docs.select(F.col(id_col),
+                      scan(F.lower(F.col(text_col))).alias("r"))
+    return res.select(id_col, F.col("r.n_matches").alias("n_matches"),
+                      F.col("r.n_pats").alias("n_pats"))
