@@ -14488,6 +14488,82 @@ l{r} AS MATERIALIZED (
     return base + "".join(parts) + tail
 
 
+def _q_lcp_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LCP array per word by KASAI'S linear algorithm
+    (text.py:lcp_array — the h-carryover amortization), checked
+    against the naive definition: the oracle ranks suffixes by
+    count-of-smaller and computes each rank-adjacent pair's LCP as
+    max k with equal length-k prefixes (prefix equality is monotone
+    in k, so max = LCP). Same synthesized-word fixture as
+    suffix_array."""
+    from bdtopo2refhydro_spark.operators.text import lcp_array
+
+    words = (_docs(spark, sf_dir)
+             .select((F.col("doc_id") % 200).alias("m")).distinct()
+             .selectExpr(f"{_UNI_WORD} as word").distinct())
+    return lcp_array(words)
+
+
+_LCP_SQL = f"""
+WITH mm AS (SELECT DISTINCT doc_id % 200 AS m FROM documents),
+words AS MATERIALIZED (SELECT DISTINCT {_UNI_WORD_D} AS word FROM mm),
+sufs AS MATERIALIZED (
+  SELECT word, substr(word, CAST(i AS INT)) AS suf
+  FROM words, UNNEST(range(1, len(word) + 1)) t(i)),
+ranked AS MATERIALIZED (
+  SELECT a.word, a.suf,
+         (SELECT count(*) FROM sufs b
+          WHERE b.word = a.word AND b.suf < a.suf) AS rank
+  FROM sufs a),
+pairs AS MATERIALIZED (
+  SELECT r.word, r.rank, r.suf AS s1, p.suf AS s2
+  FROM ranked r LEFT JOIN ranked p
+    ON p.word = r.word AND p.rank = r.rank - 1),
+lcpk AS (
+  SELECT p.word, p.rank, t.k
+  FROM pairs p,
+       UNNEST(range(1, least(len(p.s1), len(p.s2)) + 1)) t(k)
+  WHERE substr(p.s1, 1, CAST(t.k AS INT))
+        = substr(p.s2, 1, CAST(t.k AS INT)))
+SELECT p.word, CAST(p.rank AS BIGINT) AS rank,
+       CAST(coalesce((SELECT max(k) FROM lcpk l
+                      WHERE l.word = p.word AND l.rank = p.rank), 0)
+            AS BIGINT) AS lcp
+FROM pairs p
+"""
+
+
+def _q_month_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar month arithmetic parity pin: add_months' month-end
+    CLAMPING (Jan 31 + 1 month = Feb 29) and last_day must agree
+    between Spark and DuckDB's date + to_months() across positive AND
+    negative offsets over a fixture sweeping month boundaries. Dates
+    emitted as strings (datetime64 unit mismatch, repo convention)."""
+    mm = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 60).alias("m")).distinct())
+    return mm.selectExpr(
+        "cast(m as long) as m",
+        "cast(date_add(date'2023-12-31', cast(m * 13 as int)) as string)"
+        " as d0",
+        "cast(add_months(date_add(date'2023-12-31', cast(m * 13 as "
+        "int)), cast(m % 7 - 3 as int)) as string) as dm",
+        "cast(last_day(date_add(date'2023-12-31', cast(m * 13 as "
+        "int))) as string) as ld")
+
+
+_MONTH_ARITH_SQL = """
+WITH mm AS (SELECT DISTINCT doc_id % 60 AS m FROM documents),
+d AS (SELECT m, DATE '2023-12-31' + CAST(m * 13 AS INTEGER) AS d0
+      FROM mm)
+SELECT CAST(m AS BIGINT) AS m,
+       CAST(d0 AS VARCHAR) AS d0,
+       CAST(CAST(d0 + to_months(CAST(m % 7 - 3 AS INTEGER)) AS DATE)
+            AS VARCHAR) AS dm,
+       CAST(last_day(d0) AS VARCHAR) AS ld
+FROM d
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -14570,6 +14646,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 83: Kasai LCP arrays + calendar month-clamp parity.
+        "lcp_array": _q_lcp_array,
+        "month_arith": _q_month_arith,
         # batch 82: broadcast Aho-Corasick multi-pattern counts +
         # Merkle tree levels (integrity/sync primitive).
         "aho_corasick": _q_aho_corasick,
@@ -15104,6 +15183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "lcp_array": _LCP_SQL,
+        "month_arith": _MONTH_ARITH_SQL,
         "aho_corasick": _aho_sql(),
         "merkle_tree": _merkle_sql(),
         "interval_sched": _INTERVAL_SCHED_SQL,

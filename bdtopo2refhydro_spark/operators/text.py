@@ -1711,3 +1711,45 @@ def aho_corasick_counts(docs: DataFrame, patterns: list[str], *,
                       scan(F.lower(F.col(text_col))).alias("r"))
     return res.select(id_col, F.col("r.n_matches").alias("n_matches"),
                       F.col("r.n_pats").alias("n_pats"))
+
+
+def lcp_array(words: DataFrame, word_col: str = "word") -> DataFrame:
+    """LCP array per distinct word by KASAI'S algorithm (linear time,
+    vs the naive O(n²) character comparison the oracle uses): with
+    rank[] the suffix array inverse, walking suffixes in TEXT order
+    lets each LCP start from the previous value minus one — h never
+    grows past n twice, the classic amortization. lcp[r] = longest
+    common prefix of the rank-r and rank-(r-1) suffixes (lcp[0] = 0).
+    Bounded word lengths → per-word Arrow UDF on the distinct-word
+    table, same shape as suffix_array. Returns (word, rank, lcp)."""
+    import pandas as pd
+
+    @F.pandas_udf("array<struct<rank: long, lcp: long>>")
+    def _lcp(s: pd.Series) -> pd.Series:
+        def kasai(w):
+            n = len(w)
+            if n == 0:
+                return []
+            sa = sorted(range(n), key=lambda i: w[i:])
+            rank = [0] * n
+            for r, i in enumerate(sa):
+                rank[i] = r
+            lcp = [0] * n
+            h = 0
+            for i in range(n):
+                r = rank[i]
+                if r == 0:
+                    h = 0
+                    continue
+                j = sa[r - 1]
+                while i + h < n and j + h < n and w[i + h] == w[j + h]:
+                    h += 1
+                lcp[r] = h
+                if h:
+                    h -= 1
+            return [{"rank": r, "lcp": lcp[r]} for r in range(n)]
+        return s.map(kasai)
+
+    return (words.select(word_col, F.explode(_lcp(F.col(word_col)))
+                         .alias("_e"))
+            .select(word_col, "_e.rank", "_e.lcp"))

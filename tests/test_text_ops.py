@@ -977,3 +977,28 @@ def test_spark_soundex_matches_commons_variant_model(spark):
     got = {r["w"]: r["sx"]
            for r in df.select("w", F.soundex("w").alias("sx")).collect()}
     assert got == {w: model(w) for w in words}
+
+
+def test_lcp_array_kasai_vs_bruteforce(spark):
+    import random
+
+    from bdtopo2refhydro_spark.operators.text import lcp_array
+
+    rng = random.Random(9)
+    words = list({"".join(rng.choice("abcd") for _ in range(
+        rng.randrange(1, 24))) for _ in range(30)} | {"aaaaaa", "abab"})
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {(r["word"], r["rank"]): r["lcp"]
+           for r in lcp_array(df).collect()}
+    for w in words:
+        sufs = sorted(w[i:] for i in range(len(w)))
+        for r, s in enumerate(sufs):
+            if r == 0:
+                want = 0
+            else:
+                p = sufs[r - 1]
+                want = 0
+                while (want < min(len(s), len(p))
+                       and s[want] == p[want]):
+                    want += 1
+            assert got[(w, r)] == want, (w, r)
