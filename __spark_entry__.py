@@ -14564,6 +14564,67 @@ FROM d
 """
 
 
+def _q_irv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instant-runoff voting (aggregate.py:irv_rounds): every doc is
+    a ballot ranking 8 candidates by a deterministic key; each round
+    counts top choices among survivors (groupBy struct-min — rnk
+    unique per ballot) and eliminates the lowest (ties to smaller
+    id). Output = the full per-round audit trail (round, cand,
+    votes), zero-vote survivors included. Oracle replays the 7
+    elimination rounds unrolled with arg_min + LIMIT 1 losers."""
+    from bdtopo2refhydro_spark.operators.aggregate import irv_rounds
+
+    p = (_docs(spark, sf_dir)
+         .select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(7)))
+                 .alias("c"))
+         .withColumn("key", (F.col("doc_id") * 31 + F.col("c") * 17)
+                     % 101))
+    w = Window.partitionBy("doc_id").orderBy("key", "c")
+    prefs = p.select(F.col("doc_id").alias("ballot"),
+                     F.col("c").cast("long").alias("cand"),
+                     F.row_number().over(w).cast("long").alias("rnk"))
+    return irv_rounds(prefs).orderBy("round", "cand")
+
+
+def _irv_sql(n_cands: int = 8) -> str:
+    base = """
+WITH raw AS (
+  SELECT doc_id AS b, g.c, (doc_id * 31 + g.c * 17) % 101 AS key
+  FROM documents CROSS JOIN generate_series(0, 7) g(c)),
+prefs AS MATERIALIZED (
+  SELECT b, c, row_number() OVER (PARTITION BY b ORDER BY key, c) AS r
+  FROM raw),
+cands AS MATERIALIZED (SELECT DISTINCT c FROM prefs),
+e0 AS MATERIALIZED (SELECT c FROM cands WHERE FALSE)"""
+    parts, prev = [], "e0"
+    selects = []
+    for k in range(1, n_cands):
+        parts.append(f""",
+fc{k} AS (
+  SELECT b, arg_min(c, r) AS c FROM prefs p
+  WHERE NOT EXISTS (SELECT 1 FROM {prev} e WHERE e.c = p.c)
+  GROUP BY b),
+cnt{k} AS MATERIALIZED (
+  SELECT a.c, coalesce(x.n, 0) AS votes
+  FROM (SELECT ca.c FROM cands ca
+        WHERE NOT EXISTS (SELECT 1 FROM {prev} e
+                          WHERE e.c = ca.c)) a
+  LEFT JOIN (SELECT c, count(*) AS n FROM fc{k} GROUP BY c) x
+    ON x.c = a.c),
+lose{k} AS MATERIALIZED (
+  SELECT c FROM cnt{k} ORDER BY votes, c LIMIT 1),
+e{k} AS MATERIALIZED (
+  SELECT c FROM {prev} UNION ALL SELECT c FROM lose{k})""")
+        selects.append(f"SELECT CAST({k} AS BIGINT) AS round, "
+                       f"CAST(c AS BIGINT) AS cand, "
+                       f"CAST(votes AS BIGINT) AS votes FROM cnt{k}")
+        prev = f"e{k}"
+    tail = ("\nSELECT round, cand, votes FROM ("
+            + "\nUNION ALL ".join(selects)
+            + ") u ORDER BY round, cand\n")
+    return base + "".join(parts) + tail
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -14646,6 +14707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 84: instant-runoff voting elimination rounds.
+        "irv_rounds": _q_irv,
         # batch 83: Kasai LCP arrays + calendar month-clamp parity.
         "lcp_array": _q_lcp_array,
         "month_arith": _q_month_arith,
@@ -15183,6 +15246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "irv_rounds": _irv_sql(),
         "lcp_array": _LCP_SQL,
         "month_arith": _MONTH_ARITH_SQL,
         "aho_corasick": _aho_sql(),

@@ -289,3 +289,40 @@ def dense_index(df, order_col: str, *, out: str = "idx",
                               + F.coalesce("_off", F.lit(0)))
                         .cast("long"))
             .drop("_pid", "_rn", "_off"))
+
+
+def irv_rounds(prefs: DataFrame, *, ballot: str = "ballot",
+               cand: str = "cand", rnk: str = "rnk") -> DataFrame:
+    """Instant-runoff (ranked-choice) voting, round by round: each
+    round counts every ballot's top choice among the surviving
+    candidates (one groupBy-min + one count — rnk is unique per
+    ballot so the top choice is deterministic), then eliminates the
+    lowest-voted survivor (ties to the smaller candidate id, a ≤8-row
+    driver decision). Candidates with zero first-choice votes still
+    appear with votes = 0. Runs until one candidate survives;
+    returns (round, cand, votes) for every round — the full
+    elimination audit trail, not just the winner."""
+    p = prefs.select(F.col(ballot).alias("b"), F.col(cand).alias("c"),
+                     F.col(rnk).alias("r")).localCheckpoint(eager=False)
+    cands = sorted(r["c"] for r in p.select("c").distinct().collect())
+    elim: list = []
+    out = None
+    rnd = 0
+    while len(cands) - len(elim) > 1:
+        rnd += 1
+        alive = [c for c in cands if c not in elim]
+        surv = p.where(F.col("c").isin(alive))
+        fc = (surv.groupBy("b")
+              .agg(F.min(F.struct("r", "c")).alias("m"))
+              .select(F.col("m.c").alias("c")))
+        counts = {r["c"]: r["n"] for r in
+                  fc.groupBy("c").agg(F.count(F.lit(1)).alias("n"))
+                  .collect()}
+        spark = p.sparkSession
+        round_rows = [(rnd, c, counts.get(c, 0)) for c in alive]
+        rdf = spark.createDataFrame(round_rows,
+                                    "round long, cand long, votes long")
+        out = rdf if out is None else out.unionByName(rdf)
+        loser = min(alive, key=lambda c: (counts.get(c, 0), c))
+        elim.append(loser)
+    return out

@@ -85,3 +85,33 @@ def test_kth_smallest_bisect_vs_sorted(spark):
     ks = [1, 2, 500, 777, len(vals)]
     got = kth_smallest_bisect(df, "v", ks)
     assert got == {k: s[k - 1] for k in ks}
+
+
+def test_irv_rounds_vs_python_simulation(spark):
+    import random
+
+    from bdtopo2refhydro_spark.operators.aggregate import irv_rounds
+
+    rng = random.Random(77)
+    n_ballots, cands = 60, list(range(5))
+    ballots = []
+    for b in range(n_ballots):
+        perm = cands[:]
+        rng.shuffle(perm)
+        ballots.append(perm)
+    rows = [(b, c, r + 1) for b, perm in enumerate(ballots)
+            for r, c in enumerate(perm)]
+    df = spark.createDataFrame(rows, "ballot long, cand long, rnk long")
+    got = {(r["round"], r["cand"]): r["votes"]
+           for r in irv_rounds(df).collect()}
+
+    elim, want = [], {}
+    for rnd in range(1, len(cands)):
+        alive = [c for c in cands if c not in elim]
+        counts = {c: 0 for c in alive}
+        for perm in ballots:
+            counts[next(c for c in perm if c in alive)] += 1
+        for c in alive:
+            want[(rnd, c)] = counts[c]
+        elim.append(min(alive, key=lambda c: (counts[c], c)))
+    assert got == want
