@@ -14625,6 +14625,122 @@ e{k} AS MATERIALIZED (
     return base + "".join(parts) + tail
 
 
+def _q_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest repeated substring per word = max(LCP array) — the
+    classic suffix-structure corollary, composing suffix_array's
+    fixture with lcp_array (Kasai). The oracle knows nothing of
+    suffix arrays: it enumerates EVERY (position, length) window and
+    takes the longest window value occurring twice — an O(n²)
+    independent definition."""
+    from bdtopo2refhydro_spark.operators.text import lcp_array
+
+    words = (_docs(spark, sf_dir)
+             .select((F.col("doc_id") % 200).alias("m")).distinct()
+             .selectExpr(f"{_UNI_WORD} as word").distinct())
+    return (lcp_array(words).groupBy("word")
+            .agg(F.max("lcp").alias("lrs_len")))
+
+
+_LONGEST_REPEAT_SQL = f"""
+WITH mm AS (SELECT DISTINCT doc_id % 200 AS m FROM documents),
+words AS MATERIALIZED (SELECT DISTINCT {_UNI_WORD_D} AS word FROM mm),
+subs AS (
+  SELECT word, substr(word, CAST(t.i AS INT), CAST(u.l AS INT)) AS sub,
+         u.l
+  FROM words,
+       UNNEST(range(1, len(word) + 1)) t(i),
+       UNNEST(range(1, len(word) + 1)) u(l)
+  WHERE t.i + u.l <= len(word) + 1),
+rep AS (
+  SELECT word, max(l) AS m FROM (
+    SELECT word, l, sub FROM subs GROUP BY word, l, sub
+    HAVING count(*) >= 2) g
+  GROUP BY word)
+SELECT w.word, CAST(coalesce(r.m, 0) AS BIGINT) AS lrs_len
+FROM words w LEFT JOIN rep r ON r.word = w.word
+"""
+
+
+def _q_euler_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eulerian path/circuit classification per component
+    (graph.py:euler_path_check): O(log) min-label CC + one degree
+    groupBy; circuit ⟺ all degrees even, path ⟺ exactly two odd.
+    Fixture builds five 60-node blocks of distinct shapes — cycle
+    (circuit), path (path), binary tree (none), cycle+1 chord
+    (path), cycle+2 chords (none) — so every branch of the
+    classification fires."""
+    from bdtopo2refhydro_spark.operators.graph import euler_path_check
+
+    mm = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 300).alias("m")).distinct())
+    base = (mm.selectExpr("m div 60 as blk", "m % 60 as loc")
+            .selectExpr(
+        "blk", "loc",
+        "case when blk % 5 in (0, 3, 4) then (loc + 1) % 60 "
+        "when blk % 5 = 1 then case when loc < 59 then loc + 1 end "
+        "else case when loc >= 1 then loc div 2 end end as loc2")
+        .where("loc2 is not null")
+        .selectExpr("cast(blk * 60 + loc as long) as u",
+                    "cast(blk * 60 + loc2 as long) as v"))
+    chords = mm.where(
+        "(m % 60 = 0 and (m div 60) % 5 in (3, 4)) "
+        "or (m % 60 = 10 and (m div 60) % 5 = 4)").selectExpr(
+        "cast(m as long) as u", "cast(m + 30 as long) as v")
+    return (euler_path_check(base.unionByName(chords))
+            .orderBy("comp"))
+
+
+_EULER_PATH_SQL = """
+WITH RECURSIVE mm AS (SELECT DISTINCT doc_id % 300 AS m FROM documents),
+pre AS (SELECT m // 60 AS blk, m % 60 AS loc FROM mm),
+base AS (
+  SELECT blk, loc,
+         CASE WHEN blk % 5 IN (0, 3, 4) THEN (loc + 1) % 60
+              WHEN blk % 5 = 1 THEN
+                CASE WHEN loc < 59 THEN loc + 1 END
+              ELSE CASE WHEN loc >= 1 THEN loc // 2 END END AS loc2
+  FROM pre),
+base_e AS (
+  SELECT blk * 60 + loc AS u, blk * 60 + loc2 AS v FROM base
+  WHERE loc2 IS NOT NULL),
+chords AS (
+  SELECT m AS u, m + 30 AS v FROM mm
+  WHERE (m % 60 = 0 AND (m // 60) % 5 IN (3, 4))
+     OR (m % 60 = 10 AND (m // 60) % 5 = 4)),
+edges AS MATERIALIZED (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM (
+    SELECT u, v FROM base_e UNION ALL SELECT u, v FROM chords) s
+  WHERE u != v),
+sym AS MATERIALIZED (
+  SELECT n, x FROM (
+    SELECT a AS n, b AS x FROM edges
+    UNION ALL SELECT b AS n, a AS x FROM edges) s),
+reach(n, lab) AS (
+  SELECT n, n FROM (SELECT DISTINCT n FROM sym) s0
+  UNION
+  SELECT s.x, r.lab FROM reach r JOIN sym s ON s.n = r.n),
+comp AS MATERIALIZED (
+  SELECT n AS node, min(lab) AS comp FROM reach GROUP BY n),
+deg AS (SELECT n AS node, count(*) AS deg FROM sym GROUP BY n),
+pern AS (
+  SELECT c.comp, count(*) AS n_nodes,
+         sum(CASE WHEN d.deg % 2 = 1 THEN 1 ELSE 0 END) AS n_odd
+  FROM comp c JOIN deg d ON d.node = c.node GROUP BY c.comp),
+pere AS (
+  SELECT c.comp, count(*) AS n_edges
+  FROM edges e JOIN comp c ON c.node = e.a GROUP BY c.comp)
+SELECT CAST(p.comp AS BIGINT) AS comp,
+       CAST(p.n_nodes AS BIGINT) AS n_nodes,
+       CAST(q.n_edges AS BIGINT) AS n_edges,
+       CAST(p.n_odd AS BIGINT) AS n_odd,
+       CASE WHEN p.n_odd = 0 THEN 'circuit'
+            WHEN p.n_odd = 2 THEN 'path'
+            ELSE 'none' END AS kind
+FROM pern p JOIN pere q ON q.comp = p.comp
+ORDER BY comp
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -14707,6 +14823,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 85: longest repeated substring (max LCP) + Eulerian
+        # path/circuit classification per component.
+        "longest_repeat": _q_longest_repeat,
+        "euler_path": _q_euler_path,
         # batch 84: instant-runoff voting elimination rounds.
         "irv_rounds": _q_irv,
         # batch 83: Kasai LCP arrays + calendar month-clamp parity.
@@ -15246,6 +15366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "longest_repeat": _LONGEST_REPEAT_SQL,
+        "euler_path": _EULER_PATH_SQL,
         "irv_rounds": _irv_sql(),
         "lcp_array": _LCP_SQL,
         "month_arith": _MONTH_ARITH_SQL,

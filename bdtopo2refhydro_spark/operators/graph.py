@@ -1489,3 +1489,39 @@ def jp_coloring(edges: DataFrame, *, src: str = "u", dst: str = "v",
         if m == n_nodes:
             break
     return colored
+
+
+def euler_path_check(edges: DataFrame, *, src: str = "u",
+                     dst: str = "v") -> DataFrame:
+    """Eulerian path/circuit classification per connected component
+    (the de Bruijn / route-inspection precondition): component labels
+    from the O(log) min-label CC, degree parity from one groupBy —
+    a component admits an Eulerian CIRCUIT iff every degree is even,
+    a PATH iff exactly two are odd, else neither. Returns one row per
+    component: (comp, n_nodes, n_edges, n_odd, kind)."""
+    e = (edges.select(
+            F.least(F.col(src).cast("long"),
+                    F.col(dst).cast("long")).alias("a"),
+            F.greatest(F.col(src).cast("long"),
+                       F.col(dst).cast("long")).alias("b"))
+         .where(F.col("a") != F.col("b")).distinct()
+         .localCheckpoint(eager=False))
+    adj = (e.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+           .union(e.select(F.col("b").alias("node"),
+                           F.col("a").alias("nbr"))))
+    cc = connected_components(adj)  # (node, l)
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = (cc.join(deg, "node")
+             .select("node", F.col("l").alias("comp"), "deg"))
+    ecomp = (e.join(cc.withColumnRenamed("node", "a"), "a")
+             .groupBy(F.col("l").alias("comp"))
+             .agg(F.count(F.lit(1)).alias("n_edges")))
+    per = (nodes.groupBy("comp")
+           .agg(F.count(F.lit(1)).alias("n_nodes"),
+                F.sum(F.when(F.col("deg") % 2 == 1, 1).otherwise(0))
+                .cast("long").alias("n_odd")))
+    return (per.join(ecomp, "comp")
+            .withColumn("kind",
+                        F.when(F.col("n_odd") == 0, F.lit("circuit"))
+                        .when(F.col("n_odd") == 2, F.lit("path"))
+                        .otherwise(F.lit("none"))))

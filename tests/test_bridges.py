@@ -163,3 +163,22 @@ def test_jp_coloring_proper_and_matches_sequential_greedy(spark, seed):
     assert got == want
     for a, b in edges:
         assert got[a] != got[b]
+
+
+def test_euler_path_check_hand_graphs(spark):
+    from bdtopo2refhydro_spark.operators.graph import euler_path_check
+
+    edges = (
+        # comp 0: triangle (circuit)
+        [(0, 1), (1, 2), (2, 0)]
+        # comp 10: path of 4 (path)
+        + [(10, 11), (11, 12), (12, 13)]
+        # comp 20: star with 3 leaves (none: 3 odd + center odd)
+        + [(20, 21), (20, 22), (20, 23)]
+    )
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r["comp"]: (r["n_nodes"], r["n_edges"], r["n_odd"], r["kind"])
+           for r in euler_path_check(df).collect()}
+    assert got == {0: (3, 3, 0, "circuit"),
+                   10: (4, 3, 2, "path"),
+                   20: (4, 3, 4, "none")}
