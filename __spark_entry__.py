@@ -14741,6 +14741,76 @@ ORDER BY comp
 """
 
 
+def _q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record consolidation (cdc.py:entity_clusters): records
+    sharing an email key OR a phone key merge transitively — per-key
+    STAR edges to the key's min record (never all-pairs) + O(log)
+    min-label CC — then one aggregate per entity consolidates the
+    master attributes (count, latest ts, lexicographically-first
+    name, distinct sources). The modulus pair (120, 150) makes chains
+    like email(A,B) + phone(B,C) genuinely transitive. Oracle:
+    identical star edges + recursive min-label closure."""
+    from bdtopo2refhydro_spark.operators.cdc import entity_clusters
+
+    recs = _docs(spark, sf_dir).selectExpr(
+        "cast(doc_id as long) as rid",
+        "cast(doc_id % 120 as long) as email_k",
+        "cast(doc_id % 150 as long) as phone_k",
+        "concat('n', cast(doc_id % 37 as string)) as name",
+        "cast((doc_id * 13) % 997 as long) as ts",
+        "cast(doc_id % 3 as long) as src")
+    cl = entity_clusters(recs, "rid", ["email_k", "phone_k"])
+    return (recs.join(cl, "rid")
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n_recs"),
+                 F.max("ts").alias("max_ts"),
+                 F.min("name").alias("first_name"),
+                 F.countDistinct("src").alias("n_sources"))
+            .orderBy("cluster"))
+
+
+_GOLDEN_RECORD_SQL = """
+WITH RECURSIVE recs AS MATERIALIZED (
+  SELECT doc_id AS rid, doc_id % 120 AS email_k,
+         doc_id % 150 AS phone_k,
+         'n' || CAST(doc_id % 37 AS VARCHAR) AS name,
+         (doc_id * 13) % 997 AS ts, doc_id % 3 AS src
+  FROM documents),
+stars AS MATERIALIZED (
+  SELECT node, nbr FROM (
+    SELECT r.rid AS node, m.root AS nbr
+    FROM recs r JOIN (SELECT email_k, min(rid) AS root FROM recs
+                      GROUP BY email_k) m ON m.email_k = r.email_k
+    WHERE r.rid != m.root
+    UNION ALL
+    SELECT r.rid AS node, m.root AS nbr
+    FROM recs r JOIN (SELECT phone_k, min(rid) AS root FROM recs
+                      GROUP BY phone_k) m ON m.phone_k = r.phone_k
+    WHERE r.rid != m.root) s),
+sym AS MATERIALIZED (
+  SELECT node, nbr FROM (
+    SELECT node, nbr FROM stars
+    UNION ALL SELECT nbr AS node, node AS nbr FROM stars) s),
+reach(n, lab) AS (
+  SELECT n, n FROM (SELECT DISTINCT node AS n FROM sym) s0
+  UNION
+  SELECT s.nbr, r.lab FROM reach r JOIN sym s ON s.node = r.n),
+comp AS MATERIALIZED (
+  SELECT n AS rid, min(lab) AS cluster FROM reach GROUP BY n),
+lab AS (
+  SELECT r.rid, coalesce(c.cluster, r.rid) AS cluster
+  FROM recs r LEFT JOIN comp c ON c.rid = r.rid)
+SELECT CAST(l.cluster AS BIGINT) AS cluster,
+       CAST(count(*) AS BIGINT) AS n_recs,
+       CAST(max(r.ts) AS BIGINT) AS max_ts,
+       min(r.name) AS first_name,
+       CAST(count(DISTINCT r.src) AS BIGINT) AS n_sources
+FROM lab l JOIN recs r ON r.rid = l.rid
+GROUP BY l.cluster
+ORDER BY cluster
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -14823,6 +14893,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 86: golden-record entity resolution (multi-key star
+        # links + CC closure + master-attribute consolidation).
+        "golden_record": _q_golden_record,
         # batch 85: longest repeated substring (max LCP) + Eulerian
         # path/circuit classification per component.
         "longest_repeat": _q_longest_repeat,
@@ -15366,6 +15439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "golden_record": _GOLDEN_RECORD_SQL,
         "longest_repeat": _LONGEST_REPEAT_SQL,
         "euler_path": _EULER_PATH_SQL,
         "irv_rounds": _irv_sql(),

@@ -123,3 +123,37 @@ def apply_cdc(base: DataFrame, changes: DataFrame, *, key_col: str,
         else:
             sel.append(F.col(c))
     return j.where(no_change | (F.col("_op") != "D")).select(*sel)
+
+
+def entity_clusters(recs, id_col: str, key_cols: list[str]):
+    """Entity resolution by transitive closure over SHARED-KEY links
+    (email links A-B, phone links B-C ⟹ {A,B,C} are one entity):
+    for each match key, records sharing a value link by a STAR to the
+    key's minimum record id — never all-pairs, so a hot key of
+    cardinality k costs k edges, not k² — and the O(log) min-label CC
+    merges stars across keys into entities. NULL key values never
+    link. Returns (id_col, cluster) with cluster = min record id of
+    the entity; callers consolidate golden records by aggregating
+    over `cluster`."""
+    from .graph import connected_components
+
+    base = recs.select(F.col(id_col).cast("long").alias("rid"),
+                       *[F.col(k) for k in key_cols]) \
+        .localCheckpoint(eager=False)
+    edges = None
+    for k in key_cols:
+        kk = base.where(F.col(k).isNotNull())
+        mins = kk.groupBy(k).agg(F.min("rid").alias("root"))
+        e = (kk.join(mins, k)
+             .where(F.col("rid") != F.col("root"))
+             .select(F.col("rid").alias("node"),
+                     F.col("root").alias("nbr")))
+        edges = e if edges is None else edges.unionByName(e)
+    adj = edges.unionByName(
+        edges.select(F.col("nbr").alias("node"),
+                     F.col("node").alias("nbr")))
+    cc = connected_components(adj)
+    return (base.select("rid").join(cc.withColumnRenamed("node", "rid"),
+                                    "rid", "left")
+            .select(F.col("rid").alias(id_col),
+                    F.coalesce("l", F.col("rid")).alias("cluster")))

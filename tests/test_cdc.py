@@ -108,3 +108,18 @@ def test_refresh_pipeline_outcome_partition(spark):
     assert (r.n_exact, r.n_near, r.n_gate_failed, r.n_admitted) == \
         (1, 1, 1, 1)
     assert r.tok_admitted == 9
+
+
+def test_entity_clusters_transitive_multi_key(spark):
+    from bdtopo2refhydro_spark.operators.cdc import entity_clusters
+
+    # A-B share email, B-C share phone, D isolated, E-F share phone
+    rows = [
+        (1, "a@x", "p1"), (2, "a@x", "p2"), (3, "b@x", "p2"),
+        (4, "c@x", "p9"), (5, "d@x", "p5"), (6, "e@x", "p5"),
+        (7, None, None),
+    ]
+    df = spark.createDataFrame(rows, "rid long, em string, ph string")
+    got = {r["rid"]: r["cluster"]
+           for r in entity_clusters(df, "rid", ["em", "ph"]).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
