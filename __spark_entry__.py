@@ -14811,6 +14811,32 @@ ORDER BY cluster
 """
 
 
+def _q_stream_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-source integrity fingerprint
+    (streaming/stateful.py:stream_source_fingerprint): commutative +
+    associative state (count, bit_xor Knuth mix, bounded modular sum)
+    ⟹ any micro-batch decomposition equals the batch GROUP BY
+    bit-for-bit — which is the oracle. The cross-batch accumulation
+    path is pinned separately in pytest with maxFilesPerTrigger=1
+    over a 3-file split."""
+    from bdtopo2refhydro_spark.streaming.stateful import \
+        stream_source_fingerprint
+
+    return (stream_source_fingerprint(
+        spark, f"{sf_dir}/documents.parquet",
+        query_name="stream_fp_docs").orderBy("source"))
+
+
+_STREAM_FP_SQL = f"""
+SELECT source, CAST(count(*) AS BIGINT) AS n,
+       CAST(bit_xor((doc_id * 2654435761) % {1 << 61}) AS BIGINT)
+         AS xmix,
+       CAST(sum(((doc_id * 2654435761) % {1 << 61}) % 1000003)
+            AS BIGINT) AS smix
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -14893,6 +14919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 87: streaming order-free integrity fingerprints.
+        "stream_fp": _q_stream_fp,
         # batch 86: golden-record entity resolution (multi-key star
         # links + CC closure + master-attribute consolidation).
         "golden_record": _q_golden_record,
@@ -15439,6 +15467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "stream_fp": _STREAM_FP_SQL,
         "golden_record": _GOLDEN_RECORD_SQL,
         "longest_repeat": _LONGEST_REPEAT_SQL,
         "euler_path": _EULER_PATH_SQL,

@@ -385,3 +385,28 @@ def dedup_state_snapshot(spark: SparkSession, path: str,
     q.awaitTermination()
     state = spark.read.format("statestore").load(ckpt)
     return state.select(*[F.col(f"key.{k}").alias(k) for k in keys])
+
+
+def stream_source_fingerprint(spark: SparkSession, path: str, *,
+                              group_col: str = "source",
+                              id_col: str = "doc_id",
+                              files_per_trigger: int | None = None,
+                              query_name: str = "stream_fp"
+                              ) -> DataFrame:
+    """Order-free integrity fingerprint per group over a STREAM: the
+    running state is commutative AND associative — count, bit_xor of
+    a Knuth multiplicative mix, and a bounded modular sum — so ANY
+    micro-batch decomposition converges to the same final table and
+    the streamed result equals the batch GROUP BY bit-for-bit (the
+    oracle asserts exactly that). Complete output mode; the classic
+    cheap way to certify an ingest pipeline dropped or duplicated
+    nothing, per source."""
+    schema = spark.read.parquet(path).schema
+    src = _stream_reader(spark, path, schema, files_per_trigger)
+    mix = (F.col(id_col) * F.lit(2654435761)) % F.lit(1 << 61)
+    agg = (src.groupBy(group_col)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.expr(f"bit_xor(({id_col} * 2654435761) % "
+                       f"{1 << 61})").alias("xmix"),
+                F.sum(mix % F.lit(1000003)).alias("smix")))
+    return _drain_to_memory(agg, query_name, "complete")

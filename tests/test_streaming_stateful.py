@@ -418,3 +418,32 @@ def test_chained_dedup_window_dedups_across_micro_batches(spark, tmp_path):
     # user 1, hour 10: minutes {10:00, 10:05, 10:20} -> 3 (NOT 4)
     assert got == {("2024-01-01 10:00:00", 1): 3,
                    ("2024-01-01 11:00:00", 2): 1}
+
+
+def test_stream_fingerprint_cross_batch_equals_batch(spark, tmp_path):
+    """3-file split + maxFilesPerTrigger=1 forces the commutative
+    state through multiple micro-batches; final table must equal the
+    batch GROUP BY exactly."""
+    from pyspark.sql import functions as F
+
+    from bdtopo2refhydro_spark.streaming.stateful import \
+        stream_source_fingerprint
+
+    rows = [(i, f"s{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    src_dir = str(tmp_path / "fp_src")
+    df.repartition(3).write.parquet(src_dir)
+
+    got = stream_source_fingerprint(
+        spark, src_dir, files_per_trigger=1,
+        query_name="stream_fp_test")
+    got_rows = {r["source"]: (r["n"], r["xmix"], r["smix"])
+                for r in got.collect()}
+    mix = (F.col("doc_id") * 2654435761) % (1 << 61)
+    want = {r["source"]: (r["n"], r["xmix"], r["smix"])
+            for r in df.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.expr(f"bit_xor((doc_id * 2654435761) % {1 << 61})")
+                 .alias("xmix"),
+                 F.sum(mix % 1000003).alias("smix")).collect()}
+    assert got_rows == want
