@@ -14837,6 +14837,89 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def _bicc_fixture_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flower chain: 12 six-cycles sharing single vertices
+    (nodes k·5 … k·5+5, vertex (k+1)·5 shared) + a pendant 5-path off
+    node 60. Blocks and articulation points are CLOSED FORM: each
+    cycle is one block, each path edge its own block; articulation =
+    shared vertices 5..60 (step 5) and path interiors 61..64."""
+    cyc = (_docs(spark, sf_dir)
+           .select((F.col("doc_id") % 72).alias("m")).distinct()
+           .selectExpr("cast((m div 6) * 5 + (m % 6) as long) as u",
+                       "cast((m div 6) * 5 + ((m % 6) + 1) % 6 as "
+                       "long) as v"))
+    path = (_docs(spark, sf_dir)
+            .select((F.col("doc_id") % 5).alias("m")).distinct()
+            .selectExpr("cast(60 + m as long) as u",
+                        "cast(61 + m as long) as v"))
+    return cyc.unionByName(path)
+
+
+def _q_biconnected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Biconnected components by TARJAN-VISHKIN
+    (graph.py:biconnected_components): Borůvka spanning tree → Euler
+    tour preorder/subtree intervals (dense_index) → low/high as
+    batch RANGE-min/max over the preorder sequence (rmq_sparse_table
+    — subtrees are contiguous preorder intervals) → the auxiliary
+    graph on tree edges (rule 1: unrelated non-tree endpoints join;
+    rule 2: subtree escapes the parent's interval) → O(log) CC =
+    blocks. Labels = the block's minimal edge packed a·2³²+b, so the
+    output is spanning-tree-invariant and the oracle can write the
+    flower-chain ground truth down arithmetically."""
+    from bdtopo2refhydro_spark.operators.graph import \
+        biconnected_components
+
+    return (biconnected_components(_bicc_fixture_edges(spark, sf_dir))
+            .orderBy("a", "b"))
+
+
+_BICC_SQL = f"""
+WITH cm AS (SELECT DISTINCT doc_id % 72 AS m FROM documents),
+pm AS (SELECT DISTINCT doc_id % 5 AS m FROM documents),
+edges AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM (
+    SELECT (m // 6) * 5 + (m % 6) AS u,
+           (m // 6) * 5 + ((m % 6) + 1) % 6 AS v
+    FROM cm
+    UNION ALL
+    SELECT 60 + m AS u, 61 + m AS v FROM pm) s)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(CASE WHEN a >= 60 THEN a * {1 << 32} + a + 1
+            ELSE ((a // 5) * 5) * {1 << 32} + (a // 5) * 5 + 1
+            END AS BIGINT) AS block
+FROM edges ORDER BY a, b
+"""
+
+
+def _q_articulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Articulation points = vertices in ≥2 biconnected blocks
+    (graph.py:articulation_points, block-cut-tree fact) over the
+    flower-chain fixture — shared cycle vertices and path interiors
+    are cut vertices, cycle interiors and the leaf are not."""
+    from bdtopo2refhydro_spark.operators.graph import articulation_points
+
+    return (articulation_points(_bicc_fixture_edges(spark, sf_dir))
+            .orderBy("node"))
+
+
+_ARTICULATION_SQL = """
+WITH nodes AS (
+  SELECT DISTINCT n FROM (
+    SELECT (m // 6) * 5 + (m % 6) AS n
+    FROM (SELECT DISTINCT doc_id % 72 AS m FROM documents) c
+    UNION ALL
+    SELECT 60 + m AS n
+    FROM (SELECT DISTINCT doc_id % 5 AS m FROM documents) p
+    UNION ALL
+    SELECT 61 + m AS n
+    FROM (SELECT DISTINCT doc_id % 5 AS m FROM documents) p2) s)
+SELECT CAST(n AS BIGINT) AS node,
+       ((n % 5 = 0 AND n >= 5 AND n <= 60)
+        OR (n >= 61 AND n <= 64)) AS is_art
+FROM nodes ORDER BY node
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -14919,6 +15002,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 88: Tarjan-Vishkin biconnectivity — blocks + cut
+        # vertices (flower-chain closed-form oracle).
+        "biconnected": _q_biconnected,
+        "articulation": _q_articulation,
         # batch 87: streaming order-free integrity fingerprints.
         "stream_fp": _q_stream_fp,
         # batch 86: golden-record entity resolution (multi-key star
@@ -15467,6 +15554,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "biconnected": _BICC_SQL,
+        "articulation": _ARTICULATION_SQL,
         "stream_fp": _STREAM_FP_SQL,
         "golden_record": _GOLDEN_RECORD_SQL,
         "longest_repeat": _LONGEST_REPEAT_SQL,

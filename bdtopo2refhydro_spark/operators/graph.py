@@ -1525,3 +1525,180 @@ def euler_path_check(edges: DataFrame, *, src: str = "u",
                         F.when(F.col("n_odd") == 0, F.lit("circuit"))
                         .when(F.col("n_odd") == 2, F.lit("path"))
                         .otherwise(F.lit("none"))))
+
+
+def biconnected_components(edges: DataFrame, *, src: str = "u",
+                           dst: str = "v") -> DataFrame:
+    """Biconnected components by TARJAN-VISHKIN (the 1985 parallel
+    biconnectivity algorithm) — entirely joins + the repo's O(log)
+    primitives, no DFS low-link recursion:
+
+    1. Borůvka spanning tree + Euler tour → per non-root vertex v its
+       tree edge (p(v), v), preorder number pre(v) (= dense_index of
+       enter positions — the enter order IS a preorder of the tree)
+       and subtree size nd(v) = (exit − enter + 1)/2. Ancestry is the
+       interval test pre(u) ≤ pre(w) < pre(u) + nd(u).
+    2. low(v)/high(v) = min/max preorder reachable from subtree(v) by
+       one non-tree edge (or pre itself): per-node min/max of
+       non-tree neighbor preorders, then a SUBTREE range reduction —
+       subtrees are CONTIGUOUS preorder intervals, so both are batch
+       range-min queries over the preorder sequence
+       (rmq_sparse_table; max via negation).
+    3. The auxiliary graph on tree edges (vertex = child v):
+       rule 1 — non-tree edge {u, w}, neither an ancestor of the
+       other ⟹ join u–w; rule 2 — tree edge (v, p), p ≠ root, and
+       low(v) < pre(p) or high(v) ≥ pre(p) + nd(p) (some non-tree
+       edge escapes subtree(p)) ⟹ join v–p. Connected components of
+       the auxiliary graph are the blocks (isolated aux vertices =
+       single-edge blocks).
+    4. Every original edge gets its block: a tree edge (p(v), v) the
+       block of v; a non-tree edge the block of its larger-preorder
+       endpoint (for a back edge that is the descendant; for an
+       unrelated pair rule 1 makes both sides equal). Block labels
+       are canonicalized to the block's minimal edge packed as
+       a·2³² + b, independent of the spanning tree chosen (a bare
+       min-endpoint would collide for two bridges sharing a vertex).
+
+    Requires a connected graph, node ids in [0, 2^31). Returns
+    (a, b, block) for every distinct undirected edge."""
+    from .aggregate import dense_index
+    from .temporal import rmq_sparse_table
+
+    e = (edges.select(
+            F.least(F.col(src).cast("long"),
+                    F.col(dst).cast("long")).alias("a"),
+            F.greatest(F.col(src).cast("long"),
+                       F.col(dst).cast("long")).alias("b"))
+         .where(F.col("a") != F.col("b")).distinct()
+         .localCheckpoint(eager=False))
+    ew = e.select(
+        (F.col("a") * F.lit(1 << 32) + F.col("b")).alias("eid"),
+        F.col("a").alias("u"), F.col("b").alias("v"),
+        (F.col("a") * F.lit(1 << 32) + F.col("b")).alias("w"))
+    tree = (boruvka_mst(ew)
+            .select(F.col("u").alias("a"), F.col("v").alias("b"))
+            .localCheckpoint(eager=False))
+    n_nodes = e.select("a").union(e.select(F.col("b").alias("a"))) \
+        .distinct().count()
+    if tree.count() != n_nodes - 1:
+        raise ValueError("biconnected_components requires a connected "
+                         "graph")
+    root = int(e.agg(F.min("a")).first()[0])
+    tour = euler_tour(tree, root=root, src="a", dst="b")
+    und = tour.select(F.least("u", "v").alias("a"),
+                      F.greatest("u", "v").alias("b"),
+                      "pos", F.col("v").alias("head"))
+    iv = (und.groupBy("a", "b")
+          .agg(F.min(F.struct("pos", "head")).alias("_dn"),
+               F.max("pos").alias("exit"))
+          .select("a", "b", F.col("_dn.head").alias("node"),
+                  F.col("_dn.pos").alias("enter"), "exit"))
+    allv = iv.select("node", "enter", "exit",
+                     ((F.col("exit") - F.col("enter") + 1) / 2)
+                     .cast("long").alias("nd")) \
+        .unionByName(iv.sparkSession.createDataFrame(
+            [(root, -1, 0, n_nodes)],
+            "node long, enter long, exit long, nd long")
+            .withColumn("nd", F.lit(n_nodes).cast("long")))
+    pv = dense_index(allv, "enter", out="pre") \
+        .select("node", "pre", "nd").localCheckpoint(eager=False)
+    # parent per non-root vertex
+    par = iv.select(F.col("node"),
+                    (F.col("a") + F.col("b") - F.col("node"))
+                    .alias("parent")).localCheckpoint(eager=False)
+    nt = e.join(tree, ["a", "b"], "left_anti") \
+        .localCheckpoint(eager=False)
+    # per-node min/max preorder over {self} ∪ nontree neighbors
+    pre_of = pv.select(F.col("node"), F.col("pre"))
+    nbrpre = (nt.select(F.col("a").alias("node"), F.col("b").alias("o"))
+              .union(nt.select(F.col("b").alias("node"),
+                               F.col("a").alias("o")))
+              .join(pre_of.withColumnRenamed("node", "o")
+                    .withColumnRenamed("pre", "opre"), "o")
+              .groupBy("node")
+              .agg(F.min("opre").alias("nmin"),
+                   F.max("opre").alias("nmax")))
+    vals = (pv.join(nbrpre, "node", "left")
+            .select("node", "pre", "nd",
+                    F.least("pre", F.col("nmin")).alias("vmin"),
+                    F.greatest("pre", F.col("nmax")).alias("vmax"))
+            .withColumn("vmin", F.coalesce("vmin", F.col("pre")))
+            .withColumn("vmax", F.coalesce("vmax", F.col("pre")))
+            .localCheckpoint(eager=False))
+    # low/high = range min/max of vmin/vmax over preorder interval
+    seq_min = vals.select(F.col("pre").alias("i"),
+                          F.col("vmin").alias("v"))
+    seq_maxn = vals.select(F.col("pre").alias("i"),
+                           (-F.col("vmax")).alias("v"))
+    qs = vals.select(F.col("node").alias("qid"),
+                     F.col("pre").alias("l"),
+                     (F.col("pre") + F.col("nd") - 1).alias("r"))
+    low = rmq_sparse_table(seq_min, qs).withColumnRenamed("mn", "low") \
+        .withColumnRenamed("qid", "node")
+    high = rmq_sparse_table(seq_maxn, qs) \
+        .select(F.col("qid").alias("node"), (-F.col("mn")).alias("high"))
+    vinfo = (pv.join(low, "node").join(high, "node")
+             .localCheckpoint(eager=False))
+    # rule 1: unrelated nontree pairs join their tree edges (aux: u—w)
+    pu = vinfo.select(F.col("node").alias("a_"),
+                      F.col("pre").alias("pu"), F.col("nd").alias("ndu"))
+    pw = vinfo.select(F.col("node").alias("b_"),
+                      F.col("pre").alias("pw"), F.col("nd").alias("ndw"))
+    ntp = (nt.join(pu, nt["a"] == pu["a_"])
+           .join(pw, nt["b"] == pw["b_"]))
+    unrelated = ntp.where(
+        ~((F.col("pu") <= F.col("pw"))
+          & (F.col("pw") < F.col("pu") + F.col("ndu")))
+        & ~((F.col("pw") <= F.col("pu"))
+            & (F.col("pu") < F.col("pw") + F.col("ndw"))))
+    aux1 = unrelated.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    # rule 2: tree edge (v,p), p != root, escape test on subtree(p)
+    pinfo = vinfo.select(F.col("node").alias("parent"),
+                         F.col("pre").alias("ppre"),
+                         F.col("nd").alias("pnd"))
+    r2 = (par.where(F.col("parent") != root)
+          .join(vinfo.select("node", "low", "high"), "node")
+          .join(pinfo, "parent")
+          .where((F.col("low") < F.col("ppre"))
+                 | (F.col("high") >= F.col("ppre") + F.col("pnd"))))
+    aux2 = r2.select(F.col("node").alias("x"), F.col("parent").alias("y"))
+    aux = aux1.unionByName(aux2)
+    adj = aux.select(F.col("x").alias("node"), F.col("y").alias("nbr")) \
+        .union(aux.select(F.col("y").alias("node"),
+                          F.col("x").alias("nbr")))
+    cc = connected_components(adj)
+    blocks = (par.select("node")
+              .join(cc, "node", "left")
+              .select("node", F.coalesce("l", F.col("node"))
+                      .alias("blk")))
+    # tree edges -> block of child; nontree -> block of larger-pre end
+    te = iv.select("a", "b", "node").join(blocks, "node") \
+        .select("a", "b", "blk")
+    deeper = ntp.select(
+        "a", "b",
+        F.when(F.col("pu") >= F.col("pw"), F.col("a"))
+        .otherwise(F.col("b")).alias("node"))
+    ne = deeper.join(blocks, "node").select("a", "b", "blk")
+    allb = te.unionByName(ne).localCheckpoint(eager=False)
+    # canonical labels: the block's MINIMAL EDGE packed into one
+    # BIGINT (min endpoint alone is NOT unique across blocks — two
+    # bridges sharing a vertex would collide)
+    canon = allb.groupBy("blk").agg(
+        F.min(F.col("a") * F.lit(1 << 32) + F.col("b")).alias("block"))
+    return (allb.join(canon, "blk")
+            .select("a", "b", "block"))
+
+
+def articulation_points(edges: DataFrame, *, src: str = "u",
+                        dst: str = "v") -> DataFrame:
+    """Articulation (cut) vertices: exactly the vertices belonging to
+    ≥ 2 biconnected blocks (block-cut-tree fact) — one distinct-count
+    over the per-edge block labels of `biconnected_components`.
+    Returns (node, is_art)."""
+    bc = biconnected_components(edges, src=src, dst=dst) \
+        .localCheckpoint(eager=False)
+    inc = (bc.select(F.col("a").alias("node"), "block")
+           .union(bc.select(F.col("b").alias("node"), "block")))
+    return (inc.groupBy("node")
+            .agg(F.countDistinct("block").alias("nb"))
+            .select("node", (F.col("nb") >= 2).alias("is_art")))
