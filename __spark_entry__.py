@@ -14920,6 +14920,46 @@ FROM nodes ORDER BY node
 """
 
 
+def _q_rect_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union area of axis-aligned rectangles per group
+    (geometry.py:rect_union_area): x-slab decomposition via one
+    lead() window + per-(group, slab) y-interval union by a
+    running-max window — the sweep with no sequential scan, every
+    window group-partitioned. Oracle counts covered UNIT CELLS via a
+    generate_series² join — a completely independent O(area) method
+    reaching the same integers."""
+    from bdtopo2refhydro_spark.operators.geometry import rect_union_area
+
+    r = _docs(spark, sf_dir).selectExpr(
+        "cast(doc_id % 6 as long) as g",
+        "cast((doc_id * 7) % 50 as long) as x1",
+        "cast((doc_id * 7) % 50 + 1 + (doc_id * 11) % 12 as long) as x2",
+        "cast((doc_id * 13) % 50 as long) as y1",
+        "cast((doc_id * 13) % 50 + 1 + (doc_id * 17) % 12 as long)"
+        " as y2")
+    return rect_union_area(r).orderBy("g")
+
+
+_RECT_AREA_SQL = """
+WITH r AS (
+  SELECT doc_id % 6 AS g,
+         (doc_id * 7) % 50 AS x1,
+         (doc_id * 7) % 50 + 1 + (doc_id * 11) % 12 AS x2,
+         (doc_id * 13) % 50 AS y1,
+         (doc_id * 13) % 50 + 1 + (doc_id * 17) % 12 AS y2
+  FROM documents),
+cells AS (
+  SELECT DISTINCT r.g, gx.x AS cx, gy.y AS cy
+  FROM r
+  CROSS JOIN generate_series(0, 63) gx(x)
+  CROSS JOIN generate_series(0, 63) gy(y)
+  WHERE gx.x >= r.x1 AND gx.x < r.x2
+    AND gy.y >= r.y1 AND gy.y < r.y2)
+SELECT CAST(g AS BIGINT) AS g, CAST(count(*) AS BIGINT) AS area
+FROM cells GROUP BY g ORDER BY g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -15002,6 +15042,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 89: exact rectangle-union area by slab sweep.
+        "rect_area": _q_rect_area,
         # batch 88: Tarjan-Vishkin biconnectivity — blocks + cut
         # vertices (flower-chain closed-form oracle).
         "biconnected": _q_biconnected,
@@ -15554,6 +15596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "rect_area": _RECT_AREA_SQL,
         "biconnected": _BICC_SQL,
         "articulation": _ARTICULATION_SQL,
         "stream_fp": _STREAM_FP_SQL,

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -282,3 +282,47 @@ def rect_overlap_join(a: DataFrame, b: DataFrame,
     return (ac.join(bc, ["cx", "cy"])
             .filter(overlap & resp)
             .select("aid", "bid"))
+
+
+def rect_union_area(rects: DataFrame, *, g: str = "g", x1: str = "x1",
+                    x2: str = "x2", y1: str = "y1", y2: str = "y2"
+                    ) -> DataFrame:
+    """Exact union area of axis-aligned half-open integer rectangles
+    per group — the classic sweep, Spark-shaped with NO sequential
+    scan: (1) distinct x boundaries per group become SLABS via one
+    lead() window; (2) each rectangle joins the slabs it spans (at
+    scale this is the bucketed interval join, range_join_buckets);
+    (3) within each (group, slab) the y-interval union length is one
+    running-max window pass — contribution = max(0, y2 − max(y1,
+    running-max-of-previous-y2)) — all windows partitioned by
+    (group, slab), so nothing global; (4) area = Σ slab_width ×
+    y_union. Integer-exact. Returns (g, area)."""
+    r = rects.select(F.col(g).alias("g"),
+                     F.col(x1).cast("long").alias("x1"),
+                     F.col(x2).cast("long").alias("x2"),
+                     F.col(y1).cast("long").alias("y1"),
+                     F.col(y2).cast("long").alias("y2")) \
+        .where((F.col("x1") < F.col("x2")) & (F.col("y1") < F.col("y2"))) \
+        .localCheckpoint(eager=False)
+    xs = (r.select("g", F.col("x1").alias("x"))
+          .union(r.select("g", F.col("x2").alias("x"))).distinct())
+    w_next = Window.partitionBy("g").orderBy("x")
+    slabs = (xs.withColumn("sx2", F.lead("x").over(w_next))
+             .where(F.col("sx2").isNotNull())
+             .select("g", F.col("x").alias("sx1"), "sx2"))
+    cand = slabs.join(r, "g").where(
+        (F.col("x1") <= F.col("sx1")) & (F.col("sx2") <= F.col("x2")))
+    w_run = Window.partitionBy("g", "sx1").orderBy("y1", "y2") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    seg = cand.withColumn("pmax", F.max("y2").over(w_run)) \
+        .withColumn("contrib",
+                    F.greatest(F.lit(0),
+                               F.col("y2")
+                               - F.greatest(F.col("y1"),
+                                            F.coalesce("pmax",
+                                                       F.col("y1")))))
+    return (seg.groupBy("g", "sx1", "sx2")
+            .agg(F.sum("contrib").alias("ylen"))
+            .groupBy("g")
+            .agg(F.sum((F.col("sx2") - F.col("sx1")) * F.col("ylen"))
+                 .alias("area")))

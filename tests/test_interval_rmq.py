@@ -48,3 +48,27 @@ def test_rmq_sparse_table_vs_direct(spark, seed):
     got = {r["qid"]: r["mn"]
            for r in rmq_sparse_table(seq, qdf).collect()}
     assert got == {qid: min(vals[l:r + 1]) for qid, l, r in qs}
+
+
+@pytest.mark.parametrize("seed", [5, 37])
+def test_rect_union_area_vs_cell_counting(spark, seed):
+    from bdtopo2refhydro_spark.operators.geometry import rect_union_area
+
+    rng = random.Random(seed)
+    rows = []
+    want = {}
+    for g in range(4):
+        covered = set()
+        for _ in range(rng.randrange(1, 15)):
+            x1 = rng.randrange(0, 30)
+            x2 = x1 + rng.randrange(1, 12)
+            y1 = rng.randrange(0, 30)
+            y2 = y1 + rng.randrange(1, 12)
+            rows.append((g, x1, x2, y1, y2))
+            covered |= {(x, y) for x in range(x1, x2)
+                        for y in range(y1, y2)}
+        want[g] = len(covered)
+    df = spark.createDataFrame(
+        rows, "g long, x1 long, x2 long, y1 long, y2 long")
+    got = {r["g"]: r["area"] for r in rect_union_area(df).collect()}
+    assert got == want
