@@ -14960,6 +14960,75 @@ FROM cells GROUP BY g ORDER BY g
 """
 
 
+def _q_tree_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tree radius + center via all-node ECCENTRICITY rerooting
+    (orders.py:tree_eccentricity — the MAX analogue of
+    tree_closeness's sum rerooting: down = height fixpoint, up =
+    1 + max(parent's up, tie-safe best sibling), ecc = max(down,
+    up)); center = smallest node attaining the radius. Same 6-shape
+    permuted forest as tree_iso. Oracle: honest all-pairs BFS closure
+    (8-node trees) — max of min-distances, a completely independent
+    route."""
+    from bdtopo2refhydro_spark.operators.orders import tree_center
+
+    tt = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 24).alias("t")).distinct())
+    ii = tt.select("t", F.explode(F.sequence(F.lit(1), F.lit(7)))
+                   .alias("i"))
+    ed = ii.selectExpr(
+        "t",
+        "case when t % 6 = 3 then (3 * i) % 8 "
+        "when t % 6 = 4 then (5 * i) % 8 else i end as ci",
+        "case t % 6 when 0 then i - 1 when 1 then 0 "
+        "when 2 then (i - 1) div 2 when 3 then (3 * (i - 1)) % 8 "
+        "when 4 then (5 * ((i - 1) div 2)) % 8 "
+        "else case when i < 4 then i - 1 else i - 4 end end as pi")
+    edges = ed.selectExpr(
+        "concat('e', t, '_', ci) as url",
+        "cast(t * 100 + ci as long) as NODEA",
+        "cast(t * 100 + pi as long) as NODEB")
+    return tree_center(edges).orderBy("root")
+
+
+_TREE_CENTER_SQL = """
+WITH RECURSIVE tt AS (SELECT DISTINCT doc_id % 24 AS t FROM documents),
+ii AS (SELECT t, g.i FROM tt CROSS JOIN generate_series(1, 7) g(i)),
+edges AS MATERIALIZED (
+  SELECT t,
+         t * 100 + (CASE WHEN t % 6 = 3 THEN (3 * i) % 8
+                         WHEN t % 6 = 4 THEN (5 * i) % 8
+                         ELSE i END) AS child,
+         t * 100 + (CASE t % 6 WHEN 0 THEN i - 1 WHEN 1 THEN 0
+                         WHEN 2 THEN (i - 1) // 2
+                         WHEN 3 THEN (3 * (i - 1)) % 8
+                         WHEN 4 THEN (5 * ((i - 1) // 2)) % 8
+                         ELSE CASE WHEN i < 4 THEN i - 1
+                                   ELSE i - 4 END END) AS parent
+  FROM ii),
+sym AS MATERIALIZED (
+  SELECT t, a, b FROM (
+    SELECT t, child AS a, parent AS b FROM edges
+    UNION ALL SELECT t, parent AS a, child AS b FROM edges) s),
+allv AS MATERIALIZED (SELECT DISTINCT t, a AS n FROM sym),
+walk(t, src, node, d) AS (
+  SELECT t, n, n, 0 FROM allv
+  UNION
+  SELECT w.t, w.src, s.b, w.d + 1
+  FROM walk w JOIN sym s ON s.t = w.t AND s.a = w.node
+  WHERE w.d < 9),
+mind AS MATERIALIZED (
+  SELECT t, src, node, min(d) AS d FROM walk GROUP BY t, src, node),
+eccs AS MATERIALIZED (
+  SELECT t, src, max(d) AS ecc FROM mind GROUP BY t, src)
+SELECT CAST(t * 100 AS BIGINT) AS root,
+       CAST(min(ecc) AS BIGINT) AS radius,
+       CAST(min(CASE WHEN ecc = (SELECT min(e2.ecc) FROM eccs e2
+                                 WHERE e2.t = eccs.t)
+                THEN src END) AS BIGINT) AS center
+FROM eccs GROUP BY t ORDER BY root
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -15042,6 +15111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 90: per-tree radius/center by eccentricity rerooting.
+        "tree_center": _q_tree_center,
         # batch 89: exact rectangle-union area by slab sweep.
         "rect_area": _q_rect_area,
         # batch 88: Tarjan-Vishkin biconnectivity — blocks + cut
@@ -15596,6 +15667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "tree_center": _TREE_CENTER_SQL,
         "rect_area": _RECT_AREA_SQL,
         "biconnected": _BICC_SQL,
         "articulation": _ARTICULATION_SQL,

@@ -1105,3 +1105,120 @@ def lca_queries(edges_nodes: DataFrame, queries: DataFrame,
             .select(F.col("q").alias("qid"),
                     F.col("lca").cast("long").alias("lca"),
                     F.col("dist").cast("long").alias("dist")))
+
+
+def tree_eccentricity(edges_nodes: DataFrame, key: str = "url",
+                      max_iter: int = 500,
+                      metrics: TraversalMetrics | None = None
+                      ) -> DataFrame:
+    """EXACT per-node eccentricity on a forest without any all-pairs
+    walk — the down/up rerooting for MAX (the max-analogue of
+    tree_closeness's sum rerooting):
+
+        down(v) = height below v            (bottom-up fixpoint)
+        up(c)   = 1 + max(up(p), best sibling contribution at p
+                          EXCLUDING c)       (top-down frontier)
+        ecc(v)  = max(down(v), up(v))
+
+    The sibling exclusion reuses tree_diameter's tie-safe top-2 trick
+    (max, count-at-max, max-strictly-below), so no per-sibling
+    enumeration. All-integer. Returns (node, ecc)."""
+    from ._ckpt import CheckpointSlots
+
+    e = (edges_nodes.select(key, "NODEA", "NODEB")
+         .localCheckpoint(eager=False))
+    nodes = (e.select(F.col("NODEA").alias("node"))
+             .union(e.select(F.col("NODEB").alias("node"))).distinct()
+             .localCheckpoint(eager=False))
+    slots = CheckpointSlots()
+    h = slots.checkpoint(
+        nodes.select("node", F.lit(0).cast("long").alias("H")), "h")
+
+    def _sig(df: DataFrame):
+        return df.select(
+            F.expr("bit_xor(xxhash64(node, H))").alias("x")).first()["x"]
+
+    sig = _sig(h)
+    for i in range(max_iter):
+        up_ = (e.join(h.withColumnRenamed("node", "NODEA"), "NODEA")
+               .groupBy("NODEB").agg((F.max("H") + 1).alias("_hc"))
+               .withColumnRenamed("NODEB", "node"))
+        new_h = slots.checkpoint(
+            nodes.join(up_, "node", "left")
+            .select("node", F.coalesce("_hc", F.lit(0)).cast("long")
+                    .alias("H")), "h")
+        new_sig = _sig(new_h)
+        if metrics is not None:
+            metrics.add(op="tree_eccentricity", round=i)
+        h = new_h
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # per-parent tie-safe top-2 of child contributions c = H(child)+1
+    contrib = (e.join(h.withColumnRenamed("node", "NODEA"), "NODEA")
+               .select("NODEA", F.col("NODEB").alias("node"),
+                       (F.col("H") + 1).alias("c")))
+    agg1 = contrib.groupBy("node").agg(F.max("c").alias("t1"))
+    t2 = (contrib.join(agg1, "node")
+          .groupBy("node", "t1")
+          .agg(F.sum(F.when(F.col("c") == F.col("t1"), 1).otherwise(0))
+               .alias("_nmax"),
+               F.max(F.when(F.col("c") < F.col("t1"), F.col("c")))
+               .alias("_below"))
+          .localCheckpoint(eager=False))
+    roots = (e.select(F.col("NODEB").alias("node")).distinct()
+             .join(e.select(F.col("NODEA").alias("node")).distinct(),
+                   "node", "left_anti"))
+    up = slots.checkpoint(
+        roots.select("node", F.lit(0).cast("long").alias("up")), "up")
+    child_c = contrib.select("NODEA", "node", "c")
+    for i in range(max_iter):
+        frontier = (child_c
+                    .join(up.select(F.col("node"),
+                                    F.col("up").alias("_pup")), "node")
+                    .join(t2, "node")
+                    .select(
+            F.col("NODEA").alias("node"),
+            (F.lit(1) + F.greatest(
+                F.col("_pup"),
+                F.coalesce(
+                    F.when((F.col("c") < F.col("t1"))
+                           | (F.col("_nmax") >= 2), F.col("t1"))
+                    .otherwise(F.col("_below")),
+                    F.lit(0)))).cast("long").alias("up"))
+            .join(up.select("node"), "node", "left_anti"))
+        frontier = slots.checkpoint(frontier, "upf")
+        if not frontier.take(1):
+            break
+        up = slots.checkpoint(up.unionByName(frontier), "up")
+    return (nodes.join(h, "node").join(up, "node")
+            .select("node",
+                    F.greatest("H", "up").cast("long").alias("ecc")))
+
+
+def tree_center(edges_nodes: DataFrame, key: str = "url",
+                metrics: TraversalMetrics | None = None) -> DataFrame:
+    """Per-tree radius + center: min eccentricity over the tree
+    (tree_eccentricity) and the smallest node id attaining it; tree
+    id = its root (the no-outgoing-edge node). Returns
+    (root, radius, center)."""
+    from .graph import connected_components
+
+    e = (edges_nodes.select(key, "NODEA", "NODEB")
+         .localCheckpoint(eager=False))
+    ecc = tree_eccentricity(e, key, metrics=metrics)
+    adj = (e.select(F.col("NODEA").alias("node"),
+                    F.col("NODEB").alias("nbr"))
+           .union(e.select(F.col("NODEB").alias("node"),
+                           F.col("NODEA").alias("nbr"))))
+    comp = connected_components(adj, metrics=metrics)
+    roots = (e.select(F.col("NODEB").alias("node")).distinct()
+             .join(e.select(F.col("NODEA").alias("node")).distinct(),
+                   "node", "left_anti"))
+    root_of = (roots.join(comp, "node")
+               .select("l", F.col("node").alias("root")))
+    per = ecc.join(comp, "node").join(root_of, "l")
+    return (per.groupBy("root")
+            .agg(F.min("ecc").cast("long").alias("radius"),
+                 F.min(F.struct(F.col("ecc"), F.col("node"))).alias("_m"))
+            .select("root", "radius", F.col("_m.node").alias("center")))

@@ -79,3 +79,37 @@ def test_single_edge_and_star(spark):
     assert cl == {0: 3, 1: 5, 2: 5, 3: 5}
     di = {r["root"]: r["diameter"] for r in tree_diameter(df).collect()}
     assert di == {0: 2}
+
+
+def test_tree_eccentricity_vs_bfs(spark):
+    import random
+    from collections import deque
+
+    from bdtopo2refhydro_spark.operators.orders import tree_eccentricity
+
+    rng = random.Random(23)
+    rows, adj = [], {}
+    for tid in range(6):
+        n = rng.randrange(2, 12)
+        for v in range(1, n):
+            p = rng.randrange(v)
+            c, pa = tid * 100 + v, tid * 100 + p
+            rows.append((f"e{c}", c, pa))
+            adj.setdefault(c, []).append(pa)
+            adj.setdefault(pa, []).append(c)
+    df = spark.createDataFrame(rows, "url string, NODEA long, NODEB long")
+    got = {r["node"]: r["ecc"]
+           for r in tree_eccentricity(df, "url").collect()}
+
+    def bfs_ecc(s):
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        return max(dist.values())
+
+    assert got == {v: bfs_ecc(v) for v in adj}
