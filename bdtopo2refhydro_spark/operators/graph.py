@@ -1702,3 +1702,70 @@ def articulation_points(edges: DataFrame, *, src: str = "u",
     return (inc.groupBy("node")
             .agg(F.countDistinct("block").alias("nb"))
             .select("node", (F.col("nb") >= 2).alias("is_art")))
+
+
+def transitive_closure_counts(edges: DataFrame, *, src: str = "u",
+                              dst: str = "v", max_doublings: int = 40
+                              ) -> DataFrame:
+    """Reachable-set sizes by PATH DOUBLING: R ← R ∪ R∘R squares the
+    reachability relation each round, so an L-long path closes in
+    ⌈log₂ L⌉ rounds instead of L BFS steps — the O(log) transitive
+    closure. The self-join-on-own-frame loop uses the two-layer
+    checkpoint+cache discipline (stats squaring AND plan-tree
+    doubling both bite otherwise — CLAUDE.md). Pair count is the
+    closure's size; use on DAGs / sparse reachability where |R*| is
+    bounded. Returns (u, n_reach) counting strictly-forward
+    reachable nodes."""
+    from ._ckpt import CheckpointSlots
+
+    slots = CheckpointSlots()
+    r = slots.checkpoint(
+        edges.select(F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v")).distinct(),
+        "tc0")
+    cached = r.cache()
+    n = cached.count()
+    for i in range(max_doublings):
+        squared = (cached.alias("a")
+                   .join(cached.select(F.col("u").alias("v"),
+                                       F.col("v").alias("w")).alias("b"),
+                         "v")
+                   .select("u", F.col("w").alias("v")))
+        nxt = slots.checkpoint(
+            cached.unionByName(squared).distinct(),
+            f"tc{(i % 2) + 1}")
+        nc = nxt.cache()
+        m = nc.count()
+        cached.unpersist()
+        cached = nc
+        if m == n:
+            break
+        n = m
+    return cached.groupBy("u").agg(F.count(F.lit(1)).alias("n_reach"))
+
+
+def count_four_cycles(edges: DataFrame, *, src: str = "u",
+                      dst: str = "v") -> DataFrame:
+    """Exact 4-cycle count via the CODEGREE identity: every
+    unordered pair {u, w} with c common neighbors is the diagonal of
+    C(c, 2) four-cycles, and each 4-cycle has exactly two diagonals —
+    so #C4 = Σ C(codeg, 2) / 2. One wedge join (middle-vertex
+    equi-join) + one aggregation; no cycle enumeration. Returns a
+    single row (n_c4)."""
+    e = (edges.select(
+            F.least(F.col(src).cast("long"),
+                    F.col(dst).cast("long")).alias("a"),
+            F.greatest(F.col(src).cast("long"),
+                       F.col(dst).cast("long")).alias("b"))
+         .where(F.col("a") != F.col("b")).distinct()
+         .localCheckpoint(eager=False))
+    sym = (e.select(F.col("a").alias("m"), F.col("b").alias("x"))
+           .union(e.select(F.col("b").alias("m"),
+                           F.col("a").alias("x"))))
+    wedges = (sym.alias("l").join(sym.alias("r"), "m")
+              .where(F.col("l.x") < F.col("r.x"))
+              .select(F.col("l.x").alias("u"), F.col("r.x").alias("w")))
+    codeg = wedges.groupBy("u", "w").agg(F.count(F.lit(1)).alias("c"))
+    return codeg.agg(
+        (F.sum(F.col("c") * (F.col("c") - 1) / 2) / 2)
+        .cast("long").alias("n_c4"))

@@ -13,7 +13,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from bdtopo2refhydro_spark.operators.graph import (
-    bridges, prefix_scan_xor, two_edge_components)
+    bridges, prefix_scan_xor, transitive_closure_counts,
+    two_edge_components)
 
 
 def _bfs_reachable(n, adj, start, skip_edge=None):
@@ -182,3 +183,50 @@ def test_euler_path_check_hand_graphs(spark):
     assert got == {0: (3, 3, 0, "circuit"),
                    10: (4, 3, 2, "path"),
                    20: (4, 3, 4, "none")}
+
+
+@pytest.mark.parametrize("seed", [13, 47])
+def test_count_four_cycles_vs_bruteforce(spark, seed):
+    from itertools import combinations
+
+    from bdtopo2refhydro_spark.operators.graph import count_four_cycles
+
+    rng = random.Random(seed)
+    n = 14
+    edges = {(min(a, b), max(a, b))
+             for a, b in (rng.sample(range(n), 2) for _ in range(30))}
+    edges = sorted(edges)
+    es = set(edges)
+    want = 0
+    for quad in combinations(range(n), 4):
+        # count distinct 4-cycles on these 4 vertices (0 or up to 3)
+        a, b, c, d = quad
+        for perm in ((a, b, c, d), (a, b, d, c), (a, c, b, d)):
+            w, x, y, z = perm
+            if ({(min(w, x), max(w, x)), (min(x, y), max(x, y)),
+                 (min(y, z), max(y, z)), (min(z, w), max(z, w))}
+                    <= es):
+                want += 1
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = count_four_cycles(df).first()["n_c4"]
+    assert got == want
+
+
+def test_transitive_closure_counts_vs_python(spark):
+    edges = [(0, 1), (1, 2), (2, 3), (0, 3), (3, 4), (5, 6)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r["u"]: r["n_reach"]
+           for r in transitive_closure_counts(df).collect()}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    def reach(s):
+        out, todo = set(), [s]
+        while todo:
+            u = todo.pop()
+            for v in adj.get(u, ()):
+                if v not in out:
+                    out.add(v)
+                    todo.append(v)
+        return out
+    assert got == {s: len(reach(s)) for s in adj}
