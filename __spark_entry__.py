@@ -15091,6 +15091,102 @@ WHERE e1.m != e2.x AND e1.x != e3.x
 """
 
 
+def _q_tree_mwis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-weight independent set on the 6-shape forest
+    (orders.py:tree_mwis — take/skip DP in height-many ready
+    rounds). The oracle BRUTE-FORCES all 2⁸ subsets per 8-node tree:
+    a subset is independent iff no edge has both endpoint bits set —
+    a completely independent exponential check against the
+    linear-round DP."""
+    from bdtopo2refhydro_spark.operators.orders import tree_mwis
+
+    tt = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 24).alias("t")).distinct())
+    ii = tt.select("t", F.explode(F.sequence(F.lit(1), F.lit(7)))
+                   .alias("i"))
+    ed = ii.selectExpr(
+        "t",
+        "case when t % 6 = 3 then (3 * i) % 8 "
+        "when t % 6 = 4 then (5 * i) % 8 else i end as ci",
+        "case t % 6 when 0 then i - 1 when 1 then 0 "
+        "when 2 then (i - 1) div 2 when 3 then (3 * (i - 1)) % 8 "
+        "when 4 then (5 * ((i - 1) div 2)) % 8 "
+        "else case when i < 4 then i - 1 else i - 4 end end as pi")
+    edges = ed.selectExpr(
+        "concat('e', t, '_', ci) as url",
+        "cast(t * 100 + ci as long) as NODEA",
+        "cast(t * 100 + pi as long) as NODEB")
+    nodes = (tt.select("t", F.explode(F.sequence(F.lit(0), F.lit(7)))
+                       .alias("i"))
+             .selectExpr("cast(t * 100 + i as long) as node",
+                         "cast((t * 100 + i) * 7 % 19 + 1 as long)"
+                         " as w"))
+    return tree_mwis(edges, nodes).orderBy("root")
+
+
+_TREE_MWIS_SQL = """
+WITH tt AS (SELECT DISTINCT doc_id % 24 AS t FROM documents),
+ii AS (SELECT t, g.i FROM tt CROSS JOIN generate_series(1, 7) g(i)),
+ed AS MATERIALIZED (
+  SELECT t,
+         (CASE WHEN t % 6 = 3 THEN (3 * i) % 8
+               WHEN t % 6 = 4 THEN (5 * i) % 8 ELSE i END) AS ci,
+         (CASE t % 6 WHEN 0 THEN i - 1 WHEN 1 THEN 0
+               WHEN 2 THEN (i - 1) // 2 WHEN 3 THEN (3 * (i - 1)) % 8
+               WHEN 4 THEN (5 * ((i - 1) // 2)) % 8
+               ELSE CASE WHEN i < 4 THEN i - 1
+                         ELSE i - 4 END END) AS pi
+  FROM ii),
+nn AS MATERIALIZED (
+  SELECT t, g.i AS li, (t * 100 + g.i) * 7 % 19 + 1 AS w
+  FROM tt CROSS JOIN generate_series(0, 7) g(i)),
+subsets AS (
+  SELECT t, g.s FROM tt CROSS JOIN generate_series(0, 255) g(s)),
+indep AS MATERIALIZED (
+  SELECT sb.t, sb.s FROM subsets sb
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ed e
+    WHERE e.t = sb.t
+      AND ((sb.s >> e.ci) & 1) = 1 AND ((sb.s >> e.pi) & 1) = 1)),
+scored AS (
+  SELECT i.t, i.s, coalesce(sum(n.w), 0) AS tot
+  FROM indep i LEFT JOIN nn n
+    ON n.t = i.t AND ((i.s >> n.li) & 1) = 1
+  GROUP BY i.t, i.s)
+SELECT CAST(t * 100 AS BIGINT) AS root,
+       CAST(max(tot) AS BIGINT) AS mwis
+FROM scored GROUP BY t ORDER BY root
+"""
+
+
+def _q_min_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smallest string period by the REAL KMP failure function
+    (text.py:min_period — period = n − longest border, linear
+    fallback scan) vs the O(n²) definitional oracle: min p with
+    prefix(n−p) = suffix shifted by p. Same synthesized-word fixture
+    as suffix_array/lcp_array."""
+    from bdtopo2refhydro_spark.operators.text import min_period
+
+    words = (_docs(spark, sf_dir)
+             .select((F.col("doc_id") % 200).alias("m")).distinct()
+             .selectExpr(f"{_UNI_WORD} as word").distinct())
+    return min_period(words).orderBy("word")
+
+
+_MIN_PERIOD_SQL = f"""
+WITH mm AS (SELECT DISTINCT doc_id % 200 AS m FROM documents),
+words AS MATERIALIZED (SELECT DISTINCT {_UNI_WORD_D} AS word FROM mm),
+cand AS (
+  SELECT word, t.p
+  FROM words, UNNEST(range(1, len(word) + 1)) t(p)
+  WHERE substr(word, 1, CAST(len(word) - t.p AS INT))
+        = substr(word, CAST(t.p + 1 AS INT)))
+SELECT w.word, CAST(min(c.p) AS BIGINT) AS period
+FROM words w JOIN cand c ON c.word = w.word
+GROUP BY w.word ORDER BY w.word
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -15173,6 +15269,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 92: max-weight independent set tree DP (2^8 subset
+        # brute-force oracle) + KMP smallest period.
+        "tree_mwis": _q_tree_mwis,
+        "min_period": _q_min_period,
         # batch 91: O(log) transitive closure by path doubling +
         # 4-cycle counting by the codegree identity.
         "closure_square": _q_closure_square,
@@ -15733,6 +15833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "tree_mwis": _TREE_MWIS_SQL,
+        "min_period": _MIN_PERIOD_SQL,
         "closure_square": _CLOSURE_SQUARE_SQL,
         "c4_count": _C4_COUNT_SQL,
         "tree_center": _TREE_CENTER_SQL,

@@ -1222,3 +1222,62 @@ def tree_center(edges_nodes: DataFrame, key: str = "url",
             .agg(F.min("ecc").cast("long").alias("radius"),
                  F.min(F.struct(F.col("ecc"), F.col("node"))).alias("_m"))
             .select("root", "radius", F.col("_m.node").alias("center")))
+
+
+def tree_mwis(edges_nodes: DataFrame, weights: DataFrame,
+              key: str = "url", max_iter: int = 500,
+              metrics: TraversalMetrics | None = None) -> DataFrame:
+    """Maximum-weight independent set on a forest — the classic
+    take/skip tree DP, bottom-up in height-many READY rounds (a node
+    fires once every child is done, same shape as the AHU rounds):
+
+        take(v) = w(v) + Σ skip(child)
+        skip(v) = Σ max(take(child), skip(child))
+
+    All-integer. `weights` is (node, w). Returns one row per tree:
+    (root, mwis) = max(take(root), skip(root))."""
+    from ._ckpt import CheckpointSlots
+
+    e = (edges_nodes.select(key, "NODEA", "NODEB")
+         .localCheckpoint(eager=False))
+    w = weights.select(F.col("node"), F.col("w").cast("long")) \
+        .localCheckpoint(eager=False)
+    kids = (e.groupBy(F.col("NODEB").alias("node"))
+            .agg(F.count(F.lit(1)).alias("n_kids"))
+            .localCheckpoint(eager=False))
+    nodes = (e.select(F.col("NODEA").alias("node"))
+             .union(e.select(F.col("NODEB").alias("node"))).distinct())
+    slots = CheckpointSlots()
+    done = slots.checkpoint(
+        nodes.join(kids, "node", "left_anti").join(w, "node")
+        .select("node", F.col("w").alias("take"),
+                F.lit(0).cast("long").alias("skip")), "dp")
+    n_done = done.count()
+    for i in range(max_iter):
+        got = (e.join(done.withColumnRenamed("node", "NODEA"), "NODEA")
+               .groupBy(F.col("NODEB").alias("node"))
+               .agg(F.count(F.lit(1)).alias("n_got"),
+                    F.sum("skip").alias("_sskip"),
+                    F.sum(F.greatest("take", "skip")).alias("_sbest")))
+        new = (got.join(kids, "node")
+               .where(F.col("n_got") == F.col("n_kids"))
+               .join(done.select("node"), "node", "left_anti")
+               .join(w, "node")
+               .select("node",
+                       (F.col("w") + F.col("_sskip")).alias("take"),
+                       F.col("_sbest").alias("skip")))
+        done = slots.checkpoint(done.unionByName(new), "dp2")
+        m = done.count()
+        if metrics is not None:
+            metrics.add(op="tree_mwis", round=i)
+        if m == n_done:
+            break
+        n_done = m
+        done = slots.checkpoint(done, "dp")
+    roots = (e.select(F.col("NODEB").alias("node")).distinct()
+             .join(e.select(F.col("NODEA").alias("node")).distinct(),
+                   "node", "left_anti"))
+    return (roots.join(done, "node")
+            .select(F.col("node").alias("root"),
+                    F.greatest("take", "skip").cast("long")
+                    .alias("mwis")))

@@ -1753,3 +1753,34 @@ def lcp_array(words: DataFrame, word_col: str = "word") -> DataFrame:
     return (words.select(word_col, F.explode(_lcp(F.col(word_col)))
                          .alias("_e"))
             .select(word_col, "_e.rank", "_e.lcp"))
+
+
+def min_period(words: DataFrame, word_col: str = "word") -> DataFrame:
+    """Smallest period of each word via the REAL KMP failure
+    function: period = n − border(n) where border(n) is the longest
+    proper border (prefix = suffix), computed by the classic linear
+    fallback scan — vs the oracle's O(n²) definitional probe (min p
+    with w[1..n−p] = w[p+1..n]). 'abcabc' → 3, 'aaaa' → 1,
+    aperiodic w → n. Per-word Arrow UDF on the distinct-word
+    table."""
+    import pandas as pd
+
+    @F.pandas_udf("long")
+    def _period(s: pd.Series) -> pd.Series:
+        def per(wd):
+            n = len(wd)
+            if n == 0:
+                return 0
+            fail = [0] * (n + 1)
+            k = 0
+            for i in range(1, n):
+                while k and wd[i] != wd[k]:
+                    k = fail[k]
+                if wd[i] == wd[k]:
+                    k += 1
+                fail[i + 1] = k
+            return n - fail[n]
+        return s.map(per)
+
+    return words.select(word_col, _period(F.col(word_col))
+                        .alias("period"))

@@ -113,3 +113,33 @@ def test_tree_eccentricity_vs_bfs(spark):
         return max(dist.values())
 
     assert got == {v: bfs_ecc(v) for v in adj}
+
+
+def test_tree_mwis_vs_exhaustive(spark):
+    import random
+    from itertools import combinations
+
+    from bdtopo2refhydro_spark.operators.orders import tree_mwis
+
+    rng = random.Random(31)
+    erows, nrows, want = [], [], {}
+    for tid in range(5):
+        n = rng.randrange(2, 11)
+        edges = []
+        w = {v: rng.randrange(1, 20) for v in range(n)}
+        for v in range(1, n):
+            p = rng.randrange(v)
+            edges.append((v, p))
+            erows.append((f"e{tid}_{v}", tid * 100 + v, tid * 100 + p))
+        nrows += [(tid * 100 + v, w[v]) for v in range(n)]
+        best = 0
+        for k in range(n + 1):
+            for sub in combinations(range(n), k):
+                ss = set(sub)
+                if all(not (a in ss and b in ss) for a, b in edges):
+                    best = max(best, sum(w[v] for v in ss))
+        want[tid * 100] = best
+    e = spark.createDataFrame(erows, "url string, NODEA long, NODEB long")
+    nd = spark.createDataFrame(nrows, "node long, w long")
+    got = {r["root"]: r["mwis"] for r in tree_mwis(e, nd).collect()}
+    assert got == want
