@@ -15187,6 +15187,48 @@ GROUP BY w.word ORDER BY w.word
 """
 
 
+def _q_apsp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs shortest paths by min-plus matrix squaring
+    (graph.py:apsp_minplus): D ← min(D, D∘D) per round — an L-hop
+    shortest path settles in ⌈log₂ L⌉ rounds vs the oracle's
+    hop-by-hop Bellman-Ford recursion (bounded relax-walk + final
+    min). Weighted ring + chord digraph, 40 nodes, integer weights —
+    every ordered pair reachable."""
+    from bdtopo2refhydro_spark.operators.graph import apsp_minplus
+
+    mm = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 40).alias("m")).distinct())
+    ring = mm.selectExpr("cast(m as long) as u",
+                         "cast((m + 1) % 40 as long) as v",
+                         "cast(1 + m % 5 as long) as w")
+    chords = mm.where("m % 4 = 0").selectExpr(
+        "cast(m as long) as u", "cast((m + 13) % 40 as long) as v",
+        "cast(7 as long) as w")
+    return (apsp_minplus(ring.unionByName(chords))
+            .orderBy("u", "v"))
+
+
+_APSP_SQL = """
+WITH RECURSIVE mm AS (SELECT DISTINCT doc_id % 40 AS m FROM documents),
+e AS MATERIALIZED (
+  SELECT u, v, min(w) AS w FROM (
+    SELECT m AS u, (m + 1) % 40 AS v, 1 + m % 5 AS w FROM mm
+    UNION ALL
+    SELECT m AS u, (m + 13) % 40 AS v, 7 AS w FROM mm
+    WHERE m % 4 = 0) s
+  GROUP BY u, v),
+walk(u, v, d) AS (
+  SELECT u, v, w FROM e
+  UNION
+  SELECT w1.u, e.v, w1.d + e.w
+  FROM walk w1 JOIN e ON e.u = w1.v
+  WHERE w1.d + e.w <= 220 AND e.v != w1.u)
+SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+       CAST(min(d) AS BIGINT) AS dist
+FROM walk GROUP BY u, v ORDER BY u, v
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -15269,6 +15311,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 93: APSP by min-plus matrix squaring (tropical
+        # semiring, O(log) rounds).
+        "apsp_minplus": _q_apsp,
         # batch 92: max-weight independent set tree DP (2^8 subset
         # brute-force oracle) + KMP smallest period.
         "tree_mwis": _q_tree_mwis,
@@ -15833,6 +15878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "apsp_minplus": _APSP_SQL,
         "tree_mwis": _TREE_MWIS_SQL,
         "min_period": _MIN_PERIOD_SQL,
         "closure_square": _CLOSURE_SQUARE_SQL,

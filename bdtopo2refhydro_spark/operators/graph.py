@@ -1769,3 +1769,55 @@ def count_four_cycles(edges: DataFrame, *, src: str = "u",
     return codeg.agg(
         (F.sum(F.col("c") * (F.col("c") - 1) / 2) / 2)
         .cast("long").alias("n_c4"))
+
+
+def apsp_minplus(edges: DataFrame, *, src: str = "u", dst: str = "v",
+                 weight: str = "w", max_doublings: int = 40
+                 ) -> DataFrame:
+    """All-pairs shortest paths by MIN-PLUS MATRIX SQUARING — the
+    tropical-semiring sibling of transitive_closure_counts: each
+    round D ← min(D, D∘D) where (D∘D)[i,j] = min_k D[i,k] + D[k,j]
+    (one self-join + one groupBy-min), so an L-hop shortest path
+    settles in ⌈log₂ L⌉ rounds instead of L Bellman-Ford
+    relaxations. Non-negative integer weights ⟹ exact. Two-layer
+    checkpoint+cache on the self-join loop; convergence by an
+    order-free bit_xor state fingerprint (ANSI-safe, CLAUDE.md).
+    Returns (u, v, dist) for every reachable ordered pair with
+    u ≠ v (cycle-closing diagonal candidates are dropped each round —
+    with non-negative weights they can never shorten a path)."""
+    from ._ckpt import CheckpointSlots
+
+    slots = CheckpointSlots()
+    d = slots.checkpoint(
+        edges.select(F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v"),
+                     F.col(weight).cast("long").alias("w"))
+        .groupBy("u", "v").agg(F.min("w").alias("w")), "ap0")
+    cached = d.cache()
+
+    def _sig(df):
+        return df.select(
+            F.expr("bit_xor(xxhash64(u, v, w))").alias("h")).first()["h"]
+
+    sig = _sig(cached)
+    for i in range(max_doublings):
+        sq = (cached.alias("a")
+              .join(cached.select(F.col("u").alias("v"),
+                                  F.col("v").alias("t"),
+                                  F.col("w").alias("w2")).alias("b"),
+                    "v")
+              .where(F.col("u") != F.col("t"))
+              .select("u", F.col("t").alias("v"),
+                      (F.col("w") + F.col("w2")).alias("w")))
+        nxt = slots.checkpoint(
+            cached.unionByName(sq).groupBy("u", "v")
+            .agg(F.min("w").alias("w")),
+            f"ap{(i % 2) + 1}")
+        nc = nxt.cache()
+        new_sig = _sig(nc)
+        cached.unpersist()
+        cached = nc
+        if new_sig == sig:
+            break
+        sig = new_sig
+    return cached.select("u", "v", F.col("w").alias("dist"))

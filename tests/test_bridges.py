@@ -230,3 +230,42 @@ def test_transitive_closure_counts_vs_python(spark):
                     todo.append(v)
         return out
     assert got == {s: len(reach(s)) for s in adj}
+
+
+def test_apsp_minplus_vs_dijkstra(spark):
+    import heapq
+
+    from bdtopo2refhydro_spark.operators.graph import apsp_minplus
+
+    rng = random.Random(71)
+    n = 18
+    edges = {}
+    for _ in range(45):
+        a, b = rng.sample(range(n), 2)
+        w = rng.randrange(1, 10)
+        edges[(a, b)] = min(edges.get((a, b), 10 ** 9), w)
+    rows = [(a, b, w) for (a, b), w in edges.items()]
+    df = spark.createDataFrame(rows, "u long, v long, w long")
+    got = {(r["u"], r["v"]): r["dist"]
+           for r in apsp_minplus(df).collect()}
+
+    adj = {}
+    for (a, b), w in edges.items():
+        adj.setdefault(a, []).append((b, w))
+    want = {}
+    for s in range(n):
+        dist = {s: 0}
+        pq = [(0, s)]
+        while pq:
+            d, u = heapq.heappop(pq)
+            if d > dist.get(u, 10 ** 9):
+                continue
+            for v, w in adj.get(u, ()):
+                nd = d + w
+                if nd < dist.get(v, 10 ** 9):
+                    dist[v] = nd
+                    heapq.heappush(pq, (nd, v))
+        for v, d in dist.items():
+            if v != s:
+                want[(s, v)] = d
+    assert got == want
