@@ -15229,6 +15229,48 @@ FROM walk GROUP BY u, v ORDER BY u, v
 """
 
 
+def _q_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host token-bucket rate limiting
+    (temporal.py:token_bucket): cap 3, one token per 5s, discrete
+    integer-µs refill — the min(cap, ·) clamp is non-associative, so
+    the engine runs the genuine stateful scan per key (bucketed
+    applyInPandas, 64 buckets for thousands of tiny groups) and the
+    oracle replays the identical recurrence as a linear recursive
+    walk over row_number order."""
+    from bdtopo2refhydro_spark.operators.temporal import token_bucket
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "cast(user_id % 10 as long) as host",
+        "unix_micros(cast(ts as timestamp)) as t",
+        "cast(event_id as long) as event_id")
+    return token_bucket(ev).orderBy("host", "event_id")
+
+
+_TOKEN_BUCKET_SQL = """
+WITH RECURSIVE ev AS MATERIALIZED (
+  SELECT user_id % 10 AS host, epoch_us(ts) AS t, event_id,
+         row_number() OVER (PARTITION BY user_id % 10
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events),
+walk(host, rn, tok, acc) AS (
+  SELECT host, 1, 2, TRUE FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT w.host, w.rn + 1,
+         CASE WHEN least(3, w.tok + (e.t - p.t) // 5000000) >= 1
+              THEN least(3, w.tok + (e.t - p.t) // 5000000) - 1
+              ELSE least(3, w.tok + (e.t - p.t) // 5000000) END,
+         least(3, w.tok + (e.t - p.t) // 5000000) >= 1
+  FROM walk w
+  JOIN ev e ON e.host = w.host AND e.rn = w.rn + 1
+  JOIN ev p ON p.host = w.host AND p.rn = w.rn)
+SELECT CAST(e.host AS BIGINT) AS host,
+       CAST(e.event_id AS BIGINT) AS event_id,
+       w.acc AS accepted
+FROM walk w JOIN ev e ON e.host = w.host AND e.rn = w.rn
+ORDER BY host, event_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -15311,6 +15353,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 94: per-host token-bucket rate limiting (genuinely
+        # non-associative stateful scan, bucketed applyInPandas).
+        "token_bucket": _q_token_bucket,
         # batch 93: APSP by min-plus matrix squaring (tropical
         # semiring, O(log) rounds).
         "apsp_minplus": _q_apsp,
@@ -15878,6 +15923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "token_bucket": _TOKEN_BUCKET_SQL,
         "apsp_minplus": _APSP_SQL,
         "tree_mwis": _TREE_MWIS_SQL,
         "min_period": _MIN_PERIOD_SQL,

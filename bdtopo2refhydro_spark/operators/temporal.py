@@ -651,3 +651,47 @@ def rmq_sparse_table(seq: DataFrame, queries: DataFrame, *,
                .select("qid", F.least("v1", "v2").alias("mn")))
         out = res if out is None else out.unionByName(res)
     return out
+
+
+def token_bucket(events: DataFrame, *, key: str = "host",
+                 ts_us: str = "t", eid: str = "event_id",
+                 cap: int = 3, refill_us: int = 5_000_000,
+                 n_buckets: int = 64) -> DataFrame:
+    """Per-key token-bucket rate limiting — crawl politeness /
+    API-throttling semantics: each key starts FULL (cap tokens); an
+    event first refills floor(Δt / refill_us) tokens (clamped at
+    cap), then is ACCEPTED iff a token is available (consuming one).
+    The min(cap, ·) clamp makes the recurrence genuinely
+    NON-ASSOCIATIVE — no window algebra expresses it — so this is
+    the (b)-tier custom stateful operator: an Arrow-batched
+    applyInPandas scan per key, with keys hashed into n_buckets so
+    thousands of tiny groups cost ~64 UDF calls, not thousands
+    (CLAUDE.md per-group-overhead rule). All-integer microsecond
+    arithmetic ⟹ bit-deterministic. Returns
+    (key, event_id, accepted)."""
+    import pandas as pd
+
+    k, t, e = key, ts_us, eid
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for kv, g in pdf.groupby(k, sort=False):
+            g = g.sort_values([t, e])
+            tok = cap
+            prev = None
+            for tt, ee in zip(g[t], g[e]):
+                if prev is not None:
+                    tok = min(cap, tok + (tt - prev) // refill_us)
+                prev = tt
+                acc = tok >= 1
+                if acc:
+                    tok -= 1
+                out.append((kv, ee, acc))
+        return pd.DataFrame(out, columns=[k, e, "accepted"])
+
+    src = events.select(F.col(k), F.col(t), F.col(e)) \
+        .withColumn("_bk", F.pmod(F.xxhash64(F.col(k)),
+                                  F.lit(n_buckets)))
+    return (src.groupBy("_bk")
+            .applyInPandas(lambda pdf: run(pdf),
+                           f"{k} long, {e} long, accepted boolean"))
