@@ -15271,6 +15271,82 @@ ORDER BY host, event_id
 """
 
 
+def _q_lis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIS per group by PATIENCE SORTING (ml.py:lis_lengths — real
+    O(n log n) bisect-on-tails) vs the oracle's quadratic pair-DAG
+    longest-chain recursion — two unrelated algorithms, one
+    integer per group."""
+    from bdtopo2refhydro_spark.operators.ml import lis_lengths
+
+    seq = _docs(spark, sf_dir).selectExpr(
+        "cast(doc_id % 8 as long) as g",
+        "cast(doc_id div 8 as long) as i",
+        "cast((doc_id * 37) % 997 as long) as a")
+    return lis_lengths(seq).orderBy("g")
+
+
+_LIS_SQL = """
+WITH RECURSIVE seq AS MATERIALIZED (
+  SELECT doc_id % 8 AS g, doc_id // 8 AS i, (doc_id * 37) % 997 AS a
+  FROM documents),
+pairs AS MATERIALIZED (
+  SELECT s1.g, s1.i AS i, s2.i AS j
+  FROM seq s1 JOIN seq s2
+    ON s2.g = s1.g AND s2.i > s1.i AND s2.a > s1.a),
+chain(g, j, len) AS (
+  SELECT g, i, 1 FROM seq
+  UNION
+  SELECT p.g, p.j, c.len + 1
+  FROM chain c JOIN pairs p ON p.g = c.g AND p.i = c.j)
+SELECT CAST(g AS BIGINT) AS g, CAST(max(len) AS BIGINT) AS lis
+FROM chain GROUP BY g ORDER BY g
+"""
+
+
+def _q_range_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-array range updates: R inclusive [l, r] += v
+    updates collapse to 2R boundary deltas, and EVERY position's
+    final value is one inclusive prefix-SUM over the delta stream
+    with 0-weight probe rows at each position
+    (aggregate.py:prefix_scan_sum — the two-level scan, no global
+    window). Oracle: the direct per-position covering-update sum —
+    O(N·R) vs the scan's O(N + R)."""
+    from bdtopo2refhydro_spark.operators.aggregate import prefix_scan_sum
+
+    upd = _docs(spark, sf_dir).selectExpr(
+        "cast((doc_id * 3) % 300 as long) as l",
+        "cast(least((doc_id * 3) % 300 + (doc_id * 7) % 40, 299) as "
+        "long) as r",
+        "cast(doc_id % 13 - 6 as long) as v")
+    deltas = (upd.selectExpr("l as pos", "v")
+              .unionAll(upd.selectExpr("r + 1 as pos", "-v as v"))
+              .groupBy("pos").agg(F.sum("v").alias("d")))
+    probes = spark.range(0, 300).select(F.col("id").alias("pos"))
+    # one ordered stream: deltas at t = 2·pos, probes at t = 2·pos+1
+    ev = (deltas.selectExpr("pos * 2 as t", "d")
+          .unionByName(probes.selectExpr("pos * 2 + 1 as t",
+                                         "cast(0 as long) as d")))
+    scanned = prefix_scan_sum(ev, t="t", val="d", out="s")
+    return (scanned.where(F.col("t") % 2 == 1)
+            .selectExpr("cast(t div 2 as long) as pos",
+                        "cast(s as long) as val")
+            .orderBy("pos"))
+
+
+_RANGE_UPDATES_SQL = """
+WITH upd AS (
+  SELECT (doc_id * 3) % 300 AS l,
+         least((doc_id * 3) % 300 + (doc_id * 7) % 40, 299) AS r,
+         doc_id % 13 - 6 AS v
+  FROM documents)
+SELECT CAST(g.p AS BIGINT) AS pos,
+       CAST(coalesce(sum(u.v), 0) AS BIGINT) AS val
+FROM generate_series(0, 299) g(p)
+LEFT JOIN upd u ON g.p >= u.l AND g.p <= u.r
+GROUP BY g.p ORDER BY pos
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -15353,6 +15429,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 95: patience-sorting LIS + difference-array range
+        # updates through the two-level prefix-sum scan.
+        "lis_len": _q_lis,
+        "range_updates": _q_range_updates,
         # batch 94: per-host token-bucket rate limiting (genuinely
         # non-associative stateful scan, bucketed applyInPandas).
         "token_bucket": _q_token_bucket,
@@ -15923,6 +16003,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "lis_len": _LIS_SQL,
+        "range_updates": _RANGE_UPDATES_SQL,
         "token_bucket": _TOKEN_BUCKET_SQL,
         "apsp_minplus": _APSP_SQL,
         "tree_mwis": _TREE_MWIS_SQL,

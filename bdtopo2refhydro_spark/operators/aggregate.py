@@ -326,3 +326,33 @@ def irv_rounds(prefs: DataFrame, *, ballot: str = "ballot",
         loser = min(alive, key=lambda c: (counts.get(c, 0), c))
         elim.append(loser)
     return out
+
+
+def prefix_scan_sum(df, *, t: str = "t", val: str = "m",
+                    out: str = "p", num_partitions: int | None = None):
+    """Distributed inclusive prefix-SUM over rows ordered by `t` —
+    the additive sibling of graph.prefix_scan_xor, same two-level
+    shape: range-repartition, per-partition running window, one
+    ≤#partitions-row offset collect broadcast back. `t` values must
+    be unique."""
+    spark = df.sparkSession
+    k = num_partitions or spark.sparkContext.defaultParallelism
+    d = (df.repartitionByRange(k, F.col(t))
+         .withColumn("_pid", F.spark_partition_id())
+         .localCheckpoint(eager=False))
+    w = Window.partitionBy("_pid").orderBy(t) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tots = {r["_pid"]: r["_t"] for r in
+            d.groupBy("_pid").agg(F.sum(val).alias("_t")).collect()}
+    acc, offs = 0, []
+    for pid in sorted(tots):
+        offs.append((pid, acc))
+        acc += tots[pid] if tots[pid] is not None else 0
+    off_df = spark.createDataFrame(offs or [(0, 0)],
+                                   "_pid int, _off long")
+    return (d.withColumn("_run", F.sum(val).over(w))
+            .join(F.broadcast(off_df), "_pid", "left")
+            .withColumn(out, (F.col("_run")
+                              + F.coalesce("_off", F.lit(0)))
+                        .cast("long"))
+            .drop("_pid", "_run", "_off"))

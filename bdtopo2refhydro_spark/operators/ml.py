@@ -258,3 +258,32 @@ def blocked_matmul(a: DataFrame, b: DataFrame, *, block: int = 4
 
     partial = pairs.mapInPandas(mult, "i long, j long, pv long")
     return partial.groupBy("i", "j").agg(F.sum("pv").alias("v"))
+
+
+def lis_lengths(seq: DataFrame, *, g: str = "g", idx: str = "i",
+                val: str = "a") -> DataFrame:
+    """Longest strictly-increasing subsequence length per group by
+    PATIENCE SORTING (the O(n log n) bisect-on-tails algorithm — the
+    real one, not the quadratic DP the oracle uses): per-group Arrow
+    scan, sequences ordered by `idx`. Returns (g, lis)."""
+    import bisect
+
+    import pandas as pd
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for gv, grp in pdf.groupby(g, sort=False):
+            grp = grp.sort_values(idx)
+            tails: list = []
+            for a in grp[val]:
+                pos = bisect.bisect_left(tails, a)
+                if pos == len(tails):
+                    tails.append(a)
+                else:
+                    tails[pos] = a
+            out.append((gv, len(tails)))
+        return pd.DataFrame(out, columns=[g, "lis"])
+
+    return (seq.select(F.col(g), F.col(idx), F.col(val))
+            .groupBy(g)
+            .applyInPandas(lambda pdf: run(pdf), f"{g} long, lis long"))

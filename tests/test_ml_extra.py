@@ -86,3 +86,25 @@ def test_nb_train_predict_matches_fraction_argmax(spark):
         pred = 1 if n1 * p1 * (n0 + V) ** 4 > n0 * p0 * (n1 + V) ** 4 else 0
         assert s1 > s0 if pred == 1 else s1 <= s0
         assert got[pid] == (p1, p0, pred)
+
+
+def test_lis_lengths_patience_vs_dp(spark):
+    import random
+
+    from bdtopo2refhydro_spark.operators.ml import lis_lengths
+
+    rng = random.Random(57)
+    rows, want = [], {}
+    for g in range(5):
+        n = rng.randrange(1, 40)
+        seq = [rng.randrange(0, 30) for _ in range(n)]
+        rows += [(g, i, a) for i, a in enumerate(seq)]
+        dp = [1] * n
+        for j in range(n):
+            for i in range(j):
+                if seq[i] < seq[j]:
+                    dp[j] = max(dp[j], dp[i] + 1)
+        want[g] = max(dp)
+    df = spark.createDataFrame(rows, "g long, i long, a long")
+    got = {r["g"]: r["lis"] for r in lis_lengths(df).collect()}
+    assert got == want
