@@ -15347,6 +15347,84 @@ GROUP BY g.p ORDER BY pos
 """
 
 
+def _q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user: Σ v·Δt as exact integer
+    microsecond arithmetic, ONE final IEEE division (the repo's
+    bit-exact float recipe) — the time-series aggregate plain AVG
+    gets wrong whenever samples are irregular. Value derived as an
+    integer (event_id % 100); users with a single event excluded on
+    both sides."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id", "unix_micros(cast(ts as timestamp)) as t",
+        "event_id", "cast(event_id % 100 as long) as v")
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    seg = (ev.withColumn("tn", F.lead("t").over(w))
+           .where(F.col("tn").isNotNull())
+           .groupBy("user_id")
+           .agg(F.sum(F.col("v") * (F.col("tn") - F.col("t")))
+                .alias("num"),
+                (F.max("tn") - F.min("t")).alias("den")))
+    return (seg.select(F.col("user_id"),
+                       (F.col("num") / F.col("den")).alias("twap"),
+                       F.col("num"), F.col("den"))
+            .orderBy("user_id"))
+
+
+_TWAP_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id, event_id % 100 AS v
+  FROM events),
+seg AS (
+  SELECT user_id, t, v,
+         lead(t) OVER (PARTITION BY user_id
+                       ORDER BY t, event_id) AS tn
+  FROM ev),
+agg AS (
+  SELECT user_id, sum(v * (tn - t)) AS num, max(tn) - min(t) AS den
+  FROM seg WHERE tn IS NOT NULL GROUP BY user_id)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS twap,
+       CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den
+FROM agg ORDER BY user_id
+"""
+
+
+def _q_gap_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-constrained sequential pattern counts: (type₁ → type₂)
+    pairs where the second event lands within 1 h strictly after
+    the first, per user — the SPADE-style co-occurrence primitive
+    beyond adjacent transitions (event_transitions covers adjacency).
+    At 100 TB the self-join runs time-bucketed
+    (temporal.range_join_buckets); fixture-scale uses the plain
+    user equi-join + band filter with identical semantics."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id", "unix_micros(cast(ts as timestamp)) as t",
+        "event_type", "event_id")
+    a = ev.selectExpr("user_id", "t as t1", "event_type as e1",
+                      "event_id as id1")
+    b = ev.selectExpr("user_id", "t as t2", "event_type as e2",
+                      "event_id as id2")
+    pairs = (a.join(b, "user_id")
+             .where((F.col("t2") > F.col("t1"))
+                    & (F.col("t2") - F.col("t1") <= 3_600_000_000)))
+    return (pairs.groupBy("e1", "e2")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("e1", "e2"))
+
+
+_GAP_PATTERNS_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t, event_type FROM events)
+SELECT a.event_type AS e1, b.event_type AS e2,
+       CAST(count(*) AS BIGINT) AS n
+FROM ev a JOIN ev b
+  ON b.user_id = a.user_id
+ AND b.t > a.t AND b.t - a.t <= 3600000000
+GROUP BY a.event_type, b.event_type
+ORDER BY e1, e2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -15429,6 +15507,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 96: time-weighted average (single-division exact) +
+        # gap-constrained sequential pattern counts.
+        "twap": _q_twap,
+        "gap_patterns": _q_gap_patterns,
         # batch 95: patience-sorting LIS + difference-array range
         # updates through the two-level prefix-sum scan.
         "lis_len": _q_lis,
@@ -16003,6 +16085,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "twap": _TWAP_SQL,
+        "gap_patterns": _GAP_PATTERNS_SQL,
         "lis_len": _LIS_SQL,
         "range_updates": _RANGE_UPDATES_SQL,
         "token_bucket": _TOKEN_BUCKET_SQL,
