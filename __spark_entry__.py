@@ -15425,6 +15425,78 @@ ORDER BY e1, e2
 """
 
 
+def _q_knapsack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """0/1 knapsack optimum per group (ml.py:knapsack01 — the real
+    O(n·W) descending-scan DP) vs the oracle's brute force over all
+    2¹² item subsets with a bitmask weight/value fold — exponential
+    definition against pseudo-polynomial DP."""
+    from bdtopo2refhydro_spark.operators.ml import knapsack01
+
+    it = (_docs(spark, sf_dir).where("doc_id div 10 < 12")
+          .selectExpr("cast(doc_id % 10 as long) as g",
+                      "cast(1 + (doc_id * 7) % 9 as long) as wt",
+                      "cast(1 + (doc_id * 11) % 20 as long) as val"))
+    return knapsack01(it, 20).orderBy("g")
+
+
+_KNAPSACK_SQL = """
+WITH it AS MATERIALIZED (
+  SELECT doc_id % 10 AS g,
+         row_number() OVER (PARTITION BY doc_id % 10
+                            ORDER BY doc_id) - 1 AS li,
+         1 + (doc_id * 7) % 9 AS wt, 1 + (doc_id * 11) % 20 AS val
+  FROM documents WHERE doc_id // 10 < 12),
+subs AS (
+  SELECT t.g, g2.s FROM (SELECT DISTINCT g FROM it) t
+  CROSS JOIN generate_series(0, 4095) g2(s)),
+scored AS (
+  SELECT sb.g, sb.s,
+         sum(CASE WHEN ((sb.s >> it.li) & 1) = 1
+                  THEN it.wt ELSE 0 END) AS w,
+         sum(CASE WHEN ((sb.s >> it.li) & 1) = 1
+                  THEN it.val ELSE 0 END) AS v
+  FROM subs sb JOIN it ON it.g = sb.g
+  GROUP BY sb.g, sb.s)
+SELECT CAST(g AS BIGINT) AS g,
+       CAST(max(CASE WHEN w <= 20 THEN v ELSE 0 END) AS BIGINT) AS best
+FROM scored GROUP BY g ORDER BY g
+"""
+
+
+def _q_wis_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted interval scheduling optimum
+    (ml.py:weighted_interval_max — the real O(n log n) sort-by-end +
+    bisect-predecessor DP) vs the oracle's max-weight
+    compatible-chain recursion over the (s_j ≥ e_i) DAG — the
+    weighted upgrade of interval_sched's greedy count."""
+    from bdtopo2refhydro_spark.operators.ml import weighted_interval_max
+
+    iv = _docs(spark, sf_dir).selectExpr(
+        "cast(doc_id % 10 as long) as g",
+        "cast((doc_id * 37) % 500 as long) as s",
+        "cast((doc_id * 37) % 500 + 1 + (doc_id * 11) % 40 as long)"
+        " as e",
+        "cast(1 + (doc_id * 13) % 6 as long) as val")
+    return weighted_interval_max(iv).orderBy("g")
+
+
+_WIS_MAX_SQL = """
+WITH RECURSIVE iv AS MATERIALIZED (
+  SELECT doc_id % 10 AS g, (doc_id * 37) % 500 AS s,
+         (doc_id * 37) % 500 + 1 + (doc_id * 11) % 40 AS e,
+         1 + (doc_id * 13) % 6 AS v, doc_id AS iid
+  FROM documents),
+chain(g, iid, tot) AS (
+  SELECT g, iid, v FROM iv
+  UNION
+  SELECT j.g, j.iid, c.tot + j.v
+  FROM chain c JOIN iv i ON i.g = c.g AND i.iid = c.iid
+  JOIN iv j ON j.g = c.g AND j.s >= i.e)
+SELECT CAST(g AS BIGINT) AS g, CAST(max(tot) AS BIGINT) AS best
+FROM chain GROUP BY g ORDER BY g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -15507,6 +15579,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 97: two classic DPs with exponential-definition
+        # oracles — 0/1 knapsack + weighted interval scheduling.
+        "knapsack": _q_knapsack,
+        "wis_max": _q_wis_max,
         # batch 96: time-weighted average (single-division exact) +
         # gap-constrained sequential pattern counts.
         "twap": _q_twap,
@@ -16085,6 +16161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "knapsack": _KNAPSACK_SQL,
+        "wis_max": _WIS_MAX_SQL,
         "twap": _TWAP_SQL,
         "gap_patterns": _GAP_PATTERNS_SQL,
         "lis_len": _LIS_SQL,

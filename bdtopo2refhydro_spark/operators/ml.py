@@ -287,3 +287,58 @@ def lis_lengths(seq: DataFrame, *, g: str = "g", idx: str = "i",
     return (seq.select(F.col(g), F.col(idx), F.col(val))
             .groupBy(g)
             .applyInPandas(lambda pdf: run(pdf), f"{g} long, lis long"))
+
+
+def knapsack01(items: DataFrame, cap: int, *, g: str = "g",
+               wt: str = "wt", val: str = "val") -> DataFrame:
+    """0/1 knapsack optimum per group by the REAL O(n·W) DP (1-D
+    array, descending weight scan) — per-group Arrow UDF; the oracle
+    brute-forces all 2ⁿ subsets. Integer weights/values. Returns
+    (g, best)."""
+    import pandas as pd
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for gv, grp in pdf.groupby(g, sort=False):
+            dp = [0] * (cap + 1)
+            for w_, v_ in zip(grp[wt], grp[val]):
+                if w_ > cap:
+                    continue
+                for c in range(cap, w_ - 1, -1):
+                    cand = dp[c - w_] + v_
+                    if cand > dp[c]:
+                        dp[c] = cand
+            out.append((gv, dp[cap]))
+        return pd.DataFrame(out, columns=[g, "best"])
+
+    return (items.select(F.col(g), F.col(wt), F.col(val))
+            .groupBy(g)
+            .applyInPandas(lambda pdf: run(pdf), f"{g} long, best long"))
+
+
+def weighted_interval_max(iv: DataFrame, *, g: str = "g", s: str = "s",
+                          e: str = "e", val: str = "val") -> DataFrame:
+    """Weighted interval scheduling optimum per group by the REAL
+    O(n log n) DP: sort by end, dp[i] = max(dp[i−1], val_i +
+    dp[pred(i)]) with pred found by bisect on end times — vs the
+    oracle's max-weight compatible-chain recursion. Touching
+    intervals (s == e) are compatible. Returns (g, best)."""
+    import bisect
+
+    import pandas as pd
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for gv, grp in pdf.groupby(g, sort=False):
+            rows = sorted(zip(grp[e], grp[s], grp[val]))
+            ends = [r[0] for r in rows]
+            dp = [0] * (len(rows) + 1)
+            for i, (e_, s_, v_) in enumerate(rows, 1):
+                p = bisect.bisect_right(ends, s_, 0, i - 1)
+                dp[i] = max(dp[i - 1], v_ + dp[p])
+            out.append((gv, dp[len(rows)]))
+        return pd.DataFrame(out, columns=[g, "best"])
+
+    return (iv.select(F.col(g), F.col(s), F.col(e), F.col(val))
+            .groupBy(g)
+            .applyInPandas(lambda pdf: run(pdf), f"{g} long, best long"))

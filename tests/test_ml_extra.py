@@ -108,3 +108,49 @@ def test_lis_lengths_patience_vs_dp(spark):
     df = spark.createDataFrame(rows, "g long, i long, a long")
     got = {r["g"]: r["lis"] for r in lis_lengths(df).collect()}
     assert got == want
+
+
+def test_knapsack_and_wis_vs_exhaustive(spark):
+    import random
+    from itertools import combinations
+
+    from bdtopo2refhydro_spark.operators.ml import (
+        knapsack01, weighted_interval_max)
+
+    rng = random.Random(83)
+    # knapsack
+    krows, kwant = [], {}
+    cap = 15
+    for g in range(4):
+        items = [(rng.randrange(1, 8), rng.randrange(1, 15))
+                 for _ in range(rng.randrange(1, 11))]
+        krows += [(g, w, v) for w, v in items]
+        best = 0
+        for k in range(len(items) + 1):
+            for sub in combinations(items, k):
+                if sum(w for w, _ in sub) <= cap:
+                    best = max(best, sum(v for _, v in sub))
+        kwant[g] = best
+    kdf = spark.createDataFrame(krows, "g long, wt long, val long")
+    got = {r["g"]: r["best"] for r in knapsack01(kdf, cap).collect()}
+    assert got == kwant
+
+    # weighted interval scheduling
+    irows, iwant = [], {}
+    for g in range(4):
+        ivs = [(s, s + rng.randrange(1, 20), rng.randrange(1, 10))
+               for s in (rng.randrange(0, 80)
+                         for _ in range(rng.randrange(1, 12)))]
+        irows += [(g, s, e, v) for s, e, v in ivs]
+        best = 0
+        for k in range(len(ivs) + 1):
+            for sub in combinations(ivs, k):
+                ss = sorted(sub)
+                if all(ss[i][1] <= ss[i + 1][0]
+                       for i in range(len(ss) - 1)):
+                    best = max(best, sum(v for _, _, v in ss))
+        iwant[g] = best
+    idf = spark.createDataFrame(irows, "g long, s long, e long, val long")
+    got2 = {r["g"]: r["best"]
+            for r in weighted_interval_max(idf).collect()}
+    assert got2 == iwant
