@@ -15497,6 +15497,102 @@ FROM chain GROUP BY g ORDER BY g
 """
 
 
+def _q_bot_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot detection by inter-arrival REGULARITY: per user, integer
+    second gaps between consecutive events; variance numerator
+    n·Σg² − (Σg)² stays exact in BIGINT (gaps floored to seconds so
+    squares can't overflow), and the regularity flag is a pure
+    integer cross-multiplication — machine-like traffic has
+    suspiciously low gap variance. No floats anywhere."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id", "unix_micros(cast(ts as timestamp)) as t",
+        "event_id")
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    gaps = (ev.withColumn("tn", F.lead("t").over(w))
+            .where(F.col("tn").isNotNull())
+            .selectExpr("user_id",
+                        "(tn - t) div 1000000 as g"))
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("g").alias("s"),
+        F.sum(F.col("g") * F.col("g")).alias("sq"))
+    return (agg.selectExpr(
+        "user_id", "n", "s", "sq",
+        "n * sq - s * s as var_num",
+        "100 * (n * sq - s * s) < s * s as is_regular")
+        .orderBy("user_id"))
+
+
+_BOT_GAPS_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id FROM events),
+gaps AS (
+  SELECT user_id, (tn - t) // 1000000 AS g FROM (
+    SELECT user_id, t,
+           lead(t) OVER (PARTITION BY user_id
+                         ORDER BY t, event_id) AS tn
+    FROM ev) s
+  WHERE tn IS NOT NULL),
+agg AS (
+  SELECT user_id, count(*) AS n, sum(g) AS s, sum(g * g) AS sq
+  FROM gaps GROUP BY user_id)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(n AS BIGINT) AS n,
+       CAST(s AS BIGINT) AS s, CAST(sq AS BIGINT) AS sq,
+       CAST(n * sq - s * s AS BIGINT) AS var_num,
+       100 * (n * sq - s * s) < s * s AS is_regular
+FROM agg ORDER BY user_id
+"""
+
+
+def _q_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two document rankings: score =
+    1/(60+r₁) + 1/(60+r₂) with the FIXED op tree (two IEEE
+    divisions + one add — identical expression text in both
+    dialects, so bit-identical doubles), deterministic (score desc,
+    doc_id) top-20. The standard zero-training retrieval ensembling
+    primitive."""
+    d = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "cast((doc_id * 37) % 997 as long) as k1",
+        "cast((doc_id * 61) % 991 as long) as k2")
+    w1 = Window.orderBy("k1", "doc_id")
+    w2 = Window.orderBy("k2", "doc_id")
+    ranked = (d.withColumn("r1", F.row_number().over(w1))
+              .withColumn("r2", F.row_number().over(w2))
+              .selectExpr("doc_id", "cast(r1 as long) as r1",
+                          "cast(r2 as long) as r2",
+                          "cast(1 as double) / (60 + r1)"
+                          " + cast(1 as double) / (60 + r2) as score"))
+    wf = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (ranked.withColumn("rank", F.row_number().over(wf)
+                              .cast("long"))
+            .where(F.col("rank") <= 20)
+            .select("rank", "doc_id", "r1", "r2", "score"))
+
+
+_RRF_FUSE_SQL = """
+WITH d AS (
+  SELECT doc_id, (doc_id * 37) % 997 AS k1, (doc_id * 61) % 991 AS k2
+  FROM documents),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY k1, doc_id) AS r1,
+         row_number() OVER (ORDER BY k2, doc_id) AS r2
+  FROM d),
+scored AS (
+  SELECT doc_id, CAST(r1 AS BIGINT) AS r1, CAST(r2 AS BIGINT) AS r2,
+         CAST(1 AS DOUBLE) / (60 + r1)
+           + CAST(1 AS DOUBLE) / (60 + r2) AS score
+  FROM ranked)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+            AS BIGINT) AS rank,
+       doc_id, r1, r2, CAST(score AS DOUBLE) AS score
+FROM scored
+QUALIFY rank <= 20
+ORDER BY rank
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -15579,6 +15675,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 98: inter-arrival bot regularity (exact integer
+        # variance) + reciprocal-rank fusion (fixed-op-tree floats).
+        "bot_gaps": _q_bot_gaps,
+        "rrf_fuse": _q_rrf_fuse,
         # batch 97: two classic DPs with exponential-definition
         # oracles — 0/1 knapsack + weighted interval scheduling.
         "knapsack": _q_knapsack,
@@ -16161,6 +16261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bot_gaps": _BOT_GAPS_SQL,
+        "rrf_fuse": _RRF_FUSE_SQL,
         "knapsack": _KNAPSACK_SQL,
         "wis_max": _WIS_MAX_SQL,
         "twap": _TWAP_SQL,
