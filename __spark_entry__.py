@@ -15593,6 +15593,103 @@ ORDER BY rank
 """
 
 
+def _q_coord_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coordinated (consistent) sampling: the SAME multiplicative-
+    hash predicate on the join key samples orders and lineitem, so
+    join-of-samples ≡ sample-of-join (Broder coordination — the
+    property that makes cross-table sampling composable in a
+    pipeline). The flag is computed honestly from both counts, not
+    assumed; hash is (k·2654435761) mod 2³¹ < 0.3·2³¹, dialect-
+    portable integer arithmetic."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pred_o = F.expr("(o_orderkey * 2654435761) % 2147483648"
+                    " < 644245094")
+    pred_l = F.expr("(l_orderkey * 2654435761) % 2147483648"
+                    " < 644245094")
+    so = o.where(pred_o)
+    sl = l.where(pred_l)
+    n_o = so.count()
+    n_l = sl.count()
+    n_join = so.join(sl, F.col("o_orderkey") == F.col("l_orderkey")) \
+        .count()
+    n_filter_join = (o.join(l, F.col("o_orderkey")
+                            == F.col("l_orderkey"))
+                     .where(pred_o).count())
+    return spark.createDataFrame(
+        [(n_o, n_l, n_join, n_join == n_filter_join)],
+        "n_o long, n_l long, n_join long, coordinated boolean")
+
+
+_COORD_SAMPLE_SQL = """
+WITH so AS (SELECT * FROM orders
+            WHERE (o_orderkey * 2654435761) % 2147483648 < 644245094),
+sl AS (SELECT * FROM lineitem
+       WHERE (l_orderkey * 2654435761) % 2147483648 < 644245094),
+j1 AS (SELECT count(*) AS n FROM so JOIN sl
+       ON sl.l_orderkey = so.o_orderkey),
+j2 AS (SELECT count(*) AS n FROM orders o JOIN lineitem l
+       ON l.l_orderkey = o.o_orderkey
+       WHERE (o.o_orderkey * 2654435761) % 2147483648 < 644245094)
+SELECT CAST((SELECT count(*) FROM so) AS BIGINT) AS n_o,
+       CAST((SELECT count(*) FROM sl) AS BIGINT) AS n_l,
+       CAST(j1.n AS BIGINT) AS n_join,
+       j1.n = j2.n AS coordinated
+FROM j1, j2
+"""
+
+
+def _q_mad_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group, EXACT discrete ranks
+    (k = (n+1) div 2 on (value, doc_id) order — no interpolation, so
+    integers stay integers): median pass, then the same rank
+    arithmetic over |x − median|. The robust-statistics gate
+    quantile_gates' machinery, composed twice."""
+    d = _docs(spark, sf_dir).selectExpr(
+        "cast(doc_id % 7 as long) as g", "doc_id",
+        "cast((doc_id * 31) % 501 as long) as x")
+    w = Window.partitionBy("g").orderBy("x", "doc_id")
+    med = (d.withColumn("rn", F.row_number().over(w))
+           .withColumn("n", F.count(F.lit(1))
+                       .over(Window.partitionBy("g")))
+           .where(F.col("rn") == F.expr("(n + 1) div 2"))
+           .select("g", F.col("x").alias("med")))
+    dev = (d.join(med, "g")
+           .selectExpr("g", "doc_id", "abs(x - med) as ad", "med"))
+    w2 = Window.partitionBy("g").orderBy("ad", "doc_id")
+    mad = (dev.withColumn("rn", F.row_number().over(w2))
+           .withColumn("n", F.count(F.lit(1))
+                       .over(Window.partitionBy("g")))
+           .where(F.col("rn") == F.expr("(n + 1) div 2"))
+           .select("g", "med", F.col("ad").alias("mad")))
+    return mad.orderBy("g")
+
+
+_MAD_GROUPS_SQL = """
+WITH d AS (
+  SELECT doc_id % 7 AS g, doc_id, (doc_id * 31) % 501 AS x
+  FROM documents),
+med AS (
+  SELECT g, x AS med FROM (
+    SELECT g, x,
+           row_number() OVER (PARTITION BY g ORDER BY x, doc_id) AS rn,
+           count(*) OVER (PARTITION BY g) AS n
+    FROM d) s
+  WHERE rn = (n + 1) // 2),
+dev AS (
+  SELECT d.g, d.doc_id, abs(d.x - m.med) AS ad, m.med
+  FROM d JOIN med m ON m.g = d.g)
+SELECT g, CAST(med AS BIGINT) AS med, CAST(ad AS BIGINT) AS mad
+FROM (
+  SELECT g, med, ad,
+         row_number() OVER (PARTITION BY g ORDER BY ad, doc_id) AS rn,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM dev) s
+WHERE rn = (n + 1) // 2
+ORDER BY g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -15675,6 +15772,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 99: coordinated hash sampling (join-of-samples ≡
+        # sample-of-join) + exact discrete MAD.
+        "coord_sample": _q_coord_sample,
+        "mad_groups": _q_mad_groups,
         # batch 98: inter-arrival bot regularity (exact integer
         # variance) + reciprocal-rank fusion (fixed-op-tree floats).
         "bot_gaps": _q_bot_gaps,
@@ -16261,6 +16362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "coord_sample": _COORD_SAMPLE_SQL,
+        "mad_groups": _MAD_GROUPS_SQL,
         "bot_gaps": _BOT_GAPS_SQL,
         "rrf_fuse": _RRF_FUSE_SQL,
         "knapsack": _KNAPSACK_SQL,
