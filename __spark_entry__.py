@@ -15690,6 +15690,36 @@ ORDER BY g
 """
 
 
+def _q_format_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-formatting surface parity: Spark format_string ≡
+    DuckDB printf (%05d / %s / %x), plus lpad/rpad (incl.
+    truncation when the input exceeds the pad length), translate,
+    repeat, reverse — the report-layer functions a migrating user
+    hits immediately."""
+    return _docs(spark, sf_dir).where("doc_id % 3 = 0").selectExpr(
+        "doc_id",
+        "format_string('id-%05d-%s', doc_id, lang) as fmt",
+        "format_string('%x', doc_id * 255) as hexs",
+        "lpad(lang, 8, '.') as lp",
+        "rpad(lang, 2, '*') as rp",
+        "translate(source, 'aeiou', '12345') as tr",
+        "repeat(lang, cast(doc_id % 4 as int)) as rep",
+        "reverse(source) as rev").orderBy("doc_id")
+
+
+_FORMAT_FUNCS_SQL = """
+SELECT doc_id,
+       printf('id-%05d-%s', doc_id, lang) AS fmt,
+       printf('%x', doc_id * 255) AS hexs,
+       lpad(lang, 8, '.') AS lp,
+       rpad(lang, 2, '*') AS rp,
+       translate(source, 'aeiou', '12345') AS tr,
+       repeat(lang, CAST(doc_id % 4 AS INTEGER)) AS rep,
+       reverse(source) AS rev
+FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -15772,6 +15802,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 100: string-formatting surface (format_string ≡
+        # printf, pads, translate, repeat, reverse).
+        "format_funcs": _q_format_funcs,
         # batch 99: coordinated hash sampling (join-of-samples ≡
         # sample-of-join) + exact discrete MAD.
         "coord_sample": _q_coord_sample,
@@ -16362,6 +16395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "format_funcs": _FORMAT_FUNCS_SQL,
         "coord_sample": _COORD_SAMPLE_SQL,
         "mad_groups": _MAD_GROUPS_SQL,
         "bot_gaps": _BOT_GAPS_SQL,
