@@ -15720,6 +15720,74 @@ FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id
 """
 
 
+def _q_stream_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bucket rate limiting as cross-batch STATEFUL STREAMING
+    (streaming/stateful.py:stream_token_bucket,
+    applyInPandasWithState): per-key (tokens, last_t) state carried
+    between micro-batches, same clamped integer recurrence as the
+    batch token_bucket — so the availableNow drain equals the SQL
+    recursive walk bit-for-bit. Multi-batch state carry pinned in
+    pytest with time-sorted file splits."""
+    from bdtopo2refhydro_spark.streaming.stateful import \
+        stream_token_bucket
+
+    return stream_token_bucket(
+        spark, f"{sf_dir}/events.parquet",
+        select_exprs=["cast(user_id % 10 as long) as host",
+                      "unix_micros(cast(ts as timestamp)) as t",
+                      "cast(event_id as long) as event_id"],
+        query_name="stream_bucket_docs").orderBy("host", "event_id")
+
+
+def _q_sorted_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking — the OTHER classic candidate
+    generator for entity resolution (vs LSH bands and key stars):
+    records sorted by a blocking key, candidates = pairs within
+    window 3 of the sorted position (dense_index — the two-level
+    scan, not a global window), then a cheap verify (same name
+    modulus). Output = per-distance candidate/match counts, the
+    blocking-quality curve."""
+    from bdtopo2refhydro_spark.operators.aggregate import dense_index
+
+    recs = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "concat(cast((doc_id * 17) % 100 as string), '-', "
+        "cast(doc_id as string)) as bkey",
+        "cast(doc_id % 37 as long) as name_k")
+    idx = dense_index(recs, "bkey", out="pos")
+    a = idx.selectExpr("pos as p1", "doc_id as id1",
+                       "name_k as n1")
+    b = idx.selectExpr("pos as p2", "doc_id as id2",
+                       "name_k as n2")
+    pairs = (a.join(b, (F.col("p2") > F.col("p1"))
+                    & (F.col("p2") - F.col("p1") <= 3)))
+    return (pairs.groupBy((F.col("p2") - F.col("p1")).alias("dist"))
+            .agg(F.count(F.lit(1)).alias("n_cand"),
+                 F.sum(F.when(F.col("n1") == F.col("n2"), 1)
+                       .otherwise(0)).alias("n_match"))
+            .orderBy("dist"))
+
+
+_SORTED_BLOCKING_SQL = """
+WITH recs AS (
+  SELECT doc_id,
+         CAST((doc_id * 17) % 100 AS VARCHAR) || '-'
+           || CAST(doc_id AS VARCHAR) AS bkey,
+         doc_id % 37 AS name_k
+  FROM documents),
+idx AS (
+  SELECT doc_id, name_k,
+         row_number() OVER (ORDER BY bkey) - 1 AS pos
+  FROM recs)
+SELECT CAST(b.pos - a.pos AS BIGINT) AS dist,
+       CAST(count(*) AS BIGINT) AS n_cand,
+       CAST(sum(CASE WHEN a.name_k = b.name_k THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_match
+FROM idx a JOIN idx b ON b.pos > a.pos AND b.pos - a.pos <= 3
+GROUP BY b.pos - a.pos ORDER BY dist
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -15802,6 +15870,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 101: streaming stateful token bucket (cross-batch
+        # state carry) + sorted-neighborhood ER blocking.
+        "stream_bucket": _q_stream_bucket,
+        "sorted_blocking": _q_sorted_blocking,
         # batch 100: string-formatting surface (format_string ≡
         # printf, pads, translate, repeat, reverse).
         "format_funcs": _q_format_funcs,
@@ -16395,6 +16467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "stream_bucket": _TOKEN_BUCKET_SQL,
+        "sorted_blocking": _SORTED_BLOCKING_SQL,
         "format_funcs": _FORMAT_FUNCS_SQL,
         "coord_sample": _COORD_SAMPLE_SQL,
         "mad_groups": _MAD_GROUPS_SQL,

@@ -410,3 +410,56 @@ def stream_source_fingerprint(spark: SparkSession, path: str, *,
                        f"{1 << 61})").alias("xmix"),
                 F.sum(mix % F.lit(1000003)).alias("smix")))
     return _drain_to_memory(agg, query_name, "complete")
+
+
+def stream_token_bucket(spark: SparkSession, path: str, *,
+                        key: str = "host", ts_us: str = "t",
+                        eid: str = "event_id", cap: int = 3,
+                        refill_us: int = 5_000_000,
+                        files_per_trigger: int | None = None,
+                        select_exprs: list | None = None,
+                        query_name: str = "stream_bucket") -> DataFrame:
+    """Token-bucket rate limiting as CROSS-BATCH stateful streaming:
+    the per-key state cell carries (tokens, last_t) between
+    micro-batches, each batch's rows are replayed in (t, event_id)
+    order inside the UDF, and the recurrence is the same clamped
+    integer refill as temporal.token_bucket — so when micro-batches
+    respect event-time order per key (one file, or time-sorted file
+    splits), the streamed decisions equal the batch operator's
+    bit-for-bit, which is what the oracle and the cross-batch pytest
+    assert. Returns (key, event_id, accepted)."""
+    import pandas as pd
+
+    schema = spark.read.parquet(path).schema
+    src = _stream_reader(spark, path, schema, files_per_trigger)
+    if select_exprs:
+        src = src.selectExpr(*select_exprs)
+
+    def _bucket(key_tuple, pdf_iter, state: GroupState):
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        rows = rows.sort_values([ts_us, eid])
+        if state.exists:
+            tok, prev = state.get
+        else:
+            tok, prev = cap, None
+        out = []
+        for tt, ee in zip(rows[ts_us], rows[eid]):
+            if prev is not None:
+                tok = min(cap, tok + (int(tt) - prev) // refill_us)
+            prev = int(tt)
+            acc = tok >= 1
+            if acc:
+                tok -= 1
+            out.append((key_tuple[0], ee, acc))
+        state.update((int(tok), int(prev)))
+        return iter((pd.DataFrame(
+            out, columns=[key, eid, "accepted"]),))
+
+    out = src.groupBy(key).applyInPandasWithState(
+        _bucket,
+        outputStructType=f"{key} long, {eid} long, accepted boolean",
+        stateStructType="tok long, prev long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _drain_to_memory(out, query_name, "append")

@@ -447,3 +447,55 @@ def test_stream_fingerprint_cross_batch_equals_batch(spark, tmp_path):
                  .alias("xmix"),
                  F.sum(mix % 1000003).alias("smix")).collect()}
     assert got_rows == want
+
+
+def test_stream_token_bucket_cross_batch_state_carry(spark, tmp_path):
+    """Time-sorted 3-file split + maxFilesPerTrigger=1: the (tokens,
+    last_t) state must carry across micro-batches so the streamed
+    decisions equal the batch operator's."""
+    from bdtopo2refhydro_spark.operators.temporal import token_bucket
+    from bdtopo2refhydro_spark.streaming.stateful import \
+        stream_token_bucket
+
+    S = 5_000_000
+    rows = []
+    eid = 0
+    for host in range(3):
+        t = 0
+        for _ in range(30):
+            t += (eid * 7919) % (3 * S)
+            rows.append((host, t, eid))
+            eid += 1
+    df = spark.createDataFrame(rows, "host long, t long, event_id long")
+    src_dir = str(tmp_path / "bucket_src")
+    # one file per time tercile, preserving per-key event-time order
+    # across batches
+    n = len(rows)
+    ordered = sorted(rows, key=lambda r: (r[1], r[2]))
+    cut1, cut2 = ordered[n // 3][1], ordered[2 * n // 3][1]
+    df.where(F.col("t") < cut1).coalesce(1).write.parquet(
+        src_dir + "/f1")
+    df.where((F.col("t") >= cut1) & (F.col("t") < cut2)) \
+        .coalesce(1).write.parquet(src_dir + "/f2")
+    df.where(F.col("t") >= cut2).coalesce(1).write.parquet(
+        src_dir + "/f3")
+    import glob
+    import os
+    import shutil
+    import time as _time
+    base_t = _time.time() - 100
+    for i, f in enumerate(sorted(glob.glob(src_dir + "/f*/part-*"))):
+        dst = f"{src_dir}/{i:02d}.parquet"
+        shutil.copy(f, dst)
+        # FileStreamSource orders by modification time: pin it ascending
+        os.utime(dst, (base_t + i * 10, base_t + i * 10))
+    for d in glob.glob(src_dir + "/f[123]"):
+        shutil.rmtree(d)
+
+    got = {(r["host"], r["event_id"]): r["accepted"]
+           for r in stream_token_bucket(
+               spark, src_dir, files_per_trigger=1,
+               query_name="stream_bucket_test").collect()}
+    want = {(r["host"], r["event_id"]): r["accepted"]
+            for r in token_bucket(df).collect()}
+    assert got == want and len(got) == len(rows)
