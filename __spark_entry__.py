@@ -15788,6 +15788,88 @@ GROUP BY b.pos - a.pos ORDER BY dist
 """
 
 
+def _q_det_bareiss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer determinants (ml.py:det_bareiss — fraction-free
+    Bareiss elimination with sign-tracking pivoting): the fixture
+    builds A = L·U from formula-defined unit-lower L and upper U
+    (diag ∈ {−2,−1,1,2}), so det(A) = Π diag(U) is CLOSED FORM for
+    the oracle while the engine runs genuine elimination on the
+    dense product matrix."""
+    from bdtopo2refhydro_spark.operators.ml import det_bareiss
+
+    gg = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 12).alias("g")).distinct())
+    cells = (gg.select(
+        "g",
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("i"))
+        .select("g", "i",
+                F.explode(F.sequence(F.lit(0), F.lit(4))).alias("j"))
+        .select("g", "i", "j",
+                F.explode(F.sequence(F.lit(0), F.lit(4))).alias("k"))
+        .where("k <= least(i, j)")
+        .selectExpr(
+            "g", "i", "j",
+            # L[i,k]: unit diag, formula below; U[k,j]: diag from the
+            # ±{1,2} table, formula above
+            "(case when k = i then 1 "
+            " else (g * 7 + i * 3 + k) % 5 - 2 end) * "
+            "(case when k = j then "
+            "  (case (g + k) % 4 when 0 then 1 when 1 then -1 "
+            "   when 2 then 2 else -2 end) "
+            " else (g * 11 + k * 2 + j) % 7 - 3 end) as term")
+        .groupBy("g", "i", "j")
+        .agg(F.sum("term").alias("v"))
+        .selectExpr("cast(g as long) as g", "cast(i as long) as i",
+                    "cast(j as long) as j", "cast(v as long) as v"))
+    return det_bareiss(cells, 5).orderBy("g")
+
+
+_DET_BAREISS_SQL = """
+WITH gg AS (SELECT DISTINCT doc_id % 12 AS g FROM documents),
+ks AS (SELECT g, k.x AS k FROM gg
+       CROSS JOIN generate_series(0, 4) k(x))
+SELECT CAST(g AS BIGINT) AS g,
+       CAST(product(CASE (g + k) % 4 WHEN 0 THEN 1 WHEN 1 THEN -1
+                    WHEN 2 THEN 2 ELSE -2 END) AS BIGINT) AS det
+FROM ks GROUP BY g ORDER BY g
+"""
+
+
+def _q_anagrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anagram classes over the synthesized vocabulary: signature =
+    characters sorted and re-concatenated (JVM
+    transform+array_sort on the Spark side, char-explode +
+    string_agg ORDER BY on the DuckDB side — two different
+    mechanisms, same canonical form); classes with ≥2 members."""
+    words = (_docs(spark, sf_dir)
+             .select((F.col("doc_id") % 200).alias("m")).distinct()
+             .selectExpr(f"{_UNI_WORD} as word").distinct())
+    sig = words.selectExpr(
+        "word",
+        "concat_ws('', array_sort(transform(sequence(1, length(word)),"
+        " i -> substring(word, i, 1)))) as sig")
+    return (sig.groupBy("sig")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("word").alias("first_word"))
+            .where("n >= 2")
+            .orderBy("sig"))
+
+
+_ANAGRAMS_SQL = f"""
+WITH mm AS (SELECT DISTINCT doc_id % 200 AS m FROM documents),
+words AS MATERIALIZED (SELECT DISTINCT {_UNI_WORD_D} AS word FROM mm),
+chars AS (
+  SELECT word, substr(word, CAST(t.i AS INT), 1) AS ch, t.i
+  FROM words, UNNEST(range(1, len(word) + 1)) t(i)),
+sigs AS (
+  SELECT word, string_agg(ch, '' ORDER BY ch, i) AS sig
+  FROM chars GROUP BY word)
+SELECT sig, CAST(count(*) AS BIGINT) AS n, min(word) AS first_word
+FROM sigs GROUP BY sig HAVING count(*) >= 2
+ORDER BY sig
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -15870,6 +15952,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 102: exact Bareiss determinants (closed-form LU
+        # oracle) + anagram canonical classes.
+        "det_bareiss": _q_det_bareiss,
+        "anagrams": _q_anagrams,
         # batch 101: streaming stateful token bucket (cross-batch
         # state carry) + sorted-neighborhood ER blocking.
         "stream_bucket": _q_stream_bucket,
@@ -16467,6 +16553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "det_bareiss": _DET_BAREISS_SQL,
+        "anagrams": _ANAGRAMS_SQL,
         "stream_bucket": _TOKEN_BUCKET_SQL,
         "sorted_blocking": _SORTED_BLOCKING_SQL,
         "format_funcs": _FORMAT_FUNCS_SQL,

@@ -154,3 +154,30 @@ def test_knapsack_and_wis_vs_exhaustive(spark):
     got2 = {r["g"]: r["best"]
             for r in weighted_interval_max(idf).collect()}
     assert got2 == iwant
+
+
+def test_det_bareiss_vs_numpy_and_singular(spark):
+    import random
+
+    import numpy as np
+
+    from bdtopo2refhydro_spark.operators.ml import det_bareiss
+
+    rng = random.Random(91)
+    rows, want = [], {}
+    n = 4
+    for g in range(8):
+        if g == 7:
+            # planted singular matrix: row 2 = row 0 + row 1
+            M = np.array([[1, 2, 3, 4], [5, 6, 7, 8],
+                          [6, 8, 10, 12], [1, 0, 0, 2]])
+        else:
+            M = np.array([[rng.randrange(-5, 6) for _ in range(n)]
+                          for _ in range(n)])
+        rows += [(g, i, j, int(M[i, j]))
+                 for i in range(n) for j in range(n)]
+        want[g] = int(round(np.linalg.det(M)))
+    df = spark.createDataFrame(rows, "g long, i long, j long, v long")
+    got = {r["g"]: r["det"] for r in det_bareiss(df, n).collect()}
+    assert got == want
+    assert want[7] == 0
