@@ -15870,6 +15870,90 @@ ORDER BY sig
 """
 
 
+def _q_inversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inversion counts per group (ml.py:inversion_counts — real
+    merge-sort divide-and-conquer) vs the oracle's O(n²) ordered
+    pair join — the permutation-disorder statistic behind Kendall's
+    tau."""
+    from bdtopo2refhydro_spark.operators.ml import inversion_counts
+
+    seq = _docs(spark, sf_dir).selectExpr(
+        "cast(doc_id % 8 as long) as g",
+        "cast(doc_id div 8 as long) as i",
+        "cast((doc_id * 53) % 997 as long) as a")
+    return inversion_counts(seq).orderBy("g")
+
+
+_INVERSIONS_SQL = """
+WITH seq AS (
+  SELECT doc_id % 8 AS g, doc_id // 8 AS i, (doc_id * 53) % 997 AS a
+  FROM documents)
+SELECT CAST(s1.g AS BIGINT) AS g, CAST(count(*) AS BIGINT) AS inv
+FROM seq s1 JOIN seq s2
+  ON s2.g = s1.g AND s2.i > s1.i AND s2.a < s1.a
+GROUP BY s1.g ORDER BY g
+"""
+
+
+def _q_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT sign test per group — the nonparametric A/B decision
+    with NO floats anywhere: zeros discarded, test statistic m =
+    min(#pos, #neg), tail mass Σ_{k≤m} C(n,k) as exact integers
+    (math.comb engine-side, a Pascal product-recursion CTE
+    oracle-side — two mechanisms), and the α=0.05 two-sided decision
+    is the integer cross-multiplication 100·2·tail ≤ 5·2ⁿ."""
+    agg = (_docs(spark, sf_dir).where("doc_id < 300")
+           .selectExpr("cast(doc_id % 6 as long) as g",
+                       "cast((doc_id * 29) % 21 - 10 as long) as d")
+           .groupBy("g")
+           .agg(F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+                .alias("np"),
+                F.sum(F.when(F.col("d") < 0, 1).otherwise(0))
+                .alias("nn")))
+    import math
+
+    rows = []
+    for r in agg.collect():
+        n = int(r["np"] + r["nn"])
+        m = int(min(r["np"], r["nn"]))
+        tail = sum(math.comb(n, k) for k in range(m + 1))
+        reject = 100 * 2 * tail <= 5 * (1 << n)
+        rows.append((int(r["g"]), int(r["np"]), int(r["nn"]),
+                     tail, reject))
+    return (spark.createDataFrame(
+        rows, "g long, n_pos long, n_neg long, tail long, "
+        "reject boolean").orderBy("g"))
+
+
+_SIGN_TEST_SQL = """
+WITH RECURSIVE d AS (
+  SELECT doc_id % 6 AS g, (doc_id * 29) % 21 - 10 AS d FROM documents
+  WHERE doc_id < 300),
+agg AS MATERIALIZED (
+  SELECT g, sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS np,
+         sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS nn
+  FROM d GROUP BY g),
+pas(g, k, c, s) AS (
+  SELECT g, 0, CAST(1 AS HUGEINT), CAST(1 AS HUGEINT) FROM agg
+  UNION ALL
+  SELECT p.g, p.k + 1,
+         p.c * (a.np + a.nn - p.k) // (p.k + 1),
+         p.s + p.c * (a.np + a.nn - p.k) // (p.k + 1)
+  FROM pas p JOIN agg a ON a.g = p.g
+  WHERE p.k + 1 <= least(a.np, a.nn))
+SELECT CAST(a.g AS BIGINT) AS g, CAST(a.np AS BIGINT) AS n_pos,
+       CAST(a.nn AS BIGINT) AS n_neg,
+       CAST(t.s AS BIGINT) AS tail,
+       100 * 2 * t.s <= 5 * (CAST(1 AS HUGEINT)
+                             << CAST(a.np + a.nn AS INTEGER)) AS reject
+FROM agg a JOIN (
+  SELECT g, s FROM pas p
+  WHERE k = (SELECT least(np, nn) FROM agg a2 WHERE a2.g = p.g)) t
+  ON t.g = a.g
+ORDER BY g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -15952,6 +16036,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 103: merge-sort inversion counts + exact integer
+        # sign test (binomial tails, no floats).
+        "inversions": _q_inversions,
+        "sign_test": _q_sign_test,
         # batch 102: exact Bareiss determinants (closed-form LU
         # oracle) + anagram canonical classes.
         "det_bareiss": _q_det_bareiss,
@@ -16553,6 +16641,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "inversions": _INVERSIONS_SQL,
+        "sign_test": _SIGN_TEST_SQL,
         "det_bareiss": _DET_BAREISS_SQL,
         "anagrams": _ANAGRAMS_SQL,
         "stream_bucket": _TOKEN_BUCKET_SQL,

@@ -386,3 +386,42 @@ def det_bareiss(cells: DataFrame, n: int, *, g: str = "g",
     return (cells.select(F.col(g), F.col(i), F.col(j), F.col(v))
             .groupBy(g)
             .applyInPandas(lambda pdf: run(pdf), f"{g} long, det long"))
+
+
+def inversion_counts(seq: DataFrame, *, g: str = "g", idx: str = "i",
+                     val: str = "a") -> DataFrame:
+    """Inversion count per group by MERGE-SORT counting (the real
+    O(n log n) divide-and-conquer — cross-inversions tallied during
+    each merge) vs the oracle's O(n²) pair join. Returns (g, inv)."""
+    import pandas as pd
+
+    def count(arr):
+        if len(arr) <= 1:
+            return arr, 0
+        mid = len(arr) // 2
+        l, il = count(arr[:mid])
+        r, ir = count(arr[mid:])
+        out, inv, i2, j2 = [], il + ir, 0, 0
+        while i2 < len(l) and j2 < len(r):
+            if l[i2] <= r[j2]:
+                out.append(l[i2])
+                i2 += 1
+            else:
+                out.append(r[j2])
+                j2 += 1
+                inv += len(l) - i2
+        out.extend(l[i2:])
+        out.extend(r[j2:])
+        return out, inv
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for gv, grp in pdf.groupby(g, sort=False):
+            arr = list(grp.sort_values(idx)[val])
+            _, inv = count(arr)
+            out.append((gv, inv))
+        return pd.DataFrame(out, columns=[g, "inv"])
+
+    return (seq.select(F.col(g), F.col(idx), F.col(val))
+            .groupBy(g)
+            .applyInPandas(lambda pdf: run(pdf), f"{g} long, inv long"))

@@ -181,3 +181,21 @@ def test_det_bareiss_vs_numpy_and_singular(spark):
     got = {r["g"]: r["det"] for r in det_bareiss(df, n).collect()}
     assert got == want
     assert want[7] == 0
+
+
+def test_inversion_counts_vs_pairs(spark):
+    import random
+
+    from bdtopo2refhydro_spark.operators.ml import inversion_counts
+
+    rng = random.Random(97)
+    rows, want = [], {}
+    for g in range(5):
+        seq = [rng.randrange(0, 50) for _ in range(rng.randrange(1, 60))]
+        rows += [(g, i, a) for i, a in enumerate(seq)]
+        want[g] = sum(1 for i in range(len(seq))
+                      for j in range(i + 1, len(seq))
+                      if seq[i] > seq[j])
+    df = spark.createDataFrame(rows, "g long, i long, a long")
+    got = {r["g"]: r["inv"] for r in inversion_counts(df).collect()}
+    assert got == want
