@@ -1821,3 +1821,53 @@ def apsp_minplus(edges: DataFrame, *, src: str = "u", dst: str = "v",
             break
         sig = new_sig
     return cached.select("u", "v", F.col("w").alias("dist"))
+
+
+def bom_rollup(edges: DataFrame, *, src: str = "u", dst: str = "v",
+               mult: str = "m", max_rounds: int = 64) -> DataFrame:
+    """Bill-of-materials explosion over a DAG: total quantity of each
+    reachable part per ROOT (a node with no incoming edge) =
+    Σ over paths Π edge multiplicities — the classic recursive-CTE
+    demo, distributed as topo-frontier rounds: amounts start at
+    (root, root, 1) and each round one join propagates
+    amt·m along every edge, accumulating per (root, part). Rounds =
+    DAG depth; joins hit the FIXED edge frame (linear growth,
+    checkpoints only). All-integer. Returns (root, part, qty) for
+    every reachable part (roots themselves excluded)."""
+    from ._ckpt import CheckpointSlots
+
+    slots = CheckpointSlots()
+    e = (edges.select(F.col(src).cast("long").alias("u"),
+                      F.col(dst).cast("long").alias("v"),
+                      F.col(mult).cast("long").alias("m"))
+         .localCheckpoint(eager=False))
+    roots = (e.select(F.col("u").alias("node")).distinct()
+             .join(e.select(F.col("v").alias("node")).distinct(),
+                   "node", "left_anti"))
+    frontier = slots.checkpoint(
+        roots.select(F.col("node").alias("root"),
+                     F.col("node").alias("part"),
+                     F.lit(1).cast("long").alias("qty")), "fr")
+    total = None
+    for i in range(max_rounds):
+        stepped = (frontier
+                   .join(e.withColumnRenamed("u", "part"), "part")
+                   .groupBy("root", F.col("v").alias("part"))
+                   .agg(F.sum(F.col("qty") * F.col("m")).alias("qty")))
+        # each round gets its OWN checkpoint: `total` keeps references
+        # to every previous round, so slot reuse would free blocks a
+        # live frame still needs (CLAUDE.md overwrite-while-referenced
+        # trap). Depth-bounded rounds -> bounded leak, freed with the
+        # session's release_all_persistent.
+        stepped = stepped.localCheckpoint(eager=False)
+        if not stepped.take(1):
+            break
+        total = stepped if total is None else \
+            total.unionByName(stepped)
+        frontier = stepped
+    if total is None:
+        return frontier.limit(0)
+    # a part reachable at several depths contributes per-depth partial
+    # sums: fold them
+    return (total.groupBy("root", "part")
+            .agg(F.sum("qty").alias("qty")))

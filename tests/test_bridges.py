@@ -269,3 +269,18 @@ def test_apsp_minplus_vs_dijkstra(spark):
             if v != s:
                 want[(s, v)] = d
     assert got == want
+
+
+def test_bom_rollup_vs_python_paths(spark):
+    from bdtopo2refhydro_spark.operators.graph import bom_rollup
+
+    # diamond with multiplicities + a second root
+    edges = [(0, 1, 2), (0, 2, 3), (1, 3, 4), (2, 3, 5), (3, 4, 1),
+             (10, 3, 7)]
+    df = spark.createDataFrame(edges, "u long, v long, m long")
+    got = {(r["root"], r["part"]): r["qty"]
+           for r in bom_rollup(df).collect()}
+    # root 0: part1=2, part2=3, part3=2*4+3*5=23, part4=23
+    # root 10: part3=7, part4=7
+    assert got == {(0, 1): 2, (0, 2): 3, (0, 3): 23, (0, 4): 23,
+                   (10, 3): 7, (10, 4): 7}
