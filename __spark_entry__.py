@@ -16042,6 +16042,120 @@ FROM ranked WHERE rnk <= 3 ORDER BY prefix, rnk
 """
 
 
+def _q_huffman_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal prefix-code cost (ml.py:huffman_cost — the real
+    heap-merge Huffman) vs an independent characterization: minimum
+    over ALL Kraft-tight depth multisets of 6 leaves (exactly 5
+    exist, enumerated from full binary trees at code-generation
+    time) with the rearrangement-optimal pairing (largest freq ↔
+    smallest depth)."""
+    from bdtopo2refhydro_spark.operators.ml import huffman_cost
+
+    fr = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 20).alias("g")).distinct()
+          .select("g", F.explode(F.sequence(F.lit(0), F.lit(5)))
+                  .alias("s"))
+          .selectExpr("cast(g as long) as g",
+                      "cast(1 + (g * 7 + s * 13) % 40 as long) as f"))
+    return huffman_cost(fr).orderBy("g")
+
+
+def _huffman_sql() -> str:
+    # all Kraft-tight depth multisets for 6 leaves (full binary
+    # trees), sorted ascending; slot i pairs with the i-th largest
+    # frequency (rearrangement optimality within a multiset)
+    cands = [(1, 2, 3, 4, 5, 5), (1, 2, 4, 4, 4, 4),
+             (1, 3, 3, 3, 4, 4), (2, 2, 2, 3, 4, 4),
+             (2, 2, 3, 3, 3, 3)]
+    vals = ", ".join(f"({ci}, {slot}, {d})"
+                     for ci, ms in enumerate(cands)
+                     for slot, d in enumerate(ms))
+    return f"""
+WITH gg AS (SELECT DISTINCT doc_id % 20 AS g FROM documents),
+fr AS (
+  SELECT g, s.x AS s, 1 + (g * 7 + s.x * 13) % 40 AS f
+  FROM gg CROSS JOIN generate_series(0, 5) s(x)),
+ranked AS (
+  SELECT g, f,
+         row_number() OVER (PARTITION BY g
+                            ORDER BY f DESC, s) - 1 AS slot
+  FROM fr),
+cand(cid, slot, d) AS (VALUES {vals}),
+costs AS (
+  SELECT r.g, c.cid, sum(r.f * c.d) AS cost
+  FROM ranked r JOIN cand c ON c.slot = r.slot
+  GROUP BY r.g, c.cid)
+SELECT CAST(g AS BIGINT) AS g, CAST(min(cost) AS BIGINT) AS cost
+FROM costs GROUP BY g ORDER BY g
+"""
+
+
+def _q_horn_sat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horn-clause forward chaining (graph.py:horn_closure): chain
+    rules i∧helper → i+1 with one helper FACT missing per instance,
+    so the closure runs a different number of frontier rounds (5-9 on
+    this fixture) per instance before stalling. Oracle = 12 unrolled
+    two-body join rounds (DuckDB's linear recursion can't reference
+    the recursive table twice, so bounded unrolling is the honest
+    encoding)."""
+    from bdtopo2refhydro_spark.operators.graph import horn_closure
+
+    ii = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 5).alias("inst")).distinct())
+    helpers = (ii.select("inst",
+                         F.explode(F.sequence(F.lit(0), F.lit(9)))
+                         .alias("j"))
+               .where("j != (inst * 3) % 10")
+               .selectExpr("cast(inst as long) as inst",
+                           "cast(50 + j as long) as atom"))
+    seeds = ii.selectExpr("cast(inst as long) as inst",
+                          "cast(0 as long) as atom") \
+        .unionByName(ii.selectExpr("cast(inst as long) as inst",
+                                   "cast(25 as long) as atom"))
+    facts = helpers.unionByName(seeds)
+    rules = (ii.select("inst",
+                       F.explode(F.sequence(F.lit(0), F.lit(48)))
+                       .alias("i"))
+             .selectExpr("cast(inst as long) as inst",
+                         "cast(i as long) as b1",
+                         "cast(50 + (i % 10) as long) as b2",
+                         "cast(i + 1 as long) as h"))
+    return horn_closure(facts, rules).orderBy("inst", "atom")
+
+
+def _horn_sql(rounds: int = 12) -> str:
+    base = """
+WITH ii AS (SELECT DISTINCT doc_id % 5 AS inst FROM documents),
+facts AS MATERIALIZED (
+  SELECT inst, atom FROM (
+    SELECT inst, 50 + j.x AS atom
+    FROM ii CROSS JOIN generate_series(0, 9) j(x)
+    WHERE j.x != (inst * 3) % 10
+    UNION ALL SELECT inst, 0 FROM ii
+    UNION ALL SELECT inst, 25 FROM ii) s),
+rules AS MATERIALIZED (
+  SELECT inst, i.x AS b1, 50 + (i.x % 10) AS b2, i.x + 1 AS h
+  FROM ii CROSS JOIN generate_series(0, 48) i(x)),
+d0 AS MATERIALIZED (SELECT DISTINCT inst, atom FROM facts)"""
+    parts, prev = [], "d0"
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+d{r} AS MATERIALIZED (
+  SELECT DISTINCT inst, atom FROM (
+    SELECT inst, atom FROM {prev}
+    UNION ALL
+    SELECT r.inst, r.h AS atom
+    FROM rules r
+    JOIN {prev} a ON a.inst = r.inst AND a.atom = r.b1
+    JOIN {prev} b ON b.inst = r.inst AND b.atom = r.b2) s)""")
+        prev = f"d{r}"
+    tail = f"""
+SELECT CAST(inst AS BIGINT) AS inst, CAST(atom AS BIGINT) AS atom
+FROM {prev} ORDER BY inst, atom
+"""
+    return base + "".join(parts) + tail
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -16124,6 +16238,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 105: Huffman optimal-code cost (Kraft multiset
+        # characterization oracle) + Horn-clause forward chaining.
+        "huffman_cost": _q_huffman_cost,
+        "horn_sat": _q_horn_sat,
         # batch 104: BOM explosion over a layered DAG + prefix
         # autocomplete top-k.
         "bom_rollup": _q_bom_rollup,
@@ -16733,6 +16851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "huffman_cost": _huffman_sql(),
+        "horn_sat": _horn_sql(),
         "bom_rollup": _BOM_ROLLUP_SQL,
         "autocomplete": _AUTOCOMPLETE_SQL,
         "inversions": _INVERSIONS_SQL,

@@ -1871,3 +1871,39 @@ def bom_rollup(edges: DataFrame, *, src: str = "u", dst: str = "v",
     # sums: fold them
     return (total.groupBy("root", "part")
             .agg(F.sum("qty").alias("qty")))
+
+
+def horn_closure(facts: DataFrame, rules: DataFrame, *,
+                 inst: str = "inst", atom: str = "atom",
+                 b1: str = "b1", b2: str = "b2", head: str = "h",
+                 max_rounds: int = 200) -> DataFrame:
+    """Horn-clause forward chaining (unit propagation / Datalog
+    closure) per instance: a rule h ← b1 ∧ b2 fires once BOTH body
+    atoms are derived — frontier rounds joining the fixed rule frame
+    twice, to an order-free fixpoint. The monotone closure is
+    engine-order-independent, so the result is a pure function of
+    (facts, rules). Returns the derived-atom set (inst, atom)."""
+    from ._ckpt import CheckpointSlots
+
+    slots = CheckpointSlots()
+    r = rules.select(F.col(inst).alias("inst"), F.col(b1).alias("b1"),
+                     F.col(b2).alias("b2"), F.col(head).alias("h")) \
+        .localCheckpoint(eager=False)
+    derived = slots.checkpoint(
+        facts.select(F.col(inst).alias("inst"),
+                     F.col(atom).alias("atom")).distinct(), "hc")
+    n = derived.count()
+    for _ in range(max_rounds):
+        fired = (r.join(derived.withColumnRenamed("atom", "b1"),
+                        ["inst", "b1"])
+                 .join(derived.withColumnRenamed("atom", "b2"),
+                       ["inst", "b2"])
+                 .select("inst", F.col("h").alias("atom")))
+        derived = slots.checkpoint(
+            derived.unionByName(fired).distinct(), "hc2")
+        m = derived.count()
+        if m == n:
+            break
+        n = m
+        derived = slots.checkpoint(derived, "hc")
+    return derived

@@ -199,3 +199,39 @@ def test_inversion_counts_vs_pairs(spark):
     df = spark.createDataFrame(rows, "g long, i long, a long")
     got = {r["g"]: r["inv"] for r in inversion_counts(df).collect()}
     assert got == want
+
+
+def test_huffman_cost_vs_dp_optimum(spark):
+    import itertools
+    import random
+
+    from bdtopo2refhydro_spark.operators.ml import huffman_cost
+
+    rng = random.Random(103)
+    rows, want = [], {}
+    for g in range(6):
+        k = rng.randrange(2, 8)
+        fs = [rng.randrange(1, 50) for _ in range(k)]
+        rows += [(g, f) for f in fs]
+        # independent optimum: DP over sorted merges = brute force
+        # over all merge orders for small k
+        best = [None]
+
+        def merge_all(pool, acc):
+            if len(pool) == 1:
+                if best[0] is None or acc < best[0]:
+                    best[0] = acc
+                return
+            if best[0] is not None and acc >= best[0]:
+                return
+            for i, j in itertools.combinations(range(len(pool)), 2):
+                s = pool[i] + pool[j]
+                nxt = [p for t, p in enumerate(pool)
+                       if t not in (i, j)] + [s]
+                merge_all(nxt, acc + s)
+
+        merge_all(fs, 0)
+        want[g] = best[0]
+    df = spark.createDataFrame(rows, "g long, f long")
+    got = {r["g"]: r["cost"] for r in huffman_cost(df).collect()}
+    assert got == want
