@@ -16156,6 +16156,69 @@ FROM {prev} ORDER BY inst, atom
     return base + "".join(parts) + tail
 
 
+def _q_spanning_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spanning-tree COUNTS by Kirchhoff's Matrix-Tree theorem:
+    #spanning trees = det of the Laplacian minor (row/col 0
+    deleted), computed by the exact Bareiss elimination
+    (ml.py:det_bareiss) on a Laplacian built with joins. The oracle
+    writes the CLOSED FORMS down: cycle Cₙ → n, complete Kₙ →
+    n^(n−2) (Cayley), path Pₙ → 1 — three structure families per
+    group, so the generic determinant machinery is checked against
+    graph-theory identities it knows nothing about."""
+    from bdtopo2refhydro_spark.operators.ml import det_bareiss
+
+    gg = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 9).alias("g")).distinct())
+    # per group: t = g%3 structure, n = base size + g div 3
+    ii = gg.select("g", F.explode(F.sequence(F.lit(0), F.lit(5)))
+                   .alias("i"))
+    pairs = (ii.alias("x")
+             .join(ii.selectExpr("g", "i as j").alias("y"), "g")
+             .selectExpr("g", "i", "j", "g % 3 as t",
+                         "case when g % 3 = 1 then 3 + g div 3 "
+                         "else 4 + g div 3 end as n")
+             .where("i < n and j < n and i < j"))
+    edges = pairs.where(
+        "(t = 0 and (j - i = 1 or (i = 0 and j = n - 1))) "
+        "or t = 1 "
+        "or (t = 2 and j - i = 1)").select("g", "i", "j")
+    edges = edges.localCheckpoint(eager=False)
+    deg = (edges.selectExpr("g", "i as node")
+           .unionAll(edges.selectExpr("g", "j as node"))
+           .groupBy("g", "node")
+           .agg(F.count(F.lit(1)).alias("deg")))
+    # Laplacian minor: drop row/col 0, shift indices by -1
+    diag = deg.where("node >= 1").selectExpr(
+        "g", "cast(node - 1 as long) as i",
+        "cast(node - 1 as long) as j", "cast(deg as long) as v")
+    offd = (edges.where("i >= 1")
+            .selectExpr("g", "cast(i - 1 as long) as i",
+                        "cast(j - 1 as long) as j",
+                        "cast(-1 as long) as v"))
+    offd2 = (edges.where("i >= 1")
+             .selectExpr("g", "cast(j - 1 as long) as i",
+                         "cast(i - 1 as long) as j",
+                         "cast(-1 as long) as v"))
+    cells = diag.unionByName(offd).unionByName(offd2)
+    return (det_bareiss(cells)
+            .withColumnRenamed("det", "n_spanning").orderBy("g"))
+
+
+_SPANNING_COUNT_SQL = """
+WITH gg AS (SELECT DISTINCT doc_id % 9 AS g FROM documents),
+sized AS (
+  SELECT g, g % 3 AS t,
+         CASE WHEN g % 3 = 1 THEN 3 + g // 3
+              ELSE 4 + g // 3 END AS n
+  FROM gg)
+SELECT CAST(g AS BIGINT) AS g,
+       CAST(CASE t WHEN 0 THEN n
+                   WHEN 1 THEN CAST(power(n, n - 2) AS BIGINT)
+                   ELSE 1 END AS BIGINT) AS n_spanning
+FROM sized ORDER BY g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -16238,6 +16301,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 106: spanning-tree counts by Kirchhoff Matrix-Tree
+        # (Bareiss determinant of the Laplacian minor vs closed forms).
+        "spanning_count": _q_spanning_count,
         # batch 105: Huffman optimal-code cost (Kraft multiset
         # characterization oracle) + Horn-clause forward chaining.
         "huffman_cost": _q_huffman_cost,
@@ -16851,6 +16917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "spanning_count": _SPANNING_COUNT_SQL,
         "huffman_cost": _huffman_sql(),
         "horn_sat": _horn_sql(),
         "bom_rollup": _BOM_ROLLUP_SQL,

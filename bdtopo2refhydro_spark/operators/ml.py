@@ -344,27 +344,30 @@ def weighted_interval_max(iv: DataFrame, *, g: str = "g", s: str = "s",
             .applyInPandas(lambda pdf: run(pdf), f"{g} long, best long"))
 
 
-def det_bareiss(cells: DataFrame, n: int, *, g: str = "g",
-                i: str = "i", j: str = "j", v: str = "v") -> DataFrame:
+def det_bareiss(cells: DataFrame, n: int | None = None, *,
+                g: str = "g", i: str = "i", j: str = "j",
+                v: str = "v") -> DataFrame:
     """Exact integer determinant per group by the BAREISS
     fraction-free elimination — every division in the recurrence
     M[i][j] ← (M[i][j]·M[k][k] − M[i][k]·M[k][j]) / prev is exact
     over the integers (Sylvester's identity), with partial pivoting
     (row swap flips the sign) for zero pivots. Python bignum
     arithmetic per group, so no overflow at any size. `cells` is the
-    dense (g, i, j, v) matrix. Returns (g, det)."""
+    dense (g, i, j, v) matrix; n=None infers each group's size as
+    max(i)+1. Returns (g, det)."""
     import pandas as pd
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
         for gv, grp in pdf.groupby(g, sort=False):
-            m = [[0] * n for _ in range(n)]
+            nn = n if n is not None else int(grp[i].max()) + 1
+            m = [[0] * nn for _ in range(nn)]
             for ii, jj, vv in zip(grp[i], grp[j], grp[v]):
                 m[int(ii)][int(jj)] = int(vv)
             sign, prev, det = 1, 1, None
-            for k in range(n - 1):
+            for k in range(nn - 1):
                 if m[k][k] == 0:
-                    for r in range(k + 1, n):
+                    for r in range(k + 1, nn):
                         if m[r][k] != 0:
                             m[k], m[r] = m[r], m[k]
                             sign = -sign
@@ -372,14 +375,14 @@ def det_bareiss(cells: DataFrame, n: int, *, g: str = "g",
                     else:
                         det = 0
                         break
-                for r in range(k + 1, n):
-                    for c in range(k + 1, n):
+                for r in range(k + 1, nn):
+                    for c in range(k + 1, nn):
                         m[r][c] = (m[r][c] * m[k][k]
                                    - m[r][k] * m[k][c]) // prev
                     m[r][k] = 0
                 prev = m[k][k]
             if det is None:
-                det = sign * m[n - 1][n - 1]
+                det = sign * m[nn - 1][nn - 1]
             out.append((gv, det))
         return pd.DataFrame(out, columns=[g, "det"])
 
