@@ -16219,6 +16219,37 @@ FROM sized ORDER BY g
 """
 
 
+def _q_manacher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest palindromic substring by MANACHER'S linear algorithm
+    (text.py:longest_palindrome — mirrored-center radius carry) vs
+    the O(n²) definitional oracle: max window length whose substring
+    equals its own reverse. Same synthesized vocabulary as the other
+    string-index entries."""
+    from bdtopo2refhydro_spark.operators.text import longest_palindrome
+
+    words = (_docs(spark, sf_dir)
+             .select((F.col("doc_id") % 200).alias("m")).distinct()
+             .selectExpr(f"{_UNI_WORD} as word").distinct())
+    return longest_palindrome(words).orderBy("word")
+
+
+_MANACHER_SQL = f"""
+WITH mm AS (SELECT DISTINCT doc_id % 200 AS m FROM documents),
+words AS MATERIALIZED (SELECT DISTINCT {_UNI_WORD_D} AS word FROM mm),
+wins AS (
+  SELECT word, u.l
+  FROM words,
+       UNNEST(range(1, len(word) + 1)) t(i),
+       UNNEST(range(1, len(word) + 1)) u(l)
+  WHERE t.i + u.l <= len(word) + 1
+    AND substr(word, CAST(t.i AS INT), CAST(u.l AS INT))
+        = reverse(substr(word, CAST(t.i AS INT), CAST(u.l AS INT))))
+SELECT w.word, CAST(coalesce(max(x.l), 0) AS BIGINT) AS pal_len
+FROM words w LEFT JOIN wins x ON x.word = w.word
+GROUP BY w.word ORDER BY w.word
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -16301,6 +16332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 107: Manacher longest palindromic substring.
+        "manacher": _q_manacher,
         # batch 106: spanning-tree counts by Kirchhoff Matrix-Tree
         # (Bareiss determinant of the Laplacian minor vs closed forms).
         "spanning_count": _q_spanning_count,
@@ -16917,6 +16950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "manacher": _MANACHER_SQL,
         "spanning_count": _SPANNING_COUNT_SQL,
         "huffman_cost": _huffman_sql(),
         "horn_sat": _horn_sql(),

@@ -1784,3 +1784,39 @@ def min_period(words: DataFrame, word_col: str = "word") -> DataFrame:
 
     return words.select(word_col, _period(F.col(word_col))
                         .alias("period"))
+
+
+def longest_palindrome(words: DataFrame, word_col: str = "word"
+                       ) -> DataFrame:
+    """Longest palindromic substring length per word by MANACHER'S
+    linear algorithm (the mirrored-center radius carry-over — the
+    real O(n) one, not center expansion) vs the oracle's O(n²)
+    definitional probe (max window equal to its own reverse).
+    Per-word Arrow UDF on the distinct-word table. Returns
+    (word, pal_len)."""
+    import pandas as pd
+
+    @F.pandas_udf("long")
+    def _pal(s: pd.Series) -> pd.Series:
+        def manacher(w):
+            if not w:
+                return 0
+            t = "#" + "#".join(w) + "#"
+            n = len(t)
+            p = [0] * n
+            c = r = 0
+            best = 0
+            for i in range(n):
+                if i < r:
+                    p[i] = min(r - i, p[2 * c - i])
+                while (i - p[i] - 1 >= 0 and i + p[i] + 1 < n
+                       and t[i - p[i] - 1] == t[i + p[i] + 1]):
+                    p[i] += 1
+                if i + p[i] > r:
+                    c, r = i, i + p[i]
+                best = max(best, p[i])
+            return best
+        return s.map(manacher)
+
+    return words.select(word_col,
+                        _pal(F.col(word_col)).alias("pal_len"))

@@ -1002,3 +1002,22 @@ def test_lcp_array_kasai_vs_bruteforce(spark):
                        and s[want] == p[want]):
                     want += 1
             assert got[(w, r)] == want, (w, r)
+
+
+def test_manacher_vs_bruteforce(spark):
+    import random
+
+    from bdtopo2refhydro_spark.operators.text import longest_palindrome
+
+    rng = random.Random(19)
+    words = list({"".join(rng.choice("ab") for _ in range(
+        rng.randrange(1, 30))) for _ in range(40)}
+        | {"abacabadabacaba", "aaaa", "abc"})
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {r["word"]: r["pal_len"]
+           for r in longest_palindrome(df).collect()}
+    for w in words:
+        best = max(len(w[i:j]) for i in range(len(w))
+                   for j in range(i + 1, len(w) + 1)
+                   if w[i:j] == w[i:j][::-1])
+        assert got[w] == best, w
