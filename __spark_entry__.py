@@ -16250,6 +16250,96 @@ GROUP BY w.word ORDER BY w.word
 """
 
 
+def _q_pareto_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominance onion layers (corpus.py:pareto_layers): engine
+    literally PEELS skylines round by round; oracle applies MIRSKY'S
+    theorem — layer(p) = longest dominance chain ending at p, a
+    recursive walk — two independent characterizations of the same
+    decomposition."""
+    from bdtopo2refhydro_spark.operators.corpus import pareto_layers
+
+    pts = _docs(spark, sf_dir).selectExpr(
+        "cast(doc_id % 4 as long) as g",
+        "cast((doc_id * 17) % 200 as long) as x",
+        "cast((doc_id * 23) % 200 as long) as y")
+    return pareto_layers(pts, "x", "y").orderBy("g", "x", "y")
+
+
+_PARETO_LAYERS_SQL = """
+WITH RECURSIVE pts AS MATERIALIZED (
+  SELECT DISTINCT doc_id % 4 AS g, (doc_id * 17) % 200 AS x,
+         (doc_id * 23) % 200 AS y
+  FROM documents),
+dom AS MATERIALIZED (
+  SELECT a.g, a.x AS qx, a.y AS qy, b.x AS px, b.y AS py
+  FROM pts a JOIN pts b
+    ON a.g = b.g AND a.x <= b.x AND a.y <= b.y
+   AND (a.x < b.x OR a.y < b.y)),
+chain(g, x, y, len) AS (
+  SELECT g, x, y, 1 FROM pts
+  UNION
+  SELECT d.g, d.px, d.py, c.len + 1
+  FROM chain c JOIN dom d
+    ON d.g = c.g AND d.qx = c.x AND d.qy = c.y)
+SELECT CAST(g AS BIGINT) AS g, CAST(x AS BIGINT) AS x,
+       CAST(y AS BIGINT) AS y, CAST(max(len) AS BIGINT) AS layer
+FROM chain GROUP BY g, x, y ORDER BY g, x, y
+"""
+
+
+def _q_lag_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity periodicity: per user, circular integer
+    autocorrelation over week-hour buckets — dot(lag) =
+    Σ c_b·c_{(b+lag) mod 168} for lags 1..24, peak by (dot desc,
+    lag asc). All-integer; the bot/session-rhythm detector."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id",
+        "(unix_micros(cast(ts as timestamp)) div 3600000000) % 168"
+        " as b")
+    cnt = ev.groupBy("user_id", "b").agg(
+        F.count(F.lit(1)).alias("c"))
+    lags = spark.range(1, 25).select(F.col("id").alias("lag"))
+    shifted = (cnt.crossJoin(F.broadcast(lags))
+               .selectExpr("user_id", "lag",
+                           "(b + lag) % 168 as b2", "c as c1"))
+    dots = (shifted.join(cnt.selectExpr("user_id", "b as b2",
+                                        "c as c2"),
+                         ["user_id", "b2"])
+            .groupBy("user_id", "lag")
+            .agg(F.sum(F.col("c1") * F.col("c2")).alias("dot")))
+    w = Window.partitionBy("user_id").orderBy(F.desc("dot"),
+                                              F.asc("lag"))
+    return (dots.withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
+            .selectExpr("cast(user_id as long) as user_id",
+                        "cast(lag as long) as lag",
+                        "cast(dot as long) as dot")
+            .orderBy("user_id"))
+
+
+_LAG_AUTOCORR_SQL = """
+WITH ev AS (
+  SELECT user_id, (epoch_us(ts) // 3600000000) % 168 AS b
+  FROM events),
+cnt AS (SELECT user_id, b, count(*) AS c FROM ev GROUP BY user_id, b),
+dots AS (
+  SELECT a.user_id, l.x AS lag, sum(a.c * b.c) AS dot
+  FROM cnt a
+  CROSS JOIN generate_series(1, 24) l(x)
+  JOIN cnt b ON b.user_id = a.user_id
+            AND b.b = (a.b + l.x) % 168
+  GROUP BY a.user_id, l.x),
+ranked AS (
+  SELECT user_id, lag, dot,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY dot DESC, lag ASC) AS rn
+  FROM dots)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(lag AS BIGINT) AS lag,
+       CAST(dot AS BIGINT) AS dot
+FROM ranked WHERE rn = 1 ORDER BY user_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -16332,6 +16422,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 108: dominance onion layers (peel vs Mirsky) +
+        # circular integer autocorrelation peaks.
+        "pareto_layers": _q_pareto_layers,
+        "lag_autocorr": _q_lag_autocorr,
         # batch 107: Manacher longest palindromic substring.
         "manacher": _q_manacher,
         # batch 106: spanning-tree counts by Kirchhoff Matrix-Tree
@@ -16950,6 +17044,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pareto_layers": _PARETO_LAYERS_SQL,
+        "lag_autocorr": _LAG_AUTOCORR_SQL,
         "manacher": _MANACHER_SQL,
         "spanning_count": _SPANNING_COUNT_SQL,
         "huffman_cost": _huffman_sql(),
