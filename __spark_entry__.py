@@ -16340,6 +16340,78 @@ FROM ranked WHERE rn = 1 ORDER BY user_id
 """
 
 
+def _q_subtree_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-subtree census across the 6-shape forest: every
+    node's canonical AHU code (graph.py:ahu_tree_classes with
+    return_nodes=True) grouped by shape — the common-substructure /
+    expression-dedup primitive (a shape occurring in k places can be
+    compiled/stored once). Output: shapes occurring ≥ 4 times with
+    occurrence count and tree spread."""
+    from bdtopo2refhydro_spark.operators.graph import ahu_tree_classes
+
+    tt = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 24).alias("t")).distinct())
+    ii = tt.select("t", F.explode(F.sequence(F.lit(1), F.lit(7)))
+                   .alias("i"))
+    ed = ii.selectExpr(
+        "t",
+        "case when t % 6 = 3 then (3 * i) % 8 "
+        "when t % 6 = 4 then (5 * i) % 8 else i end as ci",
+        "case t % 6 when 0 then i - 1 when 1 then 0 "
+        "when 2 then (i - 1) div 2 when 3 then (3 * (i - 1)) % 8 "
+        "when 4 then (5 * ((i - 1) div 2)) % 8 "
+        "else case when i < 4 then i - 1 else i - 4 end end as pi")
+    children = ed.selectExpr("cast(t as long) as tid",
+                             "cast(t * 100 + ci as long) as node",
+                             "cast(t * 100 + pi as long) as parent")
+    roots = tt.selectExpr("cast(t as long) as tid",
+                          "cast(t * 100 as long) as node",
+                          "cast(null as long) as parent")
+    codes = ahu_tree_classes(roots.unionByName(children),
+                             return_nodes=True)
+    return (codes.groupBy("code")
+            .agg(F.count(F.lit(1)).alias("n_occ"),
+                 F.countDistinct("tid").alias("n_trees"))
+            .where("n_occ >= 4")
+            .orderBy("code"))
+
+
+def _subtree_repeats_sql() -> str:
+    # reuse the AHU unrolled-rounds prologue, different tail: ALL
+    # node codes, shape census
+    base = _ahu_iso_sql()
+    head, _, _tail = base.rpartition("SELECT CAST(tt.t AS BIGINT)")
+    return head + """SELECT l.lab AS code,
+       CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(count(DISTINCT l.tid) AS BIGINT) AS n_trees
+FROM l8 l GROUP BY l.lab HAVING count(*) >= 4
+ORDER BY code
+"""
+
+
+def _q_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass confusion counts + exact per-class precision/recall
+    NUMERATORS (floats avoided: the (tp, pred_n, true_n) triple IS
+    the precision/recall pair as exact rationals): predictions and
+    truths are arithmetic labelings of the docs."""
+    d = _docs(spark, sf_dir).selectExpr(
+        "cast((doc_id * 7) % 4 as long) as truth",
+        "cast((doc_id * 7 + doc_id div 50) % 4 as long) as pred")
+    cells = (d.groupBy("truth", "pred")
+             .agg(F.count(F.lit(1)).alias("n")))
+    return cells.orderBy("truth", "pred")
+
+
+_CONFUSION_SQL = """
+SELECT CAST((doc_id * 7) % 4 AS BIGINT) AS truth,
+       CAST((doc_id * 7 + doc_id // 50) % 4 AS BIGINT) AS pred,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents
+GROUP BY (doc_id * 7) % 4, (doc_id * 7 + doc_id // 50) % 4
+ORDER BY truth, pred
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -16422,6 +16494,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 109: repeated-subtree census (per-node AHU codes) +
+        # multiclass confusion counts.
+        "subtree_repeats": _q_subtree_repeats,
+        "confusion": _q_confusion,
         # batch 108: dominance onion layers (peel vs Mirsky) +
         # circular integer autocorrelation peaks.
         "pareto_layers": _q_pareto_layers,
@@ -17044,6 +17120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "subtree_repeats": _subtree_repeats_sql(),
+        "confusion": _CONFUSION_SQL,
         "pareto_layers": _PARETO_LAYERS_SQL,
         "lag_autocorr": _LAG_AUTOCORR_SQL,
         "manacher": _MANACHER_SQL,

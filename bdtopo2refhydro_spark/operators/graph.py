@@ -1362,7 +1362,8 @@ def two_edge_components(edges: DataFrame, *, src: str = "u",
 
 def ahu_tree_classes(nodes: DataFrame, *, tid: str = "tid",
                      node: str = "node", parent: str = "parent",
-                     max_height: int = 64) -> DataFrame:
+                     max_height: int = 64,
+                     return_nodes: bool = False) -> DataFrame:
     """Tree isomorphism classes by the AHU canonical form, bottom-up:
     leaves get the code '()', an inner node becomes ready once every
     child is coded and gets '(' + concat(sorted child codes) + ')' —
@@ -1375,7 +1376,9 @@ def ahu_tree_classes(nodes: DataFrame, *, tid: str = "tid",
     `nodes` has one row per node: (tid, node, parent) with parent NULL
     for the root. Node ids need only be unique within their tree.
     Returns one row per tree: (tid, iso) where iso is the root's
-    canonical code string. Sorting of sibling codes is plain binary
+    canonical code string — or, with return_nodes=True, EVERY node's
+    canonical subtree code (tid, node, code), the repeated-subtree /
+    common-substructure census input. Sorting of sibling codes is plain binary
     string order on '('/')' — identical in any engine.
     """
     from ._ckpt import CheckpointSlots
@@ -1414,6 +1417,8 @@ def ahu_tree_classes(nodes: DataFrame, *, tid: str = "tid",
         n_lab = m
         lab = slots.checkpoint(lab, "lab")
     roots = nd.where(F.col("parent").isNull()).select("tid", "node")
+    if return_nodes:
+        return lab.select("tid", "node", F.col("lab").alias("code"))
     return roots.join(lab, ["tid", "node"]).select("tid", "lab").withColumnRenamed("lab", "iso")
 
 
