@@ -16412,6 +16412,41 @@ ORDER BY truth, pred
 """
 
 
+def _q_earliest_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal earliest-arrival journeys
+    (graph.py:earliest_arrival): an edge is usable only if dep ≥
+    your arrival at its tail — label-correcting rounds to an
+    order-free fixpoint, vs the oracle's recursive journey walk
+    (every causally-valid hop enumerated, min arrival per node)."""
+    from bdtopo2refhydro_spark.operators.graph import earliest_arrival
+
+    e = _docs(spark, sf_dir).selectExpr(
+        "cast((doc_id * 3) % 40 as long) as u",
+        "cast((doc_id * 7 + 1) % 40 as long) as v",
+        "cast((doc_id * 11) % 100 as long) as dep",
+        "cast((doc_id * 11) % 100 + 1 + doc_id % 5 as long) as arr") \
+        .where("u != v")
+    return earliest_arrival(e, 0).orderBy("node")
+
+
+_EARLIEST_ARRIVAL_SQL = """
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT (doc_id * 3) % 40 AS u, (doc_id * 7 + 1) % 40 AS v,
+         (doc_id * 11) % 100 AS dep,
+         (doc_id * 11) % 100 + 1 + doc_id % 5 AS arr
+  FROM documents
+  WHERE (doc_id * 3) % 40 != (doc_id * 7 + 1) % 40),
+walk(node, a) AS (
+  SELECT 0, 0
+  UNION
+  SELECT e.v, e.arr FROM walk w JOIN e ON e.u = w.node
+  WHERE e.dep >= w.a)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(min(a) AS BIGINT) AS earliest
+FROM walk GROUP BY node ORDER BY node
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -16494,6 +16529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 110: temporal earliest-arrival journeys.
+        "earliest_arrival": _q_earliest_arrival,
         # batch 109: repeated-subtree census (per-node AHU codes) +
         # multiclass confusion counts.
         "subtree_repeats": _q_subtree_repeats,
@@ -17120,6 +17157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "earliest_arrival": _EARLIEST_ARRIVAL_SQL,
         "subtree_repeats": _subtree_repeats_sql(),
         "confusion": _CONFUSION_SQL,
         "pareto_layers": _PARETO_LAYERS_SQL,

@@ -1912,3 +1912,48 @@ def horn_closure(facts: DataFrame, rules: DataFrame, *,
         n = m
         derived = slots.checkpoint(derived, "hc")
     return derived
+
+
+def earliest_arrival(edges: DataFrame, source: int, *, src: str = "u",
+                     dst: str = "v", dep: str = "dep",
+                     arr: str = "arr", max_rounds: int = 100
+                     ) -> DataFrame:
+    """Earliest-arrival journeys in a TEMPORAL graph (edges usable
+    only if their departure is no earlier than your arrival at the
+    tail — the transit/log-causality semantics plain shortest paths
+    get wrong): label-correcting rounds ea(v) ← min(ea(v), arr(e))
+    over edges with dep(e) ≥ ea(u), against the FIXED edge frame, to
+    an order-free fixpoint (≤ max-journey-hops rounds). Returns
+    (node, earliest) for reachable nodes; the source reports 0."""
+    from ._ckpt import CheckpointSlots
+
+    slots = CheckpointSlots()
+    e = edges.select(F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v"),
+                     F.col(dep).cast("long").alias("dep"),
+                     F.col(arr).cast("long").alias("arr")) \
+        .localCheckpoint(eager=False)
+    spark = edges.sparkSession
+    ea = slots.checkpoint(
+        spark.createDataFrame([(int(source), 0)],
+                              "node long, earliest long"), "ea")
+
+    def _sig(df):
+        return df.select(F.expr("bit_xor(xxhash64(node, earliest))")
+                         .alias("h")).first()["h"]
+
+    sig = _sig(ea)
+    for _ in range(max_rounds):
+        relax = (e.join(ea.withColumnRenamed("node", "u"), "u")
+                 .where(F.col("dep") >= F.col("earliest"))
+                 .groupBy(F.col("v").alias("node"))
+                 .agg(F.min("arr").alias("earliest")))
+        ea = slots.checkpoint(
+            ea.unionByName(relax).groupBy("node")
+            .agg(F.min("earliest").alias("earliest")), "ea2")
+        new_sig = _sig(ea)
+        if new_sig == sig:
+            break
+        sig = new_sig
+        ea = slots.checkpoint(ea, "ea")
+    return ea
