@@ -16447,6 +16447,102 @@ FROM walk GROUP BY node ORDER BY node
 """
 
 
+def _q_gcd_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group GCD fold — neither engine has a gcd AGGREGATE, so
+    the two sides must build it from different primitives: Spark
+    folds math.gcd in an Arrow group scan (associative ⟹ any order,
+    deterministic result); DuckDB walks the rows linearly through
+    its scalar gcd() in a recursive CTE. Also emits the count of
+    values equal to the gcd (how many attain it)."""
+    import math
+
+    import pandas as pd
+
+    d = _docs(spark, sf_dir).selectExpr(
+        "cast(doc_id % 12 as long) as g",
+        "cast(60 * (1 + doc_id % 7) * (1 + (doc_id div 7) % 5) as "
+        "long) as v")
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for gv, grp in pdf.groupby("g", sort=False):
+            acc = 0
+            for v in grp["v"]:
+                acc = math.gcd(acc, int(v))
+            out.append((gv, acc, int((grp["v"] == acc).sum())))
+        return pd.DataFrame(out, columns=["g", "gcd", "n_at"])
+
+    return (d.groupBy("g")
+            .applyInPandas(run, "g long, gcd long, n_at long")
+            .orderBy("g"))
+
+
+_GCD_FOLD_SQL = """
+WITH RECURSIVE d AS MATERIALIZED (
+  SELECT doc_id % 12 AS g,
+         60 * (1 + doc_id % 7) * (1 + (doc_id // 7) % 5) AS v,
+         row_number() OVER (PARTITION BY doc_id % 12
+                            ORDER BY doc_id) AS rn
+  FROM documents),
+fold(g, rn, acc) AS (
+  SELECT g, 1, v FROM d WHERE rn = 1
+  UNION ALL
+  SELECT f.g, f.rn + 1, gcd(f.acc, d.v)
+  FROM fold f JOIN d ON d.g = f.g AND d.rn = f.rn + 1)
+SELECT CAST(f.g AS BIGINT) AS g, CAST(f.acc AS BIGINT) AS gcd,
+       CAST((SELECT count(*) FROM d d2
+             WHERE d2.g = f.g AND d2.v = f.acc) AS BIGINT) AS n_at
+FROM fold f
+WHERE f.rn = (SELECT max(rn) FROM d d3 WHERE d3.g = f.g)
+ORDER BY g
+"""
+
+
+def _q_contfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continued-fraction expansions of derived rationals num/den:
+    engine runs the Euclidean quotient loop per pair (Arrow scan),
+    the oracle the same recurrence as a recursive CTE — exact
+    integers, terms exploded as (pair, pos, term)."""
+    import pandas as pd
+
+    d = (_docs(spark, sf_dir)
+         .select((F.col("doc_id") % 40).alias("m")).distinct()
+         .selectExpr("cast(m as long) as pair",
+                     "cast(1000 + m * 37 as long) as num",
+                     "cast(7 + m * 3 as long) as den"))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for pair, num, den in zip(pdf["pair"], pdf["num"], pdf["den"]):
+            a, b, pos = int(num), int(den), 0
+            while b:
+                out.append((int(pair), pos, a // b))
+                a, b = b, a % b
+                pos += 1
+        return pd.DataFrame(out, columns=["pair", "pos", "term"])
+
+    return (d.groupBy("pair")
+            .applyInPandas(lambda pdf: run(pdf),
+                           "pair long, pos long, term long")
+            .orderBy("pair", "pos"))
+
+
+_CONTFRAC_SQL = """
+WITH RECURSIVE d AS (
+  SELECT DISTINCT doc_id % 40 AS pair, 1000 + (doc_id % 40) * 37 AS num,
+         7 + (doc_id % 40) * 3 AS den
+  FROM documents),
+walk(pair, pos, a, b, term) AS (
+  SELECT pair, 0, num, den, num // den FROM d
+  UNION ALL
+  SELECT pair, pos + 1, b, a % b, b // (a % b)
+  FROM walk WHERE a % b != 0)
+SELECT CAST(pair AS BIGINT) AS pair, CAST(pos AS BIGINT) AS pos,
+       CAST(term AS BIGINT) AS term
+FROM walk ORDER BY pair, pos
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -16529,6 +16625,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 111: gcd folds (built from different primitives per
+        # dialect) + continued-fraction expansions.
+        "gcd_fold": _q_gcd_fold,
+        "contfrac": _q_contfrac,
         # batch 110: temporal earliest-arrival journeys.
         "earliest_arrival": _q_earliest_arrival,
         # batch 109: repeated-subtree census (per-node AHU codes) +
@@ -17157,6 +17257,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "gcd_fold": _GCD_FOLD_SQL,
+        "contfrac": _CONTFRAC_SQL,
         "earliest_arrival": _EARLIEST_ARRIVAL_SQL,
         "subtree_repeats": _subtree_repeats_sql(),
         "confusion": _CONFUSION_SQL,
