@@ -16543,6 +16543,72 @@ FROM walk ORDER BY pair, pos
 """
 
 
+def _q_convergents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continued-fraction CONVERGENTS hₖ/kₖ — the best rational
+    approximations — via the three-term recurrence hₖ = aₖhₖ₋₁ + hₖ₋₂
+    (same derived rationals as contfrac); the last convergent must
+    equal num/den reduced, which both sides verify as an exact
+    boolean. Engine: Euclid + recurrence per pair (Arrow scan);
+    oracle: one recursive CTE carrying (a, b, h₁, h₀, k₁, k₀)."""
+    import math
+
+    import pandas as pd
+
+    d = (_docs(spark, sf_dir)
+         .select((F.col("doc_id") % 40).alias("m")).distinct()
+         .selectExpr("cast(m as long) as pair",
+                     "cast(1000 + m * 37 as long) as num",
+                     "cast(7 + m * 3 as long) as den"))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for pair, num, den in zip(pdf["pair"], pdf["num"], pdf["den"]):
+            a, b = int(num), int(den)
+            h1, h0, k1, k0 = 1, 0, 0, 1
+            pos = 0
+            while b:
+                q = a // b
+                h1, h0 = q * h1 + h0, h1
+                k1, k0 = q * k1 + k0, k1
+                gg = math.gcd(int(num), int(den))
+                out.append((int(pair), pos, h1, k1,
+                            h1 == num // gg and k1 == den // gg))
+                a, b = b, a % b
+                pos += 1
+        return pd.DataFrame(
+            out, columns=["pair", "pos", "h", "k", "is_exact"])
+
+    return (d.groupBy("pair")
+            .applyInPandas(lambda pdf: run(pdf),
+                           "pair long, pos long, h long, k long, "
+                           "is_exact boolean")
+            .orderBy("pair", "pos"))
+
+
+_CONVERGENTS_SQL = """
+WITH RECURSIVE d AS (
+  SELECT DISTINCT doc_id % 40 AS pair,
+         1000 + (doc_id % 40) * 37 AS num, 7 + (doc_id % 40) * 3 AS den
+  FROM documents),
+walk(pair, pos, a, b, h1, h0, k1, k0) AS (
+  SELECT pair, 0, num, den,
+         (num // den) * 1 + 0, 1,
+         (num // den) * 0 + 1, 0
+  FROM d
+  UNION ALL
+  SELECT pair, pos + 1, b, a % b,
+         (b // (a % b)) * h1 + h0, h1,
+         (b // (a % b)) * k1 + k0, k1
+  FROM walk WHERE a % b != 0)
+SELECT CAST(w.pair AS BIGINT) AS pair, CAST(w.pos AS BIGINT) AS pos,
+       CAST(w.h1 AS BIGINT) AS h, CAST(w.k1 AS BIGINT) AS k,
+       (w.h1 = d.num // gcd(d.num, d.den)
+        AND w.k1 = d.den // gcd(d.num, d.den)) AS is_exact
+FROM walk w JOIN d ON d.pair = w.pair
+ORDER BY pair, pos
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -16625,6 +16691,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 112: continued-fraction convergents (three-term
+        # recurrence, last convergent == reduced rational pin).
+        "convergents": _q_convergents,
         # batch 111: gcd folds (built from different primitives per
         # dialect) + continued-fraction expansions.
         "gcd_fold": _q_gcd_fold,
@@ -17257,6 +17326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "convergents": _CONVERGENTS_SQL,
         "gcd_fold": _GCD_FOLD_SQL,
         "contfrac": _CONTFRAC_SQL,
         "earliest_arrival": _EARLIEST_ARRIVAL_SQL,
