@@ -25,8 +25,8 @@ C = int(sys.argv[2]) if len(sys.argv) > 2 else 100
 def main():
     from pyspark.sql import functions as F
 
-    from bdtopo2refhydro_spark.operators.graph import (
-        articulation_points, biconnected_components)
+    from bdtopo2refhydro_spark.operators.graph import \
+        biconnected_components
     from bdtopo2refhydro_spark.session import get_spark
 
     spark = get_spark("bicc_scale", cores=8, shuffle_partitions=64)
@@ -50,7 +50,15 @@ def main():
     assert n_blocks == R, (n_blocks, R)
     assert bad == 0, bad
     t0 = time.time()
-    art = articulation_points(edges).cache()
+    # articulation = vertices in >=2 blocks, derived from the SAME bc
+    # frame (running the TV pipeline twice would double the wall for
+    # no extra evidence)
+    inc = (bc.select(F.col("a").alias("node"), "block")
+           .union(bc.select(F.col("b").alias("node"), "block")))
+    art = (inc.groupBy("node")
+           .agg(F.countDistinct("block").alias("nb"))
+           .select("node", (F.col("nb") >= 2).alias("is_art"))
+           .cache())
     n_art = art.where("is_art").count()
     bad_art = art.where(
         F.col("is_art") != ((F.col("node") % base == 0)
