@@ -16609,6 +16609,48 @@ ORDER BY pair, pos
 """
 
 
+def _q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression by POOL-ADJACENT-VIOLATORS
+    (ml.py:isotonic_fit — the real stack pooling) vs the MINIMAX
+    characterization fitted_i = max_{j≤i} min_{k≥i} mean(a[j..k]).
+    Both sides emit one correctly-rounded IEEE division of exact
+    integer (sum, count) pairs for the SAME rational, so the doubles
+    are bit-identical; distinct interval means on this fixture are
+    separated by ≥1/c² ≫ double error, so the min/max comparisons
+    can't misorder."""
+    from bdtopo2refhydro_spark.operators.ml import isotonic_fit
+
+    seq = _docs(spark, sf_dir).selectExpr(
+        "cast(doc_id % 8 as long) as g",
+        "cast(doc_id div 8 as long) as i",
+        "cast((doc_id * 53) % 200 as long) as a")
+    return isotonic_fit(seq).orderBy("g", "i")
+
+
+_ISOTONIC_SQL = """
+WITH seq AS (
+  SELECT doc_id % 8 AS g, doc_id // 8 AS i, (doc_id * 53) % 200 AS a
+  FROM documents),
+ps AS (
+  SELECT g, i, a,
+         sum(a) OVER (PARTITION BY g ORDER BY i) AS cum
+  FROM seq),
+ivl AS (
+  SELECT j.g, j.i AS j, k.i AS k,
+         CAST(k.cum - j.cum + j.a AS DOUBLE)
+           / (k.i - j.i + 1) AS m
+  FROM ps j JOIN ps k ON k.g = j.g AND k.i >= j.i),
+inner_min AS (
+  SELECT v.g, v.j, p.i, min(v.m) AS mn
+  FROM ivl v JOIN seq p
+    ON p.g = v.g AND v.j <= p.i AND v.k >= p.i
+  GROUP BY v.g, v.j, p.i)
+SELECT CAST(g AS BIGINT) AS g, CAST(i AS BIGINT) AS i,
+       max(mn) AS fit
+FROM inner_min GROUP BY g, i ORDER BY g, i
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -16691,6 +16733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 113: isotonic regression (PAVA vs minimax).
+        "isotonic": _q_isotonic,
         # batch 112: continued-fraction convergents (three-term
         # recurrence, last convergent == reduced rational pin).
         "convergents": _q_convergents,
@@ -17326,6 +17370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "isotonic": _ISOTONIC_SQL,
         "convergents": _CONVERGENTS_SQL,
         "gcd_fold": _GCD_FOLD_SQL,
         "contfrac": _CONTFRAC_SQL,

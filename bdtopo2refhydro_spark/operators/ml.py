@@ -458,3 +458,41 @@ def huffman_cost(freqs: DataFrame, *, g: str = "g",
     return (freqs.select(F.col(g), F.col(f))
             .groupBy(g)
             .applyInPandas(lambda pdf: run(pdf), f"{g} long, cost long"))
+
+
+def isotonic_fit(seq: DataFrame, *, g: str = "g", idx: str = "i",
+                 val: str = "a") -> DataFrame:
+    """Isotonic (monotone non-decreasing) regression per group by
+    POOL-ADJACENT-VIOLATORS — the real stack-based linear pooling —
+    emitting each point's fitted value as ONE IEEE division of the
+    pooled block's exact integer (sum, count). The oracle instead
+    evaluates the MINIMAX characterization fitted_i = max_{j≤i}
+    min_{k≥i} mean(a[j..k]): a different (s, c) pair for the same
+    rational, but correctly-rounded division makes equal rationals
+    equal doubles, so the columns hash identically. Returns
+    (g, i, fit)."""
+    import pandas as pd
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for gv, grp in pdf.groupby(g, sort=False):
+            grp = grp.sort_values(idx)
+            blocks: list = []  # (sum, cnt)
+            for a in grp[val]:
+                s, c = int(a), 1
+                while blocks and blocks[-1][0] * c >= s * blocks[-1][1]:
+                    ps, pc = blocks.pop()
+                    s += ps
+                    c += pc
+                blocks.append((s, c))
+            fits = []
+            for s, c in blocks:
+                fits.extend([s / c] * c)
+            for i, f_ in zip(grp[idx], fits):
+                out.append((gv, int(i), f_))
+        return pd.DataFrame(out, columns=[g, idx, "fit"])
+
+    return (seq.select(F.col(g), F.col(idx), F.col(val))
+            .groupBy(g)
+            .applyInPandas(lambda pdf: run(pdf),
+                           f"{g} long, {idx} long, fit double"))

@@ -235,3 +235,38 @@ def test_huffman_cost_vs_dp_optimum(spark):
     df = spark.createDataFrame(rows, "g long, f long")
     got = {r["g"]: r["cost"] for r in huffman_cost(df).collect()}
     assert got == want
+
+
+def test_isotonic_fit_properties(spark):
+    import random
+
+    from bdtopo2refhydro_spark.operators.ml import isotonic_fit
+
+    rng = random.Random(113)
+    rows = []
+    for g in range(4):
+        for i in range(rng.randrange(2, 40)):
+            rows.append((g, i, rng.randrange(0, 100)))
+    df = spark.createDataFrame(rows, "g long, i long, a long")
+    got = {}
+    for r in isotonic_fit(df).collect():
+        got.setdefault(r["g"], []).append((r["i"], r["fit"]))
+    raw = {}
+    for g, i, a in rows:
+        raw.setdefault(g, {})[i] = a
+    for g, pts in got.items():
+        pts.sort()
+        fits = [f for _, f in pts]
+        # monotone non-decreasing
+        assert all(fits[k] <= fits[k + 1] + 1e-12
+                   for k in range(len(fits) - 1))
+        # block-mean property: sum preserved
+        assert abs(sum(fits) - sum(raw[g].values())) < 1e-6
+        # minimax spot check on a few points
+        n = len(fits)
+        a = [raw[g][i] for i in range(n)]
+        for i in (0, n // 2, n - 1):
+            want = max(min(sum(a[j:k + 1]) / (k - j + 1)
+                           for k in range(i, n))
+                       for j in range(i + 1))
+            assert abs(fits[i] - want) < 1e-9
