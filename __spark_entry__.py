@@ -16651,6 +16651,48 @@ FROM inner_min GROUP BY g, i ORDER BY g, i
 """
 
 
+def _q_lz_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lempel-Ziv factor counts (text.py:lz_complexity — the real
+    greedy longest-earlier-match scan, overlaps allowed) vs an oracle
+    that brute-forces every (pos, len) earlier-occurrence test and
+    walks the factorization as a linear recursion — the compression-
+    complexity text metric."""
+    from bdtopo2refhydro_spark.operators.text import lz_complexity
+
+    words = (_docs(spark, sf_dir)
+             .select((F.col("doc_id") % 200).alias("m")).distinct()
+             .selectExpr(f"{_UNI_WORD} as word").distinct())
+    return lz_complexity(words).orderBy("word")
+
+
+_LZ_COMPLEXITY_SQL = f"""
+WITH RECURSIVE mm AS (SELECT DISTINCT doc_id % 200 AS m FROM documents),
+words AS MATERIALIZED (SELECT DISTINCT {_UNI_WORD_D} AS word FROM mm),
+occ AS MATERIALIZED (
+  SELECT w.word, p.pos, max(t.l) AS best
+  FROM words w,
+       UNNEST(range(0, len(w.word))) p(pos),
+       UNNEST(range(1, len(w.word) + 1)) t(l),
+       UNNEST(range(0, len(w.word))) q(p2)
+  WHERE p.pos + t.l <= len(w.word) AND q.p2 < p.pos
+    AND substr(w.word, CAST(q.p2 + 1 AS INT), CAST(t.l AS INT))
+        = substr(w.word, CAST(p.pos + 1 AS INT), CAST(t.l AS INT))
+  GROUP BY w.word, p.pos),
+step AS MATERIALIZED (
+  SELECT pp.word, pp.pos, greatest(1, coalesce(o.best, 0)) AS st
+  FROM (SELECT w.word, p.pos
+        FROM words w, UNNEST(range(0, len(w.word))) p(pos)) pp
+  LEFT JOIN occ o ON o.word = pp.word AND o.pos = pp.pos),
+walk(word, pos, cnt) AS (
+  SELECT word, 0, 0 FROM words
+  UNION ALL
+  SELECT s.word, w2.pos + s.st, w2.cnt + 1
+  FROM walk w2 JOIN step s ON s.word = w2.word AND s.pos = w2.pos)
+SELECT word, CAST(max(cnt) AS BIGINT) AS n_factors
+FROM walk GROUP BY word ORDER BY word
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -16733,6 +16775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 114: Lempel-Ziv complexity factor counts.
+        "lz_complexity": _q_lz_complexity,
         # batch 113: isotonic regression (PAVA vs minimax).
         "isotonic": _q_isotonic,
         # batch 112: continued-fraction convergents (three-term
@@ -17370,6 +17414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "lz_complexity": _LZ_COMPLEXITY_SQL,
         "isotonic": _ISOTONIC_SQL,
         "convergents": _CONVERGENTS_SQL,
         "gcd_fold": _GCD_FOLD_SQL,

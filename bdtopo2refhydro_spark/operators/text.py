@@ -1820,3 +1820,37 @@ def longest_palindrome(words: DataFrame, word_col: str = "word"
 
     return words.select(word_col,
                         _pal(F.col(word_col)).alias("pal_len"))
+
+
+def lz_complexity(words: DataFrame, word_col: str = "word"
+                  ) -> DataFrame:
+    """Lempel-Ziv factor count per word (the LZ77-style complexity
+    measure behind compression-ratio text-quality / bot gates): scan
+    left to right, each factor is the LONGEST prefix of the remainder
+    that already occurs starting strictly earlier (else one new
+    character). Engine = the real greedy scan; oracle precomputes
+    every (pos, len) earlier-occurrence test by brute substring
+    compare and walks the factorization as a linear recursion.
+    Returns (word, n_factors)."""
+    import pandas as pd
+
+    @F.pandas_udf("long")
+    def _lz(s: pd.Series) -> pd.Series:
+        def factors(w):
+            n = len(w)
+            pos, cnt = 0, 0
+            while pos < n:
+                best = 0
+                for l in range(1, n - pos + 1):
+                    seg = w[pos:pos + l]
+                    if w.find(seg, 0, pos + l - 1) != -1:
+                        best = l
+                    else:
+                        break
+                pos += max(1, best)
+                cnt += 1
+            return cnt
+        return s.map(factors)
+
+    return words.select(word_col,
+                        _lz(F.col(word_col)).alias("n_factors"))

@@ -1021,3 +1021,20 @@ def test_manacher_vs_bruteforce(spark):
                    for j in range(i + 1, len(w) + 1)
                    if w[i:j] == w[i:j][::-1])
         assert got[w] == best, w
+
+
+def test_lz_complexity_known_values(spark):
+    from bdtopo2refhydro_spark.operators.text import lz_complexity
+
+    cases = {
+        # a | b | aa(b->? ) trace manually below
+        "aaaa": 2,        # a | aaa (overlap allowed)
+        "ab": 2,          # a | b
+        "abab": 3,        # a | b | ab
+        "abcabcabc": 4,   # a | b | c | abcabc
+        "x": 1,
+    }
+    df = spark.createDataFrame([(w,) for w in cases], "word string")
+    got = {r["word"]: r["n_factors"]
+           for r in lz_complexity(df).collect()}
+    assert got == cases
