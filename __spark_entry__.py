@@ -16693,6 +16693,97 @@ FROM walk GROUP BY word ORDER BY word
 """
 
 
+def _q_mtf_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Move-to-front coding stats (text.py:mtf_encode_stats — the
+    bzip2 BWT→RLE middle stage): the oracle threads the permutation
+    TABLE through a recursive CTE as a LIST column (list_position +
+    prepend + filter per step) — sequential state carried through SQL
+    recursion, vs the engine's real list scan."""
+    from bdtopo2refhydro_spark.operators.text import mtf_encode_stats
+
+    words = (_docs(spark, sf_dir)
+             .select((F.col("doc_id") % 200).alias("m")).distinct()
+             .selectExpr(f"{_UNI_WORD} as word").distinct())
+    return mtf_encode_stats(words).orderBy("word")
+
+
+_MTF_SQL = f"""
+WITH RECURSIVE mm AS (SELECT DISTINCT doc_id % 200 AS m FROM documents),
+words AS MATERIALIZED (SELECT DISTINCT {_UNI_WORD_D} AS word FROM mm),
+init AS MATERIALIZED (
+  SELECT w.word,
+         list_sort(list_distinct(list_transform(
+           range(1, len(w.word) + 1),
+           i -> substr(w.word, CAST(i AS INT), 1)))) AS st
+  FROM words w),
+walk(word, pos, st, tot, mx) AS (
+  SELECT word, 0, st, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM init
+  UNION ALL
+  SELECT w.word, w.pos + 1,
+         list_prepend(substr(wo.word, CAST(w.pos + 1 AS INT), 1),
+           list_filter(w.st,
+             x -> x != substr(wo.word, CAST(w.pos + 1 AS INT), 1))),
+         w.tot + list_position(w.st,
+           substr(wo.word, CAST(w.pos + 1 AS INT), 1)) - 1,
+         greatest(w.mx, list_position(w.st,
+           substr(wo.word, CAST(w.pos + 1 AS INT), 1)) - 1)
+  FROM walk w JOIN words wo ON wo.word = w.word
+  WHERE w.pos < len(wo.word))
+SELECT w.word, CAST(w.tot AS BIGINT) AS code_sum,
+       CAST(w.mx AS BIGINT) AS max_code
+FROM walk w JOIN words wo2 ON wo2.word = w.word
+WHERE w.pos = len(wo2.word)
+ORDER BY w.word
+"""
+
+
+def _q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs statistics per user over the event-derived
+    bit sequence (bit = event_id parity in time order): run count R
+    via one lag window, plus the BELOW-MEAN indicator as the integer
+    cross-multiplication R·n < n + 2·n₁·n₀ — no floats, the
+    randomness screen for clickstreams."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id", "unix_micros(cast(ts as timestamp)) as t",
+        "event_id", "cast(event_id % 2 as long) as b")
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    runs = (ev.withColumn("pb", F.lag("b").over(w))
+            .groupBy("user_id")
+            .agg(F.sum(F.when(F.col("pb").isNull()
+                              | (F.col("b") != F.col("pb")), 1)
+                       .otherwise(0)).alias("runs"),
+                 F.sum("b").alias("n1"),
+                 F.sum(F.lit(1) - F.col("b")).alias("n0")))
+    return (runs.selectExpr(
+        "cast(user_id as long) as user_id",
+        "cast(runs as long) as runs",
+        "cast(n1 as long) as n1", "cast(n0 as long) as n0",
+        "runs * (n1 + n0) < (n1 + n0) + 2 * n1 * n0 as below_mean")
+        .orderBy("user_id"))
+
+
+_RUNS_TEST_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id, event_id % 2 AS b
+  FROM events),
+lagged AS (
+  SELECT user_id, b,
+         lag(b) OVER (PARTITION BY user_id
+                      ORDER BY t, event_id) AS pb
+  FROM ev),
+agg AS (
+  SELECT user_id,
+         sum(CASE WHEN pb IS NULL OR b != pb THEN 1 ELSE 0 END)
+           AS runs,
+         sum(b) AS n1, sum(1 - b) AS n0
+  FROM lagged GROUP BY user_id)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(runs AS BIGINT) AS runs,
+       CAST(n1 AS BIGINT) AS n1, CAST(n0 AS BIGINT) AS n0,
+       runs * (n1 + n0) < (n1 + n0) + 2 * n1 * n0 AS below_mean
+FROM agg ORDER BY user_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -16775,6 +16866,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 115: move-to-front coding (list-state SQL recursion
+        # oracle) + Wald-Wolfowitz runs statistics.
+        "mtf_encode": _q_mtf_encode,
+        "runs_test": _q_runs_test,
         # batch 114: Lempel-Ziv complexity factor counts.
         "lz_complexity": _q_lz_complexity,
         # batch 113: isotonic regression (PAVA vs minimax).
@@ -17414,6 +17509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "mtf_encode": _MTF_SQL,
+        "runs_test": _RUNS_TEST_SQL,
         "lz_complexity": _LZ_COMPLEXITY_SQL,
         "isotonic": _ISOTONIC_SQL,
         "convergents": _CONVERGENTS_SQL,

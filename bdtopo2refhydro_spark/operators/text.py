@@ -1854,3 +1854,35 @@ def lz_complexity(words: DataFrame, word_col: str = "word"
 
     return words.select(word_col,
                         _lz(F.col(word_col)).alias("n_factors"))
+
+
+def mtf_encode_stats(words: DataFrame, word_col: str = "word"
+                     ) -> DataFrame:
+    """Move-to-front coding stats per word (the bzip2 stage between
+    BWT and RLE — locality becomes small codes): initial symbol table
+    = the word's distinct characters SORTED; each character emits its
+    current 0-based position and moves to front. Sequential list
+    state ⟹ engine runs the real scan; the oracle carries the
+    permutation as a LIST column through a recursive CTE. Returns
+    (word, code_sum, max_code)."""
+    import pandas as pd
+
+    @F.pandas_udf("struct<code_sum: long, max_code: long>")
+    def _mtf(s: pd.Series) -> pd.DataFrame:
+        sums, maxs = [], []
+        for w in s:
+            state = sorted(set(w))
+            tot, mx = 0, 0
+            for ch in w:
+                p = state.index(ch)
+                tot += p
+                mx = max(mx, p)
+                state.pop(p)
+                state.insert(0, ch)
+            sums.append(tot)
+            maxs.append(mx)
+        return pd.DataFrame({"code_sum": sums, "max_code": maxs})
+
+    return words.select(word_col, _mtf(F.col(word_col)).alias("r")) \
+        .select(word_col, F.col("r.code_sum").alias("code_sum"),
+                F.col("r.max_code").alias("max_code"))
