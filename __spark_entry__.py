@@ -16784,6 +16784,39 @@ FROM agg ORDER BY user_id
 """
 
 
+def _q_damerau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unrestricted Damerau-Levenshtein distances
+    (text.py:damerau_levenshtein_pairs — the full LOWRANCE-WAGNER DP
+    with alphabet-indexed last-occurrence rows; distant
+    transpositions allowed, 'ca'→'abc' = 2 where restricted OSA says
+    3) vs DuckDB's BUILT-IN damerau_levenshtein, empirically the
+    unrestricted variant. Word pairs (w(m), w((3m+1) mod 200)) over
+    the small-alphabet vocabulary so transpositions actually
+    occur."""
+    from bdtopo2refhydro_spark.operators.text import \
+        damerau_levenshtein_pairs
+
+    base = (_docs(spark, sf_dir)
+            .select((F.col("doc_id") % 200).alias("m")).distinct()
+            .selectExpr("m", f"{_UNI_WORD} as word"))
+    pairs = (base.selectExpr("m", "word as w1",
+                             "cast((m * 3 + 1) % 200 as long) as m2")
+             .join(base.selectExpr("m as m2", "word as w2"), "m2")
+             .selectExpr("cast(m as long) as pid", "w1", "w2"))
+    return (damerau_levenshtein_pairs(pairs)
+            .select("pid", "w1", "w2", "dist").orderBy("pid"))
+
+
+_DAMERAU_SQL = f"""
+WITH mm AS (SELECT DISTINCT doc_id % 200 AS m FROM documents),
+base AS MATERIALIZED (SELECT m, {_UNI_WORD_D} AS word FROM mm)
+SELECT CAST(a.m AS BIGINT) AS pid, a.word AS w1, b.word AS w2,
+       CAST(damerau_levenshtein(a.word, b.word) AS BIGINT) AS dist
+FROM base a JOIN base b ON b.m = (a.m * 3 + 1) % 200
+ORDER BY pid
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -16866,6 +16899,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 116: unrestricted Damerau-Levenshtein (Lowrance-
+        # Wagner DP vs DuckDB's builtin).
+        "damerau": _q_damerau,
         # batch 115: move-to-front coding (list-state SQL recursion
         # oracle) + Wald-Wolfowitz runs statistics.
         "mtf_encode": _q_mtf_encode,
@@ -17509,6 +17545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "damerau": _DAMERAU_SQL,
         "mtf_encode": _MTF_SQL,
         "runs_test": _RUNS_TEST_SQL,
         "lz_complexity": _LZ_COMPLEXITY_SQL,

@@ -1886,3 +1886,46 @@ def mtf_encode_stats(words: DataFrame, word_col: str = "word"
     return words.select(word_col, _mtf(F.col(word_col)).alias("r")) \
         .select(word_col, F.col("r.code_sum").alias("code_sum"),
                 F.col("r.max_code").alias("max_code"))
+
+
+def damerau_levenshtein_pairs(pairs: DataFrame, *, w1: str = "w1",
+                              w2: str = "w2") -> DataFrame:
+    """Unrestricted Damerau-Levenshtein distance per pair by the full
+    LOWRANCE-WAGNER DP (alphabet-indexed last-occurrence rows —
+    distant transpositions allowed: 'ca'→'abc' = 2 where restricted
+    OSA says 3). Adds a `dist` column."""
+    import pandas as pd
+
+    @F.pandas_udf("long")
+    def _dl(a_s: pd.Series, b_s: pd.Series) -> pd.Series:
+        def dl(a, b):
+            INF = len(a) + len(b)
+            n, m_ = len(a), len(b)
+            da = {}
+            d = [[0] * (m_ + 2) for _ in range(n + 2)]
+            d[0][0] = INF
+            for i in range(n + 1):
+                d[i + 1][0] = INF
+                d[i + 1][1] = i
+            for j in range(m_ + 1):
+                d[0][j + 1] = INF
+                d[1][j + 1] = j
+            for i in range(1, n + 1):
+                db = 0
+                for j in range(1, m_ + 1):
+                    k = da.get(b[j - 1], 0)
+                    l = db
+                    if a[i - 1] == b[j - 1]:
+                        cost = 0
+                        db = j
+                    else:
+                        cost = 1
+                    d[i + 1][j + 1] = min(
+                        d[i][j] + cost, d[i + 1][j] + 1,
+                        d[i][j + 1] + 1,
+                        d[k][l] + (i - k - 1) + 1 + (j - l - 1))
+                da[a[i - 1]] = i
+            return d[n + 1][m_ + 1]
+        return pd.Series([dl(a, b) for a, b in zip(a_s, b_s)])
+
+    return pairs.withColumn("dist", _dl(F.col(w1), F.col(w2)))
