@@ -16817,6 +16817,57 @@ ORDER BY pid
 """
 
 
+_SHAMIR_P = 10007
+
+
+def _q_shamir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shamir secret sharing over GF(10007): shares are evaluations
+    of a planted degree-2 polynomial at x = 1..3 (built with
+    identical modular arithmetic on both sides); the ENGINE
+    reconstructs the secret by Lagrange interpolation at 0 with
+    Fermat-inverse exponentiation — the oracle simply writes the
+    PLANTED constant term down. Reconstruction must invert the whole
+    field arithmetic exactly to match."""
+    import pandas as pd
+
+    p = _SHAMIR_P
+    gg = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 30).alias("g")).distinct())
+    shares = (gg.select("g", F.explode(F.sequence(F.lit(1), F.lit(3)))
+                        .alias("x"))
+              .selectExpr(
+        "cast(g as long) as g", "cast(x as long) as x",
+        f"cast(((g * 97 + 13) + (g * 31 + 7) * x "
+        f"+ (g * 53 + 3) * x * x) % {p} as long) as y"))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for gv, grp in pdf.groupby("g", sort=False):
+            pts = list(zip(grp["x"], grp["y"]))
+            s = 0
+            for xi, yi in pts:
+                num, den = 1, 1
+                for xj, _ in pts:
+                    if xj != xi:
+                        num = (num * (-xj)) % p
+                        den = (den * (xi - xj)) % p
+                s = (s + yi * num * pow(int(den), p - 2, p)) % p
+            out.append((gv, int(s)))
+        return pd.DataFrame(out, columns=["g", "secret"])
+
+    return (shares.groupBy("g")
+            .applyInPandas(run, "g long, secret long")
+            .orderBy("g"))
+
+
+_SHAMIR_SQL = f"""
+WITH gg AS (SELECT DISTINCT doc_id % 30 AS g FROM documents)
+SELECT CAST(g AS BIGINT) AS g,
+       CAST((g * 97 + 13) % {_SHAMIR_P} AS BIGINT) AS secret
+FROM gg ORDER BY g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -16899,6 +16950,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 117: Shamir secret reconstruction over GF(p).
+        "shamir": _q_shamir,
         # batch 116: unrestricted Damerau-Levenshtein (Lowrance-
         # Wagner DP vs DuckDB's builtin).
         "damerau": _q_damerau,
@@ -17545,6 +17598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "shamir": _SHAMIR_SQL,
         "damerau": _DAMERAU_SQL,
         "mtf_encode": _MTF_SQL,
         "runs_test": _RUNS_TEST_SQL,
