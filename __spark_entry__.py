@@ -16868,6 +16868,109 @@ FROM gg ORDER BY g
 """
 
 
+def _q_gf2_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GF(2) matrix rank by bitmask Gaussian elimination (the parity
+    / cycle-space primitive): each group's rows are XOR combinations
+    of r planted basis vectors (r = 1 + g mod 5, basis = shifted
+    odd masks ⟹ independent), so the ORACLE knows rank = r in
+    closed form while the engine runs genuine elimination over the
+    20 noisy combination rows."""
+    import pandas as pd
+
+    gg = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 10).alias("g")).distinct())
+    # basis vector j of group g: (2j+1) << (3j)  (odd ⟹ lowest set
+    # bit unique per j ⟹ linearly independent); row i = XOR of the
+    # basis vectors selected by the bits of (i * 37 + g) — nonzero
+    # selector guaranteed by OR-ing bit 0
+    rows = (gg.select("g", F.explode(F.sequence(F.lit(0), F.lit(19)))
+                      .alias("i"))
+            .selectExpr("cast(g as long) as g", "cast(i as long) as i",
+                        "cast(1 + g % 5 as long) as r",
+                        "cast((i * 37 + g) % 32 as long) as sel"))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for gv, grp in pdf.groupby("g", sort=False):
+            r = int(grp["r"].iloc[0])
+            basis = [((2 * j + 1) << (3 * j)) for j in range(r)]
+            vecs = []
+            for i, sel in zip(grp["i"], grp["sel"]):
+                sel = (int(sel) % (1 << r)) | 1
+                v = 0
+                for j in range(r):
+                    if (sel >> j) & 1:
+                        v ^= basis[j]
+                vecs.append(v)
+            # genuine elimination
+            pivots = []
+            for v in vecs:
+                for p_ in pivots:
+                    v = min(v, v ^ p_)
+                if v:
+                    pivots.append(v)
+                    pivots.sort(reverse=True)
+            out.append((gv, len(pivots)))
+        return pd.DataFrame(out, columns=["g", "rank"])
+
+    return (rows.groupBy("g")
+            .applyInPandas(run, "g long, rank long")
+            .orderBy("g"))
+
+
+_GF2_RANK_SQL = """
+WITH gg AS (SELECT DISTINCT doc_id % 10 AS g FROM documents)
+SELECT CAST(g AS BIGINT) AS g, CAST(1 + g % 5 AS BIGINT) AS rank
+FROM gg ORDER BY g
+"""
+
+
+def _q_lfsr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit Galois LFSR (taps 0xB400 — the classic maximal
+    polynomial) state sequences: engine iterates the shift-XOR per
+    seed in an Arrow scan, the oracle as a recursive CTE with
+    DuckDB's xor()/shifts — the deterministic PRNG machinery behind
+    salting and synthetic fixtures, state-for-state."""
+    import pandas as pd
+
+    seeds = (_docs(spark, sf_dir)
+             .select((F.col("doc_id") % 25).alias("s")).distinct()
+             .selectExpr("cast(1 + s * 131 as long) as seed"))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for seed in pdf["seed"]:
+            st = int(seed)
+            for k in range(24):
+                lsb = st & 1
+                st >>= 1
+                if lsb:
+                    st ^= 0xB400
+                out.append((int(seed), k, st))
+        return pd.DataFrame(out, columns=["seed", "k", "state"])
+
+    return (seeds.groupBy("seed")
+            .applyInPandas(lambda pdf: run(pdf),
+                           "seed long, k long, state long")
+            .orderBy("seed", "k"))
+
+
+_LFSR_SQL = """
+WITH RECURSIVE seeds AS (
+  SELECT DISTINCT 1 + (doc_id % 25) * 131 AS seed FROM documents),
+walk(seed, k, st) AS (
+  SELECT seed, -1, seed FROM seeds
+  UNION ALL
+  SELECT seed, k + 1,
+         CASE WHEN st % 2 = 1 THEN xor(st // 2, 46080)
+              ELSE st // 2 END
+  FROM walk WHERE k < 23)
+SELECT CAST(seed AS BIGINT) AS seed, CAST(k AS BIGINT) AS k,
+       CAST(st AS BIGINT) AS state
+FROM walk WHERE k >= 0 ORDER BY seed, k
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -16950,6 +17053,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 118: GF(2) rank by bit elimination + Galois LFSR
+        # sequences.
+        "gf2_rank": _q_gf2_rank,
+        "lfsr": _q_lfsr,
         # batch 117: Shamir secret reconstruction over GF(p).
         "shamir": _q_shamir,
         # batch 116: unrestricted Damerau-Levenshtein (Lowrance-
@@ -17598,6 +17705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "gf2_rank": _GF2_RANK_SQL,
+        "lfsr": _LFSR_SQL,
         "shamir": _SHAMIR_SQL,
         "damerau": _DAMERAU_SQL,
         "mtf_encode": _MTF_SQL,
