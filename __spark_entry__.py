@@ -16971,6 +16971,144 @@ FROM walk WHERE k >= 0 ORDER BY seed, k
 """
 
 
+def _q_mod_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modular square roots in GF(10007) by TONELLI-SHANKS (the real
+    algorithm: factor p−1 = q·2^s, find a non-residue by Euler's
+    criterion, walk the 2-group) on planted quadratic residues
+    a = seed² mod p; output the canonical min(x, p−x) root. Oracle:
+    brute-force probe — min x with x² ≡ a (mod p) over a full
+    generate_series sweep. Two unrelated routes to the same root."""
+    import pandas as pd
+
+    p = _SHAMIR_P
+    vals = (_docs(spark, sf_dir)
+            .select((F.col("doc_id") % 50).alias("s")).distinct()
+            .selectExpr("cast(s as long) as sid",
+                        f"cast(((s * 73 + 11) * (s * 73 + 11)) % {p}"
+                        " as long) as a"))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        def ts(a):
+            if a == 0:
+                return 0
+            # p = 10007, p-1 = 2 * 5003 (5003 odd) -> s = 1: sqrt =
+            # a^((p+1)/4) — but implement the general machinery
+            q, s = p - 1, 0
+            while q % 2 == 0:
+                q //= 2
+                s += 1
+            z = 2
+            while pow(z, (p - 1) // 2, p) != p - 1:
+                z += 1
+            m, c = s, pow(z, q, p)
+            t, r = pow(a, q, p), pow(a, (q + 1) // 2, p)
+            while t != 1:
+                i, tt = 0, t
+                while tt != 1:
+                    tt = tt * tt % p
+                    i += 1
+                b = pow(c, 1 << (m - i - 1), p)
+                m, c = i, b * b % p
+                t, r = t * c % p, r * b % p
+            return min(r, p - r)
+        out = [(int(sid), int(a), ts(int(a)))
+               for sid, a in zip(pdf["sid"], pdf["a"])]
+        return pd.DataFrame(out, columns=["sid", "a", "root"])
+
+    return (vals.groupBy("sid")
+            .applyInPandas(lambda pdf: run(pdf),
+                           "sid long, a long, root long")
+            .orderBy("sid"))
+
+
+_MOD_SQRT_SQL = f"""
+WITH vals AS (
+  SELECT DISTINCT doc_id % 50 AS sid,
+         (((doc_id % 50) * 73 + 11) * ((doc_id % 50) * 73 + 11))
+           % {_SHAMIR_P} AS a
+  FROM documents)
+SELECT CAST(v.sid AS BIGINT) AS sid, CAST(v.a AS BIGINT) AS a,
+       CAST((SELECT min(g.x) FROM generate_series(0, {_SHAMIR_P - 1})
+             g(x) WHERE (g.x * g.x) % {_SHAMIR_P} = v.a) AS BIGINT)
+         AS root
+FROM vals v ORDER BY sid
+"""
+
+
+def _q_spf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smallest prime factors by POLLARD'S RHO (deterministic
+    Brent-cycle variant with incrementing c, trial-division fallback
+    for small primes) on derived composites; oracle probes divisors
+    with one generate_series sweep to √max. Factorization machinery
+    vs the definition."""
+    import math
+
+    import pandas as pd
+
+    vals = (_docs(spark, sf_dir)
+            .select((F.col("doc_id") % 60).alias("s")).distinct()
+            .selectExpr("cast(s as long) as sid",
+                        "cast((1009 + s * 2) * (3001 + s * 4) as long)"
+                        " as n"))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        def spf(n):
+            for q in (2, 3, 5, 7, 11, 13):
+                if n % q == 0:
+                    return q
+
+            def rho(n):
+                if n == 1:
+                    return 1
+                c = 1
+                while True:
+                    x = y = 2
+                    d = 1
+                    while d == 1:
+                        x = (x * x + c) % n
+                        y = (y * y + c) % n
+                        y = (y * y + c) % n
+                        d = math.gcd(abs(x - y), n)
+                    if d != n:
+                        return d
+                    c += 1
+
+            d = rho(n)
+            # d may be composite: recurse to a prime divisor, then
+            # the smallest prime of n divides one of the parts
+            def smallest_prime(m):
+                if m == 1:
+                    return 10 ** 18
+                for q in (2, 3, 5, 7, 11, 13):
+                    if m % q == 0:
+                        return q
+                if all(m % k for k in range(2, int(m ** 0.5) + 1)):
+                    return m
+                dd = rho(m)
+                return min(smallest_prime(dd), smallest_prime(m // dd))
+            return min(smallest_prime(d), smallest_prime(n // d))
+        out = [(int(sid), int(n), spf(int(n)))
+               for sid, n in zip(pdf["sid"], pdf["n"])]
+        return pd.DataFrame(out, columns=["sid", "n", "spf"])
+
+    return (vals.groupBy("sid")
+            .applyInPandas(lambda pdf: run(pdf),
+                           "sid long, n long, spf long")
+            .orderBy("sid"))
+
+
+_SPF_SQL = """
+WITH vals AS (
+  SELECT DISTINCT doc_id % 60 AS sid,
+         (1009 + (doc_id % 60) * 2) * (3001 + (doc_id % 60) * 4) AS n
+  FROM documents)
+SELECT CAST(v.sid AS BIGINT) AS sid, CAST(v.n AS BIGINT) AS n,
+       CAST((SELECT min(g.x) FROM generate_series(2, 4000) g(x)
+             WHERE v.n % g.x = 0) AS BIGINT) AS spf
+FROM vals v ORDER BY sid
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -17053,6 +17191,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 119: Tonelli-Shanks modular square roots + Pollard
+        # rho smallest prime factors.
+        "mod_sqrt": _q_mod_sqrt,
+        "spf": _q_spf,
         # batch 118: GF(2) rank by bit elimination + Galois LFSR
         # sequences.
         "gf2_rank": _q_gf2_rank,
@@ -17705,6 +17847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "mod_sqrt": _MOD_SQRT_SQL,
+        "spf": _SPF_SQL,
         "gf2_rank": _GF2_RANK_SQL,
         "lfsr": _LFSR_SQL,
         "shamir": _SHAMIR_SQL,
