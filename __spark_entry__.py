@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # module-global so pandas_udf type hints resolve
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -17109,6 +17110,83 @@ FROM vals v ORDER BY sid
 """
 
 
+_CYK_BIN = [("S", "A", "B"), ("S", "B", "C"), ("A", "B", "A"),
+            ("B", "C", "C"), ("C", "A", "B")]
+_CYK_TERM = [("A", "a"), ("B", "b"), ("C", "a")]
+
+
+def _q_cyk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CYK membership for the classic Hopcroft CNF grammar
+    (S→AB|BC, A→BA|a, B→CC|b, C→AB|a) over the synthesized
+    vocabulary: engine runs the real O(n³) span DP per word (Arrow
+    scan); oracle unrolls span lengths 2..8 as CTE rounds joining
+    all split points — the parsing-at-scale primitive."""
+    import pandas as pd
+
+    words = (_docs(spark, sf_dir)
+             .select((F.col("doc_id") % 200).alias("m")).distinct()
+             .selectExpr(f"{_UNI_WORD} as word").distinct())
+
+    @F.pandas_udf("boolean")
+    def _cyk(s: pd.Series) -> pd.Series:
+        def parse(w):
+            n = len(w)
+            cell = {}
+            for i, ch in enumerate(w):
+                cell[(i, 1)] = {nt for nt, t in _CYK_TERM if t == ch}
+            for l in range(2, n + 1):
+                for i in range(n - l + 1):
+                    s_ = set()
+                    for m in range(1, l):
+                        left = cell.get((i, m), set())
+                        right = cell.get((i + m, l - m), set())
+                        for nt, x, y in _CYK_BIN:
+                            if x in left and y in right:
+                                s_.add(nt)
+                    cell[(i, l)] = s_
+            return "S" in cell.get((0, n), set())
+        return s.map(parse)
+
+    return words.select("word", _cyk(F.col("word")).alias("in_lang")) \
+        .orderBy("word")
+
+
+def _cyk_sql(max_len: int = 8) -> str:
+    term_cases = " UNION ALL ".join(
+        f"SELECT word, i, 1 AS l, '{nt}' AS nt FROM chars "
+        f"WHERE ch = '{t}'" for nt, t in _CYK_TERM)
+    base = f"""
+WITH mm AS (SELECT DISTINCT doc_id % 200 AS m FROM documents),
+words AS MATERIALIZED (SELECT DISTINCT {_UNI_WORD_D} AS word FROM mm),
+chars AS (
+  SELECT word, t.i, substr(word, CAST(t.i AS INT), 1) AS ch
+  FROM words, UNNEST(range(1, len(word) + 1)) t(i)),
+acc1 AS MATERIALIZED ({term_cases})"""
+    parts, prev = [], "acc1"
+    for l in range(2, max_len + 1):
+        rule_sel = " UNION ALL ".join(
+            f"SELECT a.word, a.i, {l} AS l, '{nt}' AS nt "
+            f"FROM {prev} a JOIN {prev} b "
+            f"ON b.word = a.word AND b.i = a.i + a.l "
+            f"AND a.l + b.l = {l} "
+            f"AND a.nt = '{x}' AND b.nt = '{y}'"
+            for nt, x, y in _CYK_BIN)
+        parts.append(f""",
+acc{l} AS MATERIALIZED (
+  SELECT word, i, l, nt FROM {prev}
+  UNION
+  SELECT DISTINCT word, i, l, nt FROM ({rule_sel}) u)""")
+        prev = f"acc{l}"
+    tail = f"""
+SELECT w.word,
+       EXISTS (SELECT 1 FROM {prev} c
+               WHERE c.word = w.word AND c.i = 1
+                 AND c.l = len(w.word) AND c.nt = 'S') AS in_lang
+FROM words w ORDER BY w.word
+"""
+    return base + "".join(parts) + tail
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -17191,6 +17269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 120: CYK membership for a CNF grammar.
+        "cyk_parse": _q_cyk,
         # batch 119: Tonelli-Shanks modular square roots + Pollard
         # rho smallest prime factors.
         "mod_sqrt": _q_mod_sqrt,
@@ -17847,6 +17927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "cyk_parse": _cyk_sql(),
         "mod_sqrt": _MOD_SQRT_SQL,
         "spf": _SPF_SQL,
         "gf2_rank": _GF2_RANK_SQL,
