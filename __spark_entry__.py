@@ -17187,6 +17187,61 @@ FROM words w ORDER BY w.word
     return base + "".join(parts) + tail
 
 
+def _q_lp2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-variable LP optima: engine = a REAL simplex over exact
+    Fractions (Bland's rule, slack tableau — ml.py:lp2_simplex);
+    oracle = vertex ENUMERATION (Cramer determinants over all
+    constraint pairs incl. the axes, sign-aware cross-multiplied
+    feasibility, max of the rational objective values as
+    correctly-rounded doubles). All-positive coefficients keep every
+    region bounded."""
+    from bdtopo2refhydro_spark.operators.ml import lp2_simplex
+
+    gg = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 15).alias("g")).distinct())
+    cons = (gg.select("g", F.explode(F.sequence(F.lit(0), F.lit(3)))
+                      .alias("i"))
+            .selectExpr("cast(g as long) as g",
+                        "cast(1 + (g * 3 + i) % 5 as long) as a",
+                        "cast(1 + (g * 7 + i * 2) % 5 as long) as b",
+                        "cast(20 + (g * 11 + i * 13) % 30 as long)"
+                        " as c"))
+    obj = gg.selectExpr("cast(g as long) as g",
+                        "cast(2 + g % 4 as long) as p",
+                        "cast(1 + g % 3 as long) as q")
+    return lp2_simplex(cons, obj).orderBy("g")
+
+
+_LP2_SQL = """
+WITH gg AS (SELECT DISTINCT doc_id % 15 AS g FROM documents),
+cons AS MATERIALIZED (
+  SELECT g, i.x AS i, 1 + (g * 3 + i.x) % 5 AS a,
+         1 + (g * 7 + i.x * 2) % 5 AS b,
+         20 + (g * 11 + i.x * 13) % 30 AS c
+  FROM gg CROSS JOIN generate_series(0, 3) i(x)
+  UNION ALL SELECT g, 4, -1, 0, 0 FROM gg
+  UNION ALL SELECT g, 5, 0, -1, 0 FROM gg),
+obj AS (SELECT g, 2 + g % 4 AS p, 1 + g % 3 AS q FROM gg),
+verts AS MATERIALIZED (
+  SELECT c1.g, c1.a * c2.b - c2.a * c1.b AS d,
+         c1.c * c2.b - c2.c * c1.b AS xn,
+         c1.a * c2.c - c2.a * c1.c AS yn
+  FROM cons c1 JOIN cons c2 ON c2.g = c1.g AND c2.i > c1.i
+  WHERE c1.a * c2.b - c2.a * c1.b != 0),
+feas AS (
+  SELECT v.g, v.d, v.xn, v.yn FROM verts v
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cons k WHERE k.g = v.g AND
+      CASE WHEN v.d > 0
+           THEN k.a * v.xn + k.b * v.yn > k.c * v.d
+           ELSE k.a * v.xn + k.b * v.yn < k.c * v.d END))
+SELECT CAST(f.g AS BIGINT) AS g,
+       max(CAST(o.p * f.xn + o.q * f.yn AS DOUBLE) / f.d) AS obj
+FROM feas f JOIN obj o ON o.g = f.g
+GROUP BY f.g ORDER BY g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -17269,6 +17324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 121: exact-Fraction simplex vs vertex enumeration.
+        "lp2_simplex": _q_lp2,
         # batch 120: CYK membership for a CNF grammar.
         "cyk_parse": _q_cyk,
         # batch 119: Tonelli-Shanks modular square roots + Pollard
@@ -17927,6 +17984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "lp2_simplex": _LP2_SQL,
         "cyk_parse": _cyk_sql(),
         "mod_sqrt": _MOD_SQRT_SQL,
         "spf": _SPF_SQL,

@@ -496,3 +496,68 @@ def isotonic_fit(seq: DataFrame, *, g: str = "g", idx: str = "i",
             .groupBy(g)
             .applyInPandas(lambda pdf: run(pdf),
                            f"{g} long, {idx} long, fit double"))
+
+
+def lp2_simplex(constraints: DataFrame, objectives: DataFrame, *,
+                g: str = "g") -> DataFrame:
+    """2-variable LP max px+qy s.t. aᵢx+bᵢy ≤ cᵢ, x,y ≥ 0 — solved
+    per group by a REAL simplex (standard tableau over exact
+    FRACTIONS, Bland's rule, slack basis). The optimum emitted as one
+    correctly-rounded division of the exact rational, so the oracle's
+    vertex-enumeration route (Cramer determinants + sign-aware
+    cross-multiplied feasibility) lands on the identical double.
+    constraints: (g, a, b, c); objectives: (g, p, q). Returns
+    (g, obj)."""
+    from fractions import Fraction
+
+    import pandas as pd
+
+    def solve(rows, p, q):
+        m = len(rows)
+        # tableau: maximize px+qy; columns x, y, s1..sm | rhs
+        T = [[Fraction(0)] * (2 + m + 1) for _ in range(m + 1)]
+        for i, (a, b, c) in enumerate(rows):
+            T[i][0], T[i][1] = Fraction(a), Fraction(b)
+            T[i][2 + i] = Fraction(1)
+            T[i][-1] = Fraction(c)
+        T[m][0], T[m][1] = Fraction(-p), Fraction(-q)
+        basis = [2 + i for i in range(m)]
+        while True:
+            # Bland: first negative reduced cost
+            piv_c = next((j for j in range(2 + m)
+                          if T[m][j] < 0), None)
+            if piv_c is None:
+                break
+            # min ratio, Bland tie-break by basis index
+            best, piv_r = None, None
+            for i in range(m):
+                if T[i][piv_c] > 0:
+                    r = T[i][-1] / T[i][piv_c]
+                    if best is None or r < best or \
+                            (r == best and basis[i] < basis[piv_r]):
+                        best, piv_r = r, i
+            if piv_r is None:
+                raise ValueError("unbounded LP in fixture")
+            pv = T[piv_r][piv_c]
+            T[piv_r] = [x / pv for x in T[piv_r]]
+            for i in range(m + 1):
+                if i != piv_r and T[i][piv_c] != 0:
+                    f_ = T[i][piv_c]
+                    T[i] = [x - f_ * y
+                            for x, y in zip(T[i], T[piv_r])]
+            basis[piv_r] = piv_c
+        val = T[m][-1]
+        return val.numerator / val.denominator
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for gv, grp in pdf.groupby(g, sort=False):
+            rows = sorted(zip(grp["a"], grp["b"], grp["c"]))
+            p, q = int(grp["p"].iloc[0]), int(grp["q"].iloc[0])
+            out.append((gv, solve([(int(a), int(b), int(c))
+                                   for a, b, c in rows], p, q)))
+        return pd.DataFrame(out, columns=[g, "obj"])
+
+    joined = constraints.join(objectives, g)
+    return (joined.groupBy(g)
+            .applyInPandas(run, f"{g} long, obj double"))

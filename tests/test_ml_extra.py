@@ -270,3 +270,38 @@ def test_isotonic_fit_properties(spark):
                            for k in range(i, n))
                        for j in range(i + 1))
             assert abs(fits[i] - want) < 1e-9
+
+
+def test_lp2_simplex_vs_scipy_free_enumeration(spark):
+    import random
+    from fractions import Fraction
+
+    from bdtopo2refhydro_spark.operators.ml import lp2_simplex
+
+    rng = random.Random(131)
+    crow, orow, want = [], [], {}
+    for g in range(5):
+        cons = [(rng.randrange(1, 6), rng.randrange(1, 6),
+                 rng.randrange(10, 40)) for _ in range(4)]
+        p, q = rng.randrange(1, 6), rng.randrange(1, 6)
+        crow += [(g, a, b, c) for a, b, c in cons]
+        orow.append((g, p, q))
+        # vertex enumeration with Fractions
+        lines = cons + [(-1, 0, 0), (0, -1, 0)]
+        best = Fraction(0)
+        for i in range(len(lines)):
+            for j in range(i + 1, len(lines)):
+                a1, b1, c1 = lines[i]
+                a2, b2, c2 = lines[j]
+                d = a1 * b2 - a2 * b1
+                if d == 0:
+                    continue
+                x = Fraction(c1 * b2 - c2 * b1, d)
+                y = Fraction(a1 * c2 - a2 * c1, d)
+                if all(a * x + b * y <= c for a, b, c in lines):
+                    best = max(best, p * x + q * y)
+        want[g] = best.numerator / best.denominator
+    c = spark.createDataFrame(crow, "g long, a long, b long, c long")
+    o = spark.createDataFrame(orow, "g long, p long, q long")
+    got = {r["g"]: r["obj"] for r in lp2_simplex(c, o).collect()}
+    assert got == want
