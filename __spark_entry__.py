@@ -17242,6 +17242,89 @@ GROUP BY f.g ORDER BY g
 """
 
 
+def _q_ntt_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cyclic convolution mod 12289 (the NTT-friendly lattice-crypto
+    prime, 3·2¹²+1) computed by a REAL radix-2 number-theoretic
+    transform — iterative Cooley-Tukey with bit-reversal, pointwise
+    product, inverse transform with n⁻¹ — vs the oracle's direct
+    O(n²) modular convolution. Length-16 sequences per group."""
+
+    p, n = 12289, 16
+    gg = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 12).alias("g")).distinct())
+    seqs = (gg.select("g", F.explode(F.sequence(F.lit(0), F.lit(15)))
+                      .alias("k"))
+            .selectExpr("cast(g as long) as g", "cast(k as long) as k",
+                        "cast((g * 131 + k * 17 + 3) % 12289 as long)"
+                        " as x",
+                        "cast((g * 57 + k * k * 5 + 1) % 12289 as "
+                        "long) as y"))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math as _m
+
+        w = pow(11, (p - 1) // n, p)  # 11 is a primitive root of p
+
+        def ntt(a, root):
+            a = a[:]
+            # bit reversal
+            j = 0
+            for i in range(1, n):
+                bit = n >> 1
+                while j & bit:
+                    j ^= bit
+                    bit >>= 1
+                j |= bit
+                if i < j:
+                    a[i], a[j] = a[j], a[i]
+            ln = 2
+            while ln <= n:
+                wl = pow(root, n // ln, p)
+                for i in range(0, n, ln):
+                    wcur = 1
+                    for k2 in range(ln // 2):
+                        u = a[i + k2]
+                        v = a[i + k2 + ln // 2] * wcur % p
+                        a[i + k2] = (u + v) % p
+                        a[i + k2 + ln // 2] = (u - v) % p
+                        wcur = wcur * wl % p
+                ln <<= 1
+            return a
+
+        out = []
+        for gv, grp in pdf.groupby("g", sort=False):
+            grp = grp.sort_values("k")
+            x = [int(v) for v in grp["x"]]
+            y = [int(v) for v in grp["y"]]
+            fx, fy = ntt(x, w), ntt(y, w)
+            fz = [a * b % p for a, b in zip(fx, fy)]
+            z = ntt(fz, pow(w, p - 2, p))
+            ninv = pow(n, p - 2, p)
+            z = [v * ninv % p for v in z]
+            out += [(gv, k2, z[k2]) for k2 in range(n)]
+        return pd.DataFrame(out, columns=["g", "k", "z"])
+
+    return (seqs.groupBy("g")
+            .applyInPandas(run, "g long, k long, z long")
+            .orderBy("g", "k"))
+
+
+_NTT_CONV_SQL = """
+WITH gg AS (SELECT DISTINCT doc_id % 12 AS g FROM documents),
+seqs AS MATERIALIZED (
+  SELECT g, k.x AS k,
+         (g * 131 + k.x * 17 + 3) % 12289 AS xv,
+         (g * 57 + k.x * k.x * 5 + 1) % 12289 AS yv
+  FROM gg CROSS JOIN generate_series(0, 15) k(x))
+SELECT CAST(a.g AS BIGINT) AS g, CAST(t.x AS BIGINT) AS k,
+       CAST(sum(a.xv * b.yv) % 12289 AS BIGINT) AS z
+FROM generate_series(0, 15) t(x)
+JOIN seqs a ON TRUE
+JOIN seqs b ON b.g = a.g AND b.k = (t.x - a.k + 16) % 16
+GROUP BY a.g, t.x ORDER BY g, k
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -17324,6 +17407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 122: NTT cyclic convolution mod 12289.
+        "ntt_conv": _q_ntt_conv,
         # batch 121: exact-Fraction simplex vs vertex enumeration.
         "lp2_simplex": _q_lp2,
         # batch 120: CYK membership for a CNF grammar.
@@ -17984,6 +18069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ntt_conv": _NTT_CONV_SQL,
         "lp2_simplex": _LP2_SQL,
         "cyk_parse": _cyk_sql(),
         "mod_sqrt": _MOD_SQRT_SQL,
