@@ -17325,6 +17325,81 @@ GROUP BY a.g, t.x ORDER BY g, k
 """
 
 
+def _q_fenwick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved point-update / range-sum timeline replayed through
+    a REAL Fenwick tree (lowbit index walks) per group; the oracle
+    answers every query independently by summing the updates that
+    precede it in time and fall in [l, r] — the data structure vs the
+    definition. Ops derived arithmetically: even t = update(pos, δ),
+    odd t = query[l, r]."""
+
+    gg = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 6).alias("g")).distinct())
+    ops = (gg.select("g", F.explode(F.sequence(F.lit(0), F.lit(59)))
+                     .alias("t"))
+           .selectExpr(
+        "cast(g as long) as g", "cast(t as long) as t",
+        "cast((g * 13 + t * 7) % 64 as long) as pos",
+        "cast((g + t) % 11 - 5 as long) as delta",
+        "cast((g * 5 + t * 3) % 64 as long) as l0",
+        "cast((g * 5 + t * 3) % 64 + (t * 11) % 20 as long) as r0"))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        N = 96
+        out = []
+        for gv, grp in pdf.groupby("g", sort=False):
+            tree = [0] * (N + 1)
+
+            def upd(i, d):
+                i += 1
+                while i <= N:
+                    tree[i] += d
+                    i += i & (-i)
+
+            def pref(i):
+                i += 1
+                s = 0
+                while i > 0:
+                    s += tree[i]
+                    i -= i & (-i)
+                return s
+
+            srt = grp.sort_values("t")
+            for t, pos, delta, l0, r0 in zip(
+                    srt["t"], srt["pos"], srt["delta"],
+                    srt["l0"], srt["r0"]):
+                if t % 2 == 0:
+                    upd(int(pos), int(delta))
+                else:
+                    s = pref(int(r0)) - (pref(int(l0) - 1)
+                                         if l0 > 0 else 0)
+                    out.append((gv, int(t), s))
+        return pd.DataFrame(out, columns=["g", "t", "range_sum"])
+
+    return (ops.groupBy("g")
+            .applyInPandas(run, "g long, t long, range_sum long")
+            .orderBy("g", "t"))
+
+
+_FENWICK_SQL = """
+WITH gg AS (SELECT DISTINCT doc_id % 6 AS g FROM documents),
+ops AS MATERIALIZED (
+  SELECT g, t.x AS t,
+         (g * 13 + t.x * 7) % 64 AS pos,
+         (g + t.x) % 11 - 5 AS delta,
+         (g * 5 + t.x * 3) % 64 AS l0,
+         (g * 5 + t.x * 3) % 64 + (t.x * 11) % 20 AS r0
+  FROM gg CROSS JOIN generate_series(0, 59) t(x))
+SELECT CAST(q.g AS BIGINT) AS g, CAST(q.t AS BIGINT) AS t,
+       CAST(coalesce(sum(u.delta), 0) AS BIGINT) AS range_sum
+FROM ops q LEFT JOIN ops u
+  ON u.g = q.g AND u.t % 2 = 0 AND u.t < q.t
+ AND u.pos >= q.l0 AND u.pos <= q.r0
+WHERE q.t % 2 = 1
+GROUP BY q.g, q.t ORDER BY g, t
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -17407,6 +17482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 123: Fenwick-tree update/query timeline replay.
+        "fenwick_timeline": _q_fenwick,
         # batch 122: NTT cyclic convolution mod 12289.
         "ntt_conv": _q_ntt_conv,
         # batch 121: exact-Fraction simplex vs vertex enumeration.
@@ -18069,6 +18146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "fenwick_timeline": _FENWICK_SQL,
         "ntt_conv": _NTT_CONV_SQL,
         "lp2_simplex": _LP2_SQL,
         "cyk_parse": _cyk_sql(),
