@@ -17400,6 +17400,130 @@ GROUP BY q.g, q.t ORDER BY g, t
 """
 
 
+def _q_bigmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-digit decimal multiplication by REAL digit-level KARATSUBA
+    (recursive three-multiplication split on little-endian digit
+    lists, schoolbook base case, explicit carry normalization — no
+    python bignum shortcuts in the product path); the oracle computes
+    the same product by digit CONVOLUTION (join-aggregate) plus a
+    linear recursive carry walk, emitting the digit string. Two
+    textbook algorithms, one 60-digit string."""
+
+    gg = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 20).alias("g")).distinct())
+    nums = gg.selectExpr(
+        "cast(g as long) as g",
+        # digit i (little-endian) of x: (g*7 + i*13) % 10, of y:
+        # (g*11 + i*17) % 10; top digit forced nonzero
+        "g as _g")
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        D = 30
+
+        def digits(g, a, b):
+            d = [(g * a + i * b) % 10 for i in range(D)]
+            d[D - 1] = 1 + (g * a + (D - 1) * b) % 9
+            return d
+
+        def norm(d):
+            out, carry = [], 0
+            for v in d:
+                carry, r = divmod(v + carry, 10)
+                out.append(r)
+            while carry:
+                carry, r = divmod(carry, 10)
+                out.append(r)
+            while len(out) > 1 and out[-1] == 0:
+                out.pop()
+            return out
+
+        def add(a, b):
+            n = max(len(a), len(b))
+            return [(a[i] if i < len(a) else 0)
+                    + (b[i] if i < len(b) else 0) for i in range(n)]
+
+        def sub(a, b):  # a >= b elementwise after normalization
+            n = max(len(a), len(b))
+            return [(a[i] if i < len(a) else 0)
+                    - (b[i] if i < len(b) else 0) for i in range(n)]
+
+        def kara(a, b):
+            if len(a) <= 8 or len(b) <= 8:
+                out = [0] * (len(a) + len(b))
+                for i, x in enumerate(a):
+                    for j, y in enumerate(b):
+                        out[i + j] += x * y
+                return out
+            m = min(len(a), len(b)) // 2
+            a0, a1 = a[:m], a[m:]
+            b0, b1 = b[:m], b[m:]
+            z0 = kara(a0, b0)
+            z2 = kara(a1, b1)
+            z1 = sub(sub(kara(add(a0, a1), add(b0, b1)), z0), z2)
+            out = [0] * (len(a) + len(b))
+            for i, v in enumerate(z0):
+                out[i] += v
+            for i, v in enumerate(z1):
+                out[i + m] += v
+            for i, v in enumerate(z2):
+                out[i + 2 * m] += v
+            return out
+
+        out = []
+        for g in pdf["g"]:
+            g = int(g)
+            x = digits(g, 7, 13)
+            y = digits(g, 11, 17)
+            prod = norm(kara(x, y))
+            out.append((g, "".join(str(v) for v in reversed(prod))))
+        return pd.DataFrame(out, columns=["g", "product"])
+
+    return (nums.groupBy("g")
+            .applyInPandas(run, "g long, product string")
+            .orderBy("g"))
+
+
+_BIGMUL_SQL = """
+WITH RECURSIVE gg AS (SELECT DISTINCT doc_id % 20 AS g FROM documents),
+dx AS (
+  SELECT g, i.x AS i,
+         CASE WHEN i.x = 29 THEN 1 + (g * 7 + 29 * 13) % 9
+              ELSE (g * 7 + i.x * 13) % 10 END AS d
+  FROM gg CROSS JOIN generate_series(0, 29) i(x)),
+dy AS (
+  SELECT g, i.x AS i,
+         CASE WHEN i.x = 29 THEN 1 + (g * 11 + 29 * 17) % 9
+              ELSE (g * 11 + i.x * 17) % 10 END AS d
+  FROM gg CROSS JOIN generate_series(0, 29) i(x)),
+conv AS MATERIALIZED (
+  SELECT x.g, x.i + y.i AS k, sum(x.d * y.d) AS c
+  FROM dx x JOIN dy y ON y.g = x.g
+  GROUP BY x.g, x.i + y.i),
+walk(g, k, dig, carry) AS (
+  SELECT c.g, 0, CAST((c.c) % 10 AS BIGINT),
+         CAST(c.c // 10 AS BIGINT)
+  FROM conv c WHERE c.k = 0
+  UNION ALL
+  SELECT w.g, w.k + 1,
+         (coalesce(c.c, 0) + w.carry) % 10,
+         (coalesce(c.c, 0) + w.carry) // 10
+  FROM walk w LEFT JOIN conv c ON c.g = w.g AND c.k = w.k + 1
+  WHERE w.k < 61 AND (w.k + 1 <= (SELECT max(k) FROM conv c2
+                                  WHERE c2.g = w.g)
+                      OR w.carry > 0)),
+digs AS (
+  SELECT g, k, dig FROM walk),
+strs AS (
+  SELECT g, string_agg(CAST(dig AS VARCHAR), '' ORDER BY k DESC)
+           AS raw
+  FROM digs GROUP BY g)
+SELECT CAST(g AS BIGINT) AS g,
+       CASE WHEN ltrim(raw, '0') = '' THEN '0'
+            ELSE ltrim(raw, '0') END AS product
+FROM strs ORDER BY g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -17482,6 +17606,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 124: Karatsuba digit multiplication vs convolution
+        # + carry-walk oracle.
+        "bigmul": _q_bigmul,
         # batch 123: Fenwick-tree update/query timeline replay.
         "fenwick_timeline": _q_fenwick,
         # batch 122: NTT cyclic convolution mod 12289.
@@ -18146,6 +18273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bigmul": _BIGMUL_SQL,
         "fenwick_timeline": _FENWICK_SQL,
         "ntt_conv": _NTT_CONV_SQL,
         "lp2_simplex": _LP2_SQL,
