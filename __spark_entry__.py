@@ -17524,6 +17524,72 @@ FROM strs ORDER BY g
 """
 
 
+def _q_perm_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicographic permutation ranks via the LEHMER CODE: each
+    group's 12-element permutation (argsort of a hashed key — built
+    with row_number identically on both sides) gets rank =
+    Σ cᵢ·(n−1−i)! where cᵢ counts smaller elements to the right.
+    Engine: the sequential Lehmer scan; oracle: pair-join smaller-
+    to-the-right counts × factorials from a recursive product
+    walk — 12! < 2⁶³ keeps everything in BIGINT."""
+
+    n = 12
+    gg = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 18).alias("g")).distinct())
+    base = (gg.select("g", F.explode(F.sequence(F.lit(0),
+                                                F.lit(n - 1)))
+                      .alias("i"))
+            .withColumn("key", (F.col("g") * 37 + F.col("i") * 61)
+                        % 101))
+    w = Window.partitionBy("g").orderBy("key", "i")
+    perm = base.select(F.col("g").cast("long").alias("g"),
+                       F.col("i").cast("long").alias("i"),
+                       (F.row_number().over(w) - 1).cast("long")
+                       .alias("p"))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        out = []
+        for gv, grp in pdf.groupby("g", sort=False):
+            p = [int(v) for v in grp.sort_values("i")["p"]]
+            rank = 0
+            for i in range(len(p)):
+                c = sum(1 for j in range(i + 1, len(p))
+                        if p[j] < p[i])
+                rank += c * math.factorial(len(p) - 1 - i)
+            out.append((gv, rank))
+        return pd.DataFrame(out, columns=["g", "rank"])
+
+    return (perm.groupBy("g")
+            .applyInPandas(run, "g long, rank long")
+            .orderBy("g"))
+
+
+_PERM_RANK_SQL = """
+WITH RECURSIVE gg AS (SELECT DISTINCT doc_id % 18 AS g FROM documents),
+base AS (
+  SELECT g, i.x AS i, (g * 37 + i.x * 61) % 101 AS key
+  FROM gg CROSS JOIN generate_series(0, 11) i(x)),
+perm AS MATERIALIZED (
+  SELECT g, i,
+         row_number() OVER (PARTITION BY g ORDER BY key, i) - 1 AS p
+  FROM base),
+fact(k, f) AS (
+  SELECT 0, CAST(1 AS BIGINT)
+  UNION ALL SELECT k + 1, f * (k + 1) FROM fact WHERE k < 11),
+cnts AS (
+  SELECT a.g, a.i, count(b.i) AS c
+  FROM perm a LEFT JOIN perm b
+    ON b.g = a.g AND b.i > a.i AND b.p < a.p
+  GROUP BY a.g, a.i)
+SELECT CAST(c.g AS BIGINT) AS g,
+       CAST(sum(c.c * f.f) AS BIGINT) AS rank
+FROM cnts c JOIN fact f ON f.k = 11 - c.i
+GROUP BY c.g ORDER BY g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -17606,6 +17672,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 125: Lehmer-code permutation ranking.
+        "perm_rank": _q_perm_rank,
         # batch 124: Karatsuba digit multiplication vs convolution
         # + carry-walk oracle.
         "bigmul": _q_bigmul,
@@ -18273,6 +18341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "perm_rank": _PERM_RANK_SQL,
         "bigmul": _BIGMUL_SQL,
         "fenwick_timeline": _FENWICK_SQL,
         "ntt_conv": _NTT_CONV_SQL,
