@@ -17590,6 +17590,79 @@ GROUP BY c.g ORDER BY g
 """
 
 
+def _q_poly_gcd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial GCD over GF(10007) by the real polynomial EUCLID
+    (degree-reduction long division with modular inverses, monic
+    normalization): inputs are g·(x+c₁) and g·(x+c₂) with c₁ ≠ c₂ —
+    distinct linear factors are coprime, so gcd = monic g, whose
+    quadratic coefficients the oracle writes down arithmetically.
+    The engine must expand, divide, and normalize to recover them."""
+
+    p = _SHAMIR_P
+    gg = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 25).alias("g")).distinct()
+          .selectExpr("cast(g as long) as g",
+                      "cast(1 + g * 3 as long) as g0",
+                      "cast(2 + g * 5 as long) as g1",
+                      "cast(1 as long) as g2",
+                      "cast(10 + g as long) as c1",
+                      "cast(40 + g as long) as c2"))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        def pmul(a, b):
+            out = [0] * (len(a) + len(b) - 1)
+            for i, x in enumerate(a):
+                for j, y in enumerate(b):
+                    out[i + j] = (out[i + j] + x * y) % p
+            return out
+
+        def pmod(a, b):
+            a = a[:]
+            db = len(b) - 1
+            inv = pow(b[-1], p - 2, p)
+            while len(a) - 1 >= db and any(a):
+                if a[-1] == 0:
+                    a.pop()
+                    continue
+                coef = a[-1] * inv % p
+                shift = len(a) - 1 - db
+                for i, x in enumerate(b):
+                    a[shift + i] = (a[shift + i] - coef * x) % p
+                a.pop()
+            while len(a) > 1 and a[-1] == 0:
+                a.pop()
+            return a
+
+        def pgcd(a, b):
+            while any(b):
+                a, b = b, pmod(a, b)
+            inv = pow(a[-1], p - 2, p)
+            return [x * inv % p for x in a]
+
+        out = []
+        for r in pdf.itertuples(index=False):
+            gpoly = [int(r.g0), int(r.g1), int(r.g2)]
+            pa = pmul(gpoly, [int(r.c1), 1])
+            pb = pmul(gpoly, [int(r.c2), 1])
+            gg_ = pgcd(pa, pb)
+            out.append((int(r.g), gg_[0], gg_[1], gg_[2]))
+        return pd.DataFrame(out, columns=["g", "k0", "k1", "k2"])
+
+    return (gg.groupBy("g")
+            .applyInPandas(run, "g long, k0 long, k1 long, k2 long")
+            .orderBy("g"))
+
+
+_POLY_GCD_SQL = """
+WITH gg AS (SELECT DISTINCT doc_id % 25 AS g FROM documents)
+SELECT CAST(g AS BIGINT) AS g,
+       CAST(1 + g * 3 AS BIGINT) AS k0,
+       CAST(2 + g * 5 AS BIGINT) AS k1,
+       CAST(1 AS BIGINT) AS k2
+FROM gg ORDER BY g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -17672,6 +17745,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 126: polynomial GCD over GF(p) (planted-factor
+        # closed-form oracle).
+        "poly_gcd": _q_poly_gcd,
         # batch 125: Lehmer-code permutation ranking.
         "perm_rank": _q_perm_rank,
         # batch 124: Karatsuba digit multiplication vs convolution
@@ -18341,6 +18417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "poly_gcd": _POLY_GCD_SQL,
         "perm_rank": _PERM_RANK_SQL,
         "bigmul": _BIGMUL_SQL,
         "fenwick_timeline": _FENWICK_SQL,
