@@ -17663,6 +17663,125 @@ FROM gg ORDER BY g
 """
 
 
+def _q_stable_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable marriage, man-optimal, 6×6 per instance: engine runs
+    the REAL GALE-SHAPLEY proposal rounds; the oracle enumerates all
+    720 perfect matchings (a 6-fold distinctness join), keeps the
+    STABLE ones (no blocking pair — the definition), and selects the
+    one minimizing Σ men's ranks — which is exactly the man-optimal
+    matching (it minimizes every man's rank pointwise, so uniquely
+    minimizes the sum among stable matchings). Preference keys built
+    with identical arithmetic on both sides."""
+
+    n = 6
+    gg = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 10).alias("inst")).distinct())
+    pairs = (gg.select("inst",
+                       F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
+                       .alias("m"))
+             .select("inst", "m",
+                     F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
+                     .alias("w"))
+             .withColumn("mkey", (F.col("m") * 7 + F.col("w") * 11
+                                  + F.col("inst") * 3) % 101)
+             .withColumn("wkey", (F.col("m") * 13 + F.col("w") * 5
+                                  + F.col("inst") * 17) % 103))
+    wm = Window.partitionBy("inst", "m").orderBy("mkey", "w")
+    ww = Window.partitionBy("inst", "w").orderBy("wkey", "m")
+    ranked = (pairs.withColumn("mr", F.row_number().over(wm) - 1)
+              .withColumn("wr", F.row_number().over(ww) - 1)
+              .selectExpr("cast(inst as long) as inst",
+                          "cast(m as long) as m", "cast(w as long) as w",
+                          "cast(mr as long) as mr",
+                          "cast(wr as long) as wr"))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for iv, grp in pdf.groupby("inst", sort=False):
+            mpref = {}
+            wrank = {}
+            for r in grp.itertuples(index=False):
+                mpref.setdefault(int(r.m), {})[int(r.mr)] = int(r.w)
+                wrank[(int(r.w), int(r.m))] = int(r.wr)
+            nxt = {m: 0 for m in range(n)}
+            cur = {}  # woman -> man
+            free = list(range(n))
+            while free:
+                m = free.pop()
+                w = mpref[m][nxt[m]]
+                nxt[m] += 1
+                if w not in cur:
+                    cur[w] = m
+                elif wrank[(w, m)] < wrank[(w, cur[w])]:
+                    free.append(cur[w])
+                    cur[w] = m
+                else:
+                    free.append(m)
+            out += [(iv, m, w) for w, m in cur.items()]
+        return pd.DataFrame(out, columns=["inst", "m", "w"])
+
+    return (ranked.groupBy("inst")
+            .applyInPandas(run, "inst long, m long, w long")
+            .orderBy("inst", "m"))
+
+
+def _stable_match_sql(n: int = 6) -> str:
+    cols = ", ".join(f"p{m}.w AS w{m}" for m in range(n))
+    joins = "\n  ".join(
+        (f"FROM perm_src p0" if m == 0 else
+         f"JOIN perm_src p{m} ON p{m}.inst = p0.inst AND p{m}.m = {m}"
+         + "".join(f" AND p{m}.w != p{k}.w" for k in range(m)))
+        for m in range(n))
+    # fix p0's m
+    joins = joins.replace("FROM perm_src p0",
+                          "FROM perm_src p0")
+    msum = " + ".join(f"p{m}.mr" for m in range(n))
+    stable_checks = []
+    return f"""
+WITH gg AS (SELECT DISTINCT doc_id % 10 AS inst FROM documents),
+pairs AS (
+  SELECT inst, m.x AS m, w.x AS w,
+         (m.x * 7 + w.x * 11 + inst * 3) % 101 AS mkey,
+         (m.x * 13 + w.x * 5 + inst * 17) % 103 AS wkey
+  FROM gg
+  CROSS JOIN generate_series(0, {n - 1}) m(x)
+  CROSS JOIN generate_series(0, {n - 1}) w(x)),
+ranked AS MATERIALIZED (
+  SELECT inst, m, w,
+         row_number() OVER (PARTITION BY inst, m
+                            ORDER BY mkey, w) - 1 AS mr,
+         row_number() OVER (PARTITION BY inst, w
+                            ORDER BY wkey, m) - 1 AS wr
+  FROM pairs),
+perm_src AS (SELECT inst, m, w, mr FROM ranked),
+matchings AS MATERIALIZED (
+  SELECT p0.inst, {cols}, {msum} AS ranksum
+  {joins}
+  WHERE p0.m = 0),
+stable AS MATERIALIZED (
+  SELECT mt.* FROM matchings mt
+  WHERE NOT EXISTS (
+    -- blocking pair (m, w): m prefers w to his partner AND w
+    -- prefers m to her partner
+    SELECT 1 FROM ranked r
+    JOIN ranked rp ON rp.inst = mt.inst AND rp.m = r.m
+     AND rp.w = CASE r.m {' '.join(f'WHEN {m} THEN mt.w{m}' for m in range(n))} END
+    JOIN ranked rw ON rw.inst = mt.inst AND rw.w = r.w
+     AND ({' OR '.join(f'(mt.w{m} = r.w AND rw.m = {m})' for m in range(n))})
+    WHERE r.inst = mt.inst AND r.mr < rp.mr AND r.wr < rw.wr)),
+best AS (
+  SELECT inst, {', '.join(f'w{m}' for m in range(n))},
+         row_number() OVER (PARTITION BY inst ORDER BY ranksum) AS rn
+  FROM stable)
+SELECT CAST(inst AS BIGINT) AS inst, CAST(m.x AS BIGINT) AS m,
+       CAST(CASE m.x {' '.join(f'WHEN {m} THEN w{m}' for m in range(n))} END
+            AS BIGINT) AS w
+FROM best CROSS JOIN generate_series(0, {n - 1}) m(x)
+WHERE rn = 1
+ORDER BY inst, m
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -17745,6 +17864,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 127: Gale-Shapley stable matching vs full
+        # enumeration + stability filter.
+        "stable_match": _q_stable_match,
         # batch 126: polynomial GCD over GF(p) (planted-factor
         # closed-form oracle).
         "poly_gcd": _q_poly_gcd,
@@ -18417,6 +18539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "stable_match": _stable_match_sql(),
         "poly_gcd": _POLY_GCD_SQL,
         "perm_rank": _PERM_RANK_SQL,
         "bigmul": _BIGMUL_SQL,
