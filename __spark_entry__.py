@@ -17782,6 +17782,90 @@ ORDER BY inst, m
 """
 
 
+def _q_dfa_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFA state equivalence: engine runs MOORE PARTITION REFINEMENT
+    (iterated signature (acc, class[δ₀], class[δ₁]) re-coding to a
+    fixpoint); the oracle computes the DISTINGUISHABLE-pairs closure
+    — seeded by acceptance mismatch, closed backward through the
+    transition function — and labels each state with its smallest
+    indistinguishable partner. Two dual characterizations of
+    Myhill-Nerode equivalence. 12-state binary DFAs per instance."""
+
+    S = 12
+    gg = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 8).alias("inst")).distinct())
+    dfa = (gg.select("inst",
+                     F.explode(F.sequence(F.lit(0), F.lit(S - 1)))
+                     .alias("s"))
+           .selectExpr("cast(inst as long) as inst",
+                       "cast(s as long) as s",
+                       f"cast((s * 5 + inst + 1) % {S} as long) as d0",
+                       f"cast((s * 7 + inst * 3 + 2) % {S} as long)"
+                       " as d1",
+                       "cast((s + inst) % 3 = 0 as boolean) as acc"))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for iv, grp in pdf.groupby("inst", sort=False):
+            grp = grp.sort_values("s")
+            d0 = list(grp["d0"])
+            d1 = list(grp["d1"])
+            acc = list(grp["acc"])
+            cls = [1 if a else 0 for a in acc]
+            while True:
+                sig = [(cls[i], cls[d0[i]], cls[d1[i]])
+                       for i in range(S)]
+                remap = {}
+                new = []
+                for sg in sig:
+                    if sg not in remap:
+                        remap[sg] = len(remap)
+                    new.append(remap[sg])
+                if new == cls:
+                    break
+                cls = new
+            # canonical label: min state in each class
+            rep = {}
+            for i in range(S):
+                rep.setdefault(cls[i], i)
+            out += [(iv, i, rep[cls[i]]) for i in range(S)]
+        return pd.DataFrame(out, columns=["inst", "s", "cls"])
+
+    return (dfa.groupBy("inst")
+            .applyInPandas(run, "inst long, s long, cls long")
+            .orderBy("inst", "s"))
+
+
+_DFA_MIN_SQL = """
+WITH RECURSIVE gg AS (SELECT DISTINCT doc_id % 8 AS inst FROM documents),
+dfa AS MATERIALIZED (
+  SELECT inst, s.x AS s, (s.x * 5 + inst + 1) % 12 AS d0,
+         (s.x * 7 + inst * 3 + 2) % 12 AS d1,
+         (s.x + inst) % 3 = 0 AS acc
+  FROM gg CROSS JOIN generate_series(0, 11) s(x)),
+dist(inst, p, q) AS (
+  SELECT a.inst, a.s, b.s
+  FROM dfa a JOIN dfa b ON b.inst = a.inst
+  WHERE a.acc != b.acc
+  UNION
+  SELECT a.inst, a.s, b.s
+  FROM dist d
+  JOIN dfa a ON a.inst = d.inst
+  JOIN dfa b ON b.inst = d.inst
+  WHERE (a.d0 = d.p AND b.d0 = d.q) OR (a.d1 = d.p AND b.d1 = d.q)),
+cls AS (
+  SELECT f.inst, f.s,
+         min(g.s) AS cls
+  FROM dfa f JOIN dfa g ON g.inst = f.inst
+  WHERE NOT EXISTS (SELECT 1 FROM dist d
+                    WHERE d.inst = f.inst AND d.p = f.s AND d.q = g.s)
+  GROUP BY f.inst, f.s)
+SELECT CAST(inst AS BIGINT) AS inst, CAST(s AS BIGINT) AS s,
+       CAST(cls AS BIGINT) AS cls
+FROM cls ORDER BY inst, s
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -17864,6 +17948,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 128: DFA state equivalence — Moore refinement vs
+        # distinguishable-pairs closure.
+        "dfa_min": _q_dfa_min,
         # batch 127: Gale-Shapley stable matching vs full
         # enumeration + stability filter.
         "stable_match": _q_stable_match,
@@ -18539,6 +18626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dfa_min": _DFA_MIN_SQL,
         "stable_match": _stable_match_sql(),
         "poly_gcd": _POLY_GCD_SQL,
         "perm_rank": _PERM_RANK_SQL,
