@@ -17866,6 +17866,97 @@ FROM cls ORDER BY inst, s
 """
 
 
+def _q_crt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chinese Remainder reconstruction: residues of a planted x
+    modulo the coprime triple (101, 103, 107) — the engine must run
+    real CRT (pairwise modular inverses via Fermat) to recover x <
+    101·103·107; the oracle writes the plant down."""
+
+    mods = (101, 103, 107)
+    M = mods[0] * mods[1] * mods[2]
+    gg = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 40).alias("g")).distinct()
+          .selectExpr("cast(g as long) as g",
+                      f"cast((g * 987654 + 321) % {M} as long) as x"))
+    res = gg.selectExpr("g", *[f"cast(x % {m} as long) as r{i}"
+                               for i, m in enumerate(mods)])
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for r in pdf.itertuples(index=False):
+            x = 0
+            for i, m in enumerate(mods):
+                Mi = M // m
+                inv = pow(Mi, m - 2, m)
+                ri = int(getattr(r, f"r{i}"))
+                x = (x + ri * Mi * inv) % M
+            out.append((int(r.g), x))
+        return pd.DataFrame(out, columns=["g", "x"])
+
+    return (res.groupBy("g")
+            .applyInPandas(run, "g long, x long")
+            .orderBy("g"))
+
+
+_CRT_SQL = f"""
+WITH gg AS (SELECT DISTINCT doc_id % 40 AS g FROM documents)
+SELECT CAST(g AS BIGINT) AS g,
+       CAST((g * 987654 + 321) % {101 * 103 * 107} AS BIGINT) AS x
+FROM gg ORDER BY g
+"""
+
+
+def _q_dlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete logs in GF(10007) by BABY-STEP GIANT-STEP: h = 5^x
+    for a planted exponent x (5 IS a primitive root of 10007 — 11 is
+    not, its order divides 5003, which the first run caught as an
+    x-collision; verified 5^2 ≠ 1 ≠ 5^5003) so x is unique mod p−1.
+    The engine builds the baby-step table and walks giant steps —
+    real Shanks — while the oracle writes the plant down."""
+
+    p = _SHAMIR_P
+    gg = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 30).alias("g")).distinct()
+          .selectExpr("cast(g as long) as g",
+                      f"cast((g * 313 + 29) % {p - 1} as long)"
+                      " as xs"))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        m = math.isqrt(p) + 1
+        baby = {}
+        cur = 1
+        for j in range(m):
+            baby.setdefault(cur, j)
+            cur = cur * 5 % p
+        ginv = pow(pow(5, m, p), p - 2, p)
+        out = []
+        for r in pdf.itertuples(index=False):
+            h = pow(5, int(r.xs), p)
+            gamma = h
+            x = None
+            for i in range(m):
+                if gamma in baby:
+                    x = (i * m + baby[gamma]) % (p - 1)
+                    break
+                gamma = gamma * ginv % p
+            out.append((int(r.g), x))
+        return pd.DataFrame(out, columns=["g", "x"])
+
+    return (gg.groupBy("g")
+            .applyInPandas(run, "g long, x long")
+            .orderBy("g"))
+
+
+_DLOG_SQL = f"""
+WITH gg AS (SELECT DISTINCT doc_id % 30 AS g FROM documents)
+SELECT CAST(g AS BIGINT) AS g,
+       CAST((g * 313 + 29) % {_SHAMIR_P - 1} AS BIGINT) AS x
+FROM gg ORDER BY g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -17948,6 +18039,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 129: CRT reconstruction + baby-step giant-step
+        # discrete logs (planted closed-form oracles).
+        "crt": _q_crt,
+        "dlog_bsgs": _q_dlog,
         # batch 128: DFA state equivalence — Moore refinement vs
         # distinguishable-pairs closure.
         "dfa_min": _q_dfa_min,
@@ -18626,6 +18721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "crt": _CRT_SQL,
+        "dlog_bsgs": _DLOG_SQL,
         "dfa_min": _DFA_MIN_SQL,
         "stable_match": _stable_match_sql(),
         "poly_gcd": _POLY_GCD_SQL,
