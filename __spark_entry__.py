@@ -17957,6 +17957,80 @@ FROM gg ORDER BY g
 """
 
 
+def _q_catalan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalan numbers two ways: engine runs the CONVOLUTION DP
+    Cₙ₊₁ = Σ Cᵢ·Cₙ₋ᵢ; the oracle derives the closed form
+    binom(2n,n)/(n+1) through an exact product recursion — two
+    characterizations of the same integers up to C₃₀ (< 2⁶³)."""
+
+    ns = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 31).alias("n")).distinct()
+          .selectExpr("cast(n as long) as n"))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        C = [1]
+        for k in range(31):
+            C.append(sum(C[i] * C[k - i] for i in range(k + 1)))
+        return pd.DataFrame(
+            [(int(n), C[int(n)]) for n in pdf["n"]],
+            columns=["n", "cat"])
+
+    return (ns.groupBy("n").applyInPandas(run, "n long, cat long")
+            .orderBy("n"))
+
+
+_CATALAN_SQL = """
+WITH RECURSIVE ns AS (SELECT DISTINCT doc_id % 31 AS n FROM documents),
+-- C(n) = C(n-1) * 2(2n-1)/(n+1), exact at each step
+cat(n, c) AS (
+  SELECT 0, CAST(1 AS BIGINT)
+  UNION ALL
+  SELECT n + 1, c * 2 * (2 * n + 1) // (n + 2) FROM cat WHERE n < 30)
+SELECT CAST(ns.n AS BIGINT) AS n, CAST(cat.c AS BIGINT) AS cat
+FROM ns JOIN cat ON cat.n = ns.n ORDER BY n
+"""
+
+
+def _q_fib_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fibonacci by FAST DOUBLING — F(2k) = F(k)(2F(k+1)−F(k)),
+    F(2k+1) = F(k)²+F(k+1)², walking the exponent bits in O(log n)
+    steps — vs the oracle's linear recurrence walk. n ≤ 90 keeps
+    BIGINT."""
+
+    ns = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 91).alias("n")).distinct()
+          .selectExpr("cast(n as long) as n"))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        def fd(n):
+            def rec(k):
+                if k == 0:
+                    return (0, 1)
+                a, b = rec(k >> 1)
+                c = a * (2 * b - a)
+                d = a * a + b * b
+                if k & 1:
+                    return (d, c + d)
+                return (c, d)
+            return rec(n)[0]
+        return pd.DataFrame(
+            [(int(n), fd(int(n))) for n in pdf["n"]],
+            columns=["n", "fib"])
+
+    return (ns.groupBy("n").applyInPandas(run, "n long, fib long")
+            .orderBy("n"))
+
+
+_FIB_SQL = """
+WITH RECURSIVE ns AS (SELECT DISTINCT doc_id % 91 AS n FROM documents),
+fib(n, a, b) AS (
+  SELECT 0, CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+  UNION ALL SELECT n + 1, b, a + b FROM fib WHERE n < 90)
+SELECT CAST(ns.n AS BIGINT) AS n, CAST(fib.a AS BIGINT) AS fib
+FROM ns JOIN fib ON fib.n = ns.n ORDER BY n
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -18039,6 +18113,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 130: Catalan DP vs closed form + fast-doubling
+        # Fibonacci vs linear recurrence.
+        "catalan": _q_catalan,
+        "fib_double": _q_fib_double,
         # batch 129: CRT reconstruction + baby-step giant-step
         # discrete logs (planted closed-form oracles).
         "crt": _q_crt,
@@ -18721,6 +18799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "catalan": _CATALAN_SQL,
+        "fib_double": _FIB_SQL,
         "crt": _CRT_SQL,
         "dlog_bsgs": _DLOG_SQL,
         "dfa_min": _DFA_MIN_SQL,
