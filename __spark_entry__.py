@@ -18031,6 +18031,88 @@ FROM ns JOIN fib ON fib.n = ns.n ORDER BY n
 """
 
 
+def _q_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual-hash BANDING: the
+    64-bit average-hashes (REAL byte-decoded PPMs, as in image_phash)
+    split into four 16-bit bands; pairs sharing ≥1 band are verified
+    with bit_count(xor) hamming ≤ 6 and histogrammed by distance —
+    the multimodal sibling of MinHash-LSH candidate generation (never
+    all-pairs). Oracle replays the closed-form hashes and the SAME
+    banding arithmetic in SQL."""
+    from bdtopo2refhydro_spark.operators.multimodal import (
+        perceptual_ahash,
+        ppm_split_payload_udf,
+    )
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        ppm_split_payload_udf()("doc_id").alias("payload"))
+    hashed = perceptual_ahash(media, payload_col="payload") \
+        .select("url", "hash_hi", "hash_lo") \
+        .localCheckpoint(eager=False)
+    bands = hashed.select(
+        "url",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("bid"),
+                     ((F.col("hash_hi" if j < 2 else "hash_lo")
+                       .bitwiseAND(F.lit(0xFFFF << (16 * (j % 2)))))
+                      ).alias("bv"))
+            for j in range(4)])).alias("b")) \
+        .select("url", "b.bid", "b.bv")
+    cand = (bands.alias("x").join(bands.alias("y"), ["bid", "bv"])
+            .where(F.col("x.url") < F.col("y.url"))
+            .select(F.col("x.url").alias("u1"),
+                    F.col("y.url").alias("u2"))
+            .distinct())
+    h1 = hashed.selectExpr("url as u1", "hash_hi as h1", "hash_lo as l1")
+    h2 = hashed.selectExpr("url as u2", "hash_hi as h2", "hash_lo as l2")
+    verified = (cand.join(h1, "u1").join(h2, "u2")
+                .selectExpr(
+        "bit_count(h1 ^ h2) + bit_count(l1 ^ l2) as hamming")
+        .where("hamming <= 8"))
+    return (verified.groupBy("hamming")
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .orderBy("hamming"))
+
+
+_PHASH_PAIRS_SQL = f"""
+WITH p AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url,
+         8 + doc_id % 9 AS w, 8 + doc_id % 5 AS h,
+         1 + (5 * doc_id) % (7 + doc_id % 9) AS s
+  FROM documents),
+b AS (
+  SELECT url,
+         ({" + ".join(
+             f"CASE WHEN ({j} * w) // 8 >= s THEN {1 << j} ELSE 0 END"
+             for j in range(8))}) AS colmask
+  FROM p),
+hashes AS MATERIALIZED (
+  SELECT url, CAST(colmask AS BIGINT) * 16843009 AS hh,
+         CAST(colmask AS BIGINT) * 16843009 AS hl
+  FROM b),
+bands AS MATERIALIZED (
+  SELECT url, j.x AS bid,
+         CASE WHEN j.x < 2
+              THEN hh & (65535 << (16 * (j.x % 2)))
+              ELSE hl & (65535 << (16 * (j.x % 2))) END AS bv
+  FROM hashes CROSS JOIN generate_series(0, 3) j(x)),
+cand AS (
+  SELECT DISTINCT x.url AS u1, y.url AS u2
+  FROM bands x JOIN bands y ON y.bid = x.bid AND y.bv = x.bv
+  WHERE x.url < y.url),
+verified AS (
+  SELECT bit_count(xor(a.hh, c.hh)) + bit_count(xor(a.hl, c.hl))
+           AS hamming
+  FROM cand JOIN hashes a ON a.url = cand.u1
+  JOIN hashes c ON c.url = cand.u2)
+SELECT CAST(hamming AS BIGINT) AS hamming,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM verified WHERE hamming <= 8
+GROUP BY hamming ORDER BY hamming
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -18113,6 +18195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 76: bridges by the Tarjan-Vishkin XOR certificate
         # (spanning tree + Euler intervals + one two-level prefix-XOR
         # scan) and 2-edge-connected components on top.
+        # batch 131: perceptual-hash banded near-dup image pairs.
+        "phash_pairs": _q_phash_pairs,
         # batch 130: Catalan DP vs closed form + fast-doubling
         # Fibonacci vs linear recurrence.
         "catalan": _q_catalan,
@@ -18799,6 +18883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "phash_pairs": _PHASH_PAIRS_SQL,
         "catalan": _CATALAN_SQL,
         "fib_double": _FIB_SQL,
         "crt": _CRT_SQL,
