@@ -18113,6 +18113,96 @@ GROUP BY hamming ORDER BY hamming
 """
 
 
+def _q_max_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-clique counts by BRON-KERBOSCH with pivoting (the real
+    recursive algorithm) on 13-node instances; the oracle checks all
+    2¹³ subsets by definition — clique (no missing internal edge) and
+    maximal (no extendable vertex). Exponential definition vs the
+    pruned search."""
+
+    N = 13
+    gg = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 6).alias("inst")).distinct())
+    edges = (gg.select("inst",
+                       F.explode(F.sequence(F.lit(0), F.lit(N - 1)))
+                       .alias("u"))
+             .select("inst", "u",
+                     F.explode(F.sequence(F.lit(0), F.lit(N - 1)))
+                     .alias("v"))
+             .where("u < v and (u * 7 + v * 11 + inst * 5) % 3 = 0")
+             .selectExpr("cast(inst as long) as inst",
+                         "cast(u as long) as u", "cast(v as long) as v"))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for iv, grp in pdf.groupby("inst", sort=False):
+            adj = {i: set() for i in range(N)}
+            for u, v in zip(grp["u"], grp["v"]):
+                adj[int(u)].add(int(v))
+                adj[int(v)].add(int(u))
+            count = [0]
+
+            def bk(r, p_, x):
+                if not p_ and not x:
+                    count[0] += 1
+                    return
+                pivot = max(p_ | x, key=lambda w: len(adj[w] & p_))
+                for v in list(p_ - adj[pivot]):
+                    bk(r | {v}, p_ & adj[v], x & adj[v])
+                    p_.remove(v)
+                    x.add(v)
+
+            bk(set(), set(range(N)), set())
+            out.append((iv, count[0]))
+        return pd.DataFrame(out, columns=["inst", "n_cliques"])
+
+    return (edges.groupBy("inst")
+            .applyInPandas(run, "inst long, n_cliques long")
+            .orderBy("inst"))
+
+
+_MAX_CLIQUES_SQL = """
+WITH gg AS (SELECT DISTINCT doc_id % 6 AS inst FROM documents),
+edges AS MATERIALIZED (
+  SELECT inst, u.x AS u, v.x AS v
+  FROM gg
+  CROSS JOIN generate_series(0, 12) u(x)
+  CROSS JOIN generate_series(0, 12) v(x)
+  WHERE u.x < v.x AND (u.x * 7 + v.x * 11 + inst * 5) % 3 = 0),
+subs AS (
+  SELECT gg.inst, s.x AS s FROM gg
+  CROSS JOIN generate_series(1, 8191) s(x)),
+cliques AS MATERIALIZED (
+  SELECT sb.inst, sb.s FROM subs sb
+  WHERE NOT EXISTS (
+    -- a missing internal edge
+    SELECT 1 FROM generate_series(0, 12) a(x)
+    CROSS JOIN generate_series(0, 12) b(x)
+    WHERE a.x < b.x AND ((sb.s >> a.x) & 1) = 1
+      AND ((sb.s >> b.x) & 1) = 1
+      AND NOT EXISTS (SELECT 1 FROM edges e
+                      WHERE e.inst = sb.inst
+                        AND e.u = a.x AND e.v = b.x))),
+maximal AS (
+  SELECT c.inst, c.s FROM cliques c
+  WHERE NOT EXISTS (
+    -- an outside vertex adjacent to every member
+    SELECT 1 FROM generate_series(0, 12) w(x)
+    WHERE ((c.s >> w.x) & 1) = 0
+      AND NOT EXISTS (
+        SELECT 1 FROM generate_series(0, 12) m(x)
+        WHERE ((c.s >> m.x) & 1) = 1
+          AND NOT EXISTS (
+            SELECT 1 FROM edges e
+            WHERE e.inst = c.inst
+              AND e.u = least(w.x, m.x)
+              AND e.v = greatest(w.x, m.x)))))
+SELECT CAST(inst AS BIGINT) AS inst,
+       CAST(count(*) AS BIGINT) AS n_cliques
+FROM maximal GROUP BY inst ORDER BY inst
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -18374,6 +18464,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bridges": _q_bridges,
         "two_ecc": _q_two_ecc,
         "suffix_array": _q_suffix_array,
+        # batch 132 (inserted BELOW the driver window so the final
+        # first-50 rehearsal stays literal): Bron-Kerbosch maximal
+        # cliques.
+        "max_cliques": _q_max_cliques,
         "poly_mult": _q_poly_mult,
         "nucleus_sel": _q_nucleus_sel,
         "debruijn": _q_debruijn,
@@ -18884,6 +18978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "phash_pairs": _PHASH_PAIRS_SQL,
+        "max_cliques": _MAX_CLIQUES_SQL,
         "catalan": _CATALAN_SQL,
         "fib_double": _FIB_SQL,
         "crt": _CRT_SQL,
