@@ -18203,6 +18203,76 @@ FROM maximal GROUP BY inst ORDER BY inst
 """
 
 
+def _q_totient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Euler's φ and Möbius μ via REAL prime factorization per value;
+    the oracle computes φ(n) by its DEFINITION — counting coprime
+    k ≤ n with a gcd() probe sweep — and μ(n) from the distinct/total
+    prime-divisor probe. Multiplicative number theory vs brute
+    force."""
+
+    ns = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 80).alias("m")).distinct()
+          .selectExpr("cast(2 + m * 37 as long) as n"))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for n in pdf["n"]:
+            n = int(n)
+            m0, phi, mu, nf = n, n, 1, 0
+            d = 2
+            while d * d <= m0:
+                if m0 % d == 0:
+                    phi = phi // d * (d - 1)
+                    nf += 1
+                    e = 0
+                    while m0 % d == 0:
+                        m0 //= d
+                        e += 1
+                    if e > 1:
+                        mu = 0
+                d += 1
+            if m0 > 1:
+                phi = phi // m0 * (m0 - 1)
+                nf += 1
+            if mu != 0:
+                mu = -1 if nf % 2 else 1
+            out.append((n, phi, mu))
+        return pd.DataFrame(out, columns=["n", "phi", "mu"])
+
+    return (ns.groupBy("n").applyInPandas(run, "n long, phi long, "
+                                          "mu long")
+            .orderBy("n"))
+
+
+_TOTIENT_SQL = """
+WITH ns AS (
+  SELECT DISTINCT 2 + (doc_id % 80) * 37 AS n FROM documents),
+phi AS (
+  SELECT ns.n,
+         (SELECT count(*) FROM generate_series(1, 4000) k(x)
+          WHERE k.x <= ns.n AND gcd(k.x, ns.n) = 1) AS phi
+  FROM ns),
+fac AS (
+  SELECT ns.n,
+         (SELECT count(*) FROM generate_series(2, 4000) p(x)
+          WHERE ns.n % p.x = 0
+            AND NOT EXISTS (SELECT 1 FROM generate_series(2, 63) q(y)
+                            WHERE q.y < p.x AND p.x % q.y = 0))
+           AS npf,
+         (SELECT count(*) FROM generate_series(2, 4000) p(x)
+          WHERE ns.n % (p.x * p.x) = 0
+            AND NOT EXISTS (SELECT 1 FROM generate_series(2, 63) q(y)
+                            WHERE q.y < p.x AND p.x % q.y = 0))
+           AS nsq
+  FROM ns)
+SELECT CAST(p.n AS BIGINT) AS n, CAST(p.phi AS BIGINT) AS phi,
+       CAST(CASE WHEN f.nsq > 0 THEN 0
+                 WHEN f.npf % 2 = 1 THEN -1 ELSE 1 END AS BIGINT)
+         AS mu
+FROM phi p JOIN fac f ON f.n = p.n ORDER BY n
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -18468,6 +18538,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # first-50 rehearsal stays literal): Bron-Kerbosch maximal
         # cliques.
         "max_cliques": _q_max_cliques,
+        # batch 133 (below the window): totient/Möbius via real
+        # factorization vs definitional probes.
+        "totient": _q_totient,
         "poly_mult": _q_poly_mult,
         "nucleus_sel": _q_nucleus_sel,
         "debruijn": _q_debruijn,
@@ -18979,6 +19052,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "phash_pairs": _PHASH_PAIRS_SQL,
         "max_cliques": _MAX_CLIQUES_SQL,
+        "totient": _TOTIENT_SQL,
         "catalan": _CATALAN_SQL,
         "fib_double": _FIB_SQL,
         "crt": _CRT_SQL,
