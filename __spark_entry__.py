@@ -18273,6 +18273,61 @@ FROM phi p JOIN fac f ON f.n = p.n ORDER BY n
 """
 
 
+def _q_hamming_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming(7,4) ECC round trip — the storage/transport
+    single-error-correction primitive: the engine encodes each data
+    nibble with the real generator parities, flips the PLANTED bit
+    position, then syndrome-decodes and corrects. The oracle knows
+    the closed form: the syndrome equals the 1-based flipped
+    position, and correction always recovers the nibble. Output
+    (g, nibble, flip_pos, syndrome, recovered)."""
+
+    gg = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 112).alias("m")).distinct()
+          .selectExpr("cast(m as long) as g",
+                      "cast(m % 16 as long) as nibble",
+                      "cast(1 + m div 16 as long) as flip"))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for r in pdf.itertuples(index=False):
+            d = [int(r.nibble) >> k & 1 for k in range(4)]
+            # codeword positions 1..7: p1 p2 d1 p3 d2 d3 d4
+            c = [0] * 8
+            c[3], c[5], c[6], c[7] = d[0], d[1], d[2], d[3]
+            c[1] = c[3] ^ c[5] ^ c[7]
+            c[2] = c[3] ^ c[6] ^ c[7]
+            c[4] = c[5] ^ c[6] ^ c[7]
+            c[int(r.flip)] ^= 1
+            s = 0
+            for p_ in range(1, 8):
+                if c[p_]:
+                    s ^= p_
+            if s:
+                c[s] ^= 1
+            rec = c[3] | (c[5] << 1) | (c[6] << 2) | (c[7] << 3)
+            out.append((int(r.g), int(r.nibble), int(r.flip), s,
+                        rec == int(r.nibble)))
+        return pd.DataFrame(
+            out, columns=["g", "nibble", "flip", "syndrome",
+                          "recovered"])
+
+    return (gg.groupBy("g")
+            .applyInPandas(run, "g long, nibble long, flip long, "
+                           "syndrome long, recovered boolean")
+            .orderBy("g"))
+
+
+_HAMMING_CODE_SQL = """
+WITH gg AS (SELECT DISTINCT doc_id % 112 AS m FROM documents)
+SELECT CAST(m AS BIGINT) AS g, CAST(m % 16 AS BIGINT) AS nibble,
+       CAST(1 + m // 16 AS BIGINT) AS flip,
+       CAST(1 + m // 16 AS BIGINT) AS syndrome,
+       TRUE AS recovered
+FROM gg ORDER BY g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -18541,6 +18596,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 133 (below the window): totient/Möbius via real
         # factorization vs definitional probes.
         "totient": _q_totient,
+        # batch 134 (below the window): Hamming(7,4) ECC round trip.
+        "hamming_code": _q_hamming_code,
         "poly_mult": _q_poly_mult,
         "nucleus_sel": _q_nucleus_sel,
         "debruijn": _q_debruijn,
@@ -19053,6 +19110,7 @@ def oracle_sql() -> dict[str, str]:
         "phash_pairs": _PHASH_PAIRS_SQL,
         "max_cliques": _MAX_CLIQUES_SQL,
         "totient": _TOTIENT_SQL,
+        "hamming_code": _HAMMING_CODE_SQL,
         "catalan": _CATALAN_SQL,
         "fib_double": _FIB_SQL,
         "crt": _CRT_SQL,
