@@ -18328,6 +18328,84 @@ FROM gg ORDER BY g
 """
 
 
+def _q_second_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest AND second-shortest DISTINCT path lengths from node 0
+    (the k-shortest-paths primitive, k=2): engine runs
+    label-correcting rounds keeping the two smallest distinct labels
+    per node (array_sort + slice per round, order-free fixpoint);
+    oracle ranks distinct walk lengths from a bounded relax
+    recursion. Same weighted ring+chords digraph as apsp_minplus,
+    single source."""
+    from bdtopo2refhydro_spark.operators._ckpt import CheckpointSlots
+
+    mm = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 40).alias("m")).distinct())
+    ring = mm.selectExpr("cast(m as long) as u",
+                         "cast((m + 1) % 40 as long) as v",
+                         "cast(1 + m % 5 as long) as w")
+    chords = mm.where("m % 4 = 0").selectExpr(
+        "cast(m as long) as u", "cast((m + 13) % 40 as long) as v",
+        "cast(7 as long) as w")
+    e = ring.unionByName(chords).localCheckpoint(eager=False)
+    slots = CheckpointSlots()
+    lab = slots.checkpoint(
+        spark.createDataFrame([(0, 0)], "node long, d long"), "sp")
+
+    def _sig(df):
+        return df.select(F.expr("bit_xor(xxhash64(node, d))")
+                         .alias("h")).first()["h"]
+
+    sig = _sig(lab)
+    for _ in range(200):
+        step = (e.join(lab.withColumnRenamed("node", "u"), "u")
+                .select(F.col("v").alias("node"),
+                        (F.col("d") + F.col("w")).alias("d")))
+        merged = (lab.unionByName(step)
+                  .groupBy("node")
+                  .agg(F.slice(F.array_sort(F.collect_set("d")),
+                               1, 2).alias("ds"))
+                  .select("node", F.explode("ds").alias("d")))
+        lab = slots.checkpoint(merged, "sp2")
+        ns = _sig(lab)
+        if ns == sig:
+            break
+        sig = ns
+        lab = slots.checkpoint(lab, "sp")
+    two = (lab.groupBy("node")
+           .agg(F.min("d").alias("d1"),
+                F.max("d").alias("d2"),
+                F.count(F.lit(1)).alias("nd")))
+    return (two.select("node", "d1",
+                       F.when(F.col("nd") >= 2, F.col("d2"))
+                       .alias("d2"))
+            .orderBy("node"))
+
+
+_SECOND_PATH_SQL = """
+WITH RECURSIVE mm AS (SELECT DISTINCT doc_id % 40 AS m FROM documents),
+e AS MATERIALIZED (
+  SELECT u, v, min(w) AS w FROM (
+    SELECT m AS u, (m + 1) % 40 AS v, 1 + m % 5 AS w FROM mm
+    UNION ALL
+    SELECT m AS u, (m + 13) % 40 AS v, 7 AS w FROM mm
+    WHERE m % 4 = 0) s
+  GROUP BY u, v),
+walk(node, d) AS (
+  SELECT 0, 0
+  UNION
+  SELECT e.v, w1.d + e.w FROM walk w1 JOIN e ON e.u = w1.node
+  WHERE w1.d + e.w <= 400),
+ranked AS (
+  SELECT node, d,
+         row_number() OVER (PARTITION BY node ORDER BY d) AS rn
+  FROM (SELECT DISTINCT node, d FROM walk) s)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(max(CASE WHEN rn = 1 THEN d END) AS BIGINT) AS d1,
+       CAST(max(CASE WHEN rn = 2 THEN d END) AS BIGINT) AS d2
+FROM ranked GROUP BY node ORDER BY node
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -18598,6 +18676,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "totient": _q_totient,
         # batch 134 (below the window): Hamming(7,4) ECC round trip.
         "hamming_code": _q_hamming_code,
+        # batch 135 (below the window): two shortest distinct path
+        # lengths (k-shortest, k=2).
+        "second_path": _q_second_path,
         "poly_mult": _q_poly_mult,
         "nucleus_sel": _q_nucleus_sel,
         "debruijn": _q_debruijn,
@@ -19111,6 +19192,7 @@ def oracle_sql() -> dict[str, str]:
         "max_cliques": _MAX_CLIQUES_SQL,
         "totient": _TOTIENT_SQL,
         "hamming_code": _HAMMING_CODE_SQL,
+        "second_path": _SECOND_PATH_SQL,
         "catalan": _CATALAN_SQL,
         "fib_double": _FIB_SQL,
         "crt": _CRT_SQL,
