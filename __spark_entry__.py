@@ -18406,6 +18406,106 @@ FROM ranked GROUP BY node ORDER BY node
 """
 
 
+def _q_z_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-arrays by the REAL Z-algorithm (the [l, r] window carry-over)
+    per word; oracle = the definition, max prefix-match length at
+    each position probed by substring equality. z[0] = n by
+    convention."""
+
+    words = (_docs(spark, sf_dir)
+             .select((F.col("doc_id") % 200).alias("m")).distinct()
+             .selectExpr(f"{_UNI_WORD} as word").distinct())
+
+    @F.pandas_udf("array<struct<i: long, z: long>>")
+    def _z(s: pd.Series) -> pd.Series:
+        def zarr(w):
+            n = len(w)
+            z = [0] * n
+            z[0] = n
+            l = r = 0
+            for i in range(1, n):
+                if i < r:
+                    z[i] = min(r - i, z[i - l])
+                while i + z[i] < n and w[z[i]] == w[i + z[i]]:
+                    z[i] += 1
+                if i + z[i] > r:
+                    l, r = i, i + z[i]
+            return [{"i": i, "z": z[i]} for i in range(n)]
+        return s.map(zarr)
+
+    return (words.select("word", F.explode(_z(F.col("word")))
+                         .alias("e"))
+            .select("word", "e.i", "e.z").orderBy("word", "i"))
+
+
+_Z_ARRAY_SQL = f"""
+WITH mm AS (SELECT DISTINCT doc_id % 200 AS m FROM documents),
+words AS MATERIALIZED (SELECT DISTINCT {_UNI_WORD_D} AS word FROM mm),
+pos AS (
+  SELECT word, t.i FROM words, UNNEST(range(0, len(word))) t(i)),
+matches AS (
+  SELECT p.word, p.i, l.x AS l
+  FROM pos p, UNNEST(range(1, 65)) l(x)
+  WHERE p.i + l.x <= len(p.word)
+    AND substr(p.word, 1, CAST(l.x AS INT))
+        = substr(p.word, CAST(p.i + 1 AS INT), CAST(l.x AS INT)))
+SELECT p.word, CAST(p.i AS BIGINT) AS i,
+       CAST(coalesce((SELECT max(m2.l) FROM matches m2
+                      WHERE m2.word = p.word AND m2.i = p.i), 0)
+            AS BIGINT) AS z
+FROM pos p ORDER BY word, i
+"""
+
+
+def _q_border_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full KMP failure (border) arrays — border[i] = longest proper
+    border of the length-i prefix, by the real fallback scan; oracle
+    probes every candidate border length by prefix/suffix substring
+    equality. min_period's machinery exposed per position."""
+
+    words = (_docs(spark, sf_dir)
+             .select((F.col("doc_id") % 200).alias("m")).distinct()
+             .selectExpr(f"{_UNI_WORD} as word").distinct())
+
+    @F.pandas_udf("array<struct<i: long, b: long>>")
+    def _bord(s: pd.Series) -> pd.Series:
+        def borders(w):
+            n = len(w)
+            fail = [0] * (n + 1)
+            k = 0
+            for i in range(1, n):
+                while k and w[i] != w[k]:
+                    k = fail[k]
+                if w[i] == w[k]:
+                    k += 1
+                fail[i + 1] = k
+            return [{"i": i, "b": fail[i]} for i in range(1, n + 1)]
+        return s.map(borders)
+
+    return (words.select("word", F.explode(_bord(F.col("word")))
+                         .alias("e"))
+            .select("word", "e.i", "e.b").orderBy("word", "i"))
+
+
+_BORDER_ARRAY_SQL = f"""
+WITH mm AS (SELECT DISTINCT doc_id % 200 AS m FROM documents),
+words AS MATERIALIZED (SELECT DISTINCT {_UNI_WORD_D} AS word FROM mm),
+pref AS (
+  SELECT word, t.i FROM words, UNNEST(range(1, len(word) + 1)) t(i)),
+bs AS (
+  SELECT p.word, p.i, b.x AS b
+  FROM pref p, UNNEST(range(1, 65)) b(x)
+  WHERE b.x < p.i
+    AND substr(p.word, 1, CAST(b.x AS INT))
+        = substr(p.word, CAST(p.i - b.x + 1 AS INT), CAST(b.x AS INT)))
+SELECT p.word, CAST(p.i AS BIGINT) AS i,
+       CAST(coalesce((SELECT max(b2.b) FROM bs b2
+                      WHERE b2.word = p.word AND b2.i = p.i), 0)
+            AS BIGINT) AS b
+FROM pref p ORDER BY word, i
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -18679,6 +18779,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 135 (below the window): two shortest distinct path
         # lengths (k-shortest, k=2).
         "second_path": _q_second_path,
+        # batch 136 (below the window): Z-arrays + border arrays.
+        "z_array": _q_z_array,
+        "border_array": _q_border_array,
         "poly_mult": _q_poly_mult,
         "nucleus_sel": _q_nucleus_sel,
         "debruijn": _q_debruijn,
@@ -19193,6 +19296,8 @@ def oracle_sql() -> dict[str, str]:
         "totient": _TOTIENT_SQL,
         "hamming_code": _HAMMING_CODE_SQL,
         "second_path": _SECOND_PATH_SQL,
+        "z_array": _Z_ARRAY_SQL,
+        "border_array": _BORDER_ARRAY_SQL,
         "catalan": _CATALAN_SQL,
         "fib_double": _FIB_SQL,
         "crt": _CRT_SQL,
