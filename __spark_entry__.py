@@ -18506,6 +18506,87 @@ FROM pref p ORDER BY word, i
 """
 
 
+def _q_bst_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insertion-order BST shape: the engine actually BUILDS the tree
+    (pointer insertions) and reports each key's depth; the oracle
+    uses the classic characterization — y is an ancestor of x iff y
+    precedes x and every key strictly between them is inserted AFTER
+    y — as a pair join with a NOT EXISTS betweenness probe. Distinct
+    keys per group from a hashed permutation."""
+
+    n = 40
+    gg = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 8).alias("g")).distinct())
+    seq = (gg.select("g", F.explode(F.sequence(F.lit(0),
+                                               F.lit(n - 1)))
+                     .alias("pos"))
+           .withColumn("key", (F.col("g") * 17 + F.col("pos") * 53)
+                       % 127)
+           .selectExpr("cast(g as long) as g",
+                       "cast(pos as long) as pos",
+                       "cast(key as long) as key"))
+    # hashed keys may collide within a group: keep first occurrence
+    w = Window.partitionBy("g", "key").orderBy("pos")
+    seq = (seq.withColumn("rn", F.row_number().over(w))
+           .where("rn = 1").drop("rn"))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for gv, grp in pdf.groupby("g", sort=False):
+            grp = grp.sort_values("pos")
+            root = None
+            nodes = {}  # key -> (left, right)
+            depth = {}
+            for k in grp["key"]:
+                k = int(k)
+                if root is None:
+                    root = k
+                    nodes[k] = [None, None]
+                    depth[k] = 0
+                    continue
+                cur, d = root, 0
+                while True:
+                    nxt = 0 if k < cur else 1
+                    if nodes[cur][nxt] is None:
+                        nodes[cur][nxt] = k
+                        nodes[k] = [None, None]
+                        depth[k] = d + 1
+                        break
+                    cur = nodes[cur][nxt]
+                    d += 1
+            out += [(gv, k, d) for k, d in depth.items()]
+        return pd.DataFrame(out, columns=["g", "key", "depth"])
+
+    return (seq.groupBy("g")
+            .applyInPandas(run, "g long, key long, depth long")
+            .orderBy("g", "key"))
+
+
+_BST_DEPTHS_SQL = """
+WITH gg AS (SELECT DISTINCT doc_id % 8 AS g FROM documents),
+raw AS (
+  SELECT g, p.x AS pos, (g * 17 + p.x * 53) % 127 AS key
+  FROM gg CROSS JOIN generate_series(0, 39) p(x)),
+seq AS MATERIALIZED (
+  SELECT g, key, min(pos) AS pos FROM raw GROUP BY g, key),
+pairs AS (
+  SELECT x.g, x.key
+  FROM seq x JOIN seq y
+    ON y.g = x.g AND y.pos < x.pos
+  WHERE NOT EXISTS (
+     SELECT 1 FROM seq z
+     WHERE z.g = x.g
+       AND z.key > least(x.key, y.key)
+       AND z.key < greatest(x.key, y.key)
+       AND z.pos < y.pos)),
+cnt AS (SELECT g, key, count(*) AS depth FROM pairs GROUP BY g, key)
+SELECT CAST(s.g AS BIGINT) AS g, CAST(s.key AS BIGINT) AS key,
+       CAST(coalesce(c.depth, 0) AS BIGINT) AS depth
+FROM seq s LEFT JOIN cnt c ON c.g = s.g AND c.key = s.key
+ORDER BY g, key
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -18782,6 +18863,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 136 (below the window): Z-arrays + border arrays.
         "z_array": _q_z_array,
         "border_array": _q_border_array,
+        # batch 137 (below the window): insertion-order BST depths.
+        "bst_depths": _q_bst_depths,
         "poly_mult": _q_poly_mult,
         "nucleus_sel": _q_nucleus_sel,
         "debruijn": _q_debruijn,
@@ -19298,6 +19381,7 @@ def oracle_sql() -> dict[str, str]:
         "second_path": _SECOND_PATH_SQL,
         "z_array": _Z_ARRAY_SQL,
         "border_array": _BORDER_ARRAY_SQL,
+        "bst_depths": _BST_DEPTHS_SQL,
         "catalan": _CATALAN_SQL,
         "fib_double": _FIB_SQL,
         "crt": _CRT_SQL,
