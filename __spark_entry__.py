@@ -18587,6 +18587,83 @@ ORDER BY g, key
 """
 
 
+def _q_cartesian_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian trees (min-heap by value, inorder by position) — the
+    RMQ/treap substrate: engine runs the real O(n) STACK construction;
+    oracle uses the nearest-smaller characterization — parent(i) is
+    whichever of the previous-smaller / next-smaller neighbors has
+    the LARGER value (root: neither exists) — as position-range
+    argmin joins. Values made distinct by (hash, pos) packing."""
+
+    n = 48
+    gg = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 8).alias("g")).distinct())
+    seq = (gg.select("g", F.explode(F.sequence(F.lit(0),
+                                               F.lit(n - 1)))
+                     .alias("pos"))
+           .selectExpr("cast(g as long) as g",
+                       "cast(pos as long) as pos",
+                       # distinct by construction: hash * 64 + pos
+                       "cast(((g * 29 + pos * 41) % 97) * 64 + pos "
+                       "as long) as v"))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for gv, grp in pdf.groupby("g", sort=False):
+            grp = grp.sort_values("pos")
+            vals = list(zip(grp["pos"], grp["v"]))
+            stack = []  # (pos, v)
+            parent = {}
+            for pos, v in vals:
+                pos, v = int(pos), int(v)
+                last = None
+                while stack and stack[-1][1] > v:
+                    last = stack.pop()
+                if last is not None:
+                    parent[last[0]] = pos
+                if stack:
+                    parent[pos] = stack[-1][0]
+                stack.append((pos, v))
+            out += [(gv, int(p), parent.get(int(p)))
+                    for p, _ in vals]
+        return pd.DataFrame(out, columns=["g", "pos", "parent"])
+
+    return (seq.groupBy("g")
+            .applyInPandas(run, "g long, pos long, parent long")
+            .orderBy("g", "pos"))
+
+
+_CARTESIAN_TREE_SQL = """
+WITH gg AS (SELECT DISTINCT doc_id % 8 AS g FROM documents),
+seq AS MATERIALIZED (
+  SELECT g, p.x AS pos,
+         ((g * 29 + p.x * 41) % 97) * 64 + p.x AS v
+  FROM gg CROSS JOIN generate_series(0, 47) p(x)),
+ps AS (
+  -- previous-smaller: the max position j < i with v_j < v_i
+  SELECT a.g, a.pos, max(b.pos) AS jpos
+  FROM seq a JOIN seq b ON b.g = a.g AND b.pos < a.pos AND b.v < a.v
+  GROUP BY a.g, a.pos),
+ns AS (
+  SELECT a.g, a.pos, min(b.pos) AS jpos
+  FROM seq a JOIN seq b ON b.g = a.g AND b.pos > a.pos AND b.v < a.v
+  GROUP BY a.g, a.pos)
+SELECT CAST(s.g AS BIGINT) AS g, CAST(s.pos AS BIGINT) AS pos,
+       CAST(CASE
+         WHEN p.jpos IS NULL AND n.jpos IS NULL THEN NULL
+         WHEN p.jpos IS NULL THEN n.jpos
+         WHEN n.jpos IS NULL THEN p.jpos
+         WHEN (SELECT v FROM seq t WHERE t.g = s.g AND t.pos = p.jpos)
+              > (SELECT v FROM seq t WHERE t.g = s.g
+                 AND t.pos = n.jpos)
+         THEN p.jpos ELSE n.jpos END AS BIGINT) AS parent
+FROM seq s
+LEFT JOIN ps p ON p.g = s.g AND p.pos = s.pos
+LEFT JOIN ns n ON n.g = s.g AND n.pos = s.pos
+ORDER BY g, pos
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -18865,6 +18942,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "border_array": _q_border_array,
         # batch 137 (below the window): insertion-order BST depths.
         "bst_depths": _q_bst_depths,
+        # batch 138 (below the window): Cartesian trees via stack vs
+        # nearest-smaller characterization.
+        "cartesian_tree": _q_cartesian_tree,
         "poly_mult": _q_poly_mult,
         "nucleus_sel": _q_nucleus_sel,
         "debruijn": _q_debruijn,
@@ -19382,6 +19462,7 @@ def oracle_sql() -> dict[str, str]:
         "z_array": _Z_ARRAY_SQL,
         "border_array": _BORDER_ARRAY_SQL,
         "bst_depths": _BST_DEPTHS_SQL,
+        "cartesian_tree": _CARTESIAN_TREE_SQL,
         "catalan": _CATALAN_SQL,
         "fib_double": _FIB_SQL,
         "crt": _CRT_SQL,
