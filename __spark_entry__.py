@@ -18664,6 +18664,54 @@ ORDER BY g, pos
 """
 
 
+def _q_farey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Farey sequences F_n by the REAL next-term recurrence
+    (k = ⌊(n + q₀)/q₁⌋; p₂ = k·p₁ − p₀ — each term from the previous
+    two, the Stern-Brocot mediant walk); the oracle enumerates all
+    reduced fractions with gcd probe + cross-multiplication-safe
+    ordering and ranks them. n = 5 + g mod 6 per group."""
+
+    gg = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 12).alias("g")).distinct()
+          .selectExpr("cast(g as long) as g",
+                      "cast(5 + g % 6 as long) as n"))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for g, n in zip(pdf["g"], pdf["n"]):
+            g, n = int(g), int(n)
+            a, b, c, d = 0, 1, 1, n
+            pos = 0
+            out.append((g, pos, a, b))
+            while c <= n:
+                pos += 1
+                out.append((g, pos, c, d))
+                k = (n + b) // d
+                a, b, c, d = c, d, k * c - a, k * d - b
+        return pd.DataFrame(out, columns=["g", "pos", "p", "q"])
+
+    return (gg.groupBy("g")
+            .applyInPandas(run, "g long, pos long, p long, q long")
+            .orderBy("g", "pos"))
+
+
+_FAREY_SQL = """
+WITH gg AS (SELECT DISTINCT doc_id % 12 AS g FROM documents),
+fr AS (
+  SELECT gg.g, p.x AS p, q.x AS q
+  FROM gg
+  CROSS JOIN generate_series(0, 10) p(x)
+  CROSS JOIN generate_series(1, 10) q(x)
+  WHERE q.x <= 5 + gg.g % 6 AND p.x <= q.x AND gcd(p.x, q.x) = 1)
+SELECT CAST(g AS BIGINT) AS g,
+       CAST(row_number() OVER (PARTITION BY g
+                               ORDER BY CAST(p AS DOUBLE) / q) - 1
+            AS BIGINT) AS pos,
+       CAST(p AS BIGINT) AS p, CAST(q AS BIGINT) AS q
+FROM fr ORDER BY g, pos
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -18945,6 +18993,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 138 (below the window): Cartesian trees via stack vs
         # nearest-smaller characterization.
         "cartesian_tree": _q_cartesian_tree,
+        # batch 139 (below the window): Farey sequences by the
+        # next-term recurrence.
+        "farey": _q_farey,
         "poly_mult": _q_poly_mult,
         "nucleus_sel": _q_nucleus_sel,
         "debruijn": _q_debruijn,
@@ -19463,6 +19514,7 @@ def oracle_sql() -> dict[str, str]:
         "border_array": _BORDER_ARRAY_SQL,
         "bst_depths": _BST_DEPTHS_SQL,
         "cartesian_tree": _CARTESIAN_TREE_SQL,
+        "farey": _FAREY_SQL,
         "catalan": _CATALAN_SQL,
         "fib_double": _FIB_SQL,
         "crt": _CRT_SQL,
