@@ -18712,6 +18712,68 @@ FROM fr ORDER BY g, pos
 """
 
 
+def _q_lcs_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-common-subsequence lengths by the real O(nm) DP table;
+    the oracle models LCS as the LONGEST PATH in the alignment grid
+    DAG — moves right/down free, diagonal scores 1 on a character
+    match — explored by a recursive (i, j, score) walk with UNION
+    dedup, max score at the far corner. Word pairs truncated to 10
+    chars keep the grid recursion tiny."""
+
+    base = (_docs(spark, sf_dir)
+            .select((F.col("doc_id") % 200).alias("m")).distinct()
+            .selectExpr("m", f"substring({_UNI_WORD}, 1, 10) as word"))
+    pairs = (base.selectExpr("m", "word as w1",
+                             "cast((m * 7 + 3) % 200 as long) as m2")
+             .join(base.selectExpr("m as m2", "word as w2"), "m2")
+             .selectExpr("cast(m as long) as pid", "w1", "w2"))
+
+    @F.pandas_udf("long")
+    def _lcs(a_s: pd.Series, b_s: pd.Series) -> pd.Series:
+        def lcs(a, b):
+            dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+            for i in range(1, len(a) + 1):
+                for j in range(1, len(b) + 1):
+                    if a[i - 1] == b[j - 1]:
+                        dp[i][j] = dp[i - 1][j - 1] + 1
+                    else:
+                        dp[i][j] = max(dp[i - 1][j], dp[i][j - 1])
+            return dp[len(a)][len(b)]
+        return pd.Series([lcs(a, b) for a, b in zip(a_s, b_s)])
+
+    return (pairs.select("pid", "w1", "w2",
+                         _lcs("w1", "w2").alias("lcs"))
+            .orderBy("pid"))
+
+
+_LCS_LEN_SQL = f"""
+WITH RECURSIVE mm AS (SELECT DISTINCT doc_id % 200 AS m FROM documents),
+base AS MATERIALIZED (
+  SELECT m, substr({_UNI_WORD_D}, 1, 10) AS word FROM mm),
+pairs AS MATERIALIZED (
+  SELECT a.m AS pid, a.word AS w1, b.word AS w2
+  FROM base a JOIN base b ON b.m = (a.m * 7 + 3) % 200),
+walk(pid, i, j, sc) AS (
+  SELECT pid, 0, 0, 0 FROM pairs
+  UNION
+  SELECT w.pid,
+         w.i + dd.di, w.j + dd.dj,
+         w.sc + CASE WHEN dd.di = 1 AND dd.dj = 1 THEN 1 ELSE 0 END
+  FROM walk w
+  JOIN pairs p ON p.pid = w.pid
+  JOIN (VALUES (1, 0), (0, 1), (1, 1)) dd(di, dj) ON TRUE
+  WHERE w.i + dd.di <= len(p.w1) AND w.j + dd.dj <= len(p.w2)
+    AND (NOT (dd.di = 1 AND dd.dj = 1)
+         OR substr(p.w1, CAST(w.i + 1 AS INT), 1)
+            = substr(p.w2, CAST(w.j + 1 AS INT), 1)))
+SELECT CAST(p.pid AS BIGINT) AS pid, p.w1, p.w2,
+       CAST((SELECT max(w2.sc) FROM walk w2
+             WHERE w2.pid = p.pid AND w2.i = len(p.w1)
+               AND w2.j = len(p.w2)) AS BIGINT) AS lcs
+FROM pairs p ORDER BY pid
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -18996,6 +19058,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 139 (below the window): Farey sequences by the
         # next-term recurrence.
         "farey": _q_farey,
+        # batch 140 (below the window): LCS lengths via DP vs grid
+        # longest-path recursion.
+        "lcs_len": _q_lcs_len,
         "poly_mult": _q_poly_mult,
         "nucleus_sel": _q_nucleus_sel,
         "debruijn": _q_debruijn,
@@ -19515,6 +19580,7 @@ def oracle_sql() -> dict[str, str]:
         "bst_depths": _BST_DEPTHS_SQL,
         "cartesian_tree": _CARTESIAN_TREE_SQL,
         "farey": _FAREY_SQL,
+        "lcs_len": _LCS_LEN_SQL,
         "catalan": _CATALAN_SQL,
         "fib_double": _FIB_SQL,
         "crt": _CRT_SQL,
