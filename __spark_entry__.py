@@ -18774,6 +18774,57 @@ FROM pairs p ORDER BY pid
 """
 
 
+def _q_primes_sieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prime counts per 100-block up to 3000: the engine runs a real
+    SIEVE OF ERATOSTHENES (boolean array, multiples crossed off from
+    p²); the oracle counts by the definition — a NOT EXISTS divisor
+    probe per candidate. Block histogram keeps the output compact."""
+
+    blocks = (_docs(spark, sf_dir)
+              .select((F.col("doc_id") % 30).alias("b")).distinct()
+              .selectExpr("cast(b as long) as b"))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        N = 3000
+        is_p = [True] * (N + 1)
+        is_p[0] = is_p[1] = False
+        p = 2
+        while p * p <= N:
+            if is_p[p]:
+                for q in range(p * p, N + 1, p):
+                    is_p[q] = False
+            p += 1
+        out = []
+        for b in pdf["b"]:
+            b = int(b)
+            lo, hi = b * 100, b * 100 + 99
+            out.append((b, sum(1 for v in range(lo, hi + 1)
+                               if v <= N and is_p[v])))
+        return pd.DataFrame(out, columns=["b", "n_primes"])
+
+    return (blocks.groupBy("b")
+            .applyInPandas(run, "b long, n_primes long")
+            .orderBy("b"))
+
+
+_PRIMES_SIEVE_SQL = """
+WITH blocks AS (SELECT DISTINCT doc_id % 30 AS b FROM documents),
+cand AS (
+  SELECT blocks.b, blocks.b * 100 + o.x AS v
+  FROM blocks CROSS JOIN generate_series(0, 99) o(x)),
+primes AS (
+  SELECT b, v FROM cand
+  WHERE v >= 2 AND NOT EXISTS (
+    SELECT 1 FROM generate_series(2, 55) d(x)
+    WHERE d.x * d.x <= cand.v AND cand.v % d.x = 0))
+SELECT CAST(c.b AS BIGINT) AS b,
+       CAST(count(p.v) AS BIGINT) AS n_primes
+FROM (SELECT DISTINCT b FROM cand) c
+LEFT JOIN primes p ON p.b = c.b
+GROUP BY c.b ORDER BY b
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -19061,6 +19112,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 140 (below the window): LCS lengths via DP vs grid
         # longest-path recursion.
         "lcs_len": _q_lcs_len,
+        # batch 141 (below the window): sieve of Eratosthenes block
+        # prime counts.
+        "primes_sieve": _q_primes_sieve,
         "poly_mult": _q_poly_mult,
         "nucleus_sel": _q_nucleus_sel,
         "debruijn": _q_debruijn,
@@ -19581,6 +19635,7 @@ def oracle_sql() -> dict[str, str]:
         "cartesian_tree": _CARTESIAN_TREE_SQL,
         "farey": _FAREY_SQL,
         "lcs_len": _LCS_LEN_SQL,
+        "primes_sieve": _PRIMES_SIEVE_SQL,
         "catalan": _CATALAN_SQL,
         "fib_double": _FIB_SQL,
         "crt": _CRT_SQL,
