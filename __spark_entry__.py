@@ -18825,6 +18825,77 @@ GROUP BY c.b ORDER BY b
 """
 
 
+def _q_matrix_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix-chain multiplication optimum (the classic interval DP
+    m[i,j] = min over splits) for 7-matrix chains; the oracle
+    enumerates EVERY parenthesization cost — interval-length rounds
+    unioning all split combinations (length-7 chains have Catalan(6)
+    = 132 trees) — and takes the min. DP vs exhaustive tree
+    enumeration."""
+
+    n = 7  # matrices -> 8 dimensions d0..d7
+    gg = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 10).alias("g")).distinct())
+    dims = (gg.select("g", F.explode(F.sequence(F.lit(0), F.lit(n)))
+                      .alias("i"))
+            .selectExpr("cast(g as long) as g", "cast(i as long) as i",
+                        "cast(2 + (g * 11 + i * 7) % 9 as long) as d"))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for gv, grp in pdf.groupby("g", sort=False):
+            d = [int(v) for v in grp.sort_values("i")["d"]]
+            m = [[0] * (n + 1) for _ in range(n + 1)]
+            for ln in range(2, n + 1):
+                for i in range(1, n - ln + 2):
+                    j = i + ln - 1
+                    m[i][j] = min(
+                        m[i][k] + m[k + 1][j]
+                        + d[i - 1] * d[k] * d[j]
+                        for k in range(i, j))
+            out.append((gv, m[1][n]))
+        return pd.DataFrame(out, columns=["g", "cost"])
+
+    return (dims.groupBy("g")
+            .applyInPandas(run, "g long, cost long")
+            .orderBy("g"))
+
+
+def _matrix_chain_sql(n: int = 7) -> str:
+    base = """
+WITH gg AS (SELECT DISTINCT doc_id % 10 AS g FROM documents),
+dims AS MATERIALIZED (
+  SELECT g, i.x AS i, 2 + (g * 11 + i.x * 7) % 9 AS d
+  FROM gg CROSS JOIN generate_series(0, 7) i(x)),
+-- c{L}: ALL achievable costs of intervals [i, j] with j-i+1 = L
+c1 AS MATERIALIZED (
+  SELECT g, i.x AS i, i.x AS j, CAST(0 AS BIGINT) AS cost
+  FROM gg CROSS JOIN generate_series(1, 7) i(x))"""
+    parts = []
+    for L in range(2, n + 1):
+        unions = []
+        for l1 in range(1, L):
+            l2 = L - l1
+            unions.append(f"""
+    SELECT a.g, a.i, b.j,
+           a.cost + b.cost
+             + da.d * dk.d * dj.d AS cost
+    FROM c{l1} a
+    JOIN c{l2} b ON b.g = a.g AND b.i = a.j + 1
+    JOIN dims da ON da.g = a.g AND da.i = a.i - 1
+    JOIN dims dk ON dk.g = a.g AND dk.i = a.j
+    JOIN dims dj ON dj.g = a.g AND dj.i = b.j
+    WHERE b.j - a.i + 1 = {L}""")
+        parts.append(f""",
+c{L} AS MATERIALIZED (
+  SELECT DISTINCT g, i, j, cost FROM ({" UNION ALL ".join(unions)}) u)""")
+    tail = f"""
+SELECT CAST(g AS BIGINT) AS g, CAST(min(cost) AS BIGINT) AS cost
+FROM c{n} GROUP BY g ORDER BY g
+"""
+    return base + "".join(parts) + tail
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -19115,6 +19186,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 141 (below the window): sieve of Eratosthenes block
         # prime counts.
         "primes_sieve": _q_primes_sieve,
+        # batch 142 (below the window): matrix-chain optimum — DP vs
+        # exhaustive parenthesization enumeration.
+        "matrix_chain": _q_matrix_chain,
         "poly_mult": _q_poly_mult,
         "nucleus_sel": _q_nucleus_sel,
         "debruijn": _q_debruijn,
@@ -19636,6 +19710,7 @@ def oracle_sql() -> dict[str, str]:
         "farey": _FAREY_SQL,
         "lcs_len": _LCS_LEN_SQL,
         "primes_sieve": _PRIMES_SIEVE_SQL,
+        "matrix_chain": _matrix_chain_sql(),
         "catalan": _CATALAN_SQL,
         "fib_double": _FIB_SQL,
         "crt": _CRT_SQL,
