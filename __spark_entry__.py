@@ -18896,6 +18896,123 @@ FROM c{n} GROUP BY g ORDER BY g
     return base + "".join(parts) + tail
 
 
+def _q_tsp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TSP optimum on 8 cities by HELD-KARP (the real O(2ⁿn²) bitmask
+    DP); the oracle enumerates all 7! = 5040 tours from the fixed
+    start with a 7-fold distinctness join and takes the min cost.
+    Symmetric integer distances d(i,j) = 1 + (i·j·7 + i + j + g) mod
+    30 on unordered pairs."""
+
+    n = 8
+    gg = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 4).alias("g")).distinct()
+          .selectExpr("cast(g as long) as g"))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for g in pdf["g"]:
+            g = int(g)
+
+            def dist(i, j):
+                a, b = min(i, j), max(i, j)
+                return 1 + (a * b * 7 + a + b + g) % 30
+            FULL = 1 << n
+            INF = 10 ** 9
+            dp = [[INF] * n for _ in range(FULL)]
+            dp[1][0] = 0
+            for mask in range(FULL):
+                if not mask & 1:
+                    continue
+                for last in range(n):
+                    if not (mask >> last) & 1:
+                        continue
+                    cur = dp[mask][last]
+                    if cur == INF:
+                        continue
+                    for nxt in range(n):
+                        if (mask >> nxt) & 1:
+                            continue
+                        nm = mask | (1 << nxt)
+                        cand = cur + dist(last, nxt)
+                        if cand < dp[nm][nxt]:
+                            dp[nm][nxt] = cand
+            best = min(dp[FULL - 1][k] + dist(k, 0)
+                       for k in range(1, n))
+            out.append((g, best))
+        return pd.DataFrame(out, columns=["g", "cost"])
+
+    return (gg.groupBy("g").applyInPandas(run, "g long, cost long")
+            .orderBy("g"))
+
+
+def _tsp_sql(n: int = 8) -> str:
+    def dist(i, j):
+        return (f"(1 + (least({i}, {j}) * greatest({i}, {j}) * 7 "
+                f"+ least({i}, {j}) + greatest({i}, {j}) + gg.g)"
+                " % 30)")
+    joins = "\n  ".join(
+        f"CROSS JOIN generate_series(1, {n - 1}) p{k}(x)"
+        for k in range(1, n))
+    distinct = " AND ".join(
+        f"p{a}.x != p{b}.x"
+        for a in range(1, n) for b in range(a + 1, n))
+    legs = [dist(0, "p1.x")]
+    for k in range(1, n - 1):
+        legs.append(dist(f"p{k}.x", f"p{k + 1}.x"))
+    legs.append(dist(f"p{n - 1}.x", 0))
+    cost = " + ".join(legs)
+    return f"""
+WITH gg AS (SELECT DISTINCT doc_id % 4 AS g FROM documents),
+tours AS (
+  SELECT gg.g, {cost} AS cost
+  FROM gg
+  {joins}
+  WHERE {distinct})
+SELECT CAST(g AS BIGINT) AS g, CAST(min(cost) AS BIGINT) AS cost
+FROM tours GROUP BY g ORDER BY g
+"""
+
+
+def _q_coin_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coin-change WAY counts (order-free combinations) for coins
+    {1, 2, 5, 10} by the real unbounded-knapsack DP; the oracle
+    enumerates multiplicity 4-tuples with a filtered cross join —
+    counting DP vs direct combination enumeration."""
+
+    ns = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 24).alias("m")).distinct()
+          .selectExpr("cast(5 + m * 2 as long) as amt"))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        coins = (1, 2, 5, 10)
+        A = 60
+        ways = [1] + [0] * A
+        for c in coins:
+            for a in range(c, A + 1):
+                ways[a] += ways[a - c]
+        return pd.DataFrame(
+            [(int(a), ways[int(a)]) for a in pdf["amt"]],
+            columns=["amt", "ways"])
+
+    return (ns.groupBy("amt").applyInPandas(run, "amt long, ways long")
+            .orderBy("amt"))
+
+
+_COIN_CHANGE_SQL = """
+WITH ns AS (SELECT DISTINCT 5 + (doc_id % 24) * 2 AS amt
+            FROM documents)
+SELECT CAST(ns.amt AS BIGINT) AS amt,
+       CAST((SELECT count(*)
+             FROM generate_series(0, 60) c1(x)
+             CROSS JOIN generate_series(0, 30) c2(x)
+             CROSS JOIN generate_series(0, 12) c5(x)
+             CROSS JOIN generate_series(0, 6) c10(x)
+             WHERE c1.x + 2 * c2.x + 5 * c5.x + 10 * c10.x = ns.amt)
+            AS BIGINT) AS ways
+FROM ns ORDER BY amt
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -19189,6 +19306,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 142 (below the window): matrix-chain optimum — DP vs
         # exhaustive parenthesization enumeration.
         "matrix_chain": _q_matrix_chain,
+        # batch 143 (below the window): Held-Karp TSP + coin-change
+        # way counts.
+        "tsp_held_karp": _q_tsp,
+        "coin_change": _q_coin_change,
         "poly_mult": _q_poly_mult,
         "nucleus_sel": _q_nucleus_sel,
         "debruijn": _q_debruijn,
@@ -19711,6 +19832,8 @@ def oracle_sql() -> dict[str, str]:
         "lcs_len": _LCS_LEN_SQL,
         "primes_sieve": _PRIMES_SIEVE_SQL,
         "matrix_chain": _matrix_chain_sql(),
+        "tsp_held_karp": _tsp_sql(),
+        "coin_change": _COIN_CHANGE_SQL,
         "catalan": _CATALAN_SQL,
         "fib_double": _FIB_SQL,
         "crt": _CRT_SQL,
