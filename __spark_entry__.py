@@ -19013,6 +19013,99 @@ FROM ns ORDER BY amt
 """
 
 
+def _q_max_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max flow s=0 → t=9 by EDMONDS-KARP (real BFS augmenting paths
+    with residual capacities); the oracle computes the same number
+    through DUALITY — min over all 2⁸ s-t cuts of the crossing
+    capacity (bitmask subset enumeration). Max-flow = min-cut as a
+    cross-engine identity. 10-node dense digraphs with derived
+    integer capacities."""
+
+    n = 10
+    gg = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 5).alias("g")).distinct())
+    edges = (gg.select("g",
+                       F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
+                       .alias("u"))
+             .select("g", "u",
+                     F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
+                     .alias("v"))
+             .where("u != v and (u * 3 + v * 7 + g) % 4 = 0")
+             .selectExpr("cast(g as long) as g",
+                         "cast(u as long) as u", "cast(v as long) as v",
+                         "cast(1 + (u * 5 + v * 11 + g * 13) % 9 "
+                         "as long) as cap"))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        from collections import deque
+
+        out = []
+        for gv, grp in pdf.groupby("g", sort=False):
+            cap = [[0] * n for _ in range(n)]
+            for u, v, c in zip(grp["u"], grp["v"], grp["cap"]):
+                cap[int(u)][int(v)] += int(c)
+            flow = 0
+            while True:
+                # BFS shortest augmenting path in the residual graph
+                par = [-1] * n
+                par[0] = 0
+                q = deque([0])
+                while q and par[n - 1] == -1:
+                    x = q.popleft()
+                    for y in range(n):
+                        if par[y] == -1 and cap[x][y] > 0:
+                            par[y] = x
+                            q.append(y)
+                if par[n - 1] == -1:
+                    break
+                # bottleneck
+                b, y = 10 ** 9, n - 1
+                while y != 0:
+                    b = min(b, cap[par[y]][y])
+                    y = par[y]
+                y = n - 1
+                while y != 0:
+                    cap[par[y]][y] -= b
+                    cap[y][par[y]] += b
+                    y = par[y]
+                flow += b
+            out.append((gv, flow))
+        return pd.DataFrame(out, columns=["g", "max_flow"])
+
+    return (edges.groupBy("g")
+            .applyInPandas(run, "g long, max_flow long")
+            .orderBy("g"))
+
+
+_MAX_FLOW_SQL = """
+WITH gg AS (SELECT DISTINCT doc_id % 5 AS g FROM documents),
+edges AS MATERIALIZED (
+  SELECT gg.g, u.x AS u, v.x AS v,
+         1 + (u.x * 5 + v.x * 11 + gg.g * 13) % 9 AS cap
+  FROM gg
+  CROSS JOIN generate_series(0, 9) u(x)
+  CROSS JOIN generate_series(0, 9) v(x)
+  WHERE u.x != v.x AND (u.x * 3 + v.x * 7 + gg.g) % 4 = 0),
+-- s-t cuts: bit i of s-mask says node i+1 is on the SOURCE side
+-- (node 0 always source side, node 9 always sink side)
+cuts AS (
+  SELECT gg.g, m.x AS mask FROM gg
+  CROSS JOIN generate_series(0, 255) m(x)),
+cutcap AS (
+  SELECT c.g, c.mask, coalesce(sum(e.cap), 0) AS capsum
+  FROM cuts c LEFT JOIN edges e
+    ON e.g = c.g
+   AND (e.u = 0 OR (e.u BETWEEN 1 AND 8
+                    AND ((c.mask >> (e.u - 1)) & 1) = 1))
+   AND (e.v = 9 OR (e.v BETWEEN 1 AND 8
+                    AND ((c.mask >> (e.v - 1)) & 1) = 0))
+  GROUP BY c.g, c.mask)
+SELECT CAST(g AS BIGINT) AS g,
+       CAST(min(capsum) AS BIGINT) AS max_flow
+FROM cutcap GROUP BY g ORDER BY g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -19310,6 +19403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # way counts.
         "tsp_held_karp": _q_tsp,
         "coin_change": _q_coin_change,
+        # batch 144 (below the window): max-flow/min-cut duality.
+        "max_flow": _q_max_flow,
         "poly_mult": _q_poly_mult,
         "nucleus_sel": _q_nucleus_sel,
         "debruijn": _q_debruijn,
@@ -19834,6 +19929,7 @@ def oracle_sql() -> dict[str, str]:
         "matrix_chain": _matrix_chain_sql(),
         "tsp_held_karp": _tsp_sql(),
         "coin_change": _COIN_CHANGE_SQL,
+        "max_flow": _MAX_FLOW_SQL,
         "catalan": _CATALAN_SQL,
         "fib_double": _FIB_SQL,
         "crt": _CRT_SQL,
