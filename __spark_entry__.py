@@ -19106,6 +19106,68 @@ FROM cutcap GROUP BY g ORDER BY g
 """
 
 
+def _q_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-cost 6×6 assignment by the BITMASK SUBSET DP
+    (dp[mask] over assigned columns, row = popcount — the real
+    O(2ⁿn) algorithm); the oracle enumerates all 720 permutations
+    with a 6-fold distinctness join and takes the min. Integer cost
+    matrix c(i,j) = 1 + (i·7 + j·13 + g·3) mod 40."""
+
+    n = 6
+    gg = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 8).alias("g")).distinct()
+          .selectExpr("cast(g as long) as g"))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for g in pdf["g"]:
+            g = int(g)
+
+            def c(i, j):
+                return 1 + (i * 7 + j * 13 + g * 3) % 40
+            INF = 10 ** 9
+            dp = [INF] * (1 << n)
+            dp[0] = 0
+            for mask in range(1 << n):
+                if dp[mask] == INF:
+                    continue
+                i = bin(mask).count("1")
+                if i >= n:
+                    continue
+                for j in range(n):
+                    if not (mask >> j) & 1:
+                        nm = mask | (1 << j)
+                        cand = dp[mask] + c(i, j)
+                        if cand < dp[nm]:
+                            dp[nm] = cand
+            out.append((g, dp[(1 << n) - 1]))
+        return pd.DataFrame(out, columns=["g", "cost"])
+
+    return (gg.groupBy("g").applyInPandas(run, "g long, cost long")
+            .orderBy("g"))
+
+
+def _assignment_sql(n: int = 6) -> str:
+    joins = "\n  ".join(
+        f"CROSS JOIN generate_series(0, {n - 1}) a{i}(x)"
+        for i in range(n))
+    distinct = " AND ".join(
+        f"a{i}.x != a{j}.x" for i in range(n) for j in range(i + 1, n))
+    cost = " + ".join(
+        f"(1 + ({i} * 7 + a{i}.x * 13 + gg.g * 3) % 40)"
+        for i in range(n))
+    return f"""
+WITH gg AS (SELECT DISTINCT doc_id % 8 AS g FROM documents),
+perms AS (
+  SELECT gg.g, {cost} AS cost
+  FROM gg
+  {joins}
+  WHERE {distinct})
+SELECT CAST(g AS BIGINT) AS g, CAST(min(cost) AS BIGINT) AS cost
+FROM perms GROUP BY g ORDER BY g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -19405,6 +19467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coin_change": _q_coin_change,
         # batch 144 (below the window): max-flow/min-cut duality.
         "max_flow": _q_max_flow,
+        # batch 145 (below the window): min-cost assignment subset DP.
+        "assignment": _q_assignment,
         "poly_mult": _q_poly_mult,
         "nucleus_sel": _q_nucleus_sel,
         "debruijn": _q_debruijn,
@@ -19930,6 +19994,7 @@ def oracle_sql() -> dict[str, str]:
         "tsp_held_karp": _tsp_sql(),
         "coin_change": _COIN_CHANGE_SQL,
         "max_flow": _MAX_FLOW_SQL,
+        "assignment": _assignment_sql(),
         "catalan": _CATALAN_SQL,
         "fib_double": _FIB_SQL,
         "crt": _CRT_SQL,
