@@ -19168,6 +19168,60 @@ FROM perms GROUP BY g ORDER BY g
 """
 
 
+def _q_egg_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Egg-drop minimal trials (k eggs, N floors): engine runs the
+    real coverage DP f(t,k) = f(t−1,k−1) + f(t−1,k) + 1 and stops at
+    the first t covering N; the oracle uses the closed
+    characterization — answer = min t with Σ_{i≤k} C(t,i) ≥ N, the
+    binomials from a Pascal product recursion. k = 2 + g mod 3,
+    N = 10 + g·17."""
+
+    gg = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 20).alias("g")).distinct()
+          .selectExpr("cast(g as long) as g",
+                      "cast(2 + g % 3 as long) as k",
+                      "cast(10 + g * 17 as long) as floors"))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for g, k, nfl in zip(pdf["g"], pdf["k"], pdf["floors"]):
+            g, k, nfl = int(g), int(k), int(nfl)
+            cover = [0] * (k + 1)
+            t = 0
+            while cover[k] < nfl:
+                t += 1
+                for e in range(k, 0, -1):
+                    cover[e] = cover[e - 1] + cover[e] + 1
+            out.append((g, t))
+        return pd.DataFrame(out, columns=["g", "trials"])
+
+    return (gg.groupBy("g").applyInPandas(run, "g long, trials long")
+            .orderBy("g"))
+
+
+_EGG_DROP_SQL = """
+WITH RECURSIVE gg AS (
+  SELECT DISTINCT doc_id % 20 AS g FROM documents),
+inst AS (SELECT g, 2 + g % 3 AS k, 10 + g * 17 AS floors FROM gg),
+binom(t, i, c) AS (
+  SELECT t.x, 0, CAST(1 AS BIGINT)
+  FROM generate_series(0, 400) t(x)
+  UNION ALL
+  SELECT t, i + 1, c * (t - i) // (i + 1) FROM binom
+  WHERE i < 4 AND i < t),
+cover AS (
+  SELECT b.t, i2.k, sum(b.c) AS cov
+  FROM binom b JOIN (SELECT DISTINCT k FROM inst) i2
+    ON b.i BETWEEN 1 AND i2.k
+  GROUP BY b.t, i2.k)
+SELECT CAST(inst.g AS BIGINT) AS g,
+       CAST((SELECT min(c.t) FROM cover c
+             WHERE c.k = inst.k AND c.cov >= inst.floors)
+            AS BIGINT) AS trials
+FROM inst ORDER BY g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
     # gate records the FIRST 50 entries, so entries that have never appeared
@@ -19469,6 +19523,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_flow": _q_max_flow,
         # batch 145 (below the window): min-cost assignment subset DP.
         "assignment": _q_assignment,
+        # batch 146 (below the window): egg-drop DP vs binomial-sum
+        # characterization.
+        "egg_drop": _q_egg_drop,
         "poly_mult": _q_poly_mult,
         "nucleus_sel": _q_nucleus_sel,
         "debruijn": _q_debruijn,
@@ -19995,6 +20052,7 @@ def oracle_sql() -> dict[str, str]:
         "coin_change": _COIN_CHANGE_SQL,
         "max_flow": _MAX_FLOW_SQL,
         "assignment": _assignment_sql(),
+        "egg_drop": _EGG_DROP_SQL,
         "catalan": _CATALAN_SQL,
         "fib_double": _FIB_SQL,
         "crt": _CRT_SQL,
