@@ -19224,14 +19224,14 @@ FROM inst ORDER BY g
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is part of the verification surface: the driver's correctness
-    # gate records the FIRST 50 entries, so entries that have never appeared
-    # in a CORRECTNESS_r*.json come first (VERDICT r2 'Next round' #1), then
-    # everything green only in r01, then the r02-green core. The simplest
-    # r02-green relational/scalar entries (machinery also exercised by
-    # in-window composites like reference_network/width_tail) sit past
-    # position 50 — still runnable via scripts/oracle_check.py, which checks
-    # ALL entries.
-    return {
+    # gate records the FIRST 50 entries. Per VERDICT r4 'Next round' #1, the
+    # window is now PINNED to the graded flagship surface — the SURVEY §2
+    # operators and the LLM-curation pipeline ops — via _DRIVER_WINDOW below
+    # (the r2 'never-checked-first' rotation served its purpose: every entry
+    # has appeared in some CORRECTNESS_r*.json or full-sweep run). All other
+    # entries keep their historical order after the window and remain covered
+    # by scripts/oracle_check.py, which checks ALL entries.
+    base = {
         # -- new in round 4: never driver-checked --------------------------
         # batch 30: geohash cells, eTLD+1 longest-suffix, crosstab,
         # Arrow scalar UDF, statestore reader, mergeSchema evolution.
@@ -20031,6 +20031,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "token_bpe": _q_token_bpe,
     }
+    ordered = {k: base[k] for k in _DRIVER_WINDOW}
+    ordered.update((k, v) for k, v in base.items() if k not in ordered)
+    return ordered
+
+
+# The driver's correctness artifact records the FIRST 50 queries() entries.
+# These 50 are the graded surface (VERDICT r4 #1): SURVEY §2 flagships
+# (reference-network family, spatial joins, graph traversals, corrections)
+# and the LLM-pipeline flagships (dedup family, curation/refresh composites,
+# real multimodal decoders, ANN family, stateful streaming).
+_DRIVER_WINDOW = [
+    "reference_network", "width_network", "width_tail", "zonal_pct",
+    "pip_join", "knn_join", "nodes_dense", "bfs_reach", "principal_stem",
+    "measure_outlet", "hack_order", "strahler_order", "fix_connectivity",
+    "agg_segments", "prune_slivers", "corr_insert", "corr_delete",
+    "corr_update", "corr_reverse", "dedup_exact", "lsh_pairs",
+    "dedup_cluster", "exact_substr", "incr_dedup", "sem_dedup", "bpe_train",
+    "decontaminate", "corpus_manifest", "curation_pipeline",
+    "refresh_pipeline", "image_png", "image_gif", "audio_wav", "cosine_topk",
+    "lsh_ann", "ivf_kmeans_ann", "ann_int8", "stream_dedup_state",
+    "network_nodes", "snap_knn", "tile_assign", "cover_count",
+    "confluence_join", "anti_isolated", "take_first_join", "merge_layers",
+    "append_skip_dup", "dissolve_area", "simhash_pairs", "url_dedup",
+]
 
 
 def oracle_sql() -> dict[str, str]:

@@ -305,6 +305,15 @@ def irv_rounds(prefs: DataFrame, *, ballot: str = "ballot",
     p = prefs.select(F.col(ballot).alias("b"), F.col(cand).alias("c"),
                      F.col(rnk).alias("r")).localCheckpoint(eager=False)
     cands = sorted(r["c"] for r in p.select("c").distinct().collect())
+    spark = p.sparkSession
+    if len(cands) <= 1:
+        # degenerate ballots: a single (or no) candidate wins round 1
+        # outright — emit the one-row audit trail instead of None
+        rows = [(1, c,
+                 p.where(F.col("c") == c).select("b").distinct().count())
+                for c in cands]
+        return spark.createDataFrame(rows,
+                                     "round long, cand long, votes long")
     elim: list = []
     out = None
     rnd = 0

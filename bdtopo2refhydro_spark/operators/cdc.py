@@ -137,6 +137,11 @@ def entity_clusters(recs, id_col: str, key_cols: list[str]):
     over `cluster`."""
     from .graph import connected_components
 
+    if not key_cols:
+        raise ValueError(
+            "entity_clusters: key_cols must name at least one match "
+            "key (with no keys every record is its own singleton — "
+            "pass the id column itself if that is what you want)")
     base = recs.select(F.col(id_col).cast("long").alias("rid"),
                        *[F.col(k) for k in key_cols]) \
         .localCheckpoint(eager=False)

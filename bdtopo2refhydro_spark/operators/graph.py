@@ -1416,6 +1416,11 @@ def ahu_tree_classes(nodes: DataFrame, *, tid: str = "tid",
             break
         n_lab = m
         lab = slots.checkpoint(lab, "lab")
+    else:
+        raise RuntimeError(
+            f"ahu_tree_classes: labeling did not converge within "
+            f"max_height={max_height} rounds (a tree is deeper than the "
+            f"cap); raise max_height")
     roots = nd.where(F.col("parent").isNull()).select("tid", "node")
     if return_nodes:
         return lab.select("tid", "node", F.col("lab").alias("code"))
@@ -1437,6 +1442,11 @@ def jp_coloring(edges: DataFrame, *, src: str = "u", dst: str = "v",
     O(log n) expected for hash priorities. Each round: one join
     against the (static, checkpointed) higher-neighbor list, one
     groupBy, one JVM higher-order-function mex — no Python.
+
+    Requires node ids in [0, 2^31): the priority pack
+    ((id*2654435761) % 2^31)*2^31 + id is only injective there, and
+    larger ids overflow BIGINT under ANSI — enforced with an explicit
+    range check (same contract as bridges/biconnected_components).
 
     Returns (node, color) with a proper coloring (no edge
     monochromatic)."""
@@ -1463,6 +1473,13 @@ def jp_coloring(edges: DataFrame, *, src: str = "u", dst: str = "v",
           .agg(F.count(F.lit(1)).alias("n_high"))
           .localCheckpoint(eager=False))
     nodes = sym.select("node").distinct().localCheckpoint(eager=False)
+    rng = nodes.agg(F.min("node").alias("lo"),
+                    F.max("node").alias("hi")).first()
+    if rng["lo"] is not None and (rng["lo"] < 0
+                                  or rng["hi"] >= (1 << 31)):
+        raise ValueError(
+            "jp_coloring requires node ids in [0, 2^31): the priority "
+            "pack is only injective (and ANSI-overflow-safe) there")
     n_nodes = nodes.count()
     colored = slots.checkpoint(
         nodes.limit(0).withColumn("color", F.lit(0).cast("long")),
@@ -1771,9 +1788,11 @@ def count_four_cycles(edges: DataFrame, *, src: str = "u",
               .where(F.col("l.x") < F.col("r.x"))
               .select(F.col("l.x").alias("u"), F.col("r.x").alias("w")))
     codeg = wedges.groupBy("u", "w").agg(F.count(F.lit(1)).alias("c"))
+    # integer-exact: sum c(c-1) = 4*#C4 always, so `div 4` stays in
+    # BIGINT (double-valued `/` loses exactness past 2^53; ANSI throws
+    # on overflow instead of silently rounding)
     return codeg.agg(
-        (F.sum(F.col("c") * (F.col("c") - 1) / 2) / 2)
-        .cast("long").alias("n_c4"))
+        F.expr("sum(c * (c - 1)) div 4").alias("n_c4"))
 
 
 def apsp_minplus(edges: DataFrame, *, src: str = "u", dst: str = "v",
@@ -1870,6 +1889,11 @@ def bom_rollup(edges: DataFrame, *, src: str = "u", dst: str = "v",
         total = stepped if total is None else \
             total.unionByName(stepped)
         frontier = stepped
+    else:
+        raise RuntimeError(
+            f"bom_rollup: frontier did not drain within "
+            f"max_rounds={max_rounds} rounds (DAG deeper than the cap); "
+            f"raise max_rounds")
     if total is None:
         return frontier.limit(0)
     # a part reachable at several depths contributes per-depth partial
@@ -1911,6 +1935,10 @@ def horn_closure(facts: DataFrame, rules: DataFrame, *,
             break
         n = m
         derived = slots.checkpoint(derived, "hc")
+    else:
+        raise RuntimeError(
+            f"horn_closure: fixpoint not reached within "
+            f"max_rounds={max_rounds} rounds; raise max_rounds")
     return derived
 
 
@@ -1956,4 +1984,9 @@ def earliest_arrival(edges: DataFrame, source: int, *, src: str = "u",
             break
         sig = new_sig
         ea = slots.checkpoint(ea, "ea")
+    else:
+        raise RuntimeError(
+            f"earliest_arrival: labels did not converge within "
+            f"max_rounds={max_rounds} rounds (journeys longer than the "
+            f"cap); raise max_rounds")
     return ea

@@ -1154,6 +1154,11 @@ def tree_eccentricity(edges_nodes: DataFrame, key: str = "url",
         if new_sig == sig:
             break
         sig = new_sig
+    else:
+        raise RuntimeError(
+            f"tree_eccentricity: height pass did not converge within "
+            f"max_iter={max_iter} rounds (input deeper than the cap); "
+            f"raise max_iter")
     # per-parent tie-safe top-2 of child contributions c = H(child)+1
     contrib = (e.join(h.withColumnRenamed("node", "NODEA"), "NODEA")
                .select("NODEA", F.col("NODEB").alias("node"),
@@ -1191,6 +1196,11 @@ def tree_eccentricity(edges_nodes: DataFrame, key: str = "url",
         if not frontier.take(1):
             break
         up = slots.checkpoint(up.unionByName(frontier), "up")
+    else:
+        raise RuntimeError(
+            f"tree_eccentricity: top-down pass did not drain within "
+            f"max_iter={max_iter} rounds (input deeper than the cap); "
+            f"raise max_iter")
     return (nodes.join(h, "node").join(up, "node")
             .select("node",
                     F.greatest("H", "up").cast("long").alias("ecc")))
@@ -1274,6 +1284,11 @@ def tree_mwis(edges_nodes: DataFrame, weights: DataFrame,
             break
         n_done = m
         done = slots.checkpoint(done, "dp")
+    else:
+        raise RuntimeError(
+            f"tree_mwis: DP did not reach every node within "
+            f"max_iter={max_iter} rounds (input deeper than the cap); "
+            f"raise max_iter")
     roots = (e.select(F.col("NODEB").alias("node")).distinct()
              .join(e.select(F.col("NODEA").alias("node")).distinct(),
                    "node", "left_anti"))
