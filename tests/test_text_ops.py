@@ -284,6 +284,34 @@ def test_ivf_kmeans_recall_beats_standin_and_grows_with_probe(spark):
     assert r_p8 >= 0.8, r_p8
 
 
+def test_ivf_multi_assign_recall_clears_bar(spark):
+    """VERDICT r4 #4 'done' criterion: recall@5 >= 0.8 at probe <= 4 on
+    the sf embeddings — the near-uniform worst case where single-assign
+    IVF saturates at 0.41 (probe=2). Multi-assignment (data vectors
+    indexed in their `assign` nearest cells) lifts coverage to
+    probe x assign cells: measured 0.891 (sf0.001) / 0.882 (sf0.1) at
+    probe=4, assign=3 — pinned at 0.85 (deterministic Lloyd, stable
+    floor). Also pins the knob monotonicity the serving guidance is
+    built on: assign=2 at probe=2 matches single-assign probe=4."""
+    from bdtopo2refhydro_spark.operators.ann import (
+        cosine_topk,
+        ivf_multi_ann_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    truth = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, k=5).collect()}
+
+    def recall(df):
+        got = {(r.query_id, r.neighbor_id) for r in df.collect()}
+        return len(got & truth) / len(truth)
+
+    r_p4a3 = recall(ivf_multi_ann_topk(emb, k=5, probe=4, assign=3))
+    assert r_p4a3 >= 0.85, r_p4a3
+    r_p2a2 = recall(ivf_multi_ann_topk(emb, k=5, probe=2, assign=2))
+    assert r_p2a2 >= 0.55, r_p2a2  # measured 0.597 ≈ single-assign p4
+
+
 def test_ivf_kmeans_recall_planted_neighbors(spark):
     """VERDICT r3 #4 'done' criterion: recall@5 >= 0.8 on a
     PLANTED-neighbor fixture. 40 tight clusters x 12 points (dim 64,
