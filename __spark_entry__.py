@@ -1158,10 +1158,40 @@ def _q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_cluster_sql() -> str:
-    # transitive closure of the verified pair graph (fine at oracle scale;
-    # the engine side runs O(log n) pointer-jumping CC instead)
+    # Transitive closure over DISTINCT-TEXT representatives, expanded
+    # back to docs (VERDICT r4 #5): identical texts always share minhash
+    # signatures and band keys (_duck_shingles never yields an empty
+    # list — short texts become one whole-text shingle) and verify at
+    # jaccard 1, so every identical-text group is a clique in the
+    # verified-pair graph; grouping by text FIRST is therefore exact and
+    # removes the quadratic identical-dup cliques that blew the DuckDB
+    # pair materialization past memory at sf1 (~105M candidate pairs).
+    # The rep label (least doc of the rep component) equals the doc-level
+    # cluster_id because each rep is already the min doc of its text
+    # group. The engine side is unchanged (O(log n) pointer-jumping CC).
     return f"""
-WITH RECURSIVE pairs AS ({_jaccard_sql().strip()}),
+WITH RECURSIVE reps AS (
+  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+),
+{_bands_cte("reps", prefix="r")},
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM rbands l JOIN rbands r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+  WHERE l.doc_id < r.doc_id
+),
+jt AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM reps
+),
+js AS (SELECT doc_id, list_distinct({_duck_shingles()}) AS sh FROM jt),
+pairs AS (
+  SELECT cand.a, cand.b
+  FROM cand JOIN js sa ON sa.doc_id = cand.a
+            JOIN js sb ON sb.doc_id = cand.b
+  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        / len(list_distinct(sa.sh || sb.sh)) >= 0.5
+),
 e AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
 reach(u, v) AS (
   SELECT u, v FROM e
@@ -1170,11 +1200,13 @@ reach(u, v) AS (
 ),
 lab AS (
   SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+),
+replab AS (
+  SELECT r.text, COALESCE(l.cluster_id, r.doc_id) AS cluster_id
+  FROM reps r LEFT JOIN lab l USING (doc_id)
 )
-SELECT d.doc_id,
-       COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
-       COALESCE(l.cluster_id, d.doc_id) = d.doc_id AS keep
-FROM documents d LEFT JOIN lab l USING (doc_id)
+SELECT d.doc_id, rl.cluster_id, rl.cluster_id = d.doc_id AS keep
+FROM documents d JOIN replab rl ON d.text IS NOT DISTINCT FROM rl.text
 """
 
 
