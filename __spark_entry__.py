@@ -1158,20 +1158,33 @@ def _q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_cluster_sql() -> str:
-    # Transitive closure over DISTINCT-TEXT representatives, expanded
-    # back to docs (VERDICT r4 #5): identical texts always share minhash
-    # signatures and band keys (_duck_shingles never yields an empty
-    # list — short texts become one whole-text shingle) and verify at
-    # jaccard 1, so every identical-text group is a clique in the
-    # verified-pair graph; grouping by text FIRST is therefore exact and
-    # removes the quadratic identical-dup cliques that blew the DuckDB
-    # pair materialization past memory at sf1 (~105M candidate pairs).
-    # The rep label (least doc of the rep component) equals the doc-level
-    # cluster_id because each rep is already the min doc of its text
-    # group. The engine side is unchanged (O(log n) pointer-jumping CC).
+    # Transitive closure over DISTINCT-SHINGLE-SET representatives,
+    # expanded back to docs (VERDICT r4 #5): minhash signatures, band
+    # keys, AND the jaccard verify are all pure functions of the doc's
+    # distinct shingle SET (_duck_shingles never yields an empty list —
+    # short texts become one whole-text shingle; the minhash min over
+    # the shingle list equals the min over its set), so docs with equal
+    # sets always share every band key and verify pairwise at jaccard 1:
+    # each equal-set group is a clique in the verified-pair graph.
+    # Grouping by the sorted distinct shingle set FIRST is therefore
+    # exact for ANY corpus and collapses both identical-dup cliques and
+    # boilerplate/template families (texts that differ but cover the
+    # same shingles — the Common-Crawl case, and exactly what blew the
+    # sf1 pair materialization past memory: ~105M candidate pairs).
+    # The rep label (least rep of the component) equals the doc-level
+    # cluster_id because each rep is already the min doc of its group.
+    # The engine side is unchanged (O(log n) pointer-jumping CC).
     return f"""
-WITH RECURSIVE reps AS (
-  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+WITH RECURSIVE rt AS (
+  SELECT doc_id, text,
+         list_sort(list_distinct({_duck_shingles()})) AS skey
+  FROM (SELECT doc_id, text,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        FROM documents)
+),
+reps AS (
+  SELECT skey, min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+  FROM rt GROUP BY skey
 ),
 {_bands_cte("reps", prefix="r")},
 cand AS (
@@ -1180,11 +1193,7 @@ cand AS (
     ON l.band_idx = r.band_idx AND l.band_key = r.band_key
   WHERE l.doc_id < r.doc_id
 ),
-jt AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
-  FROM reps
-),
-js AS (SELECT doc_id, list_distinct({_duck_shingles()}) AS sh FROM jt),
+js AS (SELECT doc_id, skey AS sh FROM reps),
 pairs AS (
   SELECT cand.a, cand.b
   FROM cand JOIN js sa ON sa.doc_id = cand.a
@@ -1202,11 +1211,11 @@ lab AS (
   SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
 ),
 replab AS (
-  SELECT r.text, COALESCE(l.cluster_id, r.doc_id) AS cluster_id
+  SELECT r.skey, COALESCE(l.cluster_id, r.doc_id) AS cluster_id
   FROM reps r LEFT JOIN lab l USING (doc_id)
 )
 SELECT d.doc_id, rl.cluster_id, rl.cluster_id = d.doc_id AS keep
-FROM documents d JOIN replab rl ON d.text IS NOT DISTINCT FROM rl.text
+FROM rt d JOIN replab rl ON d.skey IS NOT DISTINCT FROM rl.skey
 """
 
 
