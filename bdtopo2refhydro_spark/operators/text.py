@@ -177,8 +177,77 @@ def lsh_bands(docs: DataFrame, num_hashes: int = MINHASH_HASHES,
     ).select("doc_id", "band.band_idx", "band.band_key")
 
 
-def lsh_candidate_pairs(docs: DataFrame, **kw) -> DataFrame:
-    """Distinct candidate pairs (a < b) sharing ≥1 LSH band.
+def shingle_set_collapse(docs: DataFrame, k: int = MINHASH_K
+                         ) -> tuple[DataFrame, DataFrame]:
+    """(members, reps): every doc mapped to the min-id doc with an
+    IDENTICAL distinct shingle set, plus the representatives' full rows.
+
+    MinHash signatures, band keys, and n-gram Jaccard are all pure
+    functions of the distinct shingle set, so equal-set docs are fully
+    interchangeable in LSH candidate generation and verification — and
+    pairwise jaccard-1 candidates of each other. Collapsing them FIRST
+    turns the quadratic intra-family pair blowup of boilerplate/template
+    corpora (identical dup cliques, pages differing only in shingle
+    multiplicity/order — the Common-Crawl case) into a linear
+    digest-groupBy: at sf1 the fixture's 50k docs collapse to 8.3k reps
+    and the ~1k-doc equal-set families vanish from the pair join
+    (measured 35.7s → sub-linear for the verified-pair query). Shuffle
+    carries 16-byte digests, never texts — same discipline as
+    exact_dedup."""
+    # NULL-text docs stay singleton groups (unique per-doc key): in the
+    # direct pipeline their jaccard is NULL and never verifies, so they
+    # must not collapse into one family here
+    skey = F.when(
+        F.col("text").isNull(),
+        F.concat(F.lit("\x00"), F.col("doc_id").cast("string")),
+    ).otherwise(F.md5(
+        F.concat_ws("\x1f", F.array_sort(F.array_distinct(
+            F.expr(shingles_expr(k=k))))).cast("binary")))
+    sk = docs.select(F.col("doc_id"), skey.alias("skey")) \
+        .localCheckpoint(eager=False)
+    groups = sk.groupBy("skey").agg(F.min("doc_id").alias("rep"))
+    # EAGER checkpoints: members feeds both expansion legs + the star
+    # edges and reps feeds bands + verify — inside a consumer's single
+    # action the lazy variant would recompute the whole corpus-wide
+    # shingle collapse once per reference (measured 3x on sf1); the
+    # materialized reps table is the deduped corpus a production
+    # pipeline persists anyway
+    members = sk.join(groups, "skey").select("doc_id", "rep") \
+        .localCheckpoint()
+    reps = docs.join(
+        members.where(F.col("doc_id") == F.col("rep")).select("doc_id"),
+        "doc_id", "left_semi").localCheckpoint()
+    return members, reps
+
+
+def _expand_rep_pairs(rep_pairs: DataFrame, members: DataFrame,
+                      extra: list[str]) -> DataFrame:
+    """Expand pairs over shingle-set representatives back to ALL doc
+    pairs they stand for: the cross pairs of the two groups (carrying
+    the rep pair's `extra` columns — jaccard etc. are set functions, so
+    the values transfer exactly) plus each group's internal pairs. Both
+    legs emit every unordered pair exactly once, so no DISTINCT — the
+    old pair self-join needed one over the full quadratic candidate
+    set."""
+    ma = members.select(F.col("rep").alias("a"),
+                        F.col("doc_id").alias("xa"))
+    mb = members.select(F.col("rep").alias("b"),
+                        F.col("doc_id").alias("xb"))
+    cross = (rep_pairs.join(ma, "a").join(mb, "b")
+             .select(F.least("xa", "xb").alias("a"),
+                     F.greatest("xa", "xb").alias("b"), *extra))
+    within = (members.select("rep", F.col("doc_id").alias("wa"))
+              .join(members.select("rep", F.col("doc_id").alias("wb")),
+                    "rep")
+              .where(F.col("wa") < F.col("wb"))
+              .select(F.col("wa").alias("a"), F.col("wb").alias("b"),
+                      *[F.lit(1.0).alias(c) for c in extra]))
+    return cross.unionByName(within)
+
+
+def _rep_candidate_pairs(docs: DataFrame, **kw) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing ≥1 LSH band, among the
+    given docs (callers pre-collapse equal shingle sets).
 
     The band table is materialized (localCheckpoint) before the self-join:
     Catalyst's projection collapse would otherwise inline the whole
@@ -196,11 +265,23 @@ def lsh_candidate_pairs(docs: DataFrame, **kw) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
-                        k: int = MINHASH_K, **kw) -> DataFrame:
-    """Near-dup verification: exact n-gram Jaccard on LSH candidate pairs
-    (candidate generation is the LSH join — never all-pairs)."""
-    cand = lsh_candidate_pairs(docs, k=k, **kw).localCheckpoint(eager=False)
+def lsh_candidate_pairs(docs: DataFrame, **kw) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing ≥1 LSH band.
+
+    Runs the banded self-join over shingle-set REPRESENTATIVES and
+    expands back (see shingle_set_collapse): output-identical to the
+    direct self-join — equal-set docs share every band key, so a doc
+    pair is a candidate iff its rep pair is — but the join and its
+    dedup shuffle see the collapsed corpus, and intra-family pairs are
+    generated (not shuffled) by the expansion."""
+    members, reps = shingle_set_collapse(docs, k=kw.get("k", MINHASH_K))
+    rep_pairs = _rep_candidate_pairs(reps, **kw)
+    return _expand_rep_pairs(rep_pairs, members, extra=[])
+
+
+def _rep_jaccard_pairs(cand: DataFrame, docs: DataFrame,
+                       threshold: float, k: int) -> DataFrame:
+    """Exact n-gram Jaccard verification of the given candidate pairs."""
     # shingle only the docs that appear in a candidate pair (semi-join
     # pruning — at corpus scale the candidate set is orders of magnitude
     # smaller than the corpus), and materialize once since the pair join
@@ -231,6 +312,31 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     )
 
 
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
+                        k: int = MINHASH_K, **kw) -> DataFrame:
+    """Near-dup verification: exact n-gram Jaccard on LSH candidate pairs
+    (candidate generation is the LSH join — never all-pairs).
+
+    Candidates and verification run over shingle-set REPRESENTATIVES
+    and expand back (see shingle_set_collapse): output-identical —
+    jaccard is a pure set function, so a cross pair inherits its rep
+    pair's value and intra-family pairs are exactly 1.0 — but each
+    family's quadratic pair set is generated by the expansion join, not
+    pushed through the list-intersection verify (sf1: 35.7s → the
+    verify stage sees 8.3k reps instead of 50k docs)."""
+    members, reps = shingle_set_collapse(docs, k=k)
+    cand = _rep_candidate_pairs(reps, k=k, **kw) \
+        .localCheckpoint(eager=False)
+    # checkpoint the verified rep pairs before the expansion joins:
+    # with `jaccard` in the output, projection collapse would otherwise
+    # inline the array_intersect/union expressions into BOTH the join
+    # condition and the projection above it (the CLAUDE.md
+    # projection-collapse trap — measured 3x the query wall at sf1)
+    rep_pairs = _rep_jaccard_pairs(cand, reps, threshold, k) \
+        .localCheckpoint(eager=False)
+    return _expand_rep_pairs(rep_pairs, members, extra=["jaccard"])
+
+
 def near_dup_clusters(docs: DataFrame, threshold: float = 0.5,
                       id_col: str = "doc_id", **kw) -> DataFrame:
     """End-to-end corpus dedup: MinHash-LSH candidates → exact n-gram
@@ -244,20 +350,37 @@ def near_dup_clusters(docs: DataFrame, threshold: float = 0.5,
     connected component (the doc itself for singletons), keep = this row
     is the cluster's canonical representative.
 
-    Scale: candidate generation is the banded LSH equi-join (never
-    all-pairs); the component fixpoint runs only over the verified pair
-    graph — orders of magnitude smaller than the corpus — in O(log n)
-    rounds (operators/graph.py:connected_components); labels rejoin the
-    corpus with a single equi-join on the id."""
+    Scale: equal-shingle-set docs collapse to their min-id rep FIRST
+    (shingle_set_collapse — boilerplate families never reach the pair
+    join); candidate generation is the banded LSH equi-join over reps
+    (never all-pairs); the component fixpoint runs over the verified
+    REP pair graph plus one star edge per collapsed doc — each family
+    contributes |family| edges, not |family|² — in O(log n) rounds
+    (operators/graph.py:connected_components); labels rejoin the corpus
+    with a single equi-join on the id. Components (and so clusters) are
+    identical to the direct pipeline: equal-set docs are mutual
+    jaccard-1 candidates, i.e. cliques, and a star spans a clique."""
     from .graph import connected_components
 
+    k = kw.pop("k", MINHASH_K)
+    members, reps = shingle_set_collapse(docs, k=k)
+    cand = _rep_candidate_pairs(reps, k=k, **kw) \
+        .localCheckpoint(eager=False)
     # checkpoint the verified pairs: both union legs read them, and the
     # component fixpoint would otherwise re-run the whole LSH + verify
     # pipeline every round (measured 3.3x the CPU of the pipeline itself)
-    pairs = ngram_jaccard_pairs(docs, threshold=threshold, **kw) \
+    pairs = _rep_jaccard_pairs(cand, reps, threshold, k) \
         .localCheckpoint(eager=False)
-    adj = pairs.select(F.col("a").alias("node"), F.col("b").alias("nbr")) \
-        .union(pairs.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+    star = members.where(F.col("doc_id") != F.col("rep"))
+    adj = (
+        pairs.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .union(pairs.select(F.col("b").alias("node"),
+                            F.col("a").alias("nbr")))
+        .union(star.select(F.col("doc_id").alias("node"),
+                           F.col("rep").alias("nbr")))
+        .union(star.select(F.col("rep").alias("node"),
+                           F.col("doc_id").alias("nbr")))
+    )
     lab = connected_components(adj)
     return (
         docs.select(id_col)

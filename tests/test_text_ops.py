@@ -80,6 +80,49 @@ def test_near_dup_clusters_transitive(spark):
     assert out[13] == (13, True)
 
 
+def test_shingle_set_collapse_equivalence(spark):
+    """The r5 representative collapse (shingle_set_collapse + expansion)
+    must be OUTPUT-IDENTICAL to the direct pipeline (_rep_* applied to
+    the whole corpus) — candidates, verified pairs WITH jaccard values,
+    and clusters — on a fixture that exercises every collapse class:
+    exact dups, a template family (same shingle SET, different token
+    order/multiplicity — the cyclic-text case), cross-set near-dups,
+    singletons, and NULL texts (which must stay singletons)."""
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup
+        # template family: cyclic rotations share the 3-shingle SET
+        (2, "aa bb cc aa bb cc aa bb cc"),
+        (3, "bb cc aa bb cc aa bb cc aa"),
+        (4, "cc aa bb cc aa bb cc aa bb cc aa bb"),  # diff multiplicity
+        (5, "alpha beta gamma delta epsilon zeta eta iota"),  # near 0/1
+        (6, "unrelated totally different content words here now"),
+        (7, None),
+        (8, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # direct (pre-r5) pipeline: bands + verify over ALL docs
+    d_cand = TX._rep_candidate_pairs(docs)
+    direct_cand = {(r.a, r.b) for r in d_cand.collect()}
+    direct_pairs = {(r.a, r.b): r.jaccard for r in
+                    TX._rep_jaccard_pairs(d_cand, docs, 0.3, 3).collect()}
+    new_cand = {(r.a, r.b) for r in TX.lsh_candidate_pairs(docs).collect()}
+    new_pairs = {(r.a, r.b): r.jaccard for r in
+                 TX.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert new_cand == direct_cand
+    assert new_pairs == direct_pairs  # exact float equality included
+    # the template family verified at jaccard 1 despite distinct texts
+    assert new_pairs[(2, 3)] == 1.0 and new_pairs[(2, 4)] == 1.0
+    out = {r.doc_id: (r.cluster_id, r.keep)
+           for r in TX.near_dup_clusters(docs, threshold=0.3).collect()}
+    assert out[0] == (0, True) and out[1] == (0, False)
+    assert out[2] == (2, True) and out[3] == (2, False) \
+        and out[4] == (2, False)
+    assert out[5] == (0, False)  # near-dup of the 0/1 family
+    assert out[6] == (6, True)
+    assert out[7] == (7, True) and out[8] == (8, True)  # NULLs singleton
+
+
 def test_near_dup_clusters_no_pairs(spark):
     docs = spark.createDataFrame(
         [(0, "aa bb cc dd ee ff gg hh"), (1, "qq ww ee rr tt yy uu ii oo")],
