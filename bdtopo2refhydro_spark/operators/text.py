@@ -925,11 +925,15 @@ def incremental_dedup(new: DataFrame, old: DataFrame, *,
     exact n-gram Jaccard against that candidate is >= threshold.
 
     Scale shape: the old side contributes only 16-byte digests and band
-    keys (its text bytes never shuffle); the candidate join is the
-    banded equi-join restricted new x old (asymmetric — no old x old
-    pairs); Jaccard shingles are computed only for docs that appear in a
-    candidate pair (semi-join pruned), exactly like
-    ngram_jaccard_pairs."""
+    keys (its text bytes never shuffle); BOTH sides collapse to
+    shingle-set representatives first (band keys and jaccard are set
+    functions, and the per-new-doc flag is a pure function of the doc's
+    set — see shingle_set_collapse), so a template family straddling
+    the snapshots costs |new family| + |old family|, never their
+    product; the candidate join is the banded equi-join restricted
+    rep-new x rep-old (asymmetric — no old x old pairs); Jaccard
+    shingles are computed only for reps that appear in a candidate
+    pair (semi-join pruned), exactly like ngram_jaccard_pairs."""
     old_dig = (
         old.select(F.md5(F.col("text").cast("binary")).alias("digest"))
         .distinct().withColumn("_e", F.lit(True))
@@ -941,8 +945,10 @@ def incremental_dedup(new: DataFrame, old: DataFrame, *,
         .select(id_col, F.coalesce("_e", F.lit(False)).alias("dropped_exact"))
     )
 
-    nb = lsh_bands(new, k=k, **kw).localCheckpoint(eager=False)
-    ob = lsh_bands(old, k=k, **kw).localCheckpoint(eager=False)
+    m_new, rep_new = shingle_set_collapse(new, k=k)
+    _m_old, rep_old = shingle_set_collapse(old, k=k)
+    nb = lsh_bands(rep_new, k=k, **kw).localCheckpoint(eager=False)
+    ob = lsh_bands(rep_old, k=k, **kw).localCheckpoint(eager=False)
     cand = (
         nb.select(F.col(id_col).alias("n_id"), "band_idx", "band_key")
         .join(ob.select(F.col(id_col).alias("o_id"), "band_idx",
@@ -952,22 +958,28 @@ def incremental_dedup(new: DataFrame, old: DataFrame, *,
     )
     sh_expr = F.array_distinct(F.expr(shingles_expr(k=k))).alias("sh")
     n_sh = (
-        new.join(cand.select(F.col("n_id").alias(id_col)).distinct(),
-                 id_col, "left_semi")
+        rep_new.join(cand.select(F.col("n_id").alias(id_col)).distinct(),
+                     id_col, "left_semi")
         .select(F.col(id_col).alias("n_id"), sh_expr)
     )
     o_sh = (
-        old.join(cand.select(F.col("o_id").alias(id_col)).distinct(),
-                 id_col, "left_semi")
+        rep_old.join(cand.select(F.col("o_id").alias(id_col)).distinct(),
+                     id_col, "left_semi")
         .select(F.col(id_col).alias("o_id"), sh_expr)
     )
-    near = (
+    near_rep = (
         cand.join(n_sh.withColumnRenamed("sh", "sh_n"), "n_id")
         .join(o_sh.withColumnRenamed("sh", "sh_o"), "o_id")
         .filter(
             F.size(F.array_intersect("sh_n", "sh_o"))
             / F.size(F.array_union("sh_n", "sh_o")) >= threshold)
-        .select(F.col("n_id").alias(id_col)).distinct()
+        .select(F.col("n_id").alias("rep")).distinct()
+    )
+    # every member of a flagged rep's group is flagged (identical set ⟹
+    # identical candidates and jaccard against the old corpus)
+    near = (
+        m_new.join(near_rep, "rep", "left_semi")
+        .select(F.col("doc_id").alias(id_col))
         .withColumn("_n", F.lit(True))
     )
     return (
