@@ -220,6 +220,44 @@ def shingle_set_collapse(docs: DataFrame, k: int = MINHASH_K
     return members, reps
 
 
+SMALL_CORPUS_BYTES = 2 << 20  # 2 MiB — see _use_collapse
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's own size estimate for the plan (the statistic the
+    broadcast-join threshold reads). File scans report on-disk bytes and
+    the estimate propagates through repartition/filter; if the py4j
+    surface is unavailable, return "huge" so callers take the
+    safe-at-scale branch."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:
+        return 1 << 62
+
+
+def _use_collapse(docs: DataFrame, algorithm: str) -> bool:
+    """Pick collapse-vs-direct for the near-dedup family, the same way
+    Catalyst picks broadcast-vs-shuffle joins: from plan-size statistics,
+    with no extra job. The shingle-set collapse pays a fixed cost
+    (digest groupBy + two eager checkpoints + expansion joins) that only
+    amortizes once the corpus is large enough for equal-set template
+    families to matter; below SMALL_CORPUS_BYTES the direct banded
+    self-join is strictly cheaper (measured ~0.5-0.9s fixed cost at 5k
+    docs vs 5-30x wins at 50k+). Unknown statistics come back huge, so
+    anything unestimable takes the collapse path — the safe choice at
+    scale."""
+    if algorithm == "collapse":
+        return True
+    if algorithm == "direct":
+        return False
+    if algorithm != "auto":
+        raise ValueError(
+            f"algorithm must be 'auto'|'collapse'|'direct', got "
+            f"{algorithm!r}")
+    return _plan_size_bytes(docs) >= SMALL_CORPUS_BYTES
+
+
 def _expand_rep_pairs(rep_pairs: DataFrame, members: DataFrame,
                       extra: list[str]) -> DataFrame:
     """Expand pairs over shingle-set representatives back to ALL doc
@@ -265,15 +303,19 @@ def _rep_candidate_pairs(docs: DataFrame, **kw) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(docs: DataFrame, **kw) -> DataFrame:
+def lsh_candidate_pairs(docs: DataFrame, algorithm: str = "auto",
+                        **kw) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing ≥1 LSH band.
 
-    Runs the banded self-join over shingle-set REPRESENTATIVES and
-    expands back (see shingle_set_collapse): output-identical to the
-    direct self-join — equal-set docs share every band key, so a doc
-    pair is a candidate iff its rep pair is — but the join and its
-    dedup shuffle see the collapsed corpus, and intra-family pairs are
-    generated (not shuffled) by the expansion."""
+    Above the small-corpus threshold (see _use_collapse) the banded
+    self-join runs over shingle-set REPRESENTATIVES and expands back
+    (see shingle_set_collapse): output-identical to the direct
+    self-join — equal-set docs share every band key, so a doc pair is a
+    candidate iff its rep pair is — but the join and its dedup shuffle
+    see the collapsed corpus, and intra-family pairs are generated (not
+    shuffled) by the expansion."""
+    if not _use_collapse(docs, algorithm):
+        return _rep_candidate_pairs(docs, **kw)
     members, reps = shingle_set_collapse(docs, k=kw.get("k", MINHASH_K))
     rep_pairs = _rep_candidate_pairs(reps, **kw)
     return _expand_rep_pairs(rep_pairs, members, extra=[])
@@ -313,17 +355,23 @@ def _rep_jaccard_pairs(cand: DataFrame, docs: DataFrame,
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
-                        k: int = MINHASH_K, **kw) -> DataFrame:
+                        k: int = MINHASH_K, algorithm: str = "auto",
+                        **kw) -> DataFrame:
     """Near-dup verification: exact n-gram Jaccard on LSH candidate pairs
     (candidate generation is the LSH join — never all-pairs).
 
-    Candidates and verification run over shingle-set REPRESENTATIVES
+    Above the small-corpus threshold (see _use_collapse), candidates
+    and verification run over shingle-set REPRESENTATIVES
     and expand back (see shingle_set_collapse): output-identical —
     jaccard is a pure set function, so a cross pair inherits its rep
     pair's value and intra-family pairs are exactly 1.0 — but each
     family's quadratic pair set is generated by the expansion join, not
     pushed through the list-intersection verify (sf1: 35.7s → the
     verify stage sees 8.3k reps instead of 50k docs)."""
+    if not _use_collapse(docs, algorithm):
+        cand = _rep_candidate_pairs(docs, k=k, **kw) \
+            .localCheckpoint(eager=False)
+        return _rep_jaccard_pairs(cand, docs, threshold, k)
     members, reps = shingle_set_collapse(docs, k=k)
     cand = _rep_candidate_pairs(reps, k=k, **kw) \
         .localCheckpoint(eager=False)
@@ -338,7 +386,8 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
 
 
 def near_dup_clusters(docs: DataFrame, threshold: float = 0.5,
-                      id_col: str = "doc_id", **kw) -> DataFrame:
+                      id_col: str = "doc_id", algorithm: str = "auto",
+                      **kw) -> DataFrame:
     """End-to-end corpus dedup: MinHash-LSH candidates → exact n-gram
     Jaccard verify → connected components over verified pairs → one
     canonical doc (min id) per duplicate cluster. The standard
@@ -363,7 +412,10 @@ def near_dup_clusters(docs: DataFrame, threshold: float = 0.5,
     from .graph import connected_components
 
     k = kw.pop("k", MINHASH_K)
-    members, reps = shingle_set_collapse(docs, k=k)
+    if _use_collapse(docs, algorithm):
+        members, reps = shingle_set_collapse(docs, k=k)
+    else:
+        members, reps = None, docs
     cand = _rep_candidate_pairs(reps, k=k, **kw) \
         .localCheckpoint(eager=False)
     # checkpoint the verified pairs: both union legs read them, and the
@@ -371,16 +423,20 @@ def near_dup_clusters(docs: DataFrame, threshold: float = 0.5,
     # pipeline every round (measured 3.3x the CPU of the pipeline itself)
     pairs = _rep_jaccard_pairs(cand, reps, threshold, k) \
         .localCheckpoint(eager=False)
-    star = members.where(F.col("doc_id") != F.col("rep"))
     adj = (
         pairs.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
         .union(pairs.select(F.col("b").alias("node"),
                             F.col("a").alias("nbr")))
-        .union(star.select(F.col("doc_id").alias("node"),
-                           F.col("rep").alias("nbr")))
-        .union(star.select(F.col("rep").alias("node"),
-                           F.col("doc_id").alias("nbr")))
     )
+    if members is not None:
+        star = members.where(F.col("doc_id") != F.col("rep"))
+        adj = (
+            adj
+            .union(star.select(F.col("doc_id").alias("node"),
+                               F.col("rep").alias("nbr")))
+            .union(star.select(F.col("rep").alias("node"),
+                               F.col("doc_id").alias("nbr")))
+        )
     lab = connected_components(adj)
     return (
         docs.select(id_col)
@@ -913,7 +969,8 @@ def bpe_train_merges(docs: DataFrame, n_merges: int = BPE_MERGES,
 
 def incremental_dedup(new: DataFrame, old: DataFrame, *,
                       threshold: float = 0.5, k: int = MINHASH_K,
-                      id_col: str = "doc_id", **kw) -> DataFrame:
+                      id_col: str = "doc_id", algorithm: str = "auto",
+                      **kw) -> DataFrame:
     """Cross-snapshot dedup: flag every NEW-crawl doc against the
     EXISTING corpus — the operation a crawl pipeline actually runs per
     snapshot (self-dedup of the union would re-verify the old corpus
@@ -945,8 +1002,20 @@ def incremental_dedup(new: DataFrame, old: DataFrame, *,
         .select(id_col, F.coalesce("_e", F.lit(False)).alias("dropped_exact"))
     )
 
-    m_new, rep_new = shingle_set_collapse(new, k=k)
-    _m_old, rep_old = shingle_set_collapse(old, k=k)
+    # gate collapse on the combined snapshot size: a template family can
+    # straddle both sides, so the two collapses stand or fall together
+    if algorithm not in ("auto", "collapse", "direct"):
+        raise ValueError(
+            f"algorithm must be 'auto'|'collapse'|'direct', got "
+            f"{algorithm!r}")
+    if algorithm == "collapse" or (
+            algorithm == "auto"
+            and _plan_size_bytes(new) + _plan_size_bytes(old)
+            >= SMALL_CORPUS_BYTES):
+        m_new, rep_new = shingle_set_collapse(new, k=k)
+        _m_old, rep_old = shingle_set_collapse(old, k=k)
+    else:
+        m_new, rep_new, rep_old = None, new, old
     nb = lsh_bands(rep_new, k=k, **kw).localCheckpoint(eager=False)
     ob = lsh_bands(rep_old, k=k, **kw).localCheckpoint(eager=False)
     cand = (
@@ -977,11 +1046,15 @@ def incremental_dedup(new: DataFrame, old: DataFrame, *,
     )
     # every member of a flagged rep's group is flagged (identical set ⟹
     # identical candidates and jaccard against the old corpus)
-    near = (
-        m_new.join(near_rep, "rep", "left_semi")
-        .select(F.col("doc_id").alias(id_col))
-        .withColumn("_n", F.lit(True))
-    )
+    if m_new is not None:
+        near = (
+            m_new.join(near_rep, "rep", "left_semi")
+            .select(F.col("doc_id").alias(id_col))
+            .withColumn("_n", F.lit(True))
+        )
+    else:
+        near = (near_rep.select(F.col("rep").alias(id_col))
+                .withColumn("_n", F.lit(True)))
     return (
         ex.join(near, id_col, "left")
         .select(id_col, "dropped_exact",

@@ -106,21 +106,69 @@ def test_shingle_set_collapse_equivalence(spark):
     direct_cand = {(r.a, r.b) for r in d_cand.collect()}
     direct_pairs = {(r.a, r.b): r.jaccard for r in
                     TX._rep_jaccard_pairs(d_cand, docs, 0.3, 3).collect()}
-    new_cand = {(r.a, r.b) for r in TX.lsh_candidate_pairs(docs).collect()}
+    # force the collapse path: the auto gate would pick direct on a
+    # fixture this small (see test_collapse_gate), which would make this
+    # comparison vacuous
+    new_cand = {(r.a, r.b) for r in
+                TX.lsh_candidate_pairs(docs, algorithm="collapse")
+                .collect()}
     new_pairs = {(r.a, r.b): r.jaccard for r in
-                 TX.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+                 TX.ngram_jaccard_pairs(docs, threshold=0.3,
+                                        algorithm="collapse").collect()}
     assert new_cand == direct_cand
     assert new_pairs == direct_pairs  # exact float equality included
     # the template family verified at jaccard 1 despite distinct texts
     assert new_pairs[(2, 3)] == 1.0 and new_pairs[(2, 4)] == 1.0
     out = {r.doc_id: (r.cluster_id, r.keep)
-           for r in TX.near_dup_clusters(docs, threshold=0.3).collect()}
+           for r in TX.near_dup_clusters(docs, threshold=0.3,
+                                         algorithm="collapse").collect()}
     assert out[0] == (0, True) and out[1] == (0, False)
     assert out[2] == (2, True) and out[3] == (2, False) \
         and out[4] == (2, False)
     assert out[5] == (0, False)  # near-dup of the 0/1 family
     assert out[6] == (6, True)
     assert out[7] == (7, True) and out[8] == (8, True)  # NULLs singleton
+
+
+def test_collapse_gate(spark):
+    """The near-dedup family picks collapse-vs-direct from Catalyst's
+    plan-size statistic (like the broadcast threshold), with no extra
+    job: tiny corpora skip the collapse fixed cost, forced modes agree
+    output-identically, and bad mode strings raise."""
+    rows = [(i, f"alpha beta gamma delta epsilon zeta w{i % 3}")
+            for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # in-memory frames carry NO size statistic (Long.MaxValue) -> auto
+    # conservatively collapses; a FILE scan reports real bytes -> a tiny
+    # parquet corpus picks direct (this is the bench/driver shape)
+    assert TX._use_collapse(docs, "auto") is True
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.mode("overwrite").parquet(f"{td}/d.parquet")
+        on_disk = spark.read.parquet(f"{td}/d.parquet")
+        assert TX._plan_size_bytes(on_disk) < TX.SMALL_CORPUS_BYTES
+        assert TX._use_collapse(on_disk, "auto") is False
+    assert TX._use_collapse(docs, "collapse") is True
+    assert TX._use_collapse(docs, "direct") is False
+    with pytest.raises(ValueError):
+        TX._use_collapse(docs, "bogus")
+    with pytest.raises(ValueError):
+        TX.incremental_dedup(docs, docs, algorithm="bogus").collect()
+    for fn in (
+        lambda a: {(r.a, r.b) for r in
+                   TX.lsh_candidate_pairs(docs, algorithm=a).collect()},
+        lambda a: {(r.a, r.b, r.jaccard) for r in
+                   TX.ngram_jaccard_pairs(docs, threshold=0.3,
+                                          algorithm=a).collect()},
+        lambda a: {(r.doc_id, r.cluster_id, r.keep) for r in
+                   TX.near_dup_clusters(docs, threshold=0.3,
+                                        algorithm=a).collect()},
+        lambda a: {(r.doc_id, r.dropped_exact, r.dropped_near, r.keep)
+                   for r in TX.incremental_dedup(
+                       docs.where("doc_id >= 6"), docs.where("doc_id < 6"),
+                       threshold=0.3, algorithm=a).collect()},
+    ):
+        assert fn("collapse") == fn("direct") == fn("auto")
 
 
 def test_near_dup_clusters_no_pairs(spark):
