@@ -283,9 +283,34 @@ def _expand_rep_pairs(rep_pairs: DataFrame, members: DataFrame,
     return cross.unionByName(within)
 
 
-def _rep_candidate_pairs(docs: DataFrame, **kw) -> DataFrame:
+def _drop_hot_buckets(bands: DataFrame, band_cap: int) -> DataFrame:
+    """Remove every (band_idx, band_key) bucket holding more than
+    band_cap docs. A hot bucket's candidate OUTPUT is quadratic in its
+    size — the one blowup that neither the shingle-set collapse (the
+    docs have distinct sets) nor AQE skew splitting (which rebalances
+    shuffle input, not join output) can absorb at 100-TB scale. The
+    over-cap key list is tiny by construction (only the offenders) and
+    broadcast into a left_anti join, so the band table never reshuffles."""
+    hot = (
+        bands.groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > band_cap)
+        .select("band_idx", "band_key")
+    )
+    return bands.join(F.broadcast(hot), ["band_idx", "band_key"],
+                      "left_anti")
+
+
+def _rep_candidate_pairs(docs: DataFrame, band_cap: int | None = None,
+                         **kw) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing ≥1 LSH band, among the
     given docs (callers pre-collapse equal shingle sets).
+
+    band_cap (default None = exact) is the production skew guard: buckets
+    larger than the cap are dropped before the self-join (see
+    _drop_hot_buckets) — the standard web-corpus tradeoff (a doc pair is
+    still found through any OTHER shared band below the cap; only pairs
+    whose every shared band is hot are lost).
 
     The band table is materialized (localCheckpoint) before the self-join:
     Catalyst's projection collapse would otherwise inline the whole
@@ -293,6 +318,8 @@ def _rep_candidate_pairs(docs: DataFrame, **kw) -> DataFrame:
     every signature twice (measured 13.2s → 2.9s on 5k docs); at corpus
     scale the signature table is what you'd persist anyway."""
     bands = lsh_bands(docs, **kw).localCheckpoint(eager=False)
+    if band_cap is not None:
+        bands = _drop_hot_buckets(bands, band_cap)
     left = bands.select(F.col("doc_id").alias("a"), "band_idx", "band_key")
     right = bands.select(F.col("doc_id").alias("b"), "band_idx", "band_key")
     return (
@@ -1016,8 +1043,26 @@ def incremental_dedup(new: DataFrame, old: DataFrame, *,
         _m_old, rep_old = shingle_set_collapse(old, k=k)
     else:
         m_new, rep_new, rep_old = None, new, old
+    band_cap = kw.pop("band_cap", None)
     nb = lsh_bands(rep_new, k=k, **kw).localCheckpoint(eager=False)
     ob = lsh_bands(rep_old, k=k, **kw).localCheckpoint(eager=False)
+    if band_cap is not None:
+        # cap on the COMBINED bucket size: the candidate output of a
+        # bucket is |new side| x |old side|, so the guard must see both
+        # snapshots (see _drop_hot_buckets for the rationale)
+        hot = (
+            nb.select("band_idx", "band_key")
+            .unionAll(ob.select("band_idx", "band_key"))
+            .groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > band_cap)
+            .select("band_idx", "band_key")
+            .localCheckpoint(eager=False)
+        )
+        nb = nb.join(F.broadcast(hot), ["band_idx", "band_key"],
+                     "left_anti")
+        ob = ob.join(F.broadcast(hot), ["band_idx", "band_key"],
+                     "left_anti")
     cand = (
         nb.select(F.col(id_col).alias("n_id"), "band_idx", "band_key")
         .join(ob.select(F.col(id_col).alias("o_id"), "band_idx",

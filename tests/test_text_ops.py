@@ -171,6 +171,49 @@ def test_collapse_gate(spark):
         assert fn("collapse") == fn("direct") == fn("auto")
 
 
+def test_band_cap_hot_bucket_guard(spark):
+    """band_cap drops over-cap LSH buckets before the self-join — the
+    production guard against quadratic candidate OUTPUT from a hot band
+    key (the one blowup neither shingle-set collapse nor AQE skew
+    splitting absorbs). Exact by default (band_cap=None); capped runs
+    lose only pairs whose EVERY shared band is hot."""
+    fam = [(i, "alpha beta gamma delta epsilon zeta eta theta")
+           for i in range(12)]  # identical -> share all 4 band keys
+    other = [(100, "one two three four five six seven eight"),
+             (101, "one two three four five six seven nine")]
+    docs = spark.createDataFrame(fam + other, "doc_id long, text string")
+    # direct path: the 12 identical docs form 4 hot buckets of size 12
+    full = {(r.a, r.b) for r in
+            TX.lsh_candidate_pairs(docs, algorithm="direct").collect()}
+    assert sum(a < 12 and b < 12 for a, b in full) == 12 * 11 // 2
+    assert (100, 101) in full
+    capped = {(r.a, r.b) for r in
+              TX.lsh_candidate_pairs(docs, algorithm="direct",
+                                     band_cap=8).collect()}
+    assert not any(a < 12 and b < 12 for a, b in capped)
+    assert (100, 101) in capped  # size-2 buckets survive the cap
+    # under collapse the equal-set family is ONE rep: its internal pairs
+    # come from the expansion (exact dups always dedup), never a bucket
+    col = {(r.a, r.b) for r in
+           TX.lsh_candidate_pairs(docs, algorithm="collapse",
+                                  band_cap=8).collect()}
+    assert sum(a < 12 and b < 12 for a, b in col) == 12 * 11 // 2
+    # incremental: combined-bucket cap suppresses near flags, never the
+    # exact-digest path
+    new = docs.where("doc_id < 6")
+    old = docs.where("doc_id >= 6 and doc_id < 12")
+    out = {r.doc_id: (r.dropped_exact, r.dropped_near)
+           for r in TX.incremental_dedup(
+               new, old, threshold=0.3, algorithm="direct",
+               band_cap=8).collect()}
+    assert all(v == (True, False) for v in out.values())
+    uncapped = {r.doc_id: r.dropped_near
+                for r in TX.incremental_dedup(
+                    new, old, threshold=0.3,
+                    algorithm="direct").collect()}
+    assert all(uncapped.values())
+
+
 def test_near_dup_clusters_no_pairs(spark):
     docs = spark.createDataFrame(
         [(0, "aa bb cc dd ee ff gg hh"), (1, "qq ww ee rr tt yy uu ii oo")],
