@@ -76,6 +76,37 @@ def band_tuples(shingles: list[str], A: list[int], B: list[int],
             for b in range(n_hashes // band)]
 
 
+def write_corpus(spark, n_fam: int, m: int, n_single: int,
+                 path: str, parts: int) -> int:
+    """Land the planted corpus as parquet: n_fam cyclic-rotation
+    template families of m docs + n_single private-alphabet singletons
+    (see module docstring). Pure integer SQL — bit-reproducible.
+    Returns the doc count. Shared with bench_scaling_neardup.py."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    n_docs = n_fam * m + n_single
+    fam_tok = (
+        "CASE WHEN f % 2 = 0 THEN concat('t', f, '_', p) "
+        "WHEN p = 0 THEN concat('x', f) "
+        "ELSE concat('t', f - 1, '_', p) END"
+    )
+    docs = spark.range(0, n_docs, 1, parts).selectExpr(
+        "id as doc_id",
+        f"id div {m} as f",
+        f"id % {m} as j",
+    ).selectExpr(
+        "doc_id",
+        f"""CASE WHEN doc_id >= {n_fam * m} THEN
+              concat('s', doc_id, 'a s', doc_id, 'b s', doc_id,
+                     'c s', doc_id, 'd s', doc_id, 'e')
+            ELSE array_join(transform(sequence(0, {2 * N_TOK - 1}),
+              i -> {fam_tok.replace('p', f'pmod(j + i, {N_TOK})')}), ' ')
+            END as text""",
+    )
+    docs.write.mode("overwrite").parquet(path)
+    return n_docs
+
+
 def main() -> int:
     from pyspark.sql import functions as F
 
@@ -106,25 +137,7 @@ def main() -> int:
 
     # -- corpus: 1M docs, all-integer projection ----------------------
     t0 = time.monotonic()
-    fam_tok = (
-        "CASE WHEN f % 2 = 0 THEN concat('t', f, '_', p) "
-        "WHEN p = 0 THEN concat('x', f) "
-        "ELSE concat('t', f - 1, '_', p) END"
-    )
-    docs = spark.range(0, n_docs, 1, 4 * CORES).selectExpr(
-        "id as doc_id",
-        f"id div {M} as f",
-        f"id % {M} as j",
-    ).selectExpr(
-        "doc_id",
-        f"""CASE WHEN doc_id >= {N_FAM * M} THEN
-              concat('s', doc_id, 'a s', doc_id, 'b s', doc_id,
-                     'c s', doc_id, 'd s', doc_id, 'e')
-            ELSE array_join(transform(sequence(0, {2 * N_TOK - 1}),
-              i -> {fam_tok.replace('p', f'pmod(j + i, {N_TOK})')}), ' ')
-            END as text""",
-    )
-    docs.write.mode("overwrite").parquet(CORPUS)
+    write_corpus(spark, N_FAM, M, N_SINGLE, CORPUS, 4 * CORES)
     print(f"corpus written: {n_docs:,} docs in "
           f"{time.monotonic() - t0:.1f}s")
 
