@@ -8034,30 +8034,61 @@ def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.containment_pairs(_docs(spark, sf_dir), n=3, pct=60)
 
 
+# mirrors the engine's distinct-GRAM-SET representative collapse
+# (containment is a pure function of the two distinct gram sets, so a
+# cross pair inherits its rep pair's numbers exactly and equal-set docs
+# are mutually 100%-contained): grouped-first is exact for ANY corpus
+# and keeps the shared-gram self-join off the template families (the
+# dedup_cluster oracle lesson). Empty-gram docs never enter grams0, so
+# they appear in no group and no pair — same as the engine's singleton
+# groups.
 _CONTAINMENT_SQL = """
-WITH lists AS (
+WITH lists AS MATERIALIZED (
   SELECT doc_id,
          list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
                      t -> t != '') AS l
   FROM documents
 ),
-grams AS (
+grams0 AS MATERIALIZED (
   SELECT DISTINCT doc_id AS doc,
          l[CAST(i AS INT)] || ' ' || l[CAST(i + 1 AS INT)] || ' '
            || l[CAST(i + 2 AS INT)] AS g
   FROM lists, UNNEST(range(1, len(l) - 1)) t(i)
 ),
+keyed AS MATERIALIZED (
+  SELECT doc, CAST(count(*) AS BIGINT) AS sz,
+         md5(array_to_string(list_sort(list(g)), chr(31))) AS skey
+  FROM grams0 GROUP BY doc
+),
+groups AS MATERIALIZED (
+  SELECT skey, min(doc) AS rep FROM keyed GROUP BY skey
+),
+members AS MATERIALIZED (
+  SELECT k.doc, k.sz, g.rep FROM keyed k JOIN groups g USING (skey)
+),
+rep_grams AS MATERIALIZED (
+  SELECT doc, g FROM grams0 WHERE doc IN (SELECT rep FROM groups)
+),
 sizes AS (SELECT doc, CAST(count(*) AS BIGINT) AS sz
-          FROM grams GROUP BY 1),
+          FROM rep_grams GROUP BY 1),
 inter AS (
   SELECT g1.doc AS a, g2.doc AS b, CAST(count(*) AS BIGINT) AS inter
-  FROM grams g1 JOIN grams g2 ON g1.g = g2.g
+  FROM rep_grams g1 JOIN rep_grams g2 ON g1.g = g2.g
   WHERE g1.doc != g2.doc
   GROUP BY 1, 2
+),
+rep_pairs AS MATERIALIZED (
+  SELECT a, b, inter, sizes.sz AS size_a
+  FROM inter JOIN sizes ON sizes.doc = a
+  WHERE inter * 100 > 60 * sizes.sz
 )
-SELECT a, b, inter, sizes.sz AS size_a
-FROM inter JOIN sizes ON sizes.doc = a
-WHERE inter * 100 > 60 * sizes.sz
+SELECT ma.doc AS a, mb.doc AS b, rp.inter, rp.size_a
+FROM rep_pairs rp JOIN members ma ON ma.rep = rp.a
+                  JOIN members mb ON mb.rep = rp.b
+UNION ALL
+SELECT m1.doc, m2.doc, m1.sz, m1.sz
+FROM members m1 JOIN members m2
+  ON m1.rep = m2.rep AND m1.doc != m2.doc
 """
 
 

@@ -1463,7 +1463,8 @@ def stopword_gate(docs, *, pct: int = 40, text_col="text",
 
 
 def containment_pairs(docs, *, n: int = 3, pct: int = 60,
-                      text_col="text", id_col="doc_id"):
+                      text_col="text", id_col="doc_id",
+                      algorithm: str = "auto"):
     """Asymmetric n-gram CONTAINMENT dedup: |A∩B| / |A| — the
     sub-document-duplication measure (a page quoting most of another
     scores high containment even when resemblance/Jaccard is low
@@ -1476,21 +1477,60 @@ def containment_pairs(docs, *, n: int = 3, pct: int = 60,
     index style, fan-out bounded by shingle df), intersection = count
     per pair, set sizes broadcast back. The integer gate inter·100 >
     pct·size_a keeps it float-free.
-    """
+
+    Above the small-corpus threshold (see _use_collapse) docs collapse
+    to distinct-GRAM-SET representatives first: containment is a pure
+    function of the two distinct gram sets, so a cross pair inherits
+    its rep pair's (inter, size) exactly and equal-set docs are
+    mutually 100%-contained — the shared-gram join's quadratic fan-out
+    on template families (the measured sf1 blowup: 1,260-doc equal-set
+    families → 10⁶ join rows per gram) collapses to one rep per
+    family, and intra-family pairs are GENERATED by the expansion
+    (emitted only when 100 > pct). Empty-gram docs stay singleton
+    groups — they appear in no pair on either path."""
     from pyspark.sql import functions as F
 
     # CASE guard, not greatest(): Spark sequence(1, 0) DESCENDS to
     # [1, 0] instead of returning empty (CLAUDE.md sequence trap)
     toks = (f"filter(split(trim(lower({text_col})), '\\\\s+'),"
             " t -> t != '')")
-    grams = docs.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.expr(
-            f"CASE WHEN size({toks}) >= {n} THEN "
-            f"transform(sequence(1, size({toks}) - {n} + 1), i -> "
-            f"xxhash64(concat_ws(' ', slice({toks}, i, {n})))) "
-            f"ELSE array() END")).alias("g")
-    ).distinct().localCheckpoint(eager=False)
+    ga = (f"CASE WHEN size({toks}) >= {n} THEN "
+          f"transform(sequence(1, size({toks}) - {n} + 1), i -> "
+          f"xxhash64(concat_ws(' ', slice({toks}, i, {n})))) "
+          f"ELSE array() END")
+    if _use_collapse(docs, algorithm):
+        garr = docs.select(
+            F.col(id_col).alias("doc"),
+            F.array_sort(F.array_distinct(F.expr(ga))).alias("gs"),
+        )
+        skey = F.when(
+            F.size("gs") == 0,
+            F.concat(F.lit("\x00"), F.col("doc").cast("string")),
+        ).otherwise(F.md5(F.concat_ws(
+            "\x1f", F.expr("transform(gs, x -> cast(x as string))"))
+            .cast("binary")))
+        sk = garr.select("doc", F.size("gs").cast("bigint").alias("sz"),
+                         skey.alias("skey")).localCheckpoint(eager=False)
+        groups = sk.groupBy("skey").agg(F.min("doc").alias("rep"))
+        # eager: members feeds both expansion legs + the within pairs;
+        # lazy would recompute the corpus-wide gram pass per consumer
+        # (the shingle_set_collapse lesson)
+        members = sk.join(groups, "skey").select("doc", "sz", "rep") \
+            .localCheckpoint()
+        grams = (
+            members.where(F.col("doc") == F.col("rep"))
+            .select("doc")
+            .join(docs.select(F.col(id_col).alias("doc"),
+                              F.expr(ga).alias("ga")), "doc")
+            .select("doc", F.explode(F.array_distinct("ga")).alias("g"))
+            .localCheckpoint(eager=False)
+        )
+    else:
+        members = None
+        grams = docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.expr(ga)).alias("g")
+        ).distinct().localCheckpoint(eager=False)
     sizes = grams.groupBy("doc").agg(
         F.count(F.lit(1)).cast("bigint").alias("sz"))
     inter = (
@@ -1500,13 +1540,34 @@ def containment_pairs(docs, *, n: int = 3, pct: int = 60,
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
     )
-    return (
+    rep_pairs = (
         inter
         .join(sizes.select(F.col("doc").alias("a"),
                            F.col("sz").alias("size_a")), "a")
         .filter(F.col("inter") * 100 > F.lit(pct) * F.col("size_a"))
         .select("a", "b", "inter", "size_a")
     )
+    if members is None:
+        return rep_pairs
+    # checkpoint the verified rep pairs before the expansion joins
+    # (projection-collapse trap: inter/size_a are in the output)
+    rep_pairs = rep_pairs.localCheckpoint(eager=False)
+    ma = members.select(F.col("rep").alias("a"), F.col("doc").alias("xa"))
+    mb = members.select(F.col("rep").alias("b"), F.col("doc").alias("xb"))
+    cross = (rep_pairs.join(ma, "a").join(mb, "b")
+             .select(F.col("xa").alias("a"), F.col("xb").alias("b"),
+                     "inter", "size_a"))
+    if pct >= 100:
+        return cross
+    within = (
+        members.where(F.col("sz") > 0)
+        .select("rep", "sz", F.col("doc").alias("xa"))
+        .join(members.select("rep", F.col("doc").alias("xb")), "rep")
+        .where(F.col("xa") != F.col("xb"))
+        .select(F.col("xa").alias("a"), F.col("xb").alias("b"),
+                F.col("sz").alias("inter"), F.col("sz").alias("size_a"))
+    )
+    return cross.unionByName(within)
 
 
 def register_first_tokens_udtf(spark) -> None:

@@ -99,7 +99,11 @@ def main() -> int:
         path = f"{sf_dir}/{t}.parquet"
         src = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
-    spark = get_spark("oracle_check", cores=8, shuffle_partitions=16)
+    # big fixtures: quadratic-OUTPUT contracts (containment/lsh_pairs at
+    # sf1) collect tens of millions of rows for the pandas compare —
+    # lift the 1g driver collect cap for this harness only
+    spark = get_spark("oracle_check", cores=8, shuffle_partitions=16,
+                      extra_conf={"spark.driver.maxResultSize": "16g"})
     qs, os_ = E.queries(), E.oracle_sql()
     failures = 0
     for name, fn in qs.items():

@@ -1042,6 +1042,49 @@ def test_containment_pairs_asymmetric(spark):
     assert rows == {(1, 2): (2, 2)}
 
 
+def test_containment_collapse_equivalence(spark):
+    """The distinct-GRAM-SET representative collapse must be
+    OUTPUT-IDENTICAL to the direct shared-gram join — ordered pairs
+    WITH exact integer (inter, size_a) — on a fixture covering every
+    collapse class: exact dups, a same-gram-set family (rotation with
+    wraparound overlap), asymmetric containment across groups,
+    singletons, and docs with no grams at all (< n tokens)."""
+    from bdtopo2refhydro_spark.operators.text import containment_pairs
+
+    rows = [
+        (0, "a b c d"),
+        (1, "a b c d"),                      # exact dup of 0
+        # same 3-gram SET, different linear order (cyclic repeats)
+        (2, "p q r p q r p q"),
+        (3, "q r p q r p q r"),
+        (4, "a b c d e f g h i j"),          # contains 0/1 (2/2 grams)
+        (5, "z y x w v u"),                  # singleton
+        (6, "t u"),                          # no grams (< 3 tokens)
+        (7, "s t"),                          # no grams
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = {(r["a"], r["b"]): (r["inter"], r["size_a"]) for r in
+         containment_pairs(docs, n=3, pct=60,
+                           algorithm="direct").collect()}
+    c = {(r["a"], r["b"]): (r["inter"], r["size_a"]) for r in
+         containment_pairs(docs, n=3, pct=60,
+                           algorithm="collapse").collect()}
+    assert c == d
+    assert c[(0, 1)] == (2, 2) and c[(1, 0)] == (2, 2)  # within pairs
+    assert c[(2, 3)][0] == c[(2, 3)][1]  # family: 100% both ways
+    assert (3, 2) in c
+    assert c[(0, 4)] == (2, 2) and (4, 0) not in c  # asymmetric
+    assert not any(6 in p or 7 in p for p in c)  # gramless: no pairs
+    # pct >= 100: within pairs must NOT be emitted (strict gate)
+    strict = {(r["a"], r["b"]) for r in
+              containment_pairs(docs, n=3, pct=100,
+                                algorithm="collapse").collect()}
+    assert strict == {(p, q) for p, q in
+                      {(r["a"], r["b"]) for r in
+                       containment_pairs(docs, n=3, pct=100,
+                                         algorithm="direct").collect()}}
+
+
 def test_rake_scores_hand_computed(spark):
     """'deep learning of the deep model' style fixture: phrases split
     at stopwords; deg sums phrase lengths per occurrence."""
